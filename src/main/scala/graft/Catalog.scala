@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Central registry of judged queries.
+  *
+  * Each module contributes a `Seq[Q]`; SparkEntry flattens them into
+  * the driver contract. A `Q` with `oracle = None` is a
+  * non-SQL-expressible operator (e.g. MinHash banding) that the
+  * driver checks rows-only.
+  */
+object Catalog {
+  final case class Q(
+      name: String,
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  def all: Seq[Q] =
+    graft.operators.Relational.queries
+
+  def queryMap: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
+  def oracleMap: Map[String, String] =
+    all.collect { case Q(n, _, Some(sql)) => n -> sql.trim }.toMap
+}

@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+For each query dumped by graft.Verify, registers the sfDir parquet
+tables as DuckDB views, runs the oracle SQL from oracle_sql.json, and
+compares against the Spark parquet dump: row count, column names
+(sorted), and a value hash (rows sorted, columns sorted by name,
+floats rounded to 9 significant decimals to absorb last-ulp noise).
+This mirrors what CORRECTNESS_r{N}.json checks so oracle-SQL typos
+surface before the round boundary.
+"""
+import json, math, sys
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if v is None:
+        return "\0NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(round(v, 9))
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+
+def table_key(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted(tuple(canon(r[i]) for i in order) for r in rows)
+    return out
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            duck = con.execute(sql)
+            dcols = [d[0] for d in duck.description]
+            drows = duck.fetchall()
+            sp = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            scols = [d[0] for d in sp.description]
+            srows = sp.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: exec error: {e}")
+            n_fail += 1
+            continue
+        ok = True
+        if sorted(dcols) != sorted(scols):
+            print(f"FAIL {name}: cols duck={sorted(dcols)} spark={sorted(scols)}")
+            ok = False
+        elif len(drows) != len(srows):
+            print(f"FAIL {name}: rows duck={len(drows)} spark={len(srows)}")
+            ok = False
+        else:
+            dk, sk = table_key(drows, dcols), table_key(srows, scols)
+            if dk != sk:
+                diffs = [i for i, (a, b) in enumerate(zip(dk, sk)) if a != b]
+                print(f"FAIL {name}: {len(diffs)} differing rows; first: "
+                      f"duck={dk[diffs[0]]} spark={sk[diffs[0]]}")
+                ok = False
+        if ok:
+            print(f"PASS {name} ({len(srows)} rows)")
+            n_pass += 1
+        else:
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
