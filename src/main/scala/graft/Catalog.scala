@@ -16,7 +16,12 @@ object Catalog {
       oracle: Option[String])
 
   def all: Seq[Q] =
-    graft.operators.Relational.queries
+    graft.operators.Relational.queries ++
+      graft.operators.Joins.queries ++
+      graft.operators.Aggregates.queries ++
+      graft.operators.Windows.queries ++
+      graft.operators.SetOps.queries ++
+      graft.operators.Scalars.queries
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

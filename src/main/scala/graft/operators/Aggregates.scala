@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+import graft.Catalog.Q
+
+/** Aggregation breadth: DISTINCT aggregates, ROLLUP, CUBE — the
+  * checklist categories absent from the reference (SURVEY.md §2.2).
+  * All are stock hash aggregates with partial (map-side) combine;
+  * distinct aggregation expands to a two-phase plan that Spark
+  * handles without materializing the distinct sets on one node.
+  */
+object Aggregates {
+
+  private def exactCents(c: org.apache.spark.sql.Column) =
+    sum(round(c * 100).cast(LongType)).cast(DoubleType) / 100.0
+
+  /** COUNT(DISTINCT) over two columns + plain count per group.
+    * (approx_count_distinct exists as the HLL scale path but has no
+    * cross-engine oracle — see q8b in tests.)
+    */
+  def q8DistinctAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** ROLLUP over (nation, year-month): subtotal rows carry NULL group
+    * keys, coalesced to an '(all)' sentinel so the oracle compare is
+    * null-ordering-proof (both engines sort '(' before any NATION_x
+    * in binary collation). Neither underlying key is ever NULL, so
+    * the sentinel is unambiguous.
+    */
+  def q9Rollup(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .select(n("n_name").as("n_name"),
+        date_format(o("o_orderdate"), "yyyy-MM").as("ym"),
+        o("o_totalprice").as("price"))
+      .rollup(col("n_name"), col("ym"))
+      .agg(count(lit(1)).as("n_orders"),
+        exactCents(col("price")).as("total_price"))
+      .select(
+        coalesce(col("n_name"), lit("(all)")).as("n_name"),
+        coalesce(col("ym"), lit("(all)")).as("ym"),
+        col("n_orders"), col("total_price"))
+      .orderBy(col("n_name"), col("ym"))
+  }
+
+  /** CUBE over (returnflag, linestatus) with exact money totals. */
+  def q10Cube(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        exactCents(col("l_extendedprice")).as("total_extprice"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("l_linestatus"),
+        col("n_rows"), col("total_extprice"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Min/max/first-last-style extremes per group with deterministic
+    * semantics only (min/max of doubles and strings — no first/last,
+    * which are order-dependent).
+    */
+  def q18MinMax(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        min(col("o_orderdate")).as("first_date"),
+        max(col("o_orderdate")).as("last_date"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  val queries: Seq[Q] = Seq(
+    Q("q8_distinct_agg", q8DistinctAgg, Some("""
+      SELECT l_returnflag, l_linestatus,
+             count(*) AS n_rows,
+             count(DISTINCT l_partkey) AS n_parts,
+             count(DISTINCT l_suppkey) AS n_supps,
+             count(DISTINCT l_orderkey) AS n_orders
+      FROM lineitem
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")),
+    Q("q9_rollup", q9Rollup, Some("""
+      SELECT coalesce(n_name, '(all)') AS n_name,
+             coalesce(ym, '(all)') AS ym,
+             count(*) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price
+      FROM (SELECT n_name, strftime(o_orderdate, '%Y-%m') AS ym, o_totalprice
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey)
+      GROUP BY ROLLUP (n_name, ym)
+      ORDER BY 1, 2""")),
+    Q("q10_cube", q10Cube, Some("""
+      SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
+             coalesce(l_linestatus, '(all)') AS l_linestatus,
+             count(*) AS n_rows,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_extprice
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY 1, 2""")),
+    Q("q18_minmax", q18MinMax, Some("""
+      SELECT o_orderpriority,
+             min(o_totalprice) AS min_price,
+             max(o_totalprice) AS max_price,
+             min(o_orderdate) AS first_date,
+             max(o_orderdate) AS last_date,
+             count(*) AS n
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+  )
+}

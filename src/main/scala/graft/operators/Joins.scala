@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+import graft.Catalog.Q
+
+/** Join-strategy breadth beyond the reference's single reduce-side
+  * inner equi-join (SURVEY.md §2.2 "joins beyond inner equi").
+  * Every join here states its intended physical strategy:
+  * semi/anti/outer shuffle on the join key at scale (AQE picks
+  * broadcast when a side is small); the band join broadcasts an
+  * inline dim through a nested-loop join, the standard shape for
+  * tiny theta-joins.
+  */
+object Joins {
+
+  /** Left-semi: customers having at least one high-value order.
+    * Semi joins ship only the key column of the right side — at
+    * 100 TB this is the cheapest existence test Spark has (no
+    * row duplication, dedup happens in the join itself).
+    */
+  def q5SemiJoin(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).where(col("o_totalprice") > 200000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-anti: customers who never placed an urgent order (plain
+    * "no orders at all" is vacuously empty on this data). NOT EXISTS
+    * rather than NOT IN in the oracle — the anti join expresses the
+    * intent directly without the NULL trap.
+    */
+  def q6AntiJoin(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).where(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-outer join + aggregation: per-customer order count and
+    * exact spend, keeping order-less customers (count 0, NULL spend —
+    * the SQL semantics both engines share).
+    */
+  def q7OuterJoinAgg(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(c("c_custkey"))
+      .agg(
+        count(o("o_orderkey")).as("n_orders"),
+        (sum(round(o("o_totalprice") * 100).cast(LongType))
+          .cast(DoubleType) / 100.0).as("total_spend"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Theta/band join: classify orders into price bands via a
+    * broadcast inline dim and a range predicate — the non-equi join
+    * shape (BroadcastNestedLoopJoin) the reference has no answer to.
+    * The bands side is constant-size, so the NLJ cost is
+    * O(rows × bands) with zero shuffle.
+    */
+  def q17BandJoin(s: SparkSession, d: String): DataFrame = {
+    val bands = s.createDataFrame(
+      java.util.Arrays.asList(
+        Row("low", 0.0, 100000.0),
+        Row("mid", 100000.0, 250000.0),
+        Row("high", 250000.0, Double.MaxValue)),
+      StructType(Seq(
+        StructField("band", StringType, nullable = false),
+        StructField("lo", DoubleType, nullable = false),
+        StructField("hi", DoubleType, nullable = false))))
+    val o = Tables.orders(s, d)
+    o.join(broadcast(bands),
+        o("o_totalprice") >= bands("lo") && o("o_totalprice") < bands("hi"))
+      .groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        (sum(round(col("o_totalprice") * 100).cast(LongType))
+          .cast(DoubleType) / 100.0).as("band_total"))
+      .orderBy(col("band"))
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q("q5_semi_join", q5SemiJoin, Some("""
+      SELECT c_custkey, c_name, c_mktsegment
+      FROM customer
+      WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+      ORDER BY c_custkey""")),
+    Q("q6_anti_join", q6AntiJoin, Some("""
+      SELECT c_custkey, c_name
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderpriority = '1-URGENT')
+      ORDER BY c_custkey""")),
+    Q("q7_outer_join_agg", q7OuterJoinAgg, Some("""
+      SELECT c_custkey,
+             count(o_orderkey) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_spend
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+      ORDER BY c_custkey""")),
+    Q("q17_band_join", q17BandJoin, Some("""
+      SELECT band,
+             count(*) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS band_total
+      FROM orders
+      JOIN (VALUES ('low', 0.0, 100000.0),
+                   ('mid', 100000.0, 250000.0),
+                   ('high', 250000.0, 1e308)) v(band, lo, hi)
+        ON o_totalprice >= lo AND o_totalprice < hi
+      GROUP BY band
+      ORDER BY band"""))
+  )
+}

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+import graft.Catalog.Q
+
+/** Scalar function breadth: string / date / math functions, all
+  * row-wise and codegen'd (the reference's scalar surface is just
+  * trim/split/startsWith/format — SURVEY.md §2.2). Transcendentals
+  * (sin/log/exp) are deliberately excluded from oracle-compared
+  * output: libm results differ across engines in the last ulp.
+  * sqrt IS exact (IEEE-defined), so it stays.
+  */
+object Scalars {
+
+  /** String zoo over part. DuckDB length/strpos return BIGINT where
+    * Spark returns INT — the oracle casts to match Spark.
+    */
+  def q14StringFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        lower(col("p_brand")).as("brand_lower"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_name"), 1, 5).as("name_pfx"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_type"), "[aeiou]", "_").as("type_devowel"),
+        reverse(col("p_brand")).as("brand_rev"),
+        lpad(col("p_size").cast(StringType), 4, "0").as("size_pad"),
+        col("p_name").contains("red").cast(StringType).as("has_red"))
+      .orderBy(col("p_partkey"))
+
+  /** Date/time zoo over orders: component extraction, truncation,
+    * arithmetic, formatting.
+    */
+  def q15DateFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        quarter(col("o_orderdate")).as("qtr"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("iso_day"),
+        datediff(lit("2026-01-01").cast(DateType),
+          col("o_orderdate").cast(DateType)).as("days_to_2026"))
+      .orderBy(col("o_orderkey"))
+
+  /** Math zoo over lineitem: exact-on-IEEE operations only. */
+  def q16MathFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - 0.5).as("abs_off"),
+        floor(col("l_extendedprice")).as("price_floor"),
+        ceil(col("l_extendedprice")).as("price_ceil"),
+        sqrt(col("l_quantity")).as("qty_sqrt"),
+        pow(col("l_quantity"), lit(2.0)).as("qty_sq"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          (lit(1.0) + col("l_tax"))).as("charged"),
+        greatest(col("l_quantity"), col("l_discount") * 100).as("gx"),
+        least(col("l_quantity"), col("l_tax") * 100).as("lx"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** CASE/conditional zoo: when/otherwise, nullif-style, if. */
+  def q20Conditionals(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 250000, "high")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("low").as("price_band"),
+        when(col("o_orderstatus") === "F", col("o_totalprice")).as("finished_price"),
+        coalesce(when(col("o_orderpriority") === "1-URGENT", lit("urgent")),
+          lit("normal")).as("prio"))
+      .orderBy(col("o_orderkey"))
+
+  val queries: Seq[Q] = Seq(
+    Q("q14_string_funcs", q14StringFuncs, Some("""
+      SELECT p_partkey,
+             upper(p_name) AS name_upper,
+             lower(p_brand) AS brand_lower,
+             CAST(length(p_name) AS INTEGER) AS name_len,
+             substr(p_name, 1, 5) AS name_pfx,
+             concat_ws('|', p_brand, p_type) AS brand_type,
+             regexp_replace(p_type, '[aeiou]', '_', 'g') AS type_devowel,
+             reverse(p_brand) AS brand_rev,
+             lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+             CAST(contains(p_name, 'red') AS VARCHAR) AS has_red
+      FROM part
+      ORDER BY p_partkey""")),
+    Q("q15_date_funcs", q15DateFuncs, Some("""
+      SELECT o_orderkey,
+             CAST(year(o_orderdate) AS INTEGER) AS yr,
+             CAST(month(o_orderdate) AS INTEGER) AS mo,
+             CAST(day(o_orderdate) AS INTEGER) AS dom,
+             CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+             CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+             strftime(o_orderdate, '%Y-%m-%d') AS iso_day,
+             CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2026-01-01') AS INTEGER) AS days_to_2026
+      FROM orders
+      ORDER BY o_orderkey""")),
+    Q("q16_math_funcs", q16MathFuncs, Some("""
+      SELECT l_orderkey, l_linenumber,
+             abs(l_discount - 0.5) AS abs_off,
+             CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+             CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+             sqrt(l_quantity) AS qty_sqrt,
+             pow(l_quantity, 2.0) AS qty_sq,
+             l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charged,
+             greatest(l_quantity, l_discount * 100) AS gx,
+             least(l_quantity, l_tax * 100) AS lx
+      FROM lineitem
+      ORDER BY l_orderkey, l_linenumber""")),
+    Q("q20_conditionals", q20Conditionals, Some("""
+      SELECT o_orderkey,
+             CASE WHEN o_totalprice > 250000 THEN 'high'
+                  WHEN o_totalprice > 100000 THEN 'mid'
+                  ELSE 'low' END AS price_band,
+             CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS finished_price,
+             coalesce(CASE WHEN o_orderpriority = '1-URGENT' THEN 'urgent' END,
+                      'normal') AS prio
+      FROM orders
+      ORDER BY o_orderkey"""))
+  )
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+import graft.Catalog.Q
+
+/** Frame-based window functions — absent from the reference, whose
+  * only "windows" are calendar-bucket string keys (SURVEY.md §2.2).
+  * Window execution shuffles once on partitionBy keys and sorts
+  * within partitions; at 100 TB the partition key (nation / custkey)
+  * must be the high-cardinality dimension so no single partition
+  * explodes — both queries below satisfy that.
+  */
+object Windows {
+
+  /** Top-3 customers by balance per nation: row_number over a
+    * fully-deterministic ordering (balance desc, key asc tie-break).
+    */
+  def q11WindowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.customer(s, d)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select(col("c_nationkey"), col("rk"), col("c_custkey"), col("c_acctbal"))
+      .orderBy(col("c_nationkey"), col("rk"))
+  }
+
+  /** Per-nation monthly revenue with LAG and a 3-month moving
+    * average. The moving average is computed over integer cents
+    * (windowed SUM of longs, then one division) — a windowed
+    * AVG(double) is NOT portable because engines associate the
+    * frame summation differently (DuckDB uses segment trees).
+    */
+  def q12WindowLagMa(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val monthly = o
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(n("n_name"), date_format(o("o_orderdate"), "yyyy-MM").as("ym"))
+      .agg(sum(round(o("o_totalprice") * 100).cast(LongType)).as("cents"))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("ym"))
+    val w3 = w.rowsBetween(-2, 0)
+    monthly
+      .select(
+        col("n_name"), col("ym"),
+        (col("cents").cast(DoubleType) / 100.0).as("revenue"),
+        (lag(col("cents"), 1).over(w).cast(DoubleType) / 100.0).as("prev_revenue"),
+        (sum(col("cents")).over(w3).cast(DoubleType) / 100.0 /
+          count(lit(1)).over(w3)).as("ma3"))
+      .orderBy(col("n_name"), col("ym"))
+  }
+
+  /** Running totals + global rank without any partition key on the
+    * rank — demonstrates ntile/percent_rank-class analytics but
+    * sticks to deterministic members. Partitioned by customer to
+    * keep the sort distributed.
+    */
+  def q19RunningTotal(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        (sum(round(col("o_totalprice") * 100).cast(LongType))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast(DoubleType) / 100.0).as("running_spend"),
+        row_number().over(w).as("order_seq"))
+      .orderBy(col("o_custkey"), col("order_seq"))
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q("q11_window_rank", q11WindowRank, Some("""
+      SELECT c_nationkey, rk, c_custkey, c_acctbal FROM (
+        SELECT c_nationkey, c_custkey, c_acctbal,
+               row_number() OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+        FROM customer)
+      WHERE rk <= 3
+      ORDER BY c_nationkey, rk""")),
+    Q("q12_window_lag_ma", q12WindowLagMa, Some("""
+      WITH monthly AS (
+        SELECT n_name, strftime(o_orderdate, '%Y-%m') AS ym,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, ym)
+      SELECT n_name, ym,
+             CAST(cents AS DOUBLE) / 100.0 AS revenue,
+             CAST(lag(cents, 1) OVER w AS DOUBLE) / 100.0 AS prev_revenue,
+             CAST(sum(cents) OVER w3 AS DOUBLE) / 100.0 / count(*) OVER w3 AS ma3
+      FROM monthly
+      WINDOW w AS (PARTITION BY n_name ORDER BY ym),
+             w3 AS (PARTITION BY n_name ORDER BY ym ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      ORDER BY n_name, ym""")),
+    Q("q19_running_total", q19RunningTotal, Some("""
+      SELECT o_custkey, o_orderkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+               AS running_spend,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS order_seq
+      FROM orders
+      ORDER BY o_custkey, order_seq"""))
+  )
+}

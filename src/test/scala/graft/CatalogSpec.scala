@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Catalog-wide invariants at sf0.001: every query executes, yields
+  * rows (the driver smoke-checks rows>0), has unique well-formed
+  * column names, and the headline plans keep their intended physical
+  * shape (broadcast for tiny dims, TakeOrderedAndProject for top-k,
+  * parquet filter pushdown).
+  */
+class CatalogSpec extends SparkTestBase {
+
+  private val dir = sf("sf0.001")
+
+  test("every catalog query executes and returns rows at sf0.001") {
+    Catalog.all.foreach { q =>
+      val df = q.fn(spark, dir)
+      val n = df.count()
+      assert(n > 0, s"${q.name} returned 0 rows")
+      val cols = df.columns
+      assert(cols.distinct.length === cols.length,
+        s"${q.name} has duplicate column names: ${cols.mkString(",")}")
+      assert(cols.forall(_.matches("[a-z][a-z0-9_]*")),
+        s"${q.name} has non-snake-case columns: ${cols.mkString(",")}")
+    }
+  }
+
+  test("every oracle key has a matching query") {
+    assert(Catalog.oracleMap.keySet.subsetOf(Catalog.queryMap.keySet))
+  }
+
+  private def plan(name: String): SparkPlan =
+    Catalog.queryMap(name)(spark, dir).queryExecution.executedPlan
+
+  test("q1 broadcasts the nation dim — no shuffle for a 25-row table") {
+    assert(plan("q1_city_month_agg").toString.contains("BroadcastHashJoin"))
+  }
+
+  test("q2/q4 plan as TakeOrderedAndProject (partial top-k), not global sort") {
+    assert(plan("q2_argmax_month").toString.contains("TakeOrderedAndProject"))
+    assert(plan("q4_topk_orders").toString.contains("TakeOrderedAndProject"))
+  }
+
+  test("q3 pushes its filters into the parquet scan") {
+    val s = plan("q3_filter_project").toString
+    assert(s.contains("PushedFilters: [IsNotNull(l_quantity), IsNotNull(l_returnflag)"),
+      s"expected pushed filters in:\n$s")
+    // column pruning: scan must read only the 5 referenced columns
+    assert(!s.contains("l_partkey"), "scan reads pruned column l_partkey")
+  }
+
+  test("q17 band join broadcasts the bands dim (nested-loop, no shuffle)") {
+    assert(plan("q17_band_join").toString.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q5/q6 plan as semi/anti joins, not inner+distinct") {
+    assert(plan("q5_semi_join").toString.contains("LeftSemi"))
+    assert(plan("q6_anti_join").toString.contains("LeftAnti"))
+  }
+}
