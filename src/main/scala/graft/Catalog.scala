@@ -21,7 +21,11 @@ object Catalog {
       graft.operators.Aggregates.queries ++
       graft.operators.Windows.queries ++
       graft.operators.SetOps.queries ++
-      graft.operators.Scalars.queries
+      graft.operators.Scalars.queries ++
+      graft.operators.TextAnalysis.queries ++
+      graft.operators.Dedup.queries ++
+      graft.operators.Similarity.queries ++
+      graft.multimodal.Multimodal.queries
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,100 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+import graft.Catalog.Q
+
+/** An opaque media blob with typed metadata — the multimodal column
+  * pattern: payload stays a byte array end to end; only metadata is
+  * ever shuffled or aggregated.
+  */
+final case class MediaFile(doc_id: Long, format: String, payload: Array[Byte])
+
+/** Decoded media metadata (what a real codec would surface). */
+final case class MediaMeta(
+    doc_id: Long, format: String, byte_len: Int,
+    width: Int, height: Int, n_frames: Int)
+
+/** Multimodal-column plumbing: schema, partition-wise decode, and the
+  * judged metadata query.
+  *
+  * The Spark-side shape is production-real: a `Dataset[MediaFile]`
+  * with a binary column, decoded via `mapPartitions` so a real codec
+  * would amortize per-partition init (decoder contexts, GPU handles)
+  * across rows — the Scala analog of a Pandas-UDF batch. Partitioning
+  * and batch shape are exactly what a 100 TB media table needs: the
+  * blob never crosses a shuffle; decode is map-only.
+  *
+  * ==STUB== `decode` is a deterministic fake: this container has no
+  * image/audio codecs, so "decoding" derives dimensions from byte
+  * length. Swap `decode`'s body for a real codec call (e.g. TwelveMonkeys
+  * ImageIO / JavaCV) without touching any plumbing. The fake is pure
+  * arithmetic so the DuckDB oracle can replay it and certify the
+  * plumbing end to end.
+  */
+object Multimodal {
+
+  private val Formats = Array("png", "jpeg", "webp")
+
+  /** Synthesize the media table from `documents`: UTF-8 payload bytes
+    * + a format tag. (Stand-in for `spark.read.format("binaryFile")`,
+    * which the judged fixture set has no media files for.)
+    */
+  def mediaFromDocuments(s: SparkSession, d: String): Dataset[MediaFile] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        element_at(lit(Formats), (col("doc_id") % 3).cast(IntegerType) + 1)
+          .as("format"),
+        col("text").cast(BinaryType).as("payload"))
+      .as[MediaFile]
+  }
+
+  /** STUB decode — deterministic fake of a codec call (see class doc).
+    * Kept partition-wise on purpose: `it` is one partition's rows, so
+    * real-codec state would init once here.
+    */
+  def decode(it: Iterator[MediaFile]): Iterator[MediaMeta] =
+    it.map { m =>
+      val len = m.payload.length
+      MediaMeta(
+        doc_id = m.doc_id,
+        format = m.format,
+        byte_len = len,
+        width = (len * 7919) % 1920 + 16,
+        height = (len * 104729) % 1080 + 16,
+        n_frames = if (m.format == "webp") 1 + len % 8 else 1)
+    }
+
+  def decodeAll(media: Dataset[MediaFile]): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(decode)
+  }
+
+  /** Judged query: full pipeline documents → MediaFile → decode →
+    * metadata. The oracle replays the stub arithmetic in SQL, which
+    * certifies the Dataset/mapPartitions plumbing (schema, encoders,
+    * byte-length fidelity) rather than the fake math.
+    */
+  def m1MediaMeta(s: SparkSession, d: String): DataFrame =
+    decodeAll(mediaFromDocuments(s, d))
+      .toDF()
+      .orderBy(col("doc_id"))
+
+  val queries: Seq[Q] = Seq(
+    Q("m1_media_meta", m1MediaMeta, Some("""
+      SELECT doc_id,
+             CASE CAST(doc_id % 3 AS INTEGER)
+               WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+             CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+             CAST((octet_length(encode(text)) * 7919) % 1920 + 16 AS INTEGER) AS width,
+             CAST((octet_length(encode(text)) * 104729) % 1080 + 16 AS INTEGER) AS height,
+             CAST(CASE WHEN doc_id % 3 = 2
+                       THEN 1 + octet_length(encode(text)) % 8
+                       ELSE 1 END AS INTEGER) AS n_frames
+      FROM documents
+      ORDER BY doc_id"""))
+  )
+}
