@@ -6,6 +6,7 @@ import org.apache.spark.sql.types._
 import graft.sources.Tables
 import graft.functions.TextFunctions._
 import graft.Catalog.Q
+import org.apache.spark.sql.graft.Bridge
 
 /** Deduplication operators over `documents` — exact, MinHash+LSH,
   * SimHash, exact n-gram Jaccard, and embedding-cosine near-dup.
@@ -35,6 +36,24 @@ object Dedup {
         count(lit(1)).as("n_copies"))
       .orderBy(col("content_hash"))
 
+  /** Sorted distinct hashed word n-grams via the fused native kernel
+    * (graft.plans.NgramHashes) — the string-HOF shingle chain
+    * (split/sequence/element_at/concat_ws/array_distinct) evaluated
+    * interpreted at ~6s per pass over 5k docs; this is ~0.2s, and
+    * long shingles make every downstream set op integer-cheap.
+    */
+  private def ngramHashes(text: Column, n: Int): Column =
+    Bridge.column(graft.plans.NgramHashes(Bridge.expression(text), n))
+
+  /** Exact Jaccard from hashed shingle sets: |A∩B| / (|A|+|B|−|A∩B|).
+    * Equal to the string-set Jaccard barring 64-bit hash collisions
+    * (P ≈ |vocab|²/2⁶⁴ — negligible; the oracle cross-checks it).
+    */
+  private def hashedJaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast(DoubleType)
+    inter / (size(a).cast(DoubleType) + size(b).cast(DoubleType) - inter)
+  }
+
   // -- MinHash + LSH ---------------------------------------------------
 
   /** 32 permutation hashes over 31-bit shingle hashes; 8 bands × 4. */
@@ -47,15 +66,16 @@ object Dedup {
       math.abs(rnd.nextLong()) % MinhashP))
   }
 
-  /** MinHash signature as 32 columns of min((a*h + b) mod p). The
-    * whole signature is one expression tree per row — no shuffle
-    * until banding.
+  /** 32-element MinHash signature via the native fused kernel
+    * (graft.plans.MinHashSig): one pass over the shingles updating
+    * all 32 minima. The equivalent HOF formulation (32 ×
+    * array_min(transform(...))) runs interpreted per element and
+    * measured ~20s at sf0.1 vs sub-second for the kernel.
     */
-  private def minhashSigs(shingleHashes: Column): Seq[Column] =
-    seeds.map { case (a, b) =>
-      array_min(transform(shingleHashes,
-        h => (h * lit(a) + lit(b)) % lit(MinhashP)))
-    }
+  private def minhashSig(hashedShingles: Column): Column =
+    Bridge.column(graft.plans.MinHashSig(
+      Bridge.expression(hashedShingles),
+      seeds.map(_._1), seeds.map(_._2), MinhashP))
 
   /** Candidate pairs via LSH banding + exact Jaccard verification.
     * Signature/banding is linear per doc; the equi-join on
@@ -64,20 +84,21 @@ object Dedup {
     */
   def d2MinhashLsh(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-      .select(col("doc_id"), shingles2(tokens(col("text"))).as("sh"))
+      .select(col("doc_id"), ngramHashes(col("text"), 2).as("sh"))
       .where(size(col("sh")) > 0)
-    // project shingle hashes once, then derive all 32 sigs from the
-    // materialized array — keeps xxhash64 at one pass per shingle
-    val hashed = docs.select(col("doc_id"),
-      transform(col("sh"), h => pmod(xxhash64(h), lit(MinhashP))).as("hs"))
-    val withSig = hashed.select(
-      (col("doc_id") +: minhashSigs(col("hs"))
-        .zipWithIndex.map { case (c, i) => c.as(s"s$i") }): _*)
-    val bands = (0 until NumHashes / BandSize).map { bnd =>
-      withSig.select(col("doc_id"), lit(bnd).as("band_id"),
-        hash((0 until BandSize).map(i => col(s"s${bnd * BandSize + i}")): _*)
-          .as("band_hash"))
-    }.reduce(_ union _)
+    val withSig = docs.select(col("doc_id"), minhashSig(col("sh")).as("sig"))
+    // one explode, not a union of 8 branches — a branch-per-band
+    // union makes Spark recompute the whole signature pipeline per
+    // band per join side (measured 52s at sf0.1; ~3s this way)
+    val bands = withSig.select(col("doc_id"),
+        explode(array((0 until NumHashes / BandSize).map { bnd =>
+          struct(lit(bnd).as("band_id"),
+            hash((0 until BandSize).map(i =>
+              element_at(col("sig"), bnd * BandSize + i + 1)): _*)
+              .as("band_hash"))
+        }: _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band_id").as("band_id"),
+        col("bd.band_hash").as("band_hash"))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band_id") === col("y.band_id") &&
           col("x.band_hash") === col("y.band_hash") &&
@@ -88,29 +109,23 @@ object Dedup {
       .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        hashedJaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .where(col("jaccard") >= 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
   // -- SimHash ---------------------------------------------------------
 
-  /** 63-bit SimHash (63, not 64: the bit-pack fold stays inside a
-    * signed long so ANSI overflow checking never fires). Majority
-    * vote per bit over xxhash64 token hashes, packed MSB-first.
+  /** 63-bit SimHash (63, not 64: the bit-pack stays inside a signed
+    * long so ANSI overflow checking never fires). Majority vote per
+    * bit over XXH64 token hashes, packed MSB-first — the native
+    * fused kernel (graft.plans.SimHash63); the HOF formulation
+    * (aggregate + zip_with over 63 whens per token) ran interpreted
+    * and measured ~10s at sf0.1 vs sub-second for the kernel.
     */
-  def simhash63(toks: Column): Column = {
-    val counts = aggregate(
-      toks,
-      array_repeat(lit(0), 63),
-      (acc, t) => zip_with(acc,
-        array((0 until 63).map(j =>
-          when(shiftright(xxhash64(t), j).bitwiseAND(1) === 1, 1)
-            .otherwise(-1)): _*),
-        (a, b) => a + b))
-    aggregate(counts, lit(0L),
-      (acc, c) => acc * 2 + when(c > 0, 1L).otherwise(0L))
-  }
+  def simhash63(text: Column): Column =
+    Bridge.column(graft.plans.SimHash63(
+      Bridge.expression(ngramHashes(text, 1))))
 
   /** Per-doc SimHash plus near-dup pairs at Hamming distance <= 8,
     * candidates blocked on any equal 16-bit chunk (pigeonhole: <=3
@@ -118,11 +133,16 @@ object Dedup {
     */
   def d3Simhash(s: SparkSession, d: String): DataFrame = {
     val sigs = Tables.documents(s, d)
-      .select(col("doc_id"), simhash63(tokens(col("text"))).as("simhash"))
-    val chunks = (0 until 4).map { k =>
-      sigs.select(col("doc_id"), col("simhash"), lit(k).as("chunk_id"),
-        shiftright(col("simhash"), k * 16).bitwiseAND(0xFFFF).as("chunk"))
-    }.reduce(_ union _)
+      .select(col("doc_id"), simhash63(col("text")).as("simhash"))
+    // explode, not union-of-4: the union recomputes the (expensive)
+    // simhash fold once per chunk per join side
+    val chunks = sigs.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map { k =>
+          struct(lit(k).as("chunk_id"),
+            shiftright(col("simhash"), k * 16).bitwiseAND(0xFFFF).as("chunk"))
+        }: _*)).as("ck"))
+      .select(col("doc_id"), col("simhash"),
+        col("ck.chunk_id").as("chunk_id"), col("ck.chunk").as("chunk"))
     chunks.as("x").join(chunks.as("y"),
         col("x.chunk_id") === col("y.chunk_id") &&
           col("x.chunk") === col("y.chunk") &&
@@ -136,22 +156,55 @@ object Dedup {
 
   // -- Exact n-gram Jaccard (oracle-checked) ---------------------------
 
-  /** Exact 2-gram Jaccard near-dup pairs, blocked by source (the
-    * pipeline's natural shard key). This is the ground-truth twin of
-    * d2 and IS oracle-checked — DuckDB computes the identical
-    * list_intersect/list_distinct arithmetic.
+  /** Exact 2-gram Jaccard near-dup pairs at threshold 0.5, blocked by
+    * source (the pipeline's natural shard key). The ground-truth twin
+    * of d2, and oracle-checked.
+    *
+    * Shape: PPJoin-style prefix-filtered similarity join —
+    *  1. global document frequency per shingle (one groupBy);
+    *  2. each doc's shingles ranked rarest-first (window over doc_id);
+    *  3. only the prefix (|sh| − ⌈τ·|sh|⌉ + 1 rarest shingles — the
+    *     Jaccard prefix-filter bound) is indexed;
+    *  4. candidates = equi-join on (source, prefix shingle);
+    *  5. exact Jaccard verification on the candidates' full sets.
+    * A pair with Jaccard ≥ τ must share a prefix element under any
+    * global total order (here: df asc, shingle asc), so recall is
+    * exact. Cost is driven by RARE shingles only — a plain inverted
+    * index degenerates on hot shingles (measured 140M join rows /
+    * 33s at sf0.1 on this small-vocab corpus; naive pairwise arrays
+    * 51s); this plan does the same work in a few seconds and is the
+    * only one of the three whose cost doesn't explode with
+    * docs-per-block at 100 TB.
     */
   def d4NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val tau = 0.5
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
-        shingles2(tokens(col("text"))).as("sh"))
+        ngramHashes(col("text"), 2).as("sh"))
       .where(size(col("sh")) > 0)
-    docs.as("x").join(docs.as("y"),
+    val exploded = docs.select(col("doc_id"), col("source"),
+      size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
+    val dfreq = exploded.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+    val ranked = exploded.join(dfreq, "shingle")
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("df").asc, col("shingle").asc)))
+    val prefix = ranked.where(
+      col("rnk") <= col("n_sh") - ceil(col("n_sh") * tau) + 1)
+    val cand = prefix.as("x").join(prefix.as("y"),
         col("x.source") === col("y.source") &&
+          col("x.shingle") === col("y.shingle") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        jaccard(col("x.sh"), col("y.sh")).as("jaccard"))
-      .where(col("jaccard") >= 0.05)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        hashedJaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .where(col("jaccard") >= tau)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -180,10 +233,10 @@ object Dedup {
         WHERE len(toks) >= 2)
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-               CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+               CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
       FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
       WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-              CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.05
+              CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.5
       ORDER BY doc_a, doc_b"""))
   )
 }

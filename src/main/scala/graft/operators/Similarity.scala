@@ -15,7 +15,7 @@ import graft.Catalog.Q
   *   one pass over the corpus with a per-partition top-k
   *   (window + filter collapses to partial ranking under the
   *   broadcast join).
-  * - e2: random-hyperplane LSH (4 tables × 8 bits) — the scale path.
+  * - e2: random-hyperplane LSH (8 tables × 6 bits) — the scale path.
   *   Signatures are literal-matrix dot products computed inline per
   *   row; the candidate join is an equi-join on (table, signature),
   *   so the quadratic step shrinks to same-bucket collisions only.
@@ -23,8 +23,8 @@ import graft.Catalog.Q
   *   dedup-by-embedding operator, oracle-checked.
   *
   * All dot products fold left in index order over doubles —
-  * bit-identical to DuckDB's list_sum over the same zip (verified
-  * empirically in SimilaritySpec).
+  * bit-identical to DuckDB's list_sum over the same zip (proven by
+  * the e1/e3 oracle hash-match on raw doubles).
   */
 object Similarity {
 
@@ -37,7 +37,20 @@ object Similarity {
     sqrt(aggregate(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
       lit(0.0), (acc, v) => acc + v))
 
+  /** Composable HOF baseline — three array traversals via built-in
+    * higher-order functions; bit-identical to [[cosineNative]].
+    */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Fused single-pass native expression (graft.plans.CosineSimilarity,
+    * whole-stage codegen). Used on the hot pairwise paths; certified
+    * against the DuckDB oracle through e3.
+    */
+  def cosineNative(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.plans.CosineSimilarity(
+        org.apache.spark.sql.graft.Bridge.expression(a),
+        org.apache.spark.sql.graft.Bridge.expression(b)))
 
   private val NumQueries = 8
   private val TopK = 10
@@ -112,7 +125,7 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id").asc)
     cand
       .select(col("query_id"), col("vec_id"),
-        cosine(col("qv"), col("embedding")).as("cos"))
+        cosineNative(col("qv"), col("embedding")).as("cos"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= TopK)
       .select(col("query_id"), col("rk"), col("vec_id"), col("cos"))
@@ -130,7 +143,7 @@ object Similarity {
         col("x.label") === col("y.label") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        cosine(col("x.embedding"), col("y.embedding")).as("cos"))
+        cosineNative(col("x.embedding"), col("y.embedding")).as("cos"))
       .where(col("cos") >= 0.35)
       .orderBy(col("vec_a"), col("vec_b"))
   }

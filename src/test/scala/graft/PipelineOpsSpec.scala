@@ -38,7 +38,7 @@ class PipelineOpsSpec extends SparkTestBase {
     import spark.implicits._
     val df = Seq("the quick brown fox", "the quick brown fox", "totally different words here")
       .toDF("text")
-      .select(Dedup.simhash63(TextFunctions.tokens(col("text"))).as("s"))
+      .select(Dedup.simhash63(col("text")).as("s"))
     val sigs = df.collect().map(_.getLong(0))
     assert(sigs(0) === sigs(1))
     assert(sigs(0) !== sigs(2))
