@@ -22,6 +22,7 @@ object Catalog {
       graft.operators.Windows.queries ++
       graft.operators.SetOps.queries ++
       graft.operators.Scalars.queries ++
+      graft.operators.Advanced.queries ++
       graft.operators.TextAnalysis.queries ++
       graft.operators.Dedup.queries ++
       graft.operators.Similarity.queries ++

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Advanced, AsOfJoin}
+
+class AdvancedSpec extends SparkTestBase {
+
+  test("approx_count_distinct stays within 15% of exact") {
+    Advanced.q22ApproxDistinct(spark, sf("sf0.001")).collect().foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact < 0.15,
+        s"flag=${r.getString(0)} approx=$approx exact=$exact")
+    }
+  }
+
+  test("as-of join picks latest at-or-before match, inclusive, left-outer") {
+    import spark.implicits._
+    val left = Seq((1L, 5L), (1L, 10L), (1L, 15L), (2L, 100L), (3L, 7L))
+      .toDF("k", "t")
+    val right = Seq((1L, 10L, "a"), (1L, 12L, "b"), (2L, 50L, "c"))
+      .toDF("rk", "rt", "v")
+    val out = AsOfJoin.asOf(left, right, "k", "rk", "t", "rt")
+      .select(col("k"), col("t"), col("asof.v").as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> Option(r.getString(2)))
+      .toMap
+    assert(out((1L, 5L)) === None)          // before any right row
+    assert(out((1L, 10L)) === Some("a"))    // inclusive at equal time
+    assert(out((1L, 15L)) === Some("b"))    // latest of two matches
+    assert(out((2L, 100L)) === Some("c"))
+    assert(out((3L, 7L)) === None)          // key with no right rows
+  }
+
+  test("as-of join plan shuffles once on the key (no range-join blowup)") {
+    import spark.implicits._
+    val left = Seq((1L, 5L)).toDF("k", "t")
+    val right = Seq((1L, 3L, "x")).toDF("rk", "rt", "v")
+    val plan = AsOfJoin.asOf(left, right, "k", "rk", "t", "rt")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+    assert(plan.contains("Window"), s"expected window scan:\n$plan")
+  }
+}
