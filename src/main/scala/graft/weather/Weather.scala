@@ -59,14 +59,16 @@ object Weather {
     * Declarative (split/size/element_at), so the whole pipeline stays
     * inside whole-stage codegen — no UDFs, no driver loops.
     */
-  private def tokens(spark: SparkSession, path: String): DataFrame = {
-    val lines = spark.read.text(path)
+  private def tokensFromLines(lines: DataFrame): DataFrame =
+    lines
       .select(trim(col("value")).as("line"))
       .where(col("line") =!= "" && !isHeader(col("line")))
-    // split with limit -1 keeps trailing empty fields, matching
-    // java.lang.String.split(",", -1)
-    lines.select(split(col("line"), ",", -1).as("parts"))
-  }
+      // split with limit -1 keeps trailing empty fields, matching
+      // java.lang.String.split(",", -1)
+      .select(split(col("line"), ",", -1).as("parts"))
+
+  private def tokens(spark: SparkSession, path: String): DataFrame =
+    tokensFromLines(spark.read.text(path))
 
   /** Location table from CSV. Arity dispatch `parts.length == 8`
     * (`Job1.java:33`); values pass through verbatim — the engine must
@@ -94,7 +96,17 @@ object Weather {
     * its own null policy).
     */
   def readWeather(spark: SparkSession, path: String): DataFrame =
-    tokens(spark, path)
+    parseWeather(tokens(spark, path))
+
+  /** Weather fact from an already-loaded single-column (`value`)
+    * lines frame — same pipeline as [[readWeather]] minus the file
+    * source; lets tests and in-memory feeds reuse the exact parse.
+    */
+  def readWeatherLines(lines: DataFrame): DataFrame =
+    parseWeather(tokensFromLines(lines))
+
+  private def parseWeather(toks: DataFrame): DataFrame =
+    toks
       .where(size(col("parts")) >= 14)
       .select(
         element_at(col("parts"), 1).as("location_id"),

@@ -1,0 +1,83 @@
+package graft.props
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.apache.spark.sql.functions._
+import graft.GraftSession
+import graft.functions.TextFunctions
+import graft.weather.Weather
+
+/** Property-based invariants (SURVEY.md §5.2(4)): results must be
+  * independent of input row order and partitioning — the properties
+  * that certify an operator is actually distributed, not
+  * order-dependent by accident. Kept to few cases per property: each
+  * check runs real Spark jobs.
+  */
+object EngineProps extends Properties("graft") {
+
+  // each check executes real Spark jobs (~2-4s with shuffles); 3
+  // diverse cases per property is the cost/assurance point here
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(3)
+
+  private lazy val spark = GraftSession.get("4")
+  import scala.jdk.CollectionConverters._
+
+  private val word = Gen.oneOf("rain", "sun", "wind", "fog", "hail", "dew")
+  private val doc = Gen.listOfN(8, word).map(_.mkString(" "))
+
+  private def strDf(rows: Seq[String]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("text")
+  }
+
+  property("fingerprint is invariant under repartitioning") = Prop.forAll(
+    Gen.listOfN(6, doc)) { docs =>
+    val base = strDf(docs)
+      .select(TextFunctions.fingerprint(TextFunctions.tokens(col("text"))).as("f"))
+    val a = base.collect().map(_.getLong(0)).sorted.toSeq
+    val b = strDf(docs).repartition(7)
+      .select(TextFunctions.fingerprint(TextFunctions.tokens(col("text"))).as("f"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    a == b
+  }
+
+  private val precip = Gen.choose(0, 200).map(v => (v / 10.0).toString)
+  private val wxRow = for {
+    loc <- Gen.choose(0, 3)
+    month <- Gen.choose(1, 4)
+    day <- Gen.choose(1, 28)
+    pv <- Gen.oneOf(precip, Gen.const(""))
+  } yield s"$loc,$month/$day/2023,,,,20.0,,,,,,,,$pv"
+
+  private def wxDf(rows: Seq[String]) = {
+    val s = spark
+    import s.implicits._
+    Weather.readWeatherLines(rows.toDF("value"))
+  }
+
+  property("Q2 argmax is invariant under row permutation and partition count") =
+    Prop.forAll(Gen.listOfN(24, wxRow), Gen.choose(1, 9)) { (rows, nPart) =>
+      val r1 = Weather.q2MaxPrecipMonth(wxDf(rows)).collect()
+      val r2 = Weather.q2MaxPrecipMonth(
+        wxDf(scala.util.Random.shuffle(rows)).repartition(nPart)).collect()
+      (r1.isEmpty && r2.isEmpty) ||
+        (r1.head.getString(0) == r2.head.getString(0) &&
+          r1.head.getDouble(1) == r2.head.getDouble(1))
+    }
+
+  property("Q1 totals are additive under input splitting") = Prop.forAll(
+    Gen.listOfN(20, wxRow)) { rows =>
+    val (h1, h2) = rows.splitAt(rows.length / 2)
+    def totals(rs: Seq[String]): Map[String, Double] =
+      wxDf(rs)
+        .groupBy(col("location_id"))
+        .agg(sum(coalesce(col("precipitation_hours"), lit(0.0))).as("t"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val whole = totals(rows)
+    val merged = (totals(h1).toSeq ++ totals(h2).toSeq)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    whole.keySet == merged.keySet &&
+      whole.forall { case (k, v) => math.abs(v - merged(k)) < 1e-9 }
+  }
+}
