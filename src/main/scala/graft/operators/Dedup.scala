@@ -149,8 +149,10 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: the hamming test is a cheap row-local
+      // predicate, the distinct is a shuffle — shrink what shuffles
       .where(col("hamming") <= 8)
+      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

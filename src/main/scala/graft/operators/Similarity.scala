@@ -110,10 +110,11 @@ object Similarity {
     */
   def e2AnnLsh(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-    val sigs = (0 until NumTables).map { t =>
-      e.select(col("vec_id"), col("embedding"),
-        lit(t).as("tbl"), lshSignature(col("embedding"), t).as("sig"))
-    }.reduce(_ union _)
+    // all 8 table signatures in one scan + posexplode — a union of 8
+    // branches would re-scan (and re-dot) the corpus per table
+    val sigs = e.select(col("vec_id"), col("embedding"),
+        posexplode(array((0 until NumTables).map(t =>
+          lshSignature(col("embedding"), t)): _*)).as(Seq("tbl", "sig")))
     val qsigs = sigs.where(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("tbl"), col("sig"))

@@ -182,6 +182,13 @@ object Weather {
     * month. Plans as TakeOrderedAndProject — partial top-1 per
     * partition — where the reference forced ALL keys through a single
     * reducer (`Job2.java:100`).
+    *
+    * Determinism caveat (shared with the reference): totals are
+    * double sums, so months whose totals are equal in decimal can
+    * differ in the last ulp depending on partitioning/accumulation
+    * order, flipping the argmax between runs. The tie-break makes
+    * the result deterministic only up to float associativity —
+    * surfaced by EngineProps' first falsification run.
     */
   def q2MaxPrecipMonth(weather: DataFrame): DataFrame =
     weather

@@ -24,10 +24,13 @@ class SinksSpec extends SparkTestBase {
   test("co-bucketed tables join with zero exchange") {
     val c = Tables.customer(spark, sf("sf0.001"))
     val o = Tables.orders(spark, sf("sf0.001"))
-    Sinks.writeBucketed(c, "cust_b", "c_custkey", 8, Some("c_custkey"))
+    // unique names: a stale warehouse dir from a previous JVM fails
+    // CREATE TABLE with LOCATION_ALREADY_EXISTS even in overwrite mode
+    val (tc, to) = (s"cust_b_${System.nanoTime}", s"ord_b_${System.nanoTime}")
+    Sinks.writeBucketed(c, tc, "c_custkey", 8, Some("c_custkey"))
     Sinks.writeBucketed(o.withColumnRenamed("o_custkey", "c_custkey"),
-      "ord_b", "c_custkey", 8, Some("c_custkey"))
-    val j = spark.table("cust_b").join(spark.table("ord_b"), "c_custkey")
+      to, "c_custkey", 8, Some("c_custkey"))
+    val j = spark.table(tc).join(spark.table(to), "c_custkey")
     // bucketed sides must not re-shuffle; disable AQE broadcast demotion
     // noise by checking for shuffle exchanges specifically
     val plan = j.queryExecution.executedPlan.toString

@@ -42,7 +42,15 @@ object EngineProps extends Properties("graft") {
     a == b
   }
 
-  private val precip = Gen.choose(0, 200).map(v => (v / 10.0).toString)
+  // quarters are exactly representable in binary, so month totals are
+  // EXACT and order-independent — the property then tests
+  // distribution-invariance, not float associativity. (With 0.1-step
+  // values the property is genuinely false: permuting the input
+  // permutes the summation order, and months whose totals are equal
+  // in decimal can differ in the last ulp, flipping the argmax —
+  // an inherent float property the reference shares, found by this
+  // property's first falsification.)
+  private val precip = Gen.choose(0, 200).map(v => (v * 0.25).toString)
   private val wxRow = for {
     loc <- Gen.choose(0, 3)
     month <- Gen.choose(1, 4)
