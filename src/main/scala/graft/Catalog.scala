@@ -23,6 +23,7 @@ object Catalog {
       graft.operators.SetOps.queries ++
       graft.operators.Scalars.queries ++
       graft.operators.Advanced.queries ++
+      graft.operators.Sessionize.queries ++
       graft.operators.TextAnalysis.queries ++
       graft.operators.Dedup.queries ++
       graft.operators.Similarity.queries ++
