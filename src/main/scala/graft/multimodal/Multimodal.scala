@@ -59,12 +59,14 @@ object Multimodal {
   def decode(it: Iterator[MediaFile]): Iterator[MediaMeta] =
     it.map { m =>
       val len = m.payload.length
+      // Long arithmetic: len * 104729 overflows Int32 past ~20 KB
+      // payloads, silently diverging from the BIGINT oracle math
       MediaMeta(
         doc_id = m.doc_id,
         format = m.format,
         byte_len = len,
-        width = (len * 7919) % 1920 + 16,
-        height = (len * 104729) % 1080 + 16,
+        width = ((len.toLong * 7919) % 1920 + 16).toInt,
+        height = ((len.toLong * 104729) % 1080 + 16).toInt,
         n_frames = if (m.format == "webp") 1 + len % 8 else 1)
     }
 

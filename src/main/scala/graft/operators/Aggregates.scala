@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.functions.Money
 import graft.sources.Tables
 import graft.Catalog.Q
 
@@ -13,9 +14,6 @@ import graft.Catalog.Q
   * handles without materializing the distinct sets on one node.
   */
 object Aggregates {
-
-  private def exactCents(c: org.apache.spark.sql.Column) =
-    sum(round(c * 100).cast(LongType)).cast(DoubleType) / 100.0
 
   /** COUNT(DISTINCT) over two columns + plain count per group.
     * (approx_count_distinct exists as the HLL scale path but has no
@@ -48,7 +46,7 @@ object Aggregates {
         o("o_totalprice").as("price"))
       .rollup(col("n_name"), col("ym"))
       .agg(count(lit(1)).as("n_orders"),
-        exactCents(col("price")).as("total_price"))
+        Money.exactSum(col("price")).as("total_price"))
       .select(
         coalesce(col("n_name"), lit("(all)")).as("n_name"),
         coalesce(col("ym"), lit("(all)")).as("ym"),
@@ -61,7 +59,7 @@ object Aggregates {
     Tables.lineitem(s, d)
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n_rows"),
-        exactCents(col("l_extendedprice")).as("total_extprice"))
+        Money.exactSum(col("l_extendedprice")).as("total_extprice"))
       .select(
         coalesce(col("l_returnflag"), lit("(all)")).as("l_returnflag"),
         coalesce(col("l_linestatus"), lit("(all)")).as("l_linestatus"),

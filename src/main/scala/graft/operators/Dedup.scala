@@ -133,6 +133,9 @@ object Dedup {
     */
   def d3Simhash(s: SparkSession, d: String): DataFrame = {
     val sigs = Tables.documents(s, d)
+      // guard like d2: token-less docs would all hash to signature 0
+      // and pair up quadratically as bogus hamming-0 near-dups
+      .where(trim(col("text")) =!= "")
       .select(col("doc_id"), simhash63(col("text")).as("simhash"))
     // explode, not union-of-4: the union recomputes the (expensive)
     // simhash fold once per chunk per join side

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.functions.Money
 import graft.sources.Tables
 import graft.Catalog.Q
 
@@ -53,8 +54,7 @@ object Joins {
       .groupBy(c("c_custkey"))
       .agg(
         count(o("o_orderkey")).as("n_orders"),
-        (sum(round(o("o_totalprice") * 100).cast(LongType))
-          .cast(DoubleType) / 100.0).as("total_spend"))
+        Money.exactSum(o("o_totalprice")).as("total_spend"))
       .orderBy(col("c_custkey"))
   }
 
@@ -80,8 +80,7 @@ object Joins {
       .groupBy(col("band"))
       .agg(
         count(lit(1)).as("n_orders"),
-        (sum(round(col("o_totalprice") * 100).cast(LongType))
-          .cast(DoubleType) / 100.0).as("band_total"))
+        Money.exactSum(col("o_totalprice")).as("band_total"))
       .orderBy(col("band"))
   }
 

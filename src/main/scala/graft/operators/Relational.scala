@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.Money
 import graft.sources.Tables
 import graft.Catalog.Q
 
@@ -57,7 +58,7 @@ object Relational {
     * dollars, far beyond 100 TB of rows.
     */
   def exactMoneySum(c: Column): Column =
-    sum(round(coalesce(c, lit(0.0)) * 100).cast("long")).cast("double") / 100.0
+    Money.exactSum(coalesce(c, lit(0.0)))
 
   // ---- judged queries ------------------------------------------------
 

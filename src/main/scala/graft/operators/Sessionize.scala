@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.functions.Money
 import graft.sources.Tables
 import graft.Catalog.Q
 
@@ -42,8 +43,7 @@ object Sessionize {
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"),
-        (sum(round(col("value") * 100).cast(LongType))
-          .cast(DoubleType) / 100.0).as("total"))
+        Money.exactSum(col("value")).as("total"))
       .orderBy(col("user_id"), col("session_seq"))
   }
 

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.functions.Money
 import graft.sources.Tables
 import graft.Catalog.Q
 
@@ -43,13 +44,13 @@ object Windows {
       .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(n("n_name"), date_format(o("o_orderdate"), "yyyy-MM").as("ym"))
-      .agg(sum(round(o("o_totalprice") * 100).cast(LongType)).as("cents"))
+      .agg(Money.sumCents(o("o_totalprice")).as("cents"))
     val w = Window.partitionBy(col("n_name")).orderBy(col("ym"))
     val w3 = w.rowsBetween(-2, 0)
     monthly
       .select(
         col("n_name"), col("ym"),
-        (col("cents").cast(DoubleType) / 100.0).as("revenue"),
+        Money.toAmount(col("cents")).as("revenue"),
         (lag(col("cents"), 1).over(w).cast(DoubleType) / 100.0).as("prev_revenue"),
         (sum(col("cents")).over(w3).cast(DoubleType) / 100.0 /
           count(lit(1)).over(w3)).as("ma3"))
@@ -66,9 +67,8 @@ object Windows {
     Tables.orders(s, d)
       .select(
         col("o_custkey"), col("o_orderkey"),
-        (sum(round(col("o_totalprice") * 100).cast(LongType))
-          .over(w.rowsBetween(Window.unboundedPreceding, 0))
-          .cast(DoubleType) / 100.0).as("running_spend"),
+        Money.toAmount(Money.sumCents(col("o_totalprice"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0))).as("running_spend"),
         row_number().over(w).as("order_seq"))
       .orderBy(col("o_custkey"), col("order_seq"))
   }

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.functions.Money
 
 /** Structured Streaming analog of the reference's Q2 (argmax month by
   * total value) — the streaming surface the reference lacks entirely
@@ -29,11 +30,11 @@ object StreamingOps {
       .withWatermark("ts", "30 days")
       .groupBy(window(col("ts"), window_).as("w"))
       .agg(
-        sum(round(col("value") * 100).cast("long")).as("cents"),
+        Money.sumCents(col("value")).as("cents"),
         count(lit(1)).as("n_events"))
       .select(
         col("w.start").as("window_start"),
-        (col("cents").cast("double") / 100.0).as("total"),
+        Money.toAmount(col("cents")).as("total"),
         col("n_events"))
 
   /** Top window by total — run against the in-memory sink of
