@@ -1,23 +1,50 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: one JSON line with per-query seconds.
+  *
+  * Methodology: one warmup pass (JVM/codegen/classloading otherwise
+  * lands on whichever query runs first — ~5s skew measured at
+  * sf0.1), then THREE measured passes per query, reporting the
+  * median — a single pass at test scale is dominated by GC and
+  * sandbox-neighbor noise. A failing query contributes an "err"
+  * entry and is EXCLUDED from the total rather than silently
+  * counted as a fast run.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get()
-    // warmup pass: JVM/codegen/classloading otherwise lands entirely
-    // on whichever query runs first (~5s skew measured at sf0.1)
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable =>
+        Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results: Seq[(String, Either[String, Double])] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val runs = (1 to 3).map(_ => timeOnce(fn))
+        val times = runs.collect { case Right(t) => t }.sorted
+        name -> (if (times.nonEmpty) Right(times(times.length / 2))
+                 else runs.head)
+      }
+    def jq(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    // driver contract: "queries" is name -> seconds (numbers only);
+    // failures go to a parallel "errors" map instead of a fake timing
+    val qs = results.collect { case (k, Right(t)) => s"${jq(k)}:$t" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, Left(e)) => s"${jq(k)}:${jq(e)}" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, Right(t)) => t }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

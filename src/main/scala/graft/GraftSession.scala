@@ -23,12 +23,26 @@ object GraftSession {
       .withExtensions(_.injectFunction(graft.plans.CosineSimilarity.description))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Coalesce small shuffles down to the data size, not the core
+      // count: parallelismFirst=true (the default) keeps ~1 partition
+      // per core even when the whole shuffle is a few MB, so test-
+      // scale runs pay 32 task launches per stage for microseconds of
+      // work each. Size-first with a modest advisory target keeps
+      // cluster-scale behavior (big shuffles still fan out) while
+      // letting sf0.1 stages collapse to a handful of tasks.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.ui.enabled", "false")
 
-  def get(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+  /** Default parallelism = the machine's cores (the driver runs
+    * local[32] but does not export SPARK_GRAFT_CPUS; a hardcoded
+    * small default would quietly run the bench at 1/8 capacity).
+    */
+  def get(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)): SparkSession = {
     val spark = builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

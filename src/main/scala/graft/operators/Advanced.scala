@@ -49,17 +49,19 @@ object Advanced {
       .withColumn("k_sq", col("k_typed") * col("k_typed"))
       .orderBy(col("event_id"))
 
-  /** Approximate COUNT(DISTINCT) via HyperLogLog++ next to the exact
-    * count — the 100 TB cardinality-estimation path. No cross-engine
-    * oracle (HLL sketches differ by implementation); the spec bounds
-    * relative error instead.
+  /** Approximate COUNT(DISTINCT) via HyperLogLog++ — the 100 TB
+    * cardinality-estimation path: a fixed-size sketch that merges
+    * map-side, vs exact distinct's full shuffle of every distinct
+    * key. The judged query is HLL-ONLY (an exact count alongside it
+    * would be the bottleneck and defeat the operator's point at
+    * scale); AdvancedSpec bounds the sketch's relative error against
+    * the exact count at test scale instead. No cross-engine oracle
+    * (HLL sketches differ by implementation) — rows-only judged.
     */
   def q22ApproxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
-      .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
       .orderBy(col("l_returnflag"))
 
   /** As-of join: each event picks up the user's most recent order at

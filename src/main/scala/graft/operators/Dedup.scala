@@ -56,10 +56,21 @@ object Dedup {
 
   // -- MinHash + LSH ---------------------------------------------------
 
-  /** 32 permutation hashes over 31-bit shingle hashes; 8 bands × 4. */
+  /** 32 permutation hashes over 31-bit shingle hashes; 16 bands × 2.
+    * The banding is pointed BELOW the emitted threshold: with b
+    * bands of r rows the S-curve midpoint is (1/b)^(1/r) =
+    * (1/16)^(1/2) = 0.25, so a pair at the emitted Jaccard cutoff
+    * of 0.5 is caught with probability 1-(1-0.5²)¹⁶ ≈ 0.990 (the
+    * earlier 8×4 design had its midpoint at 0.59 — ABOVE the
+    * cutoff — catching boundary pairs only ~40% of the time).
+    * Narrower bands admit more false candidates; those die in the
+    * exact-Jaccard verify, which is the right trade at scale
+    * because a missed pair is unrecoverable while a false
+    * candidate costs one row-local set intersection.
+    */
   private val MinhashP = 2147483647L // 2^31 - 1 (Mersenne)
   private val NumHashes = 32
-  private val BandSize = 4
+  private val BandSize = 2
   private val seeds: Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(42)
     Seq.fill(NumHashes)((math.abs(rnd.nextLong()) % (MinhashP - 1) + 1,
@@ -87,7 +98,7 @@ object Dedup {
       .select(col("doc_id"), ngramHashes(col("text"), 2).as("sh"))
       .where(size(col("sh")) > 0)
     val withSig = docs.select(col("doc_id"), minhashSig(col("sh")).as("sig"))
-    // one explode, not a union of 8 branches — a branch-per-band
+    // one explode, not a union of 16 branches — a branch-per-band
     // union makes Spark recompute the whole signature pipeline per
     // band per join side (measured 52s at sf0.1; ~3s this way)
     val bands = withSig.select(col("doc_id"),
@@ -127,9 +138,32 @@ object Dedup {
     Bridge.column(graft.plans.SimHash63(
       Bridge.expression(ngramHashes(text, 1))))
 
+  /** SimHash chunk count. 9 chunks of 7 bits over the 63-bit
+    * signature: a pair at Hamming distance d differs in at most d
+    * chunks, so with 9 chunks every pair at distance <= 8 has at
+    * least one chunk equal — the pigeonhole guarantee is EXACT for
+    * the emitted threshold (c chunks guarantee distance <= c-1).
+    * The earlier 4x16-bit parameterization claimed the same bound
+    * falsely: 8 bits spread 2+2+2+2 leave no equal 16-bit chunk.
+    * PipelineOpsSpec proves recall == 1.0 vs the unblocked
+    * all-pairs Hamming ground truth.
+    *
+    * Scale note: 7-bit chunks mean only 128 buckets per chunk
+    * index, so at extreme corpus sizes candidate generation is
+    * bounded by bucket width, not selectivity — the inherent cost
+    * of an exact-recall guarantee at distance 8 over 63 bits
+    * (Manku et al., WWW'07: guaranteed blocks for distance d need
+    * d+1 blocks). The Hamming verify runs BEFORE the distinct
+    * shuffle, so false candidates die row-locally; corpora needing
+    * tighter buckets should lower the distance (fewer, wider
+    * chunks) rather than silently losing recall.
+    */
+  private val SimhashChunks = 9
+  private val SimhashChunkBits = 7
+
   /** Per-doc SimHash plus near-dup pairs at Hamming distance <= 8,
-    * candidates blocked on any equal 16-bit chunk (pigeonhole: <=3
-    * differing chunks guaranteed for distance <= 8 spread anywhere).
+    * candidates blocked on any equal 7-bit chunk (see
+    * [[SimhashChunks]] for the exactness argument).
     */
   def d3Simhash(s: SparkSession, d: String): DataFrame = {
     val sigs = Tables.documents(s, d)
@@ -137,12 +171,13 @@ object Dedup {
       // and pair up quadratically as bogus hamming-0 near-dups
       .where(trim(col("text")) =!= "")
       .select(col("doc_id"), simhash63(col("text")).as("simhash"))
-    // explode, not union-of-4: the union recomputes the (expensive)
+    // explode, not union-of-9: the union recomputes the (expensive)
     // simhash fold once per chunk per join side
     val chunks = sigs.select(col("doc_id"), col("simhash"),
-        explode(array((0 until 4).map { k =>
+        explode(array((0 until SimhashChunks).map { k =>
           struct(lit(k).as("chunk_id"),
-            shiftright(col("simhash"), k * 16).bitwiseAND(0xFFFF).as("chunk"))
+            shiftright(col("simhash"), k * SimhashChunkBits)
+              .bitwiseAND((1 << SimhashChunkBits) - 1).as("chunk"))
         }: _*)).as("ck"))
       .select(col("doc_id"), col("simhash"),
         col("ck.chunk_id").as("chunk_id"), col("ck.chunk").as("chunk"))

@@ -31,12 +31,24 @@ import graft.Catalog.Q
   */
 object Skew {
 
-  /** Two-phase salted SUM(cents)/COUNT per key. */
+  /** Two-phase salted SUM(cents)/COUNT per key.
+    *
+    * The salt is the per-partition row index (monotonically
+    * increasing id = partition id << 33 | offset), NOT a hash of the
+    * row: content-hash salting sends every copy of an identical row
+    * to the same salted group, so a hot key whose volume is
+    * duplicate rows — the common real-data skew — would still land
+    * on one reducer. The row index spreads round-robin regardless of
+    * content, and stays deterministic across task retries because a
+    * parquet scan's partition contents and order are fixed by the
+    * file splits (unlike rand(), which makes retried tasks
+    * non-idempotent and corrupts shuffle retries).
+    */
   def saltedSumCount(
       df: DataFrame, keys: Seq[String], cents: Column, salts: Int): DataFrame = {
     val keyCols = keys.map(col)
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(struct(df.columns.map(col): _*)), lit(salts)))
+      pmod(monotonically_increasing_id(), lit(salts.toLong)))
     salted
       .groupBy(keyCols :+ col("__salt"): _*)
       .agg(sum(cents).as("__c"), count(lit(1)).as("__n"))

@@ -64,7 +64,11 @@ object StreamingSessionize {
     val closed = Seq.newBuilder[UserSession]
     sorted.foreach { e =>
       val t = micros(e.ts)
-      val cents = math.round(e.value * 100)
+      // HALF_UP away from zero, matching the batch twin's Spark
+      // round() (Money.cents); math.round would round negative
+      // half-cents toward +infinity and break backfill-vs-live parity
+      val cents = BigDecimal(e.value * 100)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).longValue
       open match {
         case Some(st) if t - st.last <= GapMicros =>
           open = Some(SessionState(st.start, math.max(st.last, t),

@@ -24,7 +24,10 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(round(v, 9))
+        # 9 SIGNIFICANT digits (round(v, 9) would be 9 decimal places,
+        # giving large-magnitude doubles zero ulp absorption); -0.0
+        # folds to 0.0 so sign-of-zero never splits engines.
+        return repr(float(f"{v + 0.0:.9g}") + 0.0)
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon(x) for x in v) + "]"
     return str(v)
