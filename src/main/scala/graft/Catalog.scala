@@ -28,7 +28,9 @@ object Catalog {
       graft.operators.TextAnalysis.queries ++
       graft.operators.Dedup.queries ++
       graft.operators.Similarity.queries ++
-      graft.multimodal.Multimodal.queries
+      graft.multimodal.Multimodal.queries ++
+      graft.weather.Weather.queries ++
+      graft.sources.JsonSource.queries
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

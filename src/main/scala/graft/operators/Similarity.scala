@@ -93,17 +93,20 @@ object Similarity {
       IndexedSeq.fill(BitsPerTable)(Array.fill(Dim)(gaussian())))
   }
 
-  private def planeLit(p: Array[Double]): Column =
-    typedlit(p.toSeq)
-
-  /** 8-bit signature for one LSH table: sign bits of 8 hyperplane
-    * dot products, packed into an int.
+  /** All `tables` signatures in one fused native pass
+    * (graft.plans.HyperplaneSigs, whole-stage codegen) — the HOF
+    * formulation it replaces did 48 interpreted lambda-bound dot
+    * products per row and was the last interpreted hot kernel in
+    * the repo. Bit-identical arithmetic (float→double cast,
+    * index-order accumulate), so signatures are unchanged.
     */
-  def lshSignature(vec: Column, table: Int): Column =
-    (0 until BitsPerTable).map { b =>
-      when(dot(vec, planeLit(hyperplanes(table)(b))) > 0,
-        lit(1 << b)).otherwise(lit(0))
-    }.reduce(_ + _)
+  private def hyperplaneSigsCol(
+      vec: Column, planes: IndexedSeq[IndexedSeq[Array[Double]]]): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.plans.HyperplaneSigs(
+        org.apache.spark.sql.graft.Bridge.expression(vec),
+        planes.flatten.flatten.toIndexedSeq,
+        planes.length, planes.head.length, Dim))
 
   /** LSH-bucketed approximate cosine top-k: union the query's
     * same-bucket candidates across tables, dedup, rank exactly.
@@ -113,8 +116,8 @@ object Similarity {
     // all 8 table signatures in one scan + posexplode — a union of 8
     // branches would re-scan (and re-dot) the corpus per table
     val sigs = e.select(col("vec_id"), col("embedding"),
-        posexplode(array((0 until NumTables).map(t =>
-          lshSignature(col("embedding"), t)): _*)).as(Seq("tbl", "sig")))
+        posexplode(hyperplaneSigsCol(col("embedding"), hyperplanes))
+          .as(Seq("tbl", "sig")))
     val qsigs = sigs.where(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("tbl"), col("sig"))
@@ -149,6 +152,53 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  // -- LSH-blocked near-dup (the scale path for e3) --------------------
+
+  /** Amplification for the near-dup blocker: 32 tables × 4 bits.
+    * Hyperplane LSH catches a pair of cosine s in one table with
+    * p(s)^bits where p(s) = 1 − arccos(s)/π; at this corpus's low
+    * emitted threshold (0.35 — the same-label cosine ceiling here
+    * is ~0.5) that is 0.614⁴ ≈ 0.14 per table, so 32 tables give
+    * per-pair recall ≈ 1−0.86³² ≈ 0.993 (PipelineOpsSpec proves
+    * e4 ⊇ e3 on the fixture). At production near-dup thresholds
+    * (cosine ≥ 0.9, p ≈ 0.86/bit) the same recall needs only a few
+    * tables of 12+ bits, so buckets get exponentially more
+    * selective as the threshold rises — bits per table should be
+    * sized as ~log₂(N / target bucket width) at the deployed N.
+    */
+  private val NdTables = 32
+  private val NdBits = 4
+
+  private val ndPlanes: IndexedSeq[IndexedSeq[Array[Double]]] = {
+    val rnd = new scala.util.Random(7)
+    def gaussian(): Double = (1 to 12).map(_ => rnd.nextDouble()).sum - 6.0
+    IndexedSeq.fill(NdTables)(
+      IndexedSeq.fill(NdBits)(Array.fill(Dim)(gaussian())))
+  }
+
+  /** e3's scale path: hyperplane-bucket blocking instead of label
+    * blocking, exact cosine verify on candidates. e3's label-blocked
+    * all-pairs is O(N²/labels) — fine as the oracle twin, quadratic
+    * at corpus scale; here the only pairwise work is within
+    * (table, signature) buckets, and the verify (one fused cosine
+    * per candidate) runs BEFORE the distinct so false candidates
+    * die row-locally without shuffling.
+    */
+  def e4NearDupLsh(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val sigs = e.select(col("vec_id"), col("embedding"),
+        posexplode(hyperplaneSigsCol(col("embedding"), ndPlanes))
+          .as(Seq("tbl", "sig")))
+    sigs.as("x").join(sigs.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.sig") === col("y.sig") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        cosineNative(col("x.embedding"), col("y.embedding")).as("cos"))
+      .where(col("cos") >= 0.35)
+      .distinct()
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   private val cosSql =
     """list_sum(list_transform(list_zip(%s, %s),
       |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
@@ -169,6 +219,7 @@ object Similarity {
       WHERE rk <= $TopK
       ORDER BY query_id, rk""")),
     Q("e2_ann_lsh", e2AnnLsh, None), // hyperplane literals are engine-side state
+    Q("e4_near_dup_lsh", e4NearDupLsh, None), // ditto — spec proves e4 ⊇ e3
     Q("e3_embedding_near_dup", e3EmbeddingNearDup, Some(s"""
       SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
              ${cosSql.format("x.embedding", "y.embedding", "x.embedding", "y.embedding")} AS cos

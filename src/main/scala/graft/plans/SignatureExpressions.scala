@@ -100,6 +100,42 @@ object SignatureKernels {
     mins
   }
 
+  /** All random-hyperplane LSH signatures of a float vector in one
+    * fused pass: `tables` signatures of `bits` sign-bits each, the
+    * planes flattened row-major as (table, bit, dim). Arithmetic is
+    * float→double cast then double multiply-accumulate in index
+    * order — bit-identical to the HOF formulation
+    * (aggregate(zip_with(...))) it replaces, which evaluated
+    * interpreted at 48 lambda-bound dot products per row and was
+    * the last interpreted hot kernel in the repo.
+    */
+  def hyperplaneSigs(
+      arr: ArrayData, planes: Array[Double],
+      tables: Int, bits: Int, dim: Int): Array[Int] = {
+    val n = math.min(arr.numElements(), dim)
+    val v = new Array[Double](dim)
+    var i = 0
+    while (i < n) { v(i) = arr.getFloat(i).toDouble; i += 1 }
+    val out = new Array[Int](tables)
+    var t = 0
+    var off = 0
+    while (t < tables) {
+      var sig = 0
+      var b = 0
+      while (b < bits) {
+        var dot = 0.0
+        var j = 0
+        while (j < dim) { dot += v(j) * planes(off + j); j += 1 }
+        if (dot > 0) sig |= (1 << b)
+        off += dim
+        b += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    out
+  }
+
   /** SimHash over pre-hashed tokens (uses the hash bits directly). */
   def simhash63Longs(arr: ArrayData): Long = {
     val counts = new Array[Int](63)
@@ -187,6 +223,43 @@ case class MinHashSig(child: Expression, a: Seq[Long], b: Seq[Long], p: Long)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** Random-hyperplane LSH signatures of an array<float> vector →
+  * array<int> of `tables` packed sign-bit signatures (see
+  * SignatureKernels.hyperplaneSigs). One corpus pass computes every
+  * table's signature; callers posexplode the array into
+  * (table, signature) blocking keys.
+  */
+case class HyperplaneSigs(
+    child: Expression, planes: Seq[Double], tables: Int, bits: Int, dim: Int)
+    extends UnaryExpression {
+
+  require(planes.length == tables * bits * dim)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"hyperplane_sigs needs array<float>, got $t")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "hyperplane_sigs"
+
+  private lazy val planesArr = planes.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(SignatureKernels.hyperplaneSigs(
+      input.asInstanceOf[ArrayData], planesArr, tables, bits, dim))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("planes", planesArr, "double[]")
+    val kernels = SignatureKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $kernels.hyperplaneSigs($c, $pRef, $tables, $bits, $dim));""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSigs =
     copy(child = newChild)
 }
 

@@ -208,4 +208,71 @@ object Weather {
   def q2Formatted(q2: DataFrame): DataFrame =
     q2.select(concat_ws(",", col("year_month"),
       col("total_precipitation_hours").cast(StringType)).as("line"))
+
+  // -- driver-judged parity queries ------------------------------------
+
+  /** The location dim is the REFERENCE'S OWN artifact, read verbatim
+    * (27 rows incl. the `Kilinochchi[1]` quirk); the weather fact is
+    * the committed reconstruction (`tools/gen_weather_fixture.py` —
+    * the reference's weather file was stripped from its repo). Both
+    * are fixed-path fixtures, so the judged fns ignore the sfDir
+    * argument: these two queries ARE the reference, and don't scale
+    * with the synthetic TPC-H-ish tables.
+    */
+  val WeatherCsv = "/root/repo/fixtures/weather.csv"
+  val LocationCsv = "/root/reference/input/locationData.csv"
+
+  /** Oracle-side equivalent of the engine's line-level CSV handling:
+    * whole lines in, trim, drop blanks/headers, split keeping
+    * trailing empties — so the DuckDB twin replicates tokenization,
+    * not just the relational algebra.
+    */
+  private def linesCte(alias: String, path: String): String = s"""
+    ${alias}_l AS (
+      SELECT trim(line) AS line
+      FROM read_csv('$path', delim='|', header=false, quote='',
+                    columns={'line':'VARCHAR'})),
+    $alias AS (
+      SELECT str_split(line, ',') AS p FROM ${alias}_l
+      WHERE line <> '' AND NOT starts_with(line, 'location_id'))"""
+
+  val queries: Seq[graft.Catalog.Q] = Seq(
+    graft.Catalog.Q("w1_city_month",
+      (s, _) => q1CityMonthlyAgg(
+        readWeather(s, WeatherCsv), readLocation(s, LocationCsv))
+        .orderBy(col("city_name"), col("year_month")),
+      Some(s"""
+        WITH ${linesCte("wt", WeatherCsv)},
+        w AS (
+          SELECT p[1] AS lid, p[2] AS dt,
+                 try_cast(p[6] AS DOUBLE) AS temp,
+                 try_cast(p[14] AS DOUBLE) AS precip
+          FROM wt WHERE len(p) >= 14),
+        ${linesCte("lt", LocationCsv)},
+        loc AS (
+          SELECT try_cast(p[1] AS INTEGER) AS location_id, p[8] AS city_name
+          FROM lt WHERE len(p) = 8)
+        SELECT loc.city_name,
+               strftime(try_strptime(w.dt, '%-m/%-d/%Y'), '%Y-%m') AS year_month,
+               sum(coalesce(w.precip, 0.0)) AS total_precipitation_hours,
+               avg(coalesce(w.temp, 0.0)) AS mean_temperature
+        FROM w JOIN loc ON try_cast(w.lid AS INTEGER) = loc.location_id
+        WHERE w.lid <> '' AND w.dt <> ''
+        GROUP BY 1, 2
+        ORDER BY 1, 2""")),
+    graft.Catalog.Q("w2_max_precip",
+      (s, _) => q2MaxPrecipMonth(readWeather(s, WeatherCsv)),
+      Some(s"""
+        WITH ${linesCte("wt", WeatherCsv)},
+        w AS (
+          SELECT str_split(p[2], '/') AS dp,
+                 try_cast(p[14] AS DOUBLE) AS precip
+          FROM wt WHERE len(p) >= 14)
+        SELECT dp[3] || '-' || lpad(dp[1], 2, '0') AS year_month,
+               sum(precip) AS total_precipitation_hours
+        FROM w WHERE precip IS NOT NULL AND len(dp) = 3
+        GROUP BY 1
+        ORDER BY 2 DESC, 1 ASC
+        LIMIT 1"""))
+  )
 }

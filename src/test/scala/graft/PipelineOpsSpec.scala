@@ -28,12 +28,60 @@ class PipelineOpsSpec extends SparkTestBase {
     val found = Dedup.d2MinhashLsh(spark, dir)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(truth.nonEmpty, "fixture has no near-dup pairs — test is vacuous")
-    assert(truth.subsetOf(found),
+    // measured recall floor, not a guaranteed property: 16 bands x 2
+    // rows catches a pair AT the 0.5 boundary with p ≈ 0.990, so
+    // full recall over all >=0.5 pairs is expected but not certain
+    // under fixture drift
+    val recall = truth.intersect(found).size.toDouble / truth.size
+    info(f"d2 recall over >=0.5 pairs = $recall%.3f (${truth.size} true pairs)")
+    assert(recall >= 0.9,
       s"LSH missed ${truth.diff(found).size} of ${truth.size} true pairs")
     // precision: everything reported really is >= 0.5 — truth is the
     // complete unblocked pair set, so found must be a subset of it
     assert(found.subsetOf(truth),
       s"d2 reported ${found.diff(truth).size} pairs below threshold")
+  }
+
+  test("d2 banding catches boundary pairs (Jaccard in [0.5, 0.6))") {
+    import spark.implicits._
+    // 16x2 banding has its S-curve midpoint at 0.25, so pairs just
+    // above the emitted 0.5 cutoff must be found — the regime the
+    // old 8x4 design (midpoint 0.59) caught only ~40% of the time.
+    // 12-shingle docs differing in 4 trailing shingles: J = 8/16 = 0.5.
+    val base = (1 to 13).map(i => s"w$i").mkString(" ")
+    val variant = ((1 to 9).map(i => s"w$i") ++ (1 to 4).map(i => s"v$i")).mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("d2boundary").toString
+    Seq((1L, base, "en", "srcA", base.length.toLong),
+        (2L, variant, "en", "srcA", variant.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val found = Dedup.d2MinhashLsh(spark, tmp)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(found === Set((1L, 2L)),
+      s"boundary pair (J=0.5) not caught by 16x2 banding: $found")
+  }
+
+  test("d3 SimHash blocking has exact recall vs unblocked Hamming ground truth") {
+    import spark.implicits._
+    // all-pairs ground truth at sf0.001 (500 docs -> 125k pairs):
+    // every pair at Hamming <= 8, no blocking anywhere
+    val sigs = graft.sources.Tables.documents(spark, dir)
+      .where(trim(col("text")) =!= "")
+      .select(col("doc_id"), Dedup.simhash63(col("text")).as("s"))
+    val truth = sigs.as("x").join(sigs.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        bit_count(col("x.s").bitwiseXOR(col("y.s"))).as("h"))
+      .where(col("h") <= 8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val found = Dedup.d3Simhash(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "fixture has no Hamming<=8 pairs — test is vacuous")
+    // 9 chunks of 7 bits: a distance-8 pair differs in at most 8
+    // chunks, so at least one chunk matches — recall is GUARANTEED,
+    // and the Hamming verify makes precision exact, so the sets are
+    // equal, not merely overlapping
+    assert(found === truth,
+      s"missed=${truth.diff(found).size} spurious=${found.diff(truth).size} of ${truth.size}")
   }
 
   test("d3 SimHash: identical docs get identical signatures; sigs are 63-bit") {
@@ -56,6 +104,27 @@ class PipelineOpsSpec extends SparkTestBase {
     val recall = exact.intersect(approx).size.toDouble / exact.size
     info(f"LSH ANN recall@10 = $recall%.2f (${approx.size} approx rows)")
     assert(recall >= 0.25, f"recall $recall%.2f below floor")
+  }
+
+  test("e4 LSH-blocked near-dup finds every e3 (label-blocked exact) pair") {
+    import spark.implicits._
+    val exact = Similarity.e3EmbeddingNearDup(spark, dir)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.e4NearDupLsh(spark, dir)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture has no e3 pairs — test is vacuous")
+    // e3 blocks by label, e4 by LSH bucket: every e3 pair must be
+    // rediscovered (32x4 amplification: per-pair p ≈ 0.993 at the
+    // 0.35 floor), and e4 may legitimately add cross-label pairs
+    assert(exact.subsetOf(lsh),
+      s"e4 missed ${exact.diff(lsh).size} of ${exact.size} e3 pairs")
+    // precision: every e4 pair really is >= 0.35 (verify step), so
+    // restricting e4 to same-label pairs must give exactly e3
+    val labels = graft.sources.Tables.embeddings(spark, dir)
+      .select("vec_id", "label").as[(Long, Int)].collect().toMap
+    val sameLabel = lsh.filter { case (a, b) => labels(a) == labels(b) }
+    assert(sameLabel.subsetOf(exact),
+      s"e4 emitted ${sameLabel.diff(exact).size} same-label pairs e3 lacks")
   }
 
   test("cosine is exactly 1.0 on identical vectors and symmetric") {

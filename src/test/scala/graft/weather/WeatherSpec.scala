@@ -100,6 +100,30 @@ class WeatherSpec extends SparkTestBase {
     assert(q2line === "2023-01,28.0")
   }
 
+  test("real reference artifact: locationData.csv reads verbatim") {
+    // the actual file the reference ships, not a synthesized twin
+    val loc = Weather.readLocation(spark, Weather.LocationCsv)
+    val rows = loc.collect()
+    assert(rows.length === 27, "27 location rows (ids 0-26)")
+    val byId = rows.map(r => r.getInt(0) -> r.getString(7)).toMap
+    assert(byId(0) === "Colombo")
+    assert(byId(10) === "Kilinochchi[1]", "data quirk must pass through verbatim")
+    assert(byId(26) === "Bandarawela")
+    // every row parses its full 8-column schema (no silent arity drops)
+    assert(rows.forall(r => !r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(4)))
+    assert(rows.map(r => r.getInt(4)).toSet === Set(19800), "all UTC+5:30")
+  }
+
+  test("judged w1/w2 run end-to-end on the committed fixture") {
+    val w1 = Weather.queries.find(_.name == "w1_city_month").get
+      .fn(spark, "unused").collect()
+    assert(w1.length === 324, "27 cities x 12 months")
+    val w2 = Weather.queries.find(_.name == "w2_max_precip").get
+      .fn(spark, "unused").collect()
+    // the generator ties 2023-11 and 2023-12 at the max: earliest wins
+    assert(w2.length === 1 && w2(0).getString(0) === "2023-11")
+  }
+
   test("Q1 plan broadcasts the dim and Q2 plans as a top-k, not a global sort") {
     val q1Plan = Weather.q1CityMonthlyAgg(weather, location)
       .queryExecution.executedPlan.toString
