@@ -51,7 +51,58 @@ object JsonSource {
       .orderBy(col("n_nationkey"))
   }
 
+  // -- strict-schema CSV datasource ------------------------------------
+
+  val FxCsv = "/root/repo/fixtures/fx.csv"
+
+  val fxSchema: StructType = StructType(Seq(
+    StructField("currency", StringType),
+    StructField("usd_per_unit_micro", LongType)))
+
+  /** DSv2 csv read with header + EXPLICIT schema — the strict-schema
+    * path (the reference-parity weather module instead reads raw
+    * text and tokenizes, because the reference's per-line arity
+    * dispatch is not CSV-strict). Inference is off for the same
+    * reason as JSON: at 100 TB it costs a full extra pass.
+    */
+  def fx(s: SparkSession): DataFrame =
+    s.read.schema(fxSchema).option("header", "true").csv(FxCsv)
+
+  /** Judged query: JSON rates ⋈ CSV fx — each nation's surcharge
+    * converted to exact micro-USD (cents × micro-per-unit / 100,
+    * integral all the way). Two broadcast dims, zero shuffles.
+    */
+  def q29CsvSource(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d)
+      .join(broadcast(rates(s)), Seq("n_nationkey"))
+      .join(broadcast(fx(s)), Seq("currency"))
+      .select(col("n_nationkey"), col("n_name"), col("currency"),
+        col("usd_per_unit_micro"),
+        // integer div, not `/`: fractional division then cast would
+        // TRUNCATE in Spark but ROUND in DuckDB — integral math only
+        expr("surcharge_cents * usd_per_unit_micro div 100")
+          .as("surcharge_micro_usd"))
+      .orderBy(col("n_nationkey"))
+
   val queries: Seq[Q] = Seq(
+    Q("q29_csv_source", q29CsvSource, Some(s"""
+      WITH r AS (
+        SELECT n_nationkey, currency, surcharge_cents
+        FROM read_json('$RatesJson', format='newline_delimited',
+               columns={'n_nationkey':'INTEGER','currency':'VARCHAR',
+                        'tax_bp':'BIGINT','surcharge_cents':'BIGINT',
+                        'limits':'STRUCT(min_order_cents BIGINT, max_order_cents BIGINT)'})),
+      fx AS (
+        SELECT currency, usd_per_unit_micro
+        FROM read_csv('$FxCsv', header=true,
+               columns={'currency':'VARCHAR','usd_per_unit_micro':'BIGINT'}))
+      SELECT n.n_nationkey, n.n_name, r.currency, fx.usd_per_unit_micro,
+             CAST(r.surcharge_cents * fx.usd_per_unit_micro // 100 AS BIGINT)
+               AS surcharge_micro_usd
+      FROM nation n
+      JOIN r USING (n_nationkey)
+      JOIN fx USING (currency)
+      ORDER BY n.n_nationkey""")),
     Q("q28_json_source", q28JsonSource, Some(s"""
       WITH r AS (
         SELECT n_nationkey, currency, tax_bp, surcharge_cents,

@@ -21,6 +21,26 @@ class SinksSpec extends SparkTestBase {
     assert(q.count() > 0)
   }
 
+  test("orc roundtrip preserves schema and rows (source breadth)") {
+    val out = Files.createTempDirectory("orc_out").toString + "/nation"
+    val n = Tables.nation(spark, sf("sf0.001"))
+    n.write.orc(out)
+    val back = spark.read.orc(out)
+    assert(back.schema === n.schema)
+    assert(back.orderBy("n_nationkey").collect()
+      === n.orderBy("n_nationkey").collect())
+  }
+
+  test("csv datasource read applies explicit schema with header") {
+    val fx = graft.sources.JsonSource.fx(spark)
+    assert(fx.schema.map(_.dataType).toSeq ===
+      Seq(org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.LongType))
+    val rows = fx.collect()
+    assert(rows.length === 8)
+    assert(rows.exists(r => r.getString(0) == "USD" && r.getLong(1) == 1000000L))
+  }
+
   test("co-bucketed tables join with zero exchange") {
     val c = Tables.customer(spark, sf("sf0.001"))
     val o = Tables.orders(spark, sf("sf0.001"))
