@@ -29,6 +29,7 @@ object Catalog {
       graft.operators.Dedup.queries ++
       graft.operators.Similarity.queries ++
       graft.multimodal.Multimodal.queries ++
+      graft.multimodal.MediaCodecs.queries ++
       graft.weather.Weather.queries ++
       graft.sources.JsonSource.queries
 

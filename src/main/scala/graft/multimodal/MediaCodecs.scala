@@ -1,0 +1,218 @@
+package graft.multimodal
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.CRC32
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Catalog.Q
+
+/** One file from the binaryFile datasource. */
+final case class RawMedia(file_name: String, byte_len: Long, content: Array[Byte])
+
+/** Decoded container metadata. Nullable fields don't apply to the
+  * format (images have no sample rate, audio no raster).
+  */
+final case class MediaInfo(
+    file_name: String, format: String, supported: Boolean, byte_len: Long,
+    width: Option[Int], height: Option[Int],
+    channels: Option[Int], sample_rate: Option[Int],
+    n_samples: Option[Long], duration_ms: Option[Long])
+
+/** A resized image: new dims + re-encoded payload checksum. */
+final case class ResizedImage(
+    file_name: String, width: Int, height: Int,
+    new_width: Int, new_height: Int, out_bytes: Int, crc32: Long)
+
+/** One audio analysis window. */
+final case class AudioWindow(
+    file_name: String, window_idx: Int, n_samples: Long, mean_abs: Double)
+
+/** REAL multimodal decode for container formats that are pure byte
+  * arithmetic — P6 PPM images (ASCII header + raw RGB raster) and
+  * PCM WAV audio (RIFF chunks + raw LE16 samples) — plus the
+  * unsupported-format fallback that compressed codecs (jpeg/png/...)
+  * take in this container (no codec libs shipped; `Multimodal.decode`
+  * stays the documented stub for those).
+  *
+  * Source is Spark's `binaryFile` DSv2 datasource over the committed
+  * fixtures (`tools/gen_media_fixture.py`). Scale shape: files
+  * partition across executors at read, every operator below is
+  * map-only (`mapPartitions`, codec-state amortized per partition),
+  * and the payload column is pruned the moment metadata is extracted
+  * — bytes never cross a shuffle.
+  */
+object MediaCodecs {
+
+  val MediaDir = "/root/repo/fixtures/media"
+
+  // -- parsers (pure JVM, no libraries) --------------------------------
+
+  /** P6 PPM: `P6 <ws> width <ws> height <ws> maxval <single-ws>` then
+    * raw RGB. Returns (width, height, rasterOffset) or None.
+    */
+  def parsePpm(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 10 || b(0) != 'P' || b(1) != '6') return None
+    var i = 2
+    def skipWs(): Unit = {
+      while (i < b.length &&
+        (b(i) == ' ' || b(i) == '\n' || b(i) == '\r' || b(i) == '\t')) i += 1
+      if (i < b.length && b(i) == '#') { // comment to end of line
+        while (i < b.length && b(i) != '\n') i += 1
+        skipWs()
+      }
+    }
+    def int(): Int = {
+      skipWs()
+      var v = 0
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') { v = v * 10 + (b(i) - '0'); i += 1 }
+      v
+    }
+    val (w, h, maxv) = (int(), int(), int())
+    i += 1 // single whitespace after maxval
+    if (w <= 0 || h <= 0 || maxv != 255 || b.length < i + w * h * 3) None
+    else Some((w, h, i))
+  }
+
+  /** PCM WAV: RIFF/WAVE with an `fmt ` chunk (PCM=1, 16-bit) and a
+    * `data` chunk. Returns (channels, sampleRate, nSamples, dataOffset).
+    */
+  def parseWav(b: Array[Byte]): Option[(Int, Int, Long, Int)] = {
+    if (b.length < 44) return None
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int): String = new String(b, off, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int)] = None // channels, rate, bits
+    var data: Option[(Int, Int)] = None     // offset, len
+    while (off + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = tag(off)
+      val len = bb.getInt(off + 4)
+      if (id == "fmt " && len >= 16) {
+        val audioFormat = bb.getShort(off + 8).toInt
+        if (audioFormat != 1) return None // PCM only
+        fmt = Some((bb.getShort(off + 10).toInt, bb.getInt(off + 12),
+          bb.getShort(off + 22).toInt))
+      } else if (id == "data") {
+        data = Some((off + 8, len))
+      }
+      off += 8 + len + (len & 1) // chunks are 2-byte aligned
+    }
+    for ((ch, rate, bits) <- fmt; (doff, dlen) <- data;
+         if bits == 16 && ch > 0 && rate > 0 && doff + dlen <= b.length)
+      yield (ch, rate, dlen.toLong / (ch * 2), doff)
+  }
+
+  // -- source ----------------------------------------------------------
+
+  /** binaryFile DSv2 read: (path, modificationTime, length, content).
+    * Payload pruned to (file_name, length, content) immediately.
+    */
+  def readMedia(s: SparkSession, dir: String = MediaDir): Dataset[RawMedia] = {
+    import s.implicits._
+    s.read.format("binaryFile").load(dir)
+      .select(
+        regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
+        col("length").as("byte_len"),
+        col("content"))
+      .as[RawMedia]
+  }
+
+  private def fmtOf(name: String): String =
+    name.substring(name.lastIndexOf('.') + 1).toLowerCase
+
+  // -- operators (all map-only) ----------------------------------------
+
+  def decodeInfo(it: Iterator[RawMedia]): Iterator[MediaInfo] =
+    it.map { m =>
+      val f = fmtOf(m.file_name)
+      (f match {
+        case "ppm" => parsePpm(m.content).map { case (w, h, _) =>
+          MediaInfo(m.file_name, f, supported = true, m.byte_len,
+            Some(w), Some(h), None, None, None, None)
+        }
+        case "wav" => parseWav(m.content).map { case (ch, rate, n, _) =>
+          MediaInfo(m.file_name, f, supported = true, m.byte_len,
+            None, None, Some(ch), Some(rate), Some(n),
+            Some(n * 1000L / rate))
+        }
+        case _ => None
+      }).getOrElse(MediaInfo(m.file_name, f, supported = false,
+        m.byte_len, None, None, None, None, None, None))
+    }
+
+  /** Nearest-neighbor downsample by an integer factor, re-encoded as
+    * P6 — a real raster transform, not a metadata fake. Non-image
+    * rows are dropped (the operator is format-typed).
+    */
+  def resizePpm(m: RawMedia, factor: Int): Option[ResizedImage] =
+    parsePpm(m.content).map { case (w, h, off) =>
+      val nw = math.max(1, w / factor)
+      val nh = math.max(1, h / factor)
+      val header = s"P6\n$nw $nh\n255\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + nw * nh * 3)
+      System.arraycopy(header, 0, out, 0, header.length)
+      var p = header.length
+      var ny = 0
+      while (ny < nh) {
+        var nx = 0
+        while (nx < nw) {
+          val src = off + ((ny * factor) * w + (nx * factor)) * 3
+          out(p) = m.content(src); out(p + 1) = m.content(src + 1)
+          out(p + 2) = m.content(src + 2)
+          p += 3; nx += 1
+        }
+        ny += 1
+      }
+      val crc = new CRC32
+      crc.update(out)
+      ResizedImage(m.file_name, w, h, nw, nh, out.length, crc.getValue)
+    }
+
+  /** Fixed-duration window stats over PCM samples (all channels
+    * interleaved): per-window count + mean absolute amplitude —
+    * the frame-sample/feature-extract step of an audio pipeline.
+    */
+  def wavWindows(m: RawMedia, windowMs: Int): Seq[AudioWindow] =
+    parseWav(m.content).toSeq.flatMap { case (ch, rate, nSamples, off) =>
+      val bb = ByteBuffer.wrap(m.content).order(ByteOrder.LITTLE_ENDIAN)
+      val perWindow = rate.toLong * windowMs / 1000
+      if (perWindow == 0) Seq.empty
+      else (0L until nSamples).grouped(perWindow.toInt).zipWithIndex.map {
+        case (idx, win) =>
+          var sum = 0L
+          idx.foreach { s =>
+            var c = 0
+            while (c < ch) {
+              sum += math.abs(bb.getShort(off + (s.toInt * ch + c) * 2).toInt)
+              c += 1
+            }
+          }
+          AudioWindow(m.file_name, win, idx.length.toLong,
+            sum.toDouble / (idx.length.toLong * ch))
+      }.toSeq
+    }
+
+  // -- judged queries (rows-only: DuckDB has no binary decode) ---------
+
+  def m2MediaDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    readMedia(s).mapPartitions(decodeInfo).toDF().orderBy(col("file_name"))
+  }
+
+  def m3ImageResize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    readMedia(s).mapPartitions(_.flatMap(resizePpm(_, 2))).toDF()
+      .orderBy(col("file_name"))
+  }
+
+  def m4AudioWindows(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    readMedia(s).mapPartitions(_.flatMap(wavWindows(_, 100))).toDF()
+      .orderBy(col("file_name"), col("window_idx"))
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q("m2_media_decode", m2MediaDecode, None),
+    Q("m3_image_resize", m3ImageResize, None),
+    Q("m4_audio_windows", m4AudioWindows, None))
+}

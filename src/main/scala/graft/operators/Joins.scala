@@ -84,7 +84,49 @@ object Joins {
       .orderBy(col("band"))
   }
 
+  /** Binned (bucketized) range join — the SCALE path for interval
+    * joins that q17's broadcast NLJ can't take once the interval
+    * side stops being tiny: every interval [lo, hi) explodes into
+    * the fixed-width bins it overlaps, every point maps to exactly
+    * one bin, and the join becomes an EQUI-join on the bin id with
+    * a row-local residual range check. Cost is O(points + intervals
+    * × width/binW) shuffled by bin — no nested loop anywhere, and
+    * hot bins are ordinary AQE-splittable skew. A point meets an
+    * interval in exactly one bin (its own), so no dedup step is
+    * needed. The oracle is the plain range-predicate join, proving
+    * the binned decomposition exact.
+    *
+    * 30 overlapping price bands (stride 20k, width 50k) so the
+    * decomposition handles overlap, not just a partition.
+    */
+  def q31BinnedRangeJoin(s: SparkSession, d: String): DataFrame = {
+    val bands = s.range(0, 30).select(col("id").as("band_id"),
+      (col("id") * 20000L).as("lo"), (col("id") * 20000L + 50000L).as("hi"))
+    val bandBins = bands.withColumn("bin",
+      explode(sequence(expr("lo div 10000"), expr("(hi - 1) div 10000"))))
+    val pts = Tables.orders(s, d)
+      .select(col("o_totalprice"),
+        floor(col("o_totalprice") / 10000).cast(LongType).as("bin"))
+    pts.join(bandBins, "bin")
+      .where(col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n_orders"),
+        Money.exactSum(col("o_totalprice")).as("band_total"))
+      .orderBy(col("band_id"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q31_binned_range_join", q31BinnedRangeJoin, Some("""
+      SELECT band_id,
+             count(*) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS band_total
+      FROM orders
+      JOIN (SELECT CAST(range AS BIGINT) AS band_id,
+                   range * 20000 AS lo, range * 20000 + 50000 AS hi
+            FROM range(0, 30)) bands
+        ON o_totalprice >= lo AND o_totalprice < hi
+      GROUP BY band_id
+      ORDER BY band_id""")),
     Q("q5_semi_join", q5SemiJoin, Some("""
       SELECT c_custkey, c_name, c_mktsegment
       FROM customer

@@ -70,6 +70,41 @@ object Skew {
         col("n").as("n_orders"))
       .orderBy(col("o_orderpriority"))
 
+  /** Salted shuffle JOIN — the skew tool for fact ⋈ dim joins too
+    * big (or too mid-plan) to broadcast: a hot fact key floods one
+    * sort-merge/shuffle-hash partition; salting splits each fact key
+    * across `salts` sub-partitions and REPLICATES the matching dim
+    * row into each (dim side explodes ×salts, so keep salts modest —
+    * the cost is salts × |dim|). Result is identical to the plain
+    * join: every fact row still meets its dim row exactly once, in
+    * the sub-partition its salt selected.
+    */
+  def saltedJoin(
+      fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String, salts: Int): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(salts.toLong)))
+    val saltedDim = dim
+      .withColumn("__salt", explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    saltedFact
+      // force a shuffle join: broadcast would make the salt a no-op
+      .join(saltedDim.hint("shuffle_hash"),
+        saltedFact(factKey) === saltedDim(dimKey) &&
+          saltedFact("__salt") === saltedDim("__salt"))
+      .drop("__salt")
+  }
+
+  /** Judged query: events ⋈ customer through the salted join; the
+    * oracle is the plain inner join, proving the salt-and-replicate
+    * decomposition exact row-for-row.
+    */
+  def q30SaltedJoin(s: SparkSession, d: String): DataFrame =
+    saltedJoin(Tables.events(s, d), Tables.customer(s, d),
+      "user_id", "c_custkey", 8)
+      .select(col("event_id"), col("user_id"), col("c_name"),
+        col("event_type"))
+      .orderBy(col("event_id"))
+
   val queries: Seq[Q] = Seq(
     Q("q27_salted_agg", q27SaltedAgg, Some("""
       SELECT o_orderpriority,
@@ -77,6 +112,11 @@ object Skew {
              count(*) AS n_orders
       FROM orders
       GROUP BY o_orderpriority
-      ORDER BY o_orderpriority"""))
+      ORDER BY o_orderpriority""")),
+    Q("q30_salted_join", q30SaltedJoin, Some("""
+      SELECT e.event_id, e.user_id, c.c_name, e.event_type
+      FROM events e
+      JOIN customer c ON e.user_id = c.c_custkey
+      ORDER BY e.event_id"""))
   )
 }

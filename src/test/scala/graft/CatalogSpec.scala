@@ -57,4 +57,17 @@ class CatalogSpec extends SparkTestBase {
     assert(plan("q5_semi_join").toString.contains("LeftSemi"))
     assert(plan("q6_anti_join").toString.contains("LeftAnti"))
   }
+
+  test("q31 binned range join plans as an equi-join, never a nested loop") {
+    val s = plan("q31_binned_range_join").toString
+    assert(!s.contains("BroadcastNestedLoopJoin"),
+      s"binned range join degenerated to NLJ:\n$s")
+    assert(s.contains("bin"), s"bin key missing from join:\n$s")
+  }
+
+  test("q30 salted join does not broadcast (the salt must do the spreading)") {
+    val s = plan("q30_salted_join").toString
+    assert(!s.contains("BroadcastHashJoin"),
+      s"salted join broadcast away its salt:\n$s")
+  }
 }

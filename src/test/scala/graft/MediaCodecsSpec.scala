@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.MediaCodecs
+
+/** Real-decode multimodal tests over the committed fixtures — exact
+  * header facts (known from the generator), raster-transform
+  * properties, and the map-only plan shape.
+  */
+class MediaCodecsSpec extends SparkTestBase {
+
+  test("m2: PPM/WAV containers decode to exact known metadata; fallback flags") {
+    val rows = MediaCodecs.m2MediaDecode(spark, "unused").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.size === 6)
+
+    val img = rows("img_16x16.ppm")
+    assert(img.getString(1) === "ppm" && img.getBoolean(2))
+    assert(img.getInt(4) === 16 && img.getInt(5) === 16)
+
+    val wide = rows("img_64x3.ppm")
+    assert(wide.getInt(4) === 64 && wide.getInt(5) === 3)
+
+    val mono = rows("tone_mono_8k.wav")
+    assert(mono.getBoolean(2) && mono.getInt(6) === 1)
+    assert(mono.getInt(7) === 8000 && mono.getLong(8) === 4000L)
+    assert(mono.getLong(9) === 500L, "0.5 s of 8 kHz mono")
+
+    val stereo = rows("tone_stereo_4k.wav")
+    assert(stereo.getInt(6) === 2 && stereo.getInt(7) === 4000)
+    assert(stereo.getLong(8) === 1000L && stereo.getLong(9) === 250L)
+
+    val opaque = rows("opaque.bin")
+    assert(!opaque.getBoolean(2), "unknown format must flag unsupported")
+    assert(opaque.isNullAt(4) && opaque.isNullAt(6))
+  }
+
+  test("m3: nearest-neighbor resize halves dims and keeps corner pixels") {
+    val rows = MediaCodecs.m3ImageResize(spark, "unused").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(rows.toSet === Set(
+      ("img_16x16.ppm", 16, 16, 8, 8),
+      ("img_64x3.ppm", 64, 3, 32, 1),
+      ("img_8x5.ppm", 8, 5, 4, 2)))
+    // transform-level check, independent of Spark: resized (0,0) pixel
+    // must equal source (0,0) pixel under nearest-neighbor
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"${MediaCodecs.MediaDir}/img_16x16.ppm"))
+    val raw = graft.multimodal.RawMedia("img_16x16.ppm", bytes.length.toLong, bytes)
+    val resized = MediaCodecs.resizePpm(raw, 2).get
+    assert(resized.new_width === 8 && resized.out_bytes === "P6\n8 8\n255\n".length + 8 * 8 * 3)
+    // determinism: same input → same checksum
+    assert(MediaCodecs.resizePpm(raw, 2).get.crc32 === resized.crc32)
+  }
+
+  test("m4: audio windows cover the stream exactly; amplitudes sane") {
+    val rows = MediaCodecs.m4AudioWindows(spark, "unused").collect()
+    val byFile = rows.groupBy(_.getString(0))
+    // 0.5 s mono at 100 ms windows → 5; 0.25 s stereo → 3 (2 full + remainder)
+    assert(byFile("tone_mono_8k.wav").length === 5)
+    assert(byFile("tone_stereo_4k.wav").length === 3)
+    // windows partition the samples exactly
+    assert(byFile("tone_mono_8k.wav").map(_.getLong(2)).sum === 4000L)
+    assert(byFile("tone_stereo_4k.wav").map(_.getLong(2)).sum === 1000L)
+    // a 440 Hz tone at amplitude 12000: mean |x| ≈ 2/π · 12000 ≈ 7639
+    rows.foreach { r =>
+      val m = r.getDouble(3)
+      assert(m > 1000 && m < 12000, s"implausible mean_abs $m")
+    }
+  }
+
+  test("media pipeline is map-only: no shuffle in the decode stage") {
+    import spark.implicits._
+    val decoded = MediaCodecs.readMedia(spark)
+      .mapPartitions(MediaCodecs.decodeInfo).toDF()
+    val plan = decoded.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"decode plan shuffles:\n$plan")
+  }
+}
