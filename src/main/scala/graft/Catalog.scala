@@ -24,6 +24,7 @@ object Catalog {
       graft.operators.Scalars.queries ++
       graft.operators.Advanced.queries ++
       graft.operators.Sessionize.queries ++
+      graft.operators.Etl.queries ++
       graft.operators.Skew.queries ++
       graft.operators.TextAnalysis.queries ++
       graft.operators.Dedup.queries ++

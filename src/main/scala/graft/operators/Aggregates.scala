@@ -81,7 +81,48 @@ object Aggregates {
         count(lit(1)).as("n"))
       .orderBy(col("o_orderpriority"))
 
+  /** Approximate quantiles (Greenwald-Khanna sketch) — the 100 TB
+    * percentile path: a bounded-memory mergeable sketch vs exact
+    * percentile's full sort-per-group. Rows-only judged (sketch
+    * internals differ across engines); AggregatesSpec bounds the
+    * rank error against the exact percentiles at test scale.
+    */
+  def q32ApproxQuantiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("l_extendedprice"),
+        typedLit(Seq(0.25, 0.5, 0.75, 0.95)), lit(10000)).as("price_quantiles"))
+      .orderBy(col("l_returnflag"))
+
+  /** Explicit GROUPING SETS — finer than rollup/cube: exactly the
+    * (status), (priority), and grand-total groupings, nothing else.
+    * SQL surface (the DataFrame API has no grouping-sets verb), NULL
+    * group keys coalesced to the '(all)' sentinel as in q9/q10.
+    */
+  def q33GroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+    s.sql("""
+      SELECT coalesce(o_orderstatus, '(all)') AS o_orderstatus,
+             coalesce(o_orderpriority, '(all)') AS o_orderpriority,
+             count(*) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total_price
+      FROM orders_gs
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY o_orderstatus, o_orderpriority""")
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q32_approx_quantiles", q32ApproxQuantiles, None), // sketch: no cross-engine oracle
+    Q("q33_grouping_sets", q33GroupingSets, Some("""
+      SELECT coalesce(o_orderstatus, '(all)') AS o_orderstatus,
+             coalesce(o_orderpriority, '(all)') AS o_orderpriority,
+             count(*) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total_price
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY o_orderstatus, o_orderpriority""")),
     Q("q8_distinct_agg", q8DistinctAgg, Some("""
       SELECT l_returnflag, l_linestatus,
              count(*) AS n_rows,

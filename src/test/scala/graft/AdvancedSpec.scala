@@ -21,6 +21,33 @@ class AdvancedSpec extends SparkTestBase {
     }
   }
 
+  test("approx quantiles stay within 1% rank error of exact percentiles") {
+    import graft.sources.Tables
+    val exact = Tables.lineitem(spark, sf("sf0.001"))
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95))")
+        .as("ex"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    // rank-error bound: the sketch's p-quantile must sit between the
+    // exact (p±1%) quantiles — the actual G-K guarantee, tighter
+    // value-error assertions would be distribution-dependent
+    val bounds = Tables.lineitem(spark, sf("sf0.001"))
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, array(0.24, 0.49, 0.74, 0.94))").as("lo"),
+        expr("percentile(l_extendedprice, array(0.26, 0.51, 0.76, 0.96))").as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getSeq[Double](1), r.getSeq[Double](2))).toMap
+    operators.Aggregates.q32ApproxQuantiles(spark, sf("sf0.001"))
+      .collect().foreach { r =>
+      val flag = r.getString(0)
+      val approx = r.getSeq[Double](1)
+      val (lo, hi) = bounds(flag)
+      approx.indices.foreach { i =>
+        assert(approx(i) >= lo(i) && approx(i) <= hi(i),
+          s"$flag q$i: ${approx(i)} outside [${lo(i)}, ${hi(i)}] (exact ${exact(flag)(i)})")
+      }
+    }
+  }
+
   test("as-of join picks latest at-or-before match, inclusive, left-outer") {
     import spark.implicits._
     val left = Seq((1L, 5L), (1L, 10L), (1L, 15L), (2L, 100L), (3L, 7L))
