@@ -110,6 +110,11 @@ object Dedup {
         }: _*)).as("bd"))
       .select(col("doc_id"), col("bd.band_id").as("band_id"),
         col("bd.band_hash").as("band_hash"))
+    // distinct, not d3-style first-match emission: measured at sf0.1
+    // the duplicate factor here is low (few pairs collide in >1
+    // band), so a dedup shuffle of the small candidate set beats
+    // recomputing 16 band hashes per probe and carrying the 32-long
+    // signature through the exploded frame (4.4s vs 2.9s).
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band_id") === col("y.band_id") &&
           col("x.band_hash") === col("y.band_hash") &&
@@ -181,16 +186,29 @@ object Dedup {
         }: _*)).as("ck"))
       .select(col("doc_id"), col("simhash"),
         col("ck.chunk_id").as("chunk_id"), col("ck.chunk").as("chunk"))
+    // first-match emission: a pair sharing several chunks would match
+    // in several buckets; requiring that no EARLIER chunk also
+    // matches (checkable row-locally — both sides carry the full
+    // signature) emits each pair exactly once, replacing a
+    // dedup shuffle of the whole candidate set with 8 integer
+    // compares per probe. On this dense corpus that distinct was the
+    // single most expensive exchange in the catalog.
+    def chunkOf(sig: Column, j: Int): Column =
+      shiftright(sig, j * SimhashChunkBits)
+        .bitwiseAND((1 << SimhashChunkBits) - 1)
+    val firstMatch = (0 until SimhashChunks).map { j =>
+      (col("x.chunk_id") <= j) ||
+        (chunkOf(col("x.simhash"), j) =!= chunkOf(col("y.simhash"), j))
+    }.reduce(_ && _)
     chunks.as("x").join(chunks.as("y"),
         col("x.chunk_id") === col("y.chunk_id") &&
           col("x.chunk") === col("y.chunk") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.doc_id") < col("y.doc_id") && firstMatch)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-      // filter BEFORE distinct: the hamming test is a cheap row-local
-      // predicate, the distinct is a shuffle — shrink what shuffles
+      // row-local verify; no distinct needed — first-match emission
+      // already made pairs unique
       .where(col("hamming") <= 8)
-      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -79,7 +79,40 @@ object Scalars {
           lit("normal")).as("prio"))
       .orderBy(col("o_orderkey"))
 
+  /** Array higher-order functions — transform / filter / aggregate
+    * over a per-order quantity array. The collect_list is wrapped in
+    * sort_array because collection order is partition-dependent;
+    * after sorting, the HOF results are deterministic and the left
+    * folds map exactly to DuckDB's list_* functions (PLAYBOOK: Spark
+    * aggregate == list_reduce, transform == list_transform). Fine
+    * for oracle certification of lambda semantics; hot per-token
+    * kernels use the native expressions instead (HOFs evaluate
+    * interpreted).
+    */
+  def q36ArrayHof(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(round(col("l_quantity")).cast(IntegerType)))
+        .as("qtys"))
+      .select(col("l_orderkey"),
+        size(col("qtys")).as("n_items"),
+        size(filter(col("qtys"), x => x > 25)).as("n_big"),
+        aggregate(col("qtys"), lit(0L), (a, x) => a + x.cast(LongType))
+          .as("total_qty"),
+        transform(col("qtys"), x => x * 2).as("doubled"))
+      .orderBy(col("l_orderkey"))
+
   val queries: Seq[Q] = Seq(
+    Q("q36_array_hof", q36ArrayHof, Some("""
+      SELECT l_orderkey,
+             CAST(len(qtys) AS INTEGER) AS n_items,
+             CAST(len(list_filter(qtys, x -> x > 25)) AS INTEGER) AS n_big,
+             CAST(list_sum(qtys) AS BIGINT) AS total_qty,
+             list_transform(qtys, x -> x * 2) AS doubled
+      FROM (SELECT l_orderkey,
+                   list_sort(list(CAST(round(l_quantity) AS INTEGER))) AS qtys
+            FROM lineitem GROUP BY 1)
+      ORDER BY l_orderkey""")),
     Q("q14_string_funcs", q14StringFuncs, Some("""
       SELECT p_partkey,
              upper(p_name) AS name_upper,

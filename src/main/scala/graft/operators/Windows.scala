@@ -73,7 +73,34 @@ object Windows {
       .orderBy(col("o_custkey"), col("order_seq"))
   }
 
+  /** Distribution window functions — ntile buckets, percent_rank,
+    * cume_dist — per nation over customer balances. All three are
+    * rank-arithmetic (ints, and int ratios computed identically by
+    * both engines from the same operands), so unlike windowed
+    * AVG(double) they ARE cross-engine exact. Tie-break on c_custkey
+    * makes every rank deterministic.
+    */
+  def q35WindowDistribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    Tables.customer(s, d)
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(w).as("balance_quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy(col("c_nationkey"), col("c_custkey"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q35_window_distribution", q35WindowDistribution, Some("""
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             ntile(4) OVER w AS balance_quartile,
+             percent_rank() OVER w AS pct_rank,
+             cume_dist() OVER w AS cume
+      FROM customer
+      WINDOW w AS (PARTITION BY c_nationkey
+                   ORDER BY c_acctbal ASC, c_custkey ASC)
+      ORDER BY c_nationkey, c_custkey""")),
     Q("q11_window_rank", q11WindowRank, Some("""
       SELECT c_nationkey, rk, c_custkey, c_acctbal FROM (
         SELECT c_nationkey, c_custkey, c_acctbal,

@@ -25,8 +25,13 @@ class PipelineOpsSpec extends SparkTestBase {
         TextFunctions.jaccard(col("x.sh"), col("y.sh")).as("j"))
       .where(col("j") >= 0.5)
       .select("a", "b").as[(Long, Long)].collect().toSet
-    val found = Dedup.d2MinhashLsh(spark, dir)
-      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val foundRows = Dedup.d2MinhashLsh(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val found = foundRows.toSet
+    // first-match emission must yield each pair exactly once — a Set
+    // comparison alone would mask duplicate rows
+    assert(foundRows.length === found.size,
+      s"d2 emitted ${foundRows.length - found.size} duplicate pairs")
     assert(truth.nonEmpty, "fixture has no near-dup pairs — test is vacuous")
     // measured recall floor, not a guaranteed property: 16 bands x 2
     // rows catches a pair AT the 0.5 boundary with p ≈ 0.990, so
@@ -73,8 +78,11 @@ class PipelineOpsSpec extends SparkTestBase {
         bit_count(col("x.s").bitwiseXOR(col("y.s"))).as("h"))
       .where(col("h") <= 8)
       .select("a", "b").as[(Long, Long)].collect().toSet
-    val found = Dedup.d3Simhash(spark, dir)
-      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val foundRows = Dedup.d3Simhash(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val found = foundRows.toSet
+    assert(foundRows.length === found.size,
+      s"d3 emitted ${foundRows.length - found.size} duplicate pairs")
     assert(truth.nonEmpty, "fixture has no Hamming<=8 pairs — test is vacuous")
     // 9 chunks of 7 bits: a distance-8 pair differs in at most 8
     // chunks, so at least one chunk matches — recall is GUARANTEED,
