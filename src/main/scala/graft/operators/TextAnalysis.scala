@@ -78,9 +78,88 @@ object TextAnalysis {
         size(tokens(col("text"))).as("n_tokens"))
       .orderBy(col("doc_id"))
 
+  /** Sequence packing — greedy binning of documents into
+    * fixed-token-budget training chunks, the batch-construction step
+    * of an LLM data pipeline. Deterministic pack order (source, then
+    * doc_id), running token total via a window sum, and chunk id =
+    * (cumulative − own) div budget: a document starts a new chunk
+    * when the budget would overflow, oversized documents get a chunk
+    * of their own. One window shuffle on `source` (the pipeline's
+    * shard key), no driver-side loop — the window formulation is
+    * what makes greedy packing distributable.
+    */
+  def t5PackSequences(s: SparkSession, d: String): DataFrame = {
+    val budget = 256L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("chunk_id",
+        expr(s"(cum_tokens - n_tokens) div $budget"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  /** PII scrubbing: e-mail and long-digit-run redaction, the
+    * compliance pass of a training-data pipeline. The corpus is
+    * synthetic and contains no real PII, so the judged query plants
+    * a deterministic dirty suffix per row and scrubs it — the oracle
+    * certifies the regex semantics, and the assertion that scrubbed
+    * output carries no '@' is part of the result itself. Patterns
+    * stay in the Java-regex ∩ RE2 common dialect (no backrefs, no
+    * lookaround) so both engines compile them identically.
+    */
+  def t6PiiScrub(s: SparkSession, d: String): DataFrame = {
+    val dirty = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com or call "),
+      (col("doc_id") * 773 + 5550100), lit(" now"))
+    val scrubbed =
+      regexp_replace(
+        regexp_replace(dirty,
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "[0-9]{7,}", "<NUM>")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        length(dirty).as("dirty_len"),
+        scrubbed.as("scrubbed"),
+        (instr(scrubbed, "@") === 0).as("email_free"))
+      .orderBy(col("doc_id"))
+  }
+
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
 
   val queries: Seq[Q] = Seq(
+    Q("t5_pack_sequences", t5PackSequences, Some("""
+      SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+             CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+               OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum_tokens,
+             (CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+               OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT)
+              - CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)) // 256
+               AS chunk_id
+      FROM documents
+      ORDER BY source, doc_id""")),
+    Q("t6_pii_scrub", t6PiiScrub, Some("""
+      WITH dirty AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id || '@example.com or call '
+                    || (doc_id * 773 + 5550100) || ' now' AS d
+        FROM documents)
+      SELECT doc_id,
+             CAST(length(d) AS INTEGER) AS dirty_len,
+             regexp_replace(
+               regexp_replace(d,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '[0-9]{7,}', '<NUM>', 'g') AS scrubbed,
+             NOT contains(
+               regexp_replace(
+                 regexp_replace(d,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '[0-9]{7,}', '<NUM>', 'g'), '@') AS email_free
+      FROM dirty
+      ORDER BY doc_id""")),
     Q("t1_token_stats", t1TokenStats, Some(s"""
       SELECT doc_id,
              CAST(len($toksSql) AS INTEGER) AS n_tokens,
