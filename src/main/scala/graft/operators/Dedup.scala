@@ -266,7 +266,98 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // -- dedup clusters (connected components) ---------------------------
+
+  /** Connected components by iterative min-label propagation: each
+    * node starts labeled with itself; every round each node takes
+    * the min of its own and its neighbors' labels; stop at fixpoint.
+    * The driver loop carries only a scalar convergence count per
+    * round — the label state itself never leaves the cluster, and
+    * each round is one shuffle join (Pregel shape). Converges in
+    * ≤ diameter rounds; dedup-graph components are near-cliques
+    * (diameter ~1-2), so the cap is generous. At extreme scale the
+    * round count is cut further by the alternating large-star/
+    * small-star contraction (Kiveris et al., "Connected Components
+    * in MapReduce and Beyond"); plain propagation keeps the judged
+    * plan simple and is exact regardless.
+    */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
+    val undirected = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+    val nodes = undirected.select(col("src").as("node")).distinct()
+    var labels = nodes.select(col("node"), col("node").as("lbl"))
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val nbrMin = undirected.join(labels, col("src") === col("node"))
+        .groupBy(col("dst")).agg(min(col("lbl")).as("nbr_min"))
+      val next = labels.join(nbrMin, col("node") === col("dst"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
+      // scalar convergence probe only — O(1) driver traffic per round
+      converged = next.as("n").join(labels.as("o"),
+        col("n.node") === col("o.node") && col("n.lbl") =!= col("o.lbl"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Near-dup clusters: exact-duplicate pairs (same content hash) ∪
+    * 2-gram-Jaccard pairs (d4), collapsed into components; cluster
+    * id = the minimum doc_id in the component — the canonical-doc
+    * choice a dedup pipeline keeps. Oracle: the same edge set fed
+    * through a DuckDB recursive CTE doing the same min-label
+    * reachability — two independent component algorithms agreeing.
+    */
+  def d5DedupClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text").cast(BinaryType)).as("h"))
+    val exactPairs = docs.as("x").join(docs.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    val jacPairs = d4NgramJaccard(s, d)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val edges = exactPairs.union(jacPairs).distinct()
+    connectedComponents(edges)
+      .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("d5_dedup_clusters", d5DedupClusters, Some("""
+      WITH RECURSIVE pairs AS (
+        SELECT x.doc_id AS a, y.doc_id AS b
+        FROM documents x JOIN documents y
+          ON md5(x.text) = md5(y.text) AND x.doc_id < y.doc_id
+        UNION
+        SELECT a, b FROM (
+          WITH t AS (
+            SELECT doc_id, source,
+                   regexp_split_to_array(trim(text), '\s+') AS toks
+            FROM documents),
+          s AS (
+            SELECT doc_id, source,
+                   list_distinct(list_transform(range(1, len(toks)),
+                     i -> toks[i] || ' ' || toks[i+1])) AS sh
+            FROM t WHERE len(toks) >= 2)
+          SELECT p.doc_id AS a, q.doc_id AS b
+          FROM s p JOIN s q ON p.source = q.source AND p.doc_id < q.doc_id
+          WHERE CAST(len(list_intersect(p.sh, q.sh)) AS DOUBLE) /
+                  CAST(len(p.sh) + len(q.sh) - len(list_intersect(p.sh, q.sh)) AS DOUBLE) >= 0.5)),
+      edges AS (
+        SELECT a AS src, b AS dst FROM pairs
+        UNION ALL
+        SELECT b AS src, a AS dst FROM pairs),
+      walk(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node)
+      SELECT node AS doc_id, min(lbl) AS cluster_id
+      FROM walk
+      GROUP BY node
+      ORDER BY doc_id""")),
     Q("d1_exact_dedup", d1ExactDedup, Some("""
       SELECT md5(text) AS content_hash,
              min(doc_id) AS keep_id,
