@@ -84,7 +84,7 @@ object Aggregates {
   /** Approximate quantiles (Greenwald-Khanna sketch) — the 100 TB
     * percentile path: a bounded-memory mergeable sketch vs exact
     * percentile's full sort-per-group. Rows-only judged (sketch
-    * internals differ across engines); AggregatesSpec bounds the
+    * internals differ across engines); AdvancedSpec bounds the
     * rank error against the exact percentiles at test scale.
     */
   def q32ApproxQuantiles(s: SparkSession, d: String): DataFrame =
