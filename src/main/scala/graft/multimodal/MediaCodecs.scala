@@ -61,16 +61,24 @@ object MediaCodecs {
         skipWs()
       }
     }
-    def int(): Int = {
+    def int(): Long = {
       skipWs()
-      var v = 0
-      while (i < b.length && b(i) >= '0' && b(i) <= '9') { v = v * 10 + (b(i) - '0'); i += 1 }
+      var v = 0L
+      // cap the accumulator so absurd headers can't wrap; anything
+      // past 8 digits is already far beyond a sane raster dimension
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+        v = math.min(v * 10 + (b(i) - '0'), 100000000L); i += 1
+      }
       v
     }
     val (w, h, maxv) = (int(), int(), int())
     i += 1 // single whitespace after maxval
-    if (w <= 0 || h <= 0 || maxv != 255 || b.length < i + w * h * 3) None
-    else Some((w, h, i))
+    // Long arithmetic for the raster bound: a crafted 50000x50000
+    // header would overflow w*h*3 as Int, sneak past the length
+    // check, and read out of bounds downstream
+    if (w <= 0 || h <= 0 || w > 65535 || h > 65535 || maxv != 255 ||
+        b.length.toLong < i.toLong + w * h * 3) None
+    else Some((w.toInt, h.toInt, i))
   }
 
   /** PCM WAV: RIFF/WAVE with an `fmt ` chunk (PCM=1, 16-bit) and a
@@ -87,6 +95,11 @@ object MediaCodecs {
     while (off + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
       val id = tag(off)
       val len = bb.getInt(off + 4)
+      // a malformed chunk length (negative, or past the buffer) must
+      // fall through to the unsupported-format path, not spin the
+      // chunk walk in place (len = -8 would advance off by zero) or
+      // run the cursor out of bounds
+      if (len < 0 || off.toLong + 8 + len > b.length) return None
       if (id == "fmt " && len >= 16) {
         val audioFormat = bb.getShort(off + 8).toInt
         if (audioFormat != 1) return None // PCM only
@@ -125,19 +138,24 @@ object MediaCodecs {
   def decodeInfo(it: Iterator[RawMedia]): Iterator[MediaInfo] =
     it.map { m =>
       val f = fmtOf(m.file_name)
-      (f match {
-        case "ppm" => parsePpm(m.content).map { case (w, h, _) =>
-          MediaInfo(m.file_name, f, supported = true, m.byte_len,
-            Some(w), Some(h), None, None, None, None)
+      // belt over the parsers' own bounds checks: a corrupt file must
+      // degrade to supported=false, never fail the whole task
+      (try {
+        f match {
+          case "ppm" => parsePpm(m.content).map { case (w, h, _) =>
+            MediaInfo(m.file_name, f, supported = true, m.byte_len,
+              Some(w), Some(h), None, None, None, None)
+          }
+          case "wav" => parseWav(m.content).map { case (ch, rate, n, _) =>
+            MediaInfo(m.file_name, f, supported = true, m.byte_len,
+              None, None, Some(ch), Some(rate), Some(n),
+              Some(n * 1000L / rate))
+          }
+          case _ => None
         }
-        case "wav" => parseWav(m.content).map { case (ch, rate, n, _) =>
-          MediaInfo(m.file_name, f, supported = true, m.byte_len,
-            None, None, Some(ch), Some(rate), Some(n),
-            Some(n * 1000L / rate))
-        }
-        case _ => None
-      }).getOrElse(MediaInfo(m.file_name, f, supported = false,
-        m.byte_len, None, None, None, None, None, None))
+      } catch { case _: RuntimeException => None })
+        .getOrElse(MediaInfo(m.file_name, f, supported = false,
+          m.byte_len, None, None, None, None, None, None))
     }
 
   /** Nearest-neighbor downsample by an integer factor, re-encoded as

@@ -282,10 +282,19 @@ object Dedup {
     * plan simple and is exact regardless.
     */
   def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
+    // localCheckpoint (eager) on the loop-carried state: without it
+    // labels_i references labels_{i-1} three times (neighbor join,
+    // left join, convergence probe), the logical plan doubles per
+    // round, and every probe re-executes the whole upstream edge
+    // pipeline from the source. Materializing each round truncates
+    // the lineage so round i costs exactly one join over round i-1's
+    // stored blocks — the standard shape for iterative Spark.
     val undirected = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
     val nodes = undirected.select(col("src").as("node")).distinct()
     var labels = nodes.select(col("node"), col("node").as("lbl"))
+      .localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -294,6 +303,7 @@ object Dedup {
       val next = labels.join(nbrMin, col("node") === col("dst"), "left")
         .select(col("node"),
           least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
       // scalar convergence probe only — O(1) driver traffic per round
       converged = next.as("n").join(labels.as("o"),
         col("n.node") === col("o.node") && col("n.lbl") =!= col("o.lbl"))
@@ -301,6 +311,11 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // silent non-convergence would return wrong cluster ids; a graph
+    // needing > maxIters rounds must fail loudly instead
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds")
     labels
   }
 

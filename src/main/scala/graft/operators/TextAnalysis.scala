@@ -78,15 +78,20 @@ object TextAnalysis {
         size(tokens(col("text"))).as("n_tokens"))
       .orderBy(col("doc_id"))
 
-  /** Sequence packing — greedy binning of documents into
-    * fixed-token-budget training chunks, the batch-construction step
-    * of an LLM data pipeline. Deterministic pack order (source, then
+  /** Sequence packing — offset-binned chunking of documents into
+    * token-budget training chunks, the batch-construction step of an
+    * LLM data pipeline. Deterministic pack order (source, then
     * doc_id), running token total via a window sum, and chunk id =
-    * (cumulative − own) div budget: a document starts a new chunk
-    * when the budget would overflow, oversized documents get a chunk
-    * of their own. One window shuffle on `source` (the pipeline's
-    * shard key), no driver-side loop — the window formulation is
-    * what makes greedy packing distributable.
+    * starting offset div budget: each chunk owns a contiguous
+    * 256-token span of the shard's token stream, and a document
+    * belongs to the chunk its FIRST token falls in. A chunk can
+    * therefore overrun the budget by up to one document's length
+    * (consumers truncate or spill the tail) — that slack is the
+    * price of the closed-form window formulation; exact
+    * close-when-full packing is an inherently sequential scan per
+    * shard and cannot be expressed as a per-row expression. One
+    * window shuffle on `source` (the pipeline's shard key), no
+    * driver-side loop.
     */
   def t5PackSequences(s: SparkSession, d: String): DataFrame = {
     val budget = 256L

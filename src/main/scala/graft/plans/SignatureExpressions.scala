@@ -113,8 +113,17 @@ object SignatureKernels {
       arr: ArrayData, planes: Array[Double],
       tables: Int, bits: Int, dim: Int): Array[Int] = {
     val n = math.min(arr.numElements(), dim)
-    val v = new Array[Double](dim)
+    // null element → all-zero signatures, matching the HOF twin
+    // (zip_with nulls the product, aggregate nulls the dot,
+    // `when(null > 0)` leaves every bit 0); silently reading the
+    // null slot as 0.0 would bucket such rows differently
     var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return new Array[Int](tables)
+      i += 1
+    }
+    val v = new Array[Double](dim)
+    i = 0
     while (i < n) { v(i) = arr.getFloat(i).toDouble; i += 1 }
     val out = new Array[Int](tables)
     var t = 0

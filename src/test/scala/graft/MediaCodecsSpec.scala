@@ -69,6 +69,38 @@ class MediaCodecsSpec extends SparkTestBase {
     }
   }
 
+  test("corrupt containers degrade to unsupported, never hang or throw") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // WAV whose first chunk declares len = -8: a naive walk advances
+    // by zero and spins forever
+    val spin = {
+      val b = ByteBuffer.allocate(64).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes); b.putInt(56); b.put("WAVE".getBytes)
+      b.put("junk".getBytes); b.putInt(-8)
+      b.array()
+    }
+    assert(MediaCodecs.parseWav(spin).isEmpty)
+    // WAV whose chunk runs past the buffer
+    val overrun = {
+      val b = ByteBuffer.allocate(64).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes); b.putInt(56); b.put("WAVE".getBytes)
+      b.put("fmt ".getBytes); b.putInt(100000)
+      b.array()
+    }
+    assert(MediaCodecs.parseWav(overrun).isEmpty)
+    // PPM whose header claims a raster whose Int byte-count overflows
+    val bloat = "P6\n50000 50000\n255\n".getBytes ++ Array.fill(100)(0.toByte)
+    assert(MediaCodecs.parsePpm(bloat).isEmpty)
+    // truncated PPM: header fine, raster short
+    val short = "P6\n4 4\n255\n".getBytes ++ Array.fill(10)(1.toByte)
+    assert(MediaCodecs.parsePpm(short).isEmpty)
+    // the row-level decode wraps all of these as supported=false
+    val infos = MediaCodecs.decodeInfo(Iterator(
+      graft.multimodal.RawMedia("x.wav", spin.length.toLong, spin),
+      graft.multimodal.RawMedia("y.ppm", bloat.length.toLong, bloat))).toSeq
+    assert(infos.forall(!_.supported))
+  }
+
   test("media pipeline is map-only: no shuffle in the decode stage") {
     import spark.implicits._
     val decoded = MediaCodecs.readMedia(spark)

@@ -24,10 +24,14 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # 9 SIGNIFICANT digits (round(v, 9) would be 9 decimal places,
-        # giving large-magnitude doubles zero ulp absorption); -0.0
-        # folds to 0.0 so sign-of-zero never splits engines.
-        return repr(float(f"{v + 0.0:.9g}") + 0.0)
+        # 12 SIGNIFICANT digits: round(v, 9) gave large-magnitude
+        # doubles zero ulp absorption, but 9g was too coarse the
+        # other way — at 1e9-magnitude exact-cents money totals it
+        # dropped the cents, blinding the gate to real absolute
+        # differences. 1e-12 relative still absorbs last-ulp
+        # (1e-16) noise while keeping cents up to 1e10. -0.0 folds
+        # to 0.0 so sign-of-zero never splits engines.
+        return repr(float(f"{v + 0.0:.12g}") + 0.0)
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon(x) for x in v) + "]"
     return str(v)
