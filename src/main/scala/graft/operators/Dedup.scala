@@ -234,7 +234,14 @@ object Dedup {
     * only one of the three whose cost doesn't explode with
     * docs-per-block at 100 TB.
     */
-  def d4NgramJaccard(s: SparkSession, d: String): DataFrame = {
+  def d4NgramJaccard(s: SparkSession, d: String): DataFrame =
+    d4Pairs(s, d).orderBy(col("doc_a"), col("doc_b"))
+
+  /** d4 pair derivation without the presentation sort — consumers
+    * that immediately re-shuffle (d5's component builder) would pay
+    * the range exchange + sort for nothing.
+    */
+  private def d4Pairs(s: SparkSession, d: String): DataFrame = {
     val tau = 0.5
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
@@ -263,7 +270,6 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         hashedJaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .where(col("jaccard") >= tau)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   // -- dedup clusters (connected components) ---------------------------
@@ -332,7 +338,7 @@ object Dedup {
     val exactPairs = docs.as("x").join(docs.as("y"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-    val jacPairs = d4NgramJaccard(s, d)
+    val jacPairs = d4Pairs(s, d)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     val edges = exactPairs.union(jacPairs).distinct()
     connectedComponents(edges)
