@@ -295,28 +295,45 @@ object Dedup {
     // pipeline from the source. Materializing each round truncates
     // the lineage so round i costs exactly one join over round i-1's
     // stored blocks — the standard shape for iterative Spark.
-    val undirected = edges.select(col("a").as("src"), col("b").as("dst"))
-      .union(edges.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
+    // track each checkpoint's storage blocks so superseded rounds
+    // can be freed deterministically: localCheckpoint data otherwise
+    // lives until nondeterministic GC, and a deep component chain
+    // would hold every round's label table in block storage at once
+    val sc = edges.sparkSession.sparkContext
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val ck = df.localCheckpoint()
+      (ck, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    val (undirected, undirectedIds) = checkpointTracked(
+      edges.select(col("a").as("src"), col("b").as("dst"))
+        .union(edges.select(col("b").as("src"), col("a").as("dst"))))
     val nodes = undirected.select(col("src").as("node")).distinct()
-    var labels = nodes.select(col("node"), col("node").as("lbl"))
-      .localCheckpoint()
+    var (labels, labelIds) = checkpointTracked(
+      nodes.select(col("node"), col("node").as("lbl")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
       val nbrMin = undirected.join(labels, col("src") === col("node"))
         .groupBy(col("dst")).agg(min(col("lbl")).as("nbr_min"))
-      val next = labels.join(nbrMin, col("node") === col("dst"), "left")
-        .select(col("node"),
-          least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+      val (next, nextIds) = checkpointTracked(
+        labels.join(nbrMin, col("node") === col("dst"), "left")
+          .select(col("node"),
+            least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl")))
       // scalar convergence probe only — O(1) driver traffic per round
       converged = next.as("n").join(labels.as("o"),
         col("n.node") === col("o.node") && col("n.lbl") =!= col("o.lbl"))
         .isEmpty
+      // the previous round is fully consumed (next materialized,
+      // probe done) — free its blocks; at most 2 label copies live
+      free(labelIds)
       labels = next
+      labelIds = nextIds
       iter += 1
     }
+    free(undirectedIds) // labels is materialized; edges no longer needed
     // silent non-convergence would return wrong cluster ids; a graph
     // needing > maxIters rounds must fail loudly instead
     if (!converged)
@@ -335,9 +352,16 @@ object Dedup {
   def d5DedupClusters(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), md5(col("text").cast(BinaryType)).as("h"))
-    val exactPairs = docs.as("x").join(docs.as("y"),
-        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    // STAR edges, not the clique self-join: identical-text groups of
+    // size k would emit k²/2 edges (one 100k-copy boilerplate doc —
+    // the exact case exact-dedup exists for — is ~5e9 rows from one
+    // hash group, and the blowup is output cardinality, beyond AQE's
+    // help). Connecting every member to the group minimum gives k
+    // edges and the identical connected components.
+    val hubs = docs.groupBy(col("h")).agg(min(col("doc_id")).as("hub"))
+    val exactPairs = docs.join(hubs, "h")
+      .where(col("doc_id") =!= col("hub"))
+      .select(col("hub").as("a"), col("doc_id").as("b"))
     val jacPairs = d4Pairs(s, d)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     val edges = exactPairs.union(jacPairs).distinct()

@@ -112,11 +112,16 @@ object SignatureKernels {
   def hyperplaneSigs(
       arr: ArrayData, planes: Array[Double],
       tables: Int, bits: Int, dim: Int): Array[Int] = {
-    val n = math.min(arr.numElements(), dim)
-    // null element → all-zero signatures, matching the HOF twin
-    // (zip_with nulls the product, aggregate nulls the dot,
-    // `when(null > 0)` leaves every bit 0); silently reading the
-    // null slot as 0.0 would bucket such rows differently
+    val n = arr.numElements()
+    // degenerate input → all-zero signatures, matching the HOF twin
+    // exactly: zip_with pads a length mismatch with nulls (either
+    // side) and nulls the product of a null element, aggregate then
+    // nulls the dot, and `when(null > 0)` leaves every bit 0. So
+    // any wrong-length vector and any vector containing a null maps
+    // to signature 0 in every table — silently truncating or
+    // reading the null slot as 0.0 would bucket such rows
+    // differently under the two formulations.
+    if (n != dim) return new Array[Int](tables)
     var i = 0
     while (i < n) {
       if (arr.isNullAt(i)) return new Array[Int](tables)

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Unit coverage for the component builder itself — the judged d5
+  * corpus only ever produces near-clique components (diameter ~1-2),
+  * so chain-shaped graphs, multi-component splits, and the
+  * non-convergence guard are pinned here.
+  */
+class ConnectedComponentsSpec extends SparkTestBase {
+
+  private def edges(pairs: (Long, Long)*) = {
+    import spark.implicits._
+    pairs.toDF("a", "b")
+  }
+
+  private def run(df: org.apache.spark.sql.DataFrame, maxIters: Int = 50) =
+    Dedup.connectedComponents(df, maxIters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chain graph (diameter 5) converges to the chain minimum") {
+    // 1-2-3-4-5-6: min label must travel 5 hops
+    val got = run(edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)))
+    assert(got === (1L to 6L).map(_ -> 1L).toMap)
+  }
+
+  test("disjoint components keep separate minima") {
+    val got = run(edges((10L, 11L), (11L, 12L), (20L, 21L), (30L, 31L)))
+    assert(got === Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L))
+  }
+
+  test("cycle and cross edges converge (not just trees)") {
+    // cycle 1-2-3-1 plus a bridge 3-4
+    val got = run(edges((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("non-convergence within maxIters fails loudly, not silently wrong") {
+    // a 5-hop chain cannot converge in 1 round
+    val chain = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIters = 1).collect()
+    }
+  }
+}

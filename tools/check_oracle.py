@@ -7,7 +7,8 @@ For each query dumped by graft.Verify, registers the sfDir parquet
 tables as DuckDB views, runs the oracle SQL from oracle_sql.json, and
 compares against the Spark parquet dump: row count, column names
 (sorted), and a value hash (rows sorted, columns sorted by name,
-floats rounded to 9 significant decimals to absorb last-ulp noise).
+floats rounded to 12 significant digits — enough to absorb last-ulp
+noise while keeping cents at 1e10-magnitude money totals).
 This mirrors what CORRECTNESS_r{N}.json checks so oracle-SQL typos
 surface before the round boundary.
 """
