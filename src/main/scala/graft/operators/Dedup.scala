@@ -272,6 +272,32 @@ object Dedup {
       .where(col("jaccard") >= tau)
   }
 
+  // -- incremental dedup -----------------------------------------------
+
+  /** Incremental dedup: admit only delta documents that are not
+    * exact duplicates of the existing corpus OR of an earlier delta
+    * row — the production shape of dedup (a daily batch dedups
+    * against the corpus digest index; nobody re-dedups 100 TB per
+    * ingest). Corpus membership is only ever touched as a digest:
+    * one LEFT ANTI join on the hash (the corpus side ships only its
+    * digest column), then a first-wins pass within the delta. Here
+    * "corpus" = the srcA shard and "delta" = everything else, a
+    * deterministic split of the judged table.
+    */
+  def d6IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        md5(col("text").cast(BinaryType)).as("h"))
+    val corpus = docs.where(col("source") === "srcA")
+    val delta = docs.where(col("source") =!= "srcA")
+    delta
+      .join(corpus.select(col("h")), Seq("h"), "left_anti")
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("admit_id"),
+        count(lit(1)).as("n_delta_copies"))
+      .orderBy(col("admit_id"))
+  }
+
   // -- dedup clusters (connected components) ---------------------------
 
   /** Connected components by iterative min-label propagation: each
@@ -301,9 +327,9 @@ object Dedup {
     // would hold every round's label table in block storage at once
     val sc = edges.sparkSession.sparkContext
     def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet
+      val before = sc.getPersistentRDDs.keySet.toSet
       val ck = df.localCheckpoint()
-      (ck, (sc.getPersistentRDDs.keySet -- before).toSet)
+      (ck, sc.getPersistentRDDs.keySet.toSet -- before)
     }
     def free(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
@@ -371,6 +397,16 @@ object Dedup {
   }
 
   val queries: Seq[Q] = Seq(
+    Q("d6_incremental_dedup", d6IncrementalDedup, Some("""
+      WITH corpus AS (
+        SELECT md5(text) AS h FROM documents WHERE source = 'srcA'),
+      delta AS (
+        SELECT doc_id, md5(text) AS h FROM documents WHERE source <> 'srcA')
+      SELECT h, min(doc_id) AS admit_id, count(*) AS n_delta_copies
+      FROM delta
+      WHERE NOT EXISTS (SELECT 1 FROM corpus WHERE corpus.h = delta.h)
+      GROUP BY h
+      ORDER BY admit_id""")),
     Q("d5_dedup_clusters", d5DedupClusters, Some("""
       WITH RECURSIVE pairs AS (
         SELECT x.doc_id AS a, y.doc_id AS b
