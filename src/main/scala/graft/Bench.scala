@@ -29,7 +29,12 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val runs = (1 to 3).map(_ => timeOnce(fn))
         val times = runs.collect { case Right(t) => t }.sorted
-        name -> (if (times.nonEmpty) Right(times(times.length / 2))
+        // true median for even lengths too: with only 2 of 3 runs
+        // succeeding, times(len/2) would report the MAX of the pair
+        def median(ts: Seq[Double]): Double =
+          if (ts.length % 2 == 1) ts(ts.length / 2)
+          else (ts(ts.length / 2 - 1) + ts(ts.length / 2)) / 2
+        name -> (if (times.nonEmpty) Right(median(times))
                  else runs.head)
       }
     def jq(s: String): String =

@@ -32,7 +32,9 @@ object Catalog {
       graft.multimodal.Multimodal.queries ++
       graft.multimodal.MediaCodecs.queries ++
       graft.weather.Weather.queries ++
-      graft.sources.JsonSource.queries
+      graft.sources.JsonSource.queries ++
+      graft.sources.Sinks.queries ++
+      graft.streaming.StreamingGate.queries
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

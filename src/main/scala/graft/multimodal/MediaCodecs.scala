@@ -28,7 +28,8 @@ final case class AudioWindow(
     file_name: String, window_idx: Int, n_samples: Long, mean_abs: Double)
 
 /** REAL multimodal decode for container formats that are pure byte
-  * arithmetic — P6 PPM images (ASCII header + raw RGB raster) and
+  * arithmetic — P6 PPM images (ASCII header + raw RGB raster),
+  * 24-bit uncompressed BMP (fixed LE headers + padded BGR rows), and
   * PCM WAV audio (RIFF chunks + raw LE16 samples) — plus the
   * unsupported-format fallback that compressed codecs (jpeg/png/...)
   * take in this container (no codec libs shipped; `Multimodal.decode`
@@ -43,7 +44,7 @@ final case class AudioWindow(
   */
 object MediaCodecs {
 
-  val MediaDir = "/root/repo/fixtures/media"
+  val MediaDir = graft.sources.Fixtures.path("fixtures/media")
 
   // -- parsers (pure JVM, no libraries) --------------------------------
 
@@ -72,13 +73,47 @@ object MediaCodecs {
       v
     }
     val (w, h, maxv) = (int(), int(), int())
-    i += 1 // single whitespace after maxval
+    // exactly ONE whitespace byte separates maxval from the raster
+    // (PPM spec) — reject a non-whitespace terminator, and reject the
+    // ambiguous CRLF pair outright: treating '\r' as the separator
+    // would shift the raster offset by one and silently mis-read
+    // every pixel while still passing the length check.
+    if (i >= b.length ||
+        !(b(i) == ' ' || b(i) == '\n' || b(i) == '\r' || b(i) == '\t'))
+      return None
+    if (b(i) == '\r' && i + 1 < b.length && b(i + 1) == '\n') return None
+    i += 1
     // Long arithmetic for the raster bound: a crafted 50000x50000
     // header would overflow w*h*3 as Int, sneak past the length
     // check, and read out of bounds downstream
     if (w <= 0 || h <= 0 || w > 65535 || h > 65535 || maxv != 255 ||
         b.length.toLong < i.toLong + w * h * 3) None
     else Some((w.toInt, h.toInt, i))
+  }
+
+  /** 24-bit uncompressed BMP (BI_RGB): BITMAPFILEHEADER (14 bytes) +
+    * BITMAPINFOHEADER (40 bytes), rows bottom-up and padded to 4
+    * bytes. Returns (width, |height|, rasterOffset) — a negative
+    * stored height means top-down row order, also a valid layout.
+    */
+  def parseBmp(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    val pixelOff = bb.getInt(10)
+    val hdrSize = bb.getInt(14)
+    val w = bb.getInt(18)
+    val hRaw = bb.getInt(22)
+    val planes = bb.getShort(26).toInt
+    val bpp = bb.getShort(28).toInt
+    val compression = bb.getInt(30)
+    val h = math.abs(hRaw) // Int.MinValue stays negative → h <= 0 rejects
+    // Long stride math: a crafted width would overflow w*3 as Int,
+    // sneak past the length check, and read out of bounds downstream
+    val stride = (w.toLong * 3 + 3) / 4 * 4
+    if (hdrSize < 40 || planes != 1 || bpp != 24 || compression != 0 ||
+        w <= 0 || w > 65535 || h <= 0 || h > 65535 ||
+        pixelOff < 54 || pixelOff.toLong + stride * h > b.length) None
+    else Some((w, h, pixelOff))
   }
 
   /** PCM WAV: RIFF/WAVE with an `fmt ` chunk (PCM=1, 16-bit) and a
@@ -143,6 +178,10 @@ object MediaCodecs {
       (try {
         f match {
           case "ppm" => parsePpm(m.content).map { case (w, h, _) =>
+            MediaInfo(m.file_name, f, supported = true, m.byte_len,
+              Some(w), Some(h), None, None, None, None)
+          }
+          case "bmp" => parseBmp(m.content).map { case (w, h, _) =>
             MediaInfo(m.file_name, f, supported = true, m.byte_len,
               Some(w), Some(h), None, None, None, None)
           }

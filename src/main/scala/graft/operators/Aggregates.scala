@@ -86,13 +86,25 @@ object Aggregates {
     * percentile's full sort-per-group. Rows-only judged (sketch
     * internals differ across engines); AdvancedSpec bounds the
     * rank error against the exact percentiles at test scale.
+    *
+    * Output is exploded to one (l_returnflag, q, value) row per
+    * quantile, not an array<double> column: the driver's compare
+    * harness sorts rows via pandas, which cannot hash ndarray cells —
+    * the array-shaped output recorded `err` in CORRECTNESS_r02.
     */
+  val QuantilePs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)
+
   def q32ApproxQuantiles(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(percentile_approx(col("l_extendedprice"),
-        typedLit(Seq(0.25, 0.5, 0.75, 0.95)), lit(10000)).as("price_quantiles"))
-      .orderBy(col("l_returnflag"))
+        typedLit(QuantilePs), lit(10000)).as("price_quantiles"))
+      .select(col("l_returnflag"),
+        posexplode(col("price_quantiles")).as(Seq("pos", "value")))
+      .select(col("l_returnflag"),
+        element_at(typedLit(QuantilePs), col("pos") + 1).as("q"),
+        col("value"))
+      .orderBy(col("l_returnflag"), col("q"))
 
   /** Explicit GROUPING SETS — finer than rollup/cube: exactly the
     * (status), (priority), and grand-total groupings, nothing else.

@@ -99,7 +99,12 @@ object Scalars {
         size(filter(col("qtys"), x => x > 25)).as("n_big"),
         aggregate(col("qtys"), lit(0L), (a, x) => a + x.cast(LongType))
           .as("total_qty"),
-        transform(col("qtys"), x => x * 2).as("doubled"))
+        // serialized, not a raw array<int>: the driver's compare
+        // harness sorts rows via pandas, which cannot hash ndarray
+        // cells — array-typed judged outputs record `err` instead of
+        // a verdict (CORRECTNESS_r02). Both engines emit the same
+        // compact JSON text ("[2,4,6]"), so the hash compare is exact.
+        to_json(transform(col("qtys"), x => x * 2)).as("doubled"))
       .orderBy(col("l_orderkey"))
 
   val queries: Seq[Q] = Seq(
@@ -108,7 +113,7 @@ object Scalars {
              CAST(len(qtys) AS INTEGER) AS n_items,
              CAST(len(list_filter(qtys, x -> x > 25)) AS INTEGER) AS n_big,
              CAST(list_sum(qtys) AS BIGINT) AS total_qty,
-             list_transform(qtys, x -> x * 2) AS doubled
+             CAST(to_json(list_transform(qtys, x -> x * 2)) AS VARCHAR) AS doubled
       FROM (SELECT l_orderkey,
                    list_sort(list(CAST(round(l_quantity) AS INTEGER))) AS qtys
             FROM lineitem GROUP BY 1)

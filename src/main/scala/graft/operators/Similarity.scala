@@ -79,7 +79,13 @@ object Similarity {
   // retriever. Raising bits cuts cost and recall together (8 bits
   // measured at 7.5% recall on 2k vectors — too coarse a candidate set).
   private val NumTables = 8
-  private val BitsPerTable = 6
+  // 6 bits — derived from the bucket-width rule at the fixture's
+  // corpus size (⌈log₂(2000/32)⌉): candidate cost per query scales
+  // with bucket width, so this is recomputed from the deployed N,
+  // never copied (LshParamsSpec pins the rule)
+  private val FixtureN = 2000L
+  private val TargetBucket = 32L
+  private val BitsPerTable = LshParams.hyperplaneBits(FixtureN, TargetBucket)
   private val Dim = 64
 
   /** Deterministic pseudo-Gaussian hyperplanes (seeded sum-of-12
@@ -161,13 +167,23 @@ object Similarity {
     * is ~0.5) that is 0.614⁴ ≈ 0.14 per table, so 32 tables give
     * per-pair recall ≈ 1−0.86³² ≈ 0.993 (PipelineOpsSpec proves
     * e4 ⊇ e3 on the fixture). At production near-dup thresholds
-    * (cosine ≥ 0.9, p ≈ 0.86/bit) the same recall needs only a few
-    * tables of 12+ bits, so buckets get exponentially more
-    * selective as the threshold rises — bits per table should be
-    * sized as ~log₂(N / target bucket width) at the deployed N.
+    * (cosine ≥ 0.9, p ≈ 0.86/bit) the same 0.99 recall takes 28
+    * tables of 12 bits (LshParams.hyperplaneTables — LshParamsSpec
+    * pins it), but each bucket is 2¹² vs 2⁴ selective, so expected
+    * candidate work per vector falls ~300× — bits per table should
+    * be sized as ~log₂(N / target bucket width) at the deployed N.
     */
+  // 32 ≥ the 31 the calculator demands for recall 0.99 at τ=0.35
+  // with 4-bit tables (LshParams.hyperplaneTables — LshParamsSpec
+  // asserts the margin, and that measured amplification recall
+  // 1−0.86³² ≈ 0.993 clears the target)
   private val NdTables = 32
   private val NdBits = 4
+  private[graft] val NdTau = 0.35
+  private[graft] def ndTablesRequired: Int =
+    LshParams.hyperplaneTables(NdBits, NdTau, 0.99)
+  private[graft] def ndConfig: (Int, Int) = (NdTables, NdBits)
+  private[graft] def e2Config: (Int, Int) = (NumTables, BitsPerTable)
 
   private val ndPlanes: IndexedSeq[IndexedSeq[Array[Double]]] = {
     val rnd = new scala.util.Random(7)
@@ -194,7 +210,7 @@ object Similarity {
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
         cosineNative(col("x.embedding"), col("y.embedding")).as("cos"))
-      .where(col("cos") >= 0.35)
+      .where(col("cos") >= NdTau)
       .distinct()
       .orderBy(col("vec_a"), col("vec_b"))
   }

@@ -16,7 +16,7 @@ import graft.Catalog.Q
   */
 object JsonSource {
 
-  val RatesJson = "/root/repo/fixtures/rates.json"
+  val RatesJson = Fixtures.path("fixtures/rates.json")
 
   /** Explicit schema, nested struct included — no inference pass. */
   val ratesSchema: StructType = StructType(Seq(
@@ -53,7 +53,7 @@ object JsonSource {
 
   // -- strict-schema CSV datasource ------------------------------------
 
-  val FxCsv = "/root/repo/fixtures/fx.csv"
+  val FxCsv = Fixtures.path("fixtures/fx.csv")
 
   val fxSchema: StructType = StructType(Seq(
     StructField("currency", StringType),

@@ -1,6 +1,10 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.Money
+import graft.Catalog.Q
 
 /** Write-side breadth (the reference's only sink is tab-separated
   * text, SURVEY.md §2.1 O13). Two layouts that matter at 100 TB:
@@ -12,6 +16,9 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   * - Bucketed tables: pre-shuffled on the join/agg key at write time;
   *   two tables co-bucketed on the same key join with ZERO exchange —
   *   the write-once-shuffle-never pattern for fact-to-fact joins.
+  *
+  * Plus the ORC leg of the sources claim (q40): columnar like
+  * parquet, same pushdown/pruning properties through the DSv2 scan.
   */
 object Sinks {
 
@@ -32,4 +39,45 @@ object Sinks {
       .format("parquet").bucketBy(numBuckets, bucketCol)
     sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
   }
+
+  /** Explicit read schema for the ORC roundtrip — same contract as
+    * the JSON/CSV sources: no inference pass, declared types only.
+    */
+  val supplierOrcSchema: StructType = StructType(Seq(
+    StructField("s_suppkey", LongType),
+    StructField("s_name", StringType),
+    StructField("s_nationkey", IntegerType),
+    StructField("s_acctbal", DoubleType)))
+
+  /** Judged ORC source query (the fourth source format under the
+    * gate, after parquet/JSON/CSV): write supplier to ORC, read it
+    * back through the DSv2 ORC scan with the explicit schema, then
+    * aggregate per nation with exact money sums. The roundtrip is
+    * lossless for these types, so the DuckDB oracle runs on the
+    * ORIGINAL parquet table — certifying the ORC write+read as a
+    * true identity, not just that some ORC file parsed.
+    */
+  def q40OrcSource(s: SparkSession, d: String): DataFrame = {
+    // per-sfDir path so concurrent sf runs never clobber each other
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q40_orc_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    Tables.supplier(s, d).write.mode(SaveMode.Overwrite).orc(dir)
+    s.read.schema(supplierOrcSchema).orc(dir)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        Money.exactSum(col("s_acctbal")).as("total_acctbal"),
+        max(col("s_acctbal")).as("max_acctbal"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q("q40_orc_source", q40OrcSource, Some("""
+      SELECT s_nationkey,
+             count(*) AS n_suppliers,
+             CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total_acctbal,
+             max(s_acctbal) AS max_acctbal
+      FROM supplier
+      GROUP BY s_nationkey
+      ORDER BY s_nationkey""")))
 }

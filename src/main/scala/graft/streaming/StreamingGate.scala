@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.sources.Tables
+import graft.Catalog.Q
+
+/** Driver-visible gate for the streaming surface: q41 runs the REAL
+  * streaming sessionizer ([[StreamingSessionize]], the
+  * flatMapGroupsWithState operator with event-time timeouts) over a
+  * bounded stream of the judged events table and emits exactly the
+  * batch twin's schema, so the same DuckDB oracle as q26 certifies
+  * backfill-vs-live parity under the hard hash gate — not just in a
+  * MemoryStream spec.
+  *
+  * Bounded-harness shape (judged runs only): the events table is
+  * small at test SF, so it is fed through a MemoryStream in one
+  * micro-batch, followed by one far-future sentinel event per user
+  * whose gap closes every open session deterministically (no reliance
+  * on wall-clock or timeout races). Sentinel sessions themselves stay
+  * open in state and are never emitted. In production the same
+  * `sessionize` dataset-to-dataset transform runs unchanged on a
+  * `readStream` source (Kafka / file) with the watermark + timeout
+  * doing the flushing — the collect here is the bounded test harness,
+  * not the operator's data path.
+  */
+object StreamingGate {
+
+  def q41StreamSessionize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val events = Tables.events(s, d)
+      .where(col("value").isNotNull)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[SessionEvent]
+      .collect() // bounded judged harness only — see scaladoc
+    val maxUs = events.iterator.map(e =>
+      e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000).max
+    // one sentinel per user, one gap past the global max: its arrival
+    // closes that user's open session via the gap rule in the same
+    // deterministic way a watermark-timeout would at stream scale
+    val sentinelTs = new Timestamp((maxUs + StreamingSessionize.GapMicros) / 1000 + 1000)
+    val sentinels = events.iterator.map(_.user_id).toSet.toSeq.sorted
+      .map(u => SessionEvent(u, sentinelTs, 0.0))
+
+    val mem = MemoryStream[SessionEvent]
+    val queryName = "graft_q41_sessions"
+    val query = StreamingSessionize.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode("append").start()
+    try {
+      mem.addData(events.toSeq)
+      query.processAllAvailable()
+      mem.addData(sentinels)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    // emitted sessions are exactly the real ones (sentinel sessions
+    // never close); rebuild the batch twin's presentation: per-user
+    // session sequence in time order, cents back to one double
+    val w = Window.partitionBy(col("user_id")).orderBy(col("session_start"))
+    s.table(queryName)
+      .withColumn("session_seq", row_number().over(w).cast(LongType))
+      .select(col("user_id"), col("session_seq"),
+        col("session_start"), col("session_end"), col("n_events"),
+        (col("total_cents").cast("double") / 100.0).as("total"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  val queries: Seq[Q] = Seq(
+    // same oracle as the batch twin q26 — THE equivalence claim
+    Q("q41_stream_sessionize", q41StreamSessionize,
+      graft.operators.Sessionize.queries.head.oracle))
+}

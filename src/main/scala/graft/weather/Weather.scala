@@ -219,7 +219,7 @@ object Weather {
     * argument: these two queries ARE the reference, and don't scale
     * with the synthetic TPC-H-ish tables.
     */
-  val WeatherCsv = "/root/repo/fixtures/weather.csv"
+  val WeatherCsv = graft.sources.Fixtures.path("fixtures/weather.csv")
   val LocationCsv = "/root/reference/input/locationData.csv"
 
   /** Oracle-side equivalent of the engine's line-level CSV handling:

@@ -36,16 +36,22 @@ class AdvancedSpec extends SparkTestBase {
       .agg(expr("percentile(l_extendedprice, array(0.24, 0.49, 0.74, 0.94))").as("lo"),
         expr("percentile(l_extendedprice, array(0.26, 0.51, 0.76, 0.96))").as("hi"))
       .collect().map(r => r.getString(0) -> (r.getSeq[Double](1), r.getSeq[Double](2))).toMap
+    // judged output is exploded (flag, q, value) rows; regroup per flag
+    // in quantile order to check each against its rank-error bound
+    val ps = operators.Aggregates.QuantilePs
     operators.Aggregates.q32ApproxQuantiles(spark, sf("sf0.001"))
-      .collect().foreach { r =>
-      val flag = r.getString(0)
-      val approx = r.getSeq[Double](1)
-      val (lo, hi) = bounds(flag)
-      approx.indices.foreach { i =>
-        assert(approx(i) >= lo(i) && approx(i) <= hi(i),
-          s"$flag q$i: ${approx(i)} outside [${lo(i)}, ${hi(i)}] (exact ${exact(flag)(i)})")
+      .collect()
+      .groupBy(_.getString(0))
+      .foreach { case (flag, rows) =>
+        val byQ = rows.map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+        assert(byQ.keySet === ps.toSet, s"$flag: quantile keys $byQ")
+        val (lo, hi) = bounds(flag)
+        ps.zipWithIndex.foreach { case (p, i) =>
+          val approx = byQ(p)
+          assert(approx >= lo(i) && approx <= hi(i),
+            s"$flag q$p: $approx outside [${lo(i)}, ${hi(i)}] (exact ${exact(flag)(i)})")
+        }
       }
-    }
   }
 
   test("as-of join picks latest at-or-before match, inclusive, left-outer") {

@@ -9,10 +9,10 @@ import graft.multimodal.MediaCodecs
   */
 class MediaCodecsSpec extends SparkTestBase {
 
-  test("m2: PPM/WAV containers decode to exact known metadata; fallback flags") {
+  test("m2: PPM/BMP/WAV containers decode to exact known metadata; fallback flags") {
     val rows = MediaCodecs.m2MediaDecode(spark, "unused").collect()
       .map(r => r.getString(0) -> r).toMap
-    assert(rows.size === 6)
+    assert(rows.size === 8)
 
     val img = rows("img_16x16.ppm")
     assert(img.getString(1) === "ppm" && img.getBoolean(2))
@@ -20,6 +20,14 @@ class MediaCodecsSpec extends SparkTestBase {
 
     val wide = rows("img_64x3.ppm")
     assert(wide.getInt(4) === 64 && wide.getInt(5) === 3)
+
+    val bmp = rows("img_10x7.bmp")
+    assert(bmp.getString(1) === "bmp" && bmp.getBoolean(2))
+    assert(bmp.getInt(4) === 10 && bmp.getInt(5) === 7)
+
+    val bmpPad = rows("img_5x5.bmp") // 15-byte rows → 1 pad byte each
+    assert(bmpPad.getBoolean(2))
+    assert(bmpPad.getInt(4) === 5 && bmpPad.getInt(5) === 5)
 
     val mono = rows("tone_mono_8k.wav")
     assert(mono.getBoolean(2) && mono.getInt(6) === 1)
@@ -94,6 +102,25 @@ class MediaCodecsSpec extends SparkTestBase {
     // truncated PPM: header fine, raster short
     val short = "P6\n4 4\n255\n".getBytes ++ Array.fill(10)(1.toByte)
     assert(MediaCodecs.parsePpm(short).isEmpty)
+    // CRLF after maxval: a one-byte advance would silently shift the
+    // raster offset and mis-read every pixel — must reject, not guess
+    val crlf = "P6\n4 4\n255\r\n".getBytes ++ Array.fill(4 * 4 * 3)(1.toByte)
+    assert(MediaCodecs.parsePpm(crlf).isEmpty)
+    // ...while each single-whitespace terminator is accepted
+    Seq("\n", " ", "\t", "\r").foreach { ws =>
+      val good = s"P6\n4 4\n255$ws".getBytes ++ Array.fill(4 * 4 * 3)(1.toByte)
+      assert(MediaCodecs.parsePpm(good).contains((4, 4, 11)), s"ws=${ws.head.toInt}")
+    }
+    // BMP: truncated raster, compressed (BI_RLE8), and 8-bit variants
+    // all fall through to unsupported
+    val bmpOk = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"${MediaCodecs.MediaDir}/img_10x7.bmp"))
+    assert(MediaCodecs.parseBmp(bmpOk).contains((10, 7, 54)))
+    assert(MediaCodecs.parseBmp(bmpOk.dropRight(5)).isEmpty, "short raster")
+    val bmpRle = bmpOk.clone; bmpRle(30) = 1 // compression = BI_RLE8
+    assert(MediaCodecs.parseBmp(bmpRle).isEmpty)
+    val bmp8 = bmpOk.clone; bmp8(28) = 8 // bpp = 8 (palette)
+    assert(MediaCodecs.parseBmp(bmp8).isEmpty)
     // the row-level decode wraps all of these as supported=false
     val infos = MediaCodecs.decodeInfo(Iterator(
       graft.multimodal.RawMedia("x.wav", spin.length.toLong, spin),

@@ -8,7 +8,7 @@ tables as DuckDB views, runs the oracle SQL from oracle_sql.json, and
 compares against the Spark parquet dump: row count, column names
 (sorted), and a value hash (rows sorted, columns sorted by name,
 floats rounded to 12 significant digits — enough to absorb last-ulp
-noise while keeping cents at 1e10-magnitude money totals).
+noise while keeping cents up to ~1e9-magnitude money totals).
 This mirrors what CORRECTNESS_r{N}.json checks so oracle-SQL typos
 surface before the round boundary.
 """
@@ -30,8 +30,10 @@ def canon(v):
         # other way — at 1e9-magnitude exact-cents money totals it
         # dropped the cents, blinding the gate to real absolute
         # differences. 1e-12 relative still absorbs last-ulp
-        # (1e-16) noise while keeping cents up to 1e10. -0.0 folds
-        # to 0.0 so sign-of-zero never splits engines.
+        # (1e-16) noise while keeping cents up to ~1e9 magnitude
+        # (12 sig digits = 1e9 integer part + 2 decimals; 1e10
+        # totals would need 13). -0.0 folds to 0.0 so sign-of-zero
+        # never splits engines.
         return repr(float(f"{v + 0.0:.12g}") + 0.0)
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon(x) for x in v) + "]"
