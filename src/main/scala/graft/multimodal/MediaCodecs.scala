@@ -249,7 +249,12 @@ object MediaCodecs {
       }.toSeq
     }
 
-  // -- judged queries (rows-only: DuckDB has no binary decode) ---------
+  // -- judged queries --------------------------------------------------
+  // m2 is oracle-checked: DuckDB re-decodes the SAME container
+  // headers independently (read_blob → hex-string byte arithmetic +
+  // an ASCII-prefix regex), so two unrelated decoders must agree on
+  // every metadata field. m3/m4 stay rows-only — their outputs are
+  // raster/sample TRANSFORMS, which SQL cannot replay.
 
   def m2MediaDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -268,8 +273,61 @@ object MediaCodecs {
       .orderBy(col("file_name"), col("window_idx"))
   }
 
+  /** Little-endian int of `n` bytes at 1-indexed byte offset `p` of
+    * the hex-string column `h` — DuckDB 1.0 has no blob substring,
+    * but hex() of the whole payload plus string slicing is equivalent.
+    */
+  private def le(p: Int, n: Int): String =
+    "CAST('0x' || " +
+      (p + n - 1).to(p, -1).map(i => s"substr(h, ${2 * i - 1}, 2)")
+        .mkString(" || ") + " AS INTEGER)"
+
+  /** The independent SQL decoder: fixture layouts are canonical
+    * (fmt/data chunks at fixed RIFF offsets, headers as the
+    * generator writes them), so fixed-offset arithmetic is a valid
+    * second decoder for this corpus — the Scala side still does the
+    * general chunk walk, and the two must agree field by field.
+    */
+  private val m2Oracle: String = {
+    val ppmHdr = """P6\n(\d+) (\d+)\n255\n"""
+    s"""
+      WITH b AS (
+        SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name,
+               lower(regexp_extract(filename, '\\.([^.]+)$$', 1)) AS format,
+               size AS byte_len,
+               hex(content) AS h
+        FROM read_blob('$MediaDir/*')),
+      f AS (
+        SELECT *,
+               CASE WHEN format = 'ppm' THEN
+                 list_aggregate(list_transform(
+                   range(1, CAST(least(byte_len, 20) AS INTEGER) + 1),
+                   i -> chr(CAST('0x' || substr(h, 2*i-1, 2) AS INTEGER))),
+                   'string_agg', '')
+               END AS hdr
+        FROM b)
+      SELECT file_name, format,
+             format IN ('ppm','bmp','wav') AS supported,
+             CAST(byte_len AS BIGINT) AS byte_len,
+             CAST(CASE WHEN format = 'ppm' THEN regexp_extract(hdr, '$ppmHdr', 1)
+                       WHEN format = 'bmp' THEN CAST(${le(19, 2)} AS VARCHAR)
+                  END AS INTEGER) AS width,
+             CAST(CASE WHEN format = 'ppm' THEN regexp_extract(hdr, '$ppmHdr', 2)
+                       WHEN format = 'bmp' THEN CAST(${le(23, 2)} AS VARCHAR)
+                  END AS INTEGER) AS height,
+             CAST(CASE WHEN format = 'wav' THEN ${le(23, 2)} END AS INTEGER) AS channels,
+             CAST(CASE WHEN format = 'wav' THEN ${le(25, 4)} END AS INTEGER) AS sample_rate,
+             CAST(CASE WHEN format = 'wav' THEN ${le(41, 4)} // (${le(23, 2)} * 2)
+                  END AS BIGINT) AS n_samples,
+             CAST(CASE WHEN format = 'wav' THEN
+                    (${le(41, 4)} // (${le(23, 2)} * 2)) * 1000 // ${le(25, 4)}
+                  END AS BIGINT) AS duration_ms
+      FROM f
+      ORDER BY file_name"""
+  }
+
   val queries: Seq[Q] = Seq(
-    Q("m2_media_decode", m2MediaDecode, None),
+    Q("m2_media_decode", m2MediaDecode, Some(m2Oracle)),
     Q("m3_image_resize", m3ImageResize, None),
     Q("m4_audio_windows", m4AudioWindows, None))
 }

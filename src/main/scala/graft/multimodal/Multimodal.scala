@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.sources.Tables
@@ -17,8 +17,9 @@ final case class MediaMeta(
     doc_id: Long, format: String, byte_len: Int,
     width: Int, height: Int, n_frames: Int)
 
-/** Multimodal-column plumbing: schema, partition-wise decode, and the
-  * judged metadata query.
+/** Multimodal-column plumbing: schema and partition-wise decode
+  * (spec-covered; the judged multimodal surface lives in
+  * [[MediaCodecs]], whose decode is real).
   *
   * The Spark-side shape is production-real: a `Dataset[MediaFile]`
   * with a binary column, decoded via `mapPartitions` so a real codec
@@ -75,28 +76,11 @@ object Multimodal {
     media.mapPartitions(decode)
   }
 
-  /** Judged query: full pipeline documents → MediaFile → decode →
-    * metadata. The oracle replays the stub arithmetic in SQL, which
-    * certifies the Dataset/mapPartitions plumbing (schema, encoders,
-    * byte-length fidelity) rather than the fake math.
-    */
-  def m1MediaMeta(s: SparkSession, d: String): DataFrame =
-    decodeAll(mediaFromDocuments(s, d))
-      .toDF()
-      .orderBy(col("doc_id"))
-
-  val queries: Seq[Q] = Seq(
-    Q("m1_media_meta", m1MediaMeta, Some("""
-      SELECT doc_id,
-             CASE CAST(doc_id % 3 AS INTEGER)
-               WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
-             CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
-             CAST((octet_length(encode(text)) * 7919) % 1920 + 16 AS INTEGER) AS width,
-             CAST((octet_length(encode(text)) * 104729) % 1080 + 16 AS INTEGER) AS height,
-             CAST(CASE WHEN doc_id % 3 = 2
-                       THEN 1 + octet_length(encode(text)) % 8
-                       ELSE 1 END AS INTEGER) AS n_frames
-      FROM documents
-      ORDER BY doc_id"""))
-  )
+  // No judged query: the former m1_media_meta's oracle replayed the
+  // stub arithmetic in SQL, certifying plumbing but no real decode —
+  // retired once MediaCodecs.m2 gained a TRUE cross-engine oracle
+  // (DuckDB parses the real container headers independently). The
+  // stub pattern itself stays spec-covered (PipelineOpsSpec: payload
+  // byte fidelity + map-only plan).
+  val queries: Seq[Q] = Seq.empty
 }

@@ -421,6 +421,101 @@ object Dedup {
     (labels, CcStats(iter, probes))
   }
 
+  /** Alternating large-star/small-star connected components (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the extreme-scale alternative to plain min-label
+    * propagation: converges in O(log² n) rounds on ANY graph
+    * (propagation needs diameter rounds, fatal on a 10⁶-hop chain),
+    * because each round contracts whole stars instead of moving
+    * labels one hop.
+    *
+    * Round shape: per node u with neighborhood Γ(u),
+    * m = min(Γ(u) ∪ {u});
+    *  - large-star rewires every LARGER neighbor to m:
+    *    {(v, m) : v ∈ Γ(u), v > u};
+    *  - small-star rewires the smaller-or-equal ones:
+    *    {(v, m) : v ∈ Γ(u) ∪ {u}, v ≤ u, v ≠ m}.
+    * Both are one groupBy over the edge list (the min is a window
+    * over the grouped neighborhood — here a join against the per-node
+    * min), and the edge list is the ONLY loop-carried state. At
+    * fixpoint every surviving edge is (node → component root).
+    *
+    * The same checkpoint-per-round / probe-cadence regime as the
+    * propagation builder applies; `reliable` has the same meaning.
+    * d5 keeps plain propagation (dedup graphs are near-cliques,
+    * diameter ≲ 2 — propagation is fewer shuffles there); this
+    * builder is for graphs whose diameter is unknown or large, and
+    * ConnectedComponentsSpec proves the two agree on every shape.
+    */
+  private[graft] def connectedComponentsAlternating(
+      edges: DataFrame, maxIters: Int = 50,
+      reliable: Boolean = false): DataFrame = {
+    val sc = edges.sparkSession.sparkContext
+    if (reliable && sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString)
+    def materialize(df: DataFrame): (DataFrame, Set[Int]) =
+      if (reliable) (df.checkpoint(), Set.empty)
+      else {
+        val before = sc.getPersistentRDDs.keySet.toSet
+        val ck = df.localCheckpoint()
+        (ck, sc.getPersistentRDDs.keySet.toSet -- before)
+      }
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    // per-node symmetrized neighborhood min: m(u) = min(Γ(u) ∪ {u})
+    def sym(e: DataFrame): DataFrame =
+      e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+    def withMin(e: DataFrame): DataFrame = {
+      val se = sym(e)
+      se.join(
+        se.groupBy(col("u")).agg(min(col("v")).as("nmin"))
+          .select(col("u"), least(col("nmin"), col("u")).as("m")),
+        "u")
+    }
+    var (cur, curIds) = materialize(
+      edges.select(col("a").as("u"), col("b").as("v")).distinct())
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      // large-star: every neighbor LARGER than u hooks onto m(u)
+      val jl = withMin(cur)
+      val large = jl.where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(jl.select(col("u"), least(col("u"), col("m")).as("v"))) // keep u alive
+        .distinct()
+      val (largeCk, largeIds) = materialize(large)
+      // NOTE cur's blocks stay live here: the convergence probe below
+      // still reads them (freeing before a read of a localCheckpoint
+      // is the non-recomputable-lineage trap)
+      // small-star: the smaller-or-equal neighbors (and u itself)
+      // hook onto m(u)
+      val js = withMin(largeCk)
+      val small = js.where(col("v") <= col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(js.select(col("u"), col("m").as("v")))
+        .distinct()
+      val (next, nextIds) = materialize(small)
+      free(largeIds)
+      // fixpoint = the (set-valued) edge list is unchanged
+      converged = next.as("n").join(cur.as("o"),
+          col("n.u") === col("o.u") && col("n.v") === col("o.v"), "full_outer")
+        .where(col("n.u").isNull || col("o.u").isNull)
+        .isEmpty
+      free(curIds) // probe done — previous round's blocks now dead
+      cur = next
+      curIds = nextIds
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsAlternating did not converge in $maxIters rounds")
+    // at fixpoint the graph is a union of stars rooted at each
+    // component min: label = min over the symmetrized neighborhood
+    withMin(cur).select(col("u").as("node"), col("m").as("lbl")).distinct()
+  }
+
   /** Near-dup clusters: exact-duplicate pairs (same content hash) ∪
     * 2-gram-Jaccard pairs (d4), collapsed into components; cluster
     * id = the minimum doc_id in the component — the canonical-doc

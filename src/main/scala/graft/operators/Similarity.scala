@@ -215,6 +215,118 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  // -- IVF ANN (coarse-quantizer variant of the scale path) ------------
+
+  /** IVF parameters: K coarse cells, probe the nprobe nearest cells
+    * per query. Sizing: K ≈ √N keeps cells ≈ √N wide, so a probe
+    * scans nprobe·N/K vectors (~3% of the corpus here) — at the
+    * deployed N, K is re-derived, never copied.
+    */
+  private val IvfK = 16
+  private val IvfProbes = 3
+  private val IvfLloydRounds = 2
+
+  /** Squared-L2 distances of a vector column to every centroid, as a
+    * K-element double array (index = cell id) — the fused native
+    * kernel (graft.plans.CentroidDists, whole-stage codegen). The
+    * HOF formulation (K × aggregate(zip_with(...)) literal folds)
+    * evaluated interpreted and measured ~30s for the judged e5 at
+    * sf0.1 — the same trap every other per-element kernel in this
+    * repo already escaped — vs sub-second fused.
+    */
+  private def centroidDistArray(
+      vec: Column, centroids: Array[(Int, Array[Double])]): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.plans.CentroidDists(
+        org.apache.spark.sql.graft.Bridge.expression(vec),
+        centroids.sortBy(_._1).flatMap(_._2).toIndexedSeq,
+        centroids.length, Dim))
+
+  /** Nearest-cell id: argmin over the distance array.
+    * array_position takes the FIRST occurrence, so an exact-tie
+    * (essentially impossible on real-valued centroids) breaks to the
+    * lower cell id deterministically.
+    */
+  private def cellCol(vec: Column, cs: Array[(Int, Array[Double])]): Column = {
+    val d = centroidDistArray(vec, cs)
+    (array_position(d, array_min(d)) - 1).cast(IntegerType)
+  }
+
+  /** Deterministic coarse quantizer trained inline: seed centroids =
+    * an id-strided sample, refined by [[IvfLloydRounds]] Lloyd
+    * iterations run as DataFrame jobs — assign via the same
+    * [[cellCol]] expression the serving path uses, update = per-cell
+    * per-dimension mean (one groupBy over the posexploded corpus).
+    * Only the centroids themselves are ever collected: they are the
+    * MODEL (K·dim doubles, a few KB), not data — a production system
+    * persists them like any artifact. A cell that loses all members
+    * keeps its previous centroid (K stays fixed).
+    */
+  private def trainIvfCentroids(e: DataFrame): Array[(Int, Array[Double])] = {
+    var centroids: Array[(Int, Array[Double])] = e
+      .where(col("vec_id") % lit(math.max(1L, FixtureN / IvfK)) === 0)
+      .orderBy(col("vec_id")).limit(IvfK)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble)).zipWithIndex
+      .map { case (v, i) => (i, v) }
+    (1 to IvfLloydRounds).foreach { _ =>
+      val means = e
+        .select(cellCol(col("embedding"), centroids).as("cell"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("x").cast(DoubleType)).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          val v = new Array[Double](Dim)
+          rows.foreach(r => v(r.getInt(1)) = r.getDouble(2))
+          cell -> v
+        }
+      centroids = centroids.map { case (i, old) => (i, means.getOrElse(i, old)) }
+    }
+    centroids
+  }
+
+  /** IVF approximate top-k: assign the corpus to its nearest cell
+    * (one broadcast-argmin pass), probe each query's nprobe nearest
+    * cells, rank candidates by exact cosine. The inverted-file twin
+    * of e2's LSH: same candidate-then-verify shape, but buckets are
+    * LEARNED cells, which track the data distribution instead of
+    * random hyperplane slices. Rows-only judged (cell assignment has
+    * no SQL twin); the recall floor vs exact e1 is pinned in
+    * PipelineOpsSpec.
+    */
+  def e5AnnIvf(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val centroids = trainIvfCentroids(e)
+    // nprobe nearest cells: sort the distances, map each of the
+    // nprobe smallest back to its index. An exact distance tie maps
+    // both to the first index — the duplicate probe is collapsed by
+    // the dropDuplicates below, costing one probe, never correctness
+    def probeCells(vec: Column): Column = {
+      val dist = centroidDistArray(vec, centroids)
+      transform(slice(array_sort(dist), 1, IvfProbes),
+        v => (array_position(dist, v) - 1).cast(IntegerType))
+    }
+    val corpus = e.select(col("vec_id"), col("embedding"),
+      cellCol(col("embedding"), centroids).as("cell"))
+    val queries = e.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        explode(probeCells(col("embedding"))).as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    corpus.join(broadcast(queries), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("vec_id"), col("embedding"))
+      .dropDuplicates("query_id", "vec_id")
+      .select(col("query_id"), col("vec_id"),
+        cosineNative(col("qv"), col("embedding")).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= TopK)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("cos"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   private val cosSql =
     """list_sum(list_transform(list_zip(%s, %s),
       |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
@@ -235,6 +347,7 @@ object Similarity {
       WHERE rk <= $TopK
       ORDER BY query_id, rk""")),
     Q("e2_ann_lsh", e2AnnLsh, None), // hyperplane literals are engine-side state
+    Q("e5_ann_ivf", e5AnnIvf, None), // learned cells are engine-side state
     Q("e4_near_dup_lsh", e4NearDupLsh, None), // ditto — spec proves e4 ⊇ e3
     Q("e3_embedding_near_dup", e3EmbeddingNearDup, Some(s"""
       SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,

@@ -56,6 +56,36 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(spark.sparkContext.getCheckpointDir.nonEmpty)
   }
 
+  test("alternating large/small-star agrees with propagation on all shapes") {
+    val shapes: Seq[Seq[(Long, Long)]] = Seq(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)), // chain
+      Seq((10L, 11L), (11L, 12L), (20L, 21L), (30L, 31L)),   // forest
+      Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)),           // cycle+bridge
+      { // seeded random multigraph: dups, both orientations, hubs
+        val rnd = new scala.util.Random(7)
+        Seq.fill(40)((rnd.nextInt(30).toLong + 1, rnd.nextInt(30).toLong + 1))
+          .filter(p => p._1 != p._2)
+      })
+    shapes.foreach { es =>
+      val plain = run(edges(es: _*))
+      val alt = Dedup.connectedComponentsAlternating(edges(es: _*))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(alt === plain, s"disagreement on edge set $es")
+    }
+  }
+
+  test("alternating converges on a 64-hop chain in far fewer than diameter rounds") {
+    // plain propagation needs 64 rounds here (1 hop per round); the
+    // star contraction must land well inside O(log² n)
+    val chain = edges((1L to 64L).sliding(2).map(s => (s(0), s(1))).toSeq: _*)
+    val got = Dedup.connectedComponentsAlternating(chain, maxIters = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (1L to 64L).map(_ -> 1L).toMap)
+    intercept[IllegalStateException] { // propagation provably can't
+      Dedup.connectedComponents(chain, maxIters = 12).collect()
+    }
+  }
+
   test("probe cadence k halves driver round-trips and stays exact") {
     val chain = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
     // per-round probing: label propagation needs 5 rounds + 1

@@ -114,6 +114,22 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(recall >= 0.25, f"recall $recall%.2f below floor")
   }
 
+  test("e5 IVF ANN recall@10 >= 0.25 against e1 brute force") {
+    import spark.implicits._
+    val exact = Similarity.e1AnnBruteForce(spark, dir)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.e5AnnIvf(spark, dir)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(f"IVF ANN recall@10 = $recall%.2f (${approx.size} approx rows)")
+    assert(recall >= 0.25, f"recall $recall%.2f below floor")
+    // determinism: training is seeded + order-free, so a second run
+    // returns the identical candidate set
+    val again = Similarity.e5AnnIvf(spark, dir)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(again === approx, "IVF result not deterministic across runs")
+  }
+
   test("e4 LSH-blocked near-dup finds every e3 (label-blocked exact) pair") {
     import spark.implicits._
     val exact = Similarity.e3EmbeddingNearDup(spark, dir)
