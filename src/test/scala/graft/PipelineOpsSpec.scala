@@ -128,6 +128,12 @@ class PipelineOpsSpec extends SparkTestBase {
     val again = Similarity.e5AnnIvf(spark, dir)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
     assert(again === approx, "IVF result not deterministic across runs")
+    // plan shape: the probe join must broadcast the (queries × cells)
+    // side — a sort-merge join would shuffle the whole corpus
+    val plan = Similarity.e5AnnIvf(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus-shuffling join:\n$plan")
   }
 
   test("e4 LSH-blocked near-dup finds every e3 (label-blocked exact) pair") {
