@@ -282,7 +282,86 @@ object Dedup {
       .where(col("jaccard") >= tau)
   }
 
+  /** Incremental NEAR-dup: delta documents that are ≥ τ 2-gram
+    * Jaccard similar to some corpus document — d6's production shape
+    * lifted from exact to near duplicates, and still EXACT-recall:
+    * the cross-set PPJoin prefix-filter theorem (a pair at Jaccard ≥
+    * τ must share an element within each side's (|s|−⌈τ|s|⌉+1)-rarest
+    * prefix under any shared global order) holds between sets just as
+    * within one, so unlike an LSH variant this is oracle-checkable.
+    * Corpus side ships only (prefix shingle → doc, shingle set); at
+    * scale that index is built once and reused per ingest while the
+    * delta stays small. Same corpus/delta split as d6 (even- vs
+    * odd-numbered sources; the corpus's planted near-dups are
+    * cross-source, so real ≥τ pairs span the boundary).
+    */
+  def d7IncrementalNearDup(s: SparkSession, d: String): DataFrame = {
+    val tau = 0.5
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        ngramHashes(col("text"), 2).as("sh"))
+      .where(size(col("sh")) > 0)
+    val exploded = docs.select(col("doc_id"), col("source"),
+      size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
+    // global order shared by BOTH sides: document frequency over the
+    // union (rarest first) — any shared total order keeps the prefix
+    // theorem exact; df-ascending keeps the candidate join sparse
+    val dfreq = exploded.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val ranked = exploded.join(dfreq, "shingle")
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("df").asc, col("shingle").asc)))
+    val prefix = ranked.where(
+      col("rnk") <= col("n_sh") - ceil(col("n_sh") * tau) + 1)
+    // Cross-set has no source blocking (that IS the query), and this
+    // corpus has no rare shingle tail — so the bare prefix equi-join
+    // measured 41s at sf0.1; the two EXACT prunes below cut it to
+    // ~19s, and the remainder is the documented worst case for
+    // prefix filtering (a ~50-word synthetic vocabulary — see d4's
+    // note; Zipfian production corpora keep the join sparse). The
+    // prunes run row-locally inside the join, before the distinct
+    // shuffle and the verify:
+    //  - size filter: J ≥ τ forces min(|x|,|y|) ≥ τ·max(|x|,|y|);
+    //  - positional filter (PPJoin): a true pair's FIRST shared
+    //    prefix element at ranks (i, j) bounds the overlap by
+    //    1 + min(|x|−i, |y|−j), which must reach the required
+    //    overlap t = ⌈τ(|x|+|y|)/(1+τ)⌉ — the first match of a true
+    //    pair always passes, so recall stays exact, while a false
+    //    candidate whose matches are all deep in both prefixes never
+    //    leaves its join bucket.
+    val requiredOverlap =
+      ceil(lit(tau) * (col("x.n_sh") + col("y.n_sh")) / (1.0 + tau))
+    val cand = prefix.where(!isCorpusSource(col("source"))).as("x")
+      .join(prefix.where(isCorpusSource(col("source"))).as("y"),
+        col("x.shingle") === col("y.shingle") &&
+          col("x.n_sh") * tau <= col("y.n_sh") &&
+          col("y.n_sh") * tau <= col("x.n_sh") &&
+          lit(1) + least(col("x.n_sh") - col("x.rnk"),
+            col("y.n_sh") - col("y.rnk")) >= requiredOverlap)
+      .select(col("x.doc_id").as("delta_id"), col("y.doc_id").as("corpus_id"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("delta_id"), col("sh").as("sh_d")), "delta_id")
+      .join(docs.select(col("doc_id").as("corpus_id"), col("sh").as("sh_c")), "corpus_id")
+      .select(col("delta_id"), col("corpus_id"),
+        hashedJaccard(col("sh_d"), col("sh_c")).as("jaccard"))
+      .where(col("jaccard") >= tau)
+      .orderBy(col("delta_id"), col("corpus_id"))
+  }
+
   // -- incremental dedup -----------------------------------------------
+
+  /** Corpus/delta split shared by d6/d7: even-numbered sources are
+    * the standing corpus, odd-numbered the incoming delta. (An
+    * earlier revision split on a literal 'srcA' shard that does not
+    * exist in the fixture — the "corpus" was empty, so the anti-join
+    * and the cross-set near-dup search were vacuous; the planted
+    * near-dups are cross-source, so this split puts real pairs
+    * across the boundary.)
+    */
+  private def isCorpusSource(source: Column): Column =
+    substring(source, 4, 10).cast(IntegerType) % 2 === 0
 
   /** Incremental dedup: admit only delta documents that are not
     * exact duplicates of the existing corpus OR of an earlier delta
@@ -290,16 +369,18 @@ object Dedup {
     * against the corpus digest index; nobody re-dedups 100 TB per
     * ingest). Corpus membership is only ever touched as a digest:
     * one LEFT ANTI join on the hash (the corpus side ships only its
-    * digest column), then a first-wins pass within the delta. Here
-    * "corpus" = the srcA shard and "delta" = everything else, a
-    * deterministic split of the judged table.
+    * digest column), then a first-wins pass within the delta.
+    * Fixture note: the synthetic corpus has no exact duplicates at
+    * all (d1 shows every group at size 1), so the anti-join drops
+    * nothing here — the oracle still certifies the join semantics
+    * on both engines, and d7 is the variant with non-vacuous hits.
     */
   def d6IncrementalDedup(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         md5(col("text").cast(BinaryType)).as("h"))
-    val corpus = docs.where(col("source") === "srcA")
-    val delta = docs.where(col("source") =!= "srcA")
+    val corpus = docs.where(isCorpusSource(col("source")))
+    val delta = docs.where(!isCorpusSource(col("source")))
     delta
       .join(corpus.select(col("h")), Seq("h"), "left_anti")
       .groupBy(col("h"))
@@ -549,9 +630,11 @@ object Dedup {
   val queries: Seq[Q] = Seq(
     Q("d6_incremental_dedup", d6IncrementalDedup, Some("""
       WITH corpus AS (
-        SELECT md5(text) AS h FROM documents WHERE source = 'srcA'),
+        SELECT md5(text) AS h FROM documents
+        WHERE CAST(substr(source, 4) AS INTEGER) % 2 = 0),
       delta AS (
-        SELECT doc_id, md5(text) AS h FROM documents WHERE source <> 'srcA')
+        SELECT doc_id, md5(text) AS h FROM documents
+        WHERE CAST(substr(source, 4) AS INTEGER) % 2 = 1)
       SELECT h, min(doc_id) AS admit_id, count(*) AS n_delta_copies
       FROM delta
       WHERE NOT EXISTS (SELECT 1 FROM corpus WHERE corpus.h = delta.h)
@@ -596,6 +679,26 @@ object Dedup {
       FROM documents
       GROUP BY 1
       ORDER BY content_hash""")),
+    Q("d7_incremental_neardup", d7IncrementalNearDup, Some("""
+      WITH t AS (
+        SELECT doc_id, source,
+               regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents),
+      s AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i+1])) AS sh
+        FROM t
+        WHERE len(toks) >= 2)
+      SELECT d.doc_id AS delta_id, c.doc_id AS corpus_id,
+             CAST(len(list_intersect(d.sh, c.sh)) AS DOUBLE) /
+               CAST(len(d.sh) + len(c.sh) - len(list_intersect(d.sh, c.sh)) AS DOUBLE) AS jaccard
+      FROM s d JOIN s c
+        ON CAST(substr(d.source, 4) AS INTEGER) % 2 = 1
+       AND CAST(substr(c.source, 4) AS INTEGER) % 2 = 0
+      WHERE CAST(len(list_intersect(d.sh, c.sh)) AS DOUBLE) /
+              CAST(len(d.sh) + len(c.sh) - len(list_intersect(d.sh, c.sh)) AS DOUBLE) >= 0.5
+      ORDER BY delta_id, corpus_id""")),
     // d2/d3 signatures depend on Spark's xxhash64 — no SQL oracle;
     // the driver records rows-only and D4 is the exact ground truth.
     Q("d2_minhash_lsh", d2MinhashLsh, None),

@@ -66,6 +66,28 @@ class PipelineOpsSpec extends SparkTestBase {
       s"boundary pair (J=0.5) not caught by 16x2 banding: $found")
   }
 
+  test("d7 finds exactly the cross-boundary near-dup (corpus/delta split)") {
+    import spark.implicits._
+    // src0 = corpus (even), src1 = delta (odd). One planted near-dup
+    // crossing the boundary, one corpus-internal pair (must NOT
+    // appear — d7 is delta-vs-corpus only), one dissimilar delta doc.
+    val a = (1 to 13).map(i => s"w$i").mkString(" ")
+    val aNear = ((1 to 12).map(i => s"w$i") :+ "zz").mkString(" ")
+    val aTwin = ((1 to 12).map(i => s"w$i") :+ "yy").mkString(" ")
+    val other = (1 to 13).map(i => s"q$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("d7split").toString
+    Seq((1L, a, "en", "src0", a.length.toLong),         // corpus
+        (2L, aTwin, "en", "src0", aTwin.length.toLong), // corpus (internal pair w/ 1)
+        (3L, aNear, "en", "src1", aNear.length.toLong), // delta near-dup of 1 and 2
+        (4L, other, "en", "src1", other.length.toLong)) // delta, no match
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Dedup.d7IncrementalNearDup(spark, tmp)
+      .select("delta_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(got === Set((3L, 1L), (3L, 2L)),
+      s"expected delta 3 matching corpus 1 and 2, got $got")
+  }
+
   test("d3 SimHash blocking has exact recall vs unblocked Hamming ground truth") {
     import spark.implicits._
     // all-pairs ground truth at sf0.001 (500 docs -> 125k pairs):
