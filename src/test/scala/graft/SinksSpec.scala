@@ -31,6 +31,17 @@ class SinksSpec extends SparkTestBase {
       === n.orderBy("n_nationkey").collect())
   }
 
+  test("q40 ORC scan prunes to the aggregate's columns") {
+    // explicit 4-column schema, 3-column aggregate: the DSv2 ORC
+    // scan must read only what the plan touches — a scan shipping
+    // s_name for a count/sum/max query is the wrong plan at 100 TB
+    val plan = Sinks.q40OrcSource(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema"), s"no file scan in plan:\n$plan")
+    assert(!plan.contains("s_name"), s"ORC scan reads pruned column:\n$plan")
+    assert(plan.contains("s_nationkey") && plan.contains("s_acctbal"))
+  }
+
   test("csv datasource read applies explicit schema with header") {
     val fx = graft.sources.JsonSource.fx(spark)
     assert(fx.schema.map(_.dataType).toSeq ===
