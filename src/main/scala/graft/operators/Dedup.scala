@@ -301,51 +301,47 @@ object Dedup {
       .select(col("doc_id"), col("source"),
         ngramHashes(col("text"), 2).as("sh"))
       .where(size(col("sh")) > 0)
+    // ngramHashes is per-doc DISTINCT, so counting matched shingles
+    // per (delta, corpus) pair IS the exact set overlap — Jaccard
+    // falls out of the counts with no array intersection at all.
     val exploded = docs.select(col("doc_id"), col("source"),
       size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
-    // global order shared by BOTH sides: document frequency over the
-    // union (rarest first) — any shared total order keeps the prefix
-    // theorem exact; df-ascending keeps the candidate join sparse
-    val dfreq = exploded.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val ranked = exploded.join(dfreq, "shingle")
-      .withColumn("rnk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id"))
-          .orderBy(col("df").asc, col("shingle").asc)))
-    val prefix = ranked.where(
-      col("rnk") <= col("n_sh") - ceil(col("n_sh") * tau) + 1)
-    // Cross-set has no source blocking (that IS the query), and this
-    // corpus has no rare shingle tail — so the bare prefix equi-join
-    // measured 41s at sf0.1; the two EXACT prunes below cut it to
-    // ~19s, and the remainder is the documented worst case for
-    // prefix filtering (a ~50-word synthetic vocabulary — see d4's
-    // note; Zipfian production corpora keep the join sparse). The
-    // prunes run row-locally inside the join, before the distinct
-    // shuffle and the verify:
-    //  - size filter: J ≥ τ forces min(|x|,|y|) ≥ τ·max(|x|,|y|);
-    //  - positional filter (PPJoin): a true pair's FIRST shared
-    //    prefix element at ranks (i, j) bounds the overlap by
-    //    1 + min(|x|−i, |y|−j), which must reach the required
-    //    overlap t = ⌈τ(|x|+|y|)/(1+τ)⌉ — the first match of a true
-    //    pair always passes, so recall stays exact, while a false
-    //    candidate whose matches are all deep in both prefixes never
-    //    leaves its join bucket.
-    val requiredOverlap =
-      ceil(lit(tau) * (col("x.n_sh") + col("y.n_sh")) / (1.0 + tau))
-    val cand = prefix.where(!isCorpusSource(col("source"))).as("x")
-      .join(prefix.where(isCorpusSource(col("source"))).as("y"),
+    // COUNT-AGGREGATION plan, not candidate-then-verify. The earlier
+    // PPJoin shape (df-ranked prefix index → positional/size-pruned
+    // candidate join → distinct → join the full sets back → verify)
+    // admitted 1.77M distinct candidates for 120 true pairs at sf0.1
+    // — this corpus's ~50-word vocabulary has no rare tail, so the
+    // prefix filter's selectivity collapses (its documented worst
+    // case; measured 8.3M prefix-join rows vs 14M unfiltered) and
+    // the verify stage (two array joins + an O(|sh|) intersection
+    // per candidate) made this the most expensive query in the
+    // suite (20s local, 72s in the contended driver r3 run). Here the
+    // inverted-index join's fan-out feeds STRAIGHT into a partial
+    // hash aggregate in the same stage — the overlap count collapses
+    // map-side before the one pair-keyed shuffle, and the exact
+    // Jaccard ovl/(nx+ny−ovl) is filtered from counts alone: no
+    // distinct shuffle, no join-back, no per-candidate set
+    // intersection (measured 20s → 7s at sf0.1, same rows).
+    // The size filter (J ≥ τ ⇒ min ≥ τ·max) stays: it is exact and
+    // drops a pair's every matched row inside the join.
+    // Scale note: on a Zipfian production corpus the d4 PPJoin shape
+    // wins instead — hot shingles explode an unfiltered inverted
+    // join quadratically, while the rare tail keeps prefix buckets
+    // sparse. The two judged queries deliberately keep both plans; a
+    // deployment picks by token-frequency profile (count-agg for
+    // flat/small vocabularies, prefix-filtered for Zipfian text).
+    val xs = exploded.where(!isCorpusSource(col("source")))
+    val ys = exploded.where(isCorpusSource(col("source")))
+    xs.as("x").join(ys.as("y"),
         col("x.shingle") === col("y.shingle") &&
           col("x.n_sh") * tau <= col("y.n_sh") &&
-          col("y.n_sh") * tau <= col("x.n_sh") &&
-          lit(1) + least(col("x.n_sh") - col("x.rnk"),
-            col("y.n_sh") - col("y.rnk")) >= requiredOverlap)
-      .select(col("x.doc_id").as("delta_id"), col("y.doc_id").as("corpus_id"))
-      .distinct()
-    cand
-      .join(docs.select(col("doc_id").as("delta_id"), col("sh").as("sh_d")), "delta_id")
-      .join(docs.select(col("doc_id").as("corpus_id"), col("sh").as("sh_c")), "corpus_id")
+          col("y.n_sh") * tau <= col("x.n_sh"))
+      .groupBy(col("x.doc_id").as("delta_id"), col("y.doc_id").as("corpus_id"),
+        col("x.n_sh").as("nx"), col("y.n_sh").as("ny"))
+      .agg(count(lit(1)).as("ovl"))
       .select(col("delta_id"), col("corpus_id"),
-        hashedJaccard(col("sh_d"), col("sh_c")).as("jaccard"))
+        (col("ovl").cast(DoubleType) /
+          (col("nx") + col("ny") - col("ovl")).cast(DoubleType)).as("jaccard"))
       .where(col("jaccard") >= tau)
       .orderBy(col("delta_id"), col("corpus_id"))
   }

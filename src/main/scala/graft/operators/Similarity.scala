@@ -79,25 +79,43 @@ object Similarity {
   // retriever. Raising bits cuts cost and recall together (8 bits
   // measured at 7.5% recall on 2k vectors — too coarse a candidate set).
   private val NumTables = 8
-  // 6 bits — derived from the bucket-width rule at the fixture's
-  // corpus size (⌈log₂(2000/32)⌉): candidate cost per query scales
-  // with bucket width, so this is recomputed from the deployed N,
-  // never copied (LshParamsSpec pins the rule)
-  private val FixtureN = 2000L
   private val TargetBucket = 32L
-  private val BitsPerTable = LshParams.hyperplaneBits(FixtureN, TargetBucket)
   private val Dim = 64
 
-  /** Deterministic pseudo-Gaussian hyperplanes (seeded sum-of-12
-    * uniforms), frozen at class-load — the equivalent of a persisted
-    * model artifact.
+  /** Corpus size, counted ONCE per dataset dir and cached — the N
+    * every sizing rule below re-derives from. Previously a hardcoded
+    * FixtureN=2000 leaked into e2's bucket-width derivation and e5's
+    * seed stride regardless of the dataset actually passed at
+    * runtime, so at any other SF the "derived, never copied" rules
+    * silently used the wrong N. One count() per dir is the price of
+    * making them true; a production deployment reads this from table
+    * metadata instead.
     */
-  private val hyperplanes: IndexedSeq[IndexedSeq[Array[Double]]] = {
-    val rnd = new scala.util.Random(42)
-    def gaussian(): Double = (1 to 12).map(_ => rnd.nextDouble()).sum - 6.0
-    IndexedSeq.fill(NumTables)(
-      IndexedSeq.fill(BitsPerTable)(Array.fill(Dim)(gaussian())))
-  }
+  private val nCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private[graft] def corpusN(s: SparkSession, d: String): Long =
+    nCache.getOrElseUpdate(d, Tables.embeddings(s, d).count())
+
+  /** Bits per table at corpus size n: the bucket-width rule
+    * ⌈log₂(n/32)⌉ (LshParamsSpec pins it) — 6 at the 2k fixture, 26
+    * at 2B vectors.
+    */
+  private[graft] def e2BitsFor(n: Long): Int =
+    LshParams.hyperplaneBits(math.max(n, TargetBucket), TargetBucket)
+
+  /** Deterministic pseudo-Gaussian hyperplanes (seeded sum-of-12
+    * uniforms), derived per bit-width and cached — the equivalent of
+    * a persisted model artifact, regenerated when the sizing rule
+    * picks a different width for a different corpus size.
+    */
+  private val planeCache =
+    scala.collection.concurrent.TrieMap.empty[Int, IndexedSeq[IndexedSeq[Array[Double]]]]
+  private def hyperplanesFor(bits: Int): IndexedSeq[IndexedSeq[Array[Double]]] =
+    planeCache.getOrElseUpdate(bits, {
+      val rnd = new scala.util.Random(42)
+      def gaussian(): Double = (1 to 12).map(_ => rnd.nextDouble()).sum - 6.0
+      IndexedSeq.fill(NumTables)(
+        IndexedSeq.fill(bits)(Array.fill(Dim)(gaussian())))
+    })
 
   /** All `tables` signatures in one fused native pass
     * (graft.plans.HyperplaneSigs, whole-stage codegen) — the HOF
@@ -119,6 +137,7 @@ object Similarity {
     */
   def e2AnnLsh(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
+    val hyperplanes = hyperplanesFor(e2BitsFor(corpusN(s, d)))
     // all 8 table signatures in one scan + posexplode — a union of 8
     // branches would re-scan (and re-dot) the corpus per table
     val sigs = e.select(col("vec_id"), col("embedding"),
@@ -183,7 +202,7 @@ object Similarity {
   private[graft] def ndTablesRequired: Int =
     LshParams.hyperplaneTables(NdBits, NdTau, 0.99)
   private[graft] def ndConfig: (Int, Int) = (NdTables, NdBits)
-  private[graft] def e2Config: (Int, Int) = (NumTables, BitsPerTable)
+  private[graft] def e2Config(n: Long): (Int, Int) = (NumTables, e2BitsFor(n))
 
   private val ndPlanes: IndexedSeq[IndexedSeq[Array[Double]]] = {
     val rnd = new scala.util.Random(7)
@@ -262,9 +281,12 @@ object Similarity {
     * persists them like any artifact. A cell that loses all members
     * keeps its previous centroid (K stays fixed).
     */
-  private def trainIvfCentroids(e: DataFrame): Array[(Int, Array[Double])] = {
+  private def trainIvfCentroids(e: DataFrame, n: Long): Array[(Int, Array[Double])] = {
+    // seed stride derived from the ACTUAL corpus size so the K seeds
+    // span the full vec_id range at any SF (a fixed stride drew them
+    // only from the fixture's id range)
     var centroids: Array[(Int, Array[Double])] = e
-      .where(col("vec_id") % lit(math.max(1L, FixtureN / IvfK)) === 0)
+      .where(col("vec_id") % lit(math.max(1L, n / IvfK)) === 0)
       .orderBy(col("vec_id")).limit(IvfK)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble)).zipWithIndex
@@ -298,7 +320,7 @@ object Similarity {
     */
   def e5AnnIvf(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-    val centroids = trainIvfCentroids(e)
+    val centroids = trainIvfCentroids(e, corpusN(s, d))
     // nprobe nearest cells: sort the distances, map each of the
     // nprobe smallest back to its index. An exact distance tie maps
     // both to the first index — the duplicate probe is collapsed by

@@ -58,9 +58,22 @@ object Sinks {
     * true identity, not just that some ORC file parsed.
     */
   def q40OrcSource(s: SparkSession, d: String): DataFrame = {
-    // per-sfDir path so concurrent sf runs never clobber each other
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q40_orc_" +
-      java.lang.Integer.toHexString(d.hashCode)
+    // fresh per-invocation directory: a fixed path keyed by
+    // d.hashCode raced (Overwrite deletes files a concurrent run's
+    // scan may still be reading) and an Int collision across dataset
+    // dirs would silently cross-wire data. Cleaned up at JVM exit —
+    // the returned DataFrame is lazy, so the files must outlive this
+    // call until the caller's action has run.
+    val dir = {
+      val p = java.nio.file.Files.createTempDirectory("graft_q40_orc_")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(p.toFile)
+      }
+      p.toString
+    }
     Tables.supplier(s, d).write.mode(SaveMode.Overwrite).orc(dir)
     s.read.schema(supplierOrcSchema).orc(dir)
       .groupBy(col("s_nationkey"))

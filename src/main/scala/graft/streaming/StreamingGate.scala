@@ -72,7 +72,14 @@ object StreamingGate {
   }
 
   val queries: Seq[Q] = Seq(
-    // same oracle as the batch twin q26 — THE equivalence claim
+    // same oracle as the batch twin q26 — THE equivalence claim.
+    // Looked up BY NAME: a positional `.head` would silently attach
+    // the wrong oracle if a query were ever prepended to Sessionize's
+    // list; a rename now fails loudly at class-load instead.
     Q("q41_stream_sessionize", q41StreamSessionize,
-      graft.operators.Sessionize.queries.head.oracle))
+      graft.operators.Sessionize.queries
+        .find(_.name == "q26_sessionize")
+        .getOrElse(throw new IllegalStateException(
+          "q26_sessionize not found — the streaming gate shares its oracle"))
+        .oracle))
 }

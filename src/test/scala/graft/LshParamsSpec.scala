@@ -31,9 +31,14 @@ class LshParamsSpec extends AnyFunSuite {
     }
   }
 
-  test("e2: bits per table = bucket rule at the fixture corpus size") {
+  test("e2: bits per table = bucket rule, re-derived at the deployed N") {
     assert(LshParams.hyperplaneBits(2000L, 32L) === 6)
-    assert(Similarity.e2Config === ((8, 6)))
+    assert(Similarity.e2Config(2000L) === ((8, 6)))
+    // smaller corpora derive fewer bits (wider buckets, higher recall)
+    assert(Similarity.e2Config(500L) === ((8, 4)))
+    // degenerate corpora (n <= bucket target) clamp to 1 bit instead
+    // of tripping the calculator's n >= targetBucket requirement
+    assert(Similarity.e2Config(8L)._2 === 1)
     // the knob moves with N: 2B vectors at the same bucket width
     // need 26 bits, not 6 — why the rule is code, not prose
     assert(LshParams.hyperplaneBits(2L * 1000 * 1000 * 1000, 32L) === 26)
