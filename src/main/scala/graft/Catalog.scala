@@ -27,6 +27,7 @@ object Catalog {
       graft.operators.Etl.queries ++
       graft.operators.Skew.queries ++
       graft.operators.TextAnalysis.queries ++
+      graft.operators.Curation.queries ++
       graft.operators.Dedup.queries ++
       graft.operators.Similarity.queries ++
       graft.multimodal.Multimodal.queries ++

@@ -124,7 +124,80 @@ object Aggregates {
       ORDER BY o_orderstatus, o_orderpriority""")
   }
 
+  /** Statistical aggregates — correlation and OLS regression
+    * (slope/intercept) of discount-basis-points on quantity per
+    * return flag — computed from EXACT integer sufficient statistics
+    * (n, Σx, Σy, Σx², Σy², Σxy as BIGINTs) with ONE shared
+    * closed-form applied in both engines. The built-in corr()/
+    * regr_slope() use single-pass update formulas whose float
+    * results differ across engines in the last ulps, so they cannot
+    * sit under a hash gate; sufficient statistics make the aggregate
+    * exact (and map-side combinable — the production shape for
+    * moment sketches at 100 TB), and every closed-form intermediate
+    * here stays < 2^53, so the final doubles are bit-identical.
+    * AggregatesSpec pins Spark's own corr/covar builtins to these
+    * closed forms within float tolerance — certifying the formula,
+    * not replacing the builtins. At much larger N·x² the BIGINT sums
+    * would need DECIMAL(38,0); the derivation note travels with the
+    * code.
+    */
+  def q43CorrRegression(s: SparkSession, d: String): DataFrame = {
+    val x = round(col("l_quantity")).cast(LongType)
+    val y = round(col("l_discount") * 100).cast(LongType)
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), x.as("x"), y.as("y"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("cov_num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("var_x", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("var_y", col("n") * col("syy") - col("sy") * col("sy"))
+      .select(col("l_returnflag"), col("n"),
+        (col("cov_num").cast(DoubleType) /
+          (sqrt(col("var_x").cast(DoubleType)) *
+            sqrt(col("var_y").cast(DoubleType)))).as("corr_xy"),
+        (col("cov_num").cast(DoubleType) / col("var_x").cast(DoubleType))
+          .as("slope"),
+        ((col("sy").cast(DoubleType) -
+          col("cov_num").cast(DoubleType) / col("var_x").cast(DoubleType) *
+            col("sx").cast(DoubleType)) / col("n").cast(DoubleType))
+          .as("intercept"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q43_corr_regression", q43CorrRegression, Some("""
+      WITH s AS (
+        SELECT l_returnflag,
+               count(*) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+        FROM (SELECT l_returnflag,
+                     CAST(round(l_quantity) AS BIGINT) AS x,
+                     CAST(round(l_discount * 100) AS BIGINT) AS y
+              FROM lineitem)
+        GROUP BY 1),
+      t AS (
+        SELECT l_returnflag, n,
+               n*sxy - sx*sy AS cov_num,
+               n*sxx - sx*sx AS var_x,
+               n*syy - sy*sy AS var_y,
+               sx, sy
+        FROM s)
+      SELECT l_returnflag,
+             CAST(n AS BIGINT) AS n,
+             CAST(cov_num AS DOUBLE) /
+               (sqrt(CAST(var_x AS DOUBLE)) * sqrt(CAST(var_y AS DOUBLE)))
+               AS corr_xy,
+             CAST(cov_num AS DOUBLE) / CAST(var_x AS DOUBLE) AS slope,
+             (CAST(sy AS DOUBLE) -
+              CAST(cov_num AS DOUBLE) / CAST(var_x AS DOUBLE) * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE) AS intercept
+      FROM t
+      ORDER BY l_returnflag""")),
     Q("q32_approx_quantiles", q32ApproxQuantiles, None), // sketch: no cross-engine oracle
     Q("q33_grouping_sets", q33GroupingSets, Some("""
       SELECT coalesce(o_orderstatus, '(all)') AS o_orderstatus,

@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+import graft.functions.TextFunctions._
+import graft.Catalog.Q
+import org.apache.spark.sql.graft.Bridge
+
+/** Corpus-curation operators — the selection/hygiene stages of a
+  * training-data pipeline that sit between per-row text analysis
+  * (t1-t7) and dedup (d1-d7):
+  *
+  *  - c1: benchmark decontamination — flag training documents whose
+  *    n-grams overlap a held-out evaluation set (the standard
+  *    pre-training hygiene step: eval text leaking into training data
+  *    inflates benchmark scores). The eval set is TINY relative to
+  *    the corpus, so its distinct n-gram set broadcasts and the scan
+  *    side never shuffles — at 100 TB this is one map-side pass plus
+  *    one count aggregate keyed by doc.
+  *  - s1: deterministic stratified sampling — an exact per-stratum
+  *    fraction selected by content-hash rank, so the sample is
+  *    reproducible across runs/engines and unbiased w.r.t. ingest
+  *    order. One window per stratum (the shuffle key is the stratum
+  *    — the same key a sharded corpus is already partitioned by).
+  *  - s2: deterministic global shuffle — the training-order step.
+  *    Position is (bucket, pos-within-bucket), NOT a single global
+  *    row_number: a global window serializes onto one task, while
+  *    bucketing by a hash prefix keeps the sort fully parallel and
+  *    the reader contract (consume buckets in order) preserves
+  *    determinism. This is how production pipelines shard epochs.
+  */
+object Curation {
+
+  /** Sorted distinct hashed word n-grams (graft.plans.NgramHashes —
+    * same kernel as d2-d7, so overlap counts are set-exact).
+    */
+  private def ngramHashes(text: org.apache.spark.sql.Column, n: Int) =
+    Bridge.column(graft.plans.NgramHashes(Bridge.expression(text), n))
+
+  /** Benchmark source: src0 plays the held-out eval set; everything
+    * else is the training corpus under decontamination check.
+    */
+  private val BenchmarkSource = "src0"
+  private val ContamNgram = 3
+
+  /** c1: per training doc, the number of its distinct 3-grams that
+    * appear anywhere in the benchmark set, and the contamination
+    * flag. Exact (hashed 3-gram sets are per-doc distinct; the only
+    * error source is 64-bit hash collision, which the string-space
+    * oracle cross-checks). The benchmark n-gram set is broadcast:
+    * eval suites are KBs-to-MBs while the corpus is the 100 TB side,
+    * so the join adds no shuffle to the corpus scan; the one shuffle
+    * is the per-doc hit count aggregate.
+    */
+  def c1Contamination(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        ngramHashes(col("text"), ContamNgram).as("sh"))
+    val bench = docs.where(col("source") === BenchmarkSource)
+      .select(explode(col("sh")).as("g")).distinct()
+    val train = docs.where(col("source") =!= BenchmarkSource)
+    val hits = train
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .join(broadcast(bench), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated"))
+    train.select(col("doc_id"), size(col("sh")).as("n_ngrams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_ngrams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("contaminated", col("n_contaminated") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  private val SampleFraction = 0.2
+
+  /** s1: exact 20% per source stratum, chosen by md5(text) rank.
+    * Content-hash ordering makes the sample a deterministic function
+    * of the DATA (re-runs, re-partitions, and both engines agree),
+    * and uncorrelated with ingest order or doc_id assignment. The
+    * ceil guarantees every non-empty stratum contributes at least
+    * one row, so rare domains are never silently dropped.
+    */
+  def s1StratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    val wc = Window.partitionBy(col("source"))
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        md5(col("text").cast(BinaryType)).as("h"))
+      .withColumn("samp_rank", row_number().over(w).cast(LongType))
+      .withColumn("n_stratum", count(lit(1)).over(wc))
+      .where(col("samp_rank") <= ceil(col("n_stratum") * SampleFraction))
+      .select(col("source"), col("doc_id"), col("samp_rank"), col("n_stratum"))
+      .orderBy(col("source"), col("samp_rank"))
+  }
+
+  private val ShuffleBuckets = 64
+  private val ShuffleSeed = "shuf42:"
+
+  /** s2: deterministic global shuffle for training-epoch ordering.
+    * Every doc gets a content-seeded shuffle key (md5 over seed ++
+    * text), a bucket from the key's leading 16 bits, and a position
+    * within its bucket. The reader consumes buckets 0..63 in order —
+    * the total order is fully determined by (seed, data), and the
+    * within-bucket sort parallelizes across the cluster instead of
+    * funnelling a global row_number through one task. Reshuffling an
+    * epoch = changing the seed literal.
+    */
+  def s2GlobalShuffle(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("bucket")).orderBy(col("shuffle_key"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(concat(lit(ShuffleSeed), col("text")).cast(BinaryType)).as("shuffle_key"))
+      .withColumn("bucket",
+        conv(substring(col("shuffle_key"), 1, 4), 16, 10).cast(LongType) % ShuffleBuckets)
+      .withColumn("pos", row_number().over(w).cast(LongType))
+      .select(col("bucket"), col("pos"), col("doc_id"), col("shuffle_key"))
+      .orderBy(col("bucket"), col("pos"))
+  }
+
+  // 3-gram string shingles in DuckDB — the string-space twin of the
+  // hashed NgramHashes sets (same tokenization: trim + \s+ split)
+  private val sh3Sql = """
+    list_distinct(list_transform(
+      range(1, len(regexp_split_to_array(trim(text), '\s+')) - 1),
+      i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+           regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' ||
+           regexp_split_to_array(trim(text), '\s+')[i+2]))"""
+
+  val queries: Seq[Q] = Seq(
+    Q("c1_contamination", c1Contamination, Some(s"""
+      WITH s AS (
+        SELECT doc_id, source, $sh3Sql AS sh
+        FROM documents),
+      b AS (
+        SELECT DISTINCT unnest(sh) AS g FROM s WHERE source = '$BenchmarkSource'),
+      hits AS (
+        SELECT doc_id, count(*) AS n_contaminated
+        FROM (SELECT doc_id, unnest(sh) AS g FROM s
+              WHERE source <> '$BenchmarkSource') e
+        JOIN b USING (g)
+        GROUP BY 1)
+      SELECT s.doc_id,
+             CAST(len(s.sh) AS INTEGER) AS n_ngrams,
+             CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+             coalesce(h.n_contaminated, 0) > 0 AS contaminated
+      FROM s LEFT JOIN hits h ON s.doc_id = h.doc_id
+      WHERE s.source <> '$BenchmarkSource'
+      ORDER BY s.doc_id""")),
+    Q("s1_stratified_sample", s1StratifiedSample, Some(s"""
+      WITH r AS (
+        SELECT source, doc_id,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY md5(text), doc_id) AS rk,
+               count(*) OVER (PARTITION BY source) AS n_stratum
+        FROM documents)
+      SELECT source, doc_id,
+             CAST(rk AS BIGINT) AS samp_rank,
+             CAST(n_stratum AS BIGINT) AS n_stratum
+      FROM r
+      WHERE rk <= ceil(n_stratum * $SampleFraction)
+      ORDER BY source, samp_rank""")),
+    Q("s2_global_shuffle", s2GlobalShuffle, Some(s"""
+      WITH k AS (
+        SELECT doc_id, md5('$ShuffleSeed' || text) AS shuffle_key
+        FROM documents),
+      b AS (
+        SELECT doc_id, shuffle_key,
+               CAST(CAST(('0x' || substr(shuffle_key, 1, 4)) AS INTEGER)
+                    % $ShuffleBuckets AS BIGINT) AS bucket
+        FROM k)
+      SELECT bucket,
+             CAST(row_number() OVER (PARTITION BY bucket
+                                     ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos,
+             doc_id, shuffle_key
+      FROM b
+      ORDER BY bucket, pos"""))
+  )
+}

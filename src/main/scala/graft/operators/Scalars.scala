@@ -107,7 +107,51 @@ object Scalars {
         to_json(transform(col("qtys"), x => x * 2)).as("doubled"))
       .orderBy(col("l_orderkey"))
 
+  /** MapType surface: construction (map / map_from pairs), merge
+    * (map_concat), lookup (element_at), keys/size, predicate filter
+    * (map_filter), and value transformation (transform_values). The
+    * judged output is flattened to scalars: map-typed cells would hit
+    * the same harness limitation as raw arrays (CORRECTNESS_r02),
+    * and the oracle certifies the VALUES the map ops produce by
+    * computing them straight from the base columns — if any map op
+    * mis-stored, mis-merged, or mis-looked-up an entry, the scalars
+    * diverge.
+    */
+  def q42MapFuncs(s: SparkSession, d: String): DataFrame = {
+    val base = map(
+      lit("status"), col("o_orderstatus"),
+      lit("prio"), substring_index(col("o_orderpriority"), "-", 1))
+    val merged = map_concat(base,
+      map(lit("bucket"), (col("o_orderkey") % 10).cast(StringType)))
+    val cents = map(lit("price"),
+      round(col("o_totalprice") * 100).cast(LongType))
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        element_at(merged, "status").as("status"),
+        element_at(merged, "prio").as("prio_num"),
+        element_at(merged, "bucket").as("bucket"),
+        size(map_keys(merged)).as("n_keys"),
+        map_contains_key(merged, "status").as("has_status"),
+        element_at(transform_values(cents, (_, v) => v * 2), "price")
+          .as("double_price_cents"),
+        size(map_filter(merged, (_, v) => v === "O")).as("n_open_vals"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q42_map_funcs", q42MapFuncs, Some("""
+      SELECT o_orderkey,
+             o_orderstatus AS status,
+             string_split(o_orderpriority, '-')[1] AS prio_num,
+             CAST(o_orderkey % 10 AS VARCHAR) AS bucket,
+             CAST(3 AS INTEGER) AS n_keys,
+             true AS has_status,
+             CAST(round(o_totalprice * 100) AS BIGINT) * 2 AS double_price_cents,
+             CAST(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS INTEGER)
+               AS n_open_vals
+      FROM orders
+      ORDER BY o_orderkey""")),
     Q("q36_array_hof", q36ArrayHof, Some("""
       SELECT l_orderkey,
              CAST(len(qtys) AS INTEGER) AS n_items,

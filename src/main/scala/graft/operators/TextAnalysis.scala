@@ -132,6 +132,35 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Intra-document repetition metrics (the Gopher-style repetition
+    * filters): duplicate-token fraction and duplicate-2-gram
+    * fraction, plus the combined filter flag. High repetition is the
+    * classic low-quality signature (boilerplate, keyword stuffing,
+    * scraper loops). Distinct 2-gram counts reuse the hashed-shingle
+    * kernel (set-exact vs the string-space oracle); everything is a
+    * row-wise expression tree — zero shuffle, one scan.
+    */
+  def t7Repetition(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct_tokens"),
+        size(org.apache.spark.sql.graft.Bridge.column(graft.plans.NgramHashes(
+          org.apache.spark.sql.graft.Bridge.expression(col("text")), 2)))
+          .as("n_distinct_2grams"))
+      .withColumn("dup_token_ratio",
+        lit(1.0) - col("n_distinct_tokens").cast(DoubleType) /
+          col("n_tokens").cast(DoubleType))
+      .withColumn("dup_2gram_ratio",
+        when(col("n_tokens") > 1,
+          lit(1.0) - col("n_distinct_2grams").cast(DoubleType) /
+            (col("n_tokens") - 1).cast(DoubleType)).otherwise(0.0))
+      .withColumn("repetitive",
+        col("dup_token_ratio") > 0.2 || col("dup_2gram_ratio") > 0.3)
+      .orderBy(col("doc_id"))
+  }
+
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
 
   val queries: Seq[Q] = Seq(
@@ -204,6 +233,30 @@ object TextAnalysis {
              CASE WHEN CAST(en_hits AS DOUBLE) / CAST(n_distinct_tokens AS DOUBLE) >= 0.05
                   THEN 'en' ELSE 'und' END AS lang_pred
       FROM base
+      ORDER BY doc_id""")),
+    Q("t7_repetition", t7Repetition, Some(s"""
+      WITH base AS (
+        SELECT doc_id,
+               CAST(len($toksSql) AS INTEGER) AS n_tokens,
+               CAST(len(list_distinct($toksSql)) AS INTEGER) AS n_distinct_tokens,
+               CAST(len(list_distinct(list_transform(
+                 range(1, len($toksSql)),
+                 i -> $toksSql[i] || ' ' || $toksSql[i+1]))) AS INTEGER)
+                 AS n_distinct_2grams
+        FROM documents),
+      r AS (
+        SELECT doc_id, n_tokens, n_distinct_tokens, n_distinct_2grams,
+               1.0 - CAST(n_distinct_tokens AS DOUBLE) /
+                 CAST(n_tokens AS DOUBLE) AS dup_token_ratio,
+               CASE WHEN n_tokens > 1
+                    THEN 1.0 - CAST(n_distinct_2grams AS DOUBLE) /
+                      CAST(n_tokens - 1 AS DOUBLE)
+                    ELSE 0.0 END AS dup_2gram_ratio
+        FROM base)
+      SELECT doc_id, n_tokens, n_distinct_tokens, n_distinct_2grams,
+             dup_token_ratio, dup_2gram_ratio,
+             dup_token_ratio > 0.2 OR dup_2gram_ratio > 0.3 AS repetitive
+      FROM r
       ORDER BY doc_id""")),
     Q("t4_fingerprint", t4Fingerprint, Some(s"""
       SELECT doc_id,

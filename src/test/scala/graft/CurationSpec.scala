@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Aggregates, Curation, TextAnalysis}
+
+/** Behavioral gates for the curation/sampling operators and the new
+  * scalar/statistical queries — the properties the oracle hash can't
+  * express (planted-case recovery, permutation/partition laws,
+  * closed-form vs builtin agreement).
+  */
+class CurationSpec extends SparkTestBase {
+
+  private val dir = sf("sf0.001")
+
+  private def writeDocs(rows: Seq[(Long, String, String, String, Long)]): String = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("curation").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  test("c1 flags exactly the doc sharing a 3-gram with the benchmark set") {
+    import spark.implicits._
+    // src0 = benchmark. doc 2 embeds a verbatim benchmark 3-gram
+    // ("alpha beta gamma"); doc 3 shares only single words (every
+    // 3-gram differs); doc 4 is disjoint.
+    val tmp = writeDocs(Seq(
+      (1L, "alpha beta gamma delta epsilon", "en", "src0", 30L),
+      (2L, "intro words alpha beta gamma outro", "en", "src1", 34L),
+      (3L, "alpha only beta solo gamma apart", "en", "src1", 32L),
+      (4L, "totally unrelated content here", "en", "src2", 30L)))
+    val got = Curation.c1Contamination(spark, tmp)
+      .select("doc_id", "n_contaminated", "contaminated")
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (k, v, f) => k -> ((v, f)) }.toMap
+    assert(got(2L) === ((1L, true)), s"doc 2 should hit on 1 shared 3-gram: $got")
+    assert(got(3L) === ((0L, false)), s"word overlap alone must not flag: $got")
+    assert(got(4L) === ((0L, false)), got.toString)
+    assert(!got.contains(1L), "benchmark docs must not appear in the output")
+  }
+
+  test("c1 is non-vacuous on the fixture and the benchmark set broadcasts") {
+    val out = Curation.c1Contamination(spark, dir)
+    val n = out.count()
+    assert(n > 0, "no training docs scored")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark n-gram set must broadcast:\n$plan")
+  }
+
+  test("s1 takes exactly ceil(20%) per stratum, deterministically") {
+    import spark.implicits._
+    val out = Curation.s1StratifiedSample(spark, dir)
+    val perSource = out.groupBy("source")
+      .agg(count(lit(1)).as("k"), max("n_stratum").as("n"))
+      .as[(String, Long, Long)].collect()
+    assert(perSource.nonEmpty)
+    perSource.foreach { case (src, k, n) =>
+      assert(k === math.ceil(n * 0.2).toLong, s"$src: took $k of $n")
+    }
+    // deterministic: a second run returns the identical sample
+    val a = out.select("source", "doc_id").as[(String, Long)].collect().toSet
+    val b = Curation.s1StratifiedSample(spark, dir)
+      .select("source", "doc_id").as[(String, Long)].collect().toSet
+    assert(a === b)
+  }
+
+  test("s2 is a permutation: every doc exactly once, buckets dense-ranked") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val out = Curation.s2GlobalShuffle(spark, dir).cache()
+    try {
+      assert(out.count() === docs.count(), "shuffle must emit every doc once")
+      assert(out.select("doc_id").distinct().count() === docs.count())
+      // positions within each bucket are 1..k with no gaps
+      val bad = out.groupBy("bucket")
+        .agg(count(lit(1)).as("k"), max("pos").as("mx"), min("pos").as("mn"))
+        .where(col("mx") =!= col("k") || col("mn") =!= 1)
+        .count()
+      assert(bad === 0, "per-bucket positions must be gap-free from 1")
+      val range = out.agg(min("bucket"), max("bucket"))
+        .as[(Long, Long)].head()
+      assert(range._1 >= 0 && range._2 < 64)
+    } finally { out.unpersist(); () }
+  }
+
+  test("t7 separates a planted repetitive doc from a diverse one") {
+    import spark.implicits._
+    val tmp = writeDocs(Seq(
+      (1L, Seq.fill(30)("spam ham").mkString(" "), "en", "src0", 240L),
+      (2L, (1 to 60).map(i => s"w$i").mkString(" "), "en", "src0", 240L)))
+    val got = TextAnalysis.t7Repetition(spark, tmp)
+      .select("doc_id", "repetitive").as[(Long, Boolean)].collect().toMap
+    assert(got(1L), "60 tokens over a 2-word vocabulary must flag")
+    assert(!got(2L), "60 distinct tokens must not flag")
+  }
+
+  test("q43 closed form agrees with Spark's builtin corr/regr aggregates") {
+    import spark.implicits._
+    val ours = Aggregates.q43CorrRegression(spark, dir)
+      .select("l_returnflag", "corr_xy", "slope", "intercept")
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val builtin = graft.sources.Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        round(col("l_quantity")).cast("long").cast("double").as("x"),
+        round(col("l_discount") * 100).cast("long").cast("double").as("y"))
+      .groupBy("l_returnflag")
+      .agg(corr(col("x"), col("y")).as("c"),
+        regr_slope(col("y"), col("x")).as("m"),
+        regr_intercept(col("y"), col("x")).as("b"))
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(ours.keySet === builtin.keySet)
+    ours.foreach { case (flag, (c, m, b)) =>
+      val (c2, m2, b2) = builtin(flag)
+      assert(math.abs(c - c2) < 1e-9, s"$flag corr: $c vs $c2")
+      assert(math.abs(m - m2) < 1e-9, s"$flag slope: $m vs $m2")
+      assert(math.abs(b - b2) < 1e-9, s"$flag intercept: $b vs $b2")
+    }
+    // sanity: correlations are inside (-1, 1) and non-degenerate
+    assert(ours.values.forall { case (c, _, _) => c.abs < 1.0 })
+  }
+}
