@@ -30,6 +30,40 @@ object WeightedMeanPrice extends Aggregator[PriceQty, (Long, Long), Double] {
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }
 
+/** Top-k candidate row: natural key + ranking value. */
+final case class TopKIn(l_orderkey: Long, l_linenumber: Int, qty: Double)
+
+/** Bounded top-k as a typed Aggregator — the MAP-COMBINABLE top-k
+  * shape: every partial buffer holds at most k rows, so each map
+  * task ships ≤ k rows per group into the shuffle, vs the window-rank
+  * formulation (q11) that sorts the ENTIRE table on the shuffle just
+  * to throw away all but k rows per group. At 100 TB the window plan
+  * shuffles 100 TB; this plan shuffles O(k × partitions × groups).
+  * Global top-k already has this property built in
+  * (TakeOrderedAndProject, q4) — this Aggregator is the per-GROUP
+  * analog Spark lacks as a native operator.
+  *
+  * Ordering is total (qty desc, then the unique (orderkey,
+  * linenumber) key ascending), so the result is deterministic under
+  * any partitioning — the property the oracle's ROW_NUMBER replays.
+  */
+final class TopKByQty(k: Int)
+    extends Aggregator[TopKIn, Seq[TopKIn], Seq[TopKIn]] {
+  private val ord: Ordering[TopKIn] =
+    Ordering.by(r => (-r.qty, r.l_orderkey, r.l_linenumber.toLong))
+  override def zero: Seq[TopKIn] = Vector.empty
+  override def reduce(b: Seq[TopKIn], a: TopKIn): Seq[TopKIn] =
+    if (b.lengthCompare(k) >= 0 && ord.lteq(b.last, a)) b
+    else ((b :+ a).sorted(ord)).take(k)
+  override def merge(x: Seq[TopKIn], y: Seq[TopKIn]): Seq[TopKIn] =
+    (x ++ y).sorted(ord).take(k)
+  override def finish(b: Seq[TopKIn]): Seq[TopKIn] = b
+  override def bufferEncoder: Encoder[Seq[TopKIn]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[TopKIn]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+}
+
 /** Advanced operator breadth: JSON extraction, pivot, approximate
   * distinct (HLL), as-of join, typed UDAF.
   */
@@ -98,6 +132,26 @@ object Advanced {
       .withColumnRenamed("R", "qty_r")
       .orderBy(col("l_linestatus"))
 
+  /** Unpivot (melt) — the inverse reshape of q24's pivot: the wide
+    * (qty_a, qty_n, qty_r) frame back to (linestatus, flag, qty)
+    * rows via the DataFrame `unpivot` verb. Null cells are coalesced
+    * to 0 BEFORE melting: Spark's unpivot keeps null value cells
+    * while SQL UNION-ALL unpivots (the oracle's form) and DuckDB's
+    * UNPIVOT default drop them — zero-filling pins one semantics for
+    * both engines. Round-tripping pivot→unpivot also certifies the
+    * pivot's cell placement.
+    */
+  def q45Unpivot(s: SparkSession, d: String): DataFrame =
+    q24Pivot(s, d)
+      .select(col("l_linestatus"),
+        coalesce(col("qty_a"), lit(0L)).as("qty_a"),
+        coalesce(col("qty_n"), lit(0L)).as("qty_n"),
+        coalesce(col("qty_r"), lit(0L)).as("qty_r"))
+      .unpivot(Array(col("l_linestatus")),
+        Array(col("qty_a"), col("qty_n"), col("qty_r")),
+        "flag_col", "qty")
+      .orderBy(col("l_linestatus"), col("flag_col"))
+
   /** Typed-Aggregator UDAF: quantity-weighted mean extended price per
     * returnflag.
     */
@@ -113,7 +167,38 @@ object Advanced {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Per-group top-k via the bounded [[TopKByQty]] Aggregator,
+    * exploded back to scalar rows for the harness. k=3 highest
+    * quantities per returnflag; ties broken by the unique line key.
+    */
+  def q50TopkPerGroup(s: SparkSession, d: String): DataFrame = {
+    val topk = udaf(new TopKByQty(3))
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity").as("qty"))
+      .groupBy(col("l_returnflag"))
+      .agg(topk(col("l_orderkey"), col("l_linenumber"), col("qty")).as("top"))
+      .select(col("l_returnflag"), posexplode(col("top")))
+      .select(col("l_returnflag"),
+        (col("pos") + 1).cast(IntegerType).as("rk"),
+        col("col.l_orderkey").as("l_orderkey"),
+        col("col.l_linenumber").as("l_linenumber"),
+        col("col.qty").as("qty"))
+      .orderBy(col("l_returnflag"), col("rk"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q50_topk_per_group", q50TopkPerGroup, Some("""
+      SELECT l_returnflag, rk, l_orderkey, l_linenumber, qty
+      FROM (
+        SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity AS qty,
+               CAST(row_number() OVER (
+                 PARTITION BY l_returnflag
+                 ORDER BY l_quantity DESC, l_orderkey, l_linenumber)
+                 AS INTEGER) AS rk
+        FROM lineitem)
+      WHERE rk <= 3
+      ORDER BY l_returnflag, rk""")),
     Q("q21_json_funcs", q21JsonFuncs, Some("""
       SELECT event_id,
              CAST(json_extract(props, '$.k') AS BIGINT) AS k_path,
@@ -143,6 +228,22 @@ object Advanced {
       FROM lineitem
       GROUP BY l_linestatus
       ORDER BY l_linestatus""")),
+    Q("q45_unpivot", q45Unpivot, Some("""
+      WITH w AS (
+        SELECT l_linestatus,
+               coalesce(sum(CASE WHEN l_returnflag = 'A' THEN CAST(round(l_quantity) AS BIGINT) END), 0) AS qty_a,
+               coalesce(sum(CASE WHEN l_returnflag = 'N' THEN CAST(round(l_quantity) AS BIGINT) END), 0) AS qty_n,
+               coalesce(sum(CASE WHEN l_returnflag = 'R' THEN CAST(round(l_quantity) AS BIGINT) END), 0) AS qty_r
+        FROM lineitem
+        GROUP BY l_linestatus)
+      SELECT l_linestatus, flag_col, CAST(qty AS BIGINT) AS qty
+      FROM (
+        SELECT l_linestatus, 'qty_a' AS flag_col, qty_a AS qty FROM w
+        UNION ALL
+        SELECT l_linestatus, 'qty_n', qty_n FROM w
+        UNION ALL
+        SELECT l_linestatus, 'qty_r', qty_r FROM w)
+      ORDER BY l_linestatus, flag_col""")),
     Q("q25_typed_udaf", q25TypedUdaf, Some("""
       SELECT l_returnflag,
              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *

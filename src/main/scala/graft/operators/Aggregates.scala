@@ -168,7 +168,28 @@ object Aggregates {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Ordered string aggregation (LISTAGG/string_agg): supplier names
+    * per nation, sorted then joined — collect_list's order is
+    * partition-dependent, so the explicit array_sort is what makes
+    * the result deterministic and cross-engine comparable (DuckDB:
+    * string_agg ... ORDER BY). Small-group shape: the collected
+    * list is bounded by the group, not the table.
+    */
+  def q49StringAgg(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        array_join(array_sort(collect_list(col("s_name"))), "|").as("names"))
+      .orderBy(col("s_nationkey"))
+
   val queries: Seq[Q] = Seq(
+    Q("q49_string_agg", q49StringAgg, Some("""
+      SELECT s_nationkey,
+             count(*) AS n_suppliers,
+             string_agg(s_name, '|' ORDER BY s_name) AS names
+      FROM supplier
+      GROUP BY s_nationkey
+      ORDER BY s_nationkey""")),
     Q("q43_corr_regression", q43CorrRegression, Some("""
       WITH s AS (
         SELECT l_returnflag,

@@ -97,6 +97,36 @@ object Curation {
       .orderBy(col("source"), col("samp_rank"))
   }
 
+  /** s3: weighted domain mixing — the "data recipe" step: given
+    * per-domain sampling weights (here: high-quality sources get 2×
+    * the weight of the rest — any published mix table plugs in), take
+    * a deterministic per-source quota proportional to weight, chosen
+    * by the same content-hash rank as s1. This is how a 100 TB corpus
+    * is rebalanced to a target mixture without a global shuffle: one
+    * window per source shard, quota arithmetic broadcast as literals.
+    * Weights are DATA (a tiny dim table at scale); here a literal map
+    * keyed on the source's numeric suffix parity keeps the judged
+    * query self-contained.
+    */
+  def s3DomainMix(s: SparkSession, d: String): DataFrame = {
+    val baseFraction = 0.1
+    // even-numbered sources are the "high-quality" domains: 2x weight
+    val weight = when(substring(col("source"), 4, 10)
+      .cast(IntegerType) % 2 === 0, 2.0).otherwise(1.0)
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    val wc = Window.partitionBy(col("source"))
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        md5(col("text").cast(BinaryType)).as("h"), weight.as("wt"))
+      .withColumn("samp_rank", row_number().over(w).cast(LongType))
+      .withColumn("n_stratum", count(lit(1)).over(wc))
+      .where(col("samp_rank") <= ceil(col("n_stratum") * col("wt") * baseFraction))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"), max(col("n_stratum")).as("n_stratum"),
+        max(col("wt")).as("weight"))
+      .orderBy(col("source"))
+  }
+
   private val ShuffleBuckets = 64
   private val ShuffleSeed = "shuf42:"
 
@@ -163,6 +193,23 @@ object Curation {
       FROM r
       WHERE rk <= ceil(n_stratum * $SampleFraction)
       ORDER BY source, samp_rank""")),
+    Q("s3_domain_mix", s3DomainMix, Some("""
+      WITH r AS (
+        SELECT source, doc_id,
+               CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+                    THEN 2.0 ELSE 1.0 END AS wt,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY md5(text), doc_id) AS rk,
+               count(*) OVER (PARTITION BY source) AS n_stratum
+        FROM documents)
+      SELECT source,
+             count(*) AS n_sampled,
+             CAST(max(n_stratum) AS BIGINT) AS n_stratum,
+             max(wt) AS weight
+      FROM r
+      WHERE rk <= ceil(n_stratum * wt * 0.1)
+      GROUP BY source
+      ORDER BY source""")),
     Q("s2_global_shuffle", s2GlobalShuffle, Some(s"""
       WITH k AS (
         SELECT doc_id, md5('$ShuffleSeed' || text) AS shuffle_key

@@ -139,7 +139,109 @@ object Scalars {
       .orderBy(col("o_orderkey"))
   }
 
+  /** ANSI-safe `try_*` arithmetic — Spark 4 runs ANSI mode by
+    * default, so raw arithmetic THROWS on overflow / division by
+    * zero; the try_ family returns NULL instead, which is the only
+    * sane per-row contract for a 100 TB pipeline (one dirty row must
+    * not kill a 6-hour job). The operands are rigged so both failure
+    * modes actually fire row-dependently: l_discount=0 rows divide
+    * by zero, and quantities above 25 overflow the Long headroom.
+    * The oracle reproduces NULL-on-failure with CASE guards (DuckDB
+    * would ERROR on the overflow if it evaluated it — selection-
+    * vector laziness keeps the guarded branch unevaluated).
+    */
+  def q46TryArithmetic(s: SparkSession, d: String): DataFrame = {
+    val qty = round(col("l_quantity")).cast(LongType)
+    val bp = round(col("l_discount") * 100).cast(LongType)
+    Tables.lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        try_divide(col("l_extendedprice"), col("l_discount")).as("price_per_disc"),
+        try_divide(qty, bp).as("qty_per_bp"),
+        try_add(lit(Long.MaxValue - 25), qty).as("guarded_add"),
+        try_multiply(lit(Long.MaxValue / 25), qty).as("guarded_mul"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Second array zoo: predicates (exists / forall), search
+    * (array_position), slicing, flatten, and a two-array zip_with —
+    * the HOF surface q36 doesn't cover. Same harness convention:
+    * array-valued outputs serialize through to_json.
+    */
+  def q47ArrayFuncs2(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(round(col("l_quantity")).cast(IntegerType)))
+        .as("qtys"))
+      .select(col("l_orderkey"),
+        exists(col("qtys"), x => x > 45).as("any_big"),
+        forall(col("qtys"), x => x > 0).as("all_pos"),
+        array_position(col("qtys"), 10).as("pos10"),
+        to_json(slice(col("qtys"), 1, 3)).as("first3"),
+        size(flatten(array(col("qtys"), col("qtys")))).as("n_doubled"),
+        to_json(zip_with(col("qtys"), reverse(col("qtys")),
+          (a, b) => a * b)).as("minmax_prod"))
+      .orderBy(col("l_orderkey"))
+
+  /** Bitwise functions over the key columns — shifts, and/or/xor,
+    * popcount. All integer-exact, so the oracle is a direct
+    * transliteration (DuckDB's bit_count returns BIGINT where Spark
+    * returns INT — cast on the oracle side, the playbook rule).
+    */
+  def q48Bitwise(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        shiftleft(col("l_linenumber"), 3).as("shl"),
+        shiftright(col("l_orderkey"), 2).as("shr"),
+        col("l_orderkey").bitwiseAND(lit(255L)).as("band"),
+        col("l_orderkey").bitwiseOR(col("l_linenumber").cast(LongType)).as("bor"),
+        col("l_orderkey").bitwiseXOR(col("l_linenumber").cast(LongType)).as("bxor"),
+        bit_count(col("l_orderkey")).as("popcount"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
   val queries: Seq[Q] = Seq(
+    Q("q46_try_arithmetic", q46TryArithmetic, Some(s"""
+      WITH b AS (
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice, l_discount,
+               CAST(round(l_quantity) AS BIGINT) AS qty,
+               CAST(round(l_discount * 100) AS BIGINT) AS bp
+        FROM lineitem)
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN l_discount = 0 THEN NULL
+                  ELSE l_extendedprice / l_discount END AS price_per_disc,
+             CASE WHEN bp = 0 THEN NULL
+                  ELSE CAST(qty AS DOUBLE) / CAST(bp AS DOUBLE) END AS qty_per_bp,
+             CASE WHEN qty > 25 THEN NULL
+                  ELSE ${Long.MaxValue - 25} + qty END AS guarded_add,
+             CASE WHEN qty > 25 THEN NULL
+                  ELSE ${Long.MaxValue / 25} * qty END AS guarded_mul
+      FROM b
+      ORDER BY l_orderkey, l_linenumber""")),
+    Q("q47_array_funcs2", q47ArrayFuncs2, Some("""
+      SELECT l_orderkey,
+             len(list_filter(qtys, x -> x > 45)) > 0 AS any_big,
+             len(list_filter(qtys, x -> x <= 0)) = 0 AS all_pos,
+             CAST(coalesce(list_position(qtys, 10), 0) AS BIGINT) AS pos10,
+             CAST(to_json(qtys[1:3]) AS VARCHAR) AS first3,
+             CAST(2 * len(qtys) AS INTEGER) AS n_doubled,
+             CAST(to_json(list_transform(list_zip(qtys, list_reverse(qtys)),
+               p -> p[1] * p[2])) AS VARCHAR) AS minmax_prod
+      FROM (SELECT l_orderkey,
+                   list_sort(list(CAST(round(l_quantity) AS INTEGER))) AS qtys
+            FROM lineitem GROUP BY 1)
+      ORDER BY l_orderkey""")),
+    Q("q48_bitwise", q48Bitwise, Some("""
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_linenumber << 3 AS INTEGER) AS shl,
+             CAST(l_orderkey >> 2 AS BIGINT) AS shr,
+             CAST(l_orderkey & 255 AS BIGINT) AS band,
+             CAST(l_orderkey | CAST(l_linenumber AS BIGINT) AS BIGINT) AS bor,
+             CAST(xor(l_orderkey, CAST(l_linenumber AS BIGINT)) AS BIGINT) AS bxor,
+             CAST(bit_count(l_orderkey) AS INTEGER) AS popcount
+      FROM lineitem
+      ORDER BY l_orderkey, l_linenumber""")),
     Q("q42_map_funcs", q42MapFuncs, Some("""
       SELECT o_orderkey,
              o_orderstatus AS status,

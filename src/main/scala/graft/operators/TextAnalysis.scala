@@ -161,9 +161,64 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-document n-gram novelty — the corpus-level complement of
+    * t7's intra-document repetition: for each document, how many of
+    * its distinct bigrams are corpus-hapax (appear in exactly one
+    * document)? Low novelty flags boilerplate/template text shared
+    * across many documents (the signal behind cross-doc dedup
+    * cascades); high max document frequency flags the most viral
+    * phrase. All counts are integers and the one ratio is a single
+    * exact IEEE division — bit-portable to the oracle.
+    *
+    * Scale shape: explode distinct bigrams (one scan), hash-aggregate
+    * document frequency on the bigram key, join back, re-aggregate
+    * per doc — two shuffles on (bigram, doc_id), both partial-agg
+    * friendly; nothing is ever collected or crossed. The bigram
+    * dimension is Zipf-bounded in practice; skew on a viral bigram
+    * is an AQE skew-join case, not a plan change.
+    */
+  def t8BigramNovelty(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val bigrams = array_distinct(zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat(a, lit(" "), b)))
+    val docBg = Tables.documents(s, d)
+      .select(col("doc_id"), explode(bigrams).as("bg"))
+    val dfreq = docBg.groupBy(col("bg")).agg(count(lit(1)).as("dfreq"))
+    docBg.join(dfreq, "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("dfreq") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        max(col("dfreq")).as("max_dfreq"))
+      .withColumn("novelty",
+        col("n_hapax").cast(DoubleType) / col("n_bigrams").cast(DoubleType))
+      .orderBy(col("doc_id"))
+  }
+
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
 
   val queries: Seq[Q] = Seq(
+    Q("t8_bigram_novelty", t8BigramNovelty, Some(s"""
+      WITH tok AS (
+        SELECT doc_id, $toksSql AS t FROM documents),
+      pairs AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(t)),
+                 i -> t[i] || ' ' || t[i+1]))) AS bg
+        FROM tok),
+      dfreq AS (
+        SELECT bg, count(*) AS dfreq FROM pairs GROUP BY bg)
+      SELECT p.doc_id,
+             count(*) AS n_bigrams,
+             CAST(sum(CASE WHEN f.dfreq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax,
+             max(f.dfreq) AS max_dfreq,
+             CAST(sum(CASE WHEN f.dfreq = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+               CAST(count(*) AS DOUBLE) AS novelty
+      FROM pairs p JOIN dfreq f USING (bg)
+      GROUP BY p.doc_id
+      ORDER BY p.doc_id""")),
     Q("t5_pack_sequences", t5PackSequences, Some("""
       SELECT doc_id, source,
              CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,

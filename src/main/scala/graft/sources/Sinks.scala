@@ -83,7 +83,47 @@ object Sinks {
       .orderBy(col("s_nationkey"))
   }
 
+  /** Judged partitioned-lake query: write orders Hive-partitioned by
+    * year, read back with a partition predicate, aggregate. The
+    * predicate on the partition column becomes a DIRECTORY SKIP (the
+    * scan's PartitionFilters — SinksSpec asserts the mechanism), so
+    * at 100 TB a year-scoped query reads one directory, not the
+    * table. The oracle runs the same aggregate on the ORIGINAL table
+    * with a WHERE — certifying the partition write+prune as an exact
+    * identity on the selected slice.
+    */
+  def q44PartitionedSource(s: SparkSession, d: String): DataFrame = {
+    val dir = {
+      val p = java.nio.file.Files.createTempDirectory("graft_q44_part_")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(p.toFile)
+      }
+      p.toString
+    }
+    Tables.orders(s, d)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode(SaveMode.Overwrite).partitionBy("o_year").parquet(dir)
+    s.read.parquet(dir)
+      .where(col("o_year") === 1995)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        Money.exactSum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q44_partitioned_source", q44PartitionedSource, Some("""
+      SELECT o_orderstatus,
+             count(*) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total_price
+      FROM orders
+      WHERE year(o_orderdate) = 1995
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""")),
     Q("q40_orc_source", q40OrcSource, Some("""
       SELECT s_nationkey,
              count(*) AS n_suppliers,

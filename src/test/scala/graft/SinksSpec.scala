@@ -42,6 +42,16 @@ class SinksSpec extends SparkTestBase {
     assert(plan.contains("s_nationkey") && plan.contains("s_acctbal"))
   }
 
+  test("q44's year predicate reaches the scan as a partition filter") {
+    val plan = Sinks.q44PartitionedSource(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_year"),
+      s"q44 does not prune partitions:\n$plan")
+    // the predicate must NOT survive as a post-scan data filter
+    assert(!plan.contains("PushedFilters: [IsNotNull(o_year"),
+      s"o_year treated as a data column, not a partition column:\n$plan")
+  }
+
   test("csv datasource read applies explicit schema with header") {
     val fx = graft.sources.JsonSource.fx(spark)
     assert(fx.schema.map(_.dataType).toSeq ===
