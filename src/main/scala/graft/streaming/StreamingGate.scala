@@ -83,7 +83,64 @@ object StreamingGate {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  /** Driver-visible gate for the WINDOWED streaming surface: the
+    * per-user tumbling-window aggregation
+    * ([[StreamingOps.userWindowTotals]] — watermark + window state,
+    * append mode) over a bounded stream of the judged events table,
+    * checked against the plain batch GROUP BY oracle. Harness shape
+    * mirrors q41, with one difference that is itself the point:
+    * window closure is driven by the GLOBAL watermark, so a SINGLE
+    * sentinel event (user −1, one window-length plus slack past the
+    * global max) flushes every user's windows — no per-key sentinel
+    * needed. The sentinel's own window never closes and is never
+    * emitted, so the memory sink holds exactly the real windows.
+    */
+  def q51StreamWindow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val events = Tables.events(s, d)
+      .where(col("value").isNotNull)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[SessionEvent]
+      .collect() // bounded judged harness only — see q41's scaladoc
+    val maxMs = events.iterator.map(_.ts.getTime).max
+    // one hour (the window length) past the max closes every real
+    // window once the 1s watermark delay is subtracted; +10s slack
+    val sentinel = SessionEvent(-1L,
+      new Timestamp(maxMs + 3600L * 1000 + 10000), 0.0)
+
+    val mem = MemoryStream[SessionEvent]
+    val queryName = "graft_q51_windows"
+    val pKey = "spark.sql.shuffle.partitions"
+    val prevP = s.conf.get(pKey)
+    s.conf.set(pKey, "8") // state-store sizing: see q41's comment
+    val query =
+      try StreamingOps.userWindowTotals(mem.toDF())
+        .writeStream.format("memory").queryName(queryName)
+        .outputMode("append").start()
+      finally s.conf.set(pKey, prevP)
+    try {
+      mem.addData(events.toSeq)
+      query.processAllAvailable()
+      mem.addData(Seq(sentinel))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    s.table(queryName)
+      .orderBy(col("user_id"), col("window_start"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q51_stream_window", q51StreamWindow, Some("""
+      SELECT user_id,
+             date_trunc('hour', ts) AS window_start,
+             count(*) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total
+      FROM events
+      WHERE value IS NOT NULL
+      GROUP BY user_id, date_trunc('hour', ts)
+      ORDER BY user_id, window_start""")),
     // same oracle as the batch twin q26 — THE equivalence claim.
     // Looked up BY NAME: a positional `.head` would silently attach
     // the wrong oracle if a query were ever prepended to Sessionize's

@@ -42,4 +42,25 @@ object StreamingOps {
     */
   def argmaxWindow(totals: DataFrame): DataFrame =
     totals.orderBy(desc("total"), asc("window_start")).limit(1)
+
+  /** Per-user tumbling-window totals — the canonical keyed streaming
+    * aggregation: watermark bounds state (a window's state is evicted
+    * once the watermark passes its end + delay), exact money in cents
+    * per the engine convention, grouped by (user, window). Identical
+    * plan batch or streaming; in append mode a (user, window) row is
+    * emitted exactly once, when the watermark closes the window —
+    * that closure discipline is what [[StreamingGate.q51StreamWindow]]
+    * certifies against the batch GROUP BY oracle.
+    */
+  def userWindowTotals(
+      events: DataFrame,
+      windowLen: String = "1 hour",
+      delay: String = "1 second"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(col("user_id"), window(col("ts"), windowLen).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        Money.sumCents(col("value")).as("cents"))
+      .select(col("user_id"), col("w.start").as("window_start"),
+        col("n_events"), Money.toAmount(col("cents")).as("total"))
 }

@@ -12,7 +12,13 @@ class MediaCodecsSpec extends SparkTestBase {
   test("m2: PPM/BMP/WAV containers decode to exact known metadata; fallback flags") {
     val rows = MediaCodecs.m2MediaDecode(spark, "unused").collect()
       .map(r => r.getString(0) -> r).toMap
-    assert(rows.size === 8)
+    assert(rows.size === 10)
+
+    // clip streams are NOT single-image PPMs: m2 must flag them
+    // unsupported (m5 is their decoder), not half-read frame 0
+    Seq("clip_6x4_8f.p6v", "clip_3x2_5f.p6v").foreach { c =>
+      assert(!rows(c).getBoolean(2), s"$c must be unsupported in m2")
+    }
 
     val img = rows("img_16x16.ppm")
     assert(img.getString(1) === "ppm" && img.getBoolean(2))
@@ -126,6 +132,48 @@ class MediaCodecsSpec extends SparkTestBase {
       graft.multimodal.RawMedia("x.wav", spin.length.toLong, spin),
       graft.multimodal.RawMedia("y.ppm", bloat.length.toLong, bloat))).toSeq
     assert(infos.forall(!_.supported))
+  }
+
+  test("m5: clip frame-sampling hits every 2nd frame with exact channel sums") {
+    val rows = MediaCodecs.m5FrameSample(spark, "unused").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // 8 frames strided by 2 → 0,2,4,6; 5 frames → 0,2,4
+    assert(rows.count(_._1 == "clip_6x4_8f.p6v") === 4)
+    assert(rows.count(_._1 == "clip_3x2_5f.p6v") === 3)
+    assert(rows.filter(_._1 == "clip_6x4_8f.p6v").map(_._2).toSeq
+      === Seq(0, 2, 4, 6))
+    // channel sums must equal the generator's closed form
+    def expected(w: Int, h: Int, fr: Int): (Long, Long, Long) = {
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        sr += (fr * 29 + x * 7 + y * 3) % 256
+        sg += (fr * 31 + x * 5 + y * 11) % 256
+        sb += (fr * 37 + x * 13 + y) % 256
+      }
+      (sr, sg, sb)
+    }
+    rows.foreach { case (f, fr, w, h, sr, sg, sb) =>
+      val dims = if (f.startsWith("clip_6x4")) (6, 4) else (3, 2)
+      assert((w, h) === dims, f)
+      assert((sr, sg, sb) === expected(w, h, fr), s"$f frame $fr")
+    }
+  }
+
+  test("corrupt clip streams degrade whole, never half-decode") {
+    def frame(w: Int, h: Int, fill: Byte): Array[Byte] =
+      s"P6\n$w $h\n255\n".getBytes ++ Array.fill(w * h * 3)(fill)
+    // well-formed two-frame stream parses fully
+    val ok = frame(4, 3, 1) ++ frame(4, 3, 2)
+    val (w, h, offs) = MediaCodecs.parseP6Stream(ok)
+    assert((w, h) === (4, 3) && offs.length === 2)
+    // dimension drift mid-stream: reject the WHOLE clip
+    assert(MediaCodecs.parseP6Stream(frame(4, 3, 1) ++ frame(2, 2, 2))
+      ._3.isEmpty)
+    // trailing garbage after the last frame: reject
+    assert(MediaCodecs.parseP6Stream(ok ++ Array[Byte](9, 9))._3.isEmpty)
+    // truncated final frame: reject
+    assert(MediaCodecs.parseP6Stream(ok.dropRight(3))._3.isEmpty)
   }
 
   test("media pipeline is map-only: no shuffle in the decode stage") {
