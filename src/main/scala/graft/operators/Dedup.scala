@@ -656,20 +656,38 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  val queries: Seq[Q] = Seq(
-    Q("d6_incremental_dedup", d6IncrementalDedup, Some("""
-      WITH corpus AS (
-        SELECT md5(text) AS h FROM documents
-        WHERE CAST(substr(source, 4) AS INTEGER) % 2 = 0),
-      delta AS (
-        SELECT doc_id, md5(text) AS h FROM documents
-        WHERE CAST(substr(source, 4) AS INTEGER) % 2 = 1)
-      SELECT h, min(doc_id) AS admit_id, count(*) AS n_delta_copies
-      FROM delta
-      WHERE NOT EXISTS (SELECT 1 FROM corpus WHERE corpus.h = delta.h)
-      GROUP BY h
-      ORDER BY admit_id""")),
-    Q("d5_dedup_clusters", d5DedupClusters, Some("""
+  /** d8: cluster canonicalization — the decision step that ENDS a
+    * dedup pipeline: for every near-dup cluster (d5's components),
+    * keep exactly one representative — the longest text, ties to the
+    * smallest doc_id — and count what gets dropped. The argmax is one
+    * `max(struct(len, -doc_id))` per cluster (partial-agg friendly,
+    * no window sort); at 100 TB the expensive part is d5's component
+    * labels, and this adds one broadcast-size join + one hash
+    * aggregate on top. Deterministic by construction: the struct
+    * ordering is total because doc_id is unique.
+    */
+  def d8ClusterCanonicalize(s: SparkSession, d: String): DataFrame = {
+    val lens = Tables.documents(s, d)
+      .select(col("doc_id"), length(col("text")).as("text_len"))
+    d5DedupClusters(s, d)
+      .join(lens, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(
+        max(struct(col("text_len"), (-col("doc_id")).as("neg_id"))).as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"),
+        (-col("best.neg_id")).as("kept_id"),
+        col("best.text_len").as("kept_len"),
+        col("n_members"),
+        (col("n_members") - 1L).as("n_dropped"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** d5's component labels as reusable oracle SQL (no ORDER BY):
+    * exact + Jaccard edges through a recursive-CTE reachability —
+    * an independent CC algorithm. d5 judges it directly; d8 wraps it.
+    */
+  private val d5LabelsSql: String = """
       WITH RECURSIVE pairs AS (
         SELECT x.doc_id AS a, y.doc_id AS b
         FROM documents x JOIN documents y
@@ -699,8 +717,41 @@ object Dedup {
         SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node)
       SELECT node AS doc_id, min(lbl) AS cluster_id
       FROM walk
-      GROUP BY node
-      ORDER BY doc_id""")),
+      GROUP BY node"""
+
+  val queries: Seq[Q] = Seq(
+    Q("d8_cluster_canonicalize", d8ClusterCanonicalize, Some(s"""
+      WITH labels AS (SELECT * FROM ($d5LabelsSql) d5),
+      j AS (
+        SELECT l.cluster_id, l.doc_id,
+               CAST(length(doc.text) AS INTEGER) AS text_len
+        FROM labels l JOIN documents doc USING (doc_id)),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY cluster_id
+                 ORDER BY text_len DESC, doc_id) AS rk
+        FROM j)
+      SELECT cluster_id,
+             max(CASE WHEN rk = 1 THEN doc_id END) AS kept_id,
+             max(CASE WHEN rk = 1 THEN text_len END) AS kept_len,
+             count(*) AS n_members,
+             count(*) - 1 AS n_dropped
+      FROM r
+      GROUP BY cluster_id
+      ORDER BY cluster_id""")),
+    Q("d6_incremental_dedup", d6IncrementalDedup, Some("""
+      WITH corpus AS (
+        SELECT md5(text) AS h FROM documents
+        WHERE CAST(substr(source, 4) AS INTEGER) % 2 = 0),
+      delta AS (
+        SELECT doc_id, md5(text) AS h FROM documents
+        WHERE CAST(substr(source, 4) AS INTEGER) % 2 = 1)
+      SELECT h, min(doc_id) AS admit_id, count(*) AS n_delta_copies
+      FROM delta
+      WHERE NOT EXISTS (SELECT 1 FROM corpus WHERE corpus.h = delta.h)
+      GROUP BY h
+      ORDER BY admit_id""")),
+    Q("d5_dedup_clusters", d5DedupClusters,
+      Some(s"$d5LabelsSql\n      ORDER BY doc_id")),
     Q("d1_exact_dedup", d1ExactDedup, Some("""
       SELECT md5(text) AS content_hash,
              min(doc_id) AS keep_id,

@@ -114,7 +114,45 @@ object Sinks {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Judged bucketed-join query — the write-once-shuffle-never
+    * pattern under the gate: customer and orders are both written
+    * bucket-by-custkey (8 buckets, sorted), then joined and
+    * aggregated. Because the bucket layouts agree, the JOIN runs
+    * with ZERO exchange — the only shuffle in the whole plan is the
+    * final per-nation aggregate (SinksSpec asserts exactly that: ≤ 1
+    * Exchange where the unbucketed plan has 3). At 100 TB this is
+    * the difference between shuffling two fact tables per join and
+    * paying one shuffle at ingest, forever. Fresh per-invocation
+    * table names: managed-table Overwrite against a stale warehouse
+    * dir from a dead JVM fails with LOCATION_ALREADY_EXISTS, and
+    * concurrent runs must not cross-read half-written buckets. The
+    * oracle joins the ORIGINAL tables — certifying the bucketed
+    * write+join as an exact identity.
+    */
+  def q52BucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val (tc, to) = (s"graft_q52_cust_$tag", s"graft_q52_ord_$tag")
+    writeBucketed(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+      tc, "c_custkey", 8, Some("c_custkey"))
+    writeBucketed(
+      Tables.orders(s, d).select(col("o_custkey").as("c_custkey"), col("o_totalprice")),
+      to, "c_custkey", 8, Some("c_custkey"))
+    s.table(tc).join(s.table(to), "c_custkey")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        Money.exactSum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("c_nationkey"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q52_bucketed_join", q52BucketedJoin, Some("""
+      SELECT c_nationkey,
+             count(*) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total_price
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c_nationkey
+      ORDER BY c_nationkey""")),
     Q("q44_partitioned_source", q44PartitionedSource, Some("""
       SELECT o_orderstatus,
              count(*) AS n_orders,

@@ -52,6 +52,18 @@ class SinksSpec extends SparkTestBase {
       s"o_year treated as a data column, not a partition column:\n$plan")
   }
 
+  test("q52's bucketed join shuffles only for the final aggregate") {
+    val q = graft.sources.Sinks.q52BucketedJoin(spark, sf("sf0.001"))
+    val plan = q.queryExecution.executedPlan.toString
+    val exchanges = "Exchange (hash|range)partitioning".r
+      .findAllIn(plan).length
+    // unbucketed: 2 join-input exchanges + 1 agg exchange (+1 sort
+    // range). Bucketed: the join reads pre-shuffled buckets, so at
+    // most the agg + presentation-sort exchanges survive.
+    assert(exchanges <= 2, s"bucketed join still shuffles its inputs:\n$plan")
+    assert(q.count() > 0)
+  }
+
   test("csv datasource read applies explicit schema with header") {
     val fx = graft.sources.JsonSource.fx(spark)
     assert(fx.schema.map(_.dataType).toSeq ===
