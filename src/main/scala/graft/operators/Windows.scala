@@ -91,7 +91,43 @@ object Windows {
       .orderBy(col("c_nationkey"), col("c_custkey"))
   }
 
+  /** Time-RANGE window frame: trailing 1-hour event count + exact
+    * revenue per user, per event — the value-based frame (`RANGE
+    * BETWEEN <interval> PRECEDING`) that rows-based frames (q12/q19)
+    * cannot express: the frame holds however many events fall in the
+    * trailing hour, not a fixed row count. Ordering column is integer
+    * epoch-microseconds so the frame bound is exact arithmetic on
+    * both engines, and the windowed money stays in cents per the
+    * engine convention. RANGE frames include ORDER-BY peers (ties) —
+    * identically on both engines. Scale: one shuffle on user_id, one
+    * in-partition sort; frame eviction is O(1) per row (sliding sum).
+    */
+  def q53RangeFrame(s: SparkSession, d: String): DataFrame = {
+    val hourUs = 3600L * 1000000
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t_us"))
+      .rangeBetween(-(hourUs - 1), Window.currentRow)
+    Tables.events(s, d)
+      .where(col("value").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("t_us"),
+        Money.cents(col("value")).as("cents"))
+      .select(col("user_id"), col("event_id"), col("t_us"),
+        count(lit(1)).over(w).as("n_last_hour"),
+        Money.toAmount(sum(col("cents")).over(w)).as("total_last_hour"))
+      .orderBy(col("user_id"), col("t_us"), col("event_id"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q53_range_frame", q53RangeFrame, Some("""
+      SELECT user_id, event_id, epoch_us(ts) AS t_us,
+             count(*) OVER w AS n_last_hour,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE)
+               / 100.0 AS total_last_hour
+      FROM events
+      WHERE value IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, t_us, event_id""")),
     Q("q35_window_distribution", q35WindowDistribution, Some("""
       SELECT c_nationkey, c_custkey, c_acctbal,
              ntile(4) OVER w AS balance_quartile,

@@ -81,4 +81,22 @@ class AdvancedSpec extends SparkTestBase {
     assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
     assert(plan.contains("Window"), s"expected window scan:\n$plan")
   }
+
+  test("q50's top-k aggregates partially map-side, with no window sort") {
+    val q = Advanced.q50TopkPerGroup(spark, sf("sf0.001"))
+    val plan = q.queryExecution.executedPlan.toString
+    // the Aggregator must plan as a two-phase aggregate: a partial
+    // pass before the group-key exchange (each map task ships ≤ k
+    // rows per group) and a final merge after it — the whole point
+    // vs the window-rank formulation, which would sort everything
+    assert(plan.contains("partial_topkbyqty"),
+      s"no map-side partial top-k:\n$plan")
+    assert(plan.contains("topkbyqty"), s"aggregator missing:\n$plan")
+    assert(!plan.contains("Window"), s"q50 must not plan a window sort:\n$plan")
+    // exactly k rows per group, rank sequence intact
+    val rows = q.collect()
+    assert(rows.map(_.getString(0)).distinct.length === 3)
+    assert(rows.groupBy(_.getString(0)).forall(_._2.map(_.getInt(1)).toSeq
+      == Seq(1, 2, 3)))
+  }
 }
