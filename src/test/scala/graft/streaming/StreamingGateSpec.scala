@@ -36,4 +36,35 @@ class StreamingGateSpec extends SparkTestBase {
     assert(a.forall(_.getLong(0) >= 0L), "sentinel user leaked into output")
     assert(a === b)
   }
+
+  test("q54's replay batch is processed, not lost: novel rows in batch 2 emit") {
+    // the judged q54 can't distinguish "duplicates suppressed" from
+    // "second batch silently dropped" — both produce the identity.
+    // This harness plants one NOVEL event among the batch-2 replays:
+    // it must emit (batch 2 processed) while the replays must not.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val base = (1L to 50L).map(i => DedupEvent(i, i % 7,
+      java.sql.Timestamp.valueOf(s"2024-01-01 00:00:${i % 60}"), Some(i * 1.0)))
+    val novel = DedupEvent(999L, 1L,
+      java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), Some(9.9))
+    val mem = MemoryStream[DedupEvent]
+    val q = StreamingDedup.dedupExact(
+        mem.toDF().withColumn("payload", col("event_id").cast("string")),
+        "payload", "ts", "40 days")
+      .writeStream.format("memory").queryName("q54_replay_probe")
+      .outputMode("append").start()
+    try {
+      mem.addData(base)
+      q.processAllAvailable()
+      mem.addData(base :+ novel) // replays + one novel row
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("q54_replay_probe")
+      .select(col("event_id")).collect().map(_.getLong(0)).sorted
+    assert(ids.length === 51, "replays leaked or batch 2 was dropped")
+    assert(ids.contains(999L), "novel batch-2 row missing — batch 2 not processed")
+  }
 }
