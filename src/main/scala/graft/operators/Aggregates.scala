@@ -182,7 +182,36 @@ object Aggregates {
         array_join(array_sort(collect_list(col("s_name"))), "|").as("names"))
       .orderBy(col("s_nationkey"))
 
+  /** EXACT discrete percentiles (ANSI PERCENTILE_DISC): the first
+    * element whose cumulative distribution reaches p — an actual
+    * data value, no interpolation, which is why it can be
+    * cross-engine hash-exact where interpolated percentiles (and
+    * windowed double sums) are not. This is the exact complement of
+    * q32's Greenwald-Khanna approx path: exact quantiles buffer
+    * O(group) values per group, so they are for bounded groups (3
+    * return flags here); at 100 TB-wide groups the approx sketch is
+    * the scale path — the pair documents the trade.
+    */
+  def q55PercentileDisc(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)").as("p25"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("median"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity)").as("p75"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Seq[Q] = Seq(
+    Q("q55_percentile_disc", q55PercentileDisc, Some("""
+      SELECT l_returnflag,
+             quantile_disc(l_quantity, 0.25) AS p25,
+             quantile_disc(l_quantity, 0.5) AS median,
+             quantile_disc(l_quantity, 0.75) AS p75,
+             count(*) AS n_rows
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""")),
     Q("q49_string_agg", q49StringAgg, Some("""
       SELECT s_nationkey,
              count(*) AS n_suppliers,
