@@ -47,7 +47,61 @@ object Sessionize {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  /** Funnel analysis — the ordered-sequence event query: per user,
+    * the first `view`, the first `click` strictly AFTER that view,
+    * and the first `purchase` strictly after that click; stage = how
+    * deep the user got. Order matters (a click before any view does
+    * not count), which is what separates a funnel from three plain
+    * mins. Three stage-scoped aggregates chained by inequality
+    * joins, all on integer epoch-micros so the comparisons are
+    * exact. Scale: each stage is one shuffle on user_id (the same
+    * key every time — co-partitioned), and each stage's input is
+    * pre-filtered to its event type before the join, so the joined
+    * sides are the type-sliced minority of the stream, never the
+    * whole firehose.
+    */
+  def q57Funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+    def stage(tpe: String): DataFrame = ev.where(col("event_type") === tpe)
+    val v = stage("view").groupBy(col("user_id")).agg(min(col("t")).as("t_view"))
+    val c = stage("click").join(v, "user_id")
+      .where(col("t") > col("t_view"))
+      .groupBy(col("user_id"), col("t_view")).agg(min(col("t")).as("t_click"))
+    val p = stage("purchase").join(c, "user_id")
+      .where(col("t") > col("t_click"))
+      .groupBy(col("user_id"), col("t_click")).agg(min(col("t")).as("t_buy"))
+    v.join(c.select(col("user_id"), col("t_click")), Seq("user_id"), "left")
+      .join(p.select(col("user_id"), col("t_buy")), Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_buy"),
+        (lit(1) + col("t_click").isNotNull.cast(IntegerType) +
+          col("t_buy").isNotNull.cast(IntegerType)).as("funnel_stage"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q57_funnel", q57Funnel, Some("""
+      WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+      v AS (
+        SELECT user_id, min(t) AS t_view
+        FROM e WHERE event_type = 'view' GROUP BY user_id),
+      c AS (
+        SELECT e.user_id, min(e.t) AS t_click
+        FROM e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.t > v.t_view
+        GROUP BY e.user_id),
+      p AS (
+        SELECT e.user_id, min(e.t) AS t_buy
+        FROM e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.t > c.t_click
+        GROUP BY e.user_id)
+      SELECT v.user_id, v.t_view, c.t_click, p.t_buy,
+             CAST(1 + (c.t_click IS NOT NULL)::INTEGER
+                    + (p.t_buy IS NOT NULL)::INTEGER AS INTEGER) AS funnel_stage
+      FROM v LEFT JOIN c ON v.user_id = c.user_id
+             LEFT JOIN p ON v.user_id = p.user_id
+      ORDER BY v.user_id""")),
     Q("q26_sessionize", q26Sessionize, Some("""
       WITH e AS (
         SELECT user_id, date_trunc('microsecond', ts) AS ts, value

@@ -38,7 +38,46 @@ object SetOps {
       .orderBy(col("tag"), col("c_custkey"))
   }
 
+  /** Multiset (bag) set operations — EXCEPT ALL / INTERSECT ALL,
+    * the multiplicity-preserving variants q13's distinct algebra
+    * can't express: EXCEPT ALL subtracts per-occurrence counts,
+    * INTERSECT ALL keeps min(countA, countB) copies. Spark plans
+    * these as a single aggregate computing per-row multiplicity on
+    * each side then replicating the difference/minimum — one wide
+    * shuffle per operator, no distinct. Output is aggregated to
+    * (tag, value, n) so the judged artifact is the multiplicity
+    * itself, compared exactly.
+    */
+  def q56SetOpsAll(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.IntegerType
+    val li = Tables.lineitem(s, d)
+      .select(round(col("l_quantity")).cast(IntegerType).as("qty"),
+        col("l_returnflag"))
+    val a = li.where(col("l_returnflag") === "A").select("qty")
+    val r = li.where(col("l_returnflag") === "R").select("qty")
+    a.exceptAll(r).withColumn("tag", lit("a_except_all_r"))
+      .union(a.intersectAll(r).withColumn("tag", lit("a_intersect_all_r")))
+      .groupBy(col("tag"), col("qty"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("tag"), col("qty"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q56_set_ops_all", q56SetOpsAll, Some("""
+      WITH a AS (SELECT CAST(round(l_quantity) AS INTEGER) AS qty
+                 FROM lineitem WHERE l_returnflag = 'A'),
+           r AS (SELECT CAST(round(l_quantity) AS INTEGER) AS qty
+                 FROM lineitem WHERE l_returnflag = 'R'),
+           u AS (
+             SELECT 'a_except_all_r' AS tag, qty
+             FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM r)
+             UNION ALL
+             SELECT 'a_intersect_all_r' AS tag, qty
+             FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM r))
+      SELECT tag, qty, count(*) AS n
+      FROM u
+      GROUP BY tag, qty
+      ORDER BY tag, qty""")),
     Q("q13_set_ops", q13SetOps, Some("""
       WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
            active AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders)
