@@ -99,7 +99,68 @@ object Etl {
       .orderBy(col("n_name"), spine("ym"))
   }
 
+  /** Snapshot diff (CDC-style table compare): classify every key of
+    * two table versions as added / removed / changed / unchanged in
+    * ONE full-outer join on the key — the change-data-capture shape
+    * a lake pipeline runs between ingests when the source emits no
+    * change log. The two "snapshots" are derived deterministically
+    * from orders (old = keys not divisible by 97; new = keys not
+    * divisible by 101, with the price bumped +1.00 on keys divisible
+    * by 53), so adds, removals and changes all occur by
+    * construction. Output aggregates to (change_type, n_keys,
+    * total_price_delta-in-exact-cents): the judged artifact is the
+    * change accounting, not a row dump. Scale: one shuffle on the
+    * key (or zero if both snapshots are bucketed on it — q52's
+    * layout), then a tiny aggregate; price deltas stay in integer
+    * cents end to end.
+    */
+  def q58SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Money
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), Money.cents(col("o_totalprice")).as("cents"))
+    val old = base.where(col("o_orderkey") % 97 =!= 0)
+    val neu = base.where(col("o_orderkey") % 101 =!= 0)
+      .withColumn("cents",
+        when(col("o_orderkey") % 53 === 0, col("cents") + 100L)
+          .otherwise(col("cents")))
+    old.as("o").join(neu.as("n"), Seq("o_orderkey"), "full_outer")
+      .select(col("o_orderkey"),
+        when(col("o.cents").isNull, "added")
+          .when(col("n.cents").isNull, "removed")
+          .when(col("o.cents") =!= col("n.cents"), "changed")
+          .otherwise("unchanged").as("change_type"),
+        (coalesce(col("n.cents"), lit(0L)) -
+          coalesce(col("o.cents"), lit(0L))).as("delta_cents"))
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n_keys"),
+        (sum(col("delta_cents")).cast("double") / 100.0).as("total_delta"))
+      .orderBy(col("change_type"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q58_snapshot_diff", q58SnapshotDiff, Some("""
+      WITH base AS (
+        SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      old AS (SELECT * FROM base WHERE o_orderkey % 97 <> 0),
+      neu AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 53 = 0 THEN cents + 100 ELSE cents END
+                 AS cents
+        FROM base WHERE o_orderkey % 101 <> 0),
+      diff AS (
+        SELECT coalesce(o.o_orderkey, n.o_orderkey) AS k,
+               CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'removed'
+                    WHEN o.cents <> n.cents THEN 'changed'
+                    ELSE 'unchanged' END AS change_type,
+               coalesce(n.cents, 0) - coalesce(o.cents, 0) AS delta_cents
+        FROM old o FULL OUTER JOIN neu n ON o.o_orderkey = n.o_orderkey)
+      SELECT change_type, count(*) AS n_keys,
+             CAST(sum(delta_cents) AS DOUBLE) / 100.0 AS total_delta
+      FROM diff
+      GROUP BY change_type
+      ORDER BY change_type""")),
     Q("q38_scd2_history", q38Scd2History, Some("""
       SELECT o_custkey, o_orderkey, o_totalprice,
              o_orderdate AS valid_from,

@@ -115,7 +115,58 @@ object Joins {
       .orderBy(col("band_id"))
   }
 
+  /** Typed cogroup — the Dataset API's asymmetric-merge escape hatch
+    * (KeyValueGroupedDataset.cogroup): both sides shuffle once on
+    * the key, then arbitrary per-key Scala sees BOTH groups at once.
+    * This is the brief's LAST-resort rung — objects, no codegen, no
+    * Catalyst visibility — so the judged query exists to document
+    * parity with the declarative twin, not to recommend the API: the
+    * oracle is the plain LEFT JOIN + GROUP BY every optimizer-
+    * friendly formulation would use, and the two must agree exactly
+    * (customers with no orders included, money in exact cents).
+    * Legitimate cogroup uses are merges that genuinely cannot be
+    * expressed relationally (per-key sequence alignment, custom
+    * sweep-line logic); an aggregate like this one should normally
+    * be the join.
+    */
+  def q59Cogroup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey").cast(LongType))
+      .as[(Long, Long)]
+    val ord = Tables.orders(s, d)
+      .select(col("o_custkey"), Money.cents(col("o_totalprice")))
+      .as[(Long, Long)]
+    cust.groupByKey(_._1).cogroup(ord.groupByKey(_._1)) { (k, cs, os) =>
+      val cl = cs.toSeq
+      if (cl.isEmpty) Iterator.empty // orphan orders: none in TPC-H
+      else {
+        var n = 0L; var sum = 0L; var mx = 0L
+        os.foreach { o =>
+          n += 1; sum += o._2; if (o._2 > mx) mx = o._2
+        }
+        Iterator((k, cl.head._2, n, sum, mx))
+      }
+    }.toDF("c_custkey", "c_nationkey", "n_orders", "sum_cents", "max_cents")
+      .select(col("c_custkey"),
+        col("c_nationkey").cast(IntegerType).as("c_nationkey"),
+        col("n_orders"),
+        (col("sum_cents").cast(DoubleType) / 100.0).as("total_spend"),
+        (col("max_cents").cast(DoubleType) / 100.0).as("max_order"))
+      .orderBy(col("c_custkey"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q59_cogroup", q59Cogroup, Some("""
+      SELECT c_custkey, c_nationkey,
+             count(o.o_orderkey) AS n_orders,
+             CAST(coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0)
+               AS DOUBLE) / 100.0 AS total_spend,
+             CAST(coalesce(max(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0)
+               AS DOUBLE) / 100.0 AS max_order
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c_custkey, c_nationkey
+      ORDER BY c_custkey""")),
     Q("q31_binned_range_join", q31BinnedRangeJoin, Some("""
       SELECT band_id,
              count(*) AS n_orders,
