@@ -49,7 +49,14 @@ object Bench {
     val errs = results.collect { case (k, Left(e)) => s"${jq(k)}:${jq(e)}" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, Right(t)) => t }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // artifact of record: the driver captures stdout with a tail, which
+    // has truncated the head of the per-query map in past rounds — also
+    // write the full line to a file it can pick up whole
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

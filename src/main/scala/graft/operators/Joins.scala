@@ -156,7 +156,39 @@ object Joins {
       .orderBy(col("c_custkey"))
   }
 
+  /** Plain large-large sort-merge join — the 100 TB DEFAULT join:
+    * two fact tables (lineitem ⋈ orders on orderkey), neither of
+    * which fits a broadcast at production scale. Completes the
+    * judged join-strategy matrix: q1 gates broadcast-hash, q52 the
+    * bucketed zero-exchange SMJ, q30 the salted skew join — this is
+    * the unbucketed shuffle-both-sides cell. The `merge` hint pins
+    * the strategy at test SF too, where AQE would otherwise
+    * broadcast the small side and the gate would silently certify
+    * the wrong plan; CatalogSpec asserts the SortMergeJoin node and
+    * the absence of any broadcast.
+    */
+  def q60SortMergeJoin(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    li.hint("merge")
+      .join(o.hint("merge"), li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        Money.exactSum(col("l_extendedprice")).as("total_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q60_smj", q60SortMergeJoin, Some("""
+      SELECT o_orderpriority,
+             count(*) AS n_items,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")),
     Q("q59_cogroup", q59Cogroup, Some("""
       SELECT c_custkey, c_nationkey,
              count(o.o_orderkey) AS n_orders,

@@ -41,24 +41,38 @@ object SetOps {
   /** Multiset (bag) set operations — EXCEPT ALL / INTERSECT ALL,
     * the multiplicity-preserving variants q13's distinct algebra
     * can't express: EXCEPT ALL subtracts per-occurrence counts,
-    * INTERSECT ALL keeps min(countA, countB) copies. Spark plans
-    * these as a single aggregate computing per-row multiplicity on
-    * each side then replicating the difference/minimum — one wide
-    * shuffle per operator, no distinct. Output is aggregated to
-    * (tag, value, n) so the judged artifact is the multiplicity
-    * itself, compared exactly.
+    * INTERSECT ALL keeps min(countA, countB) copies.
+    *
+    * Both results are pure functions of the per-value multiplicity
+    * on each side, so ONE aggregate over one scan suffices:
+    * count the A and R occurrences per value in a single
+    * groupBy(qty) (map-side partial agg collapses the fan-in), then
+    * EXCEPT ALL multiplicity = greatest(cntA − cntR, 0) and
+    * INTERSECT ALL multiplicity = least(cntA, cntR). The two tagged
+    * outputs come from an explode of a 2-struct array — a union of
+    * two projections would plan the aggregate (and the scan) twice.
+    * Net: 1 scan + 1 hash-aggregate shuffle (+ the presentation
+    * sort), versus the exceptAll/intersectAll formulation's 4 scans
+    * and 2 wide set-operator shuffles. Output stays (tag, value, n)
+    * so the judged artifact is the multiplicity itself.
     */
   def q56SetOpsAll(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.IntegerType
     val li = Tables.lineitem(s, d)
+      .where(col("l_returnflag").isin("A", "R"))
       .select(round(col("l_quantity")).cast(IntegerType).as("qty"),
         col("l_returnflag"))
-    val a = li.where(col("l_returnflag") === "A").select("qty")
-    val r = li.where(col("l_returnflag") === "R").select("qty")
-    a.exceptAll(r).withColumn("tag", lit("a_except_all_r"))
-      .union(a.intersectAll(r).withColumn("tag", lit("a_intersect_all_r")))
-      .groupBy(col("tag"), col("qty"))
-      .agg(count(lit(1)).as("n"))
+    li.groupBy(col("qty"))
+      .agg(
+        count(when(col("l_returnflag") === "A", 1)).as("cnt_a"),
+        count(when(col("l_returnflag") === "R", 1)).as("cnt_r"))
+      .select(col("qty"), explode(array(
+        struct(lit("a_except_all_r").as("tag"),
+          greatest(col("cnt_a") - col("cnt_r"), lit(0L)).as("n")),
+        struct(lit("a_intersect_all_r").as("tag"),
+          least(col("cnt_a"), col("cnt_r")).as("n")))).as("e"))
+      .select(col("e.tag").as("tag"), col("qty"), col("e.n").as("n"))
+      .where(col("n") > 0)
       .orderBy(col("tag"), col("qty"))
   }
 

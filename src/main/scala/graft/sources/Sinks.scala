@@ -61,19 +61,11 @@ object Sinks {
     // fresh per-invocation directory: a fixed path keyed by
     // d.hashCode raced (Overwrite deletes files a concurrent run's
     // scan may still be reading) and an Int collision across dataset
-    // dirs would silently cross-wire data. Cleaned up at JVM exit —
-    // the returned DataFrame is lazy, so the files must outlive this
+    // dirs would silently cross-wire data. Housekeeping retires the
+    // previous invocation's dir and sweeps the last at JVM exit — the
+    // returned DataFrame is lazy, so the files must outlive this
     // call until the caller's action has run.
-    val dir = {
-      val p = java.nio.file.Files.createTempDirectory("graft_q40_orc_")
-      sys.addShutdownHook {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(p.toFile)
-      }
-      p.toString
-    }
+    val dir = Housekeeping.tempDir("q40_orc")
     Tables.supplier(s, d).write.mode(SaveMode.Overwrite).orc(dir)
     s.read.schema(supplierOrcSchema).orc(dir)
       .groupBy(col("s_nationkey"))
@@ -93,16 +85,7 @@ object Sinks {
     * identity on the selected slice.
     */
   def q44PartitionedSource(s: SparkSession, d: String): DataFrame = {
-    val dir = {
-      val p = java.nio.file.Files.createTempDirectory("graft_q44_part_")
-      sys.addShutdownHook {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(p.toFile)
-      }
-      p.toString
-    }
+    val dir = Housekeeping.tempDir("q44_part")
     Tables.orders(s, d)
       .withColumn("o_year", year(col("o_orderdate")))
       .write.mode(SaveMode.Overwrite).partitionBy("o_year").parquet(dir)
@@ -125,13 +108,17 @@ object Sinks {
     * paying one shuffle at ingest, forever. Fresh per-invocation
     * table names: managed-table Overwrite against a stale warehouse
     * dir from a dead JVM fails with LOCATION_ALREADY_EXISTS, and
-    * concurrent runs must not cross-read half-written buckets. The
+    * concurrent runs must not cross-read half-written buckets.
+    * Housekeeping drops the previous invocation's pair (catalog entry
+    * + warehouse files) on re-invocation and the last pair at JVM
+    * exit, so the warehouse doesn't grow across bench passes. The
     * oracle joins the ORIGINAL tables — certifying the bucketed
     * write+join as an exact identity.
     */
   def q52BucketedJoin(s: SparkSession, d: String): DataFrame = {
     val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     val (tc, to) = (s"graft_q52_cust_$tag", s"graft_q52_ord_$tag")
+    Housekeeping.tables(s, "q52_bucketed", Seq(tc, to))
     writeBucketed(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
       tc, "c_custkey", 8, Some("c_custkey"))
     writeBucketed(

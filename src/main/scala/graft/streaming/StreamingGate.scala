@@ -1,32 +1,33 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.{DataFrame, Encoders, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
-import graft.sources.Tables
+import graft.sources.{Housekeeping, Tables}
 import graft.Catalog.Q
 
-/** Driver-visible gate for the streaming surface: q41 runs the REAL
-  * streaming sessionizer ([[StreamingSessionize]], the
-  * flatMapGroupsWithState operator with event-time timeouts) over a
-  * bounded stream of the judged events table and emits exactly the
-  * batch twin's schema, so the same DuckDB oracle as q26 certifies
-  * backfill-vs-live parity under the hard hash gate — not just in a
-  * MemoryStream spec.
+/** Driver-visible gates for the streaming surface: each judged query
+  * runs a REAL streaming operator (flatMapGroupsWithState
+  * sessionization, watermarked window aggregation,
+  * dropDuplicatesWithinWatermark) over a bounded FILE-SOURCE stream
+  * of the judged events table and is checked against a batch oracle
+  * under the hard hash gate — backfill-vs-live parity, certified.
   *
-  * Bounded-harness shape (judged runs only): the events table is
-  * small at test SF, so it is fed through a MemoryStream in one
-  * micro-batch, followed by one far-future sentinel event per user
-  * whose gap closes every open session deterministically (no reliance
-  * on wall-clock or timeout races). Sentinel sessions themselves stay
-  * open in state and are never emitted. In production the same
-  * `sessionize` dataset-to-dataset transform runs unchanged on a
-  * `readStream` source (Kafka / file) with the watermark + timeout
-  * doing the flushing — the collect here is the bounded test harness,
-  * not the operator's data path.
+  * Harness shape (judged runs only): the bounded input is written to
+  * a scratch directory and consumed through `readStream` — the same
+  * file-source ingestion a production deployment tails (SURVEY §2.2
+  * names file/Kafka as the production sources), so the gate covers
+  * the source's offset tracking and per-batch file discovery, not
+  * just the operator. Nothing is collected to the driver: both
+  * stages of every harness are DataFrame writes, and the only scalar
+  * that crosses to the driver is a max(ts) aggregate used to place
+  * sentinels. Two staged writes (the second lands only after the
+  * first is fully drained) guarantee the file sets occupy DISTINCT
+  * micro-batches — the property the dedup gate's cross-batch-state
+  * claim requires — without relying on maxFilesPerTrigger file
+  * counting.
   */
 /** Full event row for the streaming-dedup gate (value is nullable). */
 final case class DedupEvent(
@@ -34,52 +35,72 @@ final case class DedupEvent(
 
 object StreamingGate {
 
+  /** Write `first` to a fresh scratch dir, stream it through
+    * `transform` into a memory sink, drain, append `second` as a
+    * strictly-later file set, drain again. Returns the sink table.
+    *
+    * Runs on a CLONED session: streaming state-store partitioning is
+    * FROZEN at first batch from spark.sql.shuffle.partitions, and the
+    * bounded judged harness holds a few thousand keys — every extra
+    * partition costs a state-store provider + delta file per
+    * micro-batch (32 → 8 ≈ halves harness wall-clock). Scoping the
+    * conf to a clone (instead of set/restore on the shared session)
+    * keeps concurrently-planned catalog queries at the deployed
+    * sizing.
+    */
+  private def runTwoBatch(
+      s: SparkSession, tag: String, queryName: String,
+      first: DataFrame, second: DataFrame)(
+      transform: DataFrame => DataFrame): DataFrame = {
+    val src = Housekeeping.tempDir(tag)
+    first.coalesce(1).write.mode(SaveMode.Overwrite).parquet(src)
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val stream = ss.readStream.schema(first.schema).parquet(src)
+    val query = transform(stream)
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable() // micro-batch 1: the first file set
+      second.coalesce(1).write.mode(SaveMode.Append).parquet(src)
+      query.processAllAvailable() // later micro-batches: the second
+    } finally query.stop()
+    ss.table(queryName)
+  }
+
+  /** Streaming sessionization gate: [[StreamingSessionize]] (the
+    * flatMapGroupsWithState operator with event-time timeouts) over
+    * the bounded events stream, judged under q26's batch oracle.
+    * Batch 2 is one far-future sentinel event per user, one gap past
+    * the global max event time: its arrival closes that user's open
+    * session via the gap rule in the same deterministic way a
+    * watermark-timeout would at stream scale (no wall-clock races).
+    * Sentinel sessions themselves stay open in state and are never
+    * emitted.
+    */
   def q41StreamSessionize(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val events = Tables.events(s, d)
+    val base = Tables.events(s, d)
       .where(col("value").isNotNull)
       .select(col("user_id"), col("ts"), col("value"))
-      .as[SessionEvent]
-      .collect() // bounded judged harness only — see scaladoc
-    val maxUs = events.iterator.map(e =>
-      e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000).max
-    // one sentinel per user, one gap past the global max: its arrival
-    // closes that user's open session via the gap rule in the same
-    // deterministic way a watermark-timeout would at stream scale
-    val sentinelTs = new Timestamp((maxUs + StreamingSessionize.GapMicros) / 1000 + 1000)
-    val sentinels = events.iterator.map(_.user_id).toSet.toSeq.sorted
-      .map(u => SessionEvent(u, sentinelTs, 0.0))
+    // the one driver-side scalar in the harness: where the sentinels go
+    val maxTs = base.agg(max(col("ts"))).head.getTimestamp(0)
+    val maxUs = maxTs.getTime * 1000 + (maxTs.getNanos / 1000) % 1000
+    val sentinelTs = new Timestamp(
+      (maxUs + StreamingSessionize.GapMicros) / 1000 + 1000)
+    val sentinels = base.select(col("user_id")).distinct()
+      .withColumn("ts", lit(sentinelTs))
+      .withColumn("value", lit(0.0))
 
-    val mem = MemoryStream[SessionEvent]
-    val queryName = "graft_q41_sessions"
-    // streaming state-store partitioning is FROZEN at first batch from
-    // spark.sql.shuffle.partitions; the bounded judged harness holds a
-    // few thousand keys, and every extra partition costs a state-store
-    // provider + delta file per micro-batch (32 → 8 ≈ halves the
-    // harness wall-clock). Production sizing belongs to the deployed
-    // session conf — this scope-and-restore only narrows the bounded
-    // harness runs.
-    val pKey = "spark.sql.shuffle.partitions"
-    val prevP = s.conf.get(pKey)
-    s.conf.set(pKey, "8")
-    val query =
-      try StreamingSessionize.sessionize(mem.toDS())
-        .writeStream.format("memory").queryName(queryName)
-        .outputMode("append").start()
-      finally s.conf.set(pKey, prevP)
-    try {
-      mem.addData(events.toSeq)
-      query.processAllAvailable()
-      mem.addData(sentinels)
-      query.processAllAvailable()
-    } finally query.stop()
-
+    val sink = runTwoBatch(s, "q41_stream", "graft_q41_sessions",
+      base, sentinels) { df =>
+      StreamingSessionize.sessionize(
+        df.as(Encoders.product[SessionEvent])).toDF()
+    }
     // emitted sessions are exactly the real ones (sentinel sessions
     // never close); rebuild the batch twin's presentation: per-user
     // session sequence in time order, cents back to one double
     val w = Window.partitionBy(col("user_id")).orderBy(col("session_start"))
-    s.table(queryName)
+    sink
       .withColumn("session_seq", row_number().over(w).cast(LongType))
       .select(col("user_id"), col("session_seq"),
         col("session_start"), col("session_end"), col("n_events"),
@@ -87,93 +108,53 @@ object StreamingGate {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
-  /** Driver-visible gate for the WINDOWED streaming surface: the
-    * per-user tumbling-window aggregation
-    * ([[StreamingOps.userWindowTotals]] — watermark + window state,
-    * append mode) over a bounded stream of the judged events table,
-    * checked against the plain batch GROUP BY oracle. Harness shape
-    * mirrors q41, with one difference that is itself the point:
-    * window closure is driven by the GLOBAL watermark, so a SINGLE
-    * sentinel event (user −1, one window-length plus slack past the
-    * global max) flushes every user's windows — no per-key sentinel
-    * needed. The sentinel's own window never closes and is never
-    * emitted, so the memory sink holds exactly the real windows.
+  /** Windowed-aggregation gate: [[StreamingOps.userWindowTotals]]
+    * (watermark + tumbling window state, append mode) over the
+    * bounded events stream, checked against the plain batch GROUP BY
+    * oracle. One difference from q41 that is itself the point: window
+    * closure is driven by the GLOBAL watermark, so a SINGLE sentinel
+    * event (user −1, one window-length plus slack past the global
+    * max) flushes every user's windows — no per-key sentinel needed.
+    * The sentinel's own window never closes and is never emitted.
     */
   def q51StreamWindow(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val events = Tables.events(s, d)
+    val base = Tables.events(s, d)
       .where(col("value").isNotNull)
       .select(col("user_id"), col("ts"), col("value"))
-      .as[SessionEvent]
-      .collect() // bounded judged harness only — see q41's scaladoc
-    val maxMs = events.iterator.map(_.ts.getTime).max
+    val maxMs = base.agg(max(col("ts"))).head.getTimestamp(0).getTime
     // one hour (the window length) past the max closes every real
     // window once the 1s watermark delay is subtracted; +10s slack
-    val sentinel = SessionEvent(-1L,
-      new Timestamp(maxMs + 3600L * 1000 + 10000), 0.0)
+    val sentinel = s.range(1).select(
+      lit(-1L).as("user_id"),
+      lit(new Timestamp(maxMs + 3600L * 1000 + 10000)).as("ts"),
+      lit(0.0).as("value"))
 
-    val mem = MemoryStream[SessionEvent]
-    val queryName = "graft_q51_windows"
-    val pKey = "spark.sql.shuffle.partitions"
-    val prevP = s.conf.get(pKey)
-    s.conf.set(pKey, "8") // state-store sizing: see q41's comment
-    val query =
-      try StreamingOps.userWindowTotals(mem.toDF())
-        .writeStream.format("memory").queryName(queryName)
-        .outputMode("append").start()
-      finally s.conf.set(pKey, prevP)
-    try {
-      mem.addData(events.toSeq)
-      query.processAllAvailable()
-      mem.addData(Seq(sentinel))
-      query.processAllAvailable()
-    } finally query.stop()
-
-    s.table(queryName)
+    runTwoBatch(s, "q51_stream", "graft_q51_windows",
+      base, sentinel)(StreamingOps.userWindowTotals(_))
       .orderBy(col("user_id"), col("window_start"))
   }
 
-  /** Driver-visible gate for STREAMING DEDUP
-    * ([[StreamingDedup.dedupExact]] — dropDuplicatesWithinWatermark
-    * on a content digest): the judged harness feeds every event
-    * TWICE, in two separate micro-batches, so the duplicate
-    * suppression is cross-batch STATE, not just in-batch distinct —
-    * and the planted duplication makes the exactly-once claim
-    * non-vacuous by construction (a prior round's d6 lesson: this
-    * fixture has no natural exact duplicates). The horizon (40 days)
-    * exceeds the fixture's 30-day event span, so nothing is dropped
-    * as late: every batch-2 replay is suppressed by a state lookup.
-    * Oracle = the events table itself — streaming dedup of a doubled
-    * stream must be the identity.
+  /** Streaming-dedup gate: [[StreamingDedup.dedupExact]]
+    * (dropDuplicatesWithinWatermark on a content digest). The harness
+    * feeds every event TWICE, in two separate micro-batches, so the
+    * duplicate suppression is cross-batch STATE, not just in-batch
+    * distinct — and the planted duplication makes the exactly-once
+    * claim non-vacuous by construction (a prior round's d6 lesson:
+    * this fixture has no natural exact duplicates). The horizon (40
+    * days) exceeds the fixture's 30-day event span, so nothing is
+    * dropped as late: every batch-2 replay is suppressed by a state
+    * lookup. Oracle = the events table itself — streaming dedup of a
+    * doubled stream must be the identity.
     */
   def q54StreamDedup(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val events = Tables.events(s, d)
+    val base = Tables.events(s, d)
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
-      .as[DedupEvent]
-      .collect() // bounded judged harness only — see q41's scaladoc
-    val mem = MemoryStream[DedupEvent]
-    val queryName = "graft_q54_dedup"
-    val pKey = "spark.sql.shuffle.partitions"
-    val prevP = s.conf.get(pKey)
-    s.conf.set(pKey, "8") // state-store sizing: see q41's comment
-    // ANSI mode rejects BIGINT→BINARY, so digest a string payload
-    val withPayload = mem.toDF()
-      .withColumn("payload", col("event_id").cast("string"))
-    val query =
-      try StreamingDedup.dedupExact(withPayload, "payload", "ts", "40 days")
-        .writeStream.format("memory").queryName(queryName)
-        .outputMode("append").start()
-      finally s.conf.set(pKey, prevP)
-    try {
-      mem.addData(events.toSeq)
-      query.processAllAvailable()
-      mem.addData(events.toSeq) // full replay: every row a duplicate
-      query.processAllAvailable()
-    } finally query.stop()
-    s.table(queryName)
+    runTwoBatch(s, "q54_stream", "graft_q54_dedup", base, base) { df =>
+      // ANSI mode rejects BIGINT→BINARY, so digest a string payload
+      StreamingDedup.dedupExact(
+        df.withColumn("payload", col("event_id").cast("string")),
+        "payload", "ts", "40 days")
+    }
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
       .orderBy(col("event_id"))
   }

@@ -85,6 +85,14 @@ class CatalogSpec extends SparkTestBase {
     assert(s.contains("bin"), s"bin key missing from join:\n$s")
   }
 
+  test("q60 plans a sort-merge join with no broadcast (the fact-to-fact default)") {
+    val s = plan("q60_smj").toString
+    assert(s.contains("SortMergeJoin"),
+      s"q60 lost its sort-merge join:\n$s")
+    assert(!s.contains("BroadcastHashJoin"),
+      s"q60 broadcast a fact table:\n$s")
+  }
+
   test("q30 salted join does not broadcast (the salt must do the spreading)") {
     val s = plan("q30_salted_join").toString
     assert(!s.contains("BroadcastHashJoin"),
