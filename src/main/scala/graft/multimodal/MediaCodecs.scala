@@ -32,6 +32,11 @@ final case class FrameSample(
     file_name: String, frame_idx: Int, width: Int, height: Int,
     sum_r: Long, sum_g: Long, sum_b: Long)
 
+/** A fully-decoded PNG: dims + exact per-channel pixel sums. */
+final case class PngPixels(
+    file_name: String, width: Int, height: Int,
+    sum_r: Long, sum_g: Long, sum_b: Long)
+
 /** REAL multimodal decode for container formats that are pure byte
   * arithmetic — P6 PPM images (ASCII header + raw RGB raster),
   * 24-bit uncompressed BMP (fixed LE headers + padded BGR rows), and
@@ -190,6 +195,125 @@ object MediaCodecs {
       yield (ch, rate, dlen.toLong / (ch * 2), doff)
   }
 
+  /** PNG signature + IHDR for the supported subtype: 8-bit RGB
+    * (color type 2), deflate compression, filter method 0,
+    * non-interlaced — the layout every real RGB training image uses.
+    * Returns (width, height) or None (other subtypes fall through to
+    * the unsupported path row-wise, like every codec here).
+    */
+  def parsePngHeader(b: Array[Byte]): Option[(Int, Int)] = {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    if (b.length < 33) return None
+    var i = 0
+    while (i < 8) { if ((b(i) & 0xff) != sig(i)) return None; i += 1 }
+    val bb = ByteBuffer.wrap(b) // PNG ints are big-endian (buffer default)
+    if (bb.getInt(8) != 13 ||
+        new String(b, 12, 4, "US-ASCII") != "IHDR") return None
+    val w = bb.getInt(16)
+    val h = bb.getInt(20)
+    val (depth, ctype) = (b(24) & 0xff, b(25) & 0xff)
+    val (comp, filt, inter) = (b(26) & 0xff, b(27) & 0xff, b(28) & 0xff)
+    if (w <= 0 || w > 65535 || h <= 0 || h > 65535 ||
+        depth != 8 || ctype != 2 || comp != 0 || filt != 0 || inter != 0)
+      None
+    else Some((w, h))
+  }
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Full PNG decode, pure JVM: chunk walk → concatenated IDAT
+    * payloads → `java.util.zip.Inflater` (PNG's zlib stream needs no
+    * external codec — the JDK ships the inflate half of DEFLATE) →
+    * per-row un-filter, all five filter types (None/Sub/Up/Average/
+    * Paeth). Returns (width, height, raster) with the raster in
+    * row-major RGB, or None for anything malformed: bad chunk
+    * lengths, truncated or corrupt zlib data (DataFormatException /
+    * short output), an unknown filter type, a missing IEND. A corrupt
+    * file degrades to one dropped row, never a failed task.
+    */
+  def decodePng(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    val hdr = parsePngHeader(b)
+    if (hdr.isEmpty) return None
+    val (w, h) = hdr.get
+    val bb = ByteBuffer.wrap(b)
+    val idat = new java.io.ByteArrayOutputStream()
+    var off = 33 // first chunk after IHDR (8 sig + 25 IHDR)
+    var sawEnd = false
+    while (off + 8 <= b.length && !sawEnd) {
+      val len = bb.getInt(off)
+      if (len < 0 || off.toLong + 12 + len > b.length) return None
+      val typ = new String(b, off + 4, 4, "US-ASCII")
+      if (typ == "IDAT") idat.write(b, off + 8, len)
+      else if (typ == "IEND") sawEnd = true
+      off += 12 + len // len + type + data + crc
+    }
+    if (!sawEnd || idat.size == 0) return None
+
+    val stride = 3 * w
+    val raw = new Array[Byte](h * (1 + stride)) // filter byte + row, per row
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    try {
+      var got = 0
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        got += n
+      }
+      if (got < raw.length) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+
+    val out = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (1 + stride)) & 0xff
+      if (ft > 4) return None
+      val src = y * (1 + stride) + 1
+      val dst = y * stride
+      var x = 0
+      while (x < stride) {
+        val cur = raw(src + x) & 0xff
+        // neighbors are in RECONSTRUCTED bytes, offset by one pixel
+        // (3 bytes), per the PNG spec
+        val left = if (x >= 3) out(dst + x - 3) & 0xff else 0
+        val up = if (y > 0) out(dst - stride + x) & 0xff else 0
+        val ul = if (y > 0 && x >= 3) out(dst - stride + x - 3) & 0xff else 0
+        val v = ft match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + up
+          case 3 => cur + (left + up) / 2
+          case 4 => cur + paeth(left, up, ul)
+        }
+        out(dst + x) = (v & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, out))
+  }
+
+  /** m6's per-file artifact: full decode → exact per-channel pixel
+    * sums (integers, so a second decoder can replay them exactly).
+    */
+  def pngSums(m: RawMedia): Option[PngPixels] =
+    (try decodePng(m.content) catch { case _: RuntimeException => None })
+      .map { case (w, h, px) =>
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var p = 0
+        while (p < px.length) {
+          sr += px(p) & 0xff; sg += px(p + 1) & 0xff; sb += px(p + 2) & 0xff
+          p += 3
+        }
+        PngPixels(m.file_name, w, h, sr, sg, sb)
+      }
+
   // -- source ----------------------------------------------------------
 
   /** binaryFile DSv2 read: (path, modificationTime, length, content).
@@ -229,6 +353,10 @@ object MediaCodecs {
             MediaInfo(m.file_name, f, supported = true, m.byte_len,
               None, None, Some(ch), Some(rate), Some(n),
               Some(n * 1000L / rate))
+          }
+          case "png" => parsePngHeader(m.content).map { case (w, h) =>
+            MediaInfo(m.file_name, f, supported = true, m.byte_len,
+              Some(w), Some(h), None, None, None, None)
           }
           case _ => None
         }
@@ -350,6 +478,19 @@ object MediaCodecs {
       .orderBy(col("file_name"), col("frame_idx"))
   }
 
+  /** Judged full-PNG-decode query: inflate + un-filter every
+    * supported fixture PNG and emit exact per-channel pixel sums.
+    * Unsupported subtypes (the planted RGBA file) and corrupt files
+    * drop row-wise. Map-only like every codec here.
+    */
+  def m6PngDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    readMedia(s)
+      .where(col("file_name").endsWith(".png"))
+      .mapPartitions(_.flatMap(pngSums(_))).toDF()
+      .orderBy(col("file_name"))
+  }
+
   /** Little-endian int of `n` bytes at 1-indexed byte offset `p` of
     * the hex-string column `h` — DuckDB 1.0 has no blob substring,
     * but hex() of the whole payload plus string slicing is equivalent.
@@ -365,6 +506,15 @@ object MediaCodecs {
     * second decoder for this corpus — the Scala side still does the
     * general chunk walk, and the two must agree field by field.
     */
+  /** The IHDR subtype gate replicated in SQL: signature + 13-byte
+    * IHDR + (depth 8, color type 2, deflate, filter 0, non-
+    * interlaced) — hex() is uppercase in DuckDB. PNG ints are
+    * big-endian, so a BE field is just a CONTIGUOUS hex slice.
+    */
+  private val pngOk: String =
+    "(substr(h, 1, 32) = '89504E470D0A1A0A0000000D49484452'" +
+      " AND substr(h, 49, 10) = '0802000000')"
+
   private val m2Oracle: String = {
     val ppmHdr = """P6\n(\d+) (\d+)\n255\n"""
     s"""
@@ -384,13 +534,18 @@ object MediaCodecs {
                END AS hdr
         FROM b)
       SELECT file_name, format,
-             format IN ('ppm','bmp','wav') AS supported,
+             format IN ('ppm','bmp','wav')
+               OR (format = 'png' AND $pngOk) AS supported,
              CAST(byte_len AS BIGINT) AS byte_len,
              CAST(CASE WHEN format = 'ppm' THEN regexp_extract(hdr, '$ppmHdr', 1)
                        WHEN format = 'bmp' THEN CAST(${le(19, 2)} AS VARCHAR)
+                       WHEN format = 'png' AND $pngOk
+                         THEN CAST(CAST('0x' || substr(h, 33, 8) AS INTEGER) AS VARCHAR)
                   END AS INTEGER) AS width,
              CAST(CASE WHEN format = 'ppm' THEN regexp_extract(hdr, '$ppmHdr', 2)
                        WHEN format = 'bmp' THEN CAST(${le(23, 2)} AS VARCHAR)
+                       WHEN format = 'png' AND $pngOk
+                         THEN CAST(CAST('0x' || substr(h, 41, 8) AS INTEGER) AS VARCHAR)
                   END AS INTEGER) AS height,
              CAST(CASE WHEN format = 'wav' THEN ${le(23, 2)} END AS INTEGER) AS channels,
              CAST(CASE WHEN format = 'wav' THEN ${le(25, 4)} END AS INTEGER) AS sample_rate,
@@ -460,9 +615,44 @@ object MediaCodecs {
     FROM fr
     ORDER BY file_name, frame_idx"""
 
+  /** One channel's pixel sum replayed from the hex payload. Valid
+    * because the committed PNG fixtures are CANONICAL (single IDAT,
+    * single stored deflate block, filter 0 rows — see
+    * tools/gen_png_fixture.py): raw scanlines sit at closed-form
+    * offsets (sig 8 + IHDR 25 + IDAT len/type 8 + zlib hdr 2 +
+    * stored-block hdr 5 = byte 48), each row is a filter byte + 3w
+    * pixel bytes. The Scala side still runs the general Inflater
+    * path — two unrelated decoders agreeing on pixel CONTENT.
+    * Compressed streams and filters 1–4, where no SQL replay exists,
+    * are gated in MediaCodecsSpec against Deflater-encoded images.
+    */
+  private def pngChanSum(c: Int): String =
+    s"""CAST(list_aggregate(list_transform(range(0, w*ht), p ->
+       CAST('0x' || substr(h, 2*(48 + (p//w)*(1+3*w) + 3*(p%w) + ${1 + c}) + 1, 2)
+         AS INTEGER)), 'sum') AS BIGINT)"""
+
+  private val m6Oracle: String = s"""
+    WITH b AS (
+      SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name,
+             hex(content) AS h
+      FROM read_blob('$MediaDir/*.png')),
+    g AS (
+      SELECT file_name, h,
+             CAST('0x' || substr(h, 33, 8) AS INTEGER) AS w,
+             CAST('0x' || substr(h, 41, 8) AS INTEGER) AS ht
+      FROM b
+      WHERE $pngOk)
+    SELECT file_name, w AS width, ht AS height,
+           ${pngChanSum(0)} AS sum_r,
+           ${pngChanSum(1)} AS sum_g,
+           ${pngChanSum(2)} AS sum_b
+    FROM g
+    ORDER BY file_name"""
+
   val queries: Seq[Q] = Seq(
     Q("m2_media_decode", m2MediaDecode, Some(m2Oracle)),
     Q("m3_image_resize", m3ImageResize, None),
     Q("m4_audio_windows", m4AudioWindows, None),
-    Q("m5_frame_sample", m5FrameSample, Some(m5Oracle)))
+    Q("m5_frame_sample", m5FrameSample, Some(m5Oracle)),
+    Q("m6_png_decode", m6PngDecode, Some(m6Oracle)))
 }

@@ -12,7 +12,13 @@ class MediaCodecsSpec extends SparkTestBase {
   test("m2: PPM/BMP/WAV containers decode to exact known metadata; fallback flags") {
     val rows = MediaCodecs.m2MediaDecode(spark, "unused").collect()
       .map(r => r.getString(0) -> r).toMap
-    assert(rows.size === 10)
+    assert(rows.size === 14)
+
+    val png = rows("img_6x4.png")
+    assert(png.getString(1) === "png" && png.getBoolean(2))
+    assert(png.getInt(4) === 6 && png.getInt(5) === 4)
+    // RGBA is a valid PNG but not the supported 8-bit-RGB subtype
+    assert(!rows("img_rgba_7x3.png").getBoolean(2))
 
     // clip streams are NOT single-image PPMs: m2 must flag them
     // unsupported (m5 is their decoder), not half-read frame 0
@@ -174,6 +180,128 @@ class MediaCodecsSpec extends SparkTestBase {
     assert(MediaCodecs.parseP6Stream(ok ++ Array[Byte](9, 9))._3.isEmpty)
     // truncated final frame: reject
     assert(MediaCodecs.parseP6Stream(ok.dropRight(3))._3.isEmpty)
+  }
+
+  // -- PNG: test-side encoder so the judged decoder can be exercised
+  // against REAL deflate streams and all five filter types, which the
+  // stored-block fixtures (kept canonical for the SQL oracle) don't
+  // cover. Encoding forward-filters against the true raster; decode
+  // must invert it exactly.
+
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+    bb.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+    val crc = new java.util.zip.CRC32
+    crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+    bb.putInt(crc.getValue.toInt)
+    bb.array()
+  }
+
+  private def paethRef(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def encodePng(w: Int, h: Int, raster: Array[Byte],
+      filterOf: Int => Int, splitIdat: Boolean = false): Array[Byte] = {
+    val stride = 3 * w
+    val raw = new Array[Byte](h * (1 + stride))
+    for (y <- 0 until h) {
+      val ft = filterOf(y)
+      raw(y * (1 + stride)) = ft.toByte
+      for (x <- 0 until stride) {
+        val cur = raster(y * stride + x) & 0xff
+        val left = if (x >= 3) raster(y * stride + x - 3) & 0xff else 0
+        val up = if (y > 0) raster((y - 1) * stride + x) & 0xff else 0
+        val ul = if (y > 0 && x >= 3) raster((y - 1) * stride + x - 3) & 0xff else 0
+        val enc = ft match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case 4 => cur - paethRef(left, up, ul)
+          case _ => cur // deliberately-invalid filter ids pass through
+        }
+        raw(y * (1 + stride) + 1 + x) = (enc & 0xff).toByte
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](256)
+    while (!defl.finished()) out.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    val z = out.toByteArray
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val idats =
+      if (splitIdat) pngChunk("IDAT", z.take(z.length / 2)) ++
+        pngChunk("IDAT", z.drop(z.length / 2))
+      else pngChunk("IDAT", z)
+    sig ++ pngChunk("IHDR", ihdr) ++ idats ++ pngChunk("IEND", Array.empty)
+  }
+
+  test("png decode inverts real deflate + all five filter types exactly") {
+    val (w, h) = (12, 9)
+    val raster = Array.tabulate(h * w * 3)(i => ((i * 31 + 7) % 256).toByte)
+    val filters = Array(0, 1, 2, 3, 4, 2, 4, 1, 3)
+    val got = MediaCodecs.decodePng(encodePng(w, h, raster, filters(_)))
+    assert(got.isDefined, "compressed PNG failed to decode")
+    assert(got.get._1 === w && got.get._2 === h)
+    assert(java.util.Arrays.equals(got.get._3, raster),
+      "un-filter did not invert the forward filter")
+    // the zlib stream split across two IDAT chunks is the same stream
+    val split = MediaCodecs.decodePng(
+      encodePng(w, h, raster, filters(_), splitIdat = true))
+    assert(java.util.Arrays.equals(split.get._3, raster))
+  }
+
+  test("corrupt PNGs degrade row-wise, never throw") {
+    val (w, h) = (6, 5)
+    val raster = Array.tabulate(h * w * 3)(i => ((i * 13) % 256).toByte)
+    val ok = encodePng(w, h, raster, _ => 4)
+    assert(MediaCodecs.decodePng(ok).isDefined)
+    // truncation mid-IDAT: chunk length now runs past the buffer
+    assert(MediaCodecs.decodePng(ok.dropRight(20)).isEmpty)
+    // zeroed zlib payload: invalid CMF byte → DataFormatException path
+    val zeroed = ok.clone
+    (41 until zeroed.length - 16).foreach(i => zeroed(i) = 0.toByte)
+    assert(MediaCodecs.decodePng(zeroed).isEmpty)
+    // unknown filter type on a row (5): must reject, not misread
+    assert(MediaCodecs.decodePng(encodePng(w, h, raster, _ => 5)).isEmpty)
+    // unsupported subtype: RGBA color type
+    val rgba = ok.clone; rgba(25) = 6
+    assert(MediaCodecs.parsePngHeader(rgba).isEmpty)
+    // and the row-level wrapper flags all of these unsupported
+    assert(MediaCodecs.pngSums(graft.multimodal.RawMedia(
+      "x.png", zeroed.length.toLong, zeroed)).isEmpty)
+  }
+
+  test("m6: stored-block fixtures decode with exact generator pixel sums") {
+    val rows = MediaCodecs.m6PngDecode(spark, "unused").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // 3 RGB fixtures decode; the RGBA plant is excluded row-wise
+    assert(rows.map(_._1).toSeq ===
+      Seq("img_16x8.png", "img_6x4.png", "img_9x5.png"))
+    def expected(w: Int, h: Int): (Long, Long, Long) = {
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        sr += (x * 11 + y * 17) % 256
+        sg += (x * 5 + 3) % 256
+        sb += (y * 7 + 1) % 256
+      }
+      (sr, sg, sb)
+    }
+    rows.foreach { case (f, w, h, sr, sg, sb) =>
+      assert((sr, sg, sb) === expected(w, h), s"$f pixel sums")
+    }
+    assert(rows.map(r => (r._1, r._2, r._3)).toSet ===
+      Set(("img_6x4.png", 6, 4), ("img_9x5.png", 9, 5),
+        ("img_16x8.png", 16, 8)))
   }
 
   test("media pipeline is map-only: no shuffle in the decode stage") {
