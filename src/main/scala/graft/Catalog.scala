@@ -8,6 +8,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the driver contract. A `Q` with `oracle = None` is a
   * non-SQL-expressible operator (e.g. MinHash banding) that the
   * driver checks rows-only.
+  *
+  * Contract note: `Q.fn` returns a lazy DataFrame, but CONSTRUCTING
+  * it may run bounded scalar probe jobs (adaptive sizing/routing:
+  * e2/e5's corpus count, d7's token-frequency probe, the streaming
+  * gates' sentinel placement) and, for source/sink and streaming
+  * queries, materialize scratch artifacts. Callers should treat
+  * `fn(...)` itself as potentially costing a few small Spark jobs —
+  * the price of data-driven plans — and must consume the result
+  * before re-invoking the same query (Housekeeping retires the
+  * previous invocation's scratch on re-entry).
   */
 object Catalog {
   final case class Q(

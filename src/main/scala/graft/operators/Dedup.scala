@@ -296,40 +296,82 @@ object Dedup {
     * cross-source, so real ≥τ pairs span the boundary).
     */
   def d7IncrementalNearDup(s: SparkSession, d: String): DataFrame = {
-    val tau = 0.5
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("source"),
-        ngramHashes(col("text"), 2).as("sh"))
+    val docs = d7Shingles(Tables.documents(s, d))
+    // DATA-DRIVEN plan routing, not a comment a deployment has to
+    // read: both plans below are exact (identical rows), but their
+    // cost profiles are mirror images. The count-agg plan's join
+    // fan-out on one shingle is dfX·dfY — a shingle hitting a
+    // constant fraction of the corpus makes it quadratic, which is
+    // exactly what Zipfian stop-bigrams do; the prefix plan's cost
+    // rides the RARE tail instead and shrugs at hot heads. The probe
+    // (max shingle document-frequency share) is two scalar
+    // aggregates at plan-construction time — the same pass a
+    // production ingest would compute once per corpus profile and
+    // cache, priced at far less than one wrong plan.
+    val plan =
+      if (hotShingleShare(docs) > D7HotShareThreshold) d7Prefix(docs, D7Tau)
+      else d7CountAgg(docs, D7Tau)
+    plan.orderBy(col("delta_id"), col("corpus_id"))
+  }
+
+  private[graft] val D7Tau = 0.5
+
+  /** Route to the prefix-filtered plan once ONE shingle hits > 25%
+    * of documents: its solo fan-out contribution is then ≥ (n/4)²/4
+    * pairs — quadratic in the corpus — while the synthetic fixture's
+    * flat ~50-word vocabulary tops out near 4%. The margin between
+    * those two regimes is wide; anything inside it is fine either
+    * way.
+    */
+  private[graft] val D7HotShareThreshold = 0.25
+
+  /** (doc_id, source, text) → (doc_id, source, sh): the shared
+    * shingle derivation for d7's routed plans (and their specs).
+    */
+  private[graft] def d7Shingles(raw: DataFrame): DataFrame =
+    raw.select(col("doc_id"), col("source"),
+      ngramHashes(col("text"), 2).as("sh"))
       .where(size(col("sh")) > 0)
-    // ngramHashes is per-doc DISTINCT, so counting matched shingles
-    // per (delta, corpus) pair IS the exact set overlap — Jaccard
-    // falls out of the counts with no array intersection at all.
+
+  /** The routing probe: max shingle document frequency as a share of
+    * the document count. ngramHashes is per-doc distinct, so the
+    * exploded count per shingle IS its document frequency.
+    */
+  private[graft] def hotShingleShare(docs: DataFrame): Double = {
+    val n = docs.count()
+    if (n == 0) return 0.0
+    val top = docs.select(explode(col("sh")).as("shingle"))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .agg(max(col("df"))).head
+    if (top.isNullAt(0)) 0.0 else top.getLong(0).toDouble / n
+  }
+
+  /** COUNT-AGGREGATION plan — the flat-vocabulary winner.
+    * ngramHashes is per-doc DISTINCT, so counting matched shingles
+    * per (delta, corpus) pair IS the exact set overlap — Jaccard
+    * falls out of the counts with no array intersection at all.
+    *
+    * The earlier PPJoin shape (df-ranked prefix index →
+    * positional/size-pruned candidate join → distinct → join the
+    * full sets back → verify) admitted 1.77M distinct candidates for
+    * 120 true pairs at sf0.1 — this corpus's ~50-word vocabulary has
+    * no rare tail, so the prefix filter's selectivity collapses (its
+    * documented worst case; measured 8.3M prefix-join rows vs 14M
+    * unfiltered) and the verify stage (two array joins + an O(|sh|)
+    * intersection per candidate) made this the most expensive query
+    * in the suite (20s local, 72s in the contended driver r3 run).
+    * Here the inverted-index join's fan-out feeds STRAIGHT into a
+    * partial hash aggregate in the same stage — the overlap count
+    * collapses map-side before the one pair-keyed shuffle, and the
+    * exact Jaccard ovl/(nx+ny−ovl) is filtered from counts alone: no
+    * distinct shuffle, no join-back, no per-candidate set
+    * intersection (measured 20s → 7s at sf0.1, same rows).
+    * The size filter (J ≥ τ ⇒ min ≥ τ·max) stays: it is exact and
+    * drops a pair's every matched row inside the join.
+    */
+  private[graft] def d7CountAgg(docs: DataFrame, tau: Double): DataFrame = {
     val exploded = docs.select(col("doc_id"), col("source"),
       size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
-    // COUNT-AGGREGATION plan, not candidate-then-verify. The earlier
-    // PPJoin shape (df-ranked prefix index → positional/size-pruned
-    // candidate join → distinct → join the full sets back → verify)
-    // admitted 1.77M distinct candidates for 120 true pairs at sf0.1
-    // — this corpus's ~50-word vocabulary has no rare tail, so the
-    // prefix filter's selectivity collapses (its documented worst
-    // case; measured 8.3M prefix-join rows vs 14M unfiltered) and
-    // the verify stage (two array joins + an O(|sh|) intersection
-    // per candidate) made this the most expensive query in the
-    // suite (20s local, 72s in the contended driver r3 run). Here the
-    // inverted-index join's fan-out feeds STRAIGHT into a partial
-    // hash aggregate in the same stage — the overlap count collapses
-    // map-side before the one pair-keyed shuffle, and the exact
-    // Jaccard ovl/(nx+ny−ovl) is filtered from counts alone: no
-    // distinct shuffle, no join-back, no per-candidate set
-    // intersection (measured 20s → 7s at sf0.1, same rows).
-    // The size filter (J ≥ τ ⇒ min ≥ τ·max) stays: it is exact and
-    // drops a pair's every matched row inside the join.
-    // Scale note: on a Zipfian production corpus the d4 PPJoin shape
-    // wins instead — hot shingles explode an unfiltered inverted
-    // join quadratically, while the rare tail keeps prefix buckets
-    // sparse. The two judged queries deliberately keep both plans; a
-    // deployment picks by token-frequency profile (count-agg for
-    // flat/small vocabularies, prefix-filtered for Zipfian text).
     val xs = exploded.where(!isCorpusSource(col("source")))
     val ys = exploded.where(isCorpusSource(col("source")))
     xs.as("x").join(ys.as("y"),
@@ -343,7 +385,44 @@ object Dedup {
         (col("ovl").cast(DoubleType) /
           (col("nx") + col("ny") - col("ovl")).cast(DoubleType)).as("jaccard"))
       .where(col("jaccard") >= tau)
-      .orderBy(col("delta_id"), col("corpus_id"))
+  }
+
+  /** PREFIX-FILTERED plan — the Zipfian winner: d4's PPJoin shape
+    * lifted cross-set. Document frequency over the UNION of both
+    * sides gives the shared global order the prefix theorem needs;
+    * each side indexes only its (|s|−⌈τ|s|⌉+1)-rarest shingles, so a
+    * stop-bigram in every document lands in nobody's prefix and the
+    * candidate join never sees it. Exact recall (the theorem holds
+    * between sets exactly as within one); the verify stage recomputes
+    * full Jaccard on candidates, so false candidates cost one
+    * row-local intersection each.
+    */
+  private[graft] def d7Prefix(docs: DataFrame, tau: Double): DataFrame = {
+    val exploded = docs.select(col("doc_id"), col("source"),
+      size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
+    val dfreq = exploded.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val ranked = exploded.join(dfreq, "shingle")
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("df").asc, col("shingle").asc)))
+    val prefix = ranked.where(
+      col("rnk") <= col("n_sh") - ceil(col("n_sh") * tau) + 1)
+    val cand = prefix.where(!isCorpusSource(col("source"))).as("x")
+      .join(prefix.where(isCorpusSource(col("source"))).as("y"),
+        col("x.shingle") === col("y.shingle") &&
+          col("x.n_sh") * tau <= col("y.n_sh") &&
+          col("y.n_sh") * tau <= col("x.n_sh"))
+      .select(col("x.doc_id").as("delta_id"), col("y.doc_id").as("corpus_id"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("delta_id"), col("sh").as("sh_x")),
+        "delta_id")
+      .join(docs.select(col("doc_id").as("corpus_id"), col("sh").as("sh_y")),
+        "corpus_id")
+      .select(col("delta_id"), col("corpus_id"),
+        hashedJaccard(col("sh_x"), col("sh_y")).as("jaccard"))
+      .where(col("jaccard") >= tau)
   }
 
   // -- incremental dedup -----------------------------------------------

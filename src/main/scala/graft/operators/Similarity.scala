@@ -78,6 +78,20 @@ object Similarity {
   // the fixture, the intended accuracy/cost point for a first-stage
   // retriever. Raising bits cuts cost and recall together (8 bits
   // measured at 7.5% recall on 2k vectors — too coarse a candidate set).
+  //
+  // Scale claim, scoped honestly: the bits rule below holds CANDIDATE
+  // COST constant as N grows (expected bucket stays ~TargetBucket),
+  // but per-table collision probability for a fixed cosine falls as
+  // p^bits, so recall at a FIXED table count degrades with corpus
+  // size — at the 2B-vector example (26 bits), holding recall at 0.9
+  // for cos 0.5 needs ~LshParams.hyperplaneTables(26, 0.5, 0.9) ≈
+  // tens of thousands of tables, which is not a deployable knob.
+  // Hyperplane LSH is therefore the CHEAP first-stage retriever whose
+  // recall target must be re-validated per deployment
+  // (LshParams.hyperplaneRecall is the calculator); when the recall
+  // bar survives scale-up, the answer is e5's IVF (probe lists scale
+  // with sqrt(N), recall holds) — that trade-off is why both judged
+  // queries exist.
   private val NumTables = 8
   private val TargetBucket = 32L
   private val Dim = 64
@@ -90,6 +104,13 @@ object Similarity {
     * silently used the wrong N. One count() per dir is the price of
     * making them true; a production deployment reads this from table
     * metadata instead.
+    *
+    * Contract notes (Catalog.scala documents the general rule): this
+    * makes BUILDING the e2/e5 plan run one scalar Spark job, and the
+    * per-dir cache assumes the data under a dir is immutable for the
+    * JVM lifetime — true for the committed test datasets; a
+    * deployment that rewrites a dir in place must key the cache by
+    * snapshot/version instead.
     */
   private val nCache = scala.collection.concurrent.TrieMap.empty[String, Long]
   private[graft] def corpusN(s: SparkSession, d: String): Long =
