@@ -228,21 +228,21 @@ object Dedup {
     * source (the pipeline's natural shard key). The ground-truth twin
     * of d2, and oracle-checked.
     *
-    * Shape: PPJoin-style prefix-filtered similarity join —
-    *  1. global document frequency per shingle (one groupBy);
-    *  2. each doc's shingles ranked rarest-first (window over doc_id);
-    *  3. only the prefix (|sh| − ⌈τ·|sh|⌉ + 1 rarest shingles — the
-    *     Jaccard prefix-filter bound) is indexed;
-    *  4. candidates = equi-join on (source, prefix shingle);
-    *  5. exact Jaccard verification on the candidates' full sets.
-    * A pair with Jaccard ≥ τ must share a prefix element under any
-    * global total order (here: df asc, shingle asc), so recall is
-    * exact. Cost is driven by RARE shingles only — a plain inverted
-    * index degenerates on hot shingles (measured 140M join rows /
-    * 33s at sf0.1 on this small-vocab corpus; naive pairwise arrays
-    * 51s); this plan does the same work in a few seconds and is the
-    * only one of the three whose cost doesn't explode with
-    * docs-per-block at 100 TB.
+    * Routed like d7 (same probe, same threshold, same argument — a
+    * deployment shouldn't pick the plan by reading comments):
+    *  - flat vocabulary → [[d4PairsCountAgg]], the inverted join
+    *    whose fan-out collapses into a map-side partial count
+    *    aggregate (the measured winner on this no-rare-tail corpus;
+    *    d7's plan note has the 20s → 7s history);
+    *  - Zipfian (one shingle in > 25% of docs) → [[d4PairsPrefix]],
+    *    the PPJoin prefix-filtered plan whose cost rides the RARE
+    *    tail (a plain inverted index degenerates on hot shingles —
+    *    measured 140M join rows / 33s at sf0.1; naive pairwise
+    *    arrays 51s).
+    * Both plans are exact (PipelineOpsSpec pins edge-set identity);
+    * the probe is cached per dataset dir ([[hotShingleShareFor]]),
+    * so repeated constructions (Bench's warmup + 3 passes) pay it
+    * once.
     */
   def d4NgramJaccard(s: SparkSession, d: String): DataFrame =
     d4Pairs(s, d).orderBy(col("doc_a"), col("doc_b"))
@@ -252,11 +252,24 @@ object Dedup {
     * the range exchange + sort for nothing.
     */
   private[graft] def d4Pairs(s: SparkSession, d: String): DataFrame = {
+    val docs = docShingles(Tables.documents(s, d))
+    if (hotShingleShareFor(s, d) > HotShareThreshold) d4PairsPrefix(docs)
+    else d4PairsCountAgg(docs)
+  }
+
+  /** d4's PPJoin-style prefix-filtered plan — the Zipfian route:
+    *  1. global document frequency per shingle (one groupBy);
+    *  2. each doc's shingles ranked rarest-first (window over doc_id);
+    *  3. only the prefix (|sh| − ⌈τ·|sh|⌉ + 1 rarest shingles — the
+    *     Jaccard prefix-filter bound) is indexed;
+    *  4. candidates = equi-join on (source, prefix shingle);
+    *  5. exact Jaccard verification on the candidates' full sets.
+    * A pair with Jaccard ≥ τ must share a prefix element under any
+    * global total order (here: df asc, shingle asc), so recall is
+    * exact and cost is driven by RARE shingles only.
+    */
+  private[graft] def d4PairsPrefix(docs: DataFrame): DataFrame = {
     val tau = 0.5
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("source"),
-        ngramHashes(col("text"), 2).as("sh"))
-      .where(size(col("sh")) > 0)
     val exploded = docs.select(col("doc_id"), col("source"),
       size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
     val dfreq = exploded.groupBy(col("shingle"))
@@ -296,7 +309,7 @@ object Dedup {
     * cross-source, so real ≥τ pairs span the boundary).
     */
   def d7IncrementalNearDup(s: SparkSession, d: String): DataFrame = {
-    val docs = d7Shingles(Tables.documents(s, d))
+    val docs = docShingles(Tables.documents(s, d))
     // DATA-DRIVEN plan routing, not a comment a deployment has to
     // read: both plans below are exact (identical rows), but their
     // cost profiles are mirror images. The count-agg plan's join
@@ -309,7 +322,7 @@ object Dedup {
     // production ingest would compute once per corpus profile and
     // cache, priced at far less than one wrong plan.
     val plan =
-      if (hotShingleShare(docs) > D7HotShareThreshold) d7Prefix(docs, D7Tau)
+      if (hotShingleShareFor(s, d) > HotShareThreshold) d7Prefix(docs, D7Tau)
       else d7CountAgg(docs, D7Tau)
     plan.orderBy(col("delta_id"), col("corpus_id"))
   }
@@ -321,17 +334,33 @@ object Dedup {
     * pairs — quadratic in the corpus — while the synthetic fixture's
     * flat ~50-word vocabulary tops out near 4%. The margin between
     * those two regimes is wide; anything inside it is fine either
-    * way.
+    * way. Shared by d4 and d7 — both route over the same 2-gram
+    * shingle frame, so one probe answers both.
     */
-  private[graft] val D7HotShareThreshold = 0.25
+  private[graft] val HotShareThreshold = 0.25
 
   /** (doc_id, source, text) → (doc_id, source, sh): the shared
-    * shingle derivation for d7's routed plans (and their specs).
+    * shingle derivation for the routed Jaccard plans (and their
+    * specs).
     */
-  private[graft] def d7Shingles(raw: DataFrame): DataFrame =
+  private[graft] def docShingles(raw: DataFrame): DataFrame =
     raw.select(col("doc_id"), col("source"),
       ngramHashes(col("text"), 2).as("sh"))
       .where(size(col("sh")) > 0)
+
+  /** [[hotShingleShare]] memoized per dataset dir: d4 and d7 probe
+    * the identical shingle frame, and Bench constructs each judged
+    * query four times (warmup + 3 measured passes) — without the
+    * cache that is 8+ probe jobs per bench run for one scalar. Same
+    * immutability contract as Similarity's corpus-count cache: test
+    * datasets never change under a dir within one JVM; a deployment
+    * that rewrites in place must key by snapshot/version instead.
+    */
+  private val hotShareCache =
+    scala.collection.concurrent.TrieMap.empty[String, Double]
+  private[graft] def hotShingleShareFor(s: SparkSession, d: String): Double =
+    hotShareCache.getOrElseUpdate(d,
+      hotShingleShare(docShingles(Tables.documents(s, d))))
 
   /** The routing probe: max shingle document frequency as a share of
     * the document count. ngramHashes is per-doc distinct, so the
@@ -673,20 +702,14 @@ object Dedup {
   }
 
   /** d4's pair set via the d7 count-aggregation plan — IDENTICAL
-    * rows (PipelineOpsSpec asserts edge-set equality with d4Pairs),
-    * different physics: the same-source inverted join feeds a
-    * partial count aggregate, exact Jaccard from counts, no
-    * distinct/join-back/intersection. d5 consumes this one — it
-    * only needs the edge SET, and on this no-rare-tail corpus the
-    * count-agg plan is the cheap one (see d7's plan note for the
-    * trade; d4's judged query deliberately keeps the PPJoin shape).
+    * rows to [[d4PairsPrefix]] (PipelineOpsSpec asserts edge-set
+    * equality), different physics: the same-source inverted join
+    * feeds a partial count aggregate, exact Jaccard from counts, no
+    * distinct/join-back/intersection. The flat-vocabulary route of
+    * [[d4Pairs]] (see d7's plan note for the cost mirror-image).
     */
-  private[graft] def d4PairsCountAgg(s: SparkSession, d: String): DataFrame = {
+  private[graft] def d4PairsCountAgg(docs: DataFrame): DataFrame = {
     val tau = 0.5
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("source"),
-        ngramHashes(col("text"), 2).as("sh"))
-      .where(size(col("sh")) > 0)
     val exploded = docs.select(col("doc_id"), col("source"),
       size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
     exploded.as("x").join(exploded.as("y"),
@@ -724,9 +747,10 @@ object Dedup {
     val exactPairs = docs.join(hubs, "h")
       .where(col("doc_id") =!= col("hub"))
       .select(col("hub").as("a"), col("doc_id").as("b"))
-    val jacPairs = d4PairsCountAgg(s, d)
+    val jacPairs = d4Pairs(s, d)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
-      // (jaccard dropped — d5 needs only the edge set)
+      // (jaccard dropped — d5 needs only the edge set; the routed
+      // plan picks the cheap physics for the corpus profile)
     val edges = exactPairs.union(jacPairs).distinct()
     // reliable state: the judged plan is the one that survives
     // executor loss at cluster scale (see connectedComponentsWithStats)

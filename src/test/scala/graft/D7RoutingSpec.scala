@@ -4,17 +4,18 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.operators.Dedup
 
-/** d7's data-driven plan routing: the probe must send flat
-  * vocabularies to the count-aggregation plan and Zipfian ones (a
-  * stop-bigram in a constant fraction of documents) to the
+/** The data-driven plan routing shared by d4 and d7: the probe must
+  * send flat vocabularies to the count-aggregation plan and Zipfian
+  * ones (a stop-bigram in a constant fraction of documents) to the
   * prefix-filtered plan — and the two plans must be EXACT twins,
   * byte-for-byte identical pairs, or routing would change answers.
+  * (d4's plan pair is pinned the same way in PipelineOpsSpec.)
   */
 class D7RoutingSpec extends SparkTestBase {
 
   private def shingled(rows: Seq[(Long, String, String)]): DataFrame = {
     import spark.implicits._
-    Dedup.d7Shingles(rows.toDF("doc_id", "source", "text"))
+    Dedup.docShingles(rows.toDF("doc_id", "source", "text"))
   }
 
   // sources: substring(source, 4) % 2 — src1/src3 delta, src2/src4 corpus
@@ -41,14 +42,14 @@ class D7RoutingSpec extends SparkTestBase {
     assert(Dedup.hotShingleShare(flat) <= 0.2,
       "fully-distinct shingles must not look Zipfian")
     // "the of" appears in every document -> share 1.0
-    assert(Dedup.hotShingleShare(zipfFixture) > Dedup.D7HotShareThreshold)
+    assert(Dedup.hotShingleShare(zipfFixture) > Dedup.HotShareThreshold)
   }
 
   test("the judged corpus routes to count-agg (the measured plan)") {
-    val docs = Dedup.d7Shingles(
+    val docs = Dedup.docShingles(
       graft.sources.Tables.documents(spark, sf("sf0.001")))
     val share = Dedup.hotShingleShare(docs)
-    assert(share <= Dedup.D7HotShareThreshold,
+    assert(share <= Dedup.HotShareThreshold,
       s"fixture corpus now looks Zipfian (share $share) — the bench " +
         "plan changed; recalibrate SURVEY §8.6 if this is intended")
   }

@@ -68,18 +68,23 @@ class PipelineOpsSpec extends SparkTestBase {
 
   test("d4's PPJoin and count-agg plans emit the identical edge set") {
     import spark.implicits._
-    // two physics, one semantics: d4 judges the prefix-filtered plan,
-    // d5 consumes the count-aggregation one — they must agree exactly
-    // (jaccard doubles included) or the cluster oracle would drift
-    val ppjoin = Dedup.d4Pairs(spark, dir)
+    // two physics, one semantics: d4/d5 route between them by corpus
+    // profile — they must agree exactly (jaccard doubles included) or
+    // routing would change answers and the cluster oracle would drift
+    val docs = Dedup.docShingles(
+      graft.sources.Tables.documents(spark, dir))
+    val ppjoin = Dedup.d4PairsPrefix(docs)
       .select("doc_a", "doc_b", "jaccard")
       .as[(Long, Long, Double)].collect().toSet
-    val countAgg = Dedup.d4PairsCountAgg(spark, dir)
+    val countAgg = Dedup.d4PairsCountAgg(docs)
       .select("doc_a", "doc_b", "jaccard")
       .as[(Long, Long, Double)].collect().toSet
     assert(countAgg === ppjoin,
       "the two d4 plans disagree (pairs or jaccard doubles)")
     assert(ppjoin.nonEmpty, "no pairs at this SF — test is vacuous")
+    // the judged corpus routes to count-agg (flat vocabulary); the
+    // judged rows must be the routed plan's rows
+    assert(Dedup.hotShingleShareFor(spark, dir) <= Dedup.HotShareThreshold)
   }
 
   test("d7 finds exactly the cross-boundary near-dup (corpus/delta split)") {
