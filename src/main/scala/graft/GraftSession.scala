@@ -20,7 +20,13 @@ object GraftSession {
   def builder(cpus: String): SparkSession.Builder =
     SparkSession.builder()
       .master(s"local[$cpus]")
-      .withExtensions(_.injectFunction(graft.plans.CosineSimilarity.description))
+      .withExtensions { e =>
+        e.injectFunction(graft.plans.CosineSimilarity.description)
+        // fuse size(array_intersect(a,b)) on array<long> — the
+        // Jaccard verify stages count the intersection, twice per
+        // row; no reason to materialize it (plans/IntersectionSize)
+        e.injectOptimizerRule(_ => graft.plans.FuseIntersectionSize)
+      }
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       // Coalesce small shuffles down to the data size, not the core

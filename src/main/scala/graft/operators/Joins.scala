@@ -180,7 +180,53 @@ object Joins {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Correlated subqueries — the SQL surface Catalyst DECORRELATES
+    * into the joins this module gates directly: two correlated
+    * scalar subqueries (→ aggregate + join after
+    * RewriteCorrelatedScalarSubquery) and an EXISTS (→ left-semi
+    * after RewritePredicateSubquery). Semantics: orders costing more
+    * than twice their customer's average order value, having at
+    * least one high-quantity line item. The average comparison is
+    * cross-multiplied into exact integer cents (price·n > 2·sum ⟺
+    * price > 2·avg, n > 0 always — the customer has this very
+    * order), so the judged rows never ride on last-ulp float
+    * averages diverging across engines. At scale both decorrelated
+    * aggregates shuffle orders once on o_custkey and the EXISTS is a
+    * semi join on orderkey — no per-row re-execution anywhere, which
+    * is the entire point of decorrelation.
+    */
+  def q61CorrelatedSubquery(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_cs")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_cs")
+    s.sql("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders_cs o
+      WHERE CAST(round(o.o_totalprice * 100) AS BIGINT) *
+              (SELECT count(*) FROM orders_cs o2
+               WHERE o2.o_custkey = o.o_custkey)
+            > 2 * (SELECT sum(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+                   FROM orders_cs o2
+                   WHERE o2.o_custkey = o.o_custkey)
+        AND EXISTS (SELECT 1 FROM lineitem_cs l
+                    WHERE l.l_orderkey = o.o_orderkey
+                      AND l.l_quantity >= 45)
+      ORDER BY o_orderkey""")
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q61_correlated_subquery", q61CorrelatedSubquery, Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders o
+      WHERE CAST(round(o.o_totalprice * 100) AS BIGINT) *
+              (SELECT count(*) FROM orders o2
+               WHERE o2.o_custkey = o.o_custkey)
+            > 2 * (SELECT sum(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+                   FROM orders o2
+                   WHERE o2.o_custkey = o.o_custkey)
+        AND EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey
+                      AND l.l_quantity >= 45)
+      ORDER BY o_orderkey""")),
     Q("q60_smj", q60SortMergeJoin, Some("""
       SELECT o_orderpriority,
              count(*) AS n_items,
