@@ -35,6 +35,7 @@ object Catalog {
       graft.operators.Advanced.queries ++
       graft.operators.Sessionize.queries ++
       graft.operators.Etl.queries ++
+      graft.operators.Layout.queries ++
       graft.operators.Skew.queries ++
       graft.operators.TextAnalysis.queries ++
       graft.operators.Curation.queries ++
