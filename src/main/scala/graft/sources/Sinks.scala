@@ -97,6 +97,41 @@ object Sinks {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Judged dynamic-partition-pruning query — the runtime half of the
+    * partition story. q44 prunes on a LITERAL predicate (static,
+    * known at plan time); here the partitions worth reading are only
+    * known after filtering a dimension at runtime. The fact is
+    * orders⋈customer written nation-partitioned (25 directories);
+    * the dim is nation filtered on n_regionkey — a NON-join column,
+    * so constraint propagation cannot rewrite the predicate onto the
+    * fact statically. Spark's DPP reuses the dim's broadcast exchange
+    * as a partition filter on the fact scan (the default
+    * reuseBroadcastOnly mode: the pruning subquery is free because
+    * the broadcast already exists for the join), so the scan reads
+    * the 5 matching directories, not 25. At 100 TB fact scale this is
+    * the standard star-schema access path: scan the slice the dim
+    * selects, never the lake. SinksSpec asserts
+    * `dynamicpruningexpression` in the fact scan's partition filters
+    * and that the static-prune plan (q44's shape) is NOT what runs.
+    * The oracle joins the ORIGINAL tables — certifying the
+    * partitioned write + runtime prune as an exact identity.
+    */
+  def q63DppJoin(s: SparkSession, d: String): DataFrame = {
+    val dir = Housekeeping.tempDir("q63_dpp")
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("c_nationkey"))
+      .write.mode(SaveMode.Overwrite).partitionBy("c_nationkey").parquet(dir)
+    val fact = s.read.parquet(dir)
+    val dim = Tables.nation(s, d).where(col("n_regionkey") === 2)
+    fact.join(dim, fact("c_nationkey") === dim("n_nationkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        Money.exactSum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("c_nationkey"))
+  }
+
   /** Judged bucketed-join query — the write-once-shuffle-never
     * pattern under the gate: customer and orders are both written
     * bucket-by-custkey (8 buckets, sorted), then joined and
@@ -140,6 +175,17 @@ object Sinks {
       FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
       GROUP BY c_nationkey
       ORDER BY c_nationkey""")),
+    Q("q63_dpp_join", q63DppJoin, Some("""
+      SELECT c.c_nationkey AS c_nationkey,
+             count(*) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total_price
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE n.n_regionkey = 2
+      GROUP BY 1
+      ORDER BY 1""")),
     Q("q44_partitioned_source", q44PartitionedSource, Some("""
       SELECT o_orderstatus,
              count(*) AS n_orders,

@@ -93,6 +93,24 @@ class CatalogSpec extends SparkTestBase {
       s"q60 broadcast a fact table:\n$s")
   }
 
+  test("q63's fact scan is pruned by a RUNTIME dynamicpruning filter") {
+    val s = plan("q63_dpp_join").toString
+    // the region predicate lives on a non-join dim column, so only
+    // DPP (not static constraint propagation) can prune the fact's
+    // nation directories — the subquery must appear in the scan's
+    // partition filters
+    assert(s.contains("dynamicpruning"),
+      s"q63 fact scan is not dynamically pruned:\n$s")
+  }
+
+  test("q64 pushes a bloom runtime filter into the fact side of a shuffle join") {
+    val s = plan("q64_bloom_join").toString
+    assert(s.contains("might_contain") || s.toLowerCase.contains("bloomfilter"),
+      s"q64 plans no runtime bloom filter:\n$s")
+    assert(!s.contains("BroadcastHashJoin"),
+      s"q64 broadcast its dim — the bloom path needs the shuffle-join shape:\n$s")
+  }
+
   test("q30 salted join does not broadcast (the salt must do the spreading)") {
     val s = plan("q30_salted_join").toString
     assert(!s.contains("BroadcastHashJoin"),
