@@ -159,7 +159,59 @@ object StreamingGate {
       .orderBy(col("event_id"))
   }
 
+  /** Stream-stream join gate: [[StreamingJoin.attribute]] (the
+    * watermarked interval join — clicks attributed to purchases
+    * within 2 hours) over the bounded events stream, completing the
+    * judged streaming surface (q41 keyed state, q51 window state,
+    * q54 dedup state — this is two-sided JOIN state). The harness
+    * splits the stream at the event-span midpoint so the batches
+    * exercise cross-batch buffering: batch-2 purchases must match
+    * batch-1 clicks still held in join state. Eviction cannot lose a
+    * match by construction — a click is evicted only once the
+    * watermark (1 h lag) passes its ts + horizon, and every evicted
+    * click's last matchable instant precedes every batch-2 row's ts
+    * — so the append-mode inner join emits exactly the batch join's
+    * rows; the oracle IS that batch join. Both sides of the join are
+    * filters over ONE file source (a self-join), the common
+    * single-topic attribution shape.
+    */
+  def q65StreamStreamJoin(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.events(s, d)
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"))
+    // the one driver-side scalar (q41 precedent): where the batch
+    // boundary goes — the span midpoint, so both batches are real
+    val mm = base.agg(min(col("ts")), max(col("ts"))).head
+    val mid = new Timestamp(
+      (mm.getTimestamp(0).getTime + mm.getTimestamp(1).getTime) / 2)
+    runTwoBatch(s, "q65_stream", "graft_q65_attrib",
+      base.where(col("ts") < lit(mid)), base.where(col("ts") >= lit(mid))) { df =>
+      StreamingJoin.attribute(
+        df.where(col("event_type") === "click"),
+        df.where(col("event_type") === "purchase"),
+        "2 hours")
+    }
+      .orderBy(col("imp_id"), col("conv_id"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q65_stream_join", q65StreamStreamJoin, Some("""
+      WITH e AS (SELECT event_id, user_id,
+                        date_trunc('microsecond', ts) AS ts,
+                        event_type, value
+                 FROM events)
+      SELECT c.user_id AS user_id,
+             c.event_id AS imp_id,
+             p.event_id AS conv_id,
+             c.ts AS imp_ts,
+             p.ts AS conv_ts,
+             p.value AS value
+      FROM e c JOIN e p
+        ON c.user_id = p.user_id
+       AND c.event_type = 'click' AND p.event_type = 'purchase'
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+      ORDER BY imp_id, conv_id""")),
     Q("q54_stream_dedup", q54StreamDedup, Some("""
       SELECT event_id, user_id, date_trunc('microsecond', ts) AS ts, value
       FROM events
