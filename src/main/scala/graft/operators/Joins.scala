@@ -251,7 +251,42 @@ object Joins {
       ORDER BY o_orderkey""")
   }
 
+  /** LATERAL join — the other half of the subquery surface next to
+    * q61's correlated-scalar/EXISTS forms: a per-row dependent
+    * subquery with ORDER BY + LIMIT (top-2 customers per nation by
+    * balance). Catalyst decorrelates the LIMIT via a rank rewrite —
+    * the plan is one window over customer partitioned by nationkey
+    * plus a join to nation, NOT a per-nation re-execution, which is
+    * what makes the construct usable at 100 TB (the naive reading is
+    * O(nations × customer-scan)). Ties broken by c_custkey so the
+    * top-2 frontier is deterministic across engines.
+    */
+  def q66LateralJoin(s: SparkSession, d: String): DataFrame = {
+    Tables.nation(s, d).createOrReplaceTempView("nation_lj")
+    Tables.customer(s, d).createOrReplaceTempView("customer_lj")
+    s.sql("""
+      SELECT n.n_name, t.c_custkey, t.c_acctbal
+      FROM nation_lj n
+      JOIN LATERAL (
+        SELECT c_custkey, c_acctbal FROM customer_lj c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 2
+      ) t
+      ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""")
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q66_lateral_join", q66LateralJoin, Some("""
+      SELECT n.n_name, t.c_custkey, t.c_acctbal
+      FROM nation n
+      JOIN LATERAL (
+        SELECT c_custkey, c_acctbal FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 2
+      ) t ON TRUE
+      ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""")),
     Q("q64_bloom_join", q64RuntimeBloomJoin, Some("""
       SELECT o_orderstatus,
              count(*) AS n_items,

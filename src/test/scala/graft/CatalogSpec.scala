@@ -111,6 +111,18 @@ class CatalogSpec extends SparkTestBase {
       s"q64 broadcast its dim — the bloom path needs the shuffle-join shape:\n$s")
   }
 
+  test("q66 lateral top-2 decorrelates to a WindowGroupLimit, never re-execution") {
+    val s = plan("q66_lateral_join").toString
+    // the LIMIT inside the lateral subquery must become a bounded
+    // per-group window frontier (with a map-side Partial pass), and
+    // customer must be scanned ONCE — a per-nation re-execution
+    // would show one scan per outer row
+    assert(s.contains("WindowGroupLimit"),
+      s"lateral LIMIT did not decorrelate to a window group limit:\n$s")
+    assert("FileScan parquet".r.findAllIn(s).length === 2,
+      s"expected exactly 2 scans (nation + customer):\n$s")
+  }
+
   test("q30 salted join does not broadcast (the salt must do the spreading)") {
     val s = plan("q30_salted_join").toString
     assert(!s.contains("BroadcastHashJoin"),
