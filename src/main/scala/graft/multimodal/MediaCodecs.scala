@@ -37,13 +37,23 @@ final case class PngPixels(
     file_name: String, width: Int, height: Int,
     sum_r: Long, sum_g: Long, sum_b: Long)
 
-/** REAL multimodal decode for container formats that are pure byte
-  * arithmetic — P6 PPM images (ASCII header + raw RGB raster),
-  * 24-bit uncompressed BMP (fixed LE headers + padded BGR rows), and
-  * PCM WAV audio (RIFF chunks + raw LE16 samples) — plus the
-  * unsupported-format fallback that compressed codecs (jpeg/png/...)
-  * take in this container (no codec libs shipped; `Multimodal.decode`
-  * stays the documented stub for those).
+/** A fully-decoded JPEG: dims + band count + exact per-channel sums
+  * of the decoded raster.
+  */
+final case class JpegPixels(
+    file_name: String, width: Int, height: Int, n_bands: Int,
+    sum_r: Long, sum_g: Long, sum_b: Long)
+
+/** REAL multimodal decode — container formats that are pure byte
+  * arithmetic (P6 PPM: ASCII header + raw RGB raster; 24-bit
+  * uncompressed BMP: fixed LE headers + padded BGR rows; PCM WAV:
+  * RIFF chunks + raw LE16 samples), PNG via this file's own
+  * inflate + un-filter pipeline (`decodePng`), and JPEG via the
+  * JDK's built-in ImageIO codec (`jpegSums` — the one compressed
+  * format every JVM ships a real decoder for, so "no codec libs in
+  * the container" was never true for it). Remaining codecs
+  * (MP3/H.264) keep the documented unsupported fallback
+  * (`Multimodal.decode` stays the stub for those).
   *
   * Source is Spark's `binaryFile` DSv2 datasource over the committed
   * fixtures (`tools/gen_media_fixture.py`). Scale shape: files
@@ -299,6 +309,71 @@ object MediaCodecs {
     Some((w, h, out))
   }
 
+  /** JPEG frame-header metadata: (width, height, components) from
+    * the SOF0/SOF2 segment, found by the standard marker walk
+    * (FF D8, then FF-prefixed segments with big-endian lengths; SOF
+    * always precedes SOS, so the walk never touches entropy-coded
+    * bytes). Pure segment arithmetic — the full pixel decode is
+    * [[jpegSums]]'s ImageIO path; this is the header surface m2
+    * reports and the DuckDB oracle re-derives via a recursive-CTE
+    * marker walk over the hex payload.
+    */
+  def parseJpegSof(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    def u8(i: Int) = b(i) & 0xff
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    if (b.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return None
+    var p = 2
+    var guard = 0
+    while (p + 9 < b.length && guard < 256) {
+      if (u8(p) != 0xff) return None
+      u8(p + 1) match {
+        case 0xc0 | 0xc2 => return Some((be16(p + 7), be16(p + 5), u8(p + 9)))
+        case 0xda => return None // SOS before any SOF: malformed
+        case _ => p += 2 + be16(p + 2)
+      }
+      guard += 1
+    }
+    None
+  }
+
+  /** m7's per-file artifact: full entropy decode through the JDK's
+    * ImageIO JPEG codec → dims, band count, exact per-channel sums
+    * of the DECODED raster. Corrupt/truncated scans drop row-wise
+    * (ImageIO throws mid-scan); null returns (no registered reader
+    * claiming the bytes) drop too. The codec-state/cache toggle is
+    * process-wide and set once.
+    */
+  def jpegSums(m: RawMedia): Option[JpegPixels] = {
+    javax.imageio.ImageIO.setUseCache(false) // no temp-file churn per record
+    val b = m.content
+    // integrity gate BEFORE decode: a JPEG stream ends with the EOI
+    // marker (FF D9). ImageIO silently gray-fills a truncated scan's
+    // missing MCUs instead of failing, so without this check the
+    // judged artifact for a corrupt file would be
+    // decoder-implementation-defined fill, not content.
+    val eoi = b.length >= 4 &&
+      (b(b.length - 2) & 0xff) == 0xff && (b(b.length - 1) & 0xff) == 0xd9
+    (if (!eoi) None
+    else try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(b)))
+    catch { case _: Exception => None })
+      .map { img =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        JpegPixels(m.file_name, w, h, img.getRaster.getNumBands, sr, sg, sb)
+      }
+  }
+
   /** m6's per-file artifact: full decode → exact per-channel pixel
     * sums (integers, so a second decoder can replay them exactly).
     */
@@ -355,6 +430,10 @@ object MediaCodecs {
               Some(n * 1000L / rate))
           }
           case "png" => parsePngHeader(m.content).map { case (w, h) =>
+            MediaInfo(m.file_name, f, supported = true, m.byte_len,
+              Some(w), Some(h), None, None, None, None)
+          }
+          case "jpg" => parseJpegSof(m.content).map { case (w, h, _) =>
             MediaInfo(m.file_name, f, supported = true, m.byte_len,
               Some(w), Some(h), None, None, None, None)
           }
@@ -491,6 +570,24 @@ object MediaCodecs {
       .orderBy(col("file_name"))
   }
 
+  /** Judged full-JPEG-decode query: real entropy decode of every
+    * fixture JPEG through the JDK codec, exact per-channel sums of
+    * the decoded raster. The truncated fixture (valid headers, cut
+    * mid-scan) drops row-wise — the header-level m2 still lists it,
+    * which is the judged demonstration that metadata extraction and
+    * payload decode fail independently. Rows-only: no SQL engine
+    * re-decodes entropy-coded JPEG, so content is pinned by
+    * MediaCodecsSpec (encode→decode error bounds on known rasters,
+    * SOF-vs-decoded dimension agreement, corrupt degradation).
+    */
+  def m7JpegDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    readMedia(s)
+      .where(col("file_name").endsWith(".jpg"))
+      .mapPartitions(_.flatMap(jpegSums(_))).toDF()
+      .orderBy(col("file_name"))
+  }
+
   /** Little-endian int of `n` bytes at 1-indexed byte offset `p` of
     * the hex-string column `h` — DuckDB 1.0 has no blob substring,
     * but hex() of the whole payload plus string slicing is equivalent.
@@ -518,7 +615,7 @@ object MediaCodecs {
   private val m2Oracle: String = {
     val ppmHdr = """P6\n(\d+) (\d+)\n255\n"""
     s"""
-      WITH b AS (
+      WITH RECURSIVE b AS (
         SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name,
                lower(regexp_extract(filename, '\\.([^.]+)$$', 1)) AS format,
                size AS byte_len,
@@ -532,20 +629,48 @@ object MediaCodecs {
                    i -> chr(CAST('0x' || substr(h, 2*i-1, 2) AS INTEGER))),
                    'string_agg', '')
                END AS hdr
-        FROM b)
-      SELECT file_name, format,
+        FROM b),
+      -- the independent JPEG decoder: walk FF-prefixed segments from
+      -- byte 3 (1-indexed; bytes 1-2 are FFD8) until SOF0/SOF2; each
+      -- segment is [FF, marker, be16 len incl. itself], so the next
+      -- segment starts at p + 2 + len. SOF precedes SOS, so the walk
+      -- never enters entropy-coded bytes; the len >= 2 guard stops
+      -- malformed zero-length segments from looping.
+      jwalk(file_name, p, h) AS (
+        SELECT file_name, 3, h FROM b
+        WHERE format = 'jpg' AND substr(h, 1, 4) = 'FFD8'
+        UNION ALL
+        SELECT file_name,
+               p + 2 + CAST('0x' || substr(h, 2*(p+2)-1, 4) AS INTEGER), h
+        FROM jwalk
+        WHERE 2*(p+9) <= length(h)
+          AND substr(h, 2*p-1, 2) = 'FF'
+          AND substr(h, 2*(p+1)-1, 2) NOT IN ('C0','C2','DA')
+          AND CAST('0x' || substr(h, 2*(p+2)-1, 4) AS INTEGER) >= 2),
+      jdims AS (
+        SELECT file_name,
+               CAST('0x' || substr(h, 2*(p+7)-1, 4) AS INTEGER) AS jpg_w,
+               CAST('0x' || substr(h, 2*(p+5)-1, 4) AS INTEGER) AS jpg_h
+        FROM jwalk
+        WHERE 2*(p+9) <= length(h)
+          AND substr(h, 2*p-1, 2) = 'FF'
+          AND substr(h, 2*(p+1)-1, 2) IN ('C0','C2'))
+      SELECT f.file_name, format,
              format IN ('ppm','bmp','wav')
-               OR (format = 'png' AND $pngOk) AS supported,
+               OR (format = 'png' AND $pngOk)
+               OR (format = 'jpg' AND jd.jpg_w IS NOT NULL) AS supported,
              CAST(byte_len AS BIGINT) AS byte_len,
              CAST(CASE WHEN format = 'ppm' THEN regexp_extract(hdr, '$ppmHdr', 1)
                        WHEN format = 'bmp' THEN CAST(${le(19, 2)} AS VARCHAR)
                        WHEN format = 'png' AND $pngOk
                          THEN CAST(CAST('0x' || substr(h, 33, 8) AS INTEGER) AS VARCHAR)
+                       WHEN format = 'jpg' THEN CAST(jd.jpg_w AS VARCHAR)
                   END AS INTEGER) AS width,
              CAST(CASE WHEN format = 'ppm' THEN regexp_extract(hdr, '$ppmHdr', 2)
                        WHEN format = 'bmp' THEN CAST(${le(23, 2)} AS VARCHAR)
                        WHEN format = 'png' AND $pngOk
                          THEN CAST(CAST('0x' || substr(h, 41, 8) AS INTEGER) AS VARCHAR)
+                       WHEN format = 'jpg' THEN CAST(jd.jpg_h AS VARCHAR)
                   END AS INTEGER) AS height,
              CAST(CASE WHEN format = 'wav' THEN ${le(23, 2)} END AS INTEGER) AS channels,
              CAST(CASE WHEN format = 'wav' THEN ${le(25, 4)} END AS INTEGER) AS sample_rate,
@@ -554,8 +679,8 @@ object MediaCodecs {
              CAST(CASE WHEN format = 'wav' THEN
                     (${le(41, 4)} // (${le(23, 2)} * 2)) * 1000 // ${le(25, 4)}
                   END AS BIGINT) AS duration_ms
-      FROM f
-      ORDER BY file_name"""
+      FROM f LEFT JOIN jdims jd ON f.file_name = jd.file_name
+      ORDER BY f.file_name"""
   }
 
   /** The independent SQL decoder for clip streams: same-dims frames
@@ -654,5 +779,6 @@ object MediaCodecs {
     Q("m3_image_resize", m3ImageResize, None),
     Q("m4_audio_windows", m4AudioWindows, None),
     Q("m5_frame_sample", m5FrameSample, Some(m5Oracle)),
-    Q("m6_png_decode", m6PngDecode, Some(m6Oracle)))
+    Q("m6_png_decode", m6PngDecode, Some(m6Oracle)),
+    Q("m7_jpeg_decode", m7JpegDecode, None))
 }
