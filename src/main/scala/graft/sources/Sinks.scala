@@ -97,6 +97,34 @@ object Sinks {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Judged parquet aggregate-pushdown query: MIN/MAX/COUNT answered
+    * from ROW-GROUP FOOTER STATISTICS — the scan ships one stats
+    * tuple per row group and never materializes a data page. At
+    * 100 TB this is the difference between a full-table scan and a
+    * metadata read (seconds vs hours for a table-level
+    * count/min/max, the first query every profiling pass runs).
+    * Requires the DSv2 parquet scan (the v1 path has no aggregate
+    * pushdown), so the conf is scoped to a cloned session; the
+    * no-filter/no-group-by shape is exactly what the pushdown rule
+    * supports, plus a partition-column GROUP BY leg on the q44-style
+    * layout would also qualify. SinksSpec asserts `PushedAggregation`
+    * in the scan. Oracle = the same aggregates computed from data —
+    * certifying the footer stats against an engine that reads pages.
+    */
+  def q67AggPushdown(s: SparkSession, d: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    ss.conf.set("spark.sql.sources.useV1SourceList", "")
+    Tables.lineitem(ss, d)
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        min(col("l_orderkey")).as("min_orderkey"),
+        max(col("l_orderkey")).as("max_orderkey"))
+  }
+
   /** Judged dynamic-partition-pruning query — the runtime half of the
     * partition story. q44 prunes on a LITERAL predicate (static,
     * known at plan time); here the partitions worth reading are only
@@ -175,6 +203,15 @@ object Sinks {
       FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
       GROUP BY c_nationkey
       ORDER BY c_nationkey""")),
+    Q("q67_agg_pushdown", q67AggPushdown, Some("""
+      SELECT count(*) AS n_rows,
+             min(l_quantity) AS min_qty,
+             max(l_quantity) AS max_qty,
+             min(l_extendedprice) AS min_price,
+             max(l_extendedprice) AS max_price,
+             min(l_orderkey) AS min_orderkey,
+             max(l_orderkey) AS max_orderkey
+      FROM lineitem""")),
     Q("q63_dpp_join", q63DppJoin, Some("""
       SELECT c.c_nationkey AS c_nationkey,
              count(*) AS n_orders,

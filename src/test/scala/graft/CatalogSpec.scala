@@ -123,6 +123,12 @@ class CatalogSpec extends SparkTestBase {
       s"expected exactly 2 scans (nation + customer):\n$s")
   }
 
+  test("q67 answers min/max/count from parquet footer stats, not data pages") {
+    val s = plan("q67_agg_pushdown").toString
+    assert(s.contains("PushedAggregation: [COUNT(*), MIN(l_quantity)"),
+      s"q67 aggregate not pushed to the parquet scan:\n$s")
+  }
+
   test("q30 salted join does not broadcast (the salt must do the spreading)") {
     val s = plan("q30_salted_join").toString
     assert(!s.contains("BroadcastHashJoin"),
