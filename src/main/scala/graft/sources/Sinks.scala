@@ -160,6 +160,48 @@ object Sinks {
       .orderBy(col("c_nationkey"))
   }
 
+  /** Bin-pack a small-file directory into ~targetBytes output files
+    * WITHOUT a shuffle: coalesce merges input splits in place, so
+    * compaction is a read+write, never a repartition of the lake.
+    * (An OPTIMIZE that also re-clusters belongs to Layout.zorderWrite
+    * — clustering pays the shuffle on purpose; plain compaction must
+    * not.) File count derives from actual on-disk bytes, floored at
+    * one.
+    */
+  def compact(s: SparkSession, srcDir: String, outDir: String,
+      targetBytes: Long): Int = {
+    val bytes = new java.io.File(srcDir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.length).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    s.read.parquet(srcDir).coalesce(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+    nFiles
+  }
+
+  /** Judged compaction query: fragment orders into 64 small files
+    * (the streaming-ingest small-file problem: per-trigger commits
+    * leave a file per micro-batch per partition), compact to
+    * target-size files with [[compact]], and aggregate the COMPACTED
+    * copy. The oracle aggregates the ORIGINAL table — certifying
+    * compaction as a pure layout change, bit-identical content. The
+    * spec asserts the mechanism: file count collapses to the
+    * bytes-derived target and the write plans NO exchange (coalesce,
+    * not repartition). At 100 TB the no-shuffle property is the
+    * operator: compaction streams each output file from a handful of
+    * inputs, cost O(bytes touched), not O(table shuffled).
+    */
+  def q68Compaction(s: SparkSession, d: String): DataFrame = {
+    val dir = Housekeeping.tempDir("q68_compact")
+    Tables.orders(s, d).repartition(64)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/small")
+    compact(s, s"$dir/small", s"$dir/compacted", 4L << 20)
+    s.read.parquet(s"$dir/compacted")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        Money.exactSum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Judged bucketed-join query — the write-once-shuffle-never
     * pattern under the gate: customer and orders are both written
     * bucket-by-custkey (8 buckets, sorted), then joined and
@@ -203,6 +245,14 @@ object Sinks {
       FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
       GROUP BY c_nationkey
       ORDER BY c_nationkey""")),
+    Q("q68_compaction", q68Compaction, Some("""
+      SELECT o_orderstatus,
+             count(*) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total_price
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""")),
     Q("q67_agg_pushdown", q67AggPushdown, Some("""
       SELECT count(*) AS n_rows,
              min(l_quantity) AS min_qty,

@@ -91,4 +91,30 @@ class SinksSpec extends SparkTestBase {
       s"bucketed join still shuffles:\n$plan")
     assert(j.count() > 0)
   }
+
+  test("compaction bin-packs to the bytes-derived file count with no shuffle") {
+    val out = Files.createTempDirectory("compact_out").toString
+    val orders = Tables.orders(spark, sf("sf0.001"))
+    orders.repartition(16).write.parquet(s"$out/small")
+    def parquets(p: String) = new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(parquets(s"$out/small").length === 16)
+    val totalBytes = parquets(s"$out/small").map(_.length).sum
+    val target = 64L * 1024
+    val expect = math.max(1, math.ceil(totalBytes.toDouble / target).toInt)
+    val n = Sinks.compact(spark, s"$out/small", s"$out/compacted", target)
+    assert(n === expect)
+    assert(parquets(s"$out/compacted").length === n,
+      "output file count must equal the bytes-derived target")
+    // content identity: same multiset of orderkeys
+    val back = spark.read.parquet(s"$out/compacted")
+    assert(back.count() === orders.count())
+    assert(back.select("o_orderkey").exceptAll(
+      orders.select("o_orderkey")).count() === 0)
+    // the no-shuffle property IS the operator: coalesce plans no exchange
+    val plan = spark.read.parquet(s"$out/small").coalesce(n)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"compaction must not shuffle the table:\n$plan")
+  }
 }
