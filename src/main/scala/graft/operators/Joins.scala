@@ -218,6 +218,45 @@ object Joins {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Cost-based join reorder — the optimizer tier the other gates
+    * don't touch (AQE re-plans at runtime, DPP/bloom prune scans;
+    * CBO reorders the JOIN TREE from ANALYZE statistics before any
+    * of that). The SQL deliberately writes the worst order —
+    * fact ⋈ fact first, the selective dim last; with table stats
+    * and `spark.sql.cbo.joinReorder` the optimizer must rotate the
+    * orders ⋈ filtered-customer join to the bottom so the big
+    * lineitem join sees the reduced intermediate. At 100 TB
+    * writing-the-right-order-by-hand does not survive schema
+    * evolution or ad-hoc SQL; the cost model is what makes a
+    * 3+-table join safe to write declaratively. JoinsCboSpec in
+    * CatalogSpec asserts the rotated logical tree (bottom join =
+    * {orders, customer}); conf + managed stats tables scoped via
+    * cloned session + Housekeeping. Oracle = the same join over the
+    * original tables with the dim filter as a WHERE.
+    */
+  def q69CboReorder(s: SparkSession, d: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.cbo.enabled", "true")
+    ss.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val (tl, to, tc) =
+      (s"graft_q69_li_$tag", s"graft_q69_ord_$tag", s"graft_q69_cust_$tag")
+    graft.sources.Housekeeping.tables(ss, "q69_cbo", Seq(tl, to, tc))
+    Tables.lineitem(ss, d).select(col("l_orderkey"), col("l_quantity"))
+      .write.saveAsTable(tl)
+    Tables.orders(ss, d).select(col("o_orderkey"), col("o_custkey"))
+      .write.saveAsTable(to)
+    Tables.customer(ss, d).where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey")).write.saveAsTable(tc)
+    Seq(tl, to, tc).foreach(t => ss.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS"))
+    ss.sql(s"""
+      SELECT count(*) AS n_rows,
+             sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+      FROM $tl l
+      JOIN $to o ON l.l_orderkey = o.o_orderkey
+      JOIN $tc c ON o.o_custkey = c.c_custkey""")
+  }
+
   /** Correlated subqueries — the SQL surface Catalyst DECORRELATES
     * into the joins this module gates directly: two correlated
     * scalar subqueries (→ aggregate + join after
@@ -277,6 +316,13 @@ object Joins {
   }
 
   val queries: Seq[Q] = Seq(
+    Q("q69_cbo_reorder", q69CboReorder, Some("""
+      SELECT count(*) AS n_rows,
+             sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment = 'BUILDING'""")),
     Q("q66_lateral_join", q66LateralJoin, Some("""
       SELECT n.n_name, t.c_custkey, t.c_acctbal
       FROM nation n

@@ -129,6 +129,21 @@ class CatalogSpec extends SparkTestBase {
       s"q67 aggregate not pushed to the parquet scan:\n$s")
   }
 
+  test("q69's cost model rotates the selective dim join to the bottom") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = Catalog.queryMap("q69_cbo_reorder")(spark, dir)
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.length === 2, s"expected a 2-join tree:\n${df.queryExecution.optimizedPlan}")
+    // pre-order collect: joins(1) is the bottom join. The SQL wrote
+    // lineitem ⋈ orders first; with stats the optimizer must instead
+    // join orders to the filtered customer dim at the bottom
+    val bottomLeaves = joins(1).collectLeaves().map(_.toString).mkString("\n")
+    assert(bottomLeaves.contains("q69_ord") && bottomLeaves.contains("q69_cust"),
+      s"bottom join is not orders ⋈ customer:\n${df.queryExecution.optimizedPlan}")
+    assert(!bottomLeaves.contains("q69_li"),
+      s"lineitem still joined first:\n${df.queryExecution.optimizedPlan}")
+  }
+
   test("q30 salted join does not broadcast (the salt must do the spreading)") {
     val s = plan("q30_salted_join").toString
     assert(!s.contains("BroadcastHashJoin"),
