@@ -26,6 +26,11 @@ object GraftSession {
         // Jaccard verify stages count the intersection, twice per
         // row; no reason to materialize it (plans/IntersectionSize)
         e.injectOptimizerRule(_ => graft.plans.FuseIntersectionSize)
+        // whole-operator extension tier: plans graft.plans.
+        // PointRangeJoin (non-equi interval containment) into the
+        // broadcast sorted-search exec instead of the O(n·m)
+        // BroadcastNestedLoopJoin stock Spark would be forced into
+        e.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
       }
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")

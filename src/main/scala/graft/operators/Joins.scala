@@ -180,6 +180,41 @@ object Joins {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Native broadcast range join (graft.plans.PointRangeJoin — the
+    * custom LogicalPlan/Strategy/SparkPlan tier, injected via
+    * `injectPlannerStrategy`): lineitem prices against 4096
+    * overlapping price intervals, the non-equi regime BETWEEN q17
+    * and q31. With no equi key, stock Spark's only plan here is
+    * BroadcastNestedLoopJoin — O(rows × 4096) predicate evaluations
+    * (~2.5B at sf0.1) — while the interval side is far too small to
+    * justify q31's binned SHUFFLE of the whole probe table. The
+    * custom operator broadcasts the intervals sorted with a running
+    * max(hi) prefix and binary-searches per probe row: O(rows ×
+    * (log 4096 + matches)), probe side streams unshuffled,
+    * partitioning preserved. CatalogSpec asserts the
+    * BroadcastRangeJoin node and the absence of any nested loop.
+    *
+    * The interval fixture is pure 64-bit arithmetic on range(4096)
+    * (lo = (i·9973 mod 100000) dollars, width 10+(i mod 200)) so
+    * DuckDB rebuilds it bit-for-bit and the exact-cents aggregate
+    * is hash-checkable — intervals overlap (~4.5 cover any price
+    * point), so this is a genuine many-to-many theta join, not a
+    * partition.
+    */
+  def q70RangeJoinNative(s: SparkSession, d: String): DataFrame = {
+    val iv = s.range(0, 4096).select(
+      col("id").as("interval_id"),
+      (col("id") * 9973 % 100000 * 100).as("lo_cents"),
+      ((col("id") * 9973 % 100000 + 10 + col("id") % 200) * 100).as("hi_cents"))
+    val probe = Tables.lineitem(s, d)
+      .select(round(col("l_extendedprice") * 100).cast(LongType).as("cents"))
+    graft.plans.RangeJoinApi
+      .pointInRange(probe, "cents", iv, "lo_cents", "hi_cents")
+      .groupBy(col("interval_id"))
+      .agg(count(lit(1)).as("n_items"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("interval_id"))
+  }
+
   /** Judged runtime-bloom-filter join — the row-level runtime filter
     * that complements q63's partition-level one. When the filtered
     * dim is too large to broadcast (the 100 TB default, q60's SMJ
@@ -316,6 +351,19 @@ object Joins {
   }
 
   val queries: Seq[Q] = Seq(
+    Q("q70_range_join_native", q70RangeJoinNative, Some("""
+      SELECT iv.interval_id,
+             count(*) AS n_items,
+             CAST(sum(li.cents) AS BIGINT) AS sum_cents
+      FROM (SELECT CAST(range AS BIGINT) AS interval_id,
+                   (range * 9973 % 100000) * 100 AS lo_cents,
+                   (range * 9973 % 100000 + 10 + range % 200) * 100 AS hi_cents
+            FROM range(0, 4096)) iv
+      JOIN (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+            FROM lineitem) li
+        ON li.cents >= iv.lo_cents AND li.cents < iv.hi_cents
+      GROUP BY iv.interval_id
+      ORDER BY iv.interval_id""")),
     Q("q69_cbo_reorder", q69CboReorder, Some("""
       SELECT count(*) AS n_rows,
              sum(CAST(l_quantity AS BIGINT)) AS sum_qty

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.plans.RangeJoinApi
+
+/** The custom broadcast range join (plans/RangeJoin.scala): semantic
+  * parity with the stock theta-join formulation, the boundary/NULL
+  * contract, the overlap cutoff's soundness, and the plan gate that
+  * makes q70 mean something (custom node present, no nested loop,
+  * probe scan pruned).
+  */
+class RangeJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def intervals(rows: Seq[(Long, Option[Long], Option[Long])]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, lo, hi) =>
+        Row(id, lo.orNull, hi.orNull)
+      }),
+      StructType(Seq(
+        StructField("iv_id", LongType, nullable = false),
+        StructField("lo", LongType, nullable = true),
+        StructField("hi", LongType, nullable = true))))
+
+  private val fixtureIv = intervals(Seq(
+    (0L, Some(0L), Some(1000L)),   // wide — every in-domain point
+    (1L, Some(10L), Some(20L)),    // nested inside 0
+    (2L, Some(30L), Some(30L)),    // empty [30,30) — matches nothing
+    (3L, Some(500L), Some(600L)),  // overlaps 0
+    (4L, None, Some(50L)),         // NULL bound — dropped
+    (5L, Some(40L), None)))        // NULL bound — dropped
+
+  private def joinPoints(pts: Seq[Option[Long]]) =
+    RangeJoinApi.pointInRange(
+      pts.toDF("p"), "p", fixtureIv, "lo", "hi")
+      .select(col("p"), col("iv_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("containment is half-open [lo, hi), overlaps emit every match") {
+    assert(joinPoints(Seq(Some(550L))) ===
+      Set((550L, 0L), (550L, 3L)))
+    assert(joinPoints(Seq(Some(15L))) === Set((15L, 0L), (15L, 1L)))
+    // p == lo matches, p == hi does not; [30,30) can never match
+    assert(joinPoints(Seq(Some(10L))) === Set((10L, 0L), (10L, 1L)))
+    assert(joinPoints(Seq(Some(20L))) === Set((20L, 0L)))
+    assert(joinPoints(Seq(Some(30L))) === Set((30L, 0L)))
+    assert(joinPoints(Seq(Some(0L))) === Set((0L, 0L)))
+    assert(joinPoints(Seq(Some(1000L))) === Set.empty[(Long, Long)])
+  }
+
+  test("NULL points and out-of-domain points match nothing; empty sides are sane") {
+    assert(joinPoints(Seq(None, Some(-5L), Some(5000L))) ===
+      Set.empty[(Long, Long)])
+    val emptyIv = intervals(Seq.empty)
+    assert(RangeJoinApi.pointInRange(
+      Seq(Some(5L)).toDF("p"), "p", emptyIv, "lo", "hi").count() === 0L)
+    assert(RangeJoinApi.pointInRange(
+      Seq.empty[Option[Long]].toDF("p"), "p", fixtureIv, "lo", "hi")
+      .count() === 0L)
+  }
+
+  test("construction rejects non-long operands, missing and duplicate columns") {
+    val doubles = Seq(1.5).toDF("p")
+    intercept[IllegalArgumentException] {
+      RangeJoinApi.pointInRange(doubles, "p", fixtureIv, "lo", "hi")
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoinApi.pointInRange(Seq(1L).toDF("p"), "nope", fixtureIv, "lo", "hi")
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoinApi.pointInRange(Seq(1L).toDF("lo"), "lo", fixtureIv, "lo", "hi")
+    }
+  }
+
+  test("q70 matches the stock theta-join formulation row for row") {
+    val d = sf("sf0.001")
+    val iv = spark.range(0, 4096).select(
+      col("id").as("interval_id"),
+      (col("id") * 9973 % 100000 * 100).as("lo_cents"),
+      ((col("id") * 9973 % 100000 + 10 + col("id") % 200) * 100).as("hi_cents"))
+    val probe = graft.sources.Tables.lineitem(spark, d)
+      .select(round(col("l_extendedprice") * 100).cast(LongType).as("cents"))
+    val stock = probe.join(broadcast(iv),
+        col("cents") >= col("lo_cents") && col("cents") < col("hi_cents"))
+      .groupBy(col("interval_id"))
+      .agg(count(lit(1)).as("n_items"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("interval_id"))
+      .collect().toSeq
+    val native = graft.operators.Joins.q70RangeJoinNative(spark, d)
+      .collect().toSeq
+    assert(native.nonEmpty)
+    assert(native === stock)
+  }
+
+  test("q70 plans the custom node: no nested loop, probe scan pruned, no probe shuffle below the join") {
+    val df = graft.operators.Joins.q70RangeJoinNative(spark, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan
+    val s = plan.toString
+    assert(s.contains("BroadcastRangeJoin"), s"custom node missing:\n$s")
+    assert(!s.contains("BroadcastNestedLoopJoin"), s"stock NLJ leaked in:\n$s")
+    // the probe side streams into the join unshuffled — every
+    // Exchange in the plan sits ABOVE the join (the aggregation),
+    // none below it
+    // AQE wraps the tree; collect() doesn't descend into it
+    val inner = plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val joinNode = inner.collectFirst {
+      case j: graft.plans.BroadcastRangeJoinExec => j }
+    assert(joinNode.nonEmpty, "BroadcastRangeJoinExec not found in executed plan")
+    val exchangesBelow = joinNode.get.collect {
+      case e if e.nodeName.contains("Exchange") => e }
+    assert(exchangesBelow.isEmpty,
+      s"probe side shuffled below the range join:\n$s")
+    // column pruning reaches the parquet scan: only l_extendedprice read
+    assert(s.contains("ReadSchema: struct<l_extendedprice:double>"),
+      s"probe scan not pruned to l_extendedprice:\n$s")
+  }
+}
