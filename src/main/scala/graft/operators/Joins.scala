@@ -191,8 +191,11 @@ object Joins {
     * custom operator broadcasts the intervals sorted with a running
     * max(hi) prefix and binary-searches per probe row: O(rows ×
     * (log 4096 + matches)), probe side streams unshuffled,
-    * partitioning preserved. CatalogSpec asserts the
-    * BroadcastRangeJoin node and the absence of any nested loop.
+    * partitioning preserved, and the search loop participates in
+    * whole-stage codegen (scan → join → partial agg is one generated
+    * function). RangeJoinSpec asserts the BroadcastRangeJoin node,
+    * the absence of any nested loop, and the codegen span with
+    * fallback disabled.
     *
     * The interval fixture is pure 64-bit arithmetic on range(4096)
     * (lo = (i·9973 mod 100000) dollars, width 10+(i mod 200)) so

@@ -1,11 +1,16 @@
 package graft.plans
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Attribute, BindReferences, Expression, JoinedRow, UnsafeProjection}
+  Attribute, BindReferences, BoundReference, Expression, JoinedRow,
+  UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.{
+  CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{
+  BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.SQLMetrics
 import org.apache.spark.sql.types.LongType
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -60,27 +65,60 @@ final case class PointRangeJoin(
 object RangeJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case PointRangeJoin(l, r, p, lo, hi) =>
-      BroadcastRangeJoinExec(planLater(l), planLater(r), p, lo, hi) :: Nil
+      BroadcastRangeJoinExec(
+        planLater(l), IntervalBuildExec(planLater(r)), p, lo, hi) :: Nil
     case _ => Nil
   }
 }
 
+/** Pass-through barrier over the interval (build) side. It exists for
+  * plan honesty under whole-stage codegen: without it
+  * CollapseCodegenStages absorbs the build subtree into the PROBE
+  * stage's span (same stage id, starred) even though the build side
+  * contributes no code there — it is collected and broadcast, never
+  * produced. A non-codegen node here gives the build subtree its own
+  * codegen region, the same display shape a BroadcastExchange gives
+  * a broadcast hash join's build side.
+  */
+final case class IntervalBuildExec(child: SparkPlan)
+    extends org.apache.spark.sql.execution.UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def doExecute(): RDD[InternalRow] = child.execute()
+  override def executeCollect(): Array[InternalRow] = child.executeCollect()
+  override protected def withNewChildInternal(newChild: SparkPlan): IntervalBuildExec =
+    copy(child = newChild)
+}
+
+/** The broadcast payload: intervals sorted by (lo, hi) as parallel
+  * primitive arrays, plus the monotone prefix max of hi that makes
+  * the probe-side left-walk cutoff sound under arbitrary overlap.
+  */
+final class RangeIndex(
+    val los: Array[Long],
+    val his: Array[Long],
+    val maxHi: Array[Long],
+    val rows: Array[InternalRow]) extends Serializable
+
 /** Physical broadcast range join. The interval side is collected
   * (`executeCollect` — the same driver hop every broadcast join
   * makes), sorted by lo with a running max(hi) prefix, and
-  * broadcast as three parallel primitive arrays plus the rows; the
-  * probe side then streams through one `mapPartitions` doing binary
-  * search + bounded left-walk per row. Not codegen'd: the operator
-  * sits between two whole-stage spans (scan below, aggregate above)
-  * and its per-row work is a primitive-array search, so the
-  * interpreted seam costs one virtual call per probe row.
+  * broadcast as a [[RangeIndex]]; the probe side then streams
+  * through binary search + bounded left-walk per row.
+  *
+  * Participates in WHOLE-STAGE CODEGEN (CodegenSupport, the
+  * BroadcastHashJoin produce/consume pattern): the probe scan, the
+  * search loop, and the parent's partial aggregate fuse into one
+  * generated function — no interpreted seam, no virtual call per
+  * probe row. `doExecute` remains as the interpreted fallback the
+  * engine uses when codegen is disabled or the stage is over the
+  * generated-code thresholds.
   */
 final case class BroadcastRangeJoinExec(
     left: SparkPlan,
     right: SparkPlan,
     point: Expression,
     lo: Expression,
-    hi: Expression) extends BinaryExecNode {
+    hi: Expression) extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
@@ -98,13 +136,11 @@ final case class BroadcastRangeJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): BroadcastRangeJoinExec =
     copy(left = newLeft, right = newRight)
 
-  override protected def doExecute(): RDD[InternalRow] = {
-    val numOutputRows = longMetric("numOutputRows")
-    val numIntervals = longMetric("numIntervals")
-
-    // Driver side: evaluate bounds, drop NULL/empty intervals, sort
-    // by lo, precompute the monotone running max of hi that makes
-    // the probe-side left-walk cutoff sound under overlaps.
+  /** Driver-side index build, shared by the interpreted and codegen
+    * paths (each plan instance executes once, so this runs once):
+    * evaluate bounds, drop NULL intervals, sort by lo, prefix-max hi.
+    */
+  @transient private lazy val broadcastIndex: Broadcast[RangeIndex] = {
     val boundLo = BindReferences.bindReference(lo, right.output)
     val boundHi = BindReferences.bindReference(hi, right.output)
     val entries = right.executeCollect().flatMap { r =>
@@ -113,10 +149,8 @@ final case class BroadcastRangeJoinExec(
       if (lv == null || hv == null) None
       else Some((lv.asInstanceOf[Long], hv.asInstanceOf[Long], r.copy()))
     }.sortBy(e => (e._1, e._2))
-    numIntervals += entries.length
-    val los = entries.map(_._1)
+    longMetric("numIntervals") += entries.length
     val his = entries.map(_._2)
-    val rows = entries.map(_._3)
     val maxHi = new Array[Long](entries.length)
     var i = 0
     var run = Long.MinValue
@@ -125,10 +159,17 @@ final case class BroadcastRangeJoinExec(
       maxHi(i) = run
       i += 1
     }
-    val bc = sparkContext.broadcast((los, his, maxHi, rows))
+    sparkContext.broadcast(
+      new RangeIndex(entries.map(_._1), his, maxHi, entries.map(_._3)))
+  }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val bc = broadcastIndex
 
     left.execute().mapPartitions { iter =>
-      val (blos, bhis, bmax, brows) = bc.value
+      val idx = bc.value
+      val (blos, bhis, bmax, brows) = (idx.los, idx.his, idx.maxHi, idx.rows)
       val boundPoint = BindReferences.bindReference(point, left.output)
       val joined = new JoinedRow
       val proj = UnsafeProjection.create(output, left.output ++ right.output)
@@ -161,6 +202,82 @@ final case class BroadcastRangeJoinExec(
         }
       }
     }
+  }
+
+  // ---- whole-stage codegen (the BroadcastHashJoin pattern) ----
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.asInstanceOf[CodegenSupport].inputRDDs()
+
+  override protected def doProduce(ctx: CodegenContext): String =
+    left.asInstanceOf[CodegenSupport].produce(ctx, this)
+
+  /** One probe row fans out to several output rows that share the
+    * streamed-side variables — a buffering parent must copy.
+    */
+  override def needCopyResult: Boolean = true
+
+  override def doConsume(
+      ctx: CodegenContext, input: Seq[ExprCode], row: ExprCode): String = {
+    val numOutput = metricTerm(ctx, "numOutputRows")
+    // per-stage init: unpack the broadcast RangeIndex into locals the
+    // generated loop reads as plain primitive arrays
+    val idxCls = classOf[RangeIndex].getName
+    val bcTerm = ctx.addReferenceObj("rangeJoinBroadcast", broadcastIndex,
+      classOf[Broadcast[RangeIndex]].getName)
+    val idxTerm = ctx.addMutableState(idxCls, "rangeIndex",
+      v => s"$v = ($idxCls) $bcTerm.value();", forceInline = true)
+    val losTerm = ctx.addMutableState("long[]", "rangeLos",
+      v => s"$v = $idxTerm.los();", forceInline = true)
+    val hisTerm = ctx.addMutableState("long[]", "rangeHis",
+      v => s"$v = $idxTerm.his();", forceInline = true)
+    val maxHiTerm = ctx.addMutableState("long[]", "rangeMaxHi",
+      v => s"$v = $idxTerm.maxHi();", forceInline = true)
+    val rowsTerm = ctx.addMutableState("InternalRow[]", "rangeRows",
+      v => s"$v = $idxTerm.rows();", forceInline = true)
+
+    // evaluate the probe point from the streamed-side variables
+    ctx.currentVars = input
+    val pointEv =
+      BindReferences.bindReference(point, left.output).genCode(ctx)
+
+    // interval-side column accessors read from the matched row. Their
+    // code is NOT emitted here: the consume() call inside the loop
+    // places it (emitting it manually as well would redeclare the
+    // locals — the BroadcastHashJoin build-vars convention).
+    val matchedTerm = ctx.freshName("rangeMatched")
+    ctx.currentVars = null
+    ctx.INPUT_ROW = matchedTerm
+    val rightVars = right.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+
+    val p = ctx.freshName("rangePoint")
+    val a = ctx.freshName("rangeA")
+    val b = ctx.freshName("rangeB")
+    val m = ctx.freshName("rangeM")
+    val j = ctx.freshName("rangeJ")
+    val nullGuard =
+      if (point.nullable) s"!${pointEv.isNull} && " else ""
+    s"""
+       |${pointEv.code}
+       |if ($nullGuard$losTerm.length > 0) {
+       |  long $p = ${pointEv.value};
+       |  int $a = 0;
+       |  int $b = $losTerm.length;
+       |  while ($a < $b) {
+       |    int $m = ($a + $b) >>> 1;
+       |    if ($losTerm[$m] <= $p) $a = $m + 1; else $b = $m;
+       |  }
+       |  for (int $j = $a - 1; $j >= 0 && $maxHiTerm[$j] > $p; $j--) {
+       |    if ($hisTerm[$j] > $p) {
+       |      InternalRow $matchedTerm = $rowsTerm[$j];
+       |      $numOutput.add(1);
+       |      ${consume(ctx, input ++ rightVars)}
+       |    }
+       |  }
+       |}
+     """.stripMargin
   }
 }
 

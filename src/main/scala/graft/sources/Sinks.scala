@@ -236,7 +236,92 @@ object Sinks {
       .orderBy(col("c_nationkey"))
   }
 
+  /** Judged schema-evolution query: a lake table whose schema grew a
+    * column mid-life. Slice A (even order keys) is written WITHOUT
+    * `o_orderpriority` — the legacy files; slice B (odd keys) is
+    * written WITH it — the evolved files. `mergeSchema=true`
+    * reconciles the footers at read time: legacy rows surface the
+    * new column as NULL, no rewrite of history. That no-rewrite
+    * property is the whole point at 100 TB — adding a column must
+    * not touch existing files — with the documented trade that
+    * mergeSchema LISTS EVERY FOOTER to infer the union schema; a
+    * production lake stores the evolved schema in a metastore and
+    * reads with it explicitly (same NULL-fill semantics, no listing
+    * pass). The aggregate buckets by the new column, so the NULL
+    * group IS the legacy slice — the oracle rebuilds the same
+    * NULL-for-legacy view from the original table with a CASE,
+    * certifying the merge as an exact identity.
+    */
+  def q71SchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val dir = Housekeeping.tempDir("q71_evo")
+    val o = Tables.orders(s, d)
+    o.where(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/legacy")
+    o.where(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/evolved")
+    s.read.option("mergeSchema", "true").parquet(s"$dir/legacy", s"$dir/evolved")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        Money.exactSum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Judged idempotent-backfill query: dynamic partition overwrite,
+    * the verb behind every partition-scoped restatement. The table
+    * is written priority-partitioned; a corrected URGENT slice
+    * (orders ≥ 50k only — a dedup/correction restatement) is then
+    * written with `partitionOverwriteMode=dynamic` + Overwrite,
+    * which replaces ONLY the partitions present in the incoming
+    * DataFrame. Static overwrite mode would TRUNCATE THE TABLE first
+    * — the classic lost-lake accident this mode exists to prevent;
+    * at 100 TB the difference is rewriting one day's directory vs
+    * deleting the table. The final aggregate shows the restated
+    * URGENT bucket next to untouched siblings; SinksSpec asserts the
+    * mechanism (untouched partitions keep their exact file sets, the
+    * target partition's files are replaced). The oracle rebuilds the
+    * post-backfill state from the original table with a CASE filter.
+    * Conf scoped to a cloned session (q67 precedent).
+    */
+  def q72DynamicOverwrite(s: SparkSession, d: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val dir = Housekeeping.tempDir("q72_dynover")
+    val o = Tables.orders(ss, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    o.write.mode(SaveMode.Overwrite)
+      .partitionBy("o_orderpriority").parquet(dir)
+    o.where(col("o_orderpriority") === "1-URGENT" &&
+        col("o_totalprice") >= 50000)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("o_orderpriority").parquet(dir)
+    ss.read.parquet(dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        Money.exactSum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q71_schema_evolution", q71SchemaEvolution, Some("""
+      SELECT CASE WHEN o_orderkey % 2 = 0 THEN NULL
+                  ELSE o_orderpriority END AS o_orderpriority,
+             count(*) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total_price
+      FROM orders
+      GROUP BY 1
+      ORDER BY 1""")),
+    Q("q72_dynamic_overwrite", q72DynamicOverwrite, Some("""
+      SELECT o_orderpriority,
+             count(*) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total_price
+      FROM orders
+      WHERE o_orderpriority <> '1-URGENT' OR o_totalprice >= 50000
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")),
     Q("q52_bucketed_join", q52BucketedJoin, Some("""
       SELECT c_nationkey,
              count(*) AS n_orders,

@@ -120,4 +120,19 @@ class RangeJoinSpec extends SparkTestBase {
     assert(s.contains("ReadSchema: struct<l_extendedprice:double>"),
       s"probe scan not pruned to l_extendedprice:\n$s")
   }
+
+  test("q70's join participates in whole-stage codegen (starred node, fused with scan and partial agg)") {
+    // fallback=false turns a generated-code compile failure into a
+    // thrown error — without it Spark falls back to the interpreted
+    // path SILENTLY and the starred plan string would still lie
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.codegen.fallback", "false")
+    val df = graft.operators.Joins.q70RangeJoinNative(ss, sf("sf0.001"))
+    // codegen stages materialize per-AQE-stage at execution time —
+    // the pre-execution plan shows no stars anywhere
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.matches("(?s).*\\*\\(\\d+\\) BroadcastRangeJoin.*"),
+      s"range join not inside a WholeStageCodegen span:\n$s")
+  }
 }

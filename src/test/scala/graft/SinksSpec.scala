@@ -117,4 +117,62 @@ class SinksSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"),
       s"compaction must not shuffle the table:\n$plan")
   }
+
+  test("mergeSchema surfaces the evolved column as NULL on legacy files") {
+    val out = Files.createTempDirectory("evo_out").toString
+    val o = Tables.orders(spark, sf("sf0.001"))
+    o.where(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.parquet(s"$out/legacy")
+    o.where(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .write.parquet(s"$out/evolved")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$out/legacy", s"$out/evolved")
+    assert(merged.columns.contains("o_orderpriority"),
+      "union schema must include the evolved column")
+    // legacy rows: NULL priority, exactly the even keys; evolved keep theirs
+    assert(merged.where(col("o_orderpriority").isNull)
+      .agg(sum(col("o_orderkey") % 2)).head.getLong(0) === 0L)
+    assert(merged.where(col("o_orderpriority").isNull).count() ===
+      o.where(col("o_orderkey") % 2 === 0).count())
+    assert(merged.where(col("o_orderpriority").isNotNull).count() ===
+      o.where(col("o_orderkey") % 2 === 1).count())
+  }
+
+  test("dynamic partition overwrite replaces only the partitions in the incoming frame") {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val out = Files.createTempDirectory("dynover_out").toString
+    val o = graft.sources.Tables.orders(ss, sf("sf0.001"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    def files(p: String): Set[String] = {
+      val f = new java.io.File(p)
+      if (!f.exists()) Set.empty
+      else f.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    }
+    val partDirs = new java.io.File(out).listFiles()
+      .map(_.getName).filter(_.startsWith("o_orderpriority=")).toSeq
+    assert(partDirs.length === 5, s"expected 5 priority partitions, got $partDirs")
+    val target = "o_orderpriority=1-URGENT"
+    val before = partDirs.map(p => p -> files(s"$out/$p")).toMap
+    o.where(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") >= 50000)
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    // untouched partitions keep their EXACT file sets; the target's
+    // files are replaced (part file names are unique per write)
+    partDirs.filterNot(_ == target).foreach { p =>
+      assert(files(s"$out/$p") === before(p),
+        s"partition $p was rewritten by a backfill that did not include it")
+    }
+    assert(files(s"$out/$target").nonEmpty)
+    assert(files(s"$out/$target").intersect(before(target)).isEmpty,
+      "target partition must hold the restated write's files")
+    // and the restatement is the only change in content
+    val back = spark.read.parquet(out)
+    assert(back.where(col("o_orderpriority") === "1-URGENT" &&
+      col("o_totalprice") < 50000).count() === 0L)
+    assert(back.where(col("o_orderpriority") =!= "1-URGENT").count() ===
+      o.where(col("o_orderpriority") =!= "1-URGENT").count())
+  }
 }
