@@ -68,6 +68,50 @@ object StreamingGate {
     ss.table(queryName)
   }
 
+  /** Stream-to-lake gate: the PRODUCTION SINK shape. The other
+    * streaming gates end in a memory sink (a harness artifact); this
+    * one runs file source → streaming engine → PARQUET sink with a
+    * checkpoint, across two separate micro-batch commits, then reads
+    * the sink directory back as a batch table. What the identity
+    * oracle certifies is the sink's exactly-once commit protocol:
+    * the parquet sink records each batch's files in the
+    * `_spark_metadata` commit log and a batch read of the directory
+    * trusts THAT log, not a directory listing — so partial or
+    * orphaned files from failed attempts can never surface. The lake
+    * copy of a doubled-commit stream equals the stream's input,
+    * exactly once. (Dedup/window/join state live in the q54/q51/q65
+    * gates; the transform here is a projection on purpose — the sink
+    * is the operator under test.)
+    */
+  def q74StreamToLake(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    // q65 precedent: split at the span midpoint so both commits are real
+    val mm = base.agg(min(col("ts")), max(col("ts"))).head
+    val mid = new Timestamp(
+      (mm.getTimestamp(0).getTime + mm.getTimestamp(1).getTime) / 2)
+    val first = base.where(col("ts") < lit(mid))
+    val second = base.where(col("ts") >= lit(mid))
+
+    val src = Housekeeping.tempDir("q74_src")
+    val outRoot = Housekeeping.tempDir("q74_out")
+    val (sink, chk) = (s"$outRoot/data", s"$outRoot/chk")
+    first.coalesce(1).write.mode(SaveMode.Overwrite).parquet(src)
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val query = ss.readStream.schema(base.schema).parquet(src)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", chk)
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable() // commit 1
+      second.coalesce(1).write.mode(SaveMode.Append).parquet(src)
+      query.processAllAvailable() // commit 2
+    } finally query.stop()
+    s.read.parquet(sink).orderBy(col("event_id"))
+  }
+
   /** Streaming sessionization gate: [[StreamingSessionize]] (the
     * flatMapGroupsWithState operator with event-time timeouts) over
     * the bounded events stream, judged under q26's batch oracle.
@@ -196,6 +240,10 @@ object StreamingGate {
   }
 
   val queries: Seq[Q] = Seq(
+    Q("q74_stream_to_lake", q74StreamToLake, Some("""
+      SELECT event_id, user_id, date_trunc('microsecond', ts) AS ts, value
+      FROM events
+      ORDER BY event_id""")),
     Q("q65_stream_join", q65StreamStreamJoin, Some("""
       WITH e AS (SELECT event_id, user_id,
                         date_trunc('microsecond', ts) AS ts,

@@ -67,4 +67,39 @@ class StreamingGateSpec extends SparkTestBase {
     assert(ids.length === 51, "replays leaked or batch 2 was dropped")
     assert(ids.contains(999L), "novel batch-2 row missing — batch 2 not processed")
   }
+
+  test("q74's parquet sink writes a _spark_metadata commit log the batch read trusts") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.SaveMode
+    val root = java.nio.file.Files.createTempDirectory("q74_probe").toString
+    val (src, sink, chk) = (s"$root/src", s"$root/data", s"$root/chk")
+    val rows = spark.range(0, 5).select(col("id"))
+    rows.coalesce(1).write.mode(SaveMode.Overwrite).parquet(src)
+    val q = spark.readStream.schema(rows.schema).parquet(src)
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", chk)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      spark.range(5, 9).select(col("id"))
+        .coalesce(1).write.mode(SaveMode.Append).parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the exactly-once mechanism: committed files are recorded in
+    // _spark_metadata and the batch read resolves the file set from
+    // that log — an orphaned file dropped into the directory is
+    // invisible because no commit references it
+    assert(new java.io.File(s"$sink/_spark_metadata").exists(),
+      "parquet sink did not write its commit log")
+    spark.range(100, 105).select(col("id"))
+      .coalesce(1).write.mode(SaveMode.Append).parquet(s"$root/orphan")
+    val orphan = new java.io.File(s"$root/orphan").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(orphan.toPath,
+      java.nio.file.Paths.get(s"$sink/${orphan.getName}"))
+    val got = spark.read.parquet(sink)
+      .select(col("id")).collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === (0L until 9L),
+      s"batch read must trust the commit log, not the listing; got ${got.toSeq}")
+  }
 }
