@@ -27,7 +27,7 @@ object GraftSession {
         // row; no reason to materialize it (plans/IntersectionSize)
         e.injectOptimizerRule(_ => graft.plans.FuseIntersectionSize)
         // whole-operator extension tier: plans graft.plans.
-        // PointRangeJoin (non-equi interval containment) into the
+        // IntervalJoin (non-equi containment/overlap) into the
         // broadcast sorted-search exec instead of the O(n·m)
         // BroadcastNestedLoopJoin stock Spark would be forced into
         e.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)

@@ -27,7 +27,13 @@ object Sessionize {
 
   val GapMicros: Long = 30L * 60 * 1000000 // 30 minutes
 
-  def q26Sessionize(s: SparkSession, d: String): DataFrame = {
+  /** The per-session frame (user_id, session_seq, session_start,
+    * session_end, n_events, total) without the presentation sort —
+    * q26's judged body, shared with q75's session-to-window overlap
+    * probe (which immediately re-shuffles, so the sort would be
+    * wasted work there).
+    */
+  private[graft] def sessionFrame(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
     val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
     Tables.events(s, d)
@@ -44,8 +50,10 @@ object Sessionize {
         max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"),
         Money.exactSum(col("value")).as("total"))
-      .orderBy(col("user_id"), col("session_seq"))
   }
+
+  def q26Sessionize(s: SparkSession, d: String): DataFrame =
+    sessionFrame(s, d).orderBy(col("user_id"), col("session_seq"))
 
   /** Built-in `session_window` sessionization, judged against an
     * INDEPENDENT gaps-and-islands oracle — certifying Spark's native
@@ -79,6 +87,45 @@ object Sessionize {
       .select(col("user_id"), col("session_seq"), col("session_start"),
         col("session_end"), col("n_events"), col("total"))
       .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  /** Session-to-window attribution through the custom INTERVAL
+    * OVERLAP join (graft.plans.IntervalJoin — the general case of
+    * q70's point shape): per analysis window, how many user sessions
+    * were active. Probe = the q26 session frame as half-open
+    * [start_us, end_us + 1) intervals; build = 512 OVERLAPPING
+    * analysis windows (half the span each stride, so ~2 cover any
+    * instant) derived arithmetically from the event span INSIDE the
+    * plan — the span aggregate is a 1-row crossJoin spine (the q39
+    * precedent), collected only as part of the 512-row build side.
+    * Stock Spark plans interval-overlap-with-no-equi-key as a
+    * BroadcastNestedLoopJoin (sessions × 512 predicate evals); the
+    * operator pays (log 512 + overlaps) per session and streams the
+    * probe unshuffled. The oracle recomputes sessions via the
+    * islands CTE and joins with the plain range predicate — proving
+    * the sorted-search overlap exact, end to end, through integer
+    * microsecond arithmetic both engines share.
+    */
+  def q75SessionWindowOverlap(s: SparkSession, d: String): DataFrame = {
+    val sess = sessionFrame(s, d).select(
+      col("user_id"),
+      unix_micros(col("session_start")).as("s_lo"),
+      (unix_micros(col("session_end")) + 1).as("s_hi"))
+    val span = Tables.events(s, d)
+      .where(col("value").isNotNull)
+      .agg(unix_micros(min(col("ts"))).as("min_us"),
+        unix_micros(max(col("ts"))).as("max_us"))
+    val win = span.crossJoin(s.range(0, 512).select(col("id").as("w_id")))
+      .withColumn("span_us", col("max_us") - col("min_us") + 1)
+      .select(col("w_id"),
+        (col("min_us") + expr("span_us * w_id div 512")).as("w_lo"),
+        (col("min_us") + expr("span_us * (w_id + 2) div 512")).as("w_hi"))
+    graft.plans.RangeJoinApi
+      .intervalOverlap(sess, "s_lo", "s_hi", win, "w_lo", "w_hi")
+      .groupBy(col("w_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("w_id"))
   }
 
   /** Funnel analysis — the ordered-sequence event query: per user,
@@ -136,6 +183,41 @@ object Sessionize {
       FROM v LEFT JOIN c ON v.user_id = c.user_id
              LEFT JOIN p ON v.user_id = p.user_id
       ORDER BY v.user_id""")),
+    Q("q75_session_window_overlap", q75SessionWindowOverlap, Some("""
+      WITH e AS (
+        SELECT user_id, date_trunc('microsecond', ts) AS ts, value
+        FROM events WHERE value IS NOT NULL),
+      m AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      s AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM m),
+      sess AS (
+        SELECT user_id,
+               epoch_us(min(ts)) AS s_lo,
+               epoch_us(max(ts)) + 1 AS s_hi
+        FROM s GROUP BY user_id, session_seq),
+      spans AS (
+        SELECT epoch_us(min(ts)) AS min_us, epoch_us(max(ts)) AS max_us
+        FROM e),
+      win AS (
+        SELECT CAST(range AS BIGINT) AS w_id,
+               min_us + (max_us - min_us + 1) * range // 512 AS w_lo,
+               min_us + (max_us - min_us + 1) * (range + 2) // 512 AS w_hi
+        FROM range(0, 512), spans)
+      SELECT w_id,
+             count(*) AS n_sessions,
+             count(DISTINCT user_id) AS n_users
+      FROM win JOIN sess ON s_lo < w_hi AND w_lo < s_hi
+      GROUP BY w_id
+      ORDER BY w_id""")),
     Q("q73_session_window", q73SessionWindow, Some("""
       WITH e AS (
         SELECT user_id, date_trunc('microsecond', ts) AS ts, value

@@ -15,11 +15,12 @@ import org.apache.spark.sql.execution.metric.SQLMetrics
 import org.apache.spark.sql.types.LongType
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Non-equi point-in-interval join as a WHOLE-OPERATOR extension —
-  * the custom `LogicalPlan` + `SparkStrategy` + `SparkPlan` tier of
-  * SparkSessionExtensions (`injectPlannerStrategy` in GraftSession),
-  * completing the extension matrix next to the injected function
-  * (CosineSimilarity) and optimizer rule (FuseIntersectionSize).
+/** Non-equi interval join (point containment and interval overlap)
+  * as a WHOLE-OPERATOR extension — the custom `LogicalPlan` +
+  * `SparkStrategy` + `SparkPlan` tier of SparkSessionExtensions
+  * (`injectPlannerStrategy` in GraftSession), completing the
+  * extension matrix next to the injected function (CosineSimilarity)
+  * and optimizer rule (FuseIntersectionSize).
   *
   * WHY an operator and not composition: `probe.p BETWEEN iv.lo AND
   * iv.hi` with NO equi-key gives stock Spark exactly one physical
@@ -40,33 +41,49 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * so at 100 TB the cost is one pass over the fact table plus a
   * KB–MB broadcast, the same envelope as a broadcast hash join.
   *
+  * The node is the GENERAL interval-overlap join: probe interval
+  * [probeLo, probeHi) joins build interval [lo, hi) iff the two SETS
+  * intersect — `probeLo < hi && lo < probeHi` AND both intervals
+  * non-empty. The non-emptiness clause matters: the raw two-term
+  * predicate alone would let an empty [x, x) "overlap" anything
+  * spanning x, which is not what intersection means (the spec's
+  * engulfing-probe case caught exactly this). Empty/inverted build
+  * intervals are dropped at index build; an empty probe matches
+  * nothing. Point containment is the degenerate case — [p, p+1)
+  * overlaps [lo, hi) iff lo ≤ p < hi — so one operator and ONE
+  * search loop serve both the q70 point shape and the q75
+  * session-to-window shape; the probe-side cost only grows from
+  * (log m + matches) by the extra bound evaluation.
+  *
   * Scope (documented, enforced at construction): inner join,
-  * half-open [lo, hi) containment, all three operands LongType
-  * (fixed-point cents/micros — the engine's exact-money convention;
-  * a float domain would reopen the last-ulp boundary class the
-  * Money helpers exist to close). NULL point or NULL bound never
-  * matches, matching SQL BETWEEN-under-inner-join semantics.
+  * half-open intervals, all operands LongType (fixed-point
+  * cents/micros — the engine's exact-money convention; a float
+  * domain would reopen the last-ulp boundary class the Money
+  * helpers exist to close). A NULL bound on either side never
+  * matches, matching SQL range-predicate-under-inner-join
+  * semantics.
   */
-final case class PointRangeJoin(
+final case class IntervalJoin(
     left: LogicalPlan,
     right: LogicalPlan,
-    point: Expression,
+    probeLo: Expression,
+    probeHi: Expression,
     lo: Expression,
     hi: Expression) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ right.output
   override protected def withNewChildrenInternal(
-      newLeft: LogicalPlan, newRight: LogicalPlan): PointRangeJoin =
+      newLeft: LogicalPlan, newRight: LogicalPlan): IntervalJoin =
     copy(left = newLeft, right = newRight)
 }
 
-/** Plans [[PointRangeJoin]] into [[BroadcastRangeJoinExec]]; declines
+/** Plans [[IntervalJoin]] into [[BroadcastRangeJoinExec]]; declines
   * everything else so stock planning is untouched.
   */
 object RangeJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case PointRangeJoin(l, r, p, lo, hi) =>
+    case IntervalJoin(l, r, plo, phi, lo, hi) =>
       BroadcastRangeJoinExec(
-        planLater(l), IntervalBuildExec(planLater(r)), p, lo, hi) :: Nil
+        planLater(l), IntervalBuildExec(planLater(r)), plo, phi, lo, hi) :: Nil
     case _ => Nil
   }
 }
@@ -116,7 +133,8 @@ final class RangeIndex(
 final case class BroadcastRangeJoinExec(
     left: SparkPlan,
     right: SparkPlan,
-    point: Expression,
+    probeLo: Expression,
+    probeHi: Expression,
     lo: Expression,
     hi: Expression) extends BinaryExecNode with CodegenSupport {
 
@@ -146,7 +164,10 @@ final case class BroadcastRangeJoinExec(
     val entries = right.executeCollect().flatMap { r =>
       val lv = boundLo.eval(r)
       val hv = boundHi.eval(r)
-      if (lv == null || hv == null) None
+      // NULL bounds and empty/inverted intervals are not sets that
+      // can intersect anything — dropped here, once, driver-side
+      if (lv == null || hv == null ||
+        lv.asInstanceOf[Long] >= hv.asInstanceOf[Long]) None
       else Some((lv.asInstanceOf[Long], hv.asInstanceOf[Long], r.copy()))
     }.sortBy(e => (e._1, e._2))
     longMetric("numIntervals") += entries.length
@@ -170,28 +191,32 @@ final case class BroadcastRangeJoinExec(
     left.execute().mapPartitions { iter =>
       val idx = bc.value
       val (blos, bhis, bmax, brows) = (idx.los, idx.his, idx.maxHi, idx.rows)
-      val boundPoint = BindReferences.bindReference(point, left.output)
+      val boundPlo = BindReferences.bindReference(probeLo, left.output)
+      val boundPhi = BindReferences.bindReference(probeHi, left.output)
       val joined = new JoinedRow
       val proj = UnsafeProjection.create(output, left.output ++ right.output)
       iter.flatMap { lrow =>
-        val pv = boundPoint.eval(lrow)
-        if (pv == null || blos.length == 0) Iterator.empty
+        val plov = boundPlo.eval(lrow)
+        val phiv = boundPhi.eval(lrow)
+        if (plov == null || phiv == null || blos.length == 0 ||
+          plov.asInstanceOf[Long] >= phiv.asInstanceOf[Long]) Iterator.empty
         else {
-          val p = pv.asInstanceOf[Long]
-          // rightmost index with lo <= p (exclusive upper bound search)
+          val plo = plov.asInstanceOf[Long]
+          val phi = phiv.asInstanceOf[Long]
+          // rightmost index with lo < probeHi (exclusive bound search)
           var a = 0
           var b = blos.length
           while (a < b) {
             val m = (a + b) >>> 1
-            if (blos(m) <= p) a = m + 1 else b = m
+            if (blos(m) < phi) a = m + 1 else b = m
           }
           // walk left from it; the monotone prefix max proves that
-          // once max(hi[0..j]) <= p no earlier interval can contain p
+          // once max(hi[0..j]) <= probeLo nothing earlier can overlap
           val out = Vector.newBuilder[InternalRow]
           var j = a - 1
           var n = 0L
-          while (j >= 0 && bmax(j) > p) {
-            if (bhis(j) > p) {
+          while (j >= 0 && bmax(j) > plo) {
+            if (bhis(j) > plo) {
               out += proj(joined(lrow, brows(j))).copy()
               n += 1
             }
@@ -236,10 +261,12 @@ final case class BroadcastRangeJoinExec(
     val rowsTerm = ctx.addMutableState("InternalRow[]", "rangeRows",
       v => s"$v = $idxTerm.rows();", forceInline = true)
 
-    // evaluate the probe point from the streamed-side variables
+    // evaluate the probe bounds from the streamed-side variables
     ctx.currentVars = input
-    val pointEv =
-      BindReferences.bindReference(point, left.output).genCode(ctx)
+    val ploEv =
+      BindReferences.bindReference(probeLo, left.output).genCode(ctx)
+    val phiEv =
+      BindReferences.bindReference(probeHi, left.output).genCode(ctx)
 
     // interval-side column accessors read from the matched row. Their
     // code is NOT emitted here: the consume() call inside the loop
@@ -252,25 +279,31 @@ final case class BroadcastRangeJoinExec(
       BoundReference(i, a.dataType, a.nullable).genCode(ctx)
     }
 
-    val p = ctx.freshName("rangePoint")
+    val plo = ctx.freshName("rangeProbeLo")
+    val phi = ctx.freshName("rangeProbeHi")
     val a = ctx.freshName("rangeA")
     val b = ctx.freshName("rangeB")
     val m = ctx.freshName("rangeM")
     val j = ctx.freshName("rangeJ")
-    val nullGuard =
-      if (point.nullable) s"!${pointEv.isNull} && " else ""
+    val nullGuard = Seq(
+      if (probeLo.nullable) Some(s"!${ploEv.isNull}") else None,
+      if (probeHi.nullable) Some(s"!${phiEv.isNull}") else None
+    ).flatten.map(_ + " && ").mkString
     s"""
-       |${pointEv.code}
-       |if ($nullGuard$losTerm.length > 0) {
-       |  long $p = ${pointEv.value};
+       |${ploEv.code}
+       |${phiEv.code}
+       |if ($nullGuard$losTerm.length > 0 &&
+       |    ${ploEv.value} < ${phiEv.value}) {
+       |  long $plo = ${ploEv.value};
+       |  long $phi = ${phiEv.value};
        |  int $a = 0;
        |  int $b = $losTerm.length;
        |  while ($a < $b) {
        |    int $m = ($a + $b) >>> 1;
-       |    if ($losTerm[$m] <= $p) $a = $m + 1; else $b = $m;
+       |    if ($losTerm[$m] < $phi) $a = $m + 1; else $b = $m;
        |  }
-       |  for (int $j = $a - 1; $j >= 0 && $maxHiTerm[$j] > $p; $j--) {
-       |    if ($hisTerm[$j] > $p) {
+       |  for (int $j = $a - 1; $j >= 0 && $maxHiTerm[$j] > $plo; $j--) {
+       |    if ($hisTerm[$j] > $plo) {
        |      InternalRow $matchedTerm = $rowsTerm[$j];
        |      $numOutput.add(1);
        |      ${consume(ctx, input ++ rightVars)}
@@ -281,30 +314,61 @@ final case class BroadcastRangeJoinExec(
   }
 }
 
-/** Construction API: resolves the three operand columns BY NAME
-  * against each side's analyzed plan and hands Catalyst the custom
-  * logical node — the DataFrame-to-DataFrame shape every built-in
-  * relational verb has.
+/** Construction API: resolves the operand columns BY NAME against
+  * each side's analyzed plan and hands Catalyst the custom logical
+  * node — the DataFrame-to-DataFrame shape every built-in relational
+  * verb has.
   */
 object RangeJoinApi {
+  import org.apache.spark.sql.catalyst.expressions.{Add, Literal}
+
+  /** Point containment: probe.pointCol in [lo, hi). The degenerate
+    * interval [p, p+1) of [[intervalOverlap]] (one probe point of
+    * Long.MaxValue would overflow the +1 under ANSI — fixed-point
+    * cents/micros domains never reach it).
+    */
   def pointInRange(
       probe: DataFrame, pointCol: String,
-      intervals: DataFrame, loCol: String, hiCol: String): DataFrame = {
-    val lp = probe.queryExecution.analyzed
-    val rp = intervals.queryExecution.analyzed
-    def attr(plan: LogicalPlan, name: String, side: String): Attribute =
-      plan.output.find(_.name == name).getOrElse(throw new IllegalArgumentException(
-        s"range join: no column '$name' on the $side side (have ${plan.output.map(_.name).mkString(", ")})"))
-    val p = attr(lp, pointCol, "probe")
-    val l = attr(rp, loCol, "intervals")
-    val h = attr(rp, hiCol, "intervals")
-    for (a <- Seq(p, l, h) if a.dataType != LongType)
+      intervals: DataFrame, loCol: String, hiCol: String): DataFrame =
+    build(probe, intervals) { (lp, rp) =>
+      val p = attr(lp, pointCol, "probe")
+      checkLong(p +: bounds(rp, loCol, hiCol))
+      IntervalJoin(lp, rp, p, Add(p, Literal(1L)),
+        attr(rp, loCol, "intervals"), attr(rp, hiCol, "intervals"))
+    }
+
+  /** Interval overlap: [probeLoCol, probeHiCol) meets [lo, hi) iff
+    * probeLo < hi && lo < probeHi.
+    */
+  def intervalOverlap(
+      probe: DataFrame, probeLoCol: String, probeHiCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String): DataFrame =
+    build(probe, intervals) { (lp, rp) =>
+      val plo = attr(lp, probeLoCol, "probe")
+      val phi = attr(lp, probeHiCol, "probe")
+      checkLong(Seq(plo, phi) ++ bounds(rp, loCol, hiCol))
+      IntervalJoin(lp, rp, plo, phi,
+        attr(rp, loCol, "intervals"), attr(rp, hiCol, "intervals"))
+    }
+
+  private def attr(plan: LogicalPlan, name: String, side: String): Attribute =
+    plan.output.find(_.name == name).getOrElse(throw new IllegalArgumentException(
+      s"range join: no column '$name' on the $side side (have ${plan.output.map(_.name).mkString(", ")})"))
+
+  private def bounds(rp: LogicalPlan, loCol: String, hiCol: String): Seq[Attribute] =
+    Seq(attr(rp, loCol, "intervals"), attr(rp, hiCol, "intervals"))
+
+  private def checkLong(as: Seq[Attribute]): Unit =
+    for (a <- as if a.dataType != LongType)
       throw new IllegalArgumentException(
         s"range join operands must be LongType (fixed-point); '${a.name}' is ${a.dataType.simpleString}")
+
+  private def build(probe: DataFrame, intervals: DataFrame)(
+      mk: (LogicalPlan, LogicalPlan) => IntervalJoin): DataFrame = {
     val dup = probe.columns.toSet.intersect(intervals.columns.toSet)
     require(dup.isEmpty,
       s"range join output would duplicate column(s) ${dup.mkString(", ")}; alias one side first")
-    org.apache.spark.sql.graft.Bridge.ofRows(
-      probe.sparkSession, PointRangeJoin(lp, rp, p, l, h))
+    org.apache.spark.sql.graft.Bridge.ofRows(probe.sparkSession,
+      mk(probe.queryExecution.analyzed, intervals.queryExecution.analyzed))
   }
 }

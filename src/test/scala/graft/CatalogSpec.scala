@@ -17,9 +17,12 @@ class CatalogSpec extends SparkTestBase {
   // 3-row bands dim; q39's calendar spine is a 25×observed-months
   // cross frame; e1 is brute-force ANN by definition (broadcast
   // query set × corpus scan — the exact baseline e2/e5 exist to
-  // beat, judged as the ground-truth twin).
+  // beat, judged as the ground-truth twin); q75's window fixture is
+  // a 1-row span aggregate × range(512) spine (the q39 shape) — the
+  // OPERATOR under test (the interval join itself) plans the custom
+  // node, which RangeJoinSpec asserts NLJ-free.
   private val nljWhitelist = Set("q17_band_join", "q39_gap_fill",
-    "e1_ann_brute_force")
+    "e1_ann_brute_force", "q75_session_window_overlap")
 
   test("every catalog query executes, returns rows, and plans clean at sf0.001") {
     Catalog.all.foreach { q =>

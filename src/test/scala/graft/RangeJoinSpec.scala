@@ -61,6 +61,30 @@ class RangeJoinSpec extends SparkTestBase {
       .count() === 0L)
   }
 
+  test("interval overlap is half-open on both sides; touching intervals do not match") {
+    def probe(iv: Seq[(Long, Long)]) =
+      iv.zipWithIndex.map { case ((l, h), i) => (i.toLong, l, h) }
+        .toDF("p_id", "p_lo", "p_hi")
+    def overlaps(iv: Seq[(Long, Long)]) =
+      graft.plans.RangeJoinApi
+        .intervalOverlap(probe(iv), "p_lo", "p_hi", fixtureIv, "lo", "hi")
+        .select(col("p_id"), col("iv_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // fixture intervals: 0=[0,1000) 1=[10,20) 2=[30,30) 3=[500,600)
+    // [600, 700) touches 3 at its hi endpoint — no overlap; inside 0
+    assert(overlaps(Seq((600L, 700L))) === Set((0L, 0L)))
+    // [5, 10) touches 1 at its lo endpoint — no overlap; inside 0
+    assert(overlaps(Seq((5L, 10L))) === Set((0L, 0L)))
+    // [15, 505) crosses 1 and 3, never matches empty 2
+    assert(overlaps(Seq((15L, 505L))) ===
+      Set((0L, 0L), (0L, 1L), (0L, 3L)))
+    // an EMPTY probe interval overlaps nothing
+    assert(overlaps(Seq((50L, 50L))) === Set.empty[(Long, Long)])
+    // a probe engulfing everything matches all non-empty intervals
+    assert(overlaps(Seq((-100L, 2000L))) ===
+      Set((0L, 0L), (0L, 1L), (0L, 3L)))
+  }
+
   test("construction rejects non-long operands, missing and duplicate columns") {
     val doubles = Seq(1.5).toDF("p")
     intercept[IllegalArgumentException] {

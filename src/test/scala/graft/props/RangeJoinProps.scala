@@ -66,4 +66,32 @@ object RangeJoinProps extends Properties("rangejoin") {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       Prop(got == expected) :| s"got $got expected $expected"
     }
+
+  private def probeDf(iv: Seq[(Option[Long], Option[Long])]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(iv.zipWithIndex.map { case ((l, h), i) =>
+        Row(i.toLong, l.orNull, h.orNull)
+      }, numSlices = 3),
+      StructType(Seq(
+        StructField("p_id", LongType, nullable = false),
+        StructField("p_lo", LongType, nullable = true),
+        StructField("p_hi", LongType, nullable = true))))
+
+  property("matches brute-force overlap on arbitrary interval-pair sets") =
+    Prop.forAll(intervals, intervals) { (build, probes) =>
+      val expected = (for {
+        ((pl, ph), pi) <- probes.zipWithIndex
+        plv <- pl.toSeq; phv <- ph.toSeq
+        ((l, h), ii) <- build.zipWithIndex
+        lv <- l.toSeq; hv <- h.toSeq
+        // set intersection: the raw two-term range predicate plus
+        // BOTH intervals non-empty (an empty [x,x) meets nothing)
+        if plv < phv && lv < hv && plv < hv && lv < phv
+      } yield (pi.toLong, ii.toLong)).toSet
+      val got = RangeJoinApi
+        .intervalOverlap(probeDf(probes), "p_lo", "p_hi", ivDf(build), "lo", "hi")
+        .select("p_id", "iv_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      Prop(got == expected) :| s"got $got expected $expected"
+    }
 }
