@@ -137,7 +137,93 @@ object Etl {
       .orderBy(col("change_type"))
   }
 
+  /** One-pass data-quality audit — the declarative-expectations verb
+    * (the Deequ / dbt-tests shape) every ingest gate runs before a
+    * table is published. The design constraint is PASSES, not
+    * checks: all same-table constraints (null key, duplicate key,
+    * domain bounds, stale dates) compute in ONE aggregate over one
+    * orders scan and fan out to rows via the tag-explode pattern
+    * (q13/q56 precedent — a UNION of per-check scalar queries would
+    * rescan the table per check, the audit anti-pattern at 100 TB);
+    * the referential check is inherently a join, so it pays exactly
+    * one more pass (lineitem anti-join orders on the key). Output is
+    * (check_name, violations, n_checked) so a gate can alert on any
+    * violations > 0. The orders and referential checks are CLEAN on
+    * this fixture (violations 0 — certified zeros, which is the
+    * point of an audit gate) while `negative_acctbal` on customer is
+    * genuinely non-zero (TPC-H account balances go negative; 122 at
+    * sf0.01), so the query proves it counts real violations rather
+    * than emitting structural zeros.
+    */
+  def q76DataQuality(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    val custScan = Tables.customer(s, d)
+      .agg(count(lit(1)).as("n"),
+        count(when(col("c_acctbal") < 0, 1)).as("negative_acctbal"))
+      .select(lit("negative_acctbal").as("check_name"),
+        col("negative_acctbal").as("violations"), col("n").as("n_checked"))
+    val sameScan = o.agg(
+        count(lit(1)).as("n"),
+        count(when(col("o_custkey").isNull, 1)).as("null_custkey"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_orderkey"),
+        count(when(col("o_totalprice") <= 0, 1)).as("nonpos_price"),
+        count(when(col("o_orderdate") > lit("1998-12-31"), 1)).as("future_date"))
+      .select(explode(array(
+        struct(lit("dup_orderkey").as("check_name"),
+          col("dup_orderkey").as("violations"), col("n").as("n_checked")),
+        struct(lit("future_date").as("check_name"),
+          col("future_date").as("violations"), col("n").as("n_checked")),
+        struct(lit("nonpos_price").as("check_name"),
+          col("nonpos_price").as("violations"), col("n").as("n_checked")),
+        struct(lit("null_custkey").as("check_name"),
+          col("null_custkey").as("violations"), col("n").as("n_checked"))))
+        .as("c"))
+      .select(col("c.check_name"), col("c.violations"), col("c.n_checked"))
+    // one LEFT join pass yields both the orphan count (unmatched
+    // rows) and n_checked — an anti-join would need a second scan
+    // (or a 1-row crossJoin) just to count the denominator
+    val referential = li.select(col("l_orderkey"))
+      .join(o.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_outer")
+      .agg(count(lit(1)).as("n_checked"),
+        count(when(col("o_orderkey").isNull, 1)).as("violations"))
+      .select(lit("orphan_lineitem").as("check_name"),
+        col("violations"), col("n_checked"))
+    sameScan.unionByName(custScan).unionByName(referential)
+      .orderBy(col("check_name"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q76_data_quality", q76DataQuality, Some("""
+      WITH base AS (
+        SELECT count(*) AS n,
+               count(*) FILTER (WHERE o_custkey IS NULL) AS null_custkey,
+               count(*) - count(DISTINCT o_orderkey) AS dup_orderkey,
+               count(*) FILTER (WHERE o_totalprice <= 0) AS nonpos_price,
+               count(*) FILTER (WHERE o_orderdate > DATE '1998-12-31') AS future_date
+        FROM orders),
+      cust AS (
+        SELECT count(*) AS n,
+               count(*) FILTER (WHERE c_acctbal < 0) AS negative_acctbal
+        FROM customer),
+      ref AS (
+        SELECT (SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey)) AS violations,
+               (SELECT count(*) FROM lineitem) AS n_checked)
+      SELECT 'dup_orderkey' AS check_name, dup_orderkey AS violations, n AS n_checked FROM base
+      UNION ALL
+      SELECT 'future_date', future_date, n FROM base
+      UNION ALL
+      SELECT 'negative_acctbal', negative_acctbal, n FROM cust
+      UNION ALL
+      SELECT 'nonpos_price', nonpos_price, n FROM base
+      UNION ALL
+      SELECT 'null_custkey', null_custkey, n FROM base
+      UNION ALL
+      SELECT 'orphan_lineitem', violations, n_checked FROM ref
+      ORDER BY check_name""")),
     Q("q58_snapshot_diff", q58SnapshotDiff, Some("""
       WITH base AS (
         SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
