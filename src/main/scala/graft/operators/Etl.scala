@@ -194,7 +194,54 @@ object Etl {
       .orderBy(col("check_name"))
   }
 
+  /** Incremental aggregate maintenance — the materialized-view
+    * refresh discipline: a stored per-group aggregate (the base MV)
+    * absorbs a delta by MERGING PARTIAL STATES, never by rescanning
+    * base data. The judged frame splits orders at a date, aggregates
+    * each side to (n, cents) states, and merges with one
+    * sum-of-states aggregate; the oracle recomputes the same
+    * aggregate from the whole table — proving merge(state(A),
+    * state(B)) == state(A ∪ B), the algebraic property every
+    * incremental pipeline stands on. At 100 TB the base states are a
+    * stored table a few orders of magnitude smaller than the fact
+    * (here both sides are computed in-plan because the engine owns
+    * no storage lifecycle — the MERGE aggregate is the operator
+    * under test). The derived mean is computed AFTER the merge from
+    * the merged sums — the avg-of-avgs trap is exactly what state
+    * decomposition exists to avoid; only sums and counts are
+    * mergeable, ratios are not.
+    */
+  def q77IncrementalAgg(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      col("o_orderpriority"),
+      col("o_orderdate"),
+      graft.functions.Money.cents(col("o_totalprice")).as("cents"))
+    def state(side: DataFrame): DataFrame = side
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+    val base = state(o.where(col("o_orderdate") < lit("1995-01-01")))
+    val delta = state(o.where(col("o_orderdate") >= lit("1995-01-01")))
+    base.unionByName(delta)
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("n")).as("n_orders"), sum(col("c")).as("sum_cents"))
+      .select(col("o_orderpriority"), col("n_orders"),
+        (col("sum_cents").cast("double") / 100.0).as("total_price"),
+        (col("sum_cents").cast("double") / col("n_orders") / 100.0)
+          .as("avg_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q77_incremental_agg", q77IncrementalAgg, Some("""
+      SELECT o_orderpriority,
+             count(*) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total_price,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / count(*) / 100.0 AS avg_price
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")),
     Q("q76_data_quality", q76DataQuality, Some("""
       WITH base AS (
         SELECT count(*) AS n,
