@@ -45,6 +45,7 @@ object Catalog {
       graft.multimodal.MediaCodecs.queries ++
       graft.weather.Weather.queries ++
       graft.sources.JsonSource.queries ++
+      graft.sources.SeriesQueries.queries ++
       graft.sources.Sinks.queries ++
       graft.streaming.StreamingGate.queries
 

@@ -1,0 +1,196 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{
+  SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{
+  Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan,
+  ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{
+  EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A CUSTOM DataSource V2 connector — the source-side twin of the
+  * custom physical operator: where plans/RangeJoin.scala extends the
+  * EXECUTION tier, this extends the INGESTION tier with the two
+  * interfaces that matter at 100 TB, `SupportsPushDownFilters` and
+  * `SupportsPushDownRequiredColumns`. The built-in parquet/ORC legs
+  * (q3/q40/q44/q67) PROVE pushdown happens; this connector shows the
+  * engine can IMPLEMENT it for a system Spark has no reader for —
+  * the external-store integration every real deployment eventually
+  * writes, where pushing the predicate into the source means skipped
+  * rows are never generated, transferred, or deserialized at all.
+  *
+  * The table is a deterministic synthetic series (a metered-sensor
+  * shape): for seq_id in [0, n):
+  *   sensor_id     = seq_id mod 64
+  *   reading_centi = (seq_id · 9973) mod 100000
+  * Pure 64-bit arithmetic, so DuckDB rebuilds the table bit-for-bit
+  * from range() and the judged query is hash-checkable — the same
+  * fixture discipline as q70's intervals.
+  *
+  * Pushdown contract: range predicates on seq_id (=, <, <=, >, >=)
+  * tighten the generated [lo, hi) interval and are reported HANDLED
+  * (rows outside never exist, exactly like a key-range scan against
+  * an indexed store); everything else is returned as a residual for
+  * Spark to evaluate. Column pruning narrows the emitted row to the
+  * required fields. The scan splits the interval into fixed-count
+  * slices so a 1000-executor cluster reads it in parallel.
+  */
+class SeriesSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SeriesSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new SeriesTable(new CaseInsensitiveStringMap(properties).getLong("n", 1000000L))
+}
+
+object SeriesSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("seq_id", LongType, nullable = false),
+    StructField("sensor_id", LongType, nullable = false),
+    StructField("reading_centi", LongType, nullable = false)))
+
+  val NumSlices = 8
+
+  /** The row function — one place, shared by every reader slice. */
+  def valueOf(field: String, seq: Long): Long = field match {
+    case "seq_id" => seq
+    case "sensor_id" => seq % 64
+    case "reading_centi" => seq * 9973 % 100000
+    case other => throw new IllegalArgumentException(s"no such field: $other")
+  }
+}
+
+final class SeriesTable(n: Long) extends Table with SupportsRead {
+  override def name(): String = s"graft_series(n=$n)"
+  override def schema(): StructType = SeriesSource.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SeriesScanBuilder(n)
+}
+
+/** Accumulates pushdown state: seq_id range predicates tighten
+  * [lo, hi); column pruning replaces the read schema.
+  */
+final class SeriesScanBuilder(n: Long) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var lo = 0L
+  private var hi = n
+  private var handled = Array.empty[Filter]
+  private var required = SeriesSource.Schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, residual) = filters.partition {
+      case EqualTo("seq_id", v: Long) =>
+        lo = math.max(lo, v); hi = math.min(hi, v + 1); true
+      case GreaterThan("seq_id", v: Long) =>
+        lo = math.max(lo, v + 1); true
+      case GreaterThanOrEqual("seq_id", v: Long) =>
+        lo = math.max(lo, v); true
+      case LessThan("seq_id", v: Long) =>
+        hi = math.min(hi, v); true
+      case LessThanOrEqual("seq_id", v: Long) =>
+        hi = math.min(hi, v + 1); true
+      case _ => false
+    }
+    handled = accepted
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = handled
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = SeriesScan(lo, math.max(lo, hi), required)
+}
+
+final case class SeriesScan(lo: Long, hi: Long, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  // the plan-gate surface: the TIGHTENED range and the PRUNED columns
+  // are visible in explain output, so a spec can assert the pushdown
+  // actually narrowed generation, not just got reported
+  override def description(): String =
+    s"GraftSeries range=[$lo, $hi) cols=[${required.fieldNames.mkString(",")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val span = hi - lo
+    if (span <= 0) Array.empty
+    else {
+      val slices = math.min(SeriesSource.NumSlices.toLong, span).toInt
+      (0 until slices).map { i =>
+        SeriesSlice(lo + span * i / slices, lo + span * (i + 1) / slices)
+          : InputPartition
+      }.toArray
+    }
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SeriesReaderFactory(required.fieldNames)
+}
+
+final case class SeriesSlice(from: Long, until: Long) extends InputPartition
+
+/** Judged query over the custom connector: a seq_id range predicate
+  * (pushed — rows outside the range are never generated) plus a
+  * sensor-level residual filter (NOT pushable, evaluated by Spark),
+  * aggregated per sensor. SeriesSourceSpec asserts the scan
+  * description shows the TIGHTENED range and PRUNED columns, and
+  * that the residual filter survives as a Spark-side Filter node.
+  * The DuckDB oracle rebuilds the whole table from range()
+  * arithmetic — certifying both the generator and the pushdown's
+  * slice of it.
+  */
+object SeriesQueries {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+  import org.apache.spark.sql.functions._
+  import graft.Catalog.Q
+
+  def q78CustomSource(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft.sources.SeriesSource").option("n", "1000000").load()
+      .where(col("seq_id") >= 250000 && col("seq_id") < 750000 &&
+        col("sensor_id") % 8 === 0)
+      .groupBy(col("sensor_id"))
+      .agg(count(lit(1)).as("n_readings"),
+        sum(col("reading_centi")).as("sum_centi"))
+      .orderBy(col("sensor_id"))
+
+  val queries: Seq[Q] = Seq(
+    Q("q78_custom_source", q78CustomSource, Some("""
+      SELECT seq_id % 64 AS sensor_id,
+             count(*) AS n_readings,
+             CAST(sum(seq_id * 9973 % 100000) AS BIGINT) AS sum_centi
+      FROM range(250000, 750000) t(seq_id)
+      WHERE (seq_id % 64) % 8 = 0
+      GROUP BY 1
+      ORDER BY 1""")))
+}
+
+final class SeriesReaderFactory(fields: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val slice = partition.asInstanceOf[SeriesSlice]
+    new PartitionReader[InternalRow] {
+      private var seq = slice.from - 1
+      private val row = new GenericInternalRow(fields.length)
+      override def next(): Boolean = { seq += 1; seq < slice.until }
+      override def get(): InternalRow = {
+        var i = 0
+        while (i < fields.length) {
+          row.update(i, SeriesSource.valueOf(fields(i), seq))
+          i += 1
+        }
+        row
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+import graft.sources.{SeriesQueries, SeriesScan, SeriesScanBuilder}
+
+/** The custom DSv2 connector: pushdown MECHANISM gates (the range
+  * must actually tighten generation and the columns must actually
+  * prune — not merely be reported), residual-filter preservation,
+  * and the builder's predicate algebra on every accepted shape.
+  */
+class SeriesSourceSpec extends SparkTestBase {
+
+  test("q78's scan shows the tightened range and pruned columns; residual filter survives") {
+    val df = SeriesQueries.q78CustomSource(spark, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the pushed seq_id range narrowed generation to [250000, 750000)
+    assert(plan.contains("range=[250000, 750000)"),
+      s"pushed range not reflected in the scan:\n$plan")
+    // pruning dropped seq_id: only the referenced columns are emitted
+    assert(plan.contains("cols=[sensor_id,reading_centi]"),
+      s"column pruning did not reach the scan:\n$plan")
+    // the sensor filter is NOT pushable — Spark must keep a Filter
+    assert(plan.contains("Filter"), s"residual filter missing:\n$plan")
+  }
+
+  test("scan builder tightens [lo, hi) for every accepted predicate shape") {
+    def built(filters: Filter*): (SeriesScan, Array[Filter]) = {
+      val b = new SeriesScanBuilder(1000L)
+      val residual = b.pushFilters(filters.toArray)
+      (b.build().asInstanceOf[SeriesScan], residual)
+    }
+    assert(built(GreaterThanOrEqual("seq_id", 10L))._1.lo === 10L)
+    assert(built(GreaterThan("seq_id", 10L))._1.lo === 11L)
+    assert(built(LessThan("seq_id", 10L))._1.hi === 10L)
+    assert(built(LessThanOrEqual("seq_id", 10L))._1.hi === 11L)
+    val (eq, eqRes) = built(EqualTo("seq_id", 42L))
+    assert(eq.lo === 42L && eq.hi === 43L && eqRes.isEmpty)
+    // unsupported shapes come back as residuals and leave the range
+    val (full, res) = built(EqualTo("sensor_id", 3L), IsNotNull("seq_id"))
+    assert(full.lo === 0L && full.hi === 1000L && res.length === 2)
+    // contradictory predicates collapse to an EMPTY range, never negative
+    val (empty, _) =
+      built(GreaterThanOrEqual("seq_id", 900L), LessThan("seq_id", 100L))
+    assert(empty.lo === empty.hi)
+  }
+
+  test("a contradictory pushed range returns zero rows end to end") {
+    val n = spark.read.format("graft.sources.SeriesSource")
+      .option("n", "1000").load()
+      .where(col("seq_id") >= 900 && col("seq_id") < 100)
+      .count()
+    assert(n === 0L)
+  }
+
+  test("the generated table matches its closed form on a sample") {
+    val rows = spark.read.format("graft.sources.SeriesSource")
+      .option("n", "100000").load()
+      .where(col("seq_id").isin(0L, 1L, 63L, 64L, 99999L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows === Set(
+      (0L, 0L, 0L),
+      (1L, 1L, 9973L),
+      (63L, 63L, 63L * 9973 % 100000),
+      (64L, 0L, 64L * 9973 % 100000),
+      (99999L, 99999L % 64, 99999L * 9973 % 100000)))
+  }
+}
