@@ -46,6 +46,7 @@ object Catalog {
       graft.weather.Weather.queries ++
       graft.sources.JsonSource.queries ++
       graft.sources.SeriesQueries.queries ++
+      graft.sources.LedgerQueries.queries ++
       graft.sources.Sinks.queries ++
       graft.streaming.StreamingGate.queries
 
