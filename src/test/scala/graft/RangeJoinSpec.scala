@@ -145,6 +145,29 @@ class RangeJoinSpec extends SparkTestBase {
       s"probe scan not pruned to l_extendedprice:\n$s")
   }
 
+  test("interpreted and codegen paths are exact twins (the operator has two implementations)") {
+    // BroadcastRangeJoinExec implements the same search twice: once
+    // in doExecute (interpreted fallback) and once in generated Java
+    // (doConsume). A divergence between them would only surface when
+    // Spark silently falls back — so pin row-for-row parity with
+    // whole-stage codegen force-disabled vs force-enabled.
+    val off = spark.newSession()
+    off.conf.set("spark.sql.codegen.wholeStage", "false")
+    val on = spark.newSession()
+    on.conf.set("spark.sql.codegen.wholeStage", "true")
+    on.conf.set("spark.sql.codegen.fallback", "false")
+    val a = graft.operators.Joins.q70RangeJoinNative(off, sf("sf0.001")).collect().toSeq
+    val b = graft.operators.Joins.q70RangeJoinNative(on, sf("sf0.001")).collect().toSeq
+    assert(a.nonEmpty)
+    assert(a === b)
+    val c = graft.operators.Sessionize
+      .q75SessionWindowOverlap(off, sf("sf0.001")).collect().toSeq
+    val dd = graft.operators.Sessionize
+      .q75SessionWindowOverlap(on, sf("sf0.001")).collect().toSeq
+    assert(c.nonEmpty)
+    assert(c === dd)
+  }
+
   test("q70's join participates in whole-stage codegen (starred node, fused with scan and partial agg)") {
     // fallback=false turns a generated-code compile failure into a
     // thrown error — without it Spark falls back to the interpreted

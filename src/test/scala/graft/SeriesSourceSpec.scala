@@ -53,6 +53,30 @@ class SeriesSourceSpec extends SparkTestBase {
     assert(n === 0L)
   }
 
+  test("pushdown never changes results: pushed range == full scan + post-filter") {
+    // the end-to-end guarantee the mechanism gates imply but don't
+    // state: for a sweep of range shapes (inside, straddling, empty,
+    // single-point), reading WITH pushdown equals scanning the whole
+    // table and filtering afterwards
+    val full = spark.read.format("graft.sources.SeriesSource")
+      .option("n", "10000").load().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cases = Seq(
+      (col("seq_id") >= 100 && col("seq_id") < 200,
+        (s: Long) => s >= 100 && s < 200),
+      (col("seq_id") > 9990, (s: Long) => s > 9990),
+      (col("seq_id") <= 5, (s: Long) => s <= 5),
+      (col("seq_id") === 4242, (s: Long) => s == 4242),
+      (col("seq_id") >= 500 && col("seq_id") <= 400, (_: Long) => false))
+    cases.foreach { case (pred, expect) =>
+      val got = spark.read.format("graft.sources.SeriesSource")
+        .option("n", "10000").load().where(pred).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === full.filter(t => expect(t._1)).toSet,
+        s"pushdown diverged for predicate $pred")
+    }
+  }
+
   test("the generated table matches its closed form on a sample") {
     val rows = spark.read.format("graft.sources.SeriesSource")
       .option("n", "100000").load()
