@@ -160,7 +160,99 @@ object Curation {
            regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' ||
            regexp_split_to_array(trim(text), '\s+')[i+2]))"""
 
+  /** The CAPSTONE composition: four pipeline stages — quality filter
+    * (t2's score), exact dedup (d1's min-id keep rule), stratified
+    * sample (s1's content-hash rank), sequence packing (t5's
+    * window-cumsum chunking) — chained into ONE judged frame with
+    * the DuckDB oracle replaying the identical chain. Stage ORDER is
+    * load-bearing and is what the oracle certifies: sample ranks are
+    * computed over the filtered-and-deduped survivors, the pack
+    * cumsum over the sampled set — so any cross-stage
+    * nondeterminism, tie-break drift, or boundary disagreement
+    * anywhere in the chain breaks the hash. (The dedup stage is a
+    * certified pass-through on this corpus — it plants near-dups,
+    * not exact ones — which the oracle proves rather than assumes.)
+    * Plan shape: one documents scan; the dup-rank window shuffles on
+    * the content hash, then the sample and pack windows SHARE the
+    * source-key exchange; the final per-chunk aggregate is
+    * partial-agg friendly. Nothing touches the driver.
+    */
+  def q80PipelineE2e(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
+      .withColumn("n_tokens", size(toks).cast(LongType))
+      .withColumn("punct_ratio", charClassRatio(col("text"), "[.,;:!?]"))
+      .withColumn("stopword_ratio",
+        stopwordHits(toks).cast(DoubleType) /
+          size(array_distinct(toks)).cast(DoubleType))
+      .withColumn("quality_score",
+        least(lit(1.0), col("stopword_ratio") * 4.0) *
+          (lit(1.0) - least(lit(1.0), col("punct_ratio") * 10.0)))
+      .where(col("quality_score") >= 0.25)
+    val deduped = scored
+      .withColumn("h", md5(col("text").cast(BinaryType)))
+      .withColumn("dup_rank", row_number().over(
+        Window.partitionBy(col("h")).orderBy(col("doc_id"))))
+      .where(col("dup_rank") === 1)
+    val wSamp = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    val wCnt = Window.partitionBy(col("source"))
+    val sampled = deduped
+      .withColumn("samp_rank", row_number().over(wSamp).cast(LongType))
+      .withColumn("n_stratum", count(lit(1)).over(wCnt))
+      .where(col("samp_rank") <= ceil(col("n_stratum") * 0.5))
+    val wPack = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    sampled
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(wPack))
+      .withColumn("chunk_id", expr("(cum_tokens - n_tokens) div 256"))
+      .groupBy(col("source"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("chunk_tokens"))
+      .orderBy(col("source"), col("chunk_id"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q80_pipeline_e2e", q80PipelineE2e, Some(s"""
+      WITH scored AS (
+        SELECT doc_id, source, text,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+               CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) /
+                 CAST(length(text) AS DOUBLE) AS punct_ratio,
+               CAST(len(list_intersect(list_distinct(regexp_split_to_array(trim(text), '\\s+')),
+                    ['the','a','of','and','to','in','is','it','for','on',
+                     'with','as','at','by','from','or','an','be','this','that'])) AS DOUBLE) /
+                 CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS DOUBLE)
+                 AS stopword_ratio
+        FROM documents),
+      filtered AS (
+        SELECT doc_id, source, text, n_tokens FROM scored
+        WHERE least(1.0, stopword_ratio * 4.0) *
+              (1.0 - least(1.0, punct_ratio * 10.0)) >= 0.25),
+      deduped AS (
+        SELECT * FROM (
+          SELECT doc_id, source, n_tokens, md5(text) AS h,
+                 row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+                   AS dup_rank
+          FROM filtered)
+        WHERE dup_rank = 1),
+      sampled AS (
+        SELECT * FROM (
+          SELECT doc_id, source, n_tokens,
+                 row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+                   AS samp_rank,
+                 count(*) OVER (PARTITION BY source) AS n_stratum
+          FROM deduped)
+        WHERE samp_rank <= ceil(n_stratum * 0.5)),
+      packed AS (
+        SELECT source, n_tokens,
+               (CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+                  AS BIGINT) - n_tokens) // 256 AS chunk_id
+        FROM sampled)
+      SELECT source, chunk_id,
+             count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens
+      FROM packed
+      GROUP BY source, chunk_id
+      ORDER BY source, chunk_id""")),
     Q("c1_contamination", c1Contamination, Some(s"""
       WITH s AS (
         SELECT doc_id, source, $sh3Sql AS sh
