@@ -43,13 +43,17 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
     // driver contract: "queries" is name -> seconds (numbers only);
-    // failures go to a parallel "errors" map instead of a fake timing
-    val qs = results.collect { case (k, Right(t)) => s"${jq(k)}:$t" }
+    // failures go to a parallel "errors" map instead of a fake timing.
+    // 3-decimal seconds: full-precision doubles made the 112-entry
+    // line outgrow the driver's stdout tail capture (BENCH_r05 was
+    // head-truncated and unparseable); ms resolution is below the
+    // run-to-run noise floor anyway.
+    val qs = results.collect { case (k, Right(t)) => f"${jq(k)}:$t%.3f" }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, Left(e)) => s"${jq(k)}:${jq(e)}" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, Right(t)) => t }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // artifact of record: the driver captures stdout with a tail, which
     // has truncated the head of the per-query map in past rounds — also

@@ -180,7 +180,7 @@ object Joins {
       .orderBy(col("o_orderpriority"))
   }
 
-  /** Native broadcast range join (graft.plans.PointRangeJoin — the
+  /** Native broadcast range join (graft.plans.IntervalJoin — the
     * custom LogicalPlan/Strategy/SparkPlan tier, injected via
     * `injectPlannerStrategy`): lineitem prices against 4096
     * overlapping price intervals, the non-equi regime BETWEEN q17
@@ -368,8 +368,12 @@ object Joins {
       GROUP BY iv.interval_id
       ORDER BY iv.interval_id""")),
     Q("q69_cbo_reorder", q69CboReorder, Some("""
+      -- outer CAST: DuckDB sum(BIGINT) is HUGEINT (int128), which the
+      -- driver's comparator canonicalizes differently from Spark's
+      -- int64 — the only hash-mismatch cause in round 5 (q64/q69 were
+      -- the catalog's only bare-HUGEINT oracles; q70's cast is green)
       SELECT count(*) AS n_rows,
-             sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
       FROM lineitem l
       JOIN orders o ON l.l_orderkey = o.o_orderkey
       JOIN customer c ON o.o_custkey = c.c_custkey
@@ -385,9 +389,10 @@ object Joins {
       ) t ON TRUE
       ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""")),
     Q("q64_bloom_join", q64RuntimeBloomJoin, Some("""
+      -- outer CAST: avoid a bare HUGEINT output column (see q69 note)
       SELECT o_orderstatus,
              count(*) AS n_items,
-             sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       WHERE o.o_orderpriority = '1-URGENT'
       GROUP BY o_orderstatus

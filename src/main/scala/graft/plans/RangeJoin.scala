@@ -161,7 +161,20 @@ final case class BroadcastRangeJoinExec(
   @transient private lazy val broadcastIndex: Broadcast[RangeIndex] = {
     val boundLo = BindReferences.bindReference(lo, right.output)
     val boundHi = BindReferences.bindReference(hi, right.output)
-    val entries = right.executeCollect().flatMap { r =>
+    val collected = right.executeCollect()
+    // Stock broadcast joins go through BroadcastExchange, which
+    // enforces configured row/byte ceilings; this driver-side collect
+    // has no such guard, so a misapplied call on a large interval
+    // table would OOM the driver. Enforce an explicit row ceiling
+    // with an actionable message instead.
+    val maxRows = BroadcastRangeJoinExec.maxBuildRows
+    if (collected.length > maxRows)
+      throw new IllegalStateException(
+        s"BroadcastRangeJoin build side has ${collected.length} rows " +
+          s"(max $maxRows): the interval side is collected and " +
+          "broadcast, so it must be small. Use the binned shuffle " +
+          "range join (q31 pattern) for large build sides.")
+    val entries = collected.flatMap { r =>
       val lv = boundLo.eval(r)
       val hv = boundHi.eval(r)
       // NULL bounds and empty/inverted intervals are not sets that
@@ -312,6 +325,19 @@ final case class BroadcastRangeJoinExec(
        |}
      """.stripMargin
   }
+}
+
+object BroadcastRangeJoinExec {
+  /** Ceiling on collected build-side rows — the contract is "small
+    * interval table, broadcast like a dim"; 4M rows of (2 longs +
+    * row) is roughly the same order as Spark's default 8GB/512M-row
+    * broadcast limits scaled to a driver-collected array. Read per
+    * build (a once-per-query driver-side check) so specs can lower
+    * it without a 4M-row fixture.
+    */
+  def maxBuildRows: Int =
+    sys.props.get("graft.rangejoin.maxBuildRows").map(_.toInt)
+      .getOrElse(4 << 20)
 }
 
 /** Construction API: resolves the operand columns BY NAME against

@@ -37,6 +37,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     one and proves it);
   *  3. BatchWrite.abort deletes the staged files, so a failed job
   *     leaves the table untouched.
+  *
+  * SINGLE-FILESYSTEM ASSUMPTION: writers stage via `java.io` on the
+  * executor's filesystem and the driver's commit moves those paths,
+  * so driver and executors must share one filesystem (true in
+  * local[n]; true on a cluster only for NFS-like mounts). A
+  * production port of this sink would route every path through
+  * Hadoop `FileSystem` (or commit to an external store's API) so any
+  * shared store works — the two-phase protocol itself is unchanged.
   * The read path lists only the table root, never staging — the
   * committed file SET is the table, the same log-not-listing
   * principle as the parquet sink's `_spark_metadata`.

@@ -88,16 +88,19 @@ final class SeriesScanBuilder(n: Long) extends ScanBuilder
   private var required = SeriesSource.Schema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // v + 1 at Long.MaxValue would wrap to Long.MinValue and still be
+    // reported as handled — Spark would never re-check, silently
+    // emptying/inverting the range. Leave such literals residual.
     val (accepted, residual) = filters.partition {
-      case EqualTo("seq_id", v: Long) =>
+      case EqualTo("seq_id", v: Long) if v < Long.MaxValue =>
         lo = math.max(lo, v); hi = math.min(hi, v + 1); true
-      case GreaterThan("seq_id", v: Long) =>
+      case GreaterThan("seq_id", v: Long) if v < Long.MaxValue =>
         lo = math.max(lo, v + 1); true
       case GreaterThanOrEqual("seq_id", v: Long) =>
         lo = math.max(lo, v); true
       case LessThan("seq_id", v: Long) =>
         hi = math.min(hi, v); true
-      case LessThanOrEqual("seq_id", v: Long) =>
+      case LessThanOrEqual("seq_id", v: Long) if v < Long.MaxValue =>
         hi = math.min(hi, v + 1); true
       case _ => false
     }

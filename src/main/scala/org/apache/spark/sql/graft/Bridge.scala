@@ -17,7 +17,7 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
-  /** Wrap a custom logical node (graft.plans.PointRangeJoin) as a
+  /** Wrap a custom logical node (graft.plans.IntervalJoin) as a
     * DataFrame — `Dataset.ofRows` is `private[sql]` in Spark 4, same
     * scoping as the converters above.
     */

@@ -168,6 +168,33 @@ class RangeJoinSpec extends SparkTestBase {
     assert(c === dd)
   }
 
+  test("build side over the broadcast ceiling fails loudly, not with a driver OOM") {
+    // the ceiling is read per build, so the spec lowers it instead of
+    // collecting a 4M-row fixture; stock broadcast joins get this
+    // guard from BroadcastExchange — the custom collect must match
+    sys.props("graft.rangejoin.maxBuildRows") = "3"
+    try {
+      val iv = spark.range(0, 10).select(
+        col("id").as("iv_id"), (col("id") * 10).as("lo"),
+        (col("id") * 10 + 5).as("hi"))
+      val probe = Seq(1L, 12L, 23L).toDF("p")
+      val e = intercept[Exception] {
+        RangeJoinApi.pointInRange(probe, "p", iv, "lo", "hi").collect()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(e).exists(c =>
+        Option(c.getMessage).exists(_.contains("binned shuffle range join"))),
+        s"expected the build-cap message in the cause chain: $e")
+    } finally sys.props -= "graft.rangejoin.maxBuildRows"
+    // and back under the default cap the same join runs
+    val iv = spark.range(0, 10).select(
+      col("id").as("iv_id"), (col("id") * 10).as("lo"),
+      (col("id") * 10 + 5).as("hi"))
+    assert(RangeJoinApi.pointInRange(
+      Seq(1L, 12L, 23L).toDF("p"), "p", iv, "lo", "hi").count() === 3L)
+  }
+
   test("q70's join participates in whole-stage codegen (starred node, fused with scan and partial agg)") {
     // fallback=false turns a generated-code compile failure into a
     // thrown error — without it Spark falls back to the interpreted

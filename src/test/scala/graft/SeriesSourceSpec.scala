@@ -43,6 +43,20 @@ class SeriesSourceSpec extends SparkTestBase {
     val (empty, _) =
       built(GreaterThanOrEqual("seq_id", 900L), LessThan("seq_id", 100L))
     assert(empty.lo === empty.hi)
+    // Long.MaxValue literals would overflow the v+1 tightening to
+    // Long.MinValue while still being reported handled — they must
+    // stay RESIDUAL (Spark re-checks them) and leave the range alone
+    val max = Long.MaxValue
+    for (f <- Seq(EqualTo("seq_id", max), GreaterThan("seq_id", max),
+        LessThanOrEqual("seq_id", max))) {
+      val (scan, res) = built(f)
+      assert(res.toSeq === Seq(f), s"$f must be residual")
+      assert(scan.lo === 0L && scan.hi === 1000L,
+        s"$f must not touch the range: [${scan.lo}, ${scan.hi})")
+    }
+    // the non-arithmetic >= shape at MaxValue is still safely pushable
+    val (geMax, geRes) = built(GreaterThanOrEqual("seq_id", max))
+    assert(geRes.isEmpty && geMax.lo === geMax.hi)
   }
 
   test("a contradictory pushed range returns zero rows end to end") {

@@ -20,7 +20,8 @@ class SessionWindowSpec extends SparkTestBase {
   private def ts(minutes: Long) = new Timestamp(minutes * 60 * 1000)
 
   // one user: an event exactly 30 minutes (the gap length) after the
-  // first, a third inside the gap, then a fourth one µs PAST the gap
+  // first, a third inside the gap, then a fourth one ms PAST the gap
+  // (getTime is milliseconds, so +1 is the smallest Timestamp step here)
   private def fixture = Seq(
     (1L, ts(0), 1.0),
     (1L, ts(30), 1.0),

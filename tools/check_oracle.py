@@ -62,6 +62,20 @@ def main(sf_dir, out_dir):
             n_skip += 1
             continue
         try:
+            # Type lint BEFORE value compare: a bare HUGEINT output
+            # column (DuckDB sum(BIGINT) → int128) hashes green here
+            # (fetchall gives python int) but hash-mismatched in the
+            # driver's round-5 gate (q64/q69, the catalog's only two
+            # bare-HUGEINT oracles, were its only hash failures).
+            # Fail loudly so new oracles add an outer CAST(... AS
+            # BIGINT) like q70 instead of rediscovering this.
+            rel_types = [str(t) for t in con.sql(sql).types]
+            if any(t in ("HUGEINT", "UHUGEINT") for t in rel_types):
+                print(f"FAIL {name}: oracle emits bare HUGEINT column "
+                      f"(types={rel_types}); wrap the sum in "
+                      "CAST(... AS BIGINT)")
+                n_fail += 1
+                continue
             duck = con.execute(sql)
             dcols = [d[0] for d in duck.description]
             drows = duck.fetchall()
