@@ -1,0 +1,259 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Catalog.Q
+
+/** Snapshot-manifest lake: versioned commits, time travel, and
+  * min/max file skipping over plain parquet files — the table-format
+  * tier (Delta/Iceberg's core mechanics) that completes the lake
+  * story next to q68 (compaction), q71 (schema evolution), q72
+  * (dynamic partition overwrite) and q74 (streaming ingestion).
+  *
+  * Layout: `root/data/b-<uuid>/part-*.parquet` (immutable data
+  * files, one subdir per commit) and `root/_log/v%05d.manifest`
+  * (one TSV manifest per snapshot: header + one line per live file
+  * with its per-file min/max/rowcount stats on a declared stat
+  * column). A snapshot IS its manifest's explicit file list:
+  *
+  *  - COMMIT is write-new-files → write `_log/.tmp-*` → atomic
+  *    rename to the next version. The rename is the only
+  *    serialization point; a concurrent committer losing the race
+  *    gets FileAlreadyExists, re-reads the new head, rebases its
+  *    file list and retries — optimistic concurrency, no locks
+  *    (append rebases trivially; the data files themselves are
+  *    never rewritten).
+  *  - TIME TRAVEL is reading an older manifest — old snapshots stay
+  *    byte-stable forever because OVERWRITE only publishes a
+  *    manifest that stops referencing old files; it deletes nothing
+  *    (vacuuming unreferenced files is a separate, offline concern).
+  *  - FILE SKIPPING is a driver-side scan of the manifest stats:
+  *    a predicate range on the stat column drops every file whose
+  *    [min, max] cannot intersect it BEFORE Spark plans the scan.
+  *    At 100 TB this is the difference between "read 2 of 8000
+  *    files" and "open every footer": the manifest is KB-scale
+  *    metadata (one line per file), so pruning costs O(files) on
+  *    the driver and zero cluster I/O — the same economics as
+  *    Delta's data-skipping stats or Iceberg's manifest entries.
+  *  - Readers list ONLY manifest-referenced files, so a half-written
+  *    or orphaned parquet under data/ can never surface
+  *    (SnapshotLakeSpec plants one and proves it).
+  *
+  * Stats are collected once per commit with one Spark pass over the
+  * NEW files only (`groupBy(input_file_name())`) — incremental, like
+  * a real lake's write-time stats, never a table rescan.
+  *
+  * Same single-filesystem caveat as LedgerSink: manifests and data
+  * move through `java.nio` paths, so driver and executors must share
+  * one filesystem (true under local[n]); a production port would
+  * route through Hadoop FileSystem for any shared store.
+  */
+object SnapshotLake {
+
+  /** One live data file: path relative to the lake root plus
+    * inclusive min/max of the stat column and its row count.
+    */
+  final case class FileStat(name: String, lo: Long, hi: Long, rows: Long)
+
+  final case class Snapshot(version: Int, statCol: String, files: Seq[FileStat])
+
+  private def logDir(root: String): Path = Paths.get(root, "_log")
+
+  private def manifestPath(root: String, v: Int): Path =
+    logDir(root).resolve(f"v$v%05d.manifest")
+
+  /** Latest committed version, or -1 for an empty lake. Listing the
+    * log dir is the head lookup — same as a lake's `_last_checkpoint`
+    * fast path, adequate at one file per commit.
+    */
+  def headVersion(root: String): Int = {
+    val dir = logDir(root)
+    if (!Files.isDirectory(dir)) -1
+    else Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.matches("v\\d{5}\\.manifest") =>
+        s.substring(1, 6).toInt }
+      .foldLeft(-1)(math.max)
+  }
+
+  def snapshot(root: String, asOf: Option[Int] = None): Snapshot = {
+    val v = asOf.getOrElse(headVersion(root))
+    require(v >= 0, s"lake at $root has no committed snapshot (asOf=$asOf)")
+    val lines = Files.readAllLines(
+      manifestPath(root, v), StandardCharsets.UTF_8).asScala.toSeq
+    val header = lines.head.split('\t')
+    val statCol = header(1)
+    val files = lines.tail.map { l =>
+      val Array(name, lo, hi, rows) = l.split('\t')
+      FileStat(name, lo.toLong, hi.toLong, rows.toLong)
+    }
+    Snapshot(v, statCol, files)
+  }
+
+  /** Commit `df` as the next snapshot. Returns the committed
+    * version. `overwrite = true` publishes ONLY the new files (a
+    * logical replace — prior files stay on disk for time travel);
+    * `overwrite = false` appends them to the parent's list.
+    */
+  def commit(s: SparkSession, root: String, df: DataFrame, statCol: String,
+      overwrite: Boolean = false): Int = {
+    val batch = s"data/b-${UUID.randomUUID().toString.take(8)}"
+    df.write.parquet(s"$root/$batch")
+    // one pass over the new files only: per-file stats keyed by the
+    // physical file each row came from
+    val newFiles = s.read.parquet(s"$root/$batch")
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(statCol)).cast("long").as("lo"),
+        max(col(statCol)).cast("long").as("hi"),
+        count(lit(1)).as("rows"))
+      .collect()
+      .map { r =>
+        val uri = r.getString(0)
+        val rel = uri.substring(uri.indexOf("/data/") + 1)
+        FileStat(rel, r.getLong(1), r.getLong(2), r.getLong(3))
+      }
+      .sortBy(_.name).toSeq
+    // optimistic-concurrency loop: stage the manifest, try to take
+    // the next version slot; on a lost race, rebase on the new head
+    // and try again (new data files are already safe on disk)
+    var committed = -1
+    while (committed < 0) {
+      val head = headVersion(root)
+      val parentFiles =
+        if (overwrite || head < 0) Seq.empty
+        else snapshot(root, Some(head)).files
+      val v = head + 1
+      val body = (s"v=$v\t$statCol\toverwrite=$overwrite" +:
+        (parentFiles ++ newFiles).map(f =>
+          s"${f.name}\t${f.lo}\t${f.hi}\t${f.rows}"))
+        .mkString("", "\n", "\n")
+      Files.createDirectories(logDir(root))
+      val tmp = logDir(root).resolve(s".tmp-${UUID.randomUUID()}")
+      Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+      try {
+        Files.move(tmp, manifestPath(root, v), StandardCopyOption.ATOMIC_MOVE)
+        committed = v
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp) // lost the race — rebase and retry
+      }
+    }
+    committed
+  }
+
+  /** Read a snapshot (head by default, `asOf` for time travel). */
+  def read(s: SparkSession, root: String, asOf: Option[Int] = None): DataFrame = {
+    val snap = snapshot(root, asOf)
+    s.read.parquet(snap.files.map(f => s"$root/${f.name}"): _*)
+  }
+
+  /** Read with file skipping for `statCol ∈ [lo, hi)`: drops every
+    * file whose stats range cannot intersect the predicate, then
+    * applies the residual row filter (kept files may straddle the
+    * boundary). Returns the pruned frame plus (filesRead,
+    * filesTotal) so callers — and the q82 gate — can assert the
+    * skip actually happened rather than trust the metadata walk.
+    */
+  def readPruned(s: SparkSession, root: String, lo: Long, hi: Long,
+      asOf: Option[Int] = None): (DataFrame, Int, Int) = {
+    val snap = snapshot(root, asOf)
+    val kept = snap.files.filter(f => f.hi >= lo && f.lo < hi)
+    val df =
+      if (kept.isEmpty)
+        read(s, root, asOf).where(lit(false))
+      else
+        s.read.parquet(kept.map(f => s"$root/${f.name}"): _*)
+          .where(col(snap.statCol) >= lo && col(snap.statCol) < hi)
+    (df, kept.length, snap.files.length)
+  }
+
+  private def eventsCents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"), col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"))
+
+  /** Judged time travel: three commits (append half the ids, append
+    * the rest, OVERWRITE with just the clicks), then aggregate each
+    * snapshot as-of its version. The v1/v2 aggregates certify that
+    * later commits — including the overwrite — never disturbed
+    * earlier snapshots; v3 certifies overwrite-as-manifest-swap. The
+    * oracle recomputes all three from the base table because every
+    * snapshot is a pure function of it. Scale shape: time travel
+    * reads are manifest picks (no data copies), and each commit's
+    * stats pass scans only that commit's files.
+    */
+  def q81TimeTravel(s: SparkSession, d: String): DataFrame = {
+    val root = Housekeeping.tempDir("q81")
+    val ev = eventsCents(s, d)
+    val v1 = commit(s, root, ev.where(col("event_id") % 10 < 5), "event_id")
+    val v2 = commit(s, root, ev.where(col("event_id") % 10 >= 5), "event_id")
+    val v3 = commit(s, root, ev.where(col("event_type") === "click"),
+      "event_id", overwrite = true)
+    def agg(label: String, v: Int): DataFrame =
+      read(s, root, Some(v)).agg(
+        count(lit(1)).as("n_events"),
+        sum(col("cents")).as("sum_cents"))
+        .select(lit(label).as("snap"), col("n_events"), col("sum_cents"))
+    agg("v1", v1).unionAll(agg("v2", v2)).unionAll(agg("v3", v3))
+      .orderBy(col("snap"))
+  }
+
+  /** Judged file skipping: commit eight range-bucketed files (dense
+    * event_ids, so each file carries a tight disjoint [min, max]),
+    * then read one aligned quarter of the id space. The file counts
+    * are RETURNED AS COLUMNS and hash-checked against the oracle's
+    * literals — if the metadata prune ever stops working (8 files
+    * read instead of 2), the query goes red, not just slow. The
+    * residual row filter keeps pruning a pure optimization even when
+    * file boundaries straddle the predicate (they don't here; the
+    * spec covers the straddling case).
+    */
+  def q82FileSkipping(s: SparkSession, d: String): DataFrame = {
+    val root = Housekeeping.tempDir("q82")
+    val ev = eventsCents(s, d)
+    // dense 0..N-1 ids (TESTDATA.md); one bounded probe for the span,
+    // same data-driven-plan contract as e2/e5's corpus count
+    val span = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    def bound(i: Int): Long = i.toLong * span / 8
+    (0 until 8).foreach { i =>
+      commit(s, root,
+        ev.where(col("event_id") >= bound(i) && col("event_id") < bound(i + 1))
+          .coalesce(1), "event_id")
+    }
+    val (pruned, nRead, nTotal) = readPruned(s, root, bound(2), bound(4))
+    pruned.agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+      .select(
+        lit(nTotal).cast("long").as("n_files_total"),
+        lit(nRead).cast("long").as("n_files_read"),
+        col("n_events"), col("sum_cents"))
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q("q81_time_travel", q81TimeTravel, Some("""
+      WITH ec AS (SELECT event_id, event_type,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events)
+      SELECT * FROM (
+        SELECT 'v1' AS snap, count(*) AS n_events,
+               CAST(sum(cents) AS BIGINT) AS sum_cents
+        FROM ec WHERE event_id % 10 < 5
+        UNION ALL
+        SELECT 'v2', count(*), CAST(sum(cents) AS BIGINT) FROM ec
+        UNION ALL
+        SELECT 'v3', count(*), CAST(sum(cents) AS BIGINT)
+        FROM ec WHERE event_type = 'click')
+      ORDER BY snap""")),
+    Q("q82_file_skipping", q82FileSkipping, Some("""
+      WITH b AS (SELECT max(event_id) + 1 AS span FROM events)
+      SELECT CAST(8 AS BIGINT) AS n_files_total,
+             CAST(2 AS BIGINT) AS n_files_read,
+             count(*) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+      FROM events, b
+      WHERE event_id >= (2 * span) // 8 AND event_id < (4 * span) // 8""")))
+}
