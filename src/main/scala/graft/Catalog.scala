@@ -34,6 +34,7 @@ object Catalog {
       graft.operators.Scalars.queries ++
       graft.operators.Advanced.queries ++
       graft.operators.Sessionize.queries ++
+      graft.operators.Composite.queries ++
       graft.operators.Etl.queries ++
       graft.operators.Layout.queries ++
       graft.operators.Skew.queries ++
@@ -48,6 +49,7 @@ object Catalog {
       graft.sources.SeriesQueries.queries ++
       graft.sources.LedgerQueries.queries ++
       graft.sources.Sinks.queries ++
+      graft.sources.SnapshotLake.queries ++
       graft.streaming.StreamingGate.queries
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Catalog.Q
+import graft.sources.Tables
+
+/** Composite end-to-end analytics — TPC-H-shaped queries over the
+  * judged operator surface. Every operator here is individually
+  * gated elsewhere (scan pruning q3, SMJ q60, broadcast dims q1,
+  * partial aggregation q1/q8, top-k q4); these queries certify the
+  * COMPOSITION: a reference user's real report runs whole, with the
+  * plan Catalyst picks when several gated operators compete for the
+  * same stages. Money/ratio columns use the exact-integer patterns
+  * (cents, cents×(100−disc)) so the hash gate is bit-strict across
+  * engines.
+  *
+  * Scale shapes (the reason each query is here):
+  *  - q83: one pass over the fact table, 4-group partial agg —
+  *    THE map-side-combine benchmark (TPC-H Q1).
+  *  - q84: selective dim filter → fact join → top-10 by revenue —
+  *    filter pushdown + join order + bounded TakeOrdered, no global
+  *    sort (TPC-H Q3 adapted to the schema: no shippriority col).
+  *  - q85: a 6-table snowflake with a cross-dimension equality
+  *    (customer and supplier in the SAME nation) — join-graph
+  *    ordering with two independent dim arms meeting on the fact
+  *    row (TPC-H Q5).
+  */
+object Composite {
+
+  private def centsL(c: String): org.apache.spark.sql.Column =
+    round(col(c) * 100).cast("long")
+
+  /** TPC-H Q1 (pricing summary): full-scan aggregate with exact
+    * sums and exact-ratio averages. revenue = Σ price·(1−disc) and
+    * charge = Σ price·(1−disc)·(1+tax) are computed in integer
+    * hundredths-of-cents (cents × (100±pct)), divided back once —
+    * float-order-independent, so partial aggregation over any
+    * partitioning is safe at any scale.
+    */
+  def q83TpchPricing(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        round(col("l_quantity")).cast("long").as("qty"),
+        centsL("l_extendedprice").as("cents"),
+        centsL("l_extendedprice").*(lit(100L) - centsL("l_discount"))
+          .as("disc_e4"),
+        centsL("l_extendedprice").*(lit(100L) - centsL("l_discount"))
+          .*(lit(100L) + centsL("l_tax")).as("charge_e6"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("qty")).as("sum_qty"),
+        (sum(col("cents")).cast("double") / 100.0).as("sum_base_price"),
+        (sum(col("disc_e4")).cast("double") / 10000.0).as("sum_disc_price"),
+        (sum(col("charge_e6")).cast("double") / 1000000.0).as("sum_charge"),
+        (sum(col("qty")).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(col("cents")).cast("double") / 100.0 / count(lit(1)))
+          .as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q3 (shipping priority, schema-adapted): BUILDING-segment
+    * customers' orders placed before a date, revenue from lines
+    * shipped after it, top 10 by revenue. The selective dim filter
+    * reaches the customer scan, the date filters reach both fact
+    * scans, and the final top-10 is a bounded TakeOrdered — never a
+    * global sort of the join result.
+    */
+  def q84TpchShipping(s: SparkSession, d: String): DataFrame = {
+    val cut = lit("1997-03-15").cast("timestamp")
+    val c = Tables.customer(s, d)
+      .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val o = Tables.orders(s, d).where(col("o_orderdate") < cut)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val l = Tables.lineitem(s, d).where(col("l_shipdate") > cut)
+      .select(col("l_orderkey"),
+        centsL("l_extendedprice").*(lit(100L) - centsL("l_discount"))
+          .as("rev_e4"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg((sum(col("rev_e4")).cast("double") / 10000.0).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 (local supplier volume): revenue by nation where the
+    * ordering customer and the line's supplier share that nation,
+    * for one region and one order-date year. Region and nation are
+    * broadcast; the fact-side joins shuffle on their keys; the
+    * cross-dimension c_nationkey = s_nationkey equality lands as a
+    * join predicate, not a post-filter over a wider product.
+    */
+  def q85TpchLocalVolume(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d).where(col("r_name") === "ASIA")
+      .select(col("r_regionkey"))
+    val n = Tables.nation(s, d)
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    val o = Tables.orders(s, d)
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+    val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
+      centsL("l_extendedprice").*(lit(100L) - centsL("l_discount"))
+        .as("rev_e4"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(sup, l("l_suppkey") === sup("s_suppkey") &&
+        c("c_nationkey") === sup("s_nationkey"))
+      .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg((sum(col("rev_e4")).cast("double") / 10000.0).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q("q83_tpch_pricing", q83TpchPricing, Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_base_price,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                      (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+               / 10000.0 AS sum_disc_price,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                      (100 - CAST(round(l_discount * 100) AS BIGINT)) *
+                      (100 + CAST(round(l_tax * 100) AS BIGINT))) AS DOUBLE)
+               / 1000000.0 AS sum_charge,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) / count(*)
+               AS avg_qty,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 / count(*) AS avg_price,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")),
+    Q("q84_tpch_shipping", q84TpchShipping, Some("""
+      SELECT o_orderkey, o_orderdate,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                      (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+               / 10000.0 AS revenue
+      FROM customer, orders, lineitem
+      WHERE c_mktsegment = 'BUILDING'
+        AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+        AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+      GROUP BY o_orderkey, o_orderdate
+      ORDER BY revenue DESC, o_orderkey
+      LIMIT 10""")),
+    Q("q85_tpch_local_volume", q85TpchLocalVolume, Some("""
+      SELECT n_name,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                      (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+               / 10000.0 AS revenue
+      FROM customer, orders, lineitem, supplier, nation, region
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name""")))
+}

@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Composite
+
+/** Plan gates for the TPC-H-shaped composites: the point of q83-q85
+  * is that Catalyst composes the individually-gated operators into
+  * the scale-correct whole, so each spec pins the load-bearing plan
+  * property, not just values (the oracle hash covers values).
+  */
+class CompositeSpec extends SparkTestBase {
+
+  test("q83 is one scan + partial aggregation, fully codegen'd") {
+    val df = Composite.q83TpchPricing(spark, sf("sf0.001"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // exactly one lineitem scan (the whole report is one pass)
+    assert("FileScan|Scan parquet".r.findAllIn(plan).size <= 2,
+      s"q83 must scan lineitem once:\n$plan")
+    // partial-then-final hash aggregation (map-side combine)
+    assert(plan.contains("HashAggregate"), s"expected hash agg:\n$plan")
+    // the date filter reached the scan as a pushed filter
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)") ||
+      plan.toLowerCase.contains("lessthanorequal(l_shipdate"),
+      s"l_shipdate filter not pushed to the scan:\n$plan")
+  }
+
+  test("q84's top-10 is a bounded TakeOrdered, never a global sort of the join") {
+    val df = Composite.q84TpchShipping(spark, sf("sf0.001"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject:\n$plan")
+    // the rows are at most 10 and strictly ordered by (revenue desc, key)
+    val rows = df.collect()
+    assert(rows.length <= 10)
+    val revKey = rows.map(r => (-r.getDouble(2), r.getLong(0))).toSeq
+    assert(revKey === revKey.sorted, "top-10 ordering broken")
+  }
+
+  test("q85's snowflake plans hash joins only — no cartesian or nested-loop fallback") {
+    val df = Composite.q85TpchLocalVolume(spark, sf("sf0.001"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q85 fell off the equi-join path:\n$plan")
+    // the two dim arms (region→nation) ride broadcasts
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast dim join:\n$plan")
+  }
+}
