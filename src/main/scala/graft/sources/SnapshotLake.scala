@@ -171,6 +171,42 @@ object SnapshotLake {
     (df, kept.length, snap.files.length)
   }
 
+  /** Retention: drop manifests older than the `keepVersions` newest
+    * and delete every data file no surviving manifest references.
+    * This is the lake's ONLY destructive verb, and it is what makes
+    * overwrite's delete-nothing contract sustainable at 100 TB —
+    * storage is reclaimed on an explicit retention schedule, never
+    * implicitly by a writer. Time travel within the retention window
+    * is untouched (surviving manifests keep reading byte-stable);
+    * asking for a vacuumed version fails fast on the missing
+    * manifest rather than half-reading deleted files.
+    *
+    * Driver-side metadata walk + file deletes, O(files) like the
+    * prune — no cluster I/O. Returns (versions dropped, data files
+    * deleted).
+    */
+  def vacuum(root: String, keepVersions: Int): (Int, Int) = {
+    require(keepVersions >= 1, "must keep at least the head version")
+    val head = headVersion(root)
+    require(head >= 0, s"lake at $root has no committed snapshot")
+    val cutoff = head - keepVersions + 1
+    val dropped = (0 until cutoff)
+      .filter(v => Files.exists(manifestPath(root, v)))
+    if (dropped.isEmpty) return (0, 0)
+    val live: Set[String] = (cutoff to head)
+      .filter(v => Files.exists(manifestPath(root, v)))
+      .flatMap(v => snapshot(root, Some(v)).files.map(_.name)).toSet
+    val dead = dropped
+      .flatMap(v => snapshot(root, Some(v)).files.map(_.name)).toSet
+      .diff(live)
+    // delete data first, manifests last: a crash mid-vacuum leaves
+    // dangling manifest entries (loud, detectable) rather than
+    // orphaned unreachable files (silent storage leak)
+    dead.foreach(n => Files.deleteIfExists(Paths.get(root, n)))
+    dropped.foreach(v => Files.delete(manifestPath(root, v)))
+    (dropped.size, dead.size)
+  }
+
   private def eventsCents(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).select(
       col("event_id"), col("event_type"),

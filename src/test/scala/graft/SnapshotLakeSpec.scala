@@ -105,6 +105,31 @@ class SnapshotLakeSpec extends SparkTestBase {
     }
   }
 
+  test("vacuum reclaims only unreachable files; retained versions read byte-stable") {
+    val root = freshRoot()
+    SnapshotLake.commit(spark, root, tbl(0 until 10).coalesce(1), "k")       // v0
+    SnapshotLake.commit(spark, root, tbl(10 until 20).coalesce(1), "k")      // v1
+    SnapshotLake.commit(spark, root, tbl(100 until 110).coalesce(1), "k",
+      overwrite = true)                                                      // v2
+    SnapshotLake.commit(spark, root, tbl(110 until 120).coalesce(1), "k")    // v3
+    // keep v2..v3: v0/v1's files (ids 0..19) are referenced by NO
+    // surviving manifest and must go; v2's file survives because v3
+    // still references it
+    val (droppedVersions, deletedFiles) = SnapshotLake.vacuum(root, 2)
+    assert(droppedVersions === 2)
+    assert(deletedFiles === 2, "exactly the two pre-overwrite files die")
+    assert(SnapshotLake.read(spark, root, Some(2)).count() === 10L)
+    assert(SnapshotLake.read(spark, root, Some(3)).select("k").as[Long]
+      .collect().sorted.toSeq === (100L until 120L))
+    // vacuumed version fails fast on the missing manifest
+    intercept[Exception] { SnapshotLake.read(spark, root, Some(0)) }
+    // the deleted names are really gone from disk
+    assert(Files.walk(Paths.get(root, "data")).iterator().asScala
+      .count(p => p.toString.endsWith(".parquet")) === 2)
+    // idempotent: a second vacuum with the same retention is a no-op
+    assert(SnapshotLake.vacuum(root, 2) === ((0, 0)))
+  }
+
   test("q82's judged shape: aligned quarter reads exactly 2 of 8 files at every sf") {
     for (d <- Seq(sf("sf0.001"))) {
       val df = SnapshotLake.q82FileSkipping(spark, d)
