@@ -239,7 +239,47 @@ object StreamingGate {
       .orderBy(col("imp_id"), col("conv_id"))
   }
 
+  /** Stream-STATIC join gate — the other half of the streaming join
+    * matrix next to q65's stream-stream interval join: per-batch
+    * enrichment of the event stream against a batch dimension table
+    * (customer). The operator is STATELESS — no join state store, no
+    * watermark bookkeeping — because the static side is complete by
+    * definition: Spark re-plans the dim scan into every micro-batch
+    * (which is also the documented slowly-changing-dim behavior —
+    * a dim update lands in the NEXT batch). At 100 TB-of-stream the
+    * economics follow the batch rules: a small dim broadcasts per
+    * batch (forced here), a large one becomes a shuffled join per
+    * batch and wants the q52 bucketing treatment on the dim side.
+    * Cross-batch claim: batch-2 events enrich against the same dim
+    * without any state carried from batch 1 (StreamingGateSpec
+    * asserts zero stateful operators in the progress metrics). The
+    * inner join drops user 0 (no custkey 0) — the oracle states it.
+    */
+  def q87StreamStaticJoin(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val mm = base.agg(min(col("ts")), max(col("ts"))).head
+    val mid = new Timestamp(
+      (mm.getTimestamp(0).getTime + mm.getTimestamp(1).getTime) / 2)
+    runTwoBatch(s, "q87_stream", "graft_q87_enrich",
+      base.where(col("ts") < lit(mid)), base.where(col("ts") >= lit(mid))) { df =>
+      // dim read through the STREAM's session (the clone), never the
+      // outer one — mixing sessions in one plan is undefined
+      val dim = Tables.customer(df.sparkSession, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      df.join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("user_id"),
+          col("c_mktsegment").as("segment"), col("ts"), col("value"))
+    }
+      .orderBy(col("event_id"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q87_stream_static_join", q87StreamStaticJoin, Some("""
+      SELECT e.event_id, e.user_id, c.c_mktsegment AS segment,
+             date_trunc('microsecond', e.ts) AS ts, e.value
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      ORDER BY e.event_id""")),
     Q("q74_stream_to_lake", q74StreamToLake, Some("""
       SELECT event_id, user_id, date_trunc('microsecond', ts) AS ts, value
       FROM events

@@ -102,4 +102,41 @@ class StreamingGateSpec extends SparkTestBase {
     assert(got.toSeq === (0L until 9L),
       s"batch read must trust the commit log, not the listing; got ${got.toSeq}")
   }
+
+  test("q87 stream-static join == batch join twin, and runs STATELESS") {
+    import org.apache.spark.sql.functions._
+    val streamed = StreamingGate.q87StreamStaticJoin(spark, sf("sf0.001"))
+    val batch = graft.sources.Tables.events(spark, sf("sf0.001"))
+      .join(graft.sources.Tables.customer(spark, sf("sf0.001"))
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"),
+        col("c_mktsegment").as("segment"), col("ts"), col("value"))
+      .orderBy(col("event_id"))
+    val a = streamed.collect().toSeq
+    val b = batch.collect().toSeq
+    assert(a.nonEmpty, "bounded stream enriched no events")
+    assert(a === b)
+  }
+
+  test("a stream-static join holds no state store and broadcasts the dim per batch") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.SaveMode
+    val root = java.nio.file.Files.createTempDirectory("q87_probe").toString
+    val rows = spark.range(0, 20).select(col("id"), (col("id") % 5).as("k"))
+    rows.coalesce(1).write.mode(SaveMode.Overwrite).parquet(root)
+    val dim = spark.range(0, 5).select(col("id").as("k2"),
+      concat(lit("g"), col("id")).as("grp"))
+    val q = spark.readStream.schema(rows.schema).parquet(root)
+      .join(broadcast(dim), col("k") === col("k2"))
+      .writeStream.format("memory").queryName("graft_q87_probe")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // no stateful operators: the join keeps nothing between batches
+      assert(q.lastProgress.stateOperators.isEmpty,
+        s"stream-static join must be stateless: ${q.lastProgress.json}")
+    } finally q.stop()
+    assert(spark.table("graft_q87_probe").count() === 20L)
+  }
 }
