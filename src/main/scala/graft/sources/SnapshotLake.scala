@@ -207,6 +207,34 @@ object SnapshotLake {
     (dropped.size, dead.size)
   }
 
+  /** Restore the lake head to an earlier version's contents — AS A
+    * NEW COMMIT referencing that version's files (no data movement,
+    * no history rewrite: the bad versions stay readable for audit
+    * until vacuumed, and a restore of a restore works). Fails fast
+    * if the target manifest was vacuumed away.
+    */
+  def restore(root: String, version: Int): Int = {
+    val target = snapshot(root, Some(version))
+    var committed = -1
+    while (committed < 0) {
+      val head = headVersion(root)
+      val v = head + 1
+      val body = (s"v=$v\t${target.statCol}\toverwrite=true" +:
+        target.files.map(f => s"${f.name}\t${f.lo}\t${f.hi}\t${f.rows}"))
+        .mkString("", "\n", "\n")
+      val tmp = logDir(root).resolve(s".tmp-${UUID.randomUUID()}")
+      Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+      try {
+        Files.move(tmp, manifestPath(root, v), StandardCopyOption.ATOMIC_MOVE)
+        committed = v
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
+      }
+    }
+    committed
+  }
+
   private def eventsCents(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).select(
       col("event_id"), col("event_type"),

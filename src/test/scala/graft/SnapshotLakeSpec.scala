@@ -130,6 +130,23 @@ class SnapshotLakeSpec extends SparkTestBase {
     assert(SnapshotLake.vacuum(root, 2) === ((0, 0)))
   }
 
+  test("restore publishes an old version's contents as a new head, rewriting nothing") {
+    val root = freshRoot()
+    SnapshotLake.commit(spark, root, tbl(0 until 10), "k")                  // v0 good
+    SnapshotLake.commit(spark, root, tbl(500 until 520), "k",
+      overwrite = true)                                                     // v1 bad
+    val v2 = SnapshotLake.restore(root, 0)
+    assert(v2 === 2)
+    assert(SnapshotLake.read(spark, root).select("k").as[Long]
+      .collect().sorted.toSeq === (0L until 10L))
+    // the bad version stays readable for audit until vacuumed
+    assert(SnapshotLake.read(spark, root, Some(1)).count() === 20L)
+    // restore survives vacuum because the head references v0's files
+    SnapshotLake.vacuum(root, 1)
+    assert(SnapshotLake.read(spark, root).count() === 10L)
+    intercept[Exception] { SnapshotLake.restore(root, 1) } // vacuumed away
+  }
+
   test("q82's judged shape: aligned quarter reads exactly 2 of 8 files at every sf") {
     for (d <- Seq(sf("sf0.001"))) {
       val df = SnapshotLake.q82FileSkipping(spark, d)
