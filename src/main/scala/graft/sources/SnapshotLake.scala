@@ -54,12 +54,78 @@ import graft.Catalog.Q
   */
 object SnapshotLake {
 
-  /** One live data file: path relative to the lake root plus
-    * inclusive min/max of the stat column and its row count.
+  /** One live data file: path relative to the lake root, inclusive
+    * min/max of the stat column, its row count, and an optional
+    * per-file bloom filter over the bloom column (the point-lookup
+    * index for columns where min/max says nothing).
     */
-  final case class FileStat(name: String, lo: Long, hi: Long, rows: Long)
+  final case class FileStat(name: String, lo: Long, hi: Long, rows: Long,
+      bloom: Option[Array[Byte]] = None)
 
-  final case class Snapshot(version: Int, statCol: String, files: Seq[FileStat])
+  final case class Snapshot(version: Int, statCol: String,
+      bloomCol: Option[String], files: Seq[FileStat])
+
+  /** Blocked bloom over longs: k=6 bit positions from one 64-bit
+    * avalanche hash (double hashing h1 + i·h2) — deterministic
+    * across JVMs/partitionings, which is what lets the manifest
+    * carry it as data. Used both executor-side (the build
+    * aggregator) and driver-side (prune-time membership).
+    */
+  private[graft] object Bloom {
+    val K = 6
+    def mix(x0: Long): Long = { // splitmix64 finalizer
+      var x = x0 + 0x9e3779b97f4a7c15L
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x ^ (x >>> 31)
+    }
+    def set(bits: Array[Byte], v: Long): Unit = {
+      val h = mix(v); val h1 = h & 0x7fffffffL
+      val h2 = ((h >>> 32) & 0x7fffffffL) | 1L // both bounded: no overflow at h1 + K*h2
+      val m = bits.length.toLong * 8
+      var i = 0
+      while (i < K) {
+        val b = ((h1 + i * h2) % m).toInt
+        bits(b >> 3) = (bits(b >> 3) | (1 << (b & 7)).toByte).toByte
+        i += 1
+      }
+    }
+    def mightContain(bits: Array[Byte], v: Long): Boolean = {
+      val h = mix(v); val h1 = h & 0x7fffffffL
+      val h2 = ((h >>> 32) & 0x7fffffffL) | 1L // both bounded: no overflow at h1 + K*h2
+      val m = bits.length.toLong * 8
+      var i = 0
+      while (i < K) {
+        val b = ((h1 + i * h2) % m).toInt
+        if ((bits(b >> 3) & (1 << (b & 7))) == 0) return false
+        i += 1
+      }
+      true
+    }
+  }
+
+  /** Mergeable bloom build: zero = empty bitset, reduce = set bits,
+    * merge = bitwise OR — commutative/associative, so the per-file
+    * aggregate is safe under any partial-aggregation tree.
+    */
+  final class BloomAgg(numBytes: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Long, Array[Byte], Array[Byte]] {
+    override def zero: Array[Byte] = new Array[Byte](numBytes)
+    override def reduce(b: Array[Byte], v: Long): Array[Byte] = {
+      Bloom.set(b, v); b
+    }
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < a.length) { a(i) = (a(i) | b(i)).toByte; i += 1 }
+      a
+    }
+    override def finish(b: Array[Byte]): Array[Byte] = b
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+  }
 
   private def logDir(root: String): Path = Paths.get(root, "_log")
 
@@ -87,11 +153,41 @@ object SnapshotLake {
       manifestPath(root, v), StandardCharsets.UTF_8).asScala.toSeq
     val header = lines.head.split('\t')
     val statCol = header(1)
+    val bloomCol = header.find(_.startsWith("bloom=")).map(_.stripPrefix("bloom="))
     val files = lines.tail.map { l =>
-      val Array(name, lo, hi, rows) = l.split('\t')
-      FileStat(name, lo.toLong, hi.toLong, rows.toLong)
+      l.split('\t') match {
+        case Array(name, lo, hi, rows) =>
+          FileStat(name, lo.toLong, hi.toLong, rows.toLong)
+        case Array(name, lo, hi, rows, b64) =>
+          FileStat(name, lo.toLong, hi.toLong, rows.toLong,
+            Some(java.util.Base64.getDecoder.decode(b64)))
+      }
     }
-    Snapshot(v, statCol, files)
+    Snapshot(v, statCol, bloomCol, files)
+  }
+
+  /** Stage + atomically publish version `v`; false = lost the race. */
+  private def tryPublish(root: String, v: Int, statCol: String,
+      bloomCol: Option[String], overwrite: Boolean,
+      files: Seq[FileStat]): Boolean = {
+    val header = s"v=$v\t$statCol\toverwrite=$overwrite" +
+      bloomCol.fold("")(c => s"\tbloom=$c")
+    val body = (header +: files.map { f =>
+      val base = s"${f.name}\t${f.lo}\t${f.hi}\t${f.rows}"
+      f.bloom.fold(base)(b =>
+        s"$base\t${java.util.Base64.getEncoder.encodeToString(b)}")
+    }).mkString("", "\n", "\n")
+    Files.createDirectories(logDir(root))
+    val tmp = logDir(root).resolve(s".tmp-${UUID.randomUUID()}")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    try {
+      Files.move(tmp, manifestPath(root, v), StandardCopyOption.ATOMIC_MOVE)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp) // lost the race — caller rebases
+        false
+    }
   }
 
   /** Commit `df` as the next snapshot. Returns the committed
@@ -100,21 +196,30 @@ object SnapshotLake {
     * `overwrite = false` appends them to the parent's list.
     */
   def commit(s: SparkSession, root: String, df: DataFrame, statCol: String,
-      overwrite: Boolean = false): Int = {
+      overwrite: Boolean = false, bloomCol: Option[String] = None,
+      bloomBytes: Int = 1024): Int = {
     val batch = s"data/b-${UUID.randomUUID().toString.take(8)}"
     df.write.parquet(s"$root/$batch")
     // one pass over the new files only: per-file stats keyed by the
-    // physical file each row came from
+    // physical file each row came from; the optional bloom rides the
+    // same aggregate (write-time index build, never a second scan)
+    val baseAggs = Seq(
+      min(col(statCol)).cast("long").as("lo"),
+      max(col(statCol)).cast("long").as("hi"),
+      count(lit(1)).as("rows"))
+    val aggs = baseAggs ++ bloomCol.map { c =>
+      val bloomUdaf = udaf(new BloomAgg(bloomBytes))
+      bloomUdaf(col(c).cast("long")).as("bloom")
+    }
     val newFiles = s.read.parquet(s"$root/$batch")
       .groupBy(input_file_name().as("f"))
-      .agg(min(col(statCol)).cast("long").as("lo"),
-        max(col(statCol)).cast("long").as("hi"),
-        count(lit(1)).as("rows"))
+      .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map { r =>
         val uri = r.getString(0)
         val rel = uri.substring(uri.indexOf("/data/") + 1)
-        FileStat(rel, r.getLong(1), r.getLong(2), r.getLong(3))
+        FileStat(rel, r.getLong(1), r.getLong(2), r.getLong(3),
+          if (bloomCol.isDefined) Some(r.getAs[Array[Byte]](4)) else None)
       }
       .sortBy(_.name).toSeq
     // optimistic-concurrency loop: stage the manifest, try to take
@@ -123,26 +228,44 @@ object SnapshotLake {
     var committed = -1
     while (committed < 0) {
       val head = headVersion(root)
-      val parentFiles =
-        if (overwrite || head < 0) Seq.empty
-        else snapshot(root, Some(head)).files
+      val parent =
+        if (overwrite || head < 0) None else Some(snapshot(root, Some(head)))
       val v = head + 1
-      val body = (s"v=$v\t$statCol\toverwrite=$overwrite" +:
-        (parentFiles ++ newFiles).map(f =>
-          s"${f.name}\t${f.lo}\t${f.hi}\t${f.rows}"))
-        .mkString("", "\n", "\n")
-      Files.createDirectories(logDir(root))
-      val tmp = logDir(root).resolve(s".tmp-${UUID.randomUUID()}")
-      Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-      try {
-        Files.move(tmp, manifestPath(root, v), StandardCopyOption.ATOMIC_MOVE)
+      // an append without an explicit bloomCol inherits the parent's,
+      // so carried-over per-file blooms keep their column identity
+      // (files from THIS commit then simply have no bloom — readPoint
+      // keeps bloom-less files, so correctness is unaffected)
+      val effBloomCol = bloomCol.orElse(parent.flatMap(_.bloomCol))
+      if (tryPublish(root, v, statCol, effBloomCol, overwrite,
+          parent.map(_.files).getOrElse(Seq.empty) ++ newFiles))
         committed = v
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp) // lost the race — rebase and retry
-      }
     }
     committed
+  }
+
+  /** Point-lookup read via the per-file bloom index: keeps a file
+    * only if its bloom MIGHT contain `value` (files committed
+    * without a bloom are always kept — absence can never cause a
+    * false negative), then applies the exact residual equality
+    * filter. This is the skip mechanism for high-cardinality
+    * UNSORTED columns, where every file's [min, max] spans the whole
+    * domain and q82's range pruning keeps everything: a 1 KB bloom
+    * per file turns "scan all files for one key" into "scan the one
+    * true file plus bounded false positives", still entirely
+    * driver-side metadata. Returns (frame, filesRead, filesTotal).
+    */
+  def readPoint(s: SparkSession, root: String, value: Long,
+      asOf: Option[Int] = None): (DataFrame, Int, Int) = {
+    val snap = snapshot(root, asOf)
+    val c = snap.bloomCol.getOrElse(throw new IllegalStateException(
+      s"lake at $root has no bloom index — commit with bloomCol to enable readPoint"))
+    val kept = snap.files.filter(f =>
+      f.bloom.forall(Bloom.mightContain(_, value)))
+    val df =
+      if (kept.isEmpty) read(s, root, asOf).where(lit(false))
+      else s.read.parquet(kept.map(f => s"$root/${f.name}"): _*)
+        .where(col(c) === value)
+    (df, kept.length, snap.files.length)
   }
 
   /** Read a snapshot (head by default, `asOf` for time travel). */
@@ -217,20 +340,10 @@ object SnapshotLake {
     val target = snapshot(root, Some(version))
     var committed = -1
     while (committed < 0) {
-      val head = headVersion(root)
-      val v = head + 1
-      val body = (s"v=$v\t${target.statCol}\toverwrite=true" +:
-        target.files.map(f => s"${f.name}\t${f.lo}\t${f.hi}\t${f.rows}"))
-        .mkString("", "\n", "\n")
-      val tmp = logDir(root).resolve(s".tmp-${UUID.randomUUID()}")
-      Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-      try {
-        Files.move(tmp, manifestPath(root, v), StandardCopyOption.ATOMIC_MOVE)
+      val v = headVersion(root) + 1
+      if (tryPublish(root, v, target.statCol, target.bloomCol,
+          overwrite = true, target.files))
         committed = v
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp)
-      }
     }
     committed
   }
@@ -296,7 +409,39 @@ object SnapshotLake {
         col("n_events"), col("sum_cents"))
   }
 
+  /** Judged bloom point lookup: the lake is committed in 8 batches
+    * bucketed by user_id, so every file's event_id [min, max] spans
+    * essentially the whole domain — q82's range pruning would keep
+    * all 8 files. The per-file bloom on event_id (10 bits/key,
+    * write-time build riding the stats pass) recovers the skip: the
+    * probed id lives in exactly one file, and the judged row comes
+    * back through the pruned read with its exact residual filter.
+    * The spec asserts the skip counts and the no-false-negative
+    * sweep; the hash gate here certifies the VALUE path end to end
+    * (build → serialize → parse → prune → read).
+    */
+  def q88PointLookup(s: SparkSession, d: String): DataFrame = {
+    val root = Housekeeping.tempDir("q88")
+    val ev = Tables.events(s, d).select(
+      col("event_id"), col("user_id"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val span = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    val bloomBytes = math.max(1024L, (span / 8 * 10 + 7) / 8).toInt
+    (0 until 8).foreach { i =>
+      commit(s, root, ev.where(col("user_id") % 8 === i).coalesce(1),
+        statCol = "event_id", bloomCol = Some("event_id"),
+        bloomBytes = bloomBytes)
+    }
+    val (df, _, _) = readPoint(s, root, span / 2)
+    df.select(col("event_id"), col("user_id"), col("cents"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q88_point_lookup", q88PointLookup, Some("""
+      WITH b AS (SELECT (max(event_id) + 1) // 2 AS target FROM events)
+      SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events, b
+      WHERE event_id = b.target""")),
     Q("q81_time_travel", q81TimeTravel, Some("""
       WITH ec AS (SELECT event_id, event_type,
                          CAST(round(value * 100) AS BIGINT) AS cents

@@ -147,6 +147,41 @@ class SnapshotLakeSpec extends SparkTestBase {
     intercept[Exception] { SnapshotLake.restore(root, 1) } // vacuumed away
   }
 
+  test("bloom point lookup: never a false negative, really skips, bloom-less files always kept") {
+    val root = freshRoot()
+    // 4 files bucketed by k % 4 — every file's [min, max] spans the
+    // domain, so range pruning would keep all of them
+    (0 until 4).foreach { i =>
+      SnapshotLake.commit(spark,
+        root, tbl(0 until 200).where(col("k") % 4 === i).coalesce(1),
+        statCol = "k", bloomCol = Some("k"), bloomBytes = 1024)
+    }
+    var totalKept = 0
+    for (v <- 0L until 200L by 13L) {
+      val (df, kept, total) = SnapshotLake.readPoint(spark, root, v)
+      assert(total === 4)
+      assert(df.select("k").as[Long].collect().toSeq === Seq(v),
+        s"point lookup lost or duplicated k=$v") // no false negatives
+      totalKept += kept
+    }
+    // 16 probes × 4 files = 64 naive reads; with 50 keys in an 8192-bit
+    // bloom the false-positive rate is tiny — real skipping must show
+    assert(totalKept < 32, s"bloom index barely skipped: $totalKept/64")
+    // absent values prune everything (modulo false positives) and
+    // return empty, never an error
+    val (miss, keptMiss, _) = SnapshotLake.readPoint(spark, root, 10_000L)
+    assert(miss.count() === 0L && keptMiss <= 1)
+    // a commit WITHOUT bloomCol inherits the index column; its own
+    // file has no bloom and must always be kept
+    SnapshotLake.commit(spark, root, tbl(1000 until 1010).coalesce(1),
+      statCol = "k")
+    val (lateDf, lateKept, lateTotal) = SnapshotLake.readPoint(spark, root, 1005L)
+    assert(lateTotal === 5)
+    assert(lateDf.select("k").as[Long].collect().toSeq === Seq(1005L))
+    assert(lateKept >= 1 && lateKept <= 2,
+      s"expected the bloom-less file plus at most one false positive, got $lateKept")
+  }
+
   test("q82's judged shape: aligned quarter reads exactly 2 of 8 files at every sf") {
     for (d <- Seq(sf("sf0.001"))) {
       val df = SnapshotLake.q82FileSkipping(spark, d)
