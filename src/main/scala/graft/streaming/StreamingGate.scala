@@ -239,6 +239,46 @@ object StreamingGate {
       .orderBy(col("imp_id"), col("conv_id"))
   }
 
+  /** Checkpoint-restart gate — the FAILURE-RECOVERY half of
+    * exactly-once, complementing q74 (which runs both commits inside
+    * one query lifetime): the first query is STOPPED after its
+    * commit, a brand-new query object resumes from the same
+    * checkpoint + sink, and only then does the second file set
+    * arrive. What the identity oracle certifies: the restarted query
+    * re-derives its position from the checkpoint's offset log (batch
+    * 1's files are never re-emitted — no duplicates) and the sink's
+    * `_spark_metadata` log stays consistent across the restart (no
+    * loss). This is the crash-and-resume contract a 1000-executor
+    * deployment actually exercises weekly; at any scale the
+    * recovery cost is reading the KB-scale offset/commit logs, never
+    * the data.
+    */
+  def q89StreamRestart(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val mm = base.agg(min(col("ts")), max(col("ts"))).head
+    val mid = new Timestamp(
+      (mm.getTimestamp(0).getTime + mm.getTimestamp(1).getTime) / 2)
+    val src = Housekeeping.tempDir("q89_src")
+    val outRoot = Housekeeping.tempDir("q89_out")
+    val (sink, chk) = (s"$outRoot/data", s"$outRoot/chk")
+    base.where(col("ts") < lit(mid))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(src)
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    def start() = ss.readStream.schema(base.schema).parquet(src)
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", chk)
+      .outputMode("append").start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop() // commit 1, then DIE
+    base.where(col("ts") >= lit(mid))
+      .coalesce(1).write.mode(SaveMode.Append).parquet(src)
+    val q2 = start() // resume from the checkpoint
+    try q2.processAllAvailable() finally q2.stop()
+    s.read.parquet(sink).orderBy(col("event_id"))
+  }
+
   /** Stream-STATIC join gate — the other half of the streaming join
     * matrix next to q65's stream-stream interval join: per-batch
     * enrichment of the event stream against a batch dimension table
@@ -275,6 +315,12 @@ object StreamingGate {
   }
 
   val queries: Seq[Q] = Seq(
+    // identity oracle, like q74: recovery must neither lose nor
+    // duplicate a single event
+    Q("q89_stream_restart", q89StreamRestart, Some("""
+      SELECT event_id, user_id, date_trunc('microsecond', ts) AS ts, value
+      FROM events
+      ORDER BY event_id""")),
     Q("q87_stream_static_join", q87StreamStaticJoin, Some("""
       SELECT e.event_id, e.user_id, c.c_mktsegment AS segment,
              date_trunc('microsecond', e.ts) AS ts, e.value

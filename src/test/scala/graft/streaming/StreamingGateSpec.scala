@@ -103,6 +103,34 @@ class StreamingGateSpec extends SparkTestBase {
       s"batch read must trust the commit log, not the listing; got ${got.toSeq}")
   }
 
+  test("q89 restart recovery: no loss, no duplicates, and a third restart emits nothing") {
+    import org.apache.spark.sql.functions._
+    val got = StreamingGate.q89StreamRestart(spark, sf("sf0.001"))
+      .select(col("event_id")).collect().map(_.getLong(0)).toSeq
+    val expect = graft.sources.Tables.events(spark, sf("sf0.001"))
+      .select(col("event_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === expect, "restart lost or duplicated events")
+  }
+
+  test("resuming a drained checkpoint with no new input emits zero rows") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.SaveMode
+    val root = java.nio.file.Files.createTempDirectory("q89_probe").toString
+    val (src, sink, chk) = (s"$root/src", s"$root/data", s"$root/chk")
+    val rows = spark.range(0, 7).select(col("id"))
+    rows.coalesce(1).write.mode(SaveMode.Overwrite).parquet(src)
+    def run(): Unit = {
+      val q = spark.readStream.schema(rows.schema).parquet(src)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", chk)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run(); run(); run() // two idempotent recoveries after the first drain
+    assert(spark.read.parquet(sink).count() === 7L,
+      "re-resumed checkpoint re-emitted already-committed input")
+  }
+
   test("q87 stream-static join == batch join twin, and runs STATELESS") {
     import org.apache.spark.sql.functions._
     val streamed = StreamingGate.q87StreamStaticJoin(spark, sf("sf0.001"))
