@@ -288,8 +288,13 @@ object Curation {
     Q("s3_domain_mix", s3DomainMix, Some("""
       WITH r AS (
         SELECT source, doc_id,
-               CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
-                    THEN 2.0 ELSE 1.0 END AS wt,
+               -- CAST to DOUBLE: bare literals type as DECIMAL(2,1)
+               -- in DuckDB, the catalog's last non-plain oracle
+               -- output type (the q64/q69 HUGEINT lesson: exotic
+               -- oracle types risk driver-side canonicalization
+               -- drift that local fetchall masks)
+               CAST(CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+                    THEN 2.0 ELSE 1.0 END AS DOUBLE) AS wt,
                row_number() OVER (PARTITION BY source
                                   ORDER BY md5(text), doc_id) AS rk,
                count(*) OVER (PARTITION BY source) AS n_stratum

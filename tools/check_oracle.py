@@ -70,10 +70,13 @@ def main(sf_dir, out_dir):
             # Fail loudly so new oracles add an outer CAST(... AS
             # BIGINT) like q70 instead of rediscovering this.
             rel_types = [str(t) for t in con.sql(sql).types]
-            if any(t in ("HUGEINT", "UHUGEINT") for t in rel_types):
-                print(f"FAIL {name}: oracle emits bare HUGEINT column "
-                      f"(types={rel_types}); wrap the sum in "
-                      "CAST(... AS BIGINT)")
+            bad_types = [t for t in rel_types
+                         if t in ("HUGEINT", "UHUGEINT")
+                         or t.startswith("DECIMAL")]
+            if bad_types:
+                print(f"FAIL {name}: oracle emits non-plain column types "
+                      f"{bad_types} (types={rel_types}); CAST sums to "
+                      "BIGINT and decimal literals to DOUBLE")
                 n_fail += 1
                 continue
             duck = con.execute(sql)
