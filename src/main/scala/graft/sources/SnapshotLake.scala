@@ -200,6 +200,34 @@ object SnapshotLake {
       bloomBytes: Int = 1024): Int = {
     val batch = s"data/b-${UUID.randomUUID().toString.take(8)}"
     df.write.parquet(s"$root/$batch")
+    commitBatch(s, root, batch, statCol, overwrite, bloomCol, bloomBytes)
+  }
+
+  /** Clustered bulk commit: route rows to buckets with ONE shuffle
+    * and write one file per bucket, so a whole clustered layout
+    * lands as a single write job + a single stats pass + one
+    * manifest — the bulk-ingest shape, vs. N sequential [[commit]]
+    * calls costing 2N jobs. Clustering is what gives the per-file
+    * stats their selectivity (tight min/max ranges, small blooms),
+    * so this is the write path that feeds [[readPruned]]/
+    * [[readPoint]] at scale. The bucket column is a write-routing
+    * artifact (a partition directory), not table data — reads of
+    * explicit file lists never see it.
+    */
+  def commitClustered(s: SparkSession, root: String, df: DataFrame,
+      bucket: org.apache.spark.sql.Column, statCol: String,
+      overwrite: Boolean = false, bloomCol: Option[String] = None,
+      bloomBytes: Int = 1024): Int = {
+    val batch = s"data/b-${UUID.randomUUID().toString.take(8)}"
+    df.withColumn("__bucket", bucket)
+      .repartition(col("__bucket"))
+      .write.partitionBy("__bucket").parquet(s"$root/$batch")
+    commitBatch(s, root, batch, statCol, overwrite, bloomCol, bloomBytes)
+  }
+
+  private def commitBatch(s: SparkSession, root: String, batch: String,
+      statCol: String, overwrite: Boolean, bloomCol: Option[String],
+      bloomBytes: Int): Int = {
     // one pass over the new files only: per-file stats keyed by the
     // physical file each row came from; the optional bloom rides the
     // same aggregate (write-time index build, never a second scan)
@@ -396,11 +424,14 @@ object SnapshotLake {
     // same data-driven-plan contract as e2/e5's corpus count
     val span = ev.agg(max(col("event_id"))).head().getLong(0) + 1
     def bound(i: Int): Long = i.toLong * span / 8
-    (0 until 8).foreach { i =>
-      commit(s, root,
-        ev.where(col("event_id") >= bound(i) && col("event_id") < bound(i + 1))
-          .coalesce(1), "event_id")
+    // bucket = max i with event_id >= bound(i): EXACTLY the oracle's
+    // floor(i·span/8) breakpoints (a closed-form id*8/span disagrees
+    // at boundaries when 8 ∤ span); one clustered commit = one
+    // shuffle + one stats pass for the whole 8-file layout
+    val bucket = (1 to 7).foldLeft(lit(0)) { (acc, i) =>
+      when(col("event_id") >= bound(i), lit(i)).otherwise(acc)
     }
+    commitClustered(s, root, ev, bucket, "event_id")
     val (pruned, nRead, nTotal) = readPruned(s, root, bound(2), bound(4))
     pruned.agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
       .select(
@@ -409,8 +440,8 @@ object SnapshotLake {
         col("n_events"), col("sum_cents"))
   }
 
-  /** Judged bloom point lookup: the lake is committed in 8 batches
-    * bucketed by user_id, so every file's event_id [min, max] spans
+  /** Judged bloom point lookup: the lake is one clustered commit of
+    * 8 files bucketed by user_id, so every file's event_id [min, max] spans
     * essentially the whole domain — q82's range pruning would keep
     * all 8 files. The per-file bloom on event_id (10 bits/key,
     * write-time build riding the stats pass) recovers the skip: the
@@ -427,11 +458,9 @@ object SnapshotLake {
       round(col("value") * 100).cast("long").as("cents"))
     val span = ev.agg(max(col("event_id"))).head().getLong(0) + 1
     val bloomBytes = math.max(1024L, (span / 8 * 10 + 7) / 8).toInt
-    (0 until 8).foreach { i =>
-      commit(s, root, ev.where(col("user_id") % 8 === i).coalesce(1),
-        statCol = "event_id", bloomCol = Some("event_id"),
-        bloomBytes = bloomBytes)
-    }
+    commitClustered(s, root, ev, pmod(col("user_id"), lit(8)),
+      statCol = "event_id", bloomCol = Some("event_id"),
+      bloomBytes = bloomBytes)
     val (df, _, _) = readPoint(s, root, span / 2)
     df.select(col("event_id"), col("user_id"), col("cents"))
   }

@@ -190,4 +190,19 @@ class SnapshotLakeSpec extends SparkTestBase {
         s"expected 2/8 files, got ${row.getLong(1)}/${row.getLong(0)}")
     }
   }
+
+  test("clustered commit: one file per bucket, routing column invisible to reads") {
+    val root = freshRoot()
+    SnapshotLake.commitClustered(spark, root, tbl(0 until 100),
+      col("k") % 4, "k")
+    val snap = SnapshotLake.snapshot(root)
+    assert(snap.files.length === 4, s"expected 4 bucket files: ${snap.files}")
+    // per-file stats are exact for each routed bucket (k ≡ i mod 4)
+    assert(snap.files.map(f => (f.lo, f.hi)).sorted ===
+      Seq((0L, 96L), (1L, 97L), (2L, 98L), (3L, 99L)))
+    val read = SnapshotLake.read(spark, root)
+    assert(!read.columns.contains("__bucket"),
+      s"write-routing column leaked into the table: ${read.columns.toSeq}")
+    assert(read.select("k").as[Long].collect().sorted.toSeq === (0L until 100L))
+  }
 }
