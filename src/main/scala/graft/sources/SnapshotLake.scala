@@ -20,13 +20,14 @@ import graft.Catalog.Q
   * with its per-file min/max/rowcount stats on a declared stat
   * column). A snapshot IS its manifest's explicit file list:
   *
-  *  - COMMIT is write-new-files → write `_log/.tmp-*` → atomic
-  *    rename to the next version. The rename is the only
-  *    serialization point; a concurrent committer losing the race
-  *    gets FileAlreadyExists, re-reads the new head, rebases its
-  *    file list and retries — optimistic concurrency, no locks
-  *    (append rebases trivially; the data files themselves are
-  *    never rewritten).
+  *  - COMMIT is write-new-files → write `_log/.tmp-*` → atomically
+  *    hard-LINK it into the next version slot (link(2) fails with
+  *    EEXIST; rename(2) would silently replace the winner). The
+  *    link is the only serialization point; a concurrent committer
+  *    losing the race re-reads the new head, rebases its file list
+  *    and retries — optimistic concurrency, no locks (append
+  *    rebases trivially; the data files themselves are never
+  *    rewritten).
   *  - TIME TRAVEL is reading an older manifest — old snapshots stay
   *    byte-stable forever because OVERWRITE only publishes a
   *    manifest that stops referencing old files; it deletes nothing
@@ -181,7 +182,14 @@ object SnapshotLake {
     val tmp = logDir(root).resolve(s".tmp-${UUID.randomUUID()}")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     try {
-      Files.move(tmp, manifestPath(root, v), StandardCopyOption.ATOMIC_MOVE)
+      // ATOMIC NO-REPLACE is the load-bearing property: POSIX
+      // rename(2) — what ATOMIC_MOVE maps to — silently REPLACES an
+      // existing target, so a lost race would clobber the winner's
+      // manifest (the concurrency stress spec caught exactly that).
+      // link(2) fails with EEXIST instead: hard-link the staged file
+      // into the version slot, then drop the staging name.
+      Files.createLink(manifestPath(root, v), tmp)
+      Files.deleteIfExists(tmp)
       true
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>

@@ -73,6 +73,33 @@ class SnapshotLakeSpec extends SparkTestBase {
       .exists(_.getFileName.toString.startsWith(".tmp-")))
   }
 
+  test("genuinely concurrent committers: every append lands, versions stay contiguous") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = freshRoot()
+    SnapshotLake.commit(spark, root, tbl(0 until 10), "k")
+    // 6 threads race 3 appends each through the optimistic loop
+    val futures = (0 until 6).map { t =>
+      Future {
+        (0 until 3).map { j =>
+          val base = 1000 + (t * 3 + j) * 10
+          SnapshotLake.commit(spark, root, tbl(base until base + 10), "k")
+        }
+      }
+    }
+    val versions = Await.result(Future.sequence(futures), 120.seconds)
+      .flatten.sorted
+    // 18 racing commits took exactly versions 1..18, no gaps, no reuse
+    assert(versions === (1 to 18))
+    assert(SnapshotLake.headVersion(root) === 18)
+    // nothing was lost: the head sees the seed rows plus all 18 appends
+    assert(SnapshotLake.read(spark, root).count() === (10 + 18 * 10).toLong)
+    // and no half-published staging files remain
+    assert(!Files.list(Paths.get(root, "_log")).iterator().asScala
+      .exists(_.getFileName.toString.startsWith(".tmp-")))
+  }
+
   test("manifest stats are exact per-file min/max/rows") {
     val root = freshRoot()
     SnapshotLake.commit(spark, root, tbl(5 until 20).coalesce(1), "k")
