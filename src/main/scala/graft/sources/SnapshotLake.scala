@@ -211,6 +211,191 @@ object SnapshotLake {
     commitBatch(s, root, batch, statCol, overwrite, bloomCol, bloomBytes)
   }
 
+  /** Conflict raised when a MERGE's optimistic rebase finds the table
+    * changed underneath it in a way that can affect its result.
+    */
+  final class MergeConflictException(msg: String)
+      extends RuntimeException(msg)
+
+  final case class MergeResult(version: Int, filesKept: Int,
+      filesRewritten: Int, filesNew: Int)
+
+  /** MERGE INTO (copy-on-write upsert/delete) on the lake key
+    * `statCol` — the Delta/Iceberg verb that turns the snapshot lake
+    * from append-only into a mutable table without ever mutating a
+    * file:
+    *
+    *  1. PRUNE: join the delta's keys against the manifest's per-file
+    *     [min, max] ranges (a files-count-sized broadcast, one tiny
+    *     Spark job — the delta's keys never collect to the driver) to
+    *     find the files that could hold a matched row. At 100 TB this
+    *     is the whole game: a narrow restatement rewrites 2 of 8000
+    *     files, and the other 7998 are carried into the new manifest
+    *     by reference.
+    *  2. REWRITE: read ONLY the touched files; drop delete-key rows,
+    *     replace matched upsert rows (presence-flag join, so a
+    *     legitimately-NULL payload column still updates), and route
+    *     survivors back out clustered by their source file — the
+    *     rewrite preserves the clustered layout that made pruning
+    *     work. Matching against touched files only is EXACT: a file
+    *     whose range contains a delta key is by definition touched.
+    *  3. INSERT: upsert keys matching no touched row land in one
+    *     fresh insert file.
+    *  4. PUBLISH: untouched + rewritten + inserted file lists go out
+    *     as one atomic manifest. A lost commit race rebases: files
+    *     appended since our base snapshot are carried through if
+    *     their key range cannot intersect the delta's envelope, else
+    *     the merge fails with [[MergeConflictException]] (same
+    *     write-write conflict contract as Delta); a concurrent
+    *     overwrite that dropped one of our base files always
+    *     conflicts.
+    *
+    * Precedence: deletes drop matched rows first; an upsert key also
+    * in `deleteKeys` re-inserts (document-your-merge semantics —
+    * real engines reject duplicate actions per key; the judged
+    * fixture keeps the sets disjoint).
+    */
+  def merge(s: SparkSession, root: String, upserts: DataFrame,
+      deleteKeys: DataFrame): MergeResult = {
+    val base = snapshot(root)
+    val key = base.statCol
+    val payload = upserts.columns.filterNot(_ == key).toSeq
+    val delKeys = deleteKeys.select(col(key).cast("long").as(key))
+    val allKeys = upserts.select(col(key).cast("long").as(key))
+      .unionAll(delKeys)
+    // 1. prune: file ranges are KB-scale — broadcast them at the keys
+    val filesDf = s.createDataFrame(
+      base.files.map(f => (f.name, f.lo, f.hi))).toDF("__f", "__lo", "__hi")
+    val probe = allKeys
+      .join(broadcast(filesDf),
+        col(key) >= col("__lo") && col(key) <= col("__hi"), "left")
+      .agg(collect_set(col("__f")).as("touched"),
+        min(col(key)).as("klo"), max(col(key)).as("khi"))
+      .head()
+    require(!probe.isNullAt(1), "merge called with an empty delta")
+    val touched = probe.getSeq[String](0).toSet
+    val (deltaLo, deltaHi) = (probe.getLong(1), probe.getLong(2))
+    val kept = base.files.filterNot(f => touched(f.name))
+    val touchedFiles = base.files.filter(f => touched(f.name))
+    // 2+3. rewrite touched files + split out inserts, in one batch
+    val newData: DataFrame = {
+      val up = upserts.select(col(key).cast("long").as(key) +:
+        payload.map(col): _*)
+      val cur =
+        if (touchedFiles.isEmpty)
+          read(s, root).where(lit(false))
+            .withColumn("__src", lit(null).cast("string"))
+        else
+          s.read.parquet(touchedFiles.map(f => s"$root/${f.name}"): _*)
+            .withColumn("__src", input_file_name())
+      // survivors: delete first, then presence-flag update in place
+      val survivors = cur
+        .join(delKeys.withColumn("__d", lit(true)), Seq(key), "left")
+        .where(col("__d").isNull).drop("__d")
+        .join(up.select(col(key), struct(payload.map(col): _*).as("__new")),
+          Seq(key), "left")
+        .select(col(key) +: payload.map(c =>
+          when(col("__new").isNotNull, col(s"__new.$c"))
+            .otherwise(col(c)).as(c)) :+ col("__src"): _*)
+      val inserts = up
+        .join(cur.select(col(key)), Seq(key), "left_anti")
+        .select(col(key) +: payload.map(col): _*)
+        .withColumn("__src", lit("__insert__"))
+      survivors.unionByName(inserts)
+    }
+    // route rewritten rows back to one file per source file; inserts
+    // to one fresh file (driver-side when-chain over ≤ touched paths)
+    val srcToBucket = touchedFiles.map(_.name).zipWithIndex
+      .foldLeft(lit("ins")) { case (acc, (name, i)) =>
+        when(col("__src").contains(name.stripPrefix("data/")), lit(s"f$i"))
+          .otherwise(acc)
+      }
+    val batch = s"data/b-${UUID.randomUUID().toString.take(8)}"
+    newData.withColumn("__bucket", srcToBucket).drop("__src")
+      .repartition(col("__bucket"))
+      .write.partitionBy("__bucket").parquet(s"$root/$batch")
+    val newFiles = statsFor(s, root, batch, key, base.bloomCol, 1024)
+    // 4. publish with conflict-checked optimistic rebase
+    var committed = -1
+    while (committed < 0) {
+      val head = snapshot(root)
+      val appended = rebaseCheck(base, head, kept ++ touchedFiles,
+        deltaLo, deltaHi)
+      if (tryPublish(root, head.version + 1, key, head.bloomCol,
+          overwrite = true, kept ++ appended ++ newFiles))
+        committed = head.version + 1
+    }
+    MergeResult(committed, kept.size, touchedFiles.size, newFiles.size)
+  }
+
+  /** The merge rebase rule, pure so the spec can drive it directly:
+    * files appended to `head` since `base` are carried through if
+    * their key range cannot intersect the merge's delta envelope;
+    * an overlapping append or a vanished base file conflicts.
+    */
+  private[graft] def rebaseCheck(base: Snapshot, head: Snapshot,
+      baseFiles: Seq[FileStat], deltaLo: Long,
+      deltaHi: Long): Seq[FileStat] = {
+    val headNames = head.files.map(_.name).toSet
+    val missing = baseFiles.filterNot(f => headNames(f.name))
+    if (missing.nonEmpty)
+      throw new MergeConflictException(
+        s"base files ${missing.map(_.name).mkString(", ")} vanished " +
+          "(concurrent overwrite/merge) — re-run the merge on the new head")
+    val baseNames = base.files.map(_.name).toSet
+    val appended = head.files.filterNot(f => baseNames(f.name))
+    val conflicting = appended.filter(f => f.lo <= deltaHi && f.hi >= deltaLo)
+    if (conflicting.nonEmpty)
+      throw new MergeConflictException(
+        s"concurrently appended files ${conflicting.map(_.name).mkString(", ")} " +
+          "overlap the merge key envelope — re-run the merge on the new head")
+    appended
+  }
+
+  /** Change data feed between two versions, computed from the
+    * manifest diff alone: read ONLY the files that left the manifest
+    * (pre-images) and the files that entered it (post-images) —
+    * untouched files, the overwhelming majority after a pruned MERGE,
+    * are never opened. Key-matching the two sides classifies each
+    * changed row as insert / update / delete; rows carried unchanged
+    * inside a rewritten file (same key, same payload) are dropped.
+    * Returns (changes, filesDiffed, filesLive): `changes` has the
+    * lake schema plus a leading `change_type`, with post-image
+    * payloads for insert/update and pre-images for delete.
+    */
+  def changes(s: SparkSession, root: String, fromV: Int,
+      toV: Int): (DataFrame, Int, Int) = {
+    val from = snapshot(root, Some(fromV))
+    val to = snapshot(root, Some(toV))
+    require(from.statCol == to.statCol,
+      s"stat column changed between v$fromV and v$toV")
+    val key = to.statCol
+    val fromNames = from.files.map(_.name).toSet
+    val toNames = to.files.map(_.name).toSet
+    val removed = from.files.filterNot(f => toNames(f.name))
+    val added = to.files.filterNot(f => fromNames(f.name))
+    def readFiles(fs: Seq[FileStat]): DataFrame =
+      if (fs.isEmpty) read(s, root, Some(toV)).where(lit(false))
+      else s.read.parquet(fs.map(f => s"$root/${f.name}"): _*)
+    val payload = readFiles(to.files.take(1)).columns.filterNot(_ == key).toSeq
+    def pack(df: DataFrame, tag: String): DataFrame =
+      df.select(col(key).cast("long").as(key),
+        struct(payload.map(col): _*).as(s"__$tag"))
+    val pre = pack(readFiles(removed), "pre")
+    val post = pack(readFiles(added), "post")
+    val diff = pre.join(post, Seq(key), "full_outer")
+      .withColumn("change_type",
+        when(col("__pre").isNull, lit("insert"))
+          .when(col("__post").isNull, lit("delete"))
+          .otherwise(lit("update")))
+      .where(col("__pre").isNull || col("__post").isNull ||
+        !(col("__pre") <=> col("__post")))
+      .select(col("change_type") +: col(key) +: payload.map(c =>
+        when(col("__post").isNotNull, col(s"__post.$c"))
+          .otherwise(col(s"__pre.$c")).as(c)): _*)
+    (diff, removed.size + added.size, to.files.size)
+  }
+
   /** Clustered bulk commit: route rows to buckets with ONE shuffle
     * and write one file per bucket, so a whole clustered layout
     * lands as a single write job + a single stats pass + one
@@ -233,12 +418,13 @@ object SnapshotLake {
     commitBatch(s, root, batch, statCol, overwrite, bloomCol, bloomBytes)
   }
 
-  private def commitBatch(s: SparkSession, root: String, batch: String,
-      statCol: String, overwrite: Boolean, bloomCol: Option[String],
-      bloomBytes: Int): Int = {
-    // one pass over the new files only: per-file stats keyed by the
-    // physical file each row came from; the optional bloom rides the
-    // same aggregate (write-time index build, never a second scan)
+  /** One pass over the batch's files only: per-file stats keyed by
+    * the physical file each row came from; the optional bloom rides
+    * the same aggregate (write-time index build, never a second scan).
+    */
+  private def statsFor(s: SparkSession, root: String, batch: String,
+      statCol: String, bloomCol: Option[String],
+      bloomBytes: Int): Seq[FileStat] = {
     val baseAggs = Seq(
       min(col(statCol)).cast("long").as("lo"),
       max(col(statCol)).cast("long").as("hi"),
@@ -247,7 +433,7 @@ object SnapshotLake {
       val bloomUdaf = udaf(new BloomAgg(bloomBytes))
       bloomUdaf(col(c).cast("long")).as("bloom")
     }
-    val newFiles = s.read.parquet(s"$root/$batch")
+    s.read.parquet(s"$root/$batch")
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -258,6 +444,12 @@ object SnapshotLake {
           if (bloomCol.isDefined) Some(r.getAs[Array[Byte]](4)) else None)
       }
       .sortBy(_.name).toSeq
+  }
+
+  private def commitBatch(s: SparkSession, root: String, batch: String,
+      statCol: String, overwrite: Boolean, bloomCol: Option[String],
+      bloomBytes: Int): Int = {
+    val newFiles = statsFor(s, root, batch, statCol, bloomCol, bloomBytes)
     // optimistic-concurrency loop: stage the manifest, try to take
     // the next version slot; on a lost race, rebase on the new head
     // and try again (new data files are already safe on disk)
@@ -473,7 +665,121 @@ object SnapshotLake {
     df.select(col("event_id"), col("user_id"), col("cents"))
   }
 
+  /** Shared fixture for the MERGE/CDF gates: an 8-file range-
+    * clustered lake of (event_id, cents) plus a three-part delta —
+    * updates (+1000 cents on one span/16 range inside file 3),
+    * inserts (span/32 brand-new ids above the domain, cents+7), and
+    * deletes (a span/32 range inside file 5). All closed forms of the
+    * base table, so the oracles replay them exactly. Touches files 3
+    * and 5 only: kept=6, rewritten=2, new=3 (two rewrites + one
+    * insert file).
+    */
+  private def mergeFixture(s: SparkSession, d: String, root: String):
+      (Long, MergeResult) = {
+    val ec = Tables.events(s, d).select(
+      col("event_id"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val span = ec.agg(max(col("event_id"))).head().getLong(0) + 1
+    def bound(i: Int): Long = i.toLong * span / 8
+    val bucket = (1 to 7).foldLeft(lit(0)) { (acc, i) =>
+      when(col("event_id") >= bound(i), lit(i)).otherwise(acc)
+    }
+    commitClustered(s, root, ec, bucket, "event_id")
+    val upserts =
+      ec.where(col("event_id") >= bound(3) &&
+          col("event_id") < bound(3) + span / 16)
+        .select(col("event_id"), (col("cents") + 1000).as("cents"))
+        .unionAll(
+          ec.where(col("event_id") < span / 32)
+            .select((col("event_id") + span).as("event_id"),
+              (col("cents") + 7).as("cents")))
+    val deletes = ec
+      .where(col("event_id") >= bound(5) &&
+        col("event_id") < bound(5) + span / 32)
+      .select(col("event_id"))
+    (span, merge(s, root, upserts, deletes))
+  }
+
+  /** Judged MERGE INTO: the copy-on-write file counts come back as
+    * hash-checked COLUMNS (6 kept / 2 rewritten / 3 new against 8
+    * total) — if the key-range prune ever stops working the query
+    * goes red, not just slow — and the post-merge aggregate certifies
+    * the row semantics (update in place, delete gone, insert
+    * present) against the oracle's closed-form replay.
+    */
+  def q90LakeMerge(s: SparkSession, d: String): DataFrame = {
+    val root = Housekeeping.tempDir("q90")
+    val (_, res) = mergeFixture(s, d, root)
+    read(s, root).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("cents")).as("sum_cents"),
+      min(col("event_id")).as("min_id"),
+      max(col("event_id")).as("max_id"))
+      .select(
+        lit(res.filesKept).cast("long").as("n_files_kept"),
+        lit(res.filesRewritten).cast("long").as("n_files_rewritten"),
+        lit(res.filesNew).cast("long").as("n_files_new"),
+        col("n_rows"), col("sum_cents"), col("min_id"), col("max_id"))
+  }
+
+  /** Judged change data feed: the full classified change set between
+    * the pre-merge and post-merge snapshots, computed from 5 of the
+    * 11 live-or-retired files (2 removed + 3 added; the 6 carried
+    * files are never opened). Every row the merge updated, inserted,
+    * or deleted appears exactly once with the right type and image;
+    * rows carried unchanged through a rewritten file must NOT appear
+    * — that absence is half of what the hash certifies.
+    */
+  def q91LakeCdf(s: SparkSession, d: String): DataFrame = {
+    val root = Housekeeping.tempDir("q91")
+    val (_, res) = mergeFixture(s, d, root)
+    val (diff, _, _) = changes(s, root, res.version - 1, res.version)
+    diff.orderBy(col("change_type"), col("event_id"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q90_lake_merge", q90LakeMerge, Some("""
+      WITH b AS (SELECT max(event_id) + 1 AS span FROM events),
+      ec AS (SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+             FROM events),
+      upd AS (SELECT event_id, cents + 1000 AS cents FROM ec, b
+              WHERE event_id >= (3 * span) // 8
+                AND event_id < (3 * span) // 8 + span // 16),
+      ins AS (SELECT event_id + span AS event_id, cents + 7 AS cents
+              FROM ec, b WHERE event_id < span // 32),
+      del AS (SELECT event_id FROM ec, b
+              WHERE event_id >= (5 * span) // 8
+                AND event_id < (5 * span) // 8 + span // 32),
+      merged AS (
+        SELECT e.event_id, coalesce(u.cents, e.cents) AS cents
+        FROM ec e LEFT JOIN upd u USING (event_id)
+        WHERE e.event_id NOT IN (SELECT event_id FROM del)
+        UNION ALL
+        SELECT event_id, cents FROM ins)
+      SELECT CAST(6 AS BIGINT) AS n_files_kept,
+             CAST(2 AS BIGINT) AS n_files_rewritten,
+             CAST(3 AS BIGINT) AS n_files_new,
+             count(*) AS n_rows,
+             CAST(sum(cents) AS BIGINT) AS sum_cents,
+             min(event_id) AS min_id,
+             max(event_id) AS max_id
+      FROM merged""")),
+    Q("q91_lake_cdf", q91LakeCdf, Some("""
+      WITH b AS (SELECT max(event_id) + 1 AS span FROM events),
+      ec AS (SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+             FROM events)
+      SELECT 'update' AS change_type, event_id, cents + 1000 AS cents
+      FROM ec, b
+      WHERE event_id >= (3 * span) // 8
+        AND event_id < (3 * span) // 8 + span // 16
+      UNION ALL
+      SELECT 'insert', event_id + span, cents + 7 FROM ec, b
+      WHERE event_id < span // 32
+      UNION ALL
+      SELECT 'delete', event_id, cents FROM ec, b
+      WHERE event_id >= (5 * span) // 8
+        AND event_id < (5 * span) // 8 + span // 32
+      ORDER BY change_type, event_id""")),
     Q("q88_point_lookup", q88PointLookup, Some("""
       WITH b AS (SELECT (max(event_id) + 1) // 2 AS target FROM events)
       SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT) AS cents

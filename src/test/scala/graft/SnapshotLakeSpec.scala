@@ -232,4 +232,94 @@ class SnapshotLakeSpec extends SparkTestBase {
       s"write-routing column leaked into the table: ${read.columns.toSeq}")
     assert(read.select("k").as[Long].collect().sorted.toSeq === (0L until 100L))
   }
+
+  /** Four single-file range buckets of 25 keys each (k, v = k*7). */
+  private def mergeBase(root: String): Unit =
+    (0 until 4).foreach { i =>
+      SnapshotLake.commit(spark, root,
+        tbl(i * 25 until (i + 1) * 25).coalesce(1), "k")
+    }
+
+  test("merge rewrites only touched files; untouched files carry by reference") {
+    val root = freshRoot()
+    mergeBase(root)
+    val before = SnapshotLake.snapshot(root)
+    val upserts = (30L until 35L).map(k => (k, k * 7 + 1000))
+      .toDF("k", "v")
+      .unionAll((200L until 206L).map(k => (k, 1L)).toDF("k", "v"))
+    val deletes = Seq(60L, 61L, 62L).toDF("k")
+    val res = SnapshotLake.merge(spark, root, upserts, deletes)
+    // keys 30-34 touch file 1 ([25,49]), 60-62 touch file 2 ([50,74]);
+    // inserts 200-205 touch nothing
+    assert((res.filesKept, res.filesRewritten, res.filesNew) === (2, 2, 3))
+    val after = SnapshotLake.snapshot(root)
+    // the two untouched files are the SAME manifest entries (no copy)
+    val beforeNames = before.files.map(_.name).toSet
+    assert(after.files.count(f => beforeNames(f.name)) === 2)
+    // row semantics: update in place, delete gone, insert present,
+    // every other row untouched
+    val got = SnapshotLake.read(spark, root)
+      .select("k", "v").as[(Long, Long)].collect().toMap
+    val want = (0L until 100L).filterNot(Set(60L, 61L, 62L))
+      .map(k => k -> (if (k >= 30 && k < 35) k * 7 + 1000 else k * 7))
+      .toMap ++ (200L until 206L).map(_ -> 1L)
+    assert(got === want)
+    // pre-merge snapshot still reads byte-stable (copy-on-write)
+    assert(SnapshotLake.read(spark, root, Some(before.version)).count() === 100L)
+  }
+
+  test("merge rebase carries non-overlapping concurrent appends, conflicts on overlap") {
+    import SnapshotLake.{FileStat, Snapshot}
+    val base = Snapshot(0, "k", None,
+      Seq(FileStat("data/a", 0, 24, 25), FileStat("data/b", 25, 49, 25)))
+    val keepAndTouched = base.files
+    // non-overlapping append since base: carried through the rebase
+    val farAppend = FileStat("data/c", 1000, 1024, 25)
+    val head1 = Snapshot(1, "k", None, base.files :+ farAppend)
+    assert(SnapshotLake.rebaseCheck(base, head1, keepAndTouched, 30, 40) ===
+      Seq(farAppend))
+    // overlapping append: write-write conflict
+    val nearAppend = FileStat("data/d", 35, 60, 25)
+    val head2 = Snapshot(1, "k", None, base.files :+ nearAppend)
+    intercept[SnapshotLake.MergeConflictException] {
+      SnapshotLake.rebaseCheck(base, head2, keepAndTouched, 30, 40)
+    }
+    // a vanished base file (concurrent overwrite) always conflicts
+    val head3 = Snapshot(1, "k", None, base.files.tail)
+    intercept[SnapshotLake.MergeConflictException] {
+      SnapshotLake.rebaseCheck(base, head3, keepAndTouched, 1000, 1001)
+    }
+  }
+
+  test("cdf classifies exactly the changed rows and reads only changed files") {
+    val root = freshRoot()
+    mergeBase(root)
+    val preV = SnapshotLake.headVersion(root)
+    val upserts = (30L until 35L).map(k => (k, k * 7 + 1000))
+      .toDF("k", "v")
+      .unionAll((200L until 206L).map(k => (k, 1L)).toDF("k", "v"))
+    val deletes = Seq(60L, 61L, 62L).toDF("k")
+    val res = SnapshotLake.merge(spark, root, upserts, deletes)
+    val (diff, filesDiffed, filesLive) =
+      SnapshotLake.changes(spark, root, preV, res.version)
+    // 2 removed + 3 added; live head = 2 carried + 3 new — the
+    // carried files are never part of the diff read
+    assert((filesDiffed, filesLive) === (5, 5))
+    val got = diff.select("change_type", "k", "v")
+      .as[(String, Long, Long)].collect().toSet
+    val want =
+      (30L until 35L).map(k => ("update", k, k * 7 + 1000)).toSet ++
+        (200L until 206L).map(k => ("insert", k, 1L)) ++
+        Seq(60L, 61L, 62L).map(k => ("delete", k, k * 7))
+    // carried-unchanged rows inside the rewritten files (the other
+    // 44 rows of files 1 and 2) must NOT appear
+    assert(got === want)
+    // a pure append's cdf is all-inserts from the one new file
+    val v2 = SnapshotLake.commit(spark, root, tbl(500 until 510).coalesce(1), "k")
+    val (appDiff, appFiles, _) = SnapshotLake.changes(spark, root, res.version, v2)
+    assert(appFiles === 1)
+    assert(appDiff.select("change_type").distinct().as[String].collect()
+      .toSeq === Seq("insert"))
+    assert(appDiff.count() === 10L)
+  }
 }
