@@ -196,9 +196,103 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** BM25 top-k retrieval over an inverted index — the corpus-search
+    * verb of a curation pipeline (find training documents relevant to
+    * a probe query; the scoring backbone of any "search the corpus"
+    * tool). Okapi BM25 with k1=1.2, b=0.75 and the Lucene-style
+    * always-positive idf ln(1 + (N−df+0.5)/(df+0.5)).
+    *
+    * Scale shape: one scan builds postings (doc_id, term, tf) and doc
+    * lengths via a hash aggregate; document frequency is a second
+    * hash aggregate on the term key — all partial-agg friendly. The
+    * query set (every 100th document contributes its first 5 distinct
+    * tokens) is broadcast into the postings join, so the corpus never
+    * shuffles on anything but the aggregate keys, and the candidate
+    * set is bounded by the query terms' posting lists — the
+    * inverted-index economics that make retrieval sublinear in corpus
+    * size for selective terms. Corpus size and average doc length are
+    * one bounded scalar probe (the e2/e5 data-driven-plan contract).
+    *
+    * Scores are quantized to integer micro-units (floor(score·1e6))
+    * BEFORE ranking: the ln/division doubles agree across engines
+    * only to last-ulp, so ordering by the raw double could flip a
+    * structurally-tied pair; ordering by the quantized value (ties →
+    * doc_id) is deterministic on both sides unless a true score sits
+    * within ~1e-10 of a quantization boundary.
+    */
+  def t9Bm25Retrieval(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+    val dl = docs.select(col("doc_id"), size(col("t")).cast(LongType).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).head()
+    val (n, avgdl) = (stats.getLong(0), stats.getDouble(1))
+    val tf = docs.select(col("doc_id"), explode(col("t")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val q = docs.where(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(slice(col("t"), 1, 5))).as("term"))
+    // candidate postings = query terms only; df is then computed on
+    // the pruned postings (exact for those terms) — never a
+    // vocabulary-wide aggregate carried past this point
+    val cand = tf.join(broadcast(q.select(col("term")).distinct()), "term")
+    val df = cand.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val contrib =
+      log(lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5)) *
+        col("tf") * lit(2.2) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl)))
+    val scored = cand
+      .join(broadcast(q), "term")
+      .join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(floor(sum(contrib) * 1e6).as("score_q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score_q").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("doc_id"), col("score_q"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
 
   val queries: Seq[Q] = Seq(
+    Q("t9_bm25_retrieval", t9Bm25Retrieval, Some(s"""
+      WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
+      stats AS (SELECT count(*) AS n, avg(len(t)) AS avgdl FROM tok),
+      dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tok),
+      tf AS (SELECT doc_id, unnest(t) AS term FROM tok),
+      tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+      q AS (SELECT doc_id AS query_id,
+                   unnest(list_distinct(t[1:5])) AS term
+            FROM tok WHERE doc_id % 100 = 0),
+      cand AS (SELECT * FROM tfc
+               WHERE term IN (SELECT DISTINCT term FROM q)),
+      df AS (SELECT term, count(*) AS df FROM cand GROUP BY 1),
+      scored AS (
+        SELECT q.query_id, c.doc_id,
+               CAST(floor(sum(
+                 ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5)) *
+                 c.tf * 2.2 /
+                 (c.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+               ) * 1e6) AS BIGINT) AS score_q
+        FROM cand c
+        JOIN q ON c.term = q.term
+        JOIN df f ON c.term = f.term
+        JOIN dl ON c.doc_id = dl.doc_id
+        CROSS JOIN stats s
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT query_id, doc_id, score_q,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY score_q DESC, doc_id) AS BIGINT) AS rank
+        FROM scored)
+      SELECT query_id, rank, doc_id, score_q
+      FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank""")),
     Q("t8_bigram_novelty", t8BigramNovelty, Some(s"""
       WITH tok AS (
         SELECT doc_id, $toksSql AS t FROM documents),

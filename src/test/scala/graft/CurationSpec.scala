@@ -122,4 +122,26 @@ class CurationSpec extends SparkTestBase {
     // sanity: correlations are inside (-1, 1) and non-degenerate
     assert(ours.values.forall { case (c, _, _) => c.abs < 1.0 })
   }
+
+  test("t9 BM25: self-retrieval tops, rare terms beat common, ties break on doc_id") {
+    import spark.implicits._
+    // doc 100 is the query (first 5 distinct tokens). zebra/fox/jumps
+    // are rare; quick/brown appear in the six filler docs, whose
+    // structurally-identical scores exercise the doc_id tie-break.
+    val tmp = writeDocs(
+      Seq(
+        (100L, "zebra quick brown fox jumps", "en", "src0", 27L),
+        (1L, "zebra lazy dog", "en", "src0", 14L)) ++
+        (1 to 6).map(i =>
+          (200L + i, s"quick brown pad$i", "en", "src1", 16L)))
+    val got = TextAnalysis.t9Bm25Retrieval(spark, tmp)
+      .select("query_id", "rank", "doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    // query doc matches all 5 terms -> rank 1; the rare-zebra doc
+    // beats every common-terms-only doc; the identical filler docs
+    // come back in doc_id order
+    assert(got === Seq(
+      (100L, 1L, 100L), (100L, 2L, 1L),
+      (100L, 3L, 201L), (100L, 4L, 202L), (100L, 5L, 203L)))
+  }
 }
