@@ -40,6 +40,7 @@ object Catalog {
       graft.operators.Layout.queries ++
       graft.operators.Skew.queries ++
       graft.operators.TextAnalysis.queries ++
+      graft.operators.BpeTrain.queries ++
       graft.operators.Curation.queries ++
       graft.operators.Dedup.queries ++
       graft.operators.Similarity.queries ++
