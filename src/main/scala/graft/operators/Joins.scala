@@ -180,6 +180,36 @@ object Joins {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Judged shuffled hash join — the middle rung of the join-strategy
+    * matrix between q1's broadcast (dim fits on every executor) and
+    * q60's sort-merge (both sides huge): when one side is too big to
+    * broadcast but small enough to hash-build PER PARTITION, SHJ
+    * shuffles both sides on the key and builds an in-memory hash
+    * table from the smaller side in each task — no sort of either
+    * side, which beats SMJ when the big side's sort would dominate
+    * (e.g. a fact already clustered by something else). The
+    * `shuffle_hash` hint on the build side picks the strategy;
+    * broadcast is disabled on a CLONED session (the q64 precedent —
+    * never mutate the shared conf) so AQE cannot demote the gate to
+    * a broadcast at test SF. CatalogSpec asserts the
+    * ShuffledHashJoin node and the absence of both sort-merge and
+    * broadcast.
+    */
+  def q92ShuffledHashJoin(s: SparkSession, d: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    ss.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val li = Tables.lineitem(ss, d)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val o = Tables.orders(ss, d)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    li.join(o.hint("shuffle_hash"), li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(round(col("l_quantity")).cast("long")).as("total_qty"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Native broadcast range join (graft.plans.IntervalJoin — the
     * custom LogicalPlan/Strategy/SparkPlan tier, injected via
     * `injectPlannerStrategy`): lineitem prices against 4096
@@ -410,6 +440,13 @@ object Joins {
                     WHERE l.l_orderkey = o.o_orderkey
                       AND l.l_quantity >= 45)
       ORDER BY o_orderkey""")),
+    Q("q92_shuffled_hash_join", q92ShuffledHashJoin, Some("""
+      SELECT o_orderstatus,
+             count(*) AS n_items,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""")),
     Q("q60_smj", q60SortMergeJoin, Some("""
       SELECT o_orderpriority,
              count(*) AS n_items,

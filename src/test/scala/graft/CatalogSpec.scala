@@ -96,6 +96,14 @@ class CatalogSpec extends SparkTestBase {
       s"q60 broadcast a fact table:\n$s")
   }
 
+  test("q92 plans a shuffled hash join — neither sort-merge nor broadcast") {
+    val s = plan("q92_shuffled_hash_join").toString
+    assert(s.contains("ShuffledHashJoin"),
+      s"q92 lost its shuffled hash join:\n$s")
+    assert(!s.contains("SortMergeJoin") && !s.contains("BroadcastHashJoin"),
+      s"q92 fell back to another strategy:\n$s")
+  }
+
   test("q63's fact scan is pruned by a RUNTIME dynamicpruning filter") {
     val s = plan("q63_dpp_join").toString
     // the region predicate lives on a non-join dim column, so only
