@@ -187,7 +187,44 @@ object Advanced {
       .orderBy(col("l_returnflag"), col("rk"))
   }
 
+  /** Recursive CTE (Spark 4's `WITH RECURSIVE`) — iterative graph
+    * traversal expressed declaratively, the SQL-surface twin of d5's
+    * DataFrame-loop connected components. The event ids form an
+    * implicit binary heap (parent(i) = (i−1) div 2), and the
+    * recursion walks it breadth-first from the root, labelling every
+    * node with its depth; the result aggregates per level. Each
+    * recursion step is one shuffle join of the frontier against the
+    * (pruned, two-column) events scan — ~log₂(N) steps for a heap —
+    * and Spark's recursion-level limit bounds runaway depth the same
+    * way d5's convergence probe does. DuckDB runs the identical
+    * recursive SQL as the oracle.
+    */
+  def q94RecursiveCte(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d).select(col("event_id"))
+      .createOrReplaceTempView("events_rc")
+    s.sql("""
+      WITH RECURSIVE anc AS (
+        SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS depth
+        UNION ALL
+        SELECT e.event_id AS node, a.depth + CAST(1 AS BIGINT) AS depth
+        FROM events_rc e JOIN anc a ON (e.event_id - 1) DIV 2 = a.node
+        WHERE e.event_id > 0)
+      SELECT depth, count(*) AS n_nodes,
+             min(node) AS min_node, max(node) AS max_node
+      FROM anc GROUP BY depth ORDER BY depth""")
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q94_recursive_cte", q94RecursiveCte, Some("""
+      WITH RECURSIVE anc AS (
+        SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS depth
+        UNION ALL
+        SELECT e.event_id AS node, a.depth + CAST(1 AS BIGINT) AS depth
+        FROM events e JOIN anc a ON (e.event_id - 1) // 2 = a.node
+        WHERE e.event_id > 0)
+      SELECT depth, count(*) AS n_nodes,
+             min(node) AS min_node, max(node) AS max_node
+      FROM anc GROUP BY depth ORDER BY depth""")),
     Q("q50_topk_per_group", q50TopkPerGroup, Some("""
       SELECT l_returnflag, rk, l_orderkey, l_linenumber, qty
       FROM (

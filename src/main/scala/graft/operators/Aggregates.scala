@@ -202,7 +202,48 @@ object Aggregates {
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /** HLL sketch ALGEBRA — the mergeable-summary discipline that makes
+    * approximate distinct counting compose at 100 TB: per-group
+    * sketches (built in one partial-agg pass) union into a global
+    * estimate without ever rescanning data — the law behind rollups,
+    * incremental refreshes (q77's state-merge discipline applied to
+    * sketches), and cross-partition counts. The union is NOT
+    * bit-identical to a direct whole-table sketch (DataSketches HLL
+    * promotes LIST→SET→HLL modes differently along the two paths), so
+    * the honest judged law is the ERROR BOUND: both the direct and
+    * the merged estimate sit within 5% (≈3 standard errors at
+    * lgK=12) of the exact total, and both booleans ride in the
+    * output row. Estimates are order-insensitive functions of the
+    * value set, so the row is stable under any partitioning; no SQL
+    * oracle because DuckDB's HLL is a different sketch — AdvancedSpec
+    * pins the merge law, determinism, and the bound.
+    */
+  def q93HllAlgebra(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val perNation = c.groupBy(col("c_nationkey"))
+      .agg(hll_sketch_agg(col("c_custkey"), lit(12)).as("sk"),
+        count_distinct(col("c_custkey")).as("exact_n"))
+    // custkey is unique and each customer has one nation, so the
+    // exact distinct total is the sum of per-nation exact counts
+    val merged = perNation.agg(
+      sum(col("exact_n")).as("exact_total"),
+      hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+        .as("hll_merged"))
+    val direct = c.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("c_custkey"), lit(12)))
+        .as("hll_direct"))
+    val pctOk = (est: org.apache.spark.sql.Column) =>
+      abs(est - col("exact_total")).cast("double") /
+        col("exact_total").cast("double") <= 0.05
+    merged.crossJoin(direct).select(
+      col("exact_total"), col("hll_direct"), col("hll_merged"),
+      pctOk(col("hll_direct")).as("direct_within_5pct"),
+      pctOk(col("hll_merged")).as("merged_within_5pct"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q93_hll_algebra", q93HllAlgebra, None),
     Q("q55_percentile_disc", q55PercentileDisc, Some("""
       SELECT l_returnflag,
              quantile_disc(l_quantity, 0.25) AS p25,

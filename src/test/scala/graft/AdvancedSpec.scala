@@ -1,9 +1,25 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Advanced, AsOfJoin}
+import graft.operators.{Advanced, Aggregates, AsOfJoin}
 
 class AdvancedSpec extends SparkTestBase {
+
+  test("q93 HLL algebra: merged estimate obeys the bound, row is deterministic") {
+    val rows = (1 to 3).map { _ =>
+      Aggregates.q93HllAlgebra(spark, sf("sf0.001")).head()
+    }
+    // the sketch is an order-insensitive function of the value set:
+    // repeated runs (different task interleavings) give the same row
+    assert(rows.distinct.length === 1, rows.toString)
+    val r = rows.head
+    val (exact, direct, merged) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(r.getBoolean(3) && r.getBoolean(4),
+      s"estimate outside 5%: exact=$exact direct=$direct merged=$merged")
+    // and the union really did merge all nations: the merged estimate
+    // must see the whole domain, not one group's worth
+    assert(merged > exact / 2, s"merged=$merged vs exact=$exact")
+  }
 
   test("approx_count_distinct stays within 15% of exact") {
     // calibration check: the judged q22 is HLL-only (exact distinct
