@@ -46,6 +46,7 @@ object Catalog {
       graft.operators.Similarity.queries ++
       graft.multimodal.Multimodal.queries ++
       graft.multimodal.MediaCodecs.queries ++
+      graft.multimodal.ImageDedup.queries ++
       graft.weather.Weather.queries ++
       graft.sources.JsonSource.queries ++
       graft.sources.SeriesQueries.queries ++
