@@ -370,6 +370,136 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  // -- e6: product quantization ---------------------------------------
+
+  private val PqM = 8 // subspaces of Dim/PqM dims each
+  private val PqSubDim = Dim / PqM
+  private val PqK = 16 // 4-bit codes: 8 codes = 8 small ints per vector
+  private val PqLloydRounds = 2
+  private val PqRerank = 50
+
+  /** Squared-L2 distances of subspace `m`'s slice to that subspace's
+    * codebook — the same fused [[graft.plans.CentroidDists]] kernel
+    * as IVF, at dim = [[PqSubDim]].
+    */
+  private def pqDistArray(emb: Column, book: Array[Array[Double]]): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.plans.CentroidDists(
+        org.apache.spark.sql.graft.Bridge.expression(emb),
+        book.flatten.toIndexedSeq, book.length, PqSubDim))
+
+  private def pqCellCol(emb: Column,
+      books: Array[Array[Array[Double]]], m: Int): Column = {
+    val d = pqDistArray(
+      slice(emb, m * PqSubDim + 1, PqSubDim), books(m))
+    (array_position(d, array_min(d)) - 1).cast(IntegerType)
+  }
+
+  /** Per-subspace codebooks (PqM × PqK × PqSubDim), trained like the
+    * IVF quantizer — strided seeds + Lloyd rounds — but ALL subspaces
+    * refine in a single job per round (explode the subspace axis,
+    * assign, per-(m, cell, pos) mean). Only the codebooks are
+    * collected: PqM·PqK·PqSubDim doubles, the model artifact.
+    */
+  private def trainPqCodebooks(e: DataFrame,
+      n: Long): Array[Array[Array[Double]]] = {
+    val seeds = e.where(col("vec_id") % lit(math.max(1L, n / PqK)) === 0)
+      .orderBy(col("vec_id")).limit(PqK)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    var books: Array[Array[Array[Double]]] = Array.tabulate(PqM)(m =>
+      seeds.map(v => v.slice(m * PqSubDim, (m + 1) * PqSubDim)))
+    (1 to PqLloydRounds).foreach { _ =>
+      val subs = (0 until PqM).map(m => struct(
+        lit(m).as("m"),
+        pqCellCol(col("embedding"), books, m).as("cell"),
+        slice(col("embedding"), m * PqSubDim + 1, PqSubDim).as("sv")))
+      val byMc = e.select(explode(array(subs: _*)).as("s"))
+        .select(col("s.m").as("m"), col("s.cell").as("cell"),
+          posexplode(col("s.sv")).as(Seq("pos", "x")))
+        .groupBy(col("m"), col("cell"), col("pos"))
+        .agg(avg(col("x").cast(DoubleType)).as("mu"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+      books = Array.tabulate(PqM)(m => Array.tabulate(PqK) { c =>
+        byMc.get((m, c)).map { rows =>
+          val v = new Array[Double](PqSubDim)
+          rows.foreach(r => v(r.getInt(2)) = r.getDouble(3))
+          v
+        }.getOrElse(books(m)(c))
+      })
+    }
+    books
+  }
+
+  /** Product-quantization ANN — the COMPRESSED-corpus member of the
+    * family (e1 exact / e2 LSH / e5 IVF / e6 PQ): each vector is
+    * encoded as 8 four-bit codebook cells (8 small ints vs 64
+    * floats, a ~32× footprint cut), and the approximate scan reads
+    * ONLY the codes column — the original embeddings are touched
+    * again just for the bounded re-rank pool. Asymmetric distance
+    * computation (Jégou et al., TPAMI 2011): per query, the
+    * query-to-codebook distance table (PqM×PqK doubles) is computed
+    * driver-side from the collected query vectors (broadcast-sized,
+    * e1's contract) and shipped as a column; a corpus row's
+    * approximate distance is 8 table lookups summed in index order —
+    * deterministic. Top-[[PqRerank]] by ADC then exact-cosine
+    * re-rank to top-10, the candidate-then-verify shape shared with
+    * e2/e5. The deliberate BroadcastNestedLoopJoin of codes ×
+    * 8-query-table rows IS the ADC scan (every code row scores
+    * against every query — same whitelist rationale as e1).
+    * Rows-only judged; PipelineOpsSpec pins the recall floor vs e1
+    * and determinism.
+    */
+  def e6AnnPq(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val books = trainPqCodebooks(e, corpusN(s, d))
+    val codes = e.select(col("vec_id"),
+      array((0 until PqM).map(m =>
+        pqCellCol(col("embedding"), books, m)): _*).as("codes"))
+    val qvecs = e.where(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    val qtab = qvecs.map { case (qid, qv) =>
+      val flat = new Array[Double](PqM * PqK)
+      for (m <- 0 until PqM; c <- 0 until PqK) {
+        var s2 = 0.0
+        var j = 0
+        while (j < PqSubDim) {
+          val diff = qv(m * PqSubDim + j) - books(m)(c)(j)
+          s2 += diff * diff
+          j += 1
+        }
+        flat(m * PqK + c) = s2
+      }
+      (qid, flat.toSeq)
+    }.toSeq.toDF("query_id", "dtable")
+    val adist = aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(PqM - 1)),
+        (c, m) => element_at(col("dtable"), m * PqK + c + 1)),
+      lit(0.0), (acc, v) => acc + v)
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    val cand = codes.crossJoin(broadcast(qtab))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), adist.as("adist"))
+      .withColumn("crk", row_number().over(wAdc))
+      .where(col("crk") <= PqRerank)
+      .select(col("query_id"), col("vec_id"))
+    val qdf = e.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    cand.join(e, "vec_id").join(broadcast(qdf), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        cosineNative(col("qv"), col("embedding")).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= TopK)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("cos"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   private val cosSql =
     """list_sum(list_transform(list_zip(%s, %s),
       |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
@@ -391,6 +521,7 @@ object Similarity {
       ORDER BY query_id, rk""")),
     Q("e2_ann_lsh", e2AnnLsh, None), // hyperplane literals are engine-side state
     Q("e5_ann_ivf", e5AnnIvf, None), // learned cells are engine-side state
+    Q("e6_ann_pq", e6AnnPq, None), // learned codebooks are engine-side state
     Q("e4_near_dup_lsh", e4NearDupLsh, None), // ditto — spec proves e4 ⊇ e3
     Q("e3_embedding_near_dup", e3EmbeddingNearDup, Some(s"""
       SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,

@@ -179,6 +179,22 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), s"corpus-shuffling join:\n$plan")
   }
 
+  test("e6 PQ ANN recall@10 >= 0.4 against e1 brute force, deterministic") {
+    import spark.implicits._
+    val exact = Similarity.e1AnnBruteForce(spark, dir)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.e6AnnPq(spark, dir)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(f"PQ ANN recall@10 = $recall%.2f (${approx.size} approx rows)")
+    // the 50-candidate exact re-rank should clear a higher floor than
+    // the bucketing-only paths (e2/e5)
+    assert(recall >= 0.4, f"recall $recall%.2f below floor")
+    val again = Similarity.e6AnnPq(spark, dir)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(again === approx, "PQ result not deterministic across runs")
+  }
+
   test("e4 LSH-blocked near-dup finds every e3 (label-blocked exact) pair") {
     import spark.implicits._
     val exact = Similarity.e3EmbeddingNearDup(spark, dir)
