@@ -33,6 +33,38 @@ import graft.Catalog.Q
 final case class DedupEvent(
     event_id: Long, user_id: Long, ts: Timestamp, value: Option[Double])
 
+/** Input row for the transformWithState gate. */
+final case class TwsEvent(user_id: Long, cents: Long)
+
+/** Per-user running (count, cents total) in a typed ValueState —
+  * the transformWithState surface under its judged gate (q95). One
+  * emission per (user, micro-batch-with-input); the count is strictly
+  * increasing, so the final emission is recoverable downstream
+  * without timestamps.
+  */
+final class RunningTotalsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, TwsEvent, (Long, Long, Long)] {
+  @transient private var totals:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    totals = getHandle.getValueState[(Long, Long)]("totals",
+      Encoders.product[(Long, Long)],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[TwsEvent],
+      timerValues: org.apache.spark.sql.streaming.TimerValues):
+      Iterator[(Long, Long, Long)] = {
+    var (n, cents) = if (totals.exists()) totals.get() else (0L, 0L)
+    rows.foreach { e => n += 1; cents += e.cents }
+    totals.update((n, cents))
+    Iterator.single((key, n, cents))
+  }
+}
+
 object StreamingGate {
 
   /** Write `first` to a fresh scratch dir, stream it through
@@ -50,16 +82,19 @@ object StreamingGate {
     */
   private def runTwoBatch(
       s: SparkSession, tag: String, queryName: String,
-      first: DataFrame, second: DataFrame)(
+      first: DataFrame, second: DataFrame,
+      outputMode: String = "append",
+      extraConf: Map[String, String] = Map.empty)(
       transform: DataFrame => DataFrame): DataFrame = {
     val src = Housekeeping.tempDir(tag)
     first.coalesce(1).write.mode(SaveMode.Overwrite).parquet(src)
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
+    extraConf.foreach { case (k, v) => ss.conf.set(k, v) }
     val stream = ss.readStream.schema(first.schema).parquet(src)
     val query = transform(stream)
       .writeStream.format("memory").queryName(queryName)
-      .outputMode("append").start()
+      .outputMode(outputMode).start()
     try {
       query.processAllAvailable() // micro-batch 1: the first file set
       second.coalesce(1).write.mode(SaveMode.Append).parquet(src)
@@ -314,7 +349,53 @@ object StreamingGate {
       .orderBy(col("event_id"))
   }
 
+  /** Judged gate for Spark 4's transformWithState — the arbitrary-
+    * stateful-processing v2 API (typed state handles + TTL + timers;
+    * the successor to q41's flatMapGroupsWithState): a per-user
+    * running (count, cents-total) held in a ValueState, emitting the
+    * updated totals each micro-batch a user appears in. Requires the
+    * RocksDB state-store provider (API contract), scoped to the
+    * harness's cloned session. The final emission per user — picked
+    * by the strictly-increasing count, one small aggregate over the
+    * sink — must equal the batch GROUP BY under the hash gate:
+    * cross-batch state held in RocksDB, certified against the
+    * backfill twin. O(1) state per user, the same bound the
+    * production shape carries.
+    */
+  def q95TransformWithState(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.events(s, d).select(col("user_id"),
+      coalesce(round(col("value") * 100).cast(LongType), lit(0L))
+        .as("cents"), col("ts"))
+    val mm = base.agg(min(col("ts")), max(col("ts"))).head
+    val mid = new Timestamp(
+      (mm.getTimestamp(0).getTime + mm.getTimestamp(1).getTime) / 2)
+    val emissions = runTwoBatch(s, "q95_stream", "graft_q95_tws",
+      base.where(col("ts") < lit(mid)).drop("ts"),
+      base.where(col("ts") >= lit(mid)).drop("ts"),
+      outputMode = "update",
+      extraConf = Map("spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) { df =>
+      val ds = df.as[TwsEvent](Encoders.product[TwsEvent])
+      ds.groupByKey(_.user_id)(Encoders.scalaLong)
+        .transformWithState(new RunningTotalsProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())(
+          Encoders.product[(Long, Long, Long)])
+        .toDF("user_id", "n_events", "sum_cents")
+    }
+    emissions.groupBy(col("user_id")).agg(
+      max(col("n_events")).as("n_events"),
+      max_by(col("sum_cents"), col("n_events")).as("sum_cents"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q95_transform_with_state", q95TransformWithState, Some("""
+      SELECT user_id, count(*) AS n_events,
+             CAST(sum(coalesce(CAST(round(value * 100) AS BIGINT), 0))
+               AS BIGINT) AS sum_cents
+      FROM events GROUP BY user_id
+      ORDER BY user_id""")),
     // identity oracle, like q74: recovery must neither lose nor
     // duplicate a single event
     Q("q89_stream_restart", q89StreamRestart, Some("""

@@ -23,7 +23,8 @@ class CatalogSpec extends SparkTestBase {
   // node, which RangeJoinSpec asserts NLJ-free.
   private val nljWhitelist = Set("q17_band_join", "q39_gap_fill",
     "e1_ann_brute_force", "q75_session_window_overlap",
-    "e6_ann_pq") // the ADC scan: codes × 8 broadcast query tables
+    "e6_ann_pq", // the ADC scan: codes × 8 broadcast query tables
+    "q93_hll_algebra") // 1-row agg × 1-row agg: the q39 span shape
 
   test("every catalog query executes, returns rows, and plans clean at sf0.001") {
     Catalog.all.foreach { q =>

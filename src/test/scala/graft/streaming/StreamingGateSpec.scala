@@ -131,6 +131,32 @@ class StreamingGateSpec extends SparkTestBase {
       "re-resumed checkpoint re-emitted already-committed input")
   }
 
+  test("q95 transformWithState totals == batch GROUP BY, with real cross-batch state") {
+    import org.apache.spark.sql.functions._
+    val streamed = StreamingGate.q95TransformWithState(spark, sf("sf0.001"))
+      .collect().toSeq
+    val batch = graft.sources.Tables.events(spark, sf("sf0.001"))
+      .groupBy(col("user_id")).agg(
+        count(lit(1)).as("n_events"),
+        sum(coalesce(round(col("value") * 100).cast("long"), lit(0L)))
+          .as("sum_cents"))
+      .orderBy(col("user_id")).collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+    // the equality above is only evidence of cross-batch state if the
+    // midpoint split put most users in BOTH micro-batches — i.e. a
+    // state-losing implementation would have failed. Verify the split
+    // is non-degenerate: users span both halves of the time range.
+    val ev = graft.sources.Tables.events(spark, sf("sf0.001"))
+    val mm = ev.agg(min(col("ts")), max(col("ts"))).head
+    val mid = new java.sql.Timestamp(
+      (mm.getTimestamp(0).getTime + mm.getTimestamp(1).getTime) / 2)
+    val both = ev.groupBy(col("user_id"))
+      .agg(max(col("ts") < lit(mid)).as("inA"), max(col("ts") >= lit(mid)).as("inB"))
+      .where(col("inA") && col("inB")).count()
+    assert(both > 0, "no user spans both micro-batches — the gate proves nothing")
+  }
+
   test("q87 stream-static join == batch join twin, and runs STATELESS") {
     import org.apache.spark.sql.functions._
     val streamed = StreamingGate.q87StreamStaticJoin(spark, sf("sf0.001"))
