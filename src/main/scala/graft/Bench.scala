@@ -14,8 +14,15 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // optional subset for local iteration: comma-separated query names;
+    // subset runs skip the artifact-of-record write below
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val spark = GraftSession.get()
-    SparkEntry.queries.foreach { case (_, fn) =>
+    val selected = SparkEntry.queries.filter { case (n, _) =>
+      only.forall(_.contains(n))
+    }
+    selected.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
@@ -26,7 +33,7 @@ object Bench {
         Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
     }
     val results: Seq[(String, Either[String, Double])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         val runs = (1 to 3).map(_ => timeOnce(fn))
         val times = runs.collect { case Right(t) => t }.sorted
         // true median for even lengths too: with only 2 of 3 runs
@@ -57,10 +64,12 @@ object Bench {
     println(line)
     // artifact of record: the driver captures stdout with a tail, which
     // has truncated the head of the per-query map in past rounds — also
-    // write the full line to a file it can pick up whole
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // write the full line to a file it can pick up whole (full runs
+    // only — a subset run must not clobber the catalog-wide record)
+    if (only.isEmpty)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -56,15 +56,19 @@ import graft.Catalog.Q
 object SnapshotLake {
 
   /** One live data file: path relative to the lake root, inclusive
-    * min/max of the stat column, its row count, and an optional
+    * min/max of the stat column, its row count, an optional second
+    * [min, max] on the declared second stat dimension (what makes a
+    * Z-ordered layout prunable as 2-D boxes), and an optional
     * per-file bloom filter over the bloom column (the point-lookup
     * index for columns where min/max says nothing).
     */
   final case class FileStat(name: String, lo: Long, hi: Long, rows: Long,
-      bloom: Option[Array[Byte]] = None)
+      bloom: Option[Array[Byte]] = None,
+      dim2: Option[(Long, Long)] = None)
 
   final case class Snapshot(version: Int, statCol: String,
-      bloomCol: Option[String], files: Seq[FileStat])
+      bloomCol: Option[String], files: Seq[FileStat],
+      statCol2: Option[String] = None)
 
   /** Blocked bloom over longs: k=6 bit positions from one 64-bit
     * avalanche hash (double hashing h1 + i·h2) — deterministic
@@ -155,28 +159,36 @@ object SnapshotLake {
     val header = lines.head.split('\t')
     val statCol = header(1)
     val bloomCol = header.find(_.startsWith("bloom=")).map(_.stripPrefix("bloom="))
+    val statCol2 = header.find(_.startsWith("stat2=")).map(_.stripPrefix("stat2="))
     val files = lines.tail.map { l =>
-      l.split('\t') match {
-        case Array(name, lo, hi, rows) =>
-          FileStat(name, lo.toLong, hi.toLong, rows.toLong)
-        case Array(name, lo, hi, rows, b64) =>
-          FileStat(name, lo.toLong, hi.toLong, rows.toLong,
-            Some(java.util.Base64.getDecoder.decode(b64)))
+      val fields = l.split('\t')
+      // fields after the fixed four are TAGGED (d2=lo:hi, bf=<b64>)
+      // so optional extras compose without positional ambiguity
+      val extras = fields.drop(4)
+      val dim2 = extras.find(_.startsWith("d2=")).map { t =>
+        val Array(a, b) = t.stripPrefix("d2=").split(':')
+        (a.toLong, b.toLong)
       }
+      val bloom = extras.find(_.startsWith("bf=")).map(t =>
+        java.util.Base64.getDecoder.decode(t.stripPrefix("bf=")))
+      FileStat(fields(0), fields(1).toLong, fields(2).toLong,
+        fields(3).toLong, bloom, dim2)
     }
-    Snapshot(v, statCol, bloomCol, files)
+    Snapshot(v, statCol, bloomCol, files, statCol2)
   }
 
   /** Stage + atomically publish version `v`; false = lost the race. */
   private def tryPublish(root: String, v: Int, statCol: String,
       bloomCol: Option[String], overwrite: Boolean,
-      files: Seq[FileStat]): Boolean = {
+      files: Seq[FileStat], statCol2: Option[String] = None): Boolean = {
     val header = s"v=$v\t$statCol\toverwrite=$overwrite" +
-      bloomCol.fold("")(c => s"\tbloom=$c")
+      bloomCol.fold("")(c => s"\tbloom=$c") +
+      statCol2.fold("")(c => s"\tstat2=$c")
     val body = (header +: files.map { f =>
       val base = s"${f.name}\t${f.lo}\t${f.hi}\t${f.rows}"
-      f.bloom.fold(base)(b =>
-        s"$base\t${java.util.Base64.getEncoder.encodeToString(b)}")
+      val withD2 = f.dim2.fold(base) { case (a, b) => s"$base\td2=$a:$b" }
+      f.bloom.fold(withD2)(b =>
+        s"$withD2\tbf=${java.util.Base64.getEncoder.encodeToString(b)}")
     }).mkString("", "\n", "\n")
     Files.createDirectories(logDir(root))
     val tmp = logDir(root).resolve(s".tmp-${UUID.randomUUID()}")
@@ -205,10 +217,11 @@ object SnapshotLake {
     */
   def commit(s: SparkSession, root: String, df: DataFrame, statCol: String,
       overwrite: Boolean = false, bloomCol: Option[String] = None,
-      bloomBytes: Int = 1024): Int = {
+      bloomBytes: Int = 1024, statCol2: Option[String] = None): Int = {
     val batch = s"data/b-${UUID.randomUUID().toString.take(8)}"
     df.write.parquet(s"$root/$batch")
-    commitBatch(s, root, batch, statCol, overwrite, bloomCol, bloomBytes)
+    commitBatch(s, root, batch, statCol, overwrite, bloomCol, bloomBytes,
+      statCol2)
   }
 
   /** Conflict raised when a MERGE's optimistic rebase finds the table
@@ -314,7 +327,8 @@ object SnapshotLake {
     newData.withColumn("__bucket", srcToBucket).drop("__src")
       .repartition(col("__bucket"))
       .write.partitionBy("__bucket").parquet(s"$root/$batch")
-    val newFiles = statsFor(s, root, batch, key, base.bloomCol, 1024)
+    val newFiles =
+      statsFor(s, root, batch, key, base.bloomCol, 1024, base.statCol2)
     // 4. publish with conflict-checked optimistic rebase
     var committed = -1
     while (committed < 0) {
@@ -322,7 +336,7 @@ object SnapshotLake {
       val appended = rebaseCheck(base, head, kept ++ touchedFiles,
         deltaLo, deltaHi)
       if (tryPublish(root, head.version + 1, key, head.bloomCol,
-          overwrite = true, kept ++ appended ++ newFiles))
+          overwrite = true, kept ++ appended ++ newFiles, head.statCol2))
         committed = head.version + 1
     }
     MergeResult(committed, kept.size, touchedFiles.size, newFiles.size)
@@ -410,12 +424,13 @@ object SnapshotLake {
   def commitClustered(s: SparkSession, root: String, df: DataFrame,
       bucket: org.apache.spark.sql.Column, statCol: String,
       overwrite: Boolean = false, bloomCol: Option[String] = None,
-      bloomBytes: Int = 1024): Int = {
+      bloomBytes: Int = 1024, statCol2: Option[String] = None): Int = {
     val batch = s"data/b-${UUID.randomUUID().toString.take(8)}"
     df.withColumn("__bucket", bucket)
       .repartition(col("__bucket"))
       .write.partitionBy("__bucket").parquet(s"$root/$batch")
-    commitBatch(s, root, batch, statCol, overwrite, bloomCol, bloomBytes)
+    commitBatch(s, root, batch, statCol, overwrite, bloomCol, bloomBytes,
+      statCol2)
   }
 
   /** One pass over the batch's files only: per-file stats keyed by
@@ -424,15 +439,19 @@ object SnapshotLake {
     */
   private def statsFor(s: SparkSession, root: String, batch: String,
       statCol: String, bloomCol: Option[String],
-      bloomBytes: Int): Seq[FileStat] = {
+      bloomBytes: Int, statCol2: Option[String] = None): Seq[FileStat] = {
     val baseAggs = Seq(
       min(col(statCol)).cast("long").as("lo"),
       max(col(statCol)).cast("long").as("hi"),
       count(lit(1)).as("rows"))
-    val aggs = baseAggs ++ bloomCol.map { c =>
+    val d2Aggs = statCol2.toSeq.flatMap(c => Seq(
+      min(col(c)).cast("long").as("lo2"),
+      max(col(c)).cast("long").as("hi2")))
+    val aggs = baseAggs ++ d2Aggs ++ bloomCol.map { c =>
       val bloomUdaf = udaf(new BloomAgg(bloomBytes))
       bloomUdaf(col(c).cast("long")).as("bloom")
     }
+    val bloomIdx = 4 + d2Aggs.size
     s.read.parquet(s"$root/$batch")
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
@@ -441,15 +460,19 @@ object SnapshotLake {
         val uri = r.getString(0)
         val rel = uri.substring(uri.indexOf("/data/") + 1)
         FileStat(rel, r.getLong(1), r.getLong(2), r.getLong(3),
-          if (bloomCol.isDefined) Some(r.getAs[Array[Byte]](4)) else None)
+          if (bloomCol.isDefined) Some(r.getAs[Array[Byte]](bloomIdx))
+          else None,
+          if (statCol2.isDefined) Some((r.getLong(4), r.getLong(5)))
+          else None)
       }
       .sortBy(_.name).toSeq
   }
 
   private def commitBatch(s: SparkSession, root: String, batch: String,
       statCol: String, overwrite: Boolean, bloomCol: Option[String],
-      bloomBytes: Int): Int = {
-    val newFiles = statsFor(s, root, batch, statCol, bloomCol, bloomBytes)
+      bloomBytes: Int, statCol2: Option[String] = None): Int = {
+    val newFiles =
+      statsFor(s, root, batch, statCol, bloomCol, bloomBytes, statCol2)
     // optimistic-concurrency loop: stage the manifest, try to take
     // the next version slot; on a lost race, rebase on the new head
     // and try again (new data files are already safe on disk)
@@ -464,8 +487,13 @@ object SnapshotLake {
       // (files from THIS commit then simply have no bloom — readPoint
       // keeps bloom-less files, so correctness is unaffected)
       val effBloomCol = bloomCol.orElse(parent.flatMap(_.bloomCol))
+      // second stat dimension inherits like the bloom column: an
+      // append that doesn't redeclare it keeps the parent's identity
+      // (new files then simply lack dim2 boxes — the 2-D prune keeps
+      // stat-less files, so correctness is unaffected)
+      val effStat2 = statCol2.orElse(parent.flatMap(_.statCol2))
       if (tryPublish(root, v, statCol, effBloomCol, overwrite,
-          parent.map(_.files).getOrElse(Seq.empty) ++ newFiles))
+          parent.map(_.files).getOrElse(Seq.empty) ++ newFiles, effStat2))
         committed = v
     }
     committed
@@ -522,6 +550,71 @@ object SnapshotLake {
     (df, kept.length, snap.files.length)
   }
 
+  /** 2-D box read: keeps a file only if BOTH its [lo, hi] and its
+    * dim2 box can intersect the query box `[lo, hi) × [lo2, hi2)`;
+    * files committed without dim2 stats are always kept on that axis
+    * (absence can never prune). This is what a Z-ordered layout buys:
+    * one sort key cannot make two dimensions simultaneously tight,
+    * but interleaved-bit clustering gives every file a small box in
+    * BOTH dimensions, so a selective 2-D predicate prunes to the few
+    * covering files — Delta/Iceberg's `OPTIMIZE ZORDER BY` economics,
+    * still entirely KB-scale driver metadata. Residual row filters on
+    * both columns keep pruning a pure optimization.
+    */
+  def readPruned2D(s: SparkSession, root: String, lo: Long, hi: Long,
+      lo2: Long, hi2: Long, asOf: Option[Int] = None)
+      : (DataFrame, Int, Int) = {
+    val snap = snapshot(root, asOf)
+    val c2 = snap.statCol2.getOrElse(throw new IllegalStateException(
+      s"lake at $root has no second stat dimension — commit with " +
+        "statCol2 to enable 2-D pruning"))
+    val kept = snap.files.filter(f =>
+      f.hi >= lo && f.lo < hi &&
+        f.dim2.forall { case (l2, h2) => h2 >= lo2 && l2 < hi2 })
+    val df =
+      if (kept.isEmpty) read(s, root, asOf).where(lit(false))
+      else s.read.parquet(kept.map(f => s"$root/${f.name}"): _*)
+        .where(col(snap.statCol) >= lo && col(snap.statCol) < hi &&
+          col(c2) >= lo2 && col(c2) < hi2)
+    (df, kept.length, snap.files.length)
+  }
+
+  /** Morton (Z-order) bucket expression over two long columns: each
+    * dimension is normalized to a 16-bit lattice with EXACT integer
+    * arithmetic (`div`, never floating point — the judged oracle
+    * replays the same formula in SQL, so a last-ulp float division
+    * here would flip boundary rows), the bits are interleaved with
+    * the classic mask-shift spread (x in even bits, y in odd), and
+    * the top `log2(numBuckets)` bits of the 32-bit z-value become the
+    * bucket id. Fixed-width z-ranges make the file assignment a pure
+    * function of the data — no sampled range boundaries — which is
+    * what lets a judged query assert exact file counts; production
+    * ingest of skewed dimensions would swap in
+    * `repartitionByRange(n, z)` (sampled quantiles) at the cost of
+    * that determinism.
+    */
+  def zOrderBucket(xCol: String, xLo: Long, xHi: Long,
+      yCol: String, yLo: Long, yHi: Long,
+      numBuckets: Int): org.apache.spark.sql.Column = {
+    require(numBuckets > 0 && (numBuckets & (numBuckets - 1)) == 0,
+      s"numBuckets must be a power of two, got $numBuckets")
+    def norm(c: String, lo: Long, hi: Long): String =
+      if (hi == lo) "CAST(0 AS BIGINT)"
+      else s"CAST(((`$c` - $lo) * 65535) div ${hi - lo} AS BIGINT)"
+    // spread 16 bits to even positions: the magic-number doubling mask
+    def spread(e: String): String = {
+      val steps = Seq((8, 0x00FF00FFL), (4, 0x0F0F0F0FL),
+        (2, 0x33333333L), (1, 0x55555555L))
+      steps.foldLeft(e) { case (acc, (sh, mask)) =>
+        s"(($acc | shiftleft($acc, $sh)) & $mask)"
+      }
+    }
+    val z = s"(${spread(norm(xCol, xLo, xHi))} | " +
+      s"shiftleft(${spread(norm(yCol, yLo, yHi))}, 1))"
+    val shift = 32 - Integer.numberOfTrailingZeros(numBuckets)
+    expr(s"shiftright($z, $shift)")
+  }
+
   /** Retention: drop manifests older than the `keepVersions` newest
     * and delete every data file no surviving manifest references.
     * This is the lake's ONLY destructive verb, and it is what makes
@@ -570,7 +663,7 @@ object SnapshotLake {
     while (committed < 0) {
       val v = headVersion(root) + 1
       if (tryPublish(root, v, target.statCol, target.bloomCol,
-          overwrite = true, target.files))
+          overwrite = true, target.files, target.statCol2))
         committed = v
     }
     committed
@@ -663,6 +756,50 @@ object SnapshotLake {
       bloomBytes = bloomBytes)
     val (df, _, _) = readPoint(s, root, span / 2)
     df.select(col("event_id"), col("user_id"), col("cents"))
+  }
+
+  /** Judged Z-order skipping: the MULTI-dimension half of the file-
+    * skipping story. q82 proves 1-D range pruning, but a layout
+    * clustered on one key is unprunable on any other — the 100 TB
+    * failure mode of "we sorted by date, now every user_id query
+    * scans the table". Here events are laid out in 16 fixed-width
+    * Morton buckets over (user_id, day), giving every file a tight
+    * box in BOTH dimensions, and a box predicate selective in both
+    * (top half of users × first quarter of days) must read EXACTLY
+    * the 2 of 16 files whose z-prefix covers the box — returned as
+    * hash-checked columns, so a broken 2-D prune goes red, not slow.
+    * The box thresholds are derived from the same exact-integer
+    * 16-bit lattice the layout used (driver-side here, replayed in
+    * SQL by the oracle), so boundary rows cannot disagree across
+    * engines. The aggregate certifies the residual filter on top of
+    * the prune.
+    */
+  def q96ZOrderSkipping(s: SparkSession, d: String): DataFrame = {
+    val root = Housekeeping.tempDir("q96")
+    val ev = Tables.events(s, d).select(
+      col("user_id"),
+      expr("CAST(CAST(ts AS BIGINT) div 86400 AS BIGINT)").as("dy"),
+      round(col("value") * 100).cast("long").as("cents"))
+    // one bounded probe for the dimension bounds (e2/e5 contract)
+    val b = ev.agg(min(col("user_id")), max(col("user_id")),
+      min(col("dy")), max(col("dy"))).head()
+    val (xLo, xHi, yLo, yHi) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    commitClustered(s, root, ev,
+      zOrderBucket("user_id", xLo, xHi, "dy", yLo, yHi, 16),
+      statCol = "user_id", statCol2 = Some("dy"))
+    // query box on the same lattice: xn >= 32768 (x15=1), yn < 16384
+    // (y15=y14=0) -> z-prefix buckets {0100, 0101} and no others
+    def ceilDiv(a: Long, q: Long): Long = (a + q - 1) / q
+    val xq = xLo + ceilDiv(32768L * (xHi - xLo), 65535L)
+    val yq = yLo + ceilDiv(16384L * (yHi - yLo), 65535L)
+    val (pruned, nRead, nTotal) = readPruned2D(s, root, xq, xHi + 1, yLo, yq)
+    pruned
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+      .select(
+        lit(nTotal).cast("long").as("n_files_total"),
+        lit(nRead).cast("long").as("n_files_read"),
+        col("n_events"), col("sum_cents"))
   }
 
   /** Shared fixture for the MERGE/CDF gates: an 8-file range-
@@ -780,6 +917,22 @@ object SnapshotLake {
       WHERE event_id >= (5 * span) // 8
         AND event_id < (5 * span) // 8 + span // 32
       ORDER BY change_type, event_id""")),
+    Q("q96_zorder_skipping", q96ZOrderSkipping, Some("""
+      WITH ev AS (SELECT user_id,
+                         CAST(floor(date_part('epoch', ts)) AS BIGINT)
+                           // 86400 AS dy,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events),
+      b AS (SELECT min(user_id) AS xlo, max(user_id) AS xhi,
+                   min(dy) AS ylo, max(dy) AS yhi FROM ev),
+      q AS (SELECT xlo + (32768 * (xhi - xlo) + 65534) // 65535 AS xq,
+                   ylo + (16384 * (yhi - ylo) + 65534) // 65535 AS yq
+            FROM b)
+      SELECT CAST(16 AS BIGINT) AS n_files_total,
+             CAST(2 AS BIGINT) AS n_files_read,
+             count(*) AS n_events,
+             CAST(sum(cents) AS BIGINT) AS sum_cents
+      FROM ev, q WHERE user_id >= q.xq AND dy < q.yq""")),
     Q("q88_point_lookup", q88PointLookup, Some("""
       WITH b AS (SELECT (max(event_id) + 1) // 2 AS target FROM events)
       SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT) AS cents

@@ -132,6 +132,101 @@ class SnapshotLakeSpec extends SparkTestBase {
     }
   }
 
+  // 64×64 grid, value = x*1000+y so row identity pins both dims
+  private def grid2d =
+    (for (x <- 0 until 64; y <- 0 until 64)
+      yield (x.toLong, y.toLong, x.toLong * 1000 + y)).toDF("x", "y", "v")
+
+  test("z-order commit: dim2 boxes are exact, survive the manifest roundtrip, and 2-D pruning is pure") {
+    val root = freshRoot()
+    SnapshotLake.commitClustered(spark, root, grid2d,
+      SnapshotLake.zOrderBucket("x", 0, 63, "y", 0, 63, 16),
+      statCol = "x", statCol2 = Some("y"))
+    val snap = SnapshotLake.snapshot(root)
+    assert(snap.statCol2 === Some("y"))
+    assert(snap.files.size === 16)
+    // every file carries a dim2 box, parsed back from the TSV; the
+    // 16 fixed-width z-buckets tile the grid as 16×16 quadrant cells
+    assert(snap.files.forall(_.dim2.isDefined))
+    snap.files.foreach { f =>
+      val (l2, h2) = f.dim2.get
+      assert(f.hi - f.lo <= 15 && h2 - l2 <= 15,
+        s"${f.name}: box [${f.lo},${f.hi}]x[$l2,$h2] not a tight cell")
+      assert(f.rows === 256)
+    }
+    val full = SnapshotLake.read(spark, root)
+    for ((xlo, xhi, ylo, yhi) <- Seq(
+        (32L, 64L, 0L, 16L),   // the judged aligned shape
+        (10L, 50L, 5L, 60L),   // straddles cells in both dims
+        (0L, 64L, 0L, 64L),    // whole grid
+        (63L, 64L, 63L, 64L),  // single corner point
+        (100L, 200L, 0L, 64L)  // empty on x
+      )) {
+      val (pruned, nRead, nTotal) =
+        SnapshotLake.readPruned2D(spark, root, xlo, xhi, ylo, yhi)
+      assert(nTotal === 16)
+      val expect = full.where(col("x") >= xlo && col("x") < xhi &&
+        col("y") >= ylo && col("y") < yhi)
+        .select("v").as[Long].collect().sorted.toSeq
+      assert(pruned.select("v").as[Long].collect().sorted.toSeq === expect,
+        s"box [$xlo,$xhi)x[$ylo,$yhi): pruned read diverged")
+    }
+    // the aligned quadrant box must hit exactly its 2 covering cells
+    val (_, nAligned, _) =
+      SnapshotLake.readPruned2D(spark, root, 32, 64, 0, 16)
+    assert(nAligned === 2)
+    val (_, nEmpty, _) =
+      SnapshotLake.readPruned2D(spark, root, 100, 200, 0, 64)
+    assert(nEmpty === 0)
+  }
+
+  test("z-order beats a 1-D layout on a box selective in both dimensions") {
+    val zRoot = freshRoot()
+    val xRoot = freshRoot()
+    SnapshotLake.commitClustered(spark, zRoot, grid2d,
+      SnapshotLake.zOrderBucket("x", 0, 63, "y", 0, 63, 16),
+      statCol = "x", statCol2 = Some("y"))
+    // same data, same file count, clustered on x alone: y-boxes all
+    // span the full domain, so the y half of the predicate prunes
+    // nothing
+    SnapshotLake.commitClustered(spark, xRoot, grid2d,
+      expr("CAST(x div 4 AS BIGINT)"), statCol = "x",
+      statCol2 = Some("y"))
+    val (zDf, zRead, _) =
+      SnapshotLake.readPruned2D(spark, zRoot, 32, 64, 0, 16)
+    val (xDf, xRead, _) =
+      SnapshotLake.readPruned2D(spark, xRoot, 32, 64, 0, 16)
+    assert(zDf.select("v").as[Long].collect().sorted.toSeq ===
+      xDf.select("v").as[Long].collect().sorted.toSeq)
+    assert(zRead === 2)
+    assert(xRead === 8, "x-clustered layout should keep every file in the x half")
+  }
+
+  test("an append without dim2 stats is never pruned away; the dimension identity is inherited") {
+    val root = freshRoot()
+    SnapshotLake.commitClustered(spark, root, grid2d,
+      SnapshotLake.zOrderBucket("x", 0, 63, "y", 0, 63, 16),
+      statCol = "x", statCol2 = Some("y"))
+    // plain append redeclares neither bloom nor dim2 — the commit
+    // inherits the parent's statCol2 identity, and the new file's
+    // missing y-box means 2-D pruning must always keep it
+    SnapshotLake.commit(spark, root,
+      Seq((200L, 50L, 999999L)).toDF("x", "y", "v").coalesce(1), "x")
+    val snap = SnapshotLake.snapshot(root)
+    assert(snap.statCol2 === Some("y"))
+    assert(snap.files.count(_.dim2.isEmpty) === 1)
+    // box that excludes the appended row's y on stats it doesn't
+    // have: the file is KEPT (no stats -> no prune) and the residual
+    // row filter still excludes the row — purity, not luck
+    val (pruned, nRead, nTotal) =
+      SnapshotLake.readPruned2D(spark, root, 0, 300, 0, 16)
+    assert(nTotal === 17 && nRead === 5)
+    assert(pruned.where(col("v") === 999999L).count() === 0)
+    // and a box that DOES cover it reads it back through the prune
+    val (hit, _, _) = SnapshotLake.readPruned2D(spark, root, 0, 300, 0, 64)
+    assert(hit.where(col("v") === 999999L).count() === 1)
+  }
+
   test("vacuum reclaims only unreachable files; retained versions read byte-stable") {
     val root = freshRoot()
     SnapshotLake.commit(spark, root, tbl(0 until 10).coalesce(1), "k")       // v0
