@@ -85,20 +85,38 @@ object StreamingGate {
       first: DataFrame, second: DataFrame,
       outputMode: String = "append",
       extraConf: Map[String, String] = Map.empty)(
+      transform: DataFrame => DataFrame): DataFrame =
+    runBatches(s, tag, queryName, Seq(first, second), outputMode,
+      extraConf)(transform)
+
+  /** N-batch generalization: each frame lands as a strictly-later
+    * file set with a full drain between arrivals, so every element
+    * of `batches` is a separate micro-batch (or several). The drain
+    * includes Spark's no-data micro-batches, which is what lets a
+    * watermark advanced by batch k flush deferred state (outer-join
+    * nulls, expired sessions) before batch k+1 arrives.
+    */
+  private def runBatches(
+      s: SparkSession, tag: String, queryName: String,
+      batches: Seq[DataFrame],
+      outputMode: String = "append",
+      extraConf: Map[String, String] = Map.empty)(
       transform: DataFrame => DataFrame): DataFrame = {
     val src = Housekeeping.tempDir(tag)
-    first.coalesce(1).write.mode(SaveMode.Overwrite).parquet(src)
+    batches.head.coalesce(1).write.mode(SaveMode.Overwrite).parquet(src)
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
     extraConf.foreach { case (k, v) => ss.conf.set(k, v) }
-    val stream = ss.readStream.schema(first.schema).parquet(src)
+    val stream = ss.readStream.schema(batches.head.schema).parquet(src)
     val query = transform(stream)
       .writeStream.format("memory").queryName(queryName)
       .outputMode(outputMode).start()
     try {
       query.processAllAvailable() // micro-batch 1: the first file set
-      second.coalesce(1).write.mode(SaveMode.Append).parquet(src)
-      query.processAllAvailable() // later micro-batches: the second
+      batches.tail.foreach { b =>
+        b.coalesce(1).write.mode(SaveMode.Append).parquet(src)
+        query.processAllAvailable() // drain before the next arrival
+      }
     } finally query.stop()
     ss.table(queryName)
   }
@@ -274,6 +292,70 @@ object StreamingGate {
       .orderBy(col("imp_id"), col("conv_id"))
   }
 
+  /** LEFT-OUTER stream-stream join gate — the deferred-emission cell
+    * of the streaming join matrix (q65 inner, q87 stream-static).
+    * Same watermarked interval join, but every click must surface:
+    * converted clicks emit on match like the inner join, and an
+    * UNCONVERTED click may only emit its null-extended row once the
+    * watermark proves no purchase can still land inside its horizon
+    * — emission driven by watermark progress, not by data arrival.
+    * The harness appends a third, far-future PURCHASE-side sentinel
+    * batch (q41's trick, one row at max_ts + 4h for a user id no
+    * click carries): draining it advances the watermark past every
+    * real click's ts + horizon, so all deferred null rows flush
+    * deterministically. The sentinel itself is right-side only — a
+    * left-outer join can never emit it — so the judged frame is
+    * exactly the batch left join, which IS the oracle. State bound
+    * is the inner join's O(horizon × rate) on both sides; no
+    * unbounded "wait for a match" buffering.
+    */
+  def q97StreamOuterJoin(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.events(s, d)
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"))
+    val mm = base.agg(min(col("ts")), max(col("ts"))).head
+    val mid = new Timestamp(
+      (mm.getTimestamp(0).getTime + mm.getTimestamp(1).getTime) / 2)
+    // Sentinel design, pinned by two measured failure modes at
+    // sf0.001 (the last unconverted click was exactly the row that
+    // went missing under weaker schemes):
+    //  1. The query watermark is the MIN across BOTH withWatermark
+    //     sides, so a purchase-only sentinel leaves the click side's
+    //     event-time clock — and therefore the global watermark —
+    //     stalled at the last real click. Batch 3 carries a sentinel
+    //     on EACH side at max + 4h.
+    //  2. Eviction executes DURING a batch, using the watermark
+    //     committed at the end of the batch before it — so batch 4
+    //     (right-side-only, max + 8h) exists purely to run the final
+    //     eviction wave under batch 3's already-sufficient watermark
+    //     (min(4h, 4h) − 1h lag = max + 3h; left rows evict once
+    //     imp_ts < WM − 2h horizon = max + 1h, which covers every
+    //     real click).
+    // Neither sentinel can surface: the click sentinel at max + 4h
+    // needs WM > max + 6h to evict (never happens — WM peaks at
+    // max + 3h, capped by the click side), purchase sentinels are
+    // right-side rows a left join never emits, and the two sides'
+    // sentinels carry DIFFERENT fake users (−2 vs −1) so they cannot
+    // match each other into a phantom inner row.
+    def sentinel(side: String, user: Long, hours: Long) = s.range(1).select(
+      lit(-1L).as("event_id"), lit(user).as("user_id"),
+      lit(new Timestamp(mm.getTimestamp(1).getTime + hours * 3600 * 1000))
+        .as("ts"),
+      lit(side).as("event_type"), lit(0.0).as("value"))
+    runBatches(s, "q97_stream", "graft_q97_outer",
+      Seq(base.where(col("ts") < lit(mid)),
+        base.where(col("ts") >= lit(mid)),
+        sentinel("click", -2L, 4).unionAll(sentinel("purchase", -1L, 4)),
+        sentinel("purchase", -1L, 8))) { df =>
+      StreamingJoin.attribute(
+        df.where(col("event_type") === "click"),
+        df.where(col("event_type") === "purchase"),
+        "2 hours", joinType = "left_outer")
+    }
+      .orderBy(col("imp_id"), col("conv_id"))
+  }
+
   /** Checkpoint-restart gate — the FAILURE-RECOVERY half of
     * exactly-once, complementing q74 (which runs both commits inside
     * one query lifetime): the first query is STOPPED after its
@@ -411,6 +493,22 @@ object StreamingGate {
       SELECT event_id, user_id, date_trunc('microsecond', ts) AS ts, value
       FROM events
       ORDER BY event_id""")),
+    Q("q97_stream_outer_join", q97StreamOuterJoin, Some("""
+      WITH e AS (SELECT event_id, user_id,
+                        date_trunc('microsecond', ts) AS ts,
+                        event_type, value
+                 FROM events)
+      SELECT c.user_id AS user_id,
+             c.event_id AS imp_id,
+             p.event_id AS conv_id,
+             c.ts AS imp_ts,
+             p.ts AS conv_ts,
+             p.value AS value
+      FROM (SELECT * FROM e WHERE event_type = 'click') c
+      LEFT JOIN (SELECT * FROM e WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+      ORDER BY imp_id, conv_id""")),
     Q("q65_stream_join", q65StreamStreamJoin, Some("""
       WITH e AS (SELECT event_id, user_id,
                         date_trunc('microsecond', ts) AS ts,

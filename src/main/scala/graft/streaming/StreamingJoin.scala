@@ -27,11 +27,19 @@ object StreamingJoin {
   /** imp(user_id, ts, event_id) ⋈ conv(user_id, ts, event_id, value)
     * within `horizon` of the impression. Column names are disjoint
     * via prefixing so the joined schema is stable.
+    *
+    * `joinType = "left_outer"` is the attribution-with-nulls shape
+    * (every impression appears; unconverted ones carry null
+    * conv_id/conv_ts/value). In streaming, Spark emits an unmatched
+    * left row only once the watermark proves no future conversion
+    * can land in its horizon — same state bound as the inner join,
+    * plus a deferred-emission rule the q97 gate pins down.
     */
   def attribute(
       impressions: DataFrame,
       conversions: DataFrame,
-      horizon: String = "30 minutes"): DataFrame = {
+      horizon: String = "30 minutes",
+      joinType: String = "inner"): DataFrame = {
     val imp = impressions
       .withWatermark("ts", "1 hour")
       .select(col("user_id"),
@@ -44,7 +52,8 @@ object StreamingJoin {
     imp.join(conv,
       col("user_id") === col("conv_user") &&
         col("conv_ts") >= col("imp_ts") &&
-        col("conv_ts") <= col("imp_ts") + expr(s"INTERVAL $horizon"))
+        col("conv_ts") <= col("imp_ts") + expr(s"INTERVAL $horizon"),
+      joinType)
       .select(col("user_id"), col("imp_id"), col("conv_id"),
         col("imp_ts"), col("conv_ts"), col("value"))
   }

@@ -103,6 +103,30 @@ class StreamingGateSpec extends SparkTestBase {
       s"batch read must trust the commit log, not the listing; got ${got.toSeq}")
   }
 
+  test("q97 left-outer stream-stream join == batch left join: matches AND watermark-flushed nulls") {
+    import org.apache.spark.sql.functions._
+    val streamed = StreamingGate.q97StreamOuterJoin(spark, sf("sf0.001"))
+    val d = sf("sf0.001")
+    val e = graft.sources.Tables.events(spark, d)
+      .where(col("event_type").isin("click", "purchase"))
+    val batch = StreamingJoin.attribute(
+      e.where(col("event_type") === "click"),
+      e.where(col("event_type") === "purchase"),
+      "2 hours", joinType = "left_outer")
+      .orderBy(col("imp_id"), col("conv_id"))
+    assert(streamed.schema.fieldNames.toSeq === batch.schema.fieldNames.toSeq)
+    val a = streamed.collect().toSeq
+    val b = batch.collect().toSeq
+    // the fixture must exercise BOTH emission paths: on-match rows
+    // and deferred null rows an advancing watermark flushed
+    assert(a.exists(!_.isNullAt(2)), "no matched rows — fixture degenerate")
+    assert(a.exists(_.isNullAt(2)), "no unmatched rows — the outer half never ran")
+    // neither side's sentinel may surface (click sentinel user -2
+    // must stay in state; purchase sentinels are right-side only)
+    assert(a.forall(_.getLong(0) >= 0L), "sentinel leaked into output")
+    assert(a === b)
+  }
+
   test("q89 restart recovery: no loss, no duplicates, and a third restart emits nothing") {
     import org.apache.spark.sql.functions._
     val got = StreamingGate.q89StreamRestart(spark, sf("sf0.001"))
