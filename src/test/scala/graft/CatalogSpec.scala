@@ -136,6 +136,16 @@ class CatalogSpec extends SparkTestBase {
       s"expected exactly 2 scans (nation + customer):\n$s")
   }
 
+  test("q98's final AQE plan really splits the skewed partition (skew=true)") {
+    val df = Catalog.queryMap("q98_aqe_skew_join")(spark, dir)
+    df.collect() // AQE's final plan only exists after execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"),
+      s"q98 lost its SMJ shape:\n${p.take(2000)}")
+    assert(p.contains("skew=true"),
+      s"AQE did not split the skewed partition:\n${p.take(3000)}")
+  }
+
   test("q67 answers min/max/count from parquet footer stats, not data pages") {
     val s = plan("q67_agg_pushdown").toString
     assert(s.contains("PushedAggregation: [COUNT(*), MIN(l_quantity)"),
