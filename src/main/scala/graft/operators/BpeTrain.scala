@@ -91,6 +91,89 @@ object BpeTrain {
     merges.toSeq
   }
 
+  /** The INFERENCE half of the tokenizer lifecycle: t10 learns the
+    * merge table, t11 applies a frozen one corpus-wide. Production
+    * shape at 100 TB: training happens once on a sample, the learned
+    * table ships to every executor as a model artifact, and
+    * tokenization is a row-local expression — no shuffle until the
+    * final frequency aggregate. Here the table is compiled straight
+    * into the Catalyst expression tree (8 chained `replace`s inside
+    * whole-stage codegen), the strongest form of "broadcast the
+    * model": it rides the plan, not the network.
+    *
+    * Greedy pair-merge via plain string `replace` needs a boundary
+    * encoding that survives three traps: (a) a merge must not fire
+    * across symbol boundaries ("a"+"b" must not match inside symbol
+    * "ab"), (b) r must not prefix-match the NEXT symbol (merging
+    * (a,b) against symbols [a, bc]), and (c) consecutive occurrences
+    * share a boundary, which a pattern that CONSUMES both outer
+    * delimiters would eat ([a,a,a,a] must become [aa,aa], not
+    * [aa,a,a]). Doubling the separator solves all three: symbols are
+    * joined by SEP·SEP and the pattern SEP·l·SEP·SEP·r·SEP consumes
+    * only the INNER separator on each side, so adjacent matches never
+    * overlap and every symbol stays delimited on both flanks.
+    * `replace` is left-to-right non-overlapping in both Spark
+    * (Java String.replace) and DuckDB — exactly BPE's within-
+    * iteration scan — so the oracle replays the identical chain in
+    * SQL and the gate is hash-strict. RE2 has no lookahead, which
+    * rules out the lookahead-based single-separator encoding in the
+    * oracle; this one needs none.
+    */
+  private val Sep = "\u001f" // ASCII unit separator; stripped from input
+  private val Bnd = Sep + Sep
+
+  /** Frozen merge table = exactly what t10 learns on the sf0.01
+    * documents corpus (rank order; merge 6 chains onto the merged
+    * symbol "er", exercising sequential application).
+    */
+  val PretrainedMerges: Seq[(String, String)] = Seq(
+    "e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r",
+    "s" -> "t", "m" -> "er", "a" -> "t", "l" -> "u")
+
+  /** Subword tokens of one whitespace word under `merges`, as a
+    * codegen'd expression: delimiter-encode the character symbols,
+    * fold one `replace` per merge, split back.
+    */
+  private[graft] def bpeTokens(
+      w: Column, merges: Seq[(String, String)]): Column = {
+    val init = concat(lit(Bnd), regexp_replace(w, "(.)", "$1" + Bnd))
+    val merged = merges.foldLeft(init) { case (c, (l, r)) =>
+      replace(c, lit(Sep + l + Bnd + r + Sep), lit(Sep + l + r + Sep))
+    }
+    filter(split(merged, Bnd), t => length(t) > 0)
+  }
+
+  /** The same encode-merge-split chain as DuckDB SQL over a word
+    * column `w`, generated from the SAME constants so the two engines
+    * cannot drift.
+    */
+  private def bpeChainSql(merges: Seq[(String, String)]): String = {
+    val sep = "chr(31)"
+    val bnd = s"$sep||$sep"
+    merges.foldLeft(
+      s"$bnd || regexp_replace(w, '(.)', '\\1' || $bnd, 'g')") {
+      case (acc, (l, r)) =>
+        s"replace($acc, $sep||'$l'||$bnd||'$r'||$sep, $sep||'$l$r'||$sep)"
+    }
+  }
+
+  /** Judged distributed tokenization: apply the frozen merge table to
+    * every word of every document, return the 40 most frequent
+    * subword tokens (count desc, token asc — a total order, so the
+    * limit boundary is deterministic). Plan: row-local tokenize →
+    * explode → one hash-aggregate shuffle → TakeOrdered(40). The
+    * oracle replays the replace chain verbatim.
+    */
+  def t11BpeTokenize(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(tokens(
+        replace(col("text"), lit(Sep), lit("")))).as("w"))
+      .where(length(col("w")) > 0)
+      .select(explode(bpeTokens(col("w"), PretrainedMerges)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(40)
+
   /** Judged BPE training: 8 merges learned from the documents table
     * (whitespace words → character symbols). Output is the learned
     * merge table — deterministic, but the iterative argmax is not
@@ -110,5 +193,19 @@ object BpeTrain {
   }
 
   val queries: Seq[Q] = Seq(
-    Q("t10_bpe_train", t10BpeTrain, None))
+    Q("t10_bpe_train", t10BpeTrain, None),
+    Q("t11_bpe_tokenize", t11BpeTokenize, Some(s"""
+      WITH words AS (
+        SELECT unnest(regexp_split_to_array(
+                 trim(replace(text, chr(31), '')), '\\s+')) AS w
+        FROM documents
+      ), toks AS (
+        SELECT ${bpeChainSql(PretrainedMerges)} AS s
+        FROM words WHERE length(w) > 0
+      ), t AS (
+        SELECT unnest(string_split(s, chr(31)||chr(31))) AS token
+        FROM toks
+      )
+      SELECT token, count(*) AS n FROM t WHERE token <> ''
+      GROUP BY token ORDER BY n DESC, token LIMIT 40""")))
 }

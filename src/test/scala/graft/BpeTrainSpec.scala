@@ -56,6 +56,47 @@ class BpeTrainSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("bpeTokens matches the applyMerge fold on adversarial words") {
+    // Two independent implementations of the same greedy scan: the
+    // t11 replace-chain over a delimiter-encoded string vs t10's
+    // array-fold applyMerge. Words chosen to hit the traps the
+    // encoding must survive: runs of a repeated pair (consecutive
+    // occurrences sharing a boundary), merged-symbol adjacency
+    // ("summer" → m+er), r prefixing the next symbol, and merges
+    // that must NOT fire across earlier merge results.
+    val merges = BpeTrain.PretrainedMerges
+    val words = Seq(
+      "erer", "ererer", "errrr", "inin", "stow", "lulu", "atat",
+      "summer", "merer", "mermer", "winter", "stowing", "luster",
+      "rrrr", "in", "x", "owow", "orator", "instat", "merluin")
+    val df = words.toDF("w").select(
+      col("w"),
+      BpeTrain.bpeTokens(col("w"), merges).as("viaReplace"),
+      merges.foldLeft(split(col("w"), "")) { case (c, (l, r)) =>
+        BpeTrain.applyMerge(c, l, r)
+      }.as("viaFold"))
+    df.as[(String, Seq[String], Seq[String])].collect().foreach {
+      case (w, a, b) =>
+        assert(a === b, s"divergence on '$w'")
+        assert(a.mkString === w, s"tokens of '$w' must concat back")
+    }
+  }
+
+  test("judged t11 token frequencies: exact, positive, ordered") {
+    val got = BpeTrain.t11BpeTokenize(spark, sf("sf0.001"))
+      .as[(String, Long)].collect()
+    // sf0.001's corpus alphabet yields fewer than 40 distinct
+    // tokens; LIMIT caps, it doesn't pad
+    assert(got.nonEmpty && got.length <= 40)
+    assert(got.forall(_._2 > 0))
+    // total order: count desc, token asc
+    val resorted = got.sortBy { case (t, n) => (-n, t) }.toSeq
+    assert(got.toSeq === resorted)
+    // the frozen merges really fire: at least one multi-char token
+    // from the table's closure appears in the top-40
+    assert(got.exists(_._1.length > 1))
+  }
+
   test("judged t10 runs on the corpus and emits a well-formed merge table") {
     val got = BpeTrain.t10BpeTrain(spark, sf("sf0.001"))
       .as[(Long, String, String, Long)].collect()
