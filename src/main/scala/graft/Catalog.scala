@@ -36,6 +36,7 @@ object Catalog {
       graft.operators.Sessionize.queries ++
       graft.operators.Composite.queries ++
       graft.operators.HeavyHitters.queries ++
+      graft.operators.KmvSketch.queries ++
       graft.operators.Etl.queries ++
       graft.operators.Layout.queries ++
       graft.operators.Skew.queries ++
