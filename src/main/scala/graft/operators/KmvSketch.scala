@@ -104,7 +104,24 @@ object KmvSketch {
     val estU = est(ku)
     val matches =
       size(array_intersect(array_intersect(ku, col("kmv_a")), col("kmv_b")))
-    sk.crossJoin(inter) // 1 × 1 rows
+    // Combine the two singleton aggregates without ANY join (a 1×1
+    // join of constant-key rows still plans as a nested-loop join
+    // after constant folding): union the rows null-padded and take
+    // the non-null value per column — the same 2-rows→1 conditional
+    // max the sketch aggregate itself uses.
+    val merged = sk
+      .withColumn("exact_inter", lit(null).cast(LongType))
+      .unionByName(inter.select(
+        lit(null).cast(ArrayType(LongType)).as("kmv_a"),
+        lit(null).cast(LongType).as("xa"),
+        lit(null).cast(ArrayType(LongType)).as("kmv_b"),
+        lit(null).cast(LongType).as("xb"),
+        col("exact_inter")))
+      .groupBy()
+      .agg(max(col("kmv_a")).as("kmv_a"), max(col("xa")).as("xa"),
+        max(col("kmv_b")).as("kmv_b"), max(col("xb")).as("xb"),
+        max(col("exact_inter")).as("exact_inter"))
+    merged
       .select(
         est(col("kmv_a")).as("est_a"),
         col("xa").as("exact_a"),
