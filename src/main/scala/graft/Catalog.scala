@@ -37,6 +37,7 @@ object Catalog {
       graft.operators.Composite.queries ++
       graft.operators.HeavyHitters.queries ++
       graft.operators.KmvSketch.queries ++
+      graft.operators.CmsSketch.queries ++
       graft.operators.Etl.queries ++
       graft.operators.Layout.queries ++
       graft.operators.Skew.queries ++
