@@ -38,6 +38,7 @@ object Catalog {
       graft.operators.HeavyHitters.queries ++
       graft.operators.KmvSketch.queries ++
       graft.operators.CmsSketch.queries ++
+      graft.operators.FuzzyJoin.queries ++
       graft.operators.Etl.queries ++
       graft.operators.Layout.queries ++
       graft.operators.Skew.queries ++
