@@ -11,10 +11,13 @@ import org.apache.spark.sql.SparkSession
   *   default just makes tiny-partition overhead at test scale; on a
   *   real cluster AQE coalesces from a deliberately high initial
   *   number instead).
-  * - nanosAsLong: the driver's `events.ts` is parquet
-  *   TIMESTAMP(NANOS), which Spark 4 otherwise refuses to read
-  *   (PARQUET_TYPE_ILLEGAL); we read it as a long and convert in
-  *   `Tables.events` (ns → µs truncation, see TESTDATA.md).
+  * - nanosAsLong: robustness for parquet TIMESTAMP(NANOS) inputs,
+  *   which Spark 4 otherwise refuses to read (PARQUET_TYPE_ILLEGAL);
+  *   `Tables.events` converts the surfaced long (ns → µs truncation).
+  *   The current driver testdata writes `ts` as µs TIMESTAMP_NTZ
+  *   instead (see TESTDATA.md), which `Tables.events` casts to
+  *   TimestampType under the pinned UTC session timezone; the legacy
+  *   flag stays so older ns-shaped data still loads.
   */
 object GraftSession {
   def builder(cpus: String): SparkSession.Builder =

@@ -26,19 +26,35 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS); with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (set by
-    * [[graft.GraftSession]]) it surfaces as a long of epoch-nanos,
-    * which we truncate to µs and expose as a proper TimestampType —
-    * the documented ns→µs truncation in TESTDATA.md.
+  /** `events.ts` normalization. The driver has generated this column in
+    * two parquet physical shapes over time, and a robust loader accepts
+    * both plus the plain case:
+    *
+    *  - `TIMESTAMP(isAdjustedToUTC=false, µs)` (pandas/pyarrow default,
+    *    the current testdata): Spark 4 reads this as `TIMESTAMP_NTZ`.
+    *    The session timezone is pinned to UTC ([[graft.GraftSession]]),
+    *    so casting NTZ → `TimestampType` is semantics-preserving: the
+    *    wall-clock fields are reinterpreted as UTC instants, which is
+    *    exactly what the oracle (DuckDB, also TZ-naive here) computes.
+    *  - `TIMESTAMP(NANOS)`: with `spark.sql.legacy.parquet.nanosAsLong`
+    *    it surfaces as epoch-nanos `LongType`; truncate to µs.
+    *  - already `TimestampType`: pass through.
+    *
+    * All downstream event-time consumers (sessionize, watermarked
+    * streaming state, range frames over ts) require `TimestampType`;
+    * this is the single normalization point.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
