@@ -1,11 +1,42 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.sources.Tables
 import graft.Catalog.Q
+
+/** Input/buffer element for [[TopKByDist]]: a candidate vector and
+  * its distance (smaller = better; pass a negated similarity for
+  * descending-similarity rankings).
+  */
+final case class ScoredVec(vec_id: Long, dist: Double)
+
+/** Bounded per-group top-k by (dist asc, vec_id asc) — the ANN
+  * rerank shape of q50's [[TopKByQty]]: the buffer never exceeds k
+  * elements, so ranking N·Q scored candidates costs a map-side
+  * partial aggregate (each task keeps k per query) plus a k-sized
+  * merge per query, instead of shuffling every scored row into a
+  * per-query window sort. At 100 TB the window plan moves the whole
+  * scored corpus; this moves Q·k rows.
+  */
+final class TopKByDist(k: Int)
+    extends Aggregator[ScoredVec, Seq[ScoredVec], Seq[ScoredVec]] {
+  private val ord: Ordering[ScoredVec] =
+    Ordering.by((r: ScoredVec) => (r.dist, r.vec_id))
+  override def zero: Seq[ScoredVec] = Vector.empty
+  override def reduce(b: Seq[ScoredVec], a: ScoredVec): Seq[ScoredVec] =
+    if (b.lengthCompare(k) >= 0 && ord.lteq(b.last, a)) b
+    else ((b :+ a).sorted(ord)).take(k)
+  override def merge(x: Seq[ScoredVec], y: Seq[ScoredVec]): Seq[ScoredVec] =
+    (x ++ y).sorted(ord).take(k)
+  override def finish(b: Seq[ScoredVec]): Seq[ScoredVec] = b
+  override def bufferEncoder: Encoder[Seq[ScoredVec]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[ScoredVec]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+}
 
 /** Similarity search over the `embeddings` table (64-dim float
   * vectors).
@@ -479,24 +510,33 @@ object Similarity {
       zip_with(col("codes"), sequence(lit(0), lit(PqM - 1)),
         (c, m) => element_at(col("dtable"), m * PqK + c + 1)),
       lit(0.0), (acc, v) => acc + v)
-    val wAdc = Window.partitionBy(col("query_id"))
-      .orderBy(col("adist").asc, col("vec_id").asc)
+    // Candidate selection via the bounded TopKByDist aggregate, NOT a
+    // per-query window: the N·Q ADC scores reduce map-side to ≤
+    // PqRerank rows per (task, query) before any shuffle, so the
+    // exchange moves Q·k·tasks rows instead of the scored corpus.
+    val topAdc = udaf(new TopKByDist(PqRerank))
     val cand = codes.crossJoin(broadcast(qtab))
       .where(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), adist.as("adist"))
-      .withColumn("crk", row_number().over(wAdc))
-      .where(col("crk") <= PqRerank)
-      .select(col("query_id"), col("vec_id"))
+      .select(col("query_id"), col("vec_id"), adist.as("dist"))
+      .groupBy(col("query_id"))
+      .agg(topAdc(col("vec_id"), col("dist")).as("pool"))
+      .select(col("query_id"), explode(col("pool")).as("c"))
+      .select(col("query_id"), col("c.vec_id").as("vec_id"))
     val qdf = e.where(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
+    // Exact-cosine re-rank of the bounded pool, same aggregate with
+    // dist = −cos so (dist asc, vec_id asc) ≡ (cos desc, vec_id asc).
+    val topCos = udaf(new TopKByDist(TopK))
     cand.join(e, "vec_id").join(broadcast(qdf), "query_id")
       .select(col("query_id"), col("vec_id"),
         cosineNative(col("qv"), col("embedding")).as("cos"))
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= TopK)
-      .select(col("query_id"), col("rk"), col("vec_id"), col("cos"))
+      .groupBy(col("query_id"))
+      .agg(topCos(col("vec_id"), -col("cos")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"),
+        (col("pos") + 1).cast(IntegerType).as("rk"),
+        col("col.vec_id").as("vec_id"),
+        (-col("col.dist")).as("cos"))
       .orderBy(col("query_id"), col("rk"))
   }
 

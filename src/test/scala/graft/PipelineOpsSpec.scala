@@ -193,6 +193,12 @@ class PipelineOpsSpec extends SparkTestBase {
     val again = Similarity.e6AnnPq(spark, dir)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
     assert(again === approx, "PQ result not deterministic across runs")
+    // both ranking stages go through the bounded TopKByDist partial
+    // aggregate — a per-query window here would shuffle-sort every
+    // ADC-scored corpus row, the plan that dies at 100 TB
+    val plan = Similarity.e6AnnPq(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window over scored candidates:\n$plan")
   }
 
   test("e4 LSH-blocked near-dup finds every e3 (label-blocked exact) pair") {
