@@ -68,7 +68,8 @@ object SnapshotLake {
 
   final case class Snapshot(version: Int, statCol: String,
       bloomCol: Option[String], files: Seq[FileStat],
-      statCol2: Option[String] = None)
+      statCol2: Option[String] = None,
+      txn: Option[(String, Long)] = None)
 
   /** Blocked bloom over longs: k=6 bit positions from one 64-bit
     * avalanche hash (double hashing h1 + i·h2) — deterministic
@@ -160,6 +161,11 @@ object SnapshotLake {
     val statCol = header(1)
     val bloomCol = header.find(_.startsWith("bloom=")).map(_.stripPrefix("bloom="))
     val statCol2 = header.find(_.startsWith("stat2=")).map(_.stripPrefix("stat2="))
+    val txn = header.find(_.startsWith("txn=")).map { t =>
+      val body = t.stripPrefix("txn=")
+      val i = body.lastIndexOf(':')
+      (body.substring(0, i), body.substring(i + 1).toLong)
+    }
     val files = lines.tail.map { l =>
       val fields = l.split('\t')
       // fields after the fixed four are TAGGED (d2=lo:hi, bf=<b64>)
@@ -174,16 +180,33 @@ object SnapshotLake {
       FileStat(fields(0), fields(1).toLong, fields(2).toLong,
         fields(3).toLong, bloom, dim2)
     }
-    Snapshot(v, statCol, bloomCol, files, statCol2)
+    Snapshot(v, statCol, bloomCol, files, statCol2, txn)
+  }
+
+  /** Highest batch id recorded for writer `appId` across the
+    * manifest chain, or -1 if none. The chain walk is KB-scale
+    * driver metadata — one small file per version, exactly what a
+    * Delta `txn` action reads for its streaming-sink dedup.
+    */
+  def lastTxn(root: String, appId: String): Long = {
+    val head = headVersion(root)
+    (0 to head).foldLeft(-1L) { (acc, v) =>
+      snapshot(root, Some(v)).txn match {
+        case Some((a, b)) if a == appId => math.max(acc, b)
+        case _ => acc
+      }
+    }
   }
 
   /** Stage + atomically publish version `v`; false = lost the race. */
   private def tryPublish(root: String, v: Int, statCol: String,
       bloomCol: Option[String], overwrite: Boolean,
-      files: Seq[FileStat], statCol2: Option[String] = None): Boolean = {
+      files: Seq[FileStat], statCol2: Option[String] = None,
+      txn: Option[(String, Long)] = None): Boolean = {
     val header = s"v=$v\t$statCol\toverwrite=$overwrite" +
       bloomCol.fold("")(c => s"\tbloom=$c") +
-      statCol2.fold("")(c => s"\tstat2=$c")
+      statCol2.fold("")(c => s"\tstat2=$c") +
+      txn.fold("") { case (a, b) => s"\ttxn=$a:$b" }
     val body = (header +: files.map { f =>
       val base = s"${f.name}\t${f.lo}\t${f.hi}\t${f.rows}"
       val withD2 = f.dim2.fold(base) { case (a, b) => s"$base\td2=$a:$b" }
@@ -214,14 +237,28 @@ object SnapshotLake {
     * version. `overwrite = true` publishes ONLY the new files (a
     * logical replace — prior files stay on disk for time travel);
     * `overwrite = false` appends them to the parent's list.
+    *
+    * `txn = Some((appId, batchId))` makes the commit IDEMPOTENT per
+    * writer: if the chain already records a batch ≥ batchId for
+    * appId, nothing is published and the current head version is
+    * returned — the exactly-once handshake a streaming sink's
+    * replayed micro-batch needs (Delta's `txn` action semantics).
+    * The check re-runs inside the optimistic-concurrency loop, so
+    * two racing writers with the same (appId, batchId) can never
+    * both land: the loser's rebase re-reads the chain and sees the
+    * winner's txn.
     */
   def commit(s: SparkSession, root: String, df: DataFrame, statCol: String,
       overwrite: Boolean = false, bloomCol: Option[String] = None,
-      bloomBytes: Int = 1024, statCol2: Option[String] = None): Int = {
+      bloomBytes: Int = 1024, statCol2: Option[String] = None,
+      txn: Option[(String, Long)] = None): Int = {
+    txn.collect { case (a, b) if lastTxn(root, a) >= b =>
+      return headVersion(root) // replay detected before staging files
+    }
     val batch = s"data/b-${UUID.randomUUID().toString.take(8)}"
     df.write.parquet(s"$root/$batch")
     commitBatch(s, root, batch, statCol, overwrite, bloomCol, bloomBytes,
-      statCol2)
+      statCol2, txn)
   }
 
   /** Conflict raised when a MERGE's optimistic rebase finds the table
@@ -470,7 +507,8 @@ object SnapshotLake {
 
   private def commitBatch(s: SparkSession, root: String, batch: String,
       statCol: String, overwrite: Boolean, bloomCol: Option[String],
-      bloomBytes: Int, statCol2: Option[String] = None): Int = {
+      bloomBytes: Int, statCol2: Option[String] = None,
+      txn: Option[(String, Long)] = None): Int = {
     val newFiles =
       statsFor(s, root, batch, statCol, bloomCol, bloomBytes, statCol2)
     // optimistic-concurrency loop: stage the manifest, try to take
@@ -478,6 +516,11 @@ object SnapshotLake {
     // and try again (new data files are already safe on disk)
     var committed = -1
     while (committed < 0) {
+      // txn replay check INSIDE the loop: a racer that lost the slot
+      // CAS rebases here and sees the winner's identical (app, batch)
+      txn.collect { case (a, b) if lastTxn(root, a) >= b =>
+        return headVersion(root)
+      }
       val head = headVersion(root)
       val parent =
         if (overwrite || head < 0) None else Some(snapshot(root, Some(head)))
@@ -493,7 +536,8 @@ object SnapshotLake {
       // stat-less files, so correctness is unaffected)
       val effStat2 = statCol2.orElse(parent.flatMap(_.statCol2))
       if (tryPublish(root, v, statCol, effBloomCol, overwrite,
-          parent.map(_.files).getOrElse(Seq.empty) ++ newFiles, effStat2))
+          parent.map(_.files).getOrElse(Seq.empty) ++ newFiles, effStat2,
+          txn))
         committed = v
     }
     committed
@@ -691,10 +735,15 @@ object SnapshotLake {
     val v2 = commit(s, root, ev.where(col("event_id") % 10 >= 5), "event_id")
     val v3 = commit(s, root, ev.where(col("event_type") === "click"),
       "event_id", overwrite = true)
+    // each snapshot read goes through the DSv2 connector — the
+    // version pin is a table OPTION resolved by the provider, so the
+    // as-of choice shows on the scan node, not in pre-resolved paths
     def agg(label: String, v: Int): DataFrame =
-      read(s, root, Some(v)).agg(
-        count(lit(1)).as("n_events"),
-        sum(col("cents")).as("sum_cents"))
+      s.read.format("graft.sources.GraftLakeSource")
+        .option("path", root).option("version", v).load()
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("cents")).as("sum_cents"))
         .select(lit(label).as("snap"), col("n_events"), col("sum_cents"))
     agg("v1", v1).unionAll(agg("v2", v2)).unionAll(agg("v3", v3))
       .orderBy(col("snap"))
@@ -725,11 +774,22 @@ object SnapshotLake {
       when(col("event_id") >= bound(i), lit(i)).otherwise(acc)
     }
     commitClustered(s, root, ev, bucket, "event_id")
-    val (pruned, nRead, nTotal) = readPruned(s, root, bound(2), bound(4))
-    pruned.agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+    // the prune now happens INSIDE Catalyst: the range predicate is
+    // pushed to the connector's ScanBuilder, which intersects it with
+    // the manifest stats — the skip counts are read back off the
+    // planned LakeScan, so the hash gate still goes red if the
+    // pushdown path ever stops narrowing the file list
+    val df = s.read.format("graft.sources.GraftLakeSource")
+      .option("path", root).load()
+      .where(col("event_id") >= bound(2) && col("event_id") < bound(4))
+    val scan = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan
+    }.collectFirst { case l: LakeScan => l }.get
+    df.agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
       .select(
-        lit(nTotal).cast("long").as("n_files_total"),
-        lit(nRead).cast("long").as("n_files_read"),
+        lit(scan.filesTotal).cast("long").as("n_files_total"),
+        lit(scan.files.length.toLong).cast("long").as("n_files_read"),
         col("n_events"), col("sum_cents"))
   }
 

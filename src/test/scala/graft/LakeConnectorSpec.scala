@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Housekeeping, LakeScan, SnapshotLake}
+
+/** The lake's DSv2 surface: reads through
+  * `spark.read.format("graft.sources.GraftLakeSource")` must prune
+  * files from the QUERY'S OWN predicates (pushed by Catalyst into
+  * the ScanBuilder), match the API read paths row-for-row, and show
+  * the prune on the planned scan node.
+  */
+class LakeConnectorSpec extends SparkTestBase {
+
+  private def lakeRead(root: String, version: Option[Int] = None) = {
+    val r = spark.read.format("graft.sources.GraftLakeSource")
+      .option("path", root)
+    version.fold(r)(v => r.option("version", v.toString)).load()
+  }
+
+  private def plannedScan(df: org.apache.spark.sql.DataFrame): LakeScan =
+    df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }.collectFirst { case l: LakeScan => l }
+      .getOrElse(fail("no LakeScan in plan"))
+
+  private def fixture(): (String, Long) = {
+    val root = Housekeeping.tempDir("lakeconn")
+    val ev = graft.sources.Tables.events(spark, sf("sf0.001")).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val span = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    def bound(i: Int): Long = i.toLong * span / 8
+    val bucket = (1 to 7).foldLeft(lit(0)) { (acc, i) =>
+      when(col("event_id") >= bound(i), lit(i)).otherwise(acc)
+    }
+    SnapshotLake.commitClustered(spark, root, ev, bucket, "event_id",
+      bloomCol = Some("user_id"),
+      bloomBytes = math.max(1024L, (span * 10 + 7) / 8).toInt)
+    (root, span)
+  }
+
+  test("range predicate pushes into the manifest prune and matches the API read") {
+    val (root, span) = fixture()
+    val lo = span * 2 / 8
+    val hi = span * 4 / 8
+    val df = lakeRead(root)
+      .where(col("event_id") >= lo && col("event_id") < hi)
+    val scan = plannedScan(df)
+    assert(scan.filesTotal === 8)
+    assert(scan.files.length === 2,
+      s"expected 2 kept files, scan: ${scan.description()}")
+    assert(scan.description().contains(s"files=2/8"))
+    val (api, nRead, _) = SnapshotLake.readPruned(spark, root, lo, hi)
+    assert(nRead === 2)
+    val got = df.orderBy("event_id").collect().map(_.toSeq)
+    val want = api.select(df.columns.map(col): _*)
+      .orderBy("event_id").collect().map(_.toSeq)
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("column pruning reaches the parquet projection") {
+    val (root, _) = fixture()
+    val df = lakeRead(root).select(col("cents"))
+    val scan = plannedScan(df)
+    assert(scan.required.fieldNames.toSeq === Seq("cents"),
+      s"projection not pruned: ${scan.description()}")
+    assert(df.agg(sum(col("cents"))).head().getLong(0) ===
+      SnapshotLake.read(spark, root).agg(sum(col("cents"))).head().getLong(0))
+  }
+
+  test("version option time-travels to the pinned snapshot") {
+    val (root, span) = fixture()
+    val v0 = SnapshotLake.headVersion(root)
+    SnapshotLake.commit(spark, root,
+      lakeRead(root).limit(0), "event_id") // empty append -> new head
+    assert(SnapshotLake.headVersion(root) === v0 + 1)
+    assert(lakeRead(root, Some(v0)).count() === span)
+  }
+
+  test("bloom equality predicate prunes to the candidate files") {
+    // q88's layout: clustered by user bucket so event_id min/max
+    // spans every file (range stats prune nothing) and only the
+    // per-file bloom over the UNIQUE event_id can skip
+    val root = Housekeeping.tempDir("lakeconn_bloom")
+    val ev = graft.sources.Tables.events(spark, sf("sf0.001")).select(
+      col("event_id"), col("user_id"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val span = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    SnapshotLake.commitClustered(spark, root, ev,
+      pmod(col("user_id"), lit(8)), statCol = "event_id",
+      bloomCol = Some("event_id"),
+      bloomBytes = math.max(1024L, (span / 8 * 10 + 7) / 8).toInt)
+    val df = lakeRead(root).where(col("event_id") === span / 2)
+    val scan = plannedScan(df)
+    assert(scan.files.length < scan.filesTotal,
+      s"bloom pruned nothing: ${scan.description()}")
+    // no false negatives: the probed row comes back exactly once
+    assert(df.count() === 1)
+  }
+
+  test("filters stay residual — straddling predicates return exact rows") {
+    val (root, span) = fixture()
+    // a window deliberately misaligned with the 8 file boundaries
+    val lo = span / 3
+    val hi = span * 2 / 3
+    val df = lakeRead(root)
+      .where(col("event_id") >= lo && col("event_id") < hi)
+    assert(df.count() === hi - lo) // dense ids: exact row-level result
+  }
+}
