@@ -165,6 +165,66 @@ object StreamingGate {
     s.read.parquet(sink).orderBy(col("event_id"))
   }
 
+  /** Offset-transactional stream-to-lake gate — the KAFKA-SINK
+    * exactly-once shape, which q74/q89 don't cover: there the SINK's
+    * own `_spark_metadata` log supplies idempotence, so losing the
+    * CHECKPOINT (the offset log) would re-ingest everything. Here
+    * each micro-batch lands as a [[graft.sources.SnapshotLake]]
+    * commit carrying `txn=(appId, batchId)` in the manifest — the
+    * sink itself records the source offset, Delta's `txn` action.
+    * The harness then simulates the worst restart: the first query
+    * is stopped and a NEW query starts from a FRESH checkpoint, so
+    * the file source re-delivers every already-ingested file
+    * (upstream becomes at-least-once, exactly a Kafka
+    * `startingOffsets=earliest` reset). The replayed batch's commit
+    * is swallowed by the txn check; the later genuinely-new batch
+    * lands. The identity oracle certifies the sum: every event
+    * exactly once despite double delivery. At scale the txn check
+    * is a KB-scale manifest-chain walk per micro-batch, and the
+    * racing-writer case is closed inside the lake's
+    * optimistic-concurrency loop (the loser rebases and sees the
+    * winner's txn).
+    */
+  def q102StreamLakeOffsets(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotLake
+    val base = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      coalesce(round(col("value") * 100).cast(LongType), lit(0L))
+        .as("cents"), col("ts"))
+    val mm = base.agg(min(col("ts")), max(col("ts"))).head
+    val mid = new Timestamp(
+      (mm.getTimestamp(0).getTime + mm.getTimestamp(1).getTime) / 2)
+    val first = base.where(col("ts") < lit(mid)).drop("ts")
+    val second = base.where(col("ts") >= lit(mid)).drop("ts")
+
+    val src = Housekeeping.tempDir("q102_src")
+    val lake = Housekeeping.tempDir("q102_lake")
+    val appId = "q102_ingest"
+    first.coalesce(1).write.mode(SaveMode.Overwrite).parquet(src)
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val schema = first.schema
+    def start(chk: String) = ss.readStream.schema(schema).parquet(src)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        SnapshotLake.commit(batch.sparkSession, lake, batch, "event_id",
+          txn = Some((appId, batchId)))
+        ()
+      }
+      .option("checkpointLocation", chk)
+      .start()
+
+    val q1 = start(Housekeeping.tempDir("q102_chk1"))
+    try q1.processAllAvailable() finally q1.stop() // batch 0 committed
+
+    val q2 = start(Housekeeping.tempDir("q102_chk2")) // offsets LOST
+    try {
+      q2.processAllAvailable() // re-delivered batch 0 — txn-skipped
+      second.coalesce(1).write.mode(SaveMode.Append).parquet(src)
+      q2.processAllAvailable() // batch 1: genuinely new — committed
+    } finally q2.stop()
+    SnapshotLake.read(s, lake).orderBy(col("event_id"))
+  }
+
   /** Streaming sessionization gate: [[StreamingSessionize]] (the
     * flatMapGroupsWithState operator with event-time timeouts) over
     * the bounded events stream, judged under q26's batch oracle.
@@ -491,6 +551,11 @@ object StreamingGate {
       ORDER BY e.event_id""")),
     Q("q74_stream_to_lake", q74StreamToLake, Some("""
       SELECT event_id, user_id, date_trunc('microsecond', ts) AS ts, value
+      FROM events
+      ORDER BY event_id""")),
+    Q("q102_stream_lake_offsets", q102StreamLakeOffsets, Some("""
+      SELECT event_id, user_id,
+             COALESCE(CAST(round(value * 100) AS BIGINT), 0) AS cents
       FROM events
       ORDER BY event_id""")),
     Q("q97_stream_outer_join", q97StreamOuterJoin, Some("""
