@@ -14,10 +14,13 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{
   SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{
+  AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{
   Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan,
-  ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+  ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters,
+  SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{
   EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan,
   LessThanOrEqual}
@@ -102,7 +105,8 @@ final class LakeTable(root: String, asOf: Option[Int], tschema: StructType)
   */
 final class LakeScanBuilder(root: String, asOf: Option[Int],
     tschema: StructType) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private val snap = SnapshotLake.snapshot(root, asOf)
 
@@ -166,7 +170,67 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  // -- manifest-answered aggregates ----------------------------------
+  // COUNT(*) = Σ per-file row counts; MIN/MAX(statCol) = min lo /
+  // max hi across the manifest — each already maintained by the
+  // commit-time stats pass, so a full-table count or stat-column
+  // extremum is a KB-scale metadata walk, zero data files opened.
+  // Complete pushdown only (one exact row): Spark offers it only
+  // when no residual filters remain, and we keep every filter
+  // residual, so a filtered aggregate always takes the data path —
+  // the prune can keep straddling files, whose manifest stats would
+  // over-count the filtered result.
+  private var pushedAgg: Seq[AggregateFunc] = Seq.empty
+
+  private def statColIsLong: Boolean =
+    tschema.fields.find(_.name == snap.statCol).exists(_.dataType == LongType)
+
+  private def refsStatCol(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case f: NamedReference =>
+        f.fieldNames().length == 1 && f.fieldNames()(0) == snap.statCol
+      case _ => false
+    }
+
+  // nonEmpty is load-bearing: Spark probes with an EMPTY Aggregation
+  // when an outer count(*) prunes a subquery's aggregate list to
+  // nothing — forall on the empty list would accept the push, build()
+  // would then return the normal data scan, and Spark's pushed-agg
+  // column-count assertion fails the whole query (caught by the
+  // catalog sweep's count() over q81's union-of-aggregates shape)
+  private def canAnswer(agg: Aggregation): Boolean =
+    agg.groupByExpressions().isEmpty && snap.files.nonEmpty &&
+      agg.aggregateExpressions().nonEmpty &&
+      agg.aggregateExpressions().forall {
+        case _: CountStar => true
+        case m: Min => refsStatCol(m.column) && statColIsLong
+        case m: Max => refsStatCol(m.column) && statColIsLong
+        case _ => false
+      }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    canAnswer(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    canAnswer(agg) && {
+      pushedAgg = agg.aggregateExpressions().toSeq
+      true
+    }
+
   override def build(): Scan = {
+    if (pushedAgg.nonEmpty) {
+      val values = pushedAgg.map {
+        case _: CountStar => snap.files.map(_.rows).sum
+        case _: Min => snap.files.map(_.lo).min
+        case _: Max => snap.files.map(_.hi).max
+      }
+      val schema = StructType(pushedAgg.zipWithIndex.map { case (f, i) =>
+        org.apache.spark.sql.types.StructField(s"agg_$i", LongType,
+          nullable = false)
+      })
+      return LakeAggScan(snap.version, snap.files.length,
+        pushedAgg.map(_.toString), values, schema)
+    }
     val kept = snap.files.filter { f =>
       f.hi >= lo && (hi == Long.MaxValue || f.lo < hi) &&
         f.dim2.forall { case (l2, h2) =>
@@ -199,6 +263,36 @@ final case class LakeScan(root: String, version: Int, files: Seq[String],
 }
 
 final case class LakeFilePartition(path: String) extends InputPartition
+
+/** A fully-pushed aggregate answered from the manifest: one exact
+  * row, zero data partitions read. `description()` carries the
+  * answered functions so `.explain` shows the metadata-only plan.
+  */
+final case class LakeAggScan(version: Int, filesTotal: Int,
+    funcs: Seq[String], values: Seq[Long], schema: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftLake v=$version MANIFEST-AGG [${funcs.mkString(", ")}] " +
+      s"files=$filesTotal (0 opened)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(LakeAggPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private val vs = p.asInstanceOf[LakeAggPartition].values
+          private var emitted = false
+          override def next(): Boolean = !emitted && { emitted = true; true }
+          override def get(): InternalRow =
+            new GenericInternalRow(vs.map(_.asInstanceOf[Any]).toArray)
+          override def close(): Unit = ()
+        }
+    }
+}
+
+final case class LakeAggPartition(values: Seq[Long]) extends InputPartition
 
 /** Executor-side parquet decode through parquet-mr's Group API with
   * the PRUNED projection schema — unrequested columns are never

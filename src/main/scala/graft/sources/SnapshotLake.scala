@@ -793,6 +793,34 @@ object SnapshotLake {
         col("n_events"), col("sum_cents"))
   }
 
+  /** Judged manifest-aggregate pushdown: `SELECT count(*), min(key),
+    * max(key)` over the lake, answered ENTIRELY from the manifest's
+    * per-file stats through the DSv2 connector's
+    * `SupportsPushDownAggregates` — zero data files opened, the
+    * O(metadata) fast path every table format ships for full-table
+    * counts. Whether the fast path actually planned is returned as a
+    * hash-checked COLUMN (q82's discipline): if the pushdown ever
+    * stops firing, the query goes red, not slow. The values
+    * themselves are certified against the oracle's recomputation
+    * from the base table — the commit-time stats pass, the manifest
+    * round-trip, and the pushdown translation all have to agree.
+    */
+  def q103LakeAggStats(s: SparkSession, d: String): DataFrame = {
+    val root = Housekeeping.tempDir("q103")
+    commit(s, root, eventsCents(s, d), "event_id")
+    val agg = s.read.format("graft.sources.GraftLakeSource")
+      .option("path", root).load()
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+    val pushed = agg.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan
+    }.exists(_.isInstanceOf[LakeAggScan])
+    agg.select(lit(pushed).as("manifest_answered"),
+      col("n_events"), col("min_id"), col("max_id"))
+  }
+
   /** Judged bloom point lookup: the lake is one clustered commit of
     * 8 files bucketed by user_id, so every file's event_id [min, max] spans
     * essentially the whole domain — q82's range pruning would keep
@@ -1020,5 +1048,11 @@ object SnapshotLake {
              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                AS sum_cents
       FROM events, b
-      WHERE event_id >= (2 * span) // 8 AND event_id < (4 * span) // 8""")))
+      WHERE event_id >= (2 * span) // 8 AND event_id < (4 * span) // 8""")),
+    Q("q103_lake_agg_stats", q103LakeAggStats, Some("""
+      SELECT TRUE AS manifest_answered,
+             count(*) AS n_events,
+             CAST(min(event_id) AS BIGINT) AS min_id,
+             CAST(max(event_id) AS BIGINT) AS max_id
+      FROM events""")))
 }

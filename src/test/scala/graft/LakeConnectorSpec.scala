@@ -100,6 +100,51 @@ class LakeConnectorSpec extends SparkTestBase {
     assert(df.count() === 1)
   }
 
+  test("count/min/max aggregates are answered from the manifest, zero files opened") {
+    val (root, span) = fixture()
+    val df = lakeRead(root).agg(
+      count(lit(1)).as("n_events"),
+      min(col("event_id")).as("min_id"),
+      max(col("event_id")).as("max_id"))
+    val aggScan = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }.collectFirst { case a: graft.sources.LakeAggScan => a }
+    assert(aggScan.isDefined,
+      s"aggregate not pushed:\n${df.queryExecution.executedPlan}")
+    val r = df.head()
+    assert(r.getLong(0) === span)
+    assert(r.getLong(1) === 0L)
+    assert(r.getLong(2) === span - 1)
+  }
+
+  test("a filtered aggregate does NOT take the manifest fast path") {
+    // manifest stats are file-granularity: straddling files would
+    // over-count a filtered aggregate, so the filter must force the
+    // data path — correctness over cleverness
+    val (root, span) = fixture()
+    val df = lakeRead(root)
+      .where(col("event_id") < span / 3)
+      .agg(count(lit(1)).as("n_events"))
+    val aggScan = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }.collectFirst { case a: graft.sources.LakeAggScan => a }
+    assert(aggScan.isEmpty, "filtered agg must not use manifest stats")
+    assert(df.head().getLong(0) === span / 3)
+  }
+
+  test("count() over an aggregate over the connector survives the empty-Aggregation probe") {
+    // Spark prunes the inner aggregate's functions to NOTHING when an
+    // outer count(*) only needs row existence, then probes the source
+    // with an EMPTY Aggregation — accepting that push while building
+    // a data scan trips Spark's pushed-agg column-count assertion
+    // (the q81 catalog-sweep regression)
+    val (root, _) = fixture()
+    val inner = lakeRead(root)
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
+      .select(lit("v1").as("snap"), col("n"), col("sc"))
+    assert(inner.count() === 1L)
+  }
+
   test("filters stay residual — straddling predicates return exact rows") {
     val (root, span) = fixture()
     // a window deliberately misaligned with the 8 file boundaries
