@@ -64,7 +64,10 @@ class GraftLakeSource extends TableProvider {
   private def lakeRoot(o: CaseInsensitiveStringMap): String = {
     val p = o.get("path")
     require(p != null && p.nonEmpty, "graft lake read requires .option(\"path\", lakeRoot)")
-    p
+    // the SQL catalog path (CREATE TABLE ... USING ... OPTIONS(path))
+    // qualifies the location to a file: URI; the manifest walk uses
+    // java.nio, which wants the raw local path
+    p.stripPrefix("file://").stripPrefix("file:")
   }
   private def asOf(o: CaseInsensitiveStringMap): Option[Int] =
     Option(o.get("version")).map(_.toInt)

@@ -46,8 +46,11 @@ class SeriesSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     SeriesSource.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: JMap[String, String]): Table =
-    new SeriesTable(new CaseInsensitiveStringMap(properties).getLong("n", 1000000L))
+      properties: JMap[String, String]): Table = {
+    val o = new CaseInsensitiveStringMap(properties)
+    new SeriesTable(o.getLong("n", 1000000L),
+      o.getLong("batchRows", 100000L))
+  }
 }
 
 object SeriesSource {
@@ -67,19 +70,21 @@ object SeriesSource {
   }
 }
 
-final class SeriesTable(n: Long) extends Table with SupportsRead {
+final class SeriesTable(n: Long, batchRows: Long = 100000L)
+    extends Table with SupportsRead {
   override def name(): String = s"graft_series(n=$n)"
   override def schema(): StructType = SeriesSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SeriesScanBuilder(n)
+    new SeriesScanBuilder(n, batchRows)
 }
 
 /** Accumulates pushdown state: seq_id range predicates tighten
   * [lo, hi); column pruning replaces the read schema.
   */
-final class SeriesScanBuilder(n: Long) extends ScanBuilder
+final class SeriesScanBuilder(n: Long, batchRows: Long = 100000L)
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var lo = 0L
@@ -112,10 +117,12 @@ final class SeriesScanBuilder(n: Long) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = SeriesScan(lo, math.max(lo, hi), required)
+  override def build(): Scan =
+    SeriesScan(lo, math.max(lo, hi), required, batchRows)
 }
 
-final case class SeriesScan(lo: Long, hi: Long, required: StructType)
+final case class SeriesScan(lo: Long, hi: Long, required: StructType,
+    batchRows: Long = 100000L)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -138,9 +145,80 @@ final case class SeriesScan(lo: Long, hi: Long, required: StructType)
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new SeriesReaderFactory(required.fieldNames)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SeriesMicroBatchStream(lo, hi, batchRows, required)
 }
 
 final case class SeriesSlice(from: Long, until: Long) extends InputPartition
+
+/** Offset = position in the deterministic sequence — exactly a
+  * single-partition Kafka offset. JSON form is the bare number, so
+  * the checkpoint offset log is human-auditable.
+  */
+final case class SeriesOffset(pos: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = pos.toString
+}
+
+/** The STREAMING leg of the custom connector — a Kafka-shaped
+  * offset-tracked source, the ingestion shape the file-source
+  * streaming gates can't exercise. Admission control paces each
+  * micro-batch to `batchRows` rows from the engine-supplied start
+  * offset, so a restarted query resumes from the CHECKPOINT's offset
+  * (handed to `latestOffset(start, _)` / `planInputPartitions`),
+  * never from this object's state — the stream instance is fresh per
+  * query start and holds no position of its own, which is what makes
+  * crash-resume exact. More rows appearing under the same source
+  * (a larger `n` on restart) is Kafka's topic-kept-growing case: the
+  * offset log, not the source definition, decides where to resume.
+  * Each batch's [start, end) range fans out over the same sliced
+  * readers as the batch scan.
+  */
+final class SeriesMicroBatchStream(lo: Long, n: Long, batchRows: Long,
+    required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset, ReadLimit}
+
+  override def initialOffset(): SOffset = SeriesOffset(lo)
+  override def deserializeOffset(json: String): SOffset =
+    SeriesOffset(json.toLong)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(batchRows)
+
+  // non-admission-control entry point; the engine prefers the
+  // paced variant below when SupportsAdmissionControl is present
+  override def latestOffset(): SOffset =
+    throw new UnsupportedOperationException(
+      "paced source: latestOffset(start, limit) is the entry point")
+
+  override def latestOffset(start: SOffset, limit: ReadLimit): SOffset = {
+    val s = start.asInstanceOf[SeriesOffset].pos
+    SeriesOffset(math.min(s + batchRows, n))
+  }
+  override def reportLatestOffset(): SOffset = SeriesOffset(n)
+
+  override def planInputPartitions(start: SOffset, end: SOffset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SeriesOffset].pos
+    val e = end.asInstanceOf[SeriesOffset].pos
+    val span = e - s
+    if (span <= 0) Array.empty
+    else {
+      val slices = math.min(SeriesSource.NumSlices.toLong, span).toInt
+      (0 until slices).map { i =>
+        SeriesSlice(s + span * i / slices, s + span * (i + 1) / slices)
+          : InputPartition
+      }.toArray
+    }
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SeriesReaderFactory(required.fieldNames)
+
+  override def commit(end: SOffset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 /** Judged query over the custom connector: a seq_id range predicate
   * (pushed — rows outside the range are never generated) plus a
@@ -166,6 +244,38 @@ object SeriesQueries {
         sum(col("reading_centi")).as("sum_centi"))
       .orderBy(col("sensor_id"))
 
+  /** Judged gate for the custom MICRO-BATCH source: stream the
+    * deterministic series through the parquet sink in ~30k-row
+    * paced batches, KILL the query after the first 90k rows are
+    * committed, then restart against a grown sequence (n=200k —
+    * Kafka's topic-kept-growing case). The restarted query must
+    * resume from the CHECKPOINT offset: re-emitting any range
+    * duplicates rows, skipping any range loses them, and either
+    * flips the hash-checked per-sensor counts/sums against the
+    * oracle's closed-form reconstruction of exactly [0, 200000).
+    */
+  def q104StreamCustomSource(s: SparkSession, d: String): DataFrame = {
+    val outRoot = Housekeeping.tempDir("q104_out")
+    val (sink, chk) = (s"$outRoot/data", s"$outRoot/chk")
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    def start(nAvail: Long) = ss.readStream
+      .format("graft.sources.SeriesSource")
+      .option("n", nAvail.toString).option("batchRows", "30000").load()
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", chk)
+      .start()
+    val q1 = start(90000L)
+    try q1.processAllAvailable() finally q1.stop() // offsets [0, 90k) committed
+    val q2 = start(200000L) // resume mid-sequence from the offset log
+    try q2.processAllAvailable() finally q2.stop()
+    s.read.parquet(sink)
+      .groupBy(col("sensor_id"))
+      .agg(count(lit(1)).as("n_readings"),
+        sum(col("reading_centi")).as("sum_centi"))
+      .orderBy(col("sensor_id"))
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q78_custom_source", q78CustomSource, Some("""
       SELECT seq_id % 64 AS sensor_id,
@@ -173,6 +283,13 @@ object SeriesQueries {
              CAST(sum(seq_id * 9973 % 100000) AS BIGINT) AS sum_centi
       FROM range(250000, 750000) t(seq_id)
       WHERE (seq_id % 64) % 8 = 0
+      GROUP BY 1
+      ORDER BY 1""")),
+    Q("q104_stream_custom_source", q104StreamCustomSource, Some("""
+      SELECT seq_id % 64 AS sensor_id,
+             count(*) AS n_readings,
+             CAST(sum(seq_id * 9973 % 100000) AS BIGINT) AS sum_centi
+      FROM range(0, 200000) t(seq_id)
       GROUP BY 1
       ORDER BY 1""")))
 }

@@ -132,6 +132,24 @@ class LakeConnectorSpec extends SparkTestBase {
     assert(df.head().getLong(0) === span / 3)
   }
 
+  test("lake composes with the SQL surface: CREATE TABLE USING + spark.table") {
+    val (root, span) = fixture()
+    spark.sql("DROP TABLE IF EXISTS lake_sql_tbl")
+    graft.sources.Housekeeping.tables(spark, "lakeconn_sql", Seq("lake_sql_tbl"))
+    spark.sql(s"""
+      CREATE TABLE lake_sql_tbl
+      USING graft.sources.GraftLakeSource
+      OPTIONS (path '$root')""")
+    // plain SQL over the lake table: predicate must reach the
+    // manifest prune exactly like the DataFrame path
+    val df = spark.sql(
+      s"SELECT count(*) AS n FROM lake_sql_tbl WHERE event_id < ${span / 4}")
+    assert(df.head().getLong(0) === span / 4)
+    val scan = plannedScan(spark.table("lake_sql_tbl")
+      .where(col("event_id") < span / 4))
+    assert(scan.files.length === 2, s"SQL path lost pruning: ${scan.description()}")
+  }
+
   test("count() over an aggregate over the connector survives the empty-Aggregation probe") {
     // Spark prunes the inner aggregate's functions to NOTHING when an
     // outer count(*) only needs row existence, then probes the source

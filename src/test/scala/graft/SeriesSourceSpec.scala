@@ -103,4 +103,34 @@ class SeriesSourceSpec extends SparkTestBase {
       (64L, 0L, 64L * 9973 % 100000),
       (99999L, 99999L % 64, 99999L * 9973 % 100000)))
   }
+
+  test("micro-batch stream paces by batchRows and delivers each offset once") {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = ss.readStream.format("graft.sources.SeriesSource")
+      .option("n", "100000").option("batchRows", "30000").load()
+      .writeStream.format("memory").queryName("series_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    // 100k rows in ≤30k-row batches = at least 4 micro-batches
+    val withData = q.recentProgress.count(_.numInputRows > 0)
+    assert(withData >= 4, s"expected ≥4 paced batches, got $withData")
+    assert(q.recentProgress.map(_.numInputRows).filter(_ > 0).max <= 30000L)
+    import ss.implicits._
+    val ids = ss.table("series_stream").select("seq_id").as[Long].collect()
+    assert(ids.length === 100000)
+    assert(ids.toSet.size === 100000, "offset ranges overlapped or gapped")
+  }
+
+  test("restarted stream resumes from the checkpoint offset, never re-emitting") {
+    val df = graft.sources.SeriesQueries
+      .q104StreamCustomSource(spark, sf("sf0.001"))
+    val rows = df.collect()
+    assert(rows.length === 64)
+    // closed-form check on one sensor: ids ≡ 5 (mod 64) in [0, 200000)
+    val r5 = rows.find(_.getLong(0) == 5L).get
+    val ids5 = (5L until 200000L by 64L)
+    assert(r5.getLong(1) === ids5.length.toLong)
+    assert(r5.getLong(2) === ids5.map(i => i * 9973 % 100000).sum)
+  }
 }
