@@ -522,10 +522,18 @@ object Similarity {
       .agg(topAdc(col("vec_id"), col("dist")).as("pool"))
       .select(col("query_id"), explode(col("pool")).as("c"))
       .select(col("query_id"), col("c.vec_id").as("vec_id"))
+    rerankExact(e, cand)
+  }
+
+  /** Exact-cosine re-rank of a bounded (query_id, vec_id) candidate
+    * pool to the final top-[[TopK]], via the bounded [[TopKByDist]]
+    * aggregate with dist = −cos so (dist asc, vec_id asc) ≡
+    * (cos desc, vec_id asc). Shared by the candidate-generating
+    * approximate paths (e6 PQ, e7 IVFPQ).
+    */
+  private def rerankExact(e: DataFrame, cand: DataFrame): DataFrame = {
     val qdf = e.where(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    // Exact-cosine re-rank of the bounded pool, same aggregate with
-    // dist = −cos so (dist asc, vec_id asc) ≡ (cos desc, vec_id asc).
     val topCos = udaf(new TopKByDist(TopK))
     cand.join(e, "vec_id").join(broadcast(qdf), "query_id")
       .select(col("query_id"), col("vec_id"),
@@ -538,6 +546,84 @@ object Similarity {
         col("col.vec_id").as("vec_id"),
         (-col("col.dist")).as("cos"))
       .orderBy(col("query_id"), col("rk"))
+  }
+
+  // -- e7: IVF + PQ (the FAISS IVFPQ composition) ---------------------
+
+  /** IVFPQ — the composition FAISS ships as its standard
+    * billion-scale index (Jégou et al., TPAMI 2011, §V): the coarse
+    * quantizer (e5's IVF cells) bounds WHICH rows are scored, and
+    * product-quantization codes (e6's ADC) bound WHAT is read per
+    * row. The ADC scan is an equi-join of the coded corpus against
+    * the broadcast (query × probed-cell) table — only nprobe/K of
+    * the corpus is scored per query, vs e6's full-corpus scan — and
+    * both ranking stages run through the bounded [[TopKByDist]]
+    * aggregate, so no full sort or window ever materializes. Probe
+    * cells and distance tables are computed driver-side from the
+    * collected query vectors (bounded by e1's broadcast-query
+    * contract) against the KB-scale model artifacts. Encoded on raw
+    * vectors, not residuals (FAISS `by_residual=false`): residual
+    * encoding adds recall at the same code budget but needs a
+    * per-cell re-centering pass — the structural scale properties
+    * are identical. Rows-only judged; recall floor + determinism +
+    * plan shape pinned in PipelineOpsSpec.
+    */
+  def e7AnnIvfPq(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val n = corpusN(s, d)
+    val centroids = trainIvfCentroids(e, n)
+    val books = trainPqCodebooks(e, n)
+    val corpus = e.select(col("vec_id"),
+      cellCol(col("embedding"), centroids).as("cell"),
+      array((0 until PqM).map(m =>
+        pqCellCol(col("embedding"), books, m)): _*).as("codes"))
+    val sorted = centroids.sortBy(_._1)
+    val qrows = e.where(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+      .flatMap { r =>
+        val qid = r.getLong(0)
+        val qv = r.getSeq[Float](1).toArray.map(_.toDouble)
+        // ADC distance table: query to every (subspace, code) pair
+        val dtable = new Array[Double](PqM * PqK)
+        for (m <- 0 until PqM; c <- 0 until PqK) {
+          var s2 = 0.0
+          var j = 0
+          while (j < PqSubDim) {
+            val diff = qv(m * PqSubDim + j) - books(m)(c)(j)
+            s2 += diff * diff
+            j += 1
+          }
+          dtable(m * PqK + c) = s2
+        }
+        // nprobe nearest coarse cells, ties to the lower cell id —
+        // the driver-side twin of e5's probeCells expression
+        val cellDists = sorted.map { case (i, cv) =>
+          var s2 = 0.0
+          var j = 0
+          while (j < Dim) {
+            val diff = qv(j) - cv(j); s2 += diff * diff; j += 1
+          }
+          (s2, i)
+        }
+        cellDists.sortBy(identity).take(IvfProbes).map { case (_, cell) =>
+          (qid, cell, dtable.toSeq)
+        }
+      }.toSeq
+    val qtab = qrows.toDF("query_id", "cell", "dtable")
+    val adist = aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(PqM - 1)),
+        (c, m) => element_at(col("dtable"), m * PqK + c + 1)),
+      lit(0.0), (acc, v) => acc + v)
+    val topAdc = udaf(new TopKByDist(PqRerank))
+    val cand = corpus.join(broadcast(qtab), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), adist.as("dist"))
+      .groupBy(col("query_id"))
+      .agg(topAdc(col("vec_id"), col("dist")).as("pool"))
+      .select(col("query_id"), explode(col("pool")).as("c"))
+      .select(col("query_id"), col("c.vec_id").as("vec_id"))
+    rerankExact(e, cand)
   }
 
   private val cosSql =
@@ -562,6 +648,7 @@ object Similarity {
     Q("e2_ann_lsh", e2AnnLsh, None), // hyperplane literals are engine-side state
     Q("e5_ann_ivf", e5AnnIvf, None), // learned cells are engine-side state
     Q("e6_ann_pq", e6AnnPq, None), // learned codebooks are engine-side state
+    Q("e7_ann_ivfpq", e7AnnIvfPq, None), // learned cells+codebooks, engine-side
     Q("e4_near_dup_lsh", e4NearDupLsh, None), // ditto — spec proves e4 ⊇ e3
     Q("e3_embedding_near_dup", e3EmbeddingNearDup, Some(s"""
       SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,

@@ -201,6 +201,31 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(!plan.contains("Window"), s"window over scored candidates:\n$plan")
   }
 
+  test("e7 IVFPQ recall@10 >= 0.3 against e1, deterministic, cell-bounded plan") {
+    import spark.implicits._
+    val exact = Similarity.e1AnnBruteForce(spark, dir)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.e7AnnIvfPq(spark, dir)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(f"IVFPQ recall@10 = $recall%.2f (${approx.size} approx rows)")
+    // cell pruning (3 of 16 probed) costs recall vs e6's full ADC
+    // scan; the floor sits between e2/e5's bucketing-only paths and
+    // e6's scan-everything path
+    assert(recall >= 0.3, f"recall $recall%.2f below floor")
+    val again = Similarity.e7AnnIvfPq(spark, dir)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(again === approx, "IVFPQ result not deterministic across runs")
+    // the ADC scan must be an equi-join on cell (nprobe/K of the
+    // corpus), never a cross join, and ranking stays aggregate-bounded
+    val plan = Similarity.e7AnnIvfPq(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window over scored candidates:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"IVFPQ lost its cell equi-join:\n$plan")
+  }
+
   test("e4 LSH-blocked near-dup finds every e3 (label-blocked exact) pair") {
     import spark.implicits._
     val exact = Similarity.e3EmbeddingNearDup(spark, dir)
