@@ -83,6 +83,33 @@ object Advanced {
       .withColumn("k_sq", col("k_typed") * col("k_typed"))
       .orderBy(col("event_id"))
 
+  /** VARIANT (Spark 4's semi-structured type) over the events
+    * `props` JSON — the modern successor to q21's string-path
+    * extraction: `parse_json` builds a binary-encoded variant once,
+    * `variant_get` reads typed paths from it without re-parsing the
+    * string per path, and `try_variant_get` returns null (instead
+    * of erroring) for absent paths — the schema-drift-tolerant read
+    * a 100 TB semi-structured ingest needs. At scale the win is
+    * structural: parse once into a columnar-shredded binary form,
+    * then N typed path reads are cheap field lookups, vs N string
+    * re-parses with get_json_object. The aggregate certifies both
+    * the typed extraction and the absent-path null contract against
+    * DuckDB's JSON replay.
+    */
+  def q105VariantExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"), parse_json(col("props")).as("v"))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'bigint')").as("k"),
+        expr("try_variant_get(v, '$.missing', 'bigint')").as("miss"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        count(col("miss")).as("n_missing_present"))
+      .orderBy(col("event_type"))
+
   /** Approximate COUNT(DISTINCT) via HyperLogLog++ — the 100 TB
     * cardinality-estimation path: a fixed-size sketch that merges
     * map-side, vs exact distinct's full shuffle of every distinct
@@ -244,6 +271,20 @@ object Advanced {
                CAST(json_extract(props, '$.k') AS BIGINT) AS k_sq
       FROM events
       ORDER BY event_id""")),
+    Q("q105_variant_extract", q105VariantExtract, Some("""
+      SELECT event_type,
+             count(*) AS n_events,
+             CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
+             CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS min_k,
+             CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS max_k,
+             CAST(count(CASE WHEN json_extract(props, '$.missing') IS NOT NULL
+                             THEN 1 END) AS BIGINT) AS n_missing_present
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""")),
     Q("q22_approx_distinct", q22ApproxDistinct, None), // HLL: no cross-engine oracle
     Q("q23_asof_join", q23AsofJoin, Some("""
       WITH ro AS (

@@ -117,7 +117,54 @@ object Composite {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q18 shape (large-volume orders): a HAVING-gated IN
+    * subquery over the fact table feeding a 3-way join and a
+    * bounded top-100. The composition under test: the IN-subquery
+    * decorrelates to a semi join against the re-aggregated fact
+    * (one partial-agg pass, never a correlated re-execution), the
+    * customer dim broadcasts, and the final ORDER BY ... LIMIT
+    * plans as TakeOrderedAndProject — three gated operators
+    * competing in one plan. Quantities are integral-valued doubles;
+    * summing them as longs makes the HAVING boundary (> 250) exact
+    * on both engines, and money sorts by exact cents with full key
+    * tie-breaks so the top-100 cut is deterministic.
+    */
+  def q106TpchLargeOrders(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d).select(col("l_orderkey"),
+      round(col("l_quantity")).cast("long").as("qty"))
+    val big = l.groupBy(col("l_orderkey"))
+      .agg(sum(col("qty")).as("sum_qty"))
+      .where(col("sum_qty") > 250)
+      .select(col("l_orderkey"))
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderdate"),
+      round(col("o_totalprice") * 100).cast("long").as("total_cents"))
+    val c = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(big, Seq("l_orderkey"), "left_semi")
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("total_cents"))
+      .agg(sum(col("qty")).as("sum_qty"))
+      .orderBy(col("total_cents").desc, col("o_orderdate").asc,
+        col("o_orderkey").asc)
+      .limit(100)
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q106_tpch_large_orders", q106TpchLargeOrders, Some("""
+      SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM customer, orders, lineitem
+      WHERE o_orderkey IN (
+              SELECT l_orderkey FROM lineitem
+              GROUP BY l_orderkey
+              HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 250)
+        AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+      GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, total_cents
+      ORDER BY total_cents DESC, o_orderdate ASC, o_orderkey ASC
+      LIMIT 100""")),
     Q("q83_tpch_pricing", q83TpchPricing, Some("""
       SELECT l_returnflag, l_linestatus,
              CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
