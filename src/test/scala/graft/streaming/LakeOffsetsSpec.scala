@@ -59,6 +59,29 @@ class LakeOffsetsSpec extends SparkTestBase {
     assert(SnapshotLake.headVersion(root) === 2)
   }
 
+  test("lastTxn survives vacuumed manifests; retention bounds the dedup horizon") {
+    val root = Housekeeping.tempDir("txn_vacuum")
+    SnapshotLake.commit(spark, root, frame(5), "event_id",
+      txn = Some(("appA", 0L)))
+    SnapshotLake.commit(spark, root, frame(5), "event_id",
+      txn = Some(("appA", 1L)))
+    SnapshotLake.commit(spark, root, frame(5), "event_id")
+    val (droppedManifests, _) = SnapshotLake.vacuum(root, keepVersions = 1)
+    assert(droppedManifests === 2)
+    // the chain walk must not throw on the vacuumed versions...
+    val last = SnapshotLake.lastTxn(root, "appA")
+    // ...and the txn records carried by the dropped manifests are
+    // gone with them — the documented retention caveat
+    assert(last === -1L)
+    // a replayed batch 1 after retention loss therefore LANDS (the
+    // horizon was vacuumed away): retention must cover the replay
+    // window, which is the contract the scaladoc states
+    val v = SnapshotLake.commit(spark, root, frame(5), "event_id",
+      txn = Some(("appA", 1L)))
+    assert(v === SnapshotLake.headVersion(root))
+    assert(SnapshotLake.lastTxn(root, "appA") === 1L)
+  }
+
   test("q102 gate: checkpoint loss + re-delivery still lands every event exactly once") {
     val dir = sf("sf0.001")
     val got = StreamingGate.q102StreamLakeOffsets(spark, dir)
