@@ -85,6 +85,36 @@ class CurationSpec extends SparkTestBase {
     } finally { out.unpersist(); () }
   }
 
+  test("s4 A-Res: top-k matches local recomputation; weights bias inclusion") {
+    val df = graft.operators.Curation.s4WeightedSample(spark, dir)
+    val got = df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got.length === 100)
+    // plan: bounded TakeOrdered, never a global sort of the corpus
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"global sort:\n$plan")
+    // local recomputation with identical arithmetic must agree exactly
+    val m = 2147483647L
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val local = docs.map { case (id, src) =>
+      val w = if (src.drop(3).toInt % 2 == 0) 2L else 1L
+      val u = ((id * 2654435761L) % m + 1).toDouble / (m + 1).toDouble
+      val key = if (w == 2) math.sqrt(u) else u
+      (id, src, w, key)
+    }.sortBy(t => (-t._4, t._1)).take(100).toSeq
+    assert(got === local, "A-Res draw diverged from local recomputation")
+    // the 2× weights must actually bias the draw: doubled-weight docs
+    // (sqrt lifts u toward 1) should dominate the sample relative to
+    // their corpus share
+    val heavyShare = got.count(_._3 == 2L).toDouble / got.length
+    val corpusShare = docs.count(d => d._2.drop(3).toInt % 2 == 0)
+      .toDouble / docs.length
+    assert(heavyShare > corpusShare,
+      f"weighting had no effect: sample $heavyShare%.2f vs corpus $corpusShare%.2f")
+  }
+
   test("t7 separates a planted repetitive doc from a diverse one") {
     import spark.implicits._
     val tmp = writeDocs(Seq(
