@@ -75,6 +75,8 @@ class GraftLakeSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val root = lakeRoot(options)
     val snap = SnapshotLake.snapshot(root, asOf(options))
+    require(snap.files.nonEmpty, s"lake at $root v${snap.version} has no " +
+      "data files; pass a schema explicitly")
     // one footer read of one committed file — driver-side, KB-scale
     SparkSession.active.read
       .parquet(s"$root/${snap.files.head.name}").schema

@@ -194,9 +194,29 @@ final class SeriesMicroBatchStream(lo: Long, n: Long, batchRows: Long,
     throw new UnsupportedOperationException(
       "paced source: latestOffset(start, limit) is the entry point")
 
+  // honor the ENGINE-supplied limit, not the construction-time
+  // batchRows: Spark composes limits (Trigger.AvailableNow wraps the
+  // default in a CompositeReadLimit), and a source that ignores the
+  // argument silently over- or under-reads the moment that happens.
+  // ReadAllAvailable means exactly that — advance to everything.
+  private def rowsFor(limit: ReadLimit): Long = {
+    import org.apache.spark.sql.connector.read.streaming.{
+      CompositeReadLimit, ReadAllAvailable, ReadMaxRows}
+    limit match {
+      case r: ReadMaxRows => r.maxRows()
+      case c: CompositeReadLimit =>
+        val caps = c.getReadLimits.collect { case r: ReadMaxRows => r.maxRows() }
+        if (caps.isEmpty) Long.MaxValue else caps.min
+      case _: ReadAllAvailable => Long.MaxValue
+      case _ => batchRows
+    }
+  }
+
   override def latestOffset(start: SOffset, limit: ReadLimit): SOffset = {
     val s = start.asInstanceOf[SeriesOffset].pos
-    SeriesOffset(math.min(s + batchRows, n))
+    val step = rowsFor(limit)
+    // saturating add: Long.MaxValue step must clamp to n, not wrap
+    SeriesOffset(if (step >= n - s) n else s + step)
   }
   override def reportLatestOffset(): SOffset = SeriesOffset(n)
 

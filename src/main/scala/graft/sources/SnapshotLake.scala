@@ -533,6 +533,19 @@ object SnapshotLake {
       val head = headVersion(root)
       val parent =
         if (overwrite || head < 0) None else Some(snapshot(root, Some(head)))
+      // an append inherits the parent's files into a manifest whose
+      // header declares THIS commit's stat columns — a silent switch
+      // would mislabel the carried stats, and the connector's
+      // aggregate pushdown answers MIN/MAX straight from them, so a
+      // mixed-provenance chain returns wrong values, not just a
+      // weaker prune. Refuse rather than mislabel.
+      parent.foreach { p =>
+        require(p.statCol == statCol,
+          s"append declares statCol=$statCol but the chain carries " +
+            s"${p.statCol} — overwrite, or keep the chain's stat column")
+        statCol2.foreach(c => p.statCol2.foreach(pc => require(pc == c,
+          s"append declares statCol2=$c but the chain carries $pc")))
+      }
       val v = head + 1
       // an append without an explicit bloomCol inherits the parent's,
       // so carried-over per-file blooms keep their column identity

@@ -69,6 +69,10 @@ class CompositeSpec extends SparkTestBase {
         case ts: java.sql.Timestamp => ts.getTime
         case ldt: java.time.LocalDateTime =>
           ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        case d: java.sql.Date => d.getTime
+        case ld: java.time.LocalDate => ld.toEpochDay * 86400000L
+        case other => fail(s"o_orderdate came back as unexpected type " +
+          s"${other.getClass.getName} — testdata physical type drifted")
       }
       (-r.getLong(4), t, r.getLong(2))
     }.toSeq

@@ -34,7 +34,7 @@ class EventsDriftSpec extends SparkTestBase {
     Tables.names.filterNot(_ == "events").foreach { t =>
       Files.createSymbolicLink(
         Paths.get(s"$dir/$t.parquet"),
-        Paths.get(s"/root/testdata/sf0.001/$t.parquet"))
+        Paths.get(s"${sf("sf0.001")}/$t.parquet"))
     }
     // same rows, legacy physical shape: ts as epoch-nanos LongType
     Tables.events(spark, sf("sf0.001"))
