@@ -69,7 +69,8 @@ object SnapshotLake {
   final case class Snapshot(version: Int, statCol: String,
       bloomCol: Option[String], files: Seq[FileStat],
       statCol2: Option[String] = None,
-      txn: Option[(String, Long)] = None)
+      txn: Option[(String, Long)] = None,
+      txns: Map[String, Long] = Map.empty)
 
   /** Blocked bloom over longs: k=6 bit positions from one 64-bit
     * avalanche hash (double hashing h1 + i·h2) — deterministic
@@ -166,6 +167,12 @@ object SnapshotLake {
       val i = body.lastIndexOf(':')
       (body.substring(0, i), body.substring(i + 1).toLong)
     }
+    val txns = header.find(_.startsWith("txns="))
+      .map(_.stripPrefix("txns=").split(',').map { e =>
+        val i = e.lastIndexOf(':')
+        e.substring(0, i) -> e.substring(i + 1).toLong
+      }.toMap)
+      .getOrElse(Map.empty[String, Long])
     val files = lines.tail.map { l =>
       val fields = l.split('\t')
       // fields after the fixed four are TAGGED (d2=lo:hi, bf=<b64>)
@@ -180,42 +187,45 @@ object SnapshotLake {
       FileStat(fields(0), fields(1).toLong, fields(2).toLong,
         fields(3).toLong, bloom, dim2)
     }
-    Snapshot(v, statCol, bloomCol, files, statCol2, txn)
+    Snapshot(v, statCol, bloomCol, files, statCol2, txn, txns)
   }
 
-  /** Highest batch id recorded for writer `appId` across the
-    * manifest chain, or -1 if none. The chain walk is KB-scale
-    * driver metadata — one small file per version, exactly what a
-    * Delta `txn` action reads for its streaming-sink dedup.
+  /** Highest batch id recorded for writer `appId`, or -1 if none —
+    * answered from the HEAD manifest alone. Every publish carries
+    * the accumulated per-app high-water map forward in its header
+    * (`txns=app:batch,...` — Delta's `_last_checkpoint` economics
+    * applied to `txn` actions), so the lookup is O(1) manifest reads
+    * no matter how long the chain: a sink committing every 10 s for
+    * a week is ~60k versions, and walking them all per commit — the
+    * pre-round-8 shape — was O(versions²) cumulative parses.
     *
-    * Vacuumed versions are skipped: `vacuum` deletes old manifests,
-    * and with them any txn records they carried — so a sink's
-    * replay-dedup horizon is bounded by the vacuum retention, the
-    * same `delta.setTransactionRetentionDuration` caveat Delta
-    * documents. Keep at least as many versions as the longest
-    * possible replay window (for the judged gates: replay arrives
-    * immediately, any retention ≥ 1 suffices).
+    * Because the map rides the head, vacuum no longer truncates the
+    * replay-dedup horizon: dropping old manifests drops only their
+    * per-commit `txn=` audit records, never the accumulated map.
+    * The map is one entry per distinct writer app — bounded by
+    * writers, not by commits.
     */
   def lastTxn(root: String, appId: String): Long = {
     val head = headVersion(root)
-    (0 to head).foldLeft(-1L) { (acc, v) =>
-      if (!Files.exists(manifestPath(root, v))) acc
-      else snapshot(root, Some(v)).txn match {
-        case Some((a, b)) if a == appId => math.max(acc, b)
-        case _ => acc
-      }
-    }
+    if (head < 0) -1L
+    else snapshot(root, Some(head)).txns.getOrElse(appId, -1L)
   }
 
   /** Stage + atomically publish version `v`; false = lost the race. */
   private def tryPublish(root: String, v: Int, statCol: String,
       bloomCol: Option[String], overwrite: Boolean,
       files: Seq[FileStat], statCol2: Option[String] = None,
-      txn: Option[(String, Long)] = None): Boolean = {
+      txn: Option[(String, Long)] = None,
+      txns: Map[String, Long] = Map.empty): Boolean = {
+    txns.keys.foreach(a => require(!a.exists(c => c == ',' || c == '\t' ||
+      c == '\n'), s"txn appId '$a' may not contain ',', tab, or newline"))
     val header = s"v=$v\t$statCol\toverwrite=$overwrite" +
       bloomCol.fold("")(c => s"\tbloom=$c") +
       statCol2.fold("")(c => s"\tstat2=$c") +
-      txn.fold("") { case (a, b) => s"\ttxn=$a:$b" }
+      txn.fold("") { case (a, b) => s"\ttxn=$a:$b" } +
+      (if (txns.isEmpty) ""
+       else "\ttxns=" + txns.toSeq.sorted.map { case (a, b) => s"$a:$b" }
+         .mkString(","))
     val body = (header +: files.map { f =>
       val base = s"${f.name}\t${f.lo}\t${f.hi}\t${f.rows}"
       val withD2 = f.dim2.fold(base) { case (a, b) => s"$base\td2=$a:$b" }
@@ -382,7 +392,8 @@ object SnapshotLake {
       val appended = rebaseCheck(base, head, kept ++ touchedFiles,
         deltaLo, deltaHi)
       if (tryPublish(root, head.version + 1, key, head.bloomCol,
-          overwrite = true, kept ++ appended ++ newFiles, head.statCol2))
+          overwrite = true, kept ++ appended ++ newFiles, head.statCol2,
+          txns = head.txns))
         committed = head.version + 1
     }
     MergeResult(committed, kept.size, touchedFiles.size, newFiles.size)
@@ -525,14 +536,16 @@ object SnapshotLake {
     // and try again (new data files are already safe on disk)
     var committed = -1
     while (committed < 0) {
+      val head = headVersion(root)
+      val headSnap = if (head < 0) None else Some(snapshot(root, Some(head)))
       // txn replay check INSIDE the loop: a racer that lost the slot
       // CAS rebases here and sees the winner's identical (app, batch)
-      txn.collect { case (a, b) if lastTxn(root, a) >= b =>
-        return headVersion(root)
+      // in the head's accumulated txns map — one manifest read
+      txn.collect { case (a, b)
+          if headSnap.exists(_.txns.getOrElse(a, -1L) >= b) =>
+        return head
       }
-      val head = headVersion(root)
-      val parent =
-        if (overwrite || head < 0) None else Some(snapshot(root, Some(head)))
+      val parent = if (overwrite) None else headSnap
       // an append inherits the parent's files into a manifest whose
       // header declares THIS commit's stat columns — a silent switch
       // would mislabel the carried stats, and the connector's
@@ -557,9 +570,12 @@ object SnapshotLake {
       // (new files then simply lack dim2 boxes — the 2-D prune keeps
       // stat-less files, so correctness is unaffected)
       val effStat2 = statCol2.orElse(parent.flatMap(_.statCol2))
+      // the accumulated txn map ALWAYS carries forward — an overwrite
+      // replaces the file list, never the replay-dedup horizon
+      val newTxns = headSnap.map(_.txns).getOrElse(Map.empty) ++ txn
       if (tryPublish(root, v, statCol, effBloomCol, overwrite,
           parent.map(_.files).getOrElse(Seq.empty) ++ newFiles, effStat2,
-          txn))
+          txn, newTxns))
         committed = v
     }
     committed
@@ -727,10 +743,16 @@ object SnapshotLake {
     val target = snapshot(root, Some(version))
     var committed = -1
     while (committed < 0) {
-      val v = headVersion(root) + 1
-      if (tryPublish(root, v, target.statCol, target.bloomCol,
-          overwrite = true, target.files, target.statCol2))
-        committed = v
+      val head = headVersion(root)
+      // restore rolls back DATA, never the replay-dedup horizon: the
+      // txn map comes from the current head, or a restored sink
+      // would re-accept batches it already committed
+      val headTxns = if (head < 0) Map.empty[String, Long]
+        else snapshot(root, Some(head)).txns
+      if (tryPublish(root, head + 1, target.statCol, target.bloomCol,
+          overwrite = true, target.files, target.statCol2,
+          txns = headTxns))
+        committed = head + 1
     }
     committed
   }

@@ -59,7 +59,7 @@ class LakeOffsetsSpec extends SparkTestBase {
     assert(SnapshotLake.headVersion(root) === 2)
   }
 
-  test("lastTxn survives vacuumed manifests; retention bounds the dedup horizon") {
+  test("lastTxn survives vacuum: the head carries the accumulated txn map") {
     val root = Housekeeping.tempDir("txn_vacuum")
     SnapshotLake.commit(spark, root, frame(5), "event_id",
       txn = Some(("appA", 0L)))
@@ -68,18 +68,41 @@ class LakeOffsetsSpec extends SparkTestBase {
     SnapshotLake.commit(spark, root, frame(5), "event_id")
     val (droppedManifests, _) = SnapshotLake.vacuum(root, keepVersions = 1)
     assert(droppedManifests === 2)
-    // the chain walk must not throw on the vacuumed versions...
-    val last = SnapshotLake.lastTxn(root, "appA")
-    // ...and the txn records carried by the dropped manifests are
-    // gone with them — the documented retention caveat
-    assert(last === -1L)
-    // a replayed batch 1 after retention loss therefore LANDS (the
-    // horizon was vacuumed away): retention must cover the replay
-    // window, which is the contract the scaladoc states
+    // the accumulated map rides every manifest header, so dropping
+    // the manifests that RECORDED the txns loses nothing — vacuum no
+    // longer truncates the replay-dedup horizon
+    assert(SnapshotLake.lastTxn(root, "appA") === 1L)
+    // a replayed batch 1 after vacuum is therefore still a no-op
+    val headBefore = SnapshotLake.headVersion(root)
+    val rowsBefore = SnapshotLake.read(spark, root).count()
     val v = SnapshotLake.commit(spark, root, frame(5), "event_id",
       txn = Some(("appA", 1L)))
-    assert(v === SnapshotLake.headVersion(root))
-    assert(SnapshotLake.lastTxn(root, "appA") === 1L)
+    assert(v === headBefore, "replayed batch must not publish after vacuum")
+    assert(SnapshotLake.read(spark, root).count() === rowsBefore)
+  }
+
+  test("lastTxn is O(1): one head manifest answers a long multi-writer chain") {
+    val root = Housekeeping.tempDir("txn_o1")
+    // 30-commit chain from three interleaved writers, plus an
+    // OVERWRITE and a RESTORE in the middle — every publish shape
+    // must carry the accumulated map forward
+    (0 until 10).foreach { b =>
+      SnapshotLake.commit(spark, root, frame(3), "event_id",
+        txn = Some(("appA", b.toLong)))
+      SnapshotLake.commit(spark, root, frame(3), "event_id",
+        txn = Some(("appB", (b * 2).toLong)))
+      SnapshotLake.commit(spark, root, frame(3), "event_id",
+        overwrite = b == 5, txn = Some(("appC", (100 + b).toLong)))
+    }
+    SnapshotLake.restore(root, 3)
+    // the hard proof of O(1): delete EVERY manifest except the head —
+    // a lookup that still walked the chain would now throw or forget
+    val (dropped, _) = SnapshotLake.vacuum(root, keepVersions = 1)
+    assert(dropped === 30)
+    assert(SnapshotLake.lastTxn(root, "appA") === 9L)
+    assert(SnapshotLake.lastTxn(root, "appB") === 18L)
+    assert(SnapshotLake.lastTxn(root, "appC") === 109L)
+    assert(SnapshotLake.lastTxn(root, "appD") === -1L)
   }
 
   test("q102 gate: checkpoint loss + re-delivery still lands every event exactly once") {
