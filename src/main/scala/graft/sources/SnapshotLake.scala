@@ -64,7 +64,8 @@ object SnapshotLake {
     */
   final case class FileStat(name: String, lo: Long, hi: Long, rows: Long,
       bloom: Option[Array[Byte]] = None,
-      dim2: Option[(Long, Long)] = None)
+      dim2: Option[(Long, Long)] = None,
+      bytes: Option[Long] = None)
 
   final case class Snapshot(version: Int, statCol: String,
       bloomCol: Option[String], files: Seq[FileStat],
@@ -184,8 +185,10 @@ object SnapshotLake {
       }
       val bloom = extras.find(_.startsWith("bf=")).map(t =>
         java.util.Base64.getDecoder.decode(t.stripPrefix("bf=")))
+      val bytes = extras.find(_.startsWith("sz="))
+        .map(_.stripPrefix("sz=").toLong)
       FileStat(fields(0), fields(1).toLong, fields(2).toLong,
-        fields(3).toLong, bloom, dim2)
+        fields(3).toLong, bloom, dim2, bytes)
     }
     Snapshot(v, statCol, bloomCol, files, statCol2, txn, txns)
   }
@@ -229,8 +232,9 @@ object SnapshotLake {
     val body = (header +: files.map { f =>
       val base = s"${f.name}\t${f.lo}\t${f.hi}\t${f.rows}"
       val withD2 = f.dim2.fold(base) { case (a, b) => s"$base\td2=$a:$b" }
-      f.bloom.fold(withD2)(b =>
-        s"$withD2\tbf=${java.util.Base64.getEncoder.encodeToString(b)}")
+      val withSz = f.bytes.fold(withD2)(n => s"$withD2\tsz=$n")
+      f.bloom.fold(withSz)(b =>
+        s"$withSz\tbf=${java.util.Base64.getEncoder.encodeToString(b)}")
     }).mkString("", "\n", "\n")
     Files.createDirectories(logDir(root))
     val tmp = logDir(root).resolve(s".tmp-${UUID.randomUUID()}")
@@ -270,12 +274,15 @@ object SnapshotLake {
   def commit(s: SparkSession, root: String, df: DataFrame, statCol: String,
       overwrite: Boolean = false, bloomCol: Option[String] = None,
       bloomBytes: Int = 1024, statCol2: Option[String] = None,
-      txn: Option[(String, Long)] = None): Int = {
+      txn: Option[(String, Long)] = None,
+      writeOptions: Map[String, String] = Map.empty): Int = {
     txn.collect { case (a, b) if lastTxn(root, a) >= b =>
       return headVersion(root) // replay detected before staging files
     }
     val batch = s"data/b-${UUID.randomUUID().toString.take(8)}"
-    df.write.parquet(s"$root/$batch")
+    // writeOptions = parquet writer tuning (e.g. parquet.block.size
+    // to shape row-group granularity for the connector's splits)
+    df.write.options(writeOptions).parquet(s"$root/$batch")
     commitBatch(s, root, batch, statCol, overwrite, bloomCol, bloomBytes,
       statCol2, txn)
   }
@@ -516,11 +523,16 @@ object SnapshotLake {
       .map { r =>
         val uri = r.getString(0)
         val rel = uri.substring(uri.indexOf("/data/") + 1)
+        // on-disk byte size recorded at write time (one stat(2) per
+        // NEW file, driver-side) so the connector can report
+        // SupportsReportStatistics and size splits without touching
+        // storage at plan time
         FileStat(rel, r.getLong(1), r.getLong(2), r.getLong(3),
           if (bloomCol.isDefined) Some(r.getAs[Array[Byte]](bloomIdx))
           else None,
           if (statCol2.isDefined) Some((r.getLong(4), r.getLong(5)))
-          else None)
+          else None,
+          Some(Files.size(Paths.get(root, rel))))
       }
       .sortBy(_.name).toSeq
   }

@@ -163,6 +163,71 @@ class LakeConnectorSpec extends SparkTestBase {
     assert(inner.count() === 1L)
   }
 
+  test("connector reads are columnar: vectorized batches, not row decode") {
+    val (root, span) = fixture()
+    val df = lakeRead(root).where(col("event_id") < span / 2)
+    val scanExec = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec if b.scan.isInstanceOf[LakeScan] => b
+    }.headOption.getOrElse(fail("no LakeScan in plan"))
+    assert(scanExec.supportsColumnar,
+      "LakeScan fell off the columnar path — row-at-a-time decode is " +
+        "the 100TB penalty the vectorized reader exists to remove")
+    val factory = scanExec.scan.toBatch.createReaderFactory()
+    val parts = scanExec.scan.toBatch.planInputPartitions()
+    assert(parts.nonEmpty && parts.forall(factory.supportColumnarReads))
+    // and the values coming off the columnar path are the same ones
+    assert(df.count() === span / 2)
+  }
+
+  test("a large file splits into row-group partitions; small files stay whole") {
+    val root = Housekeeping.tempDir("lakeconn_split")
+    val n = 200000L
+    // deterministic dense frame big enough to carry many row groups
+    val ev = spark.range(0, n).selectExpr("id AS event_id",
+      "id % 97 AS user_id", "(id * 31) % 100000 AS cents")
+    // one data file with many small row groups (tiny writer block
+    // size), read back under a split budget that forces fan-out
+    SnapshotLake.commit(spark, root, ev.coalesce(1), "event_id",
+      writeOptions = Map("parquet.block.size" -> "16384",
+        "parquet.page.size" -> "4096"))
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "64k")
+    try {
+      val df = lakeRead(root)
+      val scan = plannedScan(df)
+      val parts = scan.toBatch.planInputPartitions()
+      assert(scan.files.head.bytes.exists(_ > 64 * 1024),
+        s"fixture file too small to exercise splitting: ${scan.files}")
+      assert(parts.length > 1,
+        s"one ${parts.length}-partition plan for a multi-row-group file")
+      // exactness across the split boundaries: every row exactly once
+      assert(df.count() === n)
+      assert(df.agg(sum(col("event_id"))).head().getLong(0) ===
+        (n - 1) * n / 2) // dense ids 0..n-1
+      // and a pushed range still prunes row-group runs' parent file
+      // list the same way (file-level prune composes with splits)
+      assert(df.where(col("event_id") < 1000).count() === 1000)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
+  test("pruned manifest stats reach Spark as table statistics") {
+    val (root, span) = fixture()
+    val df = lakeRead(root).where(col("event_id") < span / 4)
+    val scan = plannedScan(df)
+    val stats = scan.asInstanceOf[
+      org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    // 2 of 8 kept files -> exact row count from the manifest, and a
+    // real byte size (not "unknown = huge") for CBO build-side picks
+    assert(stats.numRows.getAsLong === span / 4)
+    assert(stats.sizeInBytes.getAsLong > 0)
+    val whole = plannedScan(lakeRead(root)).asInstanceOf[
+      org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    assert(whole.numRows.getAsLong === span)
+    assert(stats.sizeInBytes.getAsLong < whole.sizeInBytes.getAsLong)
+  }
+
   test("filters stay residual — straddling predicates return exact rows") {
     val (root, span) = fixture()
     // a window deliberately misaligned with the 8 file boundaries
