@@ -56,6 +56,7 @@ object Catalog {
       graft.sources.LedgerQueries.queries ++
       graft.sources.Sinks.queries ++
       graft.sources.SnapshotLake.queries ++
+      graft.sources.LakeWriteQueries.queries ++
       graft.streaming.StreamingGate.queries
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

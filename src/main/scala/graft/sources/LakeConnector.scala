@@ -68,6 +68,12 @@ class GraftLakeSource extends TableProvider {
   private def asOf(o: CaseInsensitiveStringMap): Option[Int] =
     Option(o.get("version")).map(_.toInt)
 
+  /** A declared schema is accepted (`CREATE TABLE t (cols…) USING …`)
+    * — what lets a brand-new lake bootstrap through pure SQL DDL+DML:
+    * the first `INSERT INTO` has no committed file to infer from.
+    */
+  override def supportsExternalMetadata(): Boolean = true
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val root = lakeRoot(options)
     val snap = SnapshotLake.snapshot(root, asOf(options))
@@ -81,19 +87,30 @@ class GraftLakeSource extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
     val o = new CaseInsensitiveStringMap(properties)
-    new LakeTable(lakeRoot(o), asOf(o), schema)
+    new LakeTable(lakeRoot(o), asOf(o), schema, o.asCaseSensitiveMap()
+      .asScala.map { case (k, v) => k.toLowerCase -> v }.toMap)
   }
 }
 
-final class LakeTable(root: String, asOf: Option[Int], tschema: StructType)
-    extends Table with SupportsRead {
+final class LakeTable(root: String, asOf: Option[Int], tschema: StructType,
+    opts: Map[String, String] = Map.empty)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String =
     s"graft_lake($root${asOf.fold("")(v => s"@v$v")})"
   override def schema(): StructType = tschema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScanBuilder(root, asOf, tschema)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(asOf.isEmpty,
+      s"cannot write to time-travel snapshot v${asOf.get} of $root")
+    new LakeWriteBuilder(root, info, opts)
+  }
 }
 
 /** Accumulates pushdown state against the snapshot's manifest:
@@ -109,7 +126,7 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
 
-  private val snap = SnapshotLake.snapshot(root, asOf)
+  private val snap = SnapshotLake.snapshotOrEmpty(root, asOf)
 
   private var lo = Long.MinValue
   private var hi = Long.MaxValue // exclusive

@@ -1,0 +1,272 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.hadoop.ParquetWriter
+import org.apache.parquet.hadoop.api.WriteSupport
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.{
+  BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo,
+  PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder,
+  WriterCommitMessage}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+import org.apache.spark.sql.types.StructType
+
+/** The WRITE half of the lake's DSv2 surface: `INSERT INTO` /
+  * `INSERT OVERWRITE` / `df.write.format(...)` land as lake commits
+  * with full table semantics — per-file stats, optimistic manifest
+  * publish, time travel, txn idempotence — without touching the
+  * `SnapshotLake` Scala API.
+  *
+  * The commit protocol is the ledger sink's two-phase shape
+  * (`LedgerSink.scala`), upgraded to parquet + manifest publication:
+  *
+  *  1. each task's DataWriter streams `InternalRow`s through Spark's
+  *     OWN `ParquetWriteSupport` (the exact encoder
+  *     `df.write.parquet` uses, so files are bit-identical in layout
+  *     semantics to API-committed ones) into a UNIQUELY-NAMED file
+  *     under `_staging/` and acknowledges that name + row count —
+  *     nothing a running, failed, or speculatively-retried task
+  *     writes is ever visible;
+  *  2. the driver's BatchWrite.commit moves EXACTLY the acknowledged
+  *     non-empty files into a fresh `data/b-*` batch dir, runs the
+  *     standard stats pass over them ([[SnapshotLake.statsFor]]:
+  *     per-file min/max + optional bloom + dim2 in one aggregate),
+  *     and publishes through [[SnapshotLake.commitFiles]]'s
+  *     optimistic-concurrency loop — a zombie task's orphan is named
+  *     by no message, stays in staging, and can never surface;
+  *  3. BatchWrite.abort deletes the staged files, leaving the table
+  *     untouched.
+  *
+  * Write-side options (table OPTIONS or write options): `statCol`
+  * (required for the FIRST commit; later appends inherit and must
+  * match the chain — [[SnapshotLake]]'s provenance rule), `bloomCol`,
+  * `bloomBytes`, `statCol2`, and `txnAppId`/`txnVersion` for
+  * Delta-style idempotent writes. `INSERT OVERWRITE` arrives as
+  * [[SupportsTruncate]] and publishes a logical replace (prior files
+  * stay on disk for time travel).
+  *
+  * SINGLE-FILESYSTEM ASSUMPTION: same as the ledger sink — staging
+  * and commit move paths on one shared filesystem (true in local[n]);
+  * a production port routes paths through Hadoop `FileSystem`, the
+  * protocol itself unchanged.
+  */
+final class LakeWriteBuilder(root: String, info: LogicalWriteInfo,
+    tableOpts: Map[String, String]) extends WriteBuilder
+    with SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def build(): Write = {
+    // write options override table OPTIONS; both are lowercased
+    val opts = tableOpts ++ info.options().asCaseSensitiveMap()
+      .asScala.map { case (k, v) => k.toLowerCase -> v }
+    new Write {
+      override def toBatch: BatchWrite =
+        new LakeBatchWrite(root, info.schema(), overwrite, opts)
+    }
+  }
+}
+
+object LakeWrite {
+  def stagingDir(root: String): String = s"$root/_staging"
+
+  /** Driver-side capture of the session confs `ParquetWriteSupport
+    * .init` asserts present in the task-side Hadoop conf (schema,
+    * legacy-format flag, timestamp physical type — ParquetFileFormat
+    * sets the same three explicitly; rebase modes ride Spark's
+    * executor-side SQLConf propagation).
+    */
+  def writeConf(schema: StructType): Map[String, String] = {
+    val c = SparkSession.active.conf
+    def g(k: String, d: String): String =
+      try c.get(k) catch { case _: Exception => d }
+    Map(
+      ParquetWriteSupport.SPARK_ROW_SCHEMA -> schema.json,
+      "spark.sql.parquet.writeLegacyFormat" ->
+        g("spark.sql.parquet.writeLegacyFormat", "false"),
+      "spark.sql.parquet.outputTimestampType" ->
+        g("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"),
+      "spark.sql.parquet.fieldId.write.enabled" ->
+        g("spark.sql.parquet.fieldId.write.enabled", "true"),
+      "spark.sql.parquet.variant.annotateLogicalType.enabled" ->
+        g("spark.sql.parquet.variant.annotateLogicalType.enabled", "false"),
+      "spark.sql.session.timeZone" ->
+        g("spark.sql.session.timeZone", "UTC"))
+  }
+}
+
+/** One acknowledged staged file + its row count (empty writers are
+  * dropped at commit, not published as zero-row files).
+  */
+final case class LakeStaged(name: String, rows: Long)
+    extends WriterCommitMessage
+
+final class LakeBatchWrite(root: String, schema: StructType,
+    overwrite: Boolean, opts: Map[String, String]) extends BatchWrite {
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    Files.createDirectories(Paths.get(LakeWrite.stagingDir(root)))
+    new LakeWriterFactory(root, schema.json, LakeWrite.writeConf(schema))
+  }
+
+  private def discard(m: LakeStaged): Unit =
+    Files.deleteIfExists(Paths.get(LakeWrite.stagingDir(root), m.name)): Unit
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val staged = messages.collect { case m: LakeStaged => m }
+    val (live, empty) = staged.partition(_.rows > 0)
+    empty.foreach(discard)
+    val head =
+      if (SnapshotLake.headVersion(root) >= 0)
+        Some(SnapshotLake.snapshot(root))
+      else None
+    val statCol = opts.get("statcol").orElse(head.map(_.statCol))
+      .getOrElse(throw new IllegalArgumentException(
+        s"first commit to empty lake $root requires OPTIONS(statCol …)"))
+    val bloomCol = opts.get("bloomcol")
+    val bloomBytes = opts.get("bloombytes").map(_.toInt).getOrElse(1024)
+    val statCol2 = opts.get("statcol2")
+    val txn = for {
+      a <- opts.get("txnappid"); v <- opts.get("txnversion")
+    } yield (a, v.toLong)
+    // replay short-circuit BEFORE moving files (the in-loop check in
+    // commitFiles still guards the race window)
+    txn.foreach { case (a, b) =>
+      if (SnapshotLake.lastTxn(root, a) >= b) { live.foreach(discard); return }
+    }
+    if (live.isEmpty) {
+      // zero acknowledged rows: an overwrite still truncates (empty
+      // file list, txn map carried); an empty append publishes nothing
+      if (overwrite)
+        SnapshotLake.commitFiles(root, Seq.empty, statCol, overwrite = true,
+          bloomCol, statCol2, txn): Unit
+      return
+    }
+    val batch = s"data/b-${UUID.randomUUID().toString.take(8)}"
+    Files.createDirectories(Paths.get(root, batch))
+    live.foreach { m =>
+      Files.move(
+        Paths.get(LakeWrite.stagingDir(root), m.name),
+        Paths.get(root, batch, m.name),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    val files = SnapshotLake.statsFor(SparkSession.active, root, batch,
+      statCol, bloomCol, bloomBytes, statCol2)
+    SnapshotLake.commitFiles(root, files, statCol, overwrite, bloomCol,
+      statCol2, txn): Unit
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach { case m: LakeStaged => discard(m); case _ => }
+}
+
+final class LakeWriterFactory(root: String, schemaJson: String,
+    confKVs: Map[String, String]) extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new LakeDataWriter(root, confKVs, partitionId, taskId)
+}
+
+/** Task-side parquet writer: Spark's `ParquetWriteSupport` (the
+  * engine's own InternalRow→parquet encoder, vectorized-reader
+  * compatible) behind parquet-mr's writer, streaming to a staged
+  * file invisible until the driver's commit names it.
+  */
+final class LakeDataWriter(root: String, confKVs: Map[String, String],
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+
+  private val name =
+    s"part-$partitionId-$taskId-${UUID.randomUUID().toString.take(8)}.parquet"
+  private val staged = Paths.get(LakeWrite.stagingDir(root), name)
+  private var rows = 0L
+  private var closed = false
+
+  private final class SupportBuilder(
+      file: org.apache.parquet.io.OutputFile,
+      support: WriteSupport[InternalRow])
+      extends ParquetWriter.Builder[InternalRow, SupportBuilder](file) {
+    override def self(): SupportBuilder = this
+    override def getWriteSupport(
+        conf: Configuration): WriteSupport[InternalRow] = support
+  }
+
+  private val writer: ParquetWriter[InternalRow] = {
+    val conf = new Configuration()
+    confKVs.foreach { case (k, v) => conf.set(k, v) }
+    // LocalOutputFile = pure NIO: no Hadoop ChecksumFileSystem, so no
+    // .crc sidecars to orphan in staging (same single-filesystem
+    // assumption the protocol already makes)
+    new SupportBuilder(
+      new org.apache.parquet.io.LocalOutputFile(staged),
+      new ParquetWriteSupport)
+      .withConf(conf)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+  }
+
+  private def shut(): Unit = if (!closed) { closed = true; writer.close() }
+
+  override def write(row: InternalRow): Unit = { writer.write(row); rows += 1 }
+  override def commit(): WriterCommitMessage = { shut(); LakeStaged(name, rows) }
+  override def abort(): Unit = { shut(); Files.deleteIfExists(staged): Unit }
+  override def close(): Unit = shut()
+}
+
+/** Judged query: a lake born and grown through PURE SQL — `CREATE
+  * TABLE` (schema-declared DDL over the connector), two `INSERT INTO
+  * … SELECT` appends partitioning events by id parity, then the
+  * aggregate read back through `spark.table`. The head version is a
+  * hash-checked column: v0 bootstrap + one append = 1, so a commit
+  * that silently no-ops or double-publishes goes red. The oracle
+  * recomputes the aggregate from the base table — writer encoding,
+  * stats pass, manifest publish, and connector read-back must agree
+  * exactly.
+  */
+object LakeWriteQueries {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+  import org.apache.spark.sql.functions._
+  import graft.Catalog.Q
+
+  def q107LakeInsertSql(s: SparkSession, d: String): DataFrame = {
+    val root = Housekeeping.tempDir("q107")
+    s.sql("DROP TABLE IF EXISTS q107_lake")
+    Housekeeping.tables(s, "q107_tbl", Seq("q107_lake"))
+    s.sql(s"""
+      CREATE TABLE q107_lake (event_id BIGINT, cents BIGINT)
+      USING graft.sources.GraftLakeSource
+      OPTIONS (path '$root', statCol 'event_id')""")
+    Tables.events(s, d).createOrReplaceTempView("q107_events")
+    def insert(parity: Int): Unit =
+      s.sql(s"""
+        INSERT INTO q107_lake
+        SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM q107_events WHERE event_id % 2 = $parity""").collect(): Unit
+    insert(0) // bootstraps v0 on the empty lake
+    insert(1) // appends v1
+    s.table("q107_lake")
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .select(
+        lit(SnapshotLake.headVersion(root).toLong).as("head_version"),
+        col("n_rows"), col("sum_cents"), col("min_id"), col("max_id"))
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q("q107_lake_insert_sql", q107LakeInsertSql, Some("""
+      WITH ec AS (SELECT event_id,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events)
+      SELECT CAST(1 AS BIGINT) AS head_version,
+             count(*) AS n_rows,
+             CAST(sum(cents) AS BIGINT) AS sum_cents,
+             min(event_id) AS min_id,
+             max(event_id) AS max_id
+      FROM ec""")))
+}

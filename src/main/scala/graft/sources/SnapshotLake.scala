@@ -154,6 +154,17 @@ object SnapshotLake {
       .foldLeft(-1)(math.max)
   }
 
+  /** Like [[snapshot]], but an uncommitted lake reads as an empty
+    * version -1 snapshot instead of failing — what a freshly
+    * `CREATE TABLE`d (schema-declared, never-inserted) DSv2 table
+    * needs its scan to see.
+    */
+  private[sources] def snapshotOrEmpty(root: String,
+      asOf: Option[Int] = None): Snapshot =
+    if (asOf.isEmpty && headVersion(root) < 0)
+      Snapshot(-1, "", None, Seq.empty)
+    else snapshot(root, asOf)
+
   def snapshot(root: String, asOf: Option[Int] = None): Snapshot = {
     val v = asOf.getOrElse(headVersion(root))
     require(v >= 0, s"lake at $root has no committed snapshot (asOf=$asOf)")
@@ -501,7 +512,7 @@ object SnapshotLake {
     * the physical file each row came from; the optional bloom rides
     * the same aggregate (write-time index build, never a second scan).
     */
-  private def statsFor(s: SparkSession, root: String, batch: String,
+  private[sources] def statsFor(s: SparkSession, root: String, batch: String,
       statCol: String, bloomCol: Option[String],
       bloomBytes: Int, statCol2: Option[String] = None): Seq[FileStat] = {
     val baseAggs = Seq(
@@ -543,6 +554,18 @@ object SnapshotLake {
       txn: Option[(String, Long)] = None): Int = {
     val newFiles =
       statsFor(s, root, batch, statCol, bloomCol, bloomBytes, statCol2)
+    commitFiles(root, newFiles, statCol, overwrite, bloomCol, statCol2, txn)
+  }
+
+  /** Publish `newFiles` (stats already computed) as the next version
+    * — the stats-free half of [[commitBatch]], shared with the DSv2
+    * write path whose BatchWrite.commit stages its own acknowledged
+    * file set before running the stats pass.
+    */
+  private[sources] def commitFiles(root: String, newFiles: Seq[FileStat],
+      statCol: String, overwrite: Boolean, bloomCol: Option[String],
+      statCol2: Option[String] = None,
+      txn: Option[(String, Long)] = None): Int = {
     // optimistic-concurrency loop: stage the manifest, try to take
     // the next version slot; on a lost race, rebase on the new head
     // and try again (new data files are already safe on disk)
