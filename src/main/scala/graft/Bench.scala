@@ -3,13 +3,18 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: one JSON line with per-query seconds.
   *
-  * Methodology: one warmup pass (JVM/codegen/classloading otherwise
-  * lands on whichever query runs first — ~5s skew measured at
-  * sf0.1), then THREE measured passes per query, reporting the
-  * median — a single pass at test scale is dominated by GC and
-  * sandbox-neighbor noise. A failing query contributes an "err"
-  * entry and is EXCLUDED from the total rather than silently
-  * counted as a fast run.
+  * Methodology: each query's FIRST run is its SETUP run — it pays
+  * JVM/codegen/classloading and, for the I/O-fixture queries (lake
+  * commits, stream checkpoints), the cold-cache fixture build that
+  * made past driver records swing 18× on identical code. Then THREE
+  * measured passes, reporting the median — a single pass at test
+  * scale is dominated by GC and sandbox-neighbor noise. The stdout
+  * line keeps the driver contract (queries = medians); the
+  * BENCH_FULL.json artifact of record additionally carries the
+  * per-query "setup" map so round-over-round comparisons can
+  * separate steady-state plan cost from first-touch I/O weather.
+  * A failing query contributes an "err" entry and is EXCLUDED from
+  * the total rather than silently counted as a fast run.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -22,9 +27,6 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (n, _) =>
       only.forall(_.contains(n))
     }
-    selected.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
-    }
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Either[String, Double] = {
       val t0 = System.nanoTime()
@@ -32,6 +34,12 @@ object Bench {
       catch { case e: Throwable =>
         Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
     }
+    // setup pass: per-query first-touch cost, measured and reported
+    // separately rather than folded into (or silently excluded from)
+    // the medians
+    val setups: Map[String, Double] = selected.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) => timeOnce(fn).toOption.map(name -> _)
+    }.toMap
     val results: Seq[(String, Either[String, Double])] =
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         val runs = (1 to 3).map(_ => timeOnce(fn))
@@ -65,11 +73,18 @@ object Bench {
     // artifact of record: the driver captures stdout with a tail, which
     // has truncated the head of the per-query map in past rounds — also
     // write the full line to a file it can pick up whole (full runs
-    // only — a subset run must not clobber the catalog-wide record)
+    // only — a subset run must not clobber the catalog-wide record).
+    // The file carries the extra "setup" map (first-touch seconds per
+    // query); the stdout line stays at the driver-contract size.
+    val st = setups.toSeq.sorted.map { case (k, t) => f"${jq(k)}:$t%.3f" }
+      .mkString("{", ",", "}")
+    val setupTotal = setups.values.sum
+    val full = line.dropRight(1) +
+      f""","setup":$st,"setup_total":$setupTotal%.3f}"""
     if (only.isEmpty)
       java.nio.file.Files.write(
         java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

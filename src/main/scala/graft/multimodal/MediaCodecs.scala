@@ -18,10 +18,16 @@ final case class MediaInfo(
     channels: Option[Int], sample_rate: Option[Int],
     n_samples: Option[Long], duration_ms: Option[Long])
 
-/** A resized image: new dims + re-encoded payload checksum. */
+/** A resized image: new dims, re-encoded payload checksum, and exact
+  * per-channel sums of the RESIZED raster — the sums are what the
+  * DuckDB oracle replays (nearest-neighbor picks sit at closed-form
+  * source offsets); the checksum pins the re-encode byte-exactly in
+  * the spec.
+  */
 final case class ResizedImage(
     file_name: String, width: Int, height: Int,
-    new_width: Int, new_height: Int, out_bytes: Int, crc32: Long)
+    new_width: Int, new_height: Int, out_bytes: Int, crc32: Long,
+    sum_r: Long, sum_g: Long, sum_b: Long)
 
 /** One audio analysis window. */
 final case class AudioWindow(
@@ -457,19 +463,22 @@ object MediaCodecs {
       System.arraycopy(header, 0, out, 0, header.length)
       var p = header.length
       var ny = 0
+      var (sr, sg, sb) = (0L, 0L, 0L)
       while (ny < nh) {
         var nx = 0
         while (nx < nw) {
           val src = off + ((ny * factor) * w + (nx * factor)) * 3
           out(p) = m.content(src); out(p + 1) = m.content(src + 1)
           out(p + 2) = m.content(src + 2)
+          sr += out(p) & 0xff; sg += out(p + 1) & 0xff; sb += out(p + 2) & 0xff
           p += 3; nx += 1
         }
         ny += 1
       }
       val crc = new CRC32
       crc.update(out)
-      ResizedImage(m.file_name, w, h, nw, nh, out.length, crc.getValue)
+      ResizedImage(m.file_name, w, h, nw, nh, out.length, crc.getValue,
+        sr, sg, sb)
     }
 
   /** Fixed-duration window stats over PCM samples (all channels
@@ -522,8 +531,12 @@ object MediaCodecs {
   // m2 is oracle-checked: DuckDB re-decodes the SAME container
   // headers independently (read_blob → hex-string byte arithmetic +
   // an ASCII-prefix regex), so two unrelated decoders must agree on
-  // every metadata field. m3/m4 stay rows-only — their outputs are
-  // raster/sample TRANSFORMS, which SQL cannot replay.
+  // every metadata field. m3 is oracle-checked too: nearest-neighbor
+  // picks sit at closed-form SOURCE offsets, so DuckDB replays the
+  // resized raster's channel sums without performing the resize
+  // (crc32 of the re-encode is spec-pinned, not judged — no SQL
+  // engine replays CRC). m4 stays rows-only — windowed PCM means are
+  // sample TRANSFORMS, which SQL cannot replay.
 
   def m2MediaDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -540,6 +553,7 @@ object MediaCodecs {
     readMedia(s)
       .where(col("file_name").endsWith(".ppm"))
       .mapPartitions(_.flatMap(resizePpm(_, 2))).toDF()
+      .drop("crc32") // judged surface = SQL-replayable columns
       .orderBy(col("file_name"))
   }
 
@@ -740,6 +754,61 @@ object MediaCodecs {
     FROM fr
     ORDER BY file_name, frame_idx"""
 
+  /** The independent SQL replay of the m3 resize: a nearest-neighbor
+    * ÷2 downsample never synthesizes bytes — output pixel (nx, ny)
+    * channel c IS the source byte at hlen + ((2·ny)·w + 2·nx)·3 + c —
+    * so DuckDB reproduces the resized raster's exact channel sums
+    * (and the re-encoded byte count, closed-form from the new dims)
+    * straight from the ORIGINAL file's hex payload, without ever
+    * performing the resize. Two unrelated implementations must agree
+    * on transform CONTENT; the re-encode's crc32 stays spec-pinned.
+    */
+  private def m3ChanSum(c: Int): String =
+    s"""CAST(list_aggregate(list_transform(range(0, nw*nh), p ->
+       CAST('0x' || substr(h,
+         2*(hlen + ((p//nw)*2*w + (p%nw)*2)*3 + $c) + 1, 2)
+         AS INTEGER)), 'sum') AS BIGINT)"""
+
+  private val m3Oracle: String = s"""
+    WITH b AS (
+      SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name,
+             size AS byte_len,
+             hex(content) AS h
+      FROM read_blob('$MediaDir/*.ppm')),
+    hdr AS (
+      SELECT *,
+             list_aggregate(list_transform(
+               range(1, CAST(least(byte_len, 20) AS INTEGER) + 1),
+               i -> chr(CAST('0x' || substr(h, 2*i-1, 2) AS INTEGER))),
+               'string_agg', '') AS pfx
+      FROM b),
+    geom AS (
+      SELECT file_name, h,
+             CAST(regexp_extract(pfx, 'P6\\n(\\d+) (\\d+)\\n255\\n', 1)
+               AS INTEGER) AS w,
+             CAST(regexp_extract(pfx, 'P6\\n(\\d+) (\\d+)\\n255\\n', 2)
+               AS INTEGER) AS ht,
+             length('P6' || chr(10)
+               || regexp_extract(pfx, 'P6\\n(\\d+) (\\d+)\\n255\\n', 1)
+               || ' '
+               || regexp_extract(pfx, 'P6\\n(\\d+) (\\d+)\\n255\\n', 2)
+               || chr(10) || '255' || chr(10)) AS hlen
+      FROM hdr),
+    rs AS (
+      SELECT file_name, h, w, ht, hlen,
+             greatest(1, w // 2) AS nw,
+             greatest(1, ht // 2) AS nh
+      FROM geom)
+    SELECT file_name, w AS width, ht AS height,
+           nw AS new_width, nh AS new_height,
+           CAST(length('P6' || chr(10) || nw || ' ' || nh || chr(10)
+             || '255' || chr(10)) + nw*nh*3 AS INTEGER) AS out_bytes,
+           ${m3ChanSum(0)} AS sum_r,
+           ${m3ChanSum(1)} AS sum_g,
+           ${m3ChanSum(2)} AS sum_b
+    FROM rs
+    ORDER BY file_name"""
+
   /** One channel's pixel sum replayed from the hex payload. Valid
     * because the committed PNG fixtures are CANONICAL (single IDAT,
     * single stored deflate block, filter 0 rows — see
@@ -776,7 +845,7 @@ object MediaCodecs {
 
   val queries: Seq[Q] = Seq(
     Q("m2_media_decode", m2MediaDecode, Some(m2Oracle)),
-    Q("m3_image_resize", m3ImageResize, None),
+    Q("m3_image_resize", m3ImageResize, Some(m3Oracle)),
     Q("m4_audio_windows", m4AudioWindows, None),
     Q("m5_frame_sample", m5FrameSample, Some(m5Oracle)),
     Q("m6_png_decode", m6PngDecode, Some(m6Oracle)),

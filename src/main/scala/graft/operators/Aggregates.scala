@@ -94,8 +94,23 @@ object Aggregates {
     */
   val QuantilePs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)
 
-  def q32ApproxQuantiles(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
+  /** The sketch value itself is not SQL-replayable (Greenwald-Khanna
+    * internals differ across engines), but its GUARANTEE is: the
+    * returned p-quantile must occupy an exact rank within ±1% of
+    * p·n (the AdvancedSpec bound, far looser than the configured
+    * 1/10000 accuracy). The judged output therefore emits the bound
+    * CHECK as hash-checked columns — per (flag, q): the group's
+    * exact row count and `in_bounds` — so a regressed sketch goes
+    * red in the oracle gate, not just in a spec. The certification
+    * pass is one broadcast join + partial agg over the 12 approx
+    * values (count of rows below/at each value): no sort, no
+    * per-group shuffle beyond the aggregate's own — the exact-rank
+    * probe costs one extra scan, the price of judging a sketch.
+    */
+  def q32ApproxQuantiles(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val approx = li
       .groupBy(col("l_returnflag"))
       .agg(percentile_approx(col("l_extendedprice"),
         typedLit(QuantilePs), lit(10000)).as("price_quantiles"))
@@ -104,7 +119,21 @@ object Aggregates {
       .select(col("l_returnflag"),
         element_at(typedLit(QuantilePs), col("pos") + 1).as("q"),
         col("value"))
+    li.join(broadcast(approx), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"), col("q"), col("value"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("l_extendedprice") < col("value"), 1L).otherwise(0L))
+          .as("r_lt"),
+        sum(when(col("l_extendedprice") <= col("value"), 1L).otherwise(0L))
+          .as("r_le"))
+      // the value occupies exact ranks [r_lt+1, r_le]; G-K promises a
+      // target rank inside [(q-eps)n, (q+eps)n] — intervals intersect
+      .select(col("l_returnflag"), col("q"), col("n_rows"),
+        (col("r_le") >= (col("q") - lit(0.01)) * col("n_rows") &&
+          (col("r_lt") + 1) <= (col("q") + lit(0.01)) * col("n_rows") + 1)
+          .as("in_bounds"))
       .orderBy(col("l_returnflag"), col("q"))
+  }
 
   /** Explicit GROUPING SETS — finer than rollup/cube: exactly the
     * (status), (priority), and grand-total groupings, nothing else.
@@ -289,7 +318,16 @@ object Aggregates {
                / CAST(n AS DOUBLE) AS intercept
       FROM t
       ORDER BY l_returnflag""")),
-    Q("q32_approx_quantiles", q32ApproxQuantiles, None), // sketch: no cross-engine oracle
+    // the sketch VALUE has no cross-engine oracle, but its rank-error
+    // guarantee does: the oracle replays the group counts and pins
+    // in_bounds = TRUE for every (flag, quantile)
+    Q("q32_approx_quantiles", q32ApproxQuantiles, Some("""
+      WITH n AS (SELECT l_returnflag, count(*) AS n_rows
+                 FROM lineitem GROUP BY 1)
+      SELECT l_returnflag, CAST(q AS DOUBLE) AS q, n_rows,
+             TRUE AS in_bounds
+      FROM n CROSS JOIN (VALUES (0.25), (0.5), (0.75), (0.95)) AS t(q)
+      ORDER BY l_returnflag, q""")),
     Q("q33_grouping_sets", q33GroupingSets, Some("""
       SELECT coalesce(o_orderstatus, '(all)') AS o_orderstatus,
              coalesce(o_orderpriority, '(all)') AS o_orderpriority,

