@@ -101,7 +101,7 @@ final class LakeTable(root: String, asOf: Option[Int], tschema: StructType,
   override def schema(): StructType = tschema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScanBuilder(root, asOf, tschema)
   override def newWriteBuilder(

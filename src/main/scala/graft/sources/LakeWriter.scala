@@ -69,6 +69,10 @@ final class LakeWriteBuilder(root: String, info: LogicalWriteInfo,
     new Write {
       override def toBatch: BatchWrite =
         new LakeBatchWrite(root, info.schema(), overwrite, opts)
+      override def toStreaming
+          : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        new LakeStreamingWrite(root, info.schema(), overwrite, opts,
+          info.queryId())
     }
   }
 }
@@ -107,22 +111,20 @@ object LakeWrite {
 final case class LakeStaged(name: String, rows: Long)
     extends WriterCommitMessage
 
-final class LakeBatchWrite(root: String, schema: StructType,
-    overwrite: Boolean, opts: Map[String, String]) extends BatchWrite {
-
-  override def createBatchWriterFactory(
-      info: PhysicalWriteInfo): DataWriterFactory = {
-    Files.createDirectories(Paths.get(LakeWrite.stagingDir(root)))
-    new LakeWriterFactory(root, schema.json, LakeWrite.writeConf(schema))
-  }
-
-  private def discard(m: LakeStaged): Unit =
+/** The driver-side publish shared by the batch and streaming commit
+  * paths: acknowledged staged files → batch dir → stats pass →
+  * optimistic manifest publish, with the txn replay short-circuit.
+  */
+private[sources] object LakeCommit {
+  def discard(root: String, m: LakeStaged): Unit =
     Files.deleteIfExists(Paths.get(LakeWrite.stagingDir(root), m.name)): Unit
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+  def publish(root: String, overwrite: Boolean, opts: Map[String, String],
+      messages: Array[WriterCommitMessage],
+      txn: Option[(String, Long)]): Unit = {
     val staged = messages.collect { case m: LakeStaged => m }
     val (live, empty) = staged.partition(_.rows > 0)
-    empty.foreach(discard)
+    empty.foreach(discard(root, _))
     val head =
       if (SnapshotLake.headVersion(root) >= 0)
         Some(SnapshotLake.snapshot(root))
@@ -133,13 +135,12 @@ final class LakeBatchWrite(root: String, schema: StructType,
     val bloomCol = opts.get("bloomcol")
     val bloomBytes = opts.get("bloombytes").map(_.toInt).getOrElse(1024)
     val statCol2 = opts.get("statcol2")
-    val txn = for {
-      a <- opts.get("txnappid"); v <- opts.get("txnversion")
-    } yield (a, v.toLong)
     // replay short-circuit BEFORE moving files (the in-loop check in
     // commitFiles still guards the race window)
     txn.foreach { case (a, b) =>
-      if (SnapshotLake.lastTxn(root, a) >= b) { live.foreach(discard); return }
+      if (SnapshotLake.lastTxn(root, a) >= b) {
+        live.foreach(discard(root, _)); return
+      }
     }
     if (live.isEmpty) {
       // zero acknowledged rows: an overwrite still truncates (empty
@@ -162,9 +163,69 @@ final class LakeBatchWrite(root: String, schema: StructType,
     SnapshotLake.commitFiles(root, files, statCol, overwrite, bloomCol,
       statCol2, txn): Unit
   }
+}
+
+final class LakeBatchWrite(root: String, schema: StructType,
+    overwrite: Boolean, opts: Map[String, String]) extends BatchWrite {
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    Files.createDirectories(Paths.get(LakeWrite.stagingDir(root)))
+    new LakeWriterFactory(root, schema.json, LakeWrite.writeConf(schema))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val txn = for {
+      a <- opts.get("txnappid"); v <- opts.get("txnversion")
+    } yield (a, v.toLong)
+    LakeCommit.publish(root, overwrite, opts, messages, txn)
+  }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach { case m: LakeStaged => discard(m); case _ => }
+    messages.foreach {
+      case m: LakeStaged => LakeCommit.discard(root, m); case _ => }
+}
+
+/** The STREAMING sink face of the same commit machinery —
+  * `writeStream.format("graft.sources.GraftLakeSource")` without a
+  * `foreachBatch` escape hatch. Exactly-once is the q102 contract
+  * built in: every epoch's publish carries `txn = (appId, epochId)`
+  * (appId = `txnAppId` option, defaulting to the streaming queryId),
+  * so a replayed epoch — engine retry, or a restart from a LOST
+  * checkpoint re-delivering old source files — is swallowed by the
+  * manifest's accumulated txn map instead of double-landing. The
+  * task protocol (stage → acknowledge → move exactly the named set)
+  * is identical to the batch path; epoch-aware naming is unnecessary
+  * because visibility derives from messages, never from listings.
+  */
+final class LakeStreamingWrite(root: String, schema: StructType,
+    overwrite: Boolean, opts: Map[String, String], queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    Files.createDirectories(Paths.get(LakeWrite.stagingDir(root)))
+    val inner = new LakeWriterFactory(root, schema.json,
+      LakeWrite.writeConf(schema))
+    new StreamingDataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long,
+          epochId: Long): DataWriter[InternalRow] =
+        inner.createWriter(partitionId, taskId)
+    }
+  }
+
+  private def appId: String = opts.getOrElse("txnappid", queryId)
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    LakeCommit.publish(root, overwrite, opts, messages,
+      Some((appId, epochId)))
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case m: LakeStaged => LakeCommit.discard(root, m); case _ => }
 }
 
 final class LakeWriterFactory(root: String, schemaJson: String,

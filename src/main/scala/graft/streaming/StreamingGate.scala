@@ -225,6 +225,56 @@ object StreamingGate {
     SnapshotLake.read(s, lake).orderBy(col("event_id"))
   }
 
+  /** The DSv2 streaming sink gate — q102's exactly-once contract
+    * with NO `foreachBatch` escape hatch: the pipeline is pure
+    * `writeStream.format(lake connector)`, and the per-epoch
+    * `txn = (appId, epochId)` lives inside the sink's own
+    * StreamingWrite.commit. Same worst-case restart as q102: the
+    * second query starts from a FRESH checkpoint (source offsets
+    * lost, epoch counter reset to 0), so the file source re-delivers
+    * every ingested file as epoch 0 — swallowed by the manifest's
+    * accumulated txn map; the genuinely-new batch lands as epoch 1.
+    * The identity oracle certifies every event exactly once despite
+    * double delivery; the lake's per-file stats and time travel come
+    * along for free because each epoch is a full lake commit.
+    */
+  def q108StreamSinkDsv2(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotLake
+    val base = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      coalesce(round(col("value") * 100).cast(LongType), lit(0L))
+        .as("cents"), col("ts"))
+    val mm = base.agg(min(col("ts")), max(col("ts"))).head
+    val mid = new Timestamp(
+      (mm.getTimestamp(0).getTime + mm.getTimestamp(1).getTime) / 2)
+    val first = base.where(col("ts") < lit(mid)).drop("ts")
+    val second = base.where(col("ts") >= lit(mid)).drop("ts")
+
+    val src = Housekeeping.tempDir("q108_src")
+    val lake = Housekeeping.tempDir("q108_lake")
+    first.coalesce(1).write.mode(SaveMode.Overwrite).parquet(src)
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val schema = first.schema
+    def start(chk: String) = ss.readStream.schema(schema).parquet(src)
+      .writeStream.format("graft.sources.GraftLakeSource")
+      .option("path", lake).option("statCol", "event_id")
+      .option("txnAppId", "q108_ingest")
+      .option("checkpointLocation", chk)
+      .outputMode("append")
+      .start()
+
+    val q1 = start(Housekeeping.tempDir("q108_chk1"))
+    try q1.processAllAvailable() finally q1.stop() // epoch 0 committed
+
+    val q2 = start(Housekeeping.tempDir("q108_chk2")) // offsets LOST
+    try {
+      q2.processAllAvailable() // re-delivered as epoch 0 — txn-skipped
+      second.coalesce(1).write.mode(SaveMode.Append).parquet(src)
+      q2.processAllAvailable() // epoch 1: genuinely new — committed
+    } finally q2.stop()
+    SnapshotLake.read(s, lake).orderBy(col("event_id"))
+  }
+
   /** Streaming sessionization gate: [[StreamingSessionize]] (the
     * flatMapGroupsWithState operator with event-time timeouts) over
     * the bounded events stream, judged under q26's batch oracle.
@@ -554,6 +604,11 @@ object StreamingGate {
       FROM events
       ORDER BY event_id""")),
     Q("q102_stream_lake_offsets", q102StreamLakeOffsets, Some("""
+      SELECT event_id, user_id,
+             COALESCE(CAST(round(value * 100) AS BIGINT), 0) AS cents
+      FROM events
+      ORDER BY event_id""")),
+    Q("q108_stream_sink_dsv2", q108StreamSinkDsv2, Some("""
       SELECT event_id, user_id,
              COALESCE(CAST(round(value * 100) AS BIGINT), 0) AS cents
       FROM events

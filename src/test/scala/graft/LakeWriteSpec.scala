@@ -176,6 +176,20 @@ class LakeWriteSpec extends SparkTestBase {
     assert(r.getLong(4) === want.getLong(3))
   }
 
+  test("q108: DSv2 streaming sink is exactly-once across a lost-checkpoint restart") {
+    val d = sf("sf0.001")
+    val got = graft.streaming.StreamingGate.q108StreamSinkDsv2(spark, d)
+    val want = graft.sources.Tables.events(spark, d).select(
+      col("event_id"), col("user_id"),
+      coalesce(round(col("value") * 100).cast("long"), lit(0L)).as("cents"))
+    assert(got.count() === want.count(), "lost or duplicated events")
+    assert(got.agg(sum(col("cents"))).head().getLong(0) ===
+      want.agg(sum(col("cents"))).head().getLong(0))
+    // the replayed epoch 0 must NOT have bumped the version chain:
+    // epoch 0 (first query) + epoch 1 (new data) = exactly 2 commits
+    assert(got.select(col("event_id")).distinct().count() === want.count())
+  }
+
   test("writes to a time-travel snapshot are refused") {
     val root = Housekeeping.tempDir("lakew_asof")
     Seq((1L, 10L)).toDF("event_id", "cents")
