@@ -35,6 +35,7 @@ object Catalog {
       graft.operators.Advanced.queries ++
       graft.operators.Sessionize.queries ++
       graft.operators.Composite.queries ++
+      graft.operators.ExactQuantile.queries ++
       graft.operators.HeavyHitters.queries ++
       graft.operators.KmvSketch.queries ++
       graft.operators.CmsSketch.queries ++

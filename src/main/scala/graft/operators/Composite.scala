@@ -151,7 +151,57 @@ object Composite {
       .limit(100)
   }
 
+  /** TPC-H Q10 (returned items): customers ranked by revenue lost to
+    * returns in one quarter — a 4-table join where each arm carries
+    * its own pushed filter (order-date window on orders, returnflag
+    * on lineitem), nation broadcasts, and the top-20 is a bounded
+    * TakeOrdered ON THE EXACT integer revenue (rev_e4), so the cut
+    * line cannot drift between engines the way a double sort key
+    * could; the double `revenue` column is derived after the cut.
+    */
+  def q111TpchReturnedItems(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .where(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(s, d).where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        centsL("l_extendedprice").*(lit(100L) - centsL("l_discount"))
+          .as("rev_e4"))
+    val c = Tables.customer(s, d).select(col("c_custkey"), col("c_name"),
+      round(col("c_acctbal") * 100).cast("long").as("acct_cents"),
+      col("c_nationkey"))
+    val n = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("acct_cents"),
+        col("n_name"))
+      .agg(sum(col("rev_e4")).as("rev_e4"))
+      .orderBy(col("rev_e4").desc, col("c_custkey"))
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"), col("acct_cents"),
+        col("n_name"), (col("rev_e4").cast("double") / 10000.0).as("revenue"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q111_tpch_returned_items", q111TpchReturnedItems, Some("""
+      SELECT c_custkey, c_name,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS acct_cents,
+             n_name,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                      (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                  AS DOUBLE) / 10000.0 AS revenue
+      FROM customer, orders, lineitem, nation
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND o_orderdate >= TIMESTAMP '1996-10-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+        AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+      GROUP BY c_custkey, c_name, acct_cents, n_name
+      ORDER BY sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                   (100 - CAST(round(l_discount * 100) AS BIGINT))) DESC,
+               c_custkey
+      LIMIT 20""")),
     Q("q106_tpch_large_orders", q106TpchLargeOrders, Some("""
       SELECT c_name, c_custkey, o_orderkey, o_orderdate,
              CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,

@@ -179,8 +179,19 @@ final case class SeriesOffset(pos: Long)
 final class SeriesMicroBatchStream(lo: Long, n: Long, batchRows: Long,
     required: StructType)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset, ReadLimit}
+
+  // Trigger.AvailableNow: without this marker interface the engine
+  // falls back to Trigger.Once semantics — ONE batch with the read
+  // limit ignored, exactly the unpaced over-read rowsFor() exists to
+  // prevent. The prepare step is where a growing source would pin
+  // its end snapshot; this sequence is immutable with end = n, which
+  // latestOffset already clamps to, so pinning is a no-op and the
+  // engine's batch loop (paced by the composed read limit) stops
+  // when the offset reaches reportLatestOffset() = n.
+  override def prepareForTriggerAvailableNow(): Unit = ()
 
   override def initialOffset(): SOffset = SeriesOffset(lo)
   override def deserializeOffset(json: String): SOffset =

@@ -441,6 +441,153 @@ object SnapshotLake {
     appended
   }
 
+  final case class DeleteResult(version: Int, filesDropped: Int,
+      filesRewritten: Int, filesKept: Int, rowsDeleted: Long)
+
+  /** DELETE WHERE `statCol ∈ [lo, hi)` — the retention verb, with
+    * Delta's metadata-only fast path: a file whose [min, max] lies
+    * ENTIRELY inside the predicate range is dropped from the
+    * manifest without ever being opened, and only files that
+    * STRADDLE a boundary are rewritten with the residual filter.
+    * At 100 TB this is what makes "drop 90 days of a 2-year table"
+    * an O(seconds) manifest edit plus two boundary-file rewrites
+    * instead of a table rewrite — on a date-clustered layout almost
+    * every file in the range is fully covered, so almost all the
+    * deleted bytes cost zero I/O. (Time travel keeps the dropped
+    * files readable at older versions until vacuum, same as
+    * overwrite.)
+    *
+    * `rowsDeleted` is exact and costs nothing extra: dropped files'
+    * counts come from the manifest; rewritten files' delta falls out
+    * of the stats pass the rewrite needs anyway.
+    *
+    * Publish is the same conflict-checked optimistic rebase as
+    * [[merge]]: concurrent appends outside [lo, hi) carry through,
+    * an overlapping append or a vanished base file conflicts.
+    */
+  def delete(s: SparkSession, root: String, lo: Long,
+      hi: Long): DeleteResult = {
+    require(lo < hi, s"empty delete range [$lo, $hi)")
+    val base = snapshot(root)
+    val key = base.statCol
+    val (inRange, kept) = base.files.partition(f => f.hi >= lo && f.lo < hi)
+    val (dropped, straddling) =
+      inRange.partition(f => f.lo >= lo && f.hi < hi)
+    val newFiles =
+      if (straddling.isEmpty) Seq.empty[FileStat]
+      else {
+        // rewrite boundary files only, survivors routed back one
+        // output file per source file (merge's layout-preserving
+        // pattern) — the shuffle moves boundary-file bytes, nothing
+        // else
+        val cur = s.read
+          .parquet(straddling.map(f => s"$root/${f.name}"): _*)
+          .withColumn("__src", input_file_name())
+          .where(!(col(key) >= lo && col(key) < hi))
+        val srcToBucket = straddling.map(_.name).zipWithIndex
+          .foldLeft(lit("x")) { case (acc, (name, i)) =>
+            when(col("__src").contains(name.stripPrefix("data/")),
+              lit(s"f$i")).otherwise(acc)
+          }
+        val batch = s"data/b-${UUID.randomUUID().toString.take(8)}"
+        cur.withColumn("__bucket", srcToBucket).drop("__src")
+          .repartition(col("__bucket"))
+          .write.partitionBy("__bucket").parquet(s"$root/$batch")
+        statsFor(s, root, batch, key, base.bloomCol, 1024, base.statCol2)
+      }
+    val rowsDeleted = dropped.map(_.rows).sum +
+      (straddling.map(_.rows).sum - newFiles.map(_.rows).sum)
+    var committed = -1
+    while (committed < 0) {
+      val head = snapshot(root)
+      val appended = rebaseCheck(base, head, kept ++ inRange, lo, hi - 1)
+      if (tryPublish(root, head.version + 1, key, head.bloomCol,
+          overwrite = true, kept ++ appended ++ newFiles, head.statCol2,
+          txns = head.txns))
+        committed = head.version + 1
+    }
+    DeleteResult(committed, dropped.size, straddling.size, kept.size,
+      rowsDeleted)
+  }
+
+  final case class CompactResult(version: Int, filesBefore: Int,
+      filesAfter: Int, filesCompacted: Int)
+
+  /** OPTIMIZE (lake-native compaction): bin-pack the head snapshot's
+    * small files into row-budget groups and publish the rewritten
+    * layout as one commit — the cure for streaming ingest's
+    * file-per-trigger fragmentation, WITHOUT losing the clustering
+    * that makes the per-file stats selective. Files are packed in
+    * stat-range order (sorted by lo) so each output file's [min,
+    * max] is the union of ADJACENT input ranges, and rows are
+    * re-sorted within each output file; a pack in commit order would
+    * give every output file a domain-spanning range and quietly
+    * destroy q82-style pruning. Files already at or above the budget
+    * — and singleton groups — are carried by reference, untouched:
+    * cost is O(small-file bytes), never O(table).
+    *
+    * The row budget is the deterministic stand-in for a byte budget
+    * (divide each file's manifest `sz=` by its rows for the
+    * conversion); judged file counts need a pack that is a pure
+    * function of the data, and on-disk byte sizes are not.
+    *
+    * Content-identical by construction; concurrent appends rebase
+    * through unconditionally (compaction deletes nothing, so no
+    * envelope conflict is possible); a vanished base file — a
+    * concurrent overwrite/merge/delete — conflicts.
+    */
+  def compactLake(s: SparkSession, root: String,
+      targetRows: Long): CompactResult = {
+    require(targetRows >= 1, "targetRows must be positive")
+    val base = snapshot(root)
+    val key = base.statCol
+    val small = base.files.filter(_.rows < targetRows).sortBy(_.lo)
+    // greedy adjacent pack: close the group when adding the next
+    // file would exceed the budget
+    val groups = small.foldLeft(List.empty[List[FileStat]]) {
+      case (acc, f) => acc match {
+        case g :: rest if g.map(_.rows).sum + f.rows <= targetRows =>
+          (f :: g) :: rest
+        case _ => List(f) :: acc
+      }
+    }.map(_.reverse).reverse
+    val packed = groups.filter(_.size >= 2)
+    val kept = base.files.filterNot(f =>
+      packed.exists(_.exists(_.name == f.name)))
+    val newFiles =
+      if (packed.isEmpty) Seq.empty[FileStat]
+      else {
+        val srcToBucket = packed.zipWithIndex.flatMap { case (g, gi) =>
+          g.map(f => f.name -> gi)
+        }.foldLeft(lit("x")) { case (acc, (name, gi)) =>
+          when(col("__src").contains(name.stripPrefix("data/")),
+            lit(s"g$gi")).otherwise(acc)
+        }
+        val batch = s"data/b-${UUID.randomUUID().toString.take(8)}"
+        s.read.parquet(packed.flatten.map(f => s"$root/${f.name}"): _*)
+          .withColumn("__src", input_file_name())
+          .withColumn("__bucket", srcToBucket).drop("__src")
+          .repartition(col("__bucket"))
+          .sortWithinPartitions(col(key))
+          .write.partitionBy("__bucket").parquet(s"$root/$batch")
+        statsFor(s, root, batch, key, base.bloomCol, 1024, base.statCol2)
+      }
+    var committed = -1
+    while (committed < 0) {
+      val head = snapshot(root)
+      // empty envelope (MaxValue, MinValue): appends never overlap,
+      // only vanished base files conflict
+      val appended =
+        rebaseCheck(base, head, base.files, Long.MaxValue, Long.MinValue)
+      if (tryPublish(root, head.version + 1, key, head.bloomCol,
+          overwrite = true, kept ++ appended ++ newFiles, head.statCol2,
+          txns = head.txns))
+        committed = head.version + 1
+    }
+    CompactResult(committed, base.files.size,
+      kept.size + newFiles.size, packed.map(_.size).sum)
+  }
+
   /** Change data feed between two versions, computed from the
     * manifest diff alone: read ONLY the files that left the manifest
     * (pre-images) and the files that entered it (post-images) —
@@ -1041,7 +1188,100 @@ object SnapshotLake {
     diff.orderBy(col("change_type"), col("event_id"))
   }
 
+  /** Judged DELETE: the same 8-file range-clustered lake as q82,
+    * deleting `[span/4, 5·span/8 + span/32)` — a range that fully
+    * covers files 2–4 and clips into file 5. The hash-checked file
+    * counts (3 dropped / 1 rewritten / 4 kept) certify the
+    * metadata-only fast path: three-quarters of the deleted bytes
+    * left the table without a single read, and only the one
+    * boundary-straddling file was rewritten. `rows_deleted` is the
+    * exact manifest-derived count; the post-delete aggregate
+    * certifies the residual rewrite against the oracle's closed-form
+    * survivor set.
+    */
+  def q109LakeDelete(s: SparkSession, d: String): DataFrame = {
+    val root = Housekeeping.tempDir("q109")
+    val ev = eventsCents(s, d)
+    val span = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    def bound(i: Int): Long = i.toLong * span / 8
+    val bucket = (1 to 7).foldLeft(lit(0)) { (acc, i) =>
+      when(col("event_id") >= bound(i), lit(i)).otherwise(acc)
+    }
+    commitClustered(s, root, ev, bucket, "event_id")
+    val res = delete(s, root, bound(2), bound(5) + span / 32)
+    read(s, root).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("cents")).as("sum_cents"))
+      .select(
+        lit(res.filesDropped).cast("long").as("n_files_dropped"),
+        lit(res.filesRewritten).cast("long").as("n_files_rewritten"),
+        lit(res.filesKept).cast("long").as("n_files_kept"),
+        lit(res.rowsDeleted).cast("long").as("rows_deleted"),
+        col("n_rows"), col("sum_cents"))
+  }
+
+  /** Judged OPTIMIZE: a 64-file range-clustered lake (the streaming
+    * small-file shape) compacts under a `span/8`-row budget to
+    * exactly 8 files, and — the half that matters — a quarter-range
+    * read of the COMPACTED lake still prunes to 2 of 8 files,
+    * because the pack ran in stat-range order. All four counts come
+    * back as hash-checked columns: a pack that stopped preserving
+    * the clustering would read more than 2 files and go red, not
+    * slow. The aggregate certifies the rewritten bytes against the
+    * original table.
+    */
+  def q110LakeCompact(s: SparkSession, d: String): DataFrame = {
+    val root = Housekeeping.tempDir("q110")
+    val ev = eventsCents(s, d)
+    val span = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    def b64(i: Int): Long = i.toLong * span / 64
+    val bucket = (1 to 63).foldLeft(lit(0)) { (acc, i) =>
+      when(col("event_id") >= b64(i), lit(i)).otherwise(acc)
+    }
+    commitClustered(s, root, ev, bucket, "event_id")
+    // budget = one-eighth of the table plus the ±1-row floor-division
+    // slack: greedy adjacent packing then lands exactly 8 input files
+    // per output file for any dense id span > 192 (see CompactSpec)
+    val res = compactLake(s, root, 8L * span / 64 + 2)
+    def b8(i: Int): Long = i.toLong * span / 8
+    val (pruned, nRead, _) = readPruned(s, root, b8(2), b8(4))
+    pruned.agg(
+      count(lit(1)).as("n_events"),
+      sum(col("cents")).as("sum_cents"))
+      .select(
+        lit(res.filesBefore).cast("long").as("n_files_before"),
+        lit(res.filesAfter).cast("long").as("n_files_after"),
+        lit(res.filesCompacted).cast("long").as("n_files_compacted"),
+        lit(nRead).cast("long").as("n_files_read_q"),
+        col("n_events"), col("sum_cents"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q109_lake_delete", q109LakeDelete, Some("""
+      WITH b AS (SELECT max(event_id) + 1 AS span FROM events),
+      ec AS (SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+             FROM events),
+      surv AS (SELECT event_id, cents FROM ec, b
+               WHERE NOT (event_id >= (2 * span) // 8
+                      AND event_id < (5 * span) // 8 + span // 32))
+      SELECT CAST(3 AS BIGINT) AS n_files_dropped,
+             CAST(1 AS BIGINT) AS n_files_rewritten,
+             CAST(4 AS BIGINT) AS n_files_kept,
+             (SELECT count(*) FROM ec) - count(*) AS rows_deleted,
+             count(*) AS n_rows,
+             CAST(sum(cents) AS BIGINT) AS sum_cents
+      FROM surv""")),
+    Q("q110_lake_compact", q110LakeCompact, Some("""
+      WITH b AS (SELECT max(event_id) + 1 AS span FROM events)
+      SELECT CAST(64 AS BIGINT) AS n_files_before,
+             CAST(8 AS BIGINT) AS n_files_after,
+             CAST(64 AS BIGINT) AS n_files_compacted,
+             CAST(2 AS BIGINT) AS n_files_read_q,
+             count(*) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+      FROM events, b
+      WHERE event_id >= (2 * span) // 8 AND event_id < (4 * span) // 8""")),
     Q("q90_lake_merge", q90LakeMerge, Some("""
       WITH b AS (SELECT max(event_id) + 1 AS span FROM events),
       ec AS (SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents

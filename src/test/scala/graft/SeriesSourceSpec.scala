@@ -122,6 +122,29 @@ class SeriesSourceSpec extends SparkTestBase {
     assert(ids.toSet.size === 100000, "offset ranges overlapped or gapped")
   }
 
+  test("Trigger.AvailableNow drains the sequence in paced batches, then terminates") {
+    // AvailableNow composes the source's default limit with its own
+    // snapshot bound (a CompositeReadLimit) — the path rowsFor() must
+    // unwrap; a source ignoring the engine-supplied limit either
+    // over-reads past the snapshot or never terminates
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = ss.readStream.format("graft.sources.SeriesSource")
+      .option("n", "90000").option("batchRows", "40000").load()
+      .writeStream.format("memory").queryName("series_avnow")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow query did not terminate")
+    // drained fully, still paced: no batch exceeded batchRows
+    import ss.implicits._
+    val ids = ss.table("series_avnow").select("seq_id").as[Long].collect()
+    assert(ids.length === 90000)
+    assert(ids.toSet.size === 90000, "offset ranges overlapped or gapped")
+    assert(q.recentProgress.map(_.numInputRows).filter(_ > 0).max <= 40000L)
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
+  }
+
   test("restarted stream resumes from the checkpoint offset, never re-emitting") {
     val df = graft.sources.SeriesQueries
       .q104StreamCustomSource(spark, sf("sf0.001"))
