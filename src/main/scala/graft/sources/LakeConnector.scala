@@ -77,11 +77,18 @@ class GraftLakeSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val root = lakeRoot(options)
     val snap = SnapshotLake.snapshot(root, asOf(options))
-    require(snap.files.nonEmpty, s"lake at $root v${snap.version} has no " +
-      "data files; pass a schema explicitly")
-    // one footer read of one committed file — driver-side, KB-scale
-    SparkSession.active.read
-      .parquet(s"$root/${snap.files.head.name}").schema
+    // the manifest's recorded schema is authoritative: on an evolved
+    // chain it is the WIDENED union (old files null-fill), where any
+    // single file's footer would be one commit's partial view —
+    // and it costs zero footer reads. Pre-schema manifests fall back
+    // to one footer read of one committed file (driver-side,
+    // KB-scale).
+    snap.schema.getOrElse {
+      require(snap.files.nonEmpty, s"lake at $root v${snap.version} has no " +
+        "data files; pass a schema explicitly")
+      SparkSession.active.read
+        .parquet(s"$root/${snap.files.head.name}").schema
+    }
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -101,7 +108,8 @@ final class LakeTable(root: String, asOf: Option[Int], tschema: StructType,
   override def schema(): StructType = tschema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE).asJava
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
+      TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScanBuilder(root, asOf, tschema)
   override def newWriteBuilder(
@@ -259,17 +267,38 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
       snap.files.length, required,
       s"stat=${snap.statCol}∈[$lo,$hi)" +
         snap.statCol2.fold("")(c => s" stat2=$c∈[$lo2,$hi2)") +
-        point.fold("")(v => s" bloom=$v"))
+        point.fold("")(v => s" bloom=$v"),
+      asOf, lo, hi, lo2, hi2, point)
   }
 }
 
 final case class LakeScan(root: String, version: Int,
     files: Seq[SnapshotLake.FileStat],
-    filesTotal: Int, required: StructType, pushedDesc: String)
+    filesTotal: Int, required: StructType, pushedDesc: String,
+    asOf: Option[Int] = None,
+    lo: Long = Long.MinValue, hi: Long = Long.MaxValue,
+    lo2: Long = Long.MinValue, hi2: Long = Long.MaxValue,
+    point: Option[Long] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Streaming face: the per-batch version-diff file sets pass
+    * through the SAME stat-window/bloom prune the batch scan planned
+    * with, so pushed predicates skip files per micro-batch too.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(asOf.isEmpty,
+      s"cannot stream from time-travel snapshot v${asOf.get} of $root — " +
+        "a pinned version never grows")
+    new LakeMicroBatchStream(root, required, f =>
+      f.hi >= lo && (hi == Long.MaxValue || f.lo < hi) &&
+        f.dim2.forall { case (l2, h2) =>
+          h2 >= lo2 && (hi2 == Long.MaxValue || l2 < hi2) } &&
+        point.forall(v => f.bloom.forall(SnapshotLake.Bloom.mightContain(_, v))))
+  }
   // the judged surface: version, skip ratio, and pushed windows all
   // visible in `.explain` on the BatchScan node
   override def description(): String =

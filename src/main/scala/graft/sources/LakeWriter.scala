@@ -121,7 +121,8 @@ private[sources] object LakeCommit {
 
   def publish(root: String, overwrite: Boolean, opts: Map[String, String],
       messages: Array[WriterCommitMessage],
-      txn: Option[(String, Long)]): Unit = {
+      txn: Option[(String, Long)],
+      schemaJson: Option[String] = None): Unit = {
     val staged = messages.collect { case m: LakeStaged => m }
     val (live, empty) = staged.partition(_.rows > 0)
     empty.foreach(discard(root, _))
@@ -147,7 +148,7 @@ private[sources] object LakeCommit {
       // file list, txn map carried); an empty append publishes nothing
       if (overwrite)
         SnapshotLake.commitFiles(root, Seq.empty, statCol, overwrite = true,
-          bloomCol, statCol2, txn): Unit
+          bloomCol, statCol2, txn, schemaJson): Unit
       return
     }
     val batch = s"data/b-${UUID.randomUUID().toString.take(8)}"
@@ -161,7 +162,7 @@ private[sources] object LakeCommit {
     val files = SnapshotLake.statsFor(SparkSession.active, root, batch,
       statCol, bloomCol, bloomBytes, statCol2)
     SnapshotLake.commitFiles(root, files, statCol, overwrite, bloomCol,
-      statCol2, txn): Unit
+      statCol2, txn, schemaJson): Unit
   }
 }
 
@@ -178,7 +179,8 @@ final class LakeBatchWrite(root: String, schema: StructType,
     val txn = for {
       a <- opts.get("txnappid"); v <- opts.get("txnversion")
     } yield (a, v.toLong)
-    LakeCommit.publish(root, overwrite, opts, messages, txn)
+    LakeCommit.publish(root, overwrite, opts, messages, txn,
+      Some(schema.json))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -220,7 +222,7 @@ final class LakeStreamingWrite(root: String, schema: StructType,
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
     LakeCommit.publish(root, overwrite, opts, messages,
-      Some((appId, epochId)))
+      Some((appId, epochId)), Some(schema.json))
 
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =

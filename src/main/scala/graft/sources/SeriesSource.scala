@@ -307,7 +307,46 @@ object SeriesQueries {
       .orderBy(col("sensor_id"))
   }
 
+  /** Judged Trigger.AvailableNow backfill: drain the finite series
+    * source to a parquet sink in ONE self-terminating invocation —
+    * the "catch up, then stop" run a scheduled ingestion job wants,
+    * vs q104's run-forever-and-kill harness. The gated property is
+    * admission control under the AvailableNow wrapper: the engine
+    * composes its end-snapshot bound with the source's default
+    * maxRows limit, so 120k rows must land as exactly 5 paced
+    * micro-batches (⌈120000/25000⌉) — the batch count rides the
+    * output row and hash-fails if the source ever stops honoring
+    * the engine-supplied ReadLimit (the Trigger.Once fallback would
+    * land everything in 1). The aggregate certifies the drained
+    * content against the oracle's closed-form rebuild.
+    */
+  def q113StreamAvailableNow(s: SparkSession, d: String): DataFrame = {
+    val outRoot = Housekeeping.tempDir("q113_out")
+    val (sink, chk) = (s"$outRoot/data", s"$outRoot/chk")
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = ss.readStream.format("graft.sources.SeriesSource")
+      .option("n", "120000").option("batchRows", "25000").load()
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", chk)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    require(q.awaitTermination(180000),
+      "AvailableNow backfill did not self-terminate")
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    s.read.parquet(sink)
+      .agg(count(lit(1)).as("n_readings"),
+        sum(col("reading_centi")).as("sum_centi"))
+      .select(lit(batches).cast("long").as("n_batches"),
+        col("n_readings"), col("sum_centi"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q113_stream_available_now", q113StreamAvailableNow, Some("""
+      SELECT CAST(5 AS BIGINT) AS n_batches,
+             count(*) AS n_readings,
+             CAST(sum(seq_id * 9973 % 100000) AS BIGINT) AS sum_centi
+      FROM range(0, 120000) t(seq_id)""")),
     Q("q78_custom_source", q78CustomSource, Some("""
       SELECT seq_id % 64 AS sensor_id,
              count(*) AS n_readings,

@@ -71,7 +71,46 @@ object SnapshotLake {
       bloomCol: Option[String], files: Seq[FileStat],
       statCol2: Option[String] = None,
       txn: Option[(String, Long)] = None,
-      txns: Map[String, Long] = Map.empty)
+      txns: Map[String, Long] = Map.empty,
+      schemaJson: Option[String] = None,
+      op: Option[String] = None) {
+    def schema: Option[org.apache.spark.sql.types.StructType] =
+      schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  /** Additive schema evolution: the union of parent and next in
+    * parent-first field order. A field present in both must keep its
+    * type — silently re-typing a column would make every old file's
+    * values decode wrong, so that is a refusal, not a widening. A
+    * subset `next` (a writer still on the old schema) evolves to the
+    * parent unchanged; readers null-fill its files' missing columns.
+    */
+  private[graft] def evolveSchema(
+      parent: org.apache.spark.sql.types.StructType,
+      next: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    next.fields.foreach { f =>
+      parent.fields.find(_.name == f.name).foreach { p =>
+        require(p.dataType == f.dataType,
+          s"schema evolution cannot re-type column '${f.name}': " +
+            s"chain has ${p.dataType.simpleString}, " +
+            s"append brings ${f.dataType.simpleString}")
+      }
+    }
+    val parentNames = parent.fieldNames.toSet
+    org.apache.spark.sql.types.StructType(
+      parent.fields ++ next.fields.filterNot(f => parentNames(f.name)))
+  }
+
+  /** A reader pinned to the snapshot's recorded table schema, so a
+    * file written before a column existed reads as nulls in that
+    * column (Spark's user-specified-schema parquet contract) —
+    * pre-schema manifests fall back to plain footer inference.
+    */
+  private def readerFor(s: SparkSession, snap: Snapshot)
+      : org.apache.spark.sql.DataFrameReader =
+    snap.schema.fold(s.read)(s.read.schema)
 
   /** Blocked bloom over longs: k=6 bit positions from one 64-bit
     * avalanche hash (double hashing h1 + i·h2) — deterministic
@@ -185,6 +224,10 @@ object SnapshotLake {
         e.substring(0, i) -> e.substring(i + 1).toLong
       }.toMap)
       .getOrElse(Map.empty[String, Long])
+    val schemaJson = header.find(_.startsWith("schema=")).map(t =>
+      new String(java.util.Base64.getDecoder.decode(
+        t.stripPrefix("schema=")), StandardCharsets.UTF_8))
+    val op = header.find(_.startsWith("op=")).map(_.stripPrefix("op="))
     val files = lines.tail.map { l =>
       val fields = l.split('\t')
       // fields after the fixed four are TAGGED (d2=lo:hi, bf=<b64>)
@@ -201,7 +244,8 @@ object SnapshotLake {
       FileStat(fields(0), fields(1).toLong, fields(2).toLong,
         fields(3).toLong, bloom, dim2, bytes)
     }
-    Snapshot(v, statCol, bloomCol, files, statCol2, txn, txns)
+    Snapshot(v, statCol, bloomCol, files, statCol2, txn, txns, schemaJson,
+      op)
   }
 
   /** Highest batch id recorded for writer `appId`, or -1 if none —
@@ -230,7 +274,9 @@ object SnapshotLake {
       bloomCol: Option[String], overwrite: Boolean,
       files: Seq[FileStat], statCol2: Option[String] = None,
       txn: Option[(String, Long)] = None,
-      txns: Map[String, Long] = Map.empty): Boolean = {
+      txns: Map[String, Long] = Map.empty,
+      schemaJson: Option[String] = None,
+      op: Option[String] = None): Boolean = {
     txns.keys.foreach(a => require(!a.exists(c => c == ',' || c == '\t' ||
       c == '\n'), s"txn appId '$a' may not contain ',', tab, or newline"))
     val header = s"v=$v\t$statCol\toverwrite=$overwrite" +
@@ -239,7 +285,12 @@ object SnapshotLake {
       txn.fold("") { case (a, b) => s"\ttxn=$a:$b" } +
       (if (txns.isEmpty) ""
        else "\ttxns=" + txns.toSeq.sorted.map { case (a, b) => s"$a:$b" }
-         .mkString(","))
+         .mkString(",")) +
+      // base64: the JSON schema is the one header field that could
+      // carry tabs/newlines, the manifest's own delimiters
+      schemaJson.fold("")(j => "\tschema=" + java.util.Base64.getEncoder
+        .encodeToString(j.getBytes(StandardCharsets.UTF_8))) +
+      op.fold("")(o => s"\top=$o")
     val body = (header +: files.map { f =>
       val base = s"${f.name}\t${f.lo}\t${f.hi}\t${f.rows}"
       val withD2 = f.dim2.fold(base) { case (a, b) => s"$base\td2=$a:$b" }
@@ -295,7 +346,7 @@ object SnapshotLake {
     // to shape row-group granularity for the connector's splits)
     df.write.options(writeOptions).parquet(s"$root/$batch")
     commitBatch(s, root, batch, statCol, overwrite, bloomCol, bloomBytes,
-      statCol2, txn)
+      statCol2, txn, Some(df.schema.json))
   }
 
   /** Conflict raised when a MERGE's optimistic rebase finds the table
@@ -373,7 +424,8 @@ object SnapshotLake {
           read(s, root).where(lit(false))
             .withColumn("__src", lit(null).cast("string"))
         else
-          s.read.parquet(touchedFiles.map(f => s"$root/${f.name}"): _*)
+          readerFor(s, base)
+            .parquet(touchedFiles.map(f => s"$root/${f.name}"): _*)
             .withColumn("__src", input_file_name())
       // survivors: delete first, then presence-flag update in place
       val survivors = cur
@@ -411,7 +463,8 @@ object SnapshotLake {
         deltaLo, deltaHi)
       if (tryPublish(root, head.version + 1, key, head.bloomCol,
           overwrite = true, kept ++ appended ++ newFiles, head.statCol2,
-          txns = head.txns))
+          txns = head.txns, schemaJson = head.schemaJson,
+          op = Some("merge")))
         committed = head.version + 1
     }
     MergeResult(committed, kept.size, touchedFiles.size, newFiles.size)
@@ -480,7 +533,7 @@ object SnapshotLake {
         // output file per source file (merge's layout-preserving
         // pattern) — the shuffle moves boundary-file bytes, nothing
         // else
-        val cur = s.read
+        val cur = readerFor(s, base)
           .parquet(straddling.map(f => s"$root/${f.name}"): _*)
           .withColumn("__src", input_file_name())
           .where(!(col(key) >= lo && col(key) < hi))
@@ -503,7 +556,8 @@ object SnapshotLake {
       val appended = rebaseCheck(base, head, kept ++ inRange, lo, hi - 1)
       if (tryPublish(root, head.version + 1, key, head.bloomCol,
           overwrite = true, kept ++ appended ++ newFiles, head.statCol2,
-          txns = head.txns))
+          txns = head.txns, schemaJson = head.schemaJson,
+          op = Some("delete")))
         committed = head.version + 1
     }
     DeleteResult(committed, dropped.size, straddling.size, kept.size,
@@ -564,7 +618,8 @@ object SnapshotLake {
             lit(s"g$gi")).otherwise(acc)
         }
         val batch = s"data/b-${UUID.randomUUID().toString.take(8)}"
-        s.read.parquet(packed.flatten.map(f => s"$root/${f.name}"): _*)
+        readerFor(s, base)
+          .parquet(packed.flatten.map(f => s"$root/${f.name}"): _*)
           .withColumn("__src", input_file_name())
           .withColumn("__bucket", srcToBucket).drop("__src")
           .repartition(col("__bucket"))
@@ -581,7 +636,8 @@ object SnapshotLake {
         rebaseCheck(base, head, base.files, Long.MaxValue, Long.MinValue)
       if (tryPublish(root, head.version + 1, key, head.bloomCol,
           overwrite = true, kept ++ appended ++ newFiles, head.statCol2,
-          txns = head.txns))
+          txns = head.txns, schemaJson = head.schemaJson,
+          op = Some("compact")))
         committed = head.version + 1
     }
     CompactResult(committed, base.files.size,
@@ -612,7 +668,7 @@ object SnapshotLake {
     val added = to.files.filterNot(f => fromNames(f.name))
     def readFiles(fs: Seq[FileStat]): DataFrame =
       if (fs.isEmpty) read(s, root, Some(toV)).where(lit(false))
-      else s.read.parquet(fs.map(f => s"$root/${f.name}"): _*)
+      else readerFor(s, to).parquet(fs.map(f => s"$root/${f.name}"): _*)
     val payload = readFiles(to.files.take(1)).columns.filterNot(_ == key).toSeq
     def pack(df: DataFrame, tag: String): DataFrame =
       df.select(col(key).cast("long").as(key),
@@ -651,8 +707,10 @@ object SnapshotLake {
     df.withColumn("__bucket", bucket)
       .repartition(col("__bucket"))
       .write.partitionBy("__bucket").parquet(s"$root/$batch")
+    // recorded schema = df's own (pre-__bucket): the bucket is a
+    // partition directory, invisible to explicit-file-list reads
     commitBatch(s, root, batch, statCol, overwrite, bloomCol, bloomBytes,
-      statCol2)
+      statCol2, schemaJson = Some(df.schema.json))
   }
 
   /** One pass over the batch's files only: per-file stats keyed by
@@ -698,10 +756,12 @@ object SnapshotLake {
   private def commitBatch(s: SparkSession, root: String, batch: String,
       statCol: String, overwrite: Boolean, bloomCol: Option[String],
       bloomBytes: Int, statCol2: Option[String] = None,
-      txn: Option[(String, Long)] = None): Int = {
+      txn: Option[(String, Long)] = None,
+      schemaJson: Option[String] = None): Int = {
     val newFiles =
       statsFor(s, root, batch, statCol, bloomCol, bloomBytes, statCol2)
-    commitFiles(root, newFiles, statCol, overwrite, bloomCol, statCol2, txn)
+    commitFiles(root, newFiles, statCol, overwrite, bloomCol, statCol2, txn,
+      schemaJson)
   }
 
   /** Publish `newFiles` (stats already computed) as the next version
@@ -712,7 +772,8 @@ object SnapshotLake {
   private[sources] def commitFiles(root: String, newFiles: Seq[FileStat],
       statCol: String, overwrite: Boolean, bloomCol: Option[String],
       statCol2: Option[String] = None,
-      txn: Option[(String, Long)] = None): Int = {
+      txn: Option[(String, Long)] = None,
+      schemaJson: Option[String] = None): Int = {
     // optimistic-concurrency loop: stage the manifest, try to take
     // the next version slot; on a lost race, rebase on the new head
     // and try again (new data files are already safe on disk)
@@ -752,12 +813,25 @@ object SnapshotLake {
       // (new files then simply lack dim2 boxes — the 2-D prune keeps
       // stat-less files, so correctness is unaffected)
       val effStat2 = statCol2.orElse(parent.flatMap(_.statCol2))
+      // schema evolution: an append's schema widens the chain's via
+      // [[evolveSchema]] (type conflicts refuse there); an overwrite
+      // declares its own. A schema-less legacy chain STAYS schema-less
+      // on append — stamping the batch's schema onto inherited files
+      // of unknown shape would mislabel them.
+      val effSchema = (parent, schemaJson) match {
+        case (Some(p), Some(sj)) => p.schema.map(ps =>
+          evolveSchema(ps, org.apache.spark.sql.types.DataType.fromJson(sj)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]).json)
+        case (Some(p), None) => p.schemaJson
+        case (None, sj) => sj
+      }
       // the accumulated txn map ALWAYS carries forward — an overwrite
       // replaces the file list, never the replay-dedup horizon
       val newTxns = headSnap.map(_.txns).getOrElse(Map.empty) ++ txn
       if (tryPublish(root, v, statCol, effBloomCol, overwrite,
           parent.map(_.files).getOrElse(Seq.empty) ++ newFiles, effStat2,
-          txn, newTxns))
+          txn, newTxns, effSchema,
+          Some(if (overwrite) "overwrite" else "append")))
         committed = v
     }
     committed
@@ -783,7 +857,7 @@ object SnapshotLake {
       f.bloom.forall(Bloom.mightContain(_, value)))
     val df =
       if (kept.isEmpty) read(s, root, asOf).where(lit(false))
-      else s.read.parquet(kept.map(f => s"$root/${f.name}"): _*)
+      else readerFor(s, snap).parquet(kept.map(f => s"$root/${f.name}"): _*)
         .where(col(c) === value)
     (df, kept.length, snap.files.length)
   }
@@ -791,7 +865,7 @@ object SnapshotLake {
   /** Read a snapshot (head by default, `asOf` for time travel). */
   def read(s: SparkSession, root: String, asOf: Option[Int] = None): DataFrame = {
     val snap = snapshot(root, asOf)
-    s.read.parquet(snap.files.map(f => s"$root/${f.name}"): _*)
+    readerFor(s, snap).parquet(snap.files.map(f => s"$root/${f.name}"): _*)
   }
 
   /** Read with file skipping for `statCol ∈ [lo, hi)`: drops every
@@ -809,7 +883,7 @@ object SnapshotLake {
       if (kept.isEmpty)
         read(s, root, asOf).where(lit(false))
       else
-        s.read.parquet(kept.map(f => s"$root/${f.name}"): _*)
+        readerFor(s, snap).parquet(kept.map(f => s"$root/${f.name}"): _*)
           .where(col(snap.statCol) >= lo && col(snap.statCol) < hi)
     (df, kept.length, snap.files.length)
   }
@@ -837,7 +911,7 @@ object SnapshotLake {
         f.dim2.forall { case (l2, h2) => h2 >= lo2 && l2 < hi2 })
     val df =
       if (kept.isEmpty) read(s, root, asOf).where(lit(false))
-      else s.read.parquet(kept.map(f => s"$root/${f.name}"): _*)
+      else readerFor(s, snap).parquet(kept.map(f => s"$root/${f.name}"): _*)
         .where(col(snap.statCol) >= lo && col(snap.statCol) < hi &&
           col(c2) >= lo2 && col(c2) < hi2)
     (df, kept.length, snap.files.length)
@@ -933,10 +1007,32 @@ object SnapshotLake {
         else snapshot(root, Some(head)).txns
       if (tryPublish(root, head + 1, target.statCol, target.bloomCol,
           overwrite = true, target.files, target.statCol2,
-          txns = headTxns))
+          txns = headTxns, schemaJson = target.schemaJson,
+          op = Some("restore")))
         committed = head + 1
     }
     committed
+  }
+
+  /** DESCRIBE HISTORY: the audit trail as a DataFrame, answered
+    * entirely from the un-vacuumed manifests — version, the verb
+    * that produced it (`op=` header tag), live file/row counts, and
+    * the txn record if the commit was transactional. KB-scale driver
+    * metadata; no data file is ever opened.
+    */
+  def history(s: SparkSession, root: String): DataFrame = {
+    val head = headVersion(root)
+    require(head >= 0, s"lake at $root has no committed snapshot")
+    val rows = (0 to head)
+      .filter(v => Files.exists(manifestPath(root, v)))
+      .map { v =>
+        val sn = snapshot(root, Some(v))
+        (v.toLong, sn.op.getOrElse("unknown"), sn.files.size.toLong,
+          sn.files.map(_.rows).sum,
+          sn.txn.map { case (a, b) => s"$a:$b" }.orNull)
+      }
+    s.createDataFrame(rows)
+      .toDF("version", "op", "n_files", "n_rows", "txn")
   }
 
   private def eventsCents(s: SparkSession, d: String): DataFrame =
@@ -1256,7 +1352,140 @@ object SnapshotLake {
         col("n_events"), col("sum_cents"))
   }
 
+  /** Judged lake schema evolution: v0 commits (event_id, cents) for
+    * even ids, an APPEND lands odd ids carrying a new event_type
+    * column, and the chain's recorded schema widens — so the head
+    * read through the DSv2 connector surfaces all three columns with
+    * the pre-evolution files NULL-filling event_type (no rewrite of
+    * a single old byte; at 100 TB adding a column is a manifest
+    * header edit). `n_cols` rides the row: if the manifest ever
+    * stops recording the widened union — or the connector falls
+    * back to a one-file footer guess, which on this fixture has a
+    * 50% chance of the 2-column shape — the query goes red. The
+    * legacy bucket in the aggregate certifies the null-fill path
+    * row-exactly against the oracle's parity replay.
+    */
+  def q114SchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val root = Housekeeping.tempDir("q114")
+    val ev = Tables.events(s, d).select(
+      col("event_id"), col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"))
+    commit(s, root,
+      ev.where(col("event_id") % 2 === 0).select(col("event_id"), col("cents")),
+      "event_id")
+    commit(s, root,
+      ev.where(col("event_id") % 2 === 1)
+        .select(col("event_id"), col("cents"), col("event_type")),
+      "event_id")
+    val df = s.read.format("graft.sources.GraftLakeSource")
+      .option("path", root).load()
+    df.groupBy(coalesce(col("event_type"), lit("__legacy__")).as("etype"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+      .select(lit(df.columns.length.toLong).as("n_cols"),
+        col("etype"), col("n_events"), col("sum_cents"))
+      .orderBy(col("etype"))
+  }
+
+  /** Judged streaming read FROM the lake: three appends (ids mod 3),
+    * then `readStream` through the DSv2 connector drains under
+    * `Trigger.AvailableNow` — one micro-batch per manifest version
+    * (each commit replayed as the atomic unit it was written as), so
+    * `n_batches` = 3 rides the row and hash-fails if version-paced
+    * admission control ever stops working. The aggregate certifies
+    * that the version-diff file sets cover the table exactly once —
+    * no file replayed, none skipped. Completes the q108 loop:
+    * lake → stream → lake with offsets on both ends.
+    */
+  def q115StreamLakeSource(s: SparkSession, d: String): DataFrame = {
+    val root = Housekeeping.tempDir("q115_lake")
+    val outRoot = Housekeeping.tempDir("q115_out")
+    val (sink, chk) = (s"$outRoot/data", s"$outRoot/chk")
+    val ev = eventsCents(s, d)
+    (0 to 2).foreach(m =>
+      commit(s, root, ev.where(col("event_id") % 3 === m), "event_id"))
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = ss.readStream.format("graft.sources.GraftLakeSource")
+      .option("path", root).load()
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", chk)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    require(q.awaitTermination(180000),
+      "lake-source AvailableNow drain did not self-terminate")
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    s.read.parquet(sink)
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .select(lit(batches).cast("long").as("n_batches"),
+        col("n_events"), col("sum_cents"), col("min_id"), col("max_id"))
+  }
+
+  /** Judged DESCRIBE HISTORY: a scripted chain — clustered bootstrap,
+    * append, metadata-only delete, restore — read back purely from
+    * manifests. Every row is deterministic in the base table's span,
+    * so the oracle replays the whole audit trail (op names, file
+    * counts, live row counts) in closed form: if any verb stops
+    * recording its op, or delete/restore miscount live rows, the
+    * hash goes red.
+    */
+  def q116LakeHistory(s: SparkSession, d: String): DataFrame = {
+    val root = Housekeeping.tempDir("q116")
+    val ev = eventsCents(s, d)
+    val span = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    def bound(i: Int): Long = i.toLong * span / 8
+    val bucket = (1 to 7).foldLeft(lit(0)) { (acc, i) =>
+      when(col("event_id") >= bound(i), lit(i)).otherwise(acc)
+    }
+    commitClustered(s, root, ev, bucket, "event_id") // v0: 8 files
+    commit(s, root, // v1: one clustered appended file above the domain
+      ev.where(col("event_id") < span / 4)
+        .select((col("event_id") + span).as("event_id"), col("cents"))
+        .coalesce(1),
+      "event_id")
+    delete(s, root, 0L, bound(1)) // v2: drops file 0, metadata-only
+    restore(root, 1) // v3: metadata-only rollback to v1
+    history(s, root).select(col("version"), col("op"), col("n_files"),
+      col("n_rows")).orderBy(col("version"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q115_stream_lake_source", q115StreamLakeSource, Some("""
+      WITH ec AS (SELECT event_id,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events)
+      SELECT CAST(3 AS BIGINT) AS n_batches,
+             count(*) AS n_events,
+             CAST(sum(cents) AS BIGINT) AS sum_cents,
+             min(event_id) AS min_id,
+             max(event_id) AS max_id
+      FROM ec""")),
+    Q("q116_lake_history", q116LakeHistory, Some("""
+      WITH b AS (SELECT count(*) AS n, max(event_id) + 1 AS span
+                 FROM events)
+      SELECT * FROM (
+        SELECT CAST(0 AS BIGINT) AS version, 'append' AS op,
+               CAST(8 AS BIGINT) AS n_files, CAST(n AS BIGINT) AS n_rows
+        FROM b
+        UNION ALL
+        SELECT 1, 'append', 9, n + span // 4 FROM b
+        UNION ALL
+        SELECT 2, 'delete', 8, n + span // 4 - span // 8 FROM b
+        UNION ALL
+        SELECT 3, 'restore', 9, n + span // 4 FROM b)
+      ORDER BY version""")),
+    Q("q114_schema_evolution", q114SchemaEvolution, Some("""
+      WITH ec AS (SELECT event_id, event_type,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events)
+      SELECT CAST(3 AS BIGINT) AS n_cols,
+             CASE WHEN event_id % 2 = 0 THEN '__legacy__'
+                  ELSE event_type END AS etype,
+             count(*) AS n_events,
+             CAST(sum(cents) AS BIGINT) AS sum_cents
+      FROM ec
+      GROUP BY 2
+      ORDER BY 2""")),
     Q("q109_lake_delete", q109LakeDelete, Some("""
       WITH b AS (SELECT max(event_id) + 1 AS span FROM events),
       ec AS (SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents

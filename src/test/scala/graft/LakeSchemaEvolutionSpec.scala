@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import graft.sources.SnapshotLake
+
+/** Lake-level schema evolution: the manifest records each commit's
+  * schema, appends widen it additively (type conflicts refuse),
+  * every reader — helpers and DSv2 connector — surfaces the widened
+  * union with old files null-filled, and time travel reads each
+  * version under ITS OWN schema.
+  */
+class LakeSchemaEvolutionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("lake_evo_").toString
+
+  test("append widens the recorded schema; old files null-fill on every read path") {
+    val root = freshRoot()
+    val v0 = SnapshotLake.commit(spark, root,
+      (0L until 50L).map(i => (i, i * 7)).toDF("k", "v"), "k")
+    val v1 = SnapshotLake.commit(spark, root,
+      (50L until 100L).map(i => (i, i * 7, s"tag$i")).toDF("k", "v", "t"), "k")
+    val head = SnapshotLake.snapshot(root)
+    assert(head.schema.map(_.fieldNames.toSeq) === Some(Seq("k", "v", "t")))
+    // helper read: 100 rows, nulls exactly on the legacy half
+    val df = SnapshotLake.read(spark, root)
+    assert(df.columns.toSeq === Seq("k", "v", "t"))
+    assert(df.where(col("t").isNull).count() === 50L)
+    assert(df.where(col("t") === "tag75").count() === 1L)
+    // connector read agrees, and pruning still works on the evolved chain
+    val cdf = spark.read.format("graft.sources.GraftLakeSource")
+      .option("path", root).load()
+    assert(cdf.columns.toSeq === Seq("k", "v", "t"))
+    assert(cdf.where(col("k") < 50).where(col("t").isNotNull).count() === 0L)
+    assert(cdf.count() === 100L)
+    // time travel: v0 reads under the OLD schema — no phantom column
+    assert(SnapshotLake.read(spark, root, Some(v0)).columns.toSeq ===
+      Seq("k", "v"))
+    assert(SnapshotLake.read(spark, root, Some(v1)).columns.toSeq ===
+      Seq("k", "v", "t"))
+  }
+
+  test("a subset append (old-schema writer) keeps the widened schema") {
+    val root = freshRoot()
+    SnapshotLake.commit(spark, root,
+      (0L until 10L).map(i => (i, i * 7, s"t$i")).toDF("k", "v", "t"), "k")
+    SnapshotLake.commit(spark, root,
+      (10L until 20L).map(i => (i, i * 7)).toDF("k", "v"), "k")
+    val head = SnapshotLake.snapshot(root)
+    assert(head.schema.map(_.fieldNames.toSeq) === Some(Seq("k", "v", "t")))
+    val df = SnapshotLake.read(spark, root)
+    assert(df.where(col("t").isNull).count() === 10L)
+  }
+
+  test("re-typing a column refuses instead of mislabeling old files") {
+    val root = freshRoot()
+    SnapshotLake.commit(spark, root,
+      (0L until 10L).map(i => (i, i * 7)).toDF("k", "v"), "k")
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotLake.commit(spark, root,
+        (10L until 20L).map(i => (i, s"s$i")).toDF("k", "v"), "k")
+    }
+    assert(ex.getMessage.contains("re-type"))
+  }
+
+  test("overwrite replaces the schema; maintenance verbs carry it through") {
+    val root = freshRoot()
+    SnapshotLake.commit(spark, root,
+      (0L until 10L).map(i => (i, i * 7, s"t$i")).toDF("k", "v", "t"), "k")
+    SnapshotLake.commit(spark, root,
+      (0L until 100L).map(i => (i, i * 3)).toDF("k", "w"), "k",
+      overwrite = true)
+    assert(SnapshotLake.snapshot(root).schema.map(_.fieldNames.toSeq) ===
+      Some(Seq("k", "w")))
+    // delete and compact preserve the head schema
+    SnapshotLake.delete(spark, root, 0L, 10L)
+    assert(SnapshotLake.snapshot(root).schema.map(_.fieldNames.toSeq) ===
+      Some(Seq("k", "w")))
+    SnapshotLake.compactLake(spark, root, 1000L)
+    assert(SnapshotLake.snapshot(root).schema.map(_.fieldNames.toSeq) ===
+      Some(Seq("k", "w")))
+    assert(SnapshotLake.read(spark, root).count() === 90L)
+  }
+
+  test("evolveSchema is union-in-parent-order with equal-type dedup") {
+    val p = StructType(Seq(StructField("a", LongType), StructField("b", LongType)))
+    val n = StructType(Seq(StructField("b", LongType), StructField("c", LongType)))
+    assert(SnapshotLake.evolveSchema(p, n).fieldNames.toSeq ===
+      Seq("a", "b", "c"))
+  }
+}
