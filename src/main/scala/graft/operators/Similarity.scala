@@ -102,6 +102,38 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** e8: FILTERED exact search — top-k under a metadata predicate
+    * (same-label candidates only), the retrieval contract behind
+    * "search within this tenant / license / language shard". The
+    * predicate applies at CANDIDATE GENERATION (the join condition),
+    * never after ranking: post-filtering a plain top-k returns
+    * FEWER than k rows whenever the unfiltered neighborhood is
+    * label-mixed — the classic filtered-ANN correctness trap. Plan
+    * shape: label equality narrows the broadcast-join fan-out to the
+    * query's shard, scores reduce through the bounded [[TopKByDist]]
+    * map-side (no window over the scored corpus), so at 100 TB the
+    * cost is one corpus pass and a Q·k-row shuffle — and the label
+    * predicate composes with partition pruning when the corpus is
+    * label-partitioned (q44's layout).
+    */
+  def e8AnnFiltered(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val topCos = udaf(new TopKByDist(TopK))
+    e.join(broadcast(q),
+        col("label") === col("qlabel") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineNative(col("qv"), col("embedding")).as("cos"))
+      .groupBy(col("query_id"))
+      .agg(topCos(col("vec_id"), -col("cos")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast(IntegerType).as("rk"),
+        col("col.vec_id").as("vec_id"), (-col("col.dist")).as("cos"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   // -- LSH ANN ---------------------------------------------------------
 
   // 8 tables × 6 bits: 64 buckets/table, so each query scans ~1/64 of
@@ -643,6 +675,19 @@ object Similarity {
         FROM embeddings e
         JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $NumQueries) q
           ON e.vec_id <> q.vec_id)
+      WHERE rk <= $TopK
+      ORDER BY query_id, rk""")),
+    Q("e8_ann_filtered", e8AnnFiltered, Some(s"""
+      SELECT query_id, rk, vec_id, cos FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+               ${cosSql.format("q.embedding", "e.embedding", "q.embedding", "e.embedding")} AS cos,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY ${cosSql.format("q.embedding", "e.embedding", "q.embedding", "e.embedding")} DESC,
+                                           e.vec_id ASC) AS rk
+        FROM embeddings e
+        JOIN (SELECT vec_id, embedding, label FROM embeddings
+              WHERE vec_id < $NumQueries) q
+          ON e.label = q.label AND e.vec_id <> q.vec_id)
       WHERE rk <= $TopK
       ORDER BY query_id, rk""")),
     Q("e2_ann_lsh", e2AnnLsh, None), // hyperplane literals are engine-side state

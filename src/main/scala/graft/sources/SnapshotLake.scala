@@ -1247,6 +1247,35 @@ object SnapshotLake {
     (span, merge(s, root, upserts, deletes))
   }
 
+  /** Judged CDC replication closure: the change feed is not just a
+    * report — it is sufficient to DRIVE a follower. A follower lake
+    * bootstraps from the pre-merge snapshot, the q91 change set
+    * (computed from 5 of 11 files) replays onto it as a MERGE
+    * (insert/update → upserts, delete → delete keys), and the
+    * follower must then equal the source head EXACTLY: `n_diff`
+    * counts the symmetric difference of the two tables and rides the
+    * row as a hash-checked 0. This is the incremental-replication
+    * contract (Delta CDF → MERGE apply) that lets a downstream copy
+    * track a mutating 100 TB table by moving only changed rows.
+    */
+  def q118CdfApply(s: SparkSession, d: String): DataFrame = {
+    val root = Housekeeping.tempDir("q118")
+    val follower = Housekeeping.tempDir("q118_f")
+    val (_, res) = mergeFixture(s, d, root)
+    commit(s, follower, read(s, root, Some(res.version - 1)), "event_id")
+    val (diff, _, _) = changes(s, root, res.version - 1, res.version)
+    merge(s, follower,
+      upserts = diff.where(col("change_type").isin("insert", "update"))
+        .select(col("event_id"), col("cents")),
+      deleteKeys = diff.where(col("change_type") === "delete")
+        .select(col("event_id")))
+    val f = read(s, follower).select(col("event_id"), col("cents"))
+    val src = read(s, root).select(col("event_id"), col("cents"))
+    val nDiff = f.exceptAll(src).unionAll(src.exceptAll(f)).count()
+    f.agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .select(lit(nDiff).as("n_diff"), col("n_rows"), col("sum_cents"))
+  }
+
   /** Judged MERGE INTO: the copy-on-write file counts come back as
     * hash-checked COLUMNS (6 kept / 2 rewritten / 3 new against 8
     * total) — if the key-range prune ever stops working the query
@@ -1421,6 +1450,45 @@ object SnapshotLake {
         col("n_events"), col("sum_cents"), col("min_id"), col("max_id"))
   }
 
+  /** Judged lake→stream→lake pipeline: the two streaming faces of
+    * the connector composed into one exactly-once hop — the
+    * incremental-ETL shape (Delta's medallion pattern) where a
+    * downstream table follows an upstream one without listings,
+    * reprocessing, or a foreachBatch escape hatch. Three upstream
+    * appends drain under AvailableNow as three version-paced
+    * micro-batches; each epoch publishes downstream transactionally
+    * (txn = (appId, epochId)), so the destination head lands at
+    * exactly v2 — hash-checked, catching both a dropped epoch and a
+    * double-publish. The transformed aggregate certifies the rows
+    * crossed the hop exactly once.
+    */
+  def q117LakePipeline(s: SparkSession, d: String): DataFrame = {
+    val src = Housekeeping.tempDir("q117_src")
+    val dst = Housekeeping.tempDir("q117_dst")
+    val chk = Housekeeping.tempDir("q117_chk")
+    val ev = eventsCents(s, d)
+    (0 to 2).foreach(m =>
+      commit(s, src, ev.where(col("event_id") % 3 === m), "event_id"))
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = ss.readStream.format("graft.sources.GraftLakeSource")
+      .option("path", src).load()
+      .withColumn("cents2", col("cents") * 2)
+      .writeStream.format("graft.sources.GraftLakeSource")
+      .option("path", dst).option("statCol", "event_id")
+      .option("txnAppId", "q117")
+      .option("checkpointLocation", chk)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    require(q.awaitTermination(180000),
+      "lake-to-lake pipeline did not self-terminate")
+    s.read.format("graft.sources.GraftLakeSource").option("path", dst).load()
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"),
+        sum(col("cents2")).as("sum_cents2"))
+      .select(lit(headVersion(dst).toLong).as("dst_head_version"),
+        col("n_rows"), col("sum_cents"), col("sum_cents2"))
+  }
+
   /** Judged DESCRIBE HISTORY: a scripted chain — clustered bootstrap,
     * append, metadata-only delete, restore — read back purely from
     * manifests. Every row is deterministic in the base table's span,
@@ -1450,6 +1518,15 @@ object SnapshotLake {
   }
 
   val queries: Seq[Q] = Seq(
+    Q("q117_lake_pipeline", q117LakePipeline, Some("""
+      WITH ec AS (SELECT event_id,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events)
+      SELECT CAST(2 AS BIGINT) AS dst_head_version,
+             count(*) AS n_rows,
+             CAST(sum(cents) AS BIGINT) AS sum_cents,
+             CAST(sum(cents * 2) AS BIGINT) AS sum_cents2
+      FROM ec""")),
     Q("q115_stream_lake_source", q115StreamLakeSource, Some("""
       WITH ec AS (SELECT event_id,
                          CAST(round(value * 100) AS BIGINT) AS cents
@@ -1511,6 +1588,28 @@ object SnapshotLake {
                AS sum_cents
       FROM events, b
       WHERE event_id >= (2 * span) // 8 AND event_id < (4 * span) // 8""")),
+    Q("q118_cdf_apply", q118CdfApply, Some("""
+      WITH b AS (SELECT max(event_id) + 1 AS span FROM events),
+      ec AS (SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+             FROM events),
+      upd AS (SELECT event_id, cents + 1000 AS cents FROM ec, b
+              WHERE event_id >= (3 * span) // 8
+                AND event_id < (3 * span) // 8 + span // 16),
+      ins AS (SELECT event_id + span AS event_id, cents + 7 AS cents
+              FROM ec, b WHERE event_id < span // 32),
+      del AS (SELECT event_id FROM ec, b
+              WHERE event_id >= (5 * span) // 8
+                AND event_id < (5 * span) // 8 + span // 32),
+      merged AS (
+        SELECT e.event_id, coalesce(u.cents, e.cents) AS cents
+        FROM ec e LEFT JOIN upd u USING (event_id)
+        WHERE e.event_id NOT IN (SELECT event_id FROM del)
+        UNION ALL
+        SELECT event_id, cents FROM ins)
+      SELECT CAST(0 AS BIGINT) AS n_diff,
+             count(*) AS n_rows,
+             CAST(sum(cents) AS BIGINT) AS sum_cents
+      FROM merged""")),
     Q("q90_lake_merge", q90LakeMerge, Some("""
       WITH b AS (SELECT max(event_id) + 1 AS span FROM events),
       ec AS (SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
