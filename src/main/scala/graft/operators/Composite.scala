@@ -184,7 +184,75 @@ object Composite {
         col("n_name"), (col("rev_e4").cast("double") / 10000.0).as("revenue"))
   }
 
+  /** TPC-H Q6 (forecasting revenue change): the pure scan-filter-
+    * aggregate — every predicate reaches the parquet scan, zero
+    * joins, one partial-agg pass. The discount band compares in
+    * exact integer cents (5..7), not on raw doubles, so the band's
+    * edge rows cannot flip between engines; revenue sums in e4
+    * integer units. The simplest possible 100 TB shape: cost is the
+    * scan, and the scan reads three columns.
+    */
+  def q119TpchRevenueChange(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        centsL("l_discount").between(5, 7) &&
+        round(col("l_quantity")).cast("long") < 24)
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(centsL("l_extendedprice") * centsL("l_discount")).as("revenue_e4"))
+
+  /** TPC-H Q14 (promotion effect): one month of the fact table
+    * against the part dimension (broadcast — parts is KB-to-MB-scale
+    * next to lineitem), a conditional aggregate splitting promo
+    * revenue from total, and the headline percentage derived from
+    * the two EXACT integer sums in one final division — never a
+    * ratio-of-floats aggregated across partitions.
+    */
+  def q120TpchPromoEffect(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+      .select(col("l_partkey"),
+        centsL("l_extendedprice").*(lit(100L) - centsL("l_discount"))
+          .as("rev_e4"))
+    val p = Tables.part(s, d).select(col("p_partkey"), col("p_type"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("rev_e4"))
+          .otherwise(lit(0L))).as("promo_rev_e4"),
+        sum(col("rev_e4")).as("total_rev_e4"))
+      .select(col("promo_rev_e4"), col("total_rev_e4"),
+        (col("promo_rev_e4").cast("double") * 100.0 /
+          col("total_rev_e4").cast("double")).as("promo_pct"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q119_tpch_revenue_change", q119TpchRevenueChange, Some("""
+      SELECT count(*) AS n_lines,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                      CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_e4
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+        AND CAST(round(l_quantity) AS BIGINT) < 24""")),
+    Q("q120_tpch_promo_effect", q120TpchPromoEffect, Some("""
+      WITH l AS (
+        SELECT l_partkey,
+               CAST(round(l_extendedprice * 100) AS BIGINT) *
+                 (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_e4
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+          AND l_shipdate < TIMESTAMP '1997-10-01')
+      SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END)
+                  AS BIGINT) AS promo_rev_e4,
+             CAST(sum(rev_e4) AS BIGINT) AS total_rev_e4,
+             CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END)
+                  AS DOUBLE) * 100.0 /
+               CAST(sum(rev_e4) AS DOUBLE) AS promo_pct
+      FROM l JOIN part ON l_partkey = p_partkey""")),
     Q("q111_tpch_returned_items", q111TpchReturnedItems, Some("""
       SELECT c_custkey, c_name,
              CAST(round(c_acctbal * 100) AS BIGINT) AS acct_cents,

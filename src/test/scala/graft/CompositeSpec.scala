@@ -78,4 +78,42 @@ class CompositeSpec extends SparkTestBase {
     }.toSeq
     assert(key === key.sorted, "top-100 ordering broken")
   }
+
+  test("q111's top-20 cuts on exact integer revenue via TakeOrdered; nation broadcasts") {
+    val df = Composite.q111TpchReturnedItems(spark, sf("sf0.001"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 not bounded:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"nation dim not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q111 fell off the equi-join path:\n$plan")
+    val rows = df.collect()
+    assert(rows.length <= 20)
+    // revenue is rev_e4/1e4, so the double ordering mirrors the
+    // exact-integer cut the plan sorted on
+    val key = rows.map(r => (-r.getDouble(4), r.getLong(0))).toSeq
+    assert(key === key.sorted, "top-20 ordering broken")
+  }
+
+  test("q119 is a zero-join pushed-filter scan; q120 broadcasts part") {
+    val d6 = Composite.q119TpchRevenueChange(spark, sf("sf0.001"))
+    d6.collect()
+    val p6 = d6.queryExecution.executedPlan.toString
+    assert(!p6.contains("Join"), s"Q6 must not join:\n$p6")
+    assert(p6.contains("PushedFilters") &&
+      p6.toLowerCase.contains("l_shipdate"),
+      s"Q6 date filter not pushed to the scan:\n$p6")
+    val d14 = Composite.q120TpchPromoEffect(spark, sf("sf0.001"))
+    d14.collect()
+    val p14 = d14.queryExecution.executedPlan.toString
+    assert(p14.contains("BroadcastHashJoin"),
+      s"part dim not broadcast:\n$p14")
+    // the percentage derives from the two exact sums
+    val r = d14.head()
+    assert(math.abs(r.getDouble(2) -
+      r.getLong(0).toDouble * 100.0 / r.getLong(1)) < 1e-9)
+  }
 }
