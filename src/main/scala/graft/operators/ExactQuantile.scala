@@ -13,64 +13,188 @@ import graft.sources.Tables
   * operator; here the selection generalizes to any rank.
   *
   * Algorithm: iterative histogram refinement (the classic
-  * distributed k-th-smallest). Each round partitions the candidate
+  * distributed k-th-smallest). Each round partitions a candidate
   * value range into ≤4096 equal-width buckets, runs ONE partial-agg
   * histogram pass (a 4096-row shuffle regardless of data size),
-  * locates the bucket holding the target rank on the driver, and
-  * recurses into it with the residual rank. When the candidate range
-  * itself fits in one histogram (width-1 buckets), the bucket id IS
-  * the answer — no final sort, no row ever collected. Convergence is
+  * locates each target rank's bucket on the driver, and recurses
+  * with the residual ranks. When a candidate range itself fits in
+  * one histogram (width-1 buckets), the bucket id IS the answer —
+  * no final sort, no row ever collected. Convergence is
   * log₄₀₉₆(domain) full scans: 2 passes for any 24-bit domain, 3 up
   * to 68 billion distinct values — each pass a pushdown-friendly
   * range filter over the scan, so at 100 TB the refinement scans
   * shrink with the range instead of rereading the table.
+  *
+  * MULTI-RANK selection shares passes: all ranks still inside one
+  * candidate range resolve from the SAME histogram job, and only
+  * after ranks split into different buckets do their refinements
+  * fan out — so a full decile profile costs ~the same scans as a
+  * single median, not 9× (the spec pins the pass count).
   */
 object ExactQuantile {
 
   private val Buckets = 4096L
 
+  /** Test hook: histogram passes run by the last `kthSmallests`. */
+  private[graft] var lastPasses: Int = 0
+
   /** The k-th smallest (0-indexed) value of long-valued `c` in `df`.
     * Requires 0 <= k < df.count (callers derive k from the same
-    * count; out-of-range k fails on the rank invariant below).
+    * count; an out-of-range k fails the rank invariant loudly).
     */
-  def kthSmallest(df: DataFrame, c: Column, k: Long): Long = {
-    val b = df.agg(min(c).cast("long"), max(c).cast("long")).head()
-    require(!b.isNullAt(0), "kthSmallest over an empty frame")
-    var lo = b.getLong(0)
-    var hi = b.getLong(1)
-    var rank = k
-    val v = c.cast("long")
-    while (hi > lo) {
-      // ceil width so ≤ Buckets buckets always cover [lo, hi]
-      val width = ((hi - lo + 1) + Buckets - 1) / Buckets
-      val hist = df
-        .where(v >= lo && v <= hi)
-        .groupBy(((v - lo) / width).cast("long").as("b"))
-        .agg(count(lit(1)).as("n"))
-        .collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
-        .sortBy(_._1)
-      var acc = 0L
-      var i = 0
-      var found = -1L
-      while (found < 0 && i < hist.length) {
-        val (bid, n) = hist(i)
-        if (acc + n > rank) found = bid else { acc += n; i += 1 }
-      }
-      require(found >= 0, s"rank $rank exceeds rows in [$lo, $hi]")
-      rank -= acc
-      val newLo = lo + found * width
-      hi = math.min(hi, newLo + width - 1)
-      lo = newLo
-      // width == 1 ⇒ every kept row equals lo ⇒ hi == lo ⇒ loop exits
+  def kthSmallest(df: DataFrame, c: Column, k: Long): Long =
+    kthSmallests(df, c, Seq(k)).head
+
+  /** Batch rank selection: the i-th result is the ks(i)-th smallest.
+    * `bounds` (inclusive lo/hi of the value domain) skips the
+    * min/max probe when the caller already holds them.
+    */
+  def kthSmallests(df: DataFrame, c: Column, ks: Seq[Long],
+      bounds: Option[(Long, Long)] = None): Seq[Long] = {
+    require(ks.nonEmpty, "kthSmallests needs at least one rank")
+    lastPasses = 0
+    val (lo, hi) = bounds.getOrElse {
+      val b = df.agg(min(c).cast("long"), max(c).cast("long")).head()
+      require(!b.isNullAt(0), "kthSmallests over an empty frame")
+      (b.getLong(0), b.getLong(1))
     }
-    lo
+    val v = c.cast("long")
+    val answers = resolve(df, v, lo, hi, ks.distinct.map(k => k -> k).toMap)
+    ks.map(answers)
+  }
+
+  /** Resolve `ranks` (original rank → residual rank within [lo, hi])
+    * to their values; one histogram job per recursion level per
+    * surviving range, shared by every rank still inside it.
+    */
+  private def resolve(df: DataFrame, v: Column, lo: Long, hi: Long,
+      ranks: Map[Long, Long]): Map[Long, Long] = {
+    if (hi <= lo) return ranks.map { case (orig, _) => orig -> lo }
+    val width = ((hi - lo + 1) + Buckets - 1) / Buckets
+    lastPasses += 1
+    val hist = df
+      .where(v >= lo && v <= hi)
+      .groupBy(((v - lo) / width).cast("long").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    // cumulative counts below each bucket
+    val cumBefore = hist.scanLeft(0L)(_ + _._2)
+    val located = ranks.map { case (orig, rank) =>
+      val i = {
+        var j = 0
+        while (j < hist.length && cumBefore(j + 1) <= rank) j += 1
+        require(j < hist.length, s"rank $rank exceeds rows in [$lo, $hi]")
+        j
+      }
+      (orig, hist(i)._1, rank - cumBefore(i))
+    }
+    located.groupBy(_._2).flatMap { case (bucket, group) =>
+      val newLo = lo + bucket * width
+      val newHi = math.min(hi, newLo + width - 1)
+      val residual = group.map { case (orig, _, r) => orig -> r }.toMap
+      if (width == 1) residual.map { case (orig, _) => orig -> newLo }
+      else resolve(df, v, newLo, newHi, residual)
+    }
+  }
+
+  /** GROUPED exact rank selection: one rank per group, every group
+    * resolved in the SAME histogram passes — `groupBy(g, bucket)`
+    * with group-specific bucket arithmetic joined in from a
+    * broadcast per-group bounds table. Each refinement level is ONE
+    * partial-agg job over all groups (≤ groups·4096 result rows),
+    * and a group's candidate range shrinks independently until its
+    * width hits 1. This is the scale answer to `percentile_disc`'s
+    * per-group buffering (q55): G groups × N rows resolve in
+    * log₄₀₉₆(domain) scans with O(G·4096) driver state, no group's
+    * values ever materialized anywhere.
+    *
+    * `rankOf` maps each group's row count to its target rank
+    * (0-indexed k-th smallest), e.g. `n => n / 2` for the lower
+    * median.
+    */
+  def groupedKthSmallest(df: DataFrame, g: Column, c: Column,
+      rankOf: Long => Long): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    lastPasses = 0
+    val v = c.cast("long")
+    val keyed = df.select(g.cast("string").as("__g"), v.as("__v"))
+    // one probe: per-group count + bounds (a partial agg, G rows)
+    var state = keyed.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"), min(col("__v")).as("lo"),
+        max(col("__v")).as("hi"))
+      .collect()
+      .map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), rankOf(r.getLong(1)))))
+      .toMap // group -> (n, lo, hi, residual rank)
+    var resolved = Map.empty[String, Long]
+    while (state.nonEmpty) {
+      val (done, open) = state.partition { case (_, (_, lo, hi, _)) => hi <= lo }
+      resolved ++= done.map { case (k, (_, lo, _, _)) => k -> lo }
+      if (open.isEmpty) return toFrame(s, resolved)
+      state = open
+      lastPasses += 1
+      val widths = state.map { case (k, (_, lo, hi, _)) =>
+        (k, lo, hi, ((hi - lo + 1) + Buckets - 1) / Buckets)
+      }.toSeq
+      val bounds = widths.toDF("__g", "__lo", "__hi", "__w")
+      val hist = keyed
+        .join(broadcast(bounds), "__g")
+        .where(col("__v") >= col("__lo") && col("__v") <= col("__hi"))
+        .groupBy(col("__g"),
+          ((col("__v") - col("__lo")) / col("__w")).cast("long").as("__b"))
+        .agg(count(lit(1)).as("__n"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1)
+      state = state.map { case (k, (n, lo, hi, rank)) =>
+        val width = widths.find(_._1 == k).get._4
+        val bs = hist(k).map(t => (t._2, t._3)).sortBy(_._1)
+        var acc = 0L; var i = 0; var found = -1L
+        while (found < 0 && i < bs.length) {
+          val (bid, cnt) = bs(i)
+          if (acc + cnt > rank) found = bid else { acc += cnt; i += 1 }
+        }
+        require(found >= 0, s"rank $rank exceeds rows of group $k")
+        val newLo = lo + found * width
+        (k, (n, newLo, math.min(hi, newLo + width - 1), rank - acc))
+      }
+    }
+    toFrame(s, resolved)
+  }
+
+  private def toFrame(s: SparkSession,
+      resolved: Map[String, Long]): DataFrame = {
+    import s.implicits._
+    resolved.toSeq.toDF("group", "value")
+  }
+
+  /** Judged grouped exact median: per-returnflag lower median of
+    * lineitem cents, all flags resolved in shared histogram passes,
+    * against the oracle's per-group row_number selection at rank
+    * ⌊n_g/2⌋. The q55 contrast made judgeable: same answer shape as
+    * a percentile_disc, produced without buffering any group.
+    */
+  def q122GroupedMedian(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+      round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val counts = li.groupBy(col("l_returnflag")).count()
+    groupedKthSmallest(li, col("l_returnflag"), col("cents"), n => n / 2)
+      .select(col("group").as("l_returnflag"),
+        col("value").as("median_cents"))
+      .join(broadcast(counts), Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("count").as("n_rows"),
+        col("median_cents"))
+      .orderBy(col("l_returnflag"))
   }
 
   /** Judged exact median + p90 of lineitem's extended price in cents:
-    * both ranks resolved by [[kthSmallest]] (two histogram passes
-    * each for the ~24-bit cents domain), certified against the
-    * oracle's row_number()-over-full-sort selection at the exact
+    * one count/min/max probe, then both ranks resolve through
+    * [[kthSmallests]] — the first (full-domain) histogram is SHARED,
+    * and only the second-level refinements split. Certified against
+    * the oracle's row_number()-over-full-sort selection at the exact
     * same 0-indexed ranks ⌊n/2⌋ and ⌊9n/10⌋ — rank semantics pinned
     * by position, not by an engine's percentile law, so the two
     * engines cannot disagree on interpolation.
@@ -78,14 +202,30 @@ object ExactQuantile {
   def q112ExactMedian(s: SparkSession, d: String): DataFrame = {
     val cents = round(col("l_extendedprice") * 100).cast("long")
     val li = Tables.lineitem(s, d).select(cents.as("cents"))
-    val n = li.count()
-    val med = kthSmallest(li, col("cents"), n / 2)
-    val p90 = kthSmallest(li, col("cents"), 9 * n / 10)
+    val probe = li.agg(count(lit(1)), min(col("cents")), max(col("cents")))
+      .head()
+    val n = probe.getLong(0)
+    val Seq(med, p90) = kthSmallests(li, col("cents"),
+      Seq(n / 2, 9 * n / 10), Some((probe.getLong(1), probe.getLong(2))))
     import s.implicits._
     Seq((n, med, p90)).toDF("n_rows", "median_cents", "p90_cents")
   }
 
   val queries: Seq[Q] = Seq(
+    Q("q122_grouped_median", q122GroupedMedian, Some("""
+      WITH ec AS (SELECT l_returnflag,
+                         CAST(round(l_extendedprice * 100) AS BIGINT)
+                           AS cents FROM lineitem),
+      ranked AS (SELECT l_returnflag, cents,
+                        row_number() OVER (PARTITION BY l_returnflag
+                                           ORDER BY cents) AS rn,
+                        count(*) OVER (PARTITION BY l_returnflag) AS n
+                 FROM ec)
+      SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n_rows,
+             max(CASE WHEN rn = n // 2 + 1 THEN cents END) AS median_cents
+      FROM ranked
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""")),
     Q("q112_exact_median", q112ExactMedian, Some("""
       WITH ec AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
                     AS cents FROM lineitem),

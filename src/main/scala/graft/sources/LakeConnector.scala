@@ -268,7 +268,7 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
       s"stat=${snap.statCol}∈[$lo,$hi)" +
         snap.statCol2.fold("")(c => s" stat2=$c∈[$lo2,$hi2)") +
         point.fold("")(v => s" bloom=$v"),
-      asOf, lo, hi, lo2, hi2, point)
+      asOf, lo, hi, lo2, hi2, point, snap.statCol, snap.bloomCol)
   }
 }
 
@@ -278,9 +278,68 @@ final case class LakeScan(root: String, version: Int,
     asOf: Option[Int] = None,
     lo: Long = Long.MinValue, hi: Long = Long.MaxValue,
     lo2: Long = Long.MinValue, hi2: Long = Long.MaxValue,
-    point: Option[Long] = None)
+    point: Option[Long] = None,
+    statCol: String = "", bloomColName: Option[String] = None)
     extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  // set by the engine's execution-time filter() call; read by
+  // planInputPartitions and the judged gate
+  @volatile private var runtimeFiles: Option[Seq[SnapshotLake.FileStat]] =
+    None
+  def effectiveFiles: Seq[SnapshotLake.FileStat] =
+    runtimeFiles.getOrElse(files)
+  /** files surviving the runtime filter, or -1 if none arrived. */
+  def runtimeKept: Int = runtimeFiles.fold(-1)(_.length)
+
+  /** RUNTIME (join-driven) file pruning — DSv2's dynamic partition
+    * pruning hook, answered from the same manifest stats as the
+    * static prune: when this table is the fact side of a join whose
+    * build side is selective, Spark re-invokes the scan at EXECUTION
+    * time with the build side's join-key values, and every file
+    * whose [min, max] contains none of them (or whose bloom rejects
+    * them all) drops before a single task launches. At 100 TB this
+    * is the difference between "scan the fact table" and "scan the
+    * two files the dimension filter actually touches" — and it
+    * composes with the static pushdown prune, which already ran.
+    */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    (Seq(statCol).filter(_.nonEmpty) ++ bloomColName).distinct
+      .map(c => org.apache.spark.sql.connector.expressions.Expressions
+        .column(c))
+      .toArray
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    import org.apache.spark.sql.connector.expressions.{
+      Literal => VLiteral, NamedReference}
+    val kept = predicates.foldLeft(effectiveFiles) { (fs, p) =>
+      val children = p.children()
+      val colName = children.collectFirst {
+        case r: NamedReference => r.fieldNames.mkString(".")
+      }
+      val values: Seq[Long] = children.toSeq.collect {
+        case l: VLiteral[_] => l.value()
+      }.collect {
+        case l: java.lang.Long => l.longValue()
+        case i: java.lang.Integer => i.longValue()
+        case s: java.lang.Short => s.longValue()
+      }
+      (p.name(), colName) match {
+        case ("IN" | "=", Some(c)) if c == statCol && values.nonEmpty =>
+          fs.filter(f => values.exists(v => f.lo <= v && v <= f.hi))
+        case ("IN" | "=", Some(c))
+            if bloomColName.contains(c) && values.nonEmpty =>
+          fs.filter(f => f.bloom.forall(b =>
+            values.exists(SnapshotLake.Bloom.mightContain(b, _))))
+        case _ => fs // unrecognized predicate: prune nothing (safe)
+      }
+    }
+    runtimeFiles = Some(kept)
+  }
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -342,7 +401,7 @@ final case class LakeScan(root: String, version: Int,
       SparkSession.active.conf.get("spark.sql.files.maxPartitionBytes",
         "128m"))
     val conf = new Configuration()
-    files.flatMap { f =>
+    effectiveFiles.flatMap { f =>
       val path = s"$root/${f.name}"
       val size = sizeOf(f)
       if (size <= maxSplit) Seq(LakeSplit(path, 0L, size))
@@ -373,6 +432,23 @@ final case class LakeScan(root: String, version: Int,
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new LakeReaderFactory(required, LakeReaderFactory.sessionConf())
+}
+
+object LakeScan {
+  /** First LakeScan in an EXECUTED plan, recursing through AQE's
+    * stage boundaries (collect() does not traverse them) — the
+    * post-execution observation hook the runtime-filter gates use.
+    */
+  def findIn(plan: org.apache.spark.sql.execution.SparkPlan)
+      : Option[LakeScan] = plan match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      findIn(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      findIn(q.plan)
+    case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+      b.scan match { case l: LakeScan => Some(l); case _ => None }
+    case other => other.children.iterator.flatMap(findIn).nextOption()
+  }
 }
 
 /** A byte range of one data file covering whole row groups. */

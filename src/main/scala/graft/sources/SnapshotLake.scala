@@ -1247,6 +1247,53 @@ object SnapshotLake {
     (span, merge(s, root, upserts, deletes))
   }
 
+  /** Judged RUNTIME file pruning (DSv2 dynamic partition pruning):
+    * the lake is 8 range-clustered files with NO static predicate on
+    * the fact side — every file survives planning — and the join's
+    * build side is a selectively-filtered dimension whose surviving
+    * keys all live in the middle quarter of the id space. At
+    * execution time Spark hands those keys to the scan's
+    * `SupportsRuntimeV2Filtering.filter`, and the manifest ranges
+    * must drop 6 of the 8 files BEFORE any task launches — both
+    * counts ride the row hash-checked, so a DPP regression (filter
+    * never delivered, or delivered and ignored) goes red, not slow.
+    * At 100 TB this is "scan the two files the dimension actually
+    * touches", decided per-join with zero static predicates.
+    */
+  def q121RuntimePrune(s: SparkSession, d: String): DataFrame = {
+    val root = Housekeeping.tempDir("q121")
+    val dimDir = Housekeeping.tempDir("q121_dim")
+    val ev = eventsCents(s, d)
+    val span = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    def bound(i: Int): Long = i.toLong * span / 8
+    val bucket = (1 to 7).foldLeft(lit(0)) { (acc, i) =>
+      when(col("event_id") >= bound(i), lit(i)).otherwise(acc)
+    }
+    commitClustered(s, root, ev, bucket, "event_id")
+    // dim on disk with a selective predicate (DPP requires one on the
+    // build side); picks are sparse ids inside files 2-3 only
+    ev.select(col("event_id"),
+      when(col("event_id") >= bound(2) && col("event_id") < bound(4) &&
+        col("event_id") % 97 === 0, lit("pick")).otherwise(lit("skip"))
+        .as("tag"))
+      .write.parquet(s"$dimDir/dim")
+    val dim = s.read.parquet(s"$dimDir/dim")
+      .where(col("tag") === "pick").select(col("event_id"))
+    val fact = s.read.format("graft.sources.GraftLakeSource")
+      .option("path", root).load()
+    val agg = fact.join(broadcast(dim), Seq("event_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+    // collect(), not head(): head() executes a separate limit plan,
+    // and the runtime filter must land on THE plan we then inspect
+    val row = agg.collect().head
+    val scan = LakeScan.findIn(agg.queryExecution.executedPlan)
+      .getOrElse(throw new IllegalStateException("no LakeScan planned"))
+    import s.implicits._
+    Seq((scan.files.length.toLong, scan.runtimeKept.toLong,
+      row.getLong(0), row.getLong(1)))
+      .toDF("n_files_static", "n_files_runtime", "n_events", "sum_cents")
+  }
+
   /** Judged CDC replication closure: the change feed is not just a
     * report — it is sufficient to DRIVE a follower. A follower lake
     * bootstraps from the pre-merge snapshot, the q91 change set
@@ -1518,6 +1565,19 @@ object SnapshotLake {
   }
 
   val queries: Seq[Q] = Seq(
+    Q("q121_lake_runtime_prune", q121RuntimePrune, Some("""
+      WITH b AS (SELECT max(event_id) + 1 AS span FROM events),
+      picks AS (SELECT event_id,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events, b
+                WHERE event_id >= (2 * span) // 8
+                  AND event_id < (4 * span) // 8
+                  AND event_id % 97 = 0)
+      SELECT CAST(8 AS BIGINT) AS n_files_static,
+             CAST(2 AS BIGINT) AS n_files_runtime,
+             count(*) AS n_events,
+             CAST(sum(cents) AS BIGINT) AS sum_cents
+      FROM picks""")),
     Q("q117_lake_pipeline", q117LakePipeline, Some("""
       WITH ec AS (SELECT event_id,
                          CAST(round(value * 100) AS BIGINT) AS cents

@@ -36,6 +36,48 @@ class ExactQuantileSpec extends SparkTestBase {
     check(vs, Seq(0L, 123L, 250L, 377L, 499L))
   }
 
+  test("multi-rank selection shares histogram passes") {
+    // dense small domain: one width-1 histogram answers ALL nine
+    // deciles in a single pass
+    val dense = Seq.tabulate(1000)(i => (i % 100).toLong).toDF("x")
+    val ks = (1 to 9).map(_ * 100L - 1)
+    val sorted = Seq.tabulate(1000)(i => (i % 100).toLong).sorted
+    val got = graft.operators.ExactQuantile.kthSmallests(dense, col("x"), ks)
+    assert(got === ks.map(k => sorted(k.toInt)))
+    assert(graft.operators.ExactQuantile.lastPasses === 1,
+      s"dense deciles should share one histogram, ran ${
+        graft.operators.ExactQuantile.lastPasses}")
+    // wide sparse domain: ranks split after the shared first pass;
+    // total passes stay ≤ 1 + ranks·(levels-1), far under
+    // ranks·levels independent runs
+    val wide = Seq.tabulate(500)(i => i.toLong * 2000003L).toDF("x")
+    val ksW = (1 to 9).map(_ * 50L - 1)
+    val gotW = graft.operators.ExactQuantile.kthSmallests(wide, col("x"), ksW)
+    assert(gotW === ksW.map(k => k * 2000003L))
+    assert(graft.operators.ExactQuantile.lastPasses <= 1 + 9 * 2,
+      s"sparse deciles ran ${graft.operators.ExactQuantile.lastPasses} passes")
+  }
+
+  test("grouped selection resolves every group exactly in shared passes") {
+    val rows =
+      Seq.tabulate(300)(i => ("dense", (i % 100).toLong)) ++
+        Seq.tabulate(200)(i => ("sparse", i.toLong * 2000003L)) ++
+        Seq.fill(7)(("const", 42L))
+    val df = rows.toDF("g", "x").repartition(5)
+    val got = graft.operators.ExactQuantile
+      .groupedKthSmallest(df, col("g"), col("x"), n => n / 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def expected(vs: Seq[Long]): Long = vs.sorted.apply(vs.size / 2)
+    assert(got === Map(
+      "dense" -> expected(rows.filter(_._1 == "dense").map(_._2)),
+      "sparse" -> expected(rows.filter(_._1 == "sparse").map(_._2)),
+      "const" -> 42L))
+    // passes = the DEEPEST group's refinement depth, not the sum:
+    // dense needs 1 (width-1 first histogram), sparse ~3, const 0
+    assert(graft.operators.ExactQuantile.lastPasses <= 3,
+      s"grouped passes not shared: ${graft.operators.ExactQuantile.lastPasses}")
+  }
+
   test("out-of-range rank fails the invariant loudly") {
     val df = Seq(1L, 2L, 3L).toDF("x")
     intercept[IllegalArgumentException] {
