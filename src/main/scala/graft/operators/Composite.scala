@@ -227,7 +227,49 @@ object Composite {
           col("total_rev_e4").cast("double")).as("promo_pct"))
   }
 
+  /** TPC-H Q19 (discounted revenue, disjunctive predicates): the
+    * OR-of-conjunctions join — three (brand, size-range,
+    * quantity-range) arms sharing the p_partkey = l_partkey
+    * equi-key. The composition under test: Catalyst must extract
+    * the COMMON equi-condition into a hash join (a literal reading
+    * of the OR would fall to a nested-loop cross product), and the
+    * per-side halves of the disjunction (brand/size on part,
+    * quantity on lineitem) must reach their scans as pushed OR
+    * filters, so both inputs shrink before the join. Quantity
+    * bounds compare on exact integral longs; revenue in e4 units.
+    */
+  def q123TpchDisjunctive(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d).select(col("l_partkey"),
+      round(col("l_quantity")).cast("long").as("qty"),
+      centsL("l_extendedprice").*(lit(100L) - centsL("l_discount"))
+        .as("rev_e4"))
+    val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"),
+      col("p_size"))
+    val arm1 = col("p_brand") === "Brand#12" &&
+      col("p_size").between(1, 15) && col("qty").between(1, 20)
+    val arm2 = col("p_brand") === "Brand#23" &&
+      col("p_size").between(1, 25) && col("qty").between(10, 30)
+    val arm3 = col("p_brand") === "Brand#34" &&
+      col("p_size").between(1, 35) && col("qty").between(20, 40)
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .where(arm1 || arm2 || arm3)
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(col("rev_e4")).cast("double") / 10000.0).as("revenue"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q123_tpch_disjunctive", q123TpchDisjunctive, Some("""
+      SELECT count(*) AS n_lines,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                      (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                  AS DOUBLE) / 10000.0 AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+             AND CAST(round(l_quantity) AS BIGINT) BETWEEN 1 AND 20)
+         OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+             AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 30)
+         OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+             AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 40)""")),
     Q("q119_tpch_revenue_change", q119TpchRevenueChange, Some("""
       SELECT count(*) AS n_lines,
              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *

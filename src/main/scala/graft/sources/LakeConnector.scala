@@ -18,7 +18,7 @@ import org.apache.spark.sql.connector.read.{
   ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters,
   SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{
-  EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan,
+  EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan,
   LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -141,6 +141,12 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
   private var lo2 = Long.MinValue
   private var hi2 = Long.MaxValue
   private var point: Option[Long] = None
+  // IN-list pushdown: a file survives only if it can contain AT
+  // LEAST ONE listed value (range containment on the stat column,
+  // bloom membership on the bloom column) — the static twin of the
+  // runtime filter's join-key prune
+  private var statIn: Option[Seq[Long]] = None
+  private var bloomIn: Option[Seq[Long]] = None
   private var handled = Array.empty[Filter]
   private var required = tschema
 
@@ -183,6 +189,16 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
       case LessThanOrEqual(c, v) if snap.statCol2.contains(c) =>
         num(v).exists { l =>
           if (l < Long.MaxValue) hi2 = math.min(hi2, l + 1); true
+        }
+      case In(c, vs) if c == snap.statCol && vs.nonEmpty =>
+        val ls = vs.toSeq.flatMap(num)
+        ls.length == vs.length && {
+          statIn = Some(statIn.fold(ls)(_.intersect(ls))); true
+        }
+      case In(c, vs) if snap.bloomCol.contains(c) && vs.nonEmpty =>
+        val ls = vs.toSeq.flatMap(num)
+        ls.length == vs.length && {
+          bloomIn = Some(bloomIn.fold(ls)(_.intersect(ls))); true
         }
       case _ => false
     }
@@ -261,13 +277,18 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
       f.hi >= lo && (hi == Long.MaxValue || f.lo < hi) &&
         f.dim2.forall { case (l2, h2) =>
           h2 >= lo2 && (hi2 == Long.MaxValue || l2 < hi2) } &&
-        point.forall(v => f.bloom.forall(SnapshotLake.Bloom.mightContain(_, v)))
+        point.forall(v => f.bloom.forall(SnapshotLake.Bloom.mightContain(_, v))) &&
+        statIn.forall(_.exists(v => f.lo <= v && v <= f.hi)) &&
+        bloomIn.forall(vs => f.bloom.forall(b =>
+          vs.exists(SnapshotLake.Bloom.mightContain(b, _))))
     }
     LakeScan(root, snap.version, kept,
       snap.files.length, required,
       s"stat=${snap.statCol}∈[$lo,$hi)" +
         snap.statCol2.fold("")(c => s" stat2=$c∈[$lo2,$hi2)") +
-        point.fold("")(v => s" bloom=$v"),
+        point.fold("")(v => s" bloom=$v") +
+        statIn.fold("")(vs => s" in(${vs.length})") +
+        bloomIn.fold("")(vs => s" bloomIn(${vs.length})"),
       asOf, lo, hi, lo2, hi2, point, snap.statCol, snap.bloomCol)
   }
 }

@@ -358,6 +358,16 @@ object SnapshotLake {
   final case class MergeResult(version: Int, filesKept: Int,
       filesRewritten: Int, filesNew: Int)
 
+
+  /** Bloom sizing for maintenance rewrites: preserve the chain's
+    * per-file bloom capacity (the largest existing bloom) so a
+    * rewrite never silently degrades point-lookup FPR to the 1 KB
+    * default.
+    */
+  private def inheritedBloomBytes(snap: Snapshot): Int =
+    snap.files.flatMap(_.bloom).map(_.length)
+      .reduceOption(math.max).getOrElse(1024)
+
   /** MERGE INTO (copy-on-write upsert/delete) on the lake key
     * `statCol` — the Delta/Iceberg verb that turns the snapshot lake
     * from append-only into a mutable table without ever mutating a
@@ -453,8 +463,8 @@ object SnapshotLake {
     newData.withColumn("__bucket", srcToBucket).drop("__src")
       .repartition(col("__bucket"))
       .write.partitionBy("__bucket").parquet(s"$root/$batch")
-    val newFiles =
-      statsFor(s, root, batch, key, base.bloomCol, 1024, base.statCol2)
+    val newFiles = statsFor(s, root, batch, key, base.bloomCol,
+      inheritedBloomBytes(base), base.statCol2)
     // 4. publish with conflict-checked optimistic rebase
     var committed = -1
     while (committed < 0) {
@@ -546,7 +556,8 @@ object SnapshotLake {
         cur.withColumn("__bucket", srcToBucket).drop("__src")
           .repartition(col("__bucket"))
           .write.partitionBy("__bucket").parquet(s"$root/$batch")
-        statsFor(s, root, batch, key, base.bloomCol, 1024, base.statCol2)
+        statsFor(s, root, batch, key, base.bloomCol,
+          inheritedBloomBytes(base), base.statCol2)
       }
     val rowsDeleted = dropped.map(_.rows).sum +
       (straddling.map(_.rows).sum - newFiles.map(_.rows).sum)
@@ -625,7 +636,8 @@ object SnapshotLake {
           .repartition(col("__bucket"))
           .sortWithinPartitions(col(key))
           .write.partitionBy("__bucket").parquet(s"$root/$batch")
-        statsFor(s, root, batch, key, base.bloomCol, 1024, base.statCol2)
+        statsFor(s, root, batch, key, base.bloomCol,
+          inheritedBloomBytes(base), base.statCol2)
       }
     var committed = -1
     while (committed < 0) {

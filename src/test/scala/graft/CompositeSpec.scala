@@ -98,6 +98,24 @@ class CompositeSpec extends SparkTestBase {
     assert(key === key.sorted, "top-20 ordering broken")
   }
 
+  test("q123's OR-of-conjunctions still plans an equi hash join with per-side pushdown") {
+    val df = Composite.q123TpchDisjunctive(spark, sf("sf0.001"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the shared p_partkey = l_partkey key must be EXTRACTED from the
+    // disjunction into a real equi join — a literal reading falls to
+    // a nested-loop product over lineitem × part
+    assert(plan.contains("BroadcastHashJoin"),
+      s"disjunctive join fell off the equi path:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"nested-loop fallback:\n$plan")
+    // each side's half of the disjunction reaches its scan: brand OR
+    // on part, quantity OR on lineitem
+    assert(plan.contains("Brand#12") && plan.contains("l_quantity"),
+      s"per-side OR filters not visible in plan:\n$plan")
+  }
+
   test("q119 is a zero-join pushed-filter scan; q120 broadcasts part") {
     val d6 = Composite.q119TpchRevenueChange(spark, sf("sf0.001"))
     d6.collect()

@@ -60,6 +60,38 @@ class LakeConnectorSpec extends SparkTestBase {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("IN-list predicates prune by range containment and bloom membership") {
+    val (root, span) = fixture()
+    // stat-column IN: three ids spread over files 1 and 6 — only the
+    // files whose [min, max] contains at least one value survive
+    val ids = Seq(span / 8, span / 8 + 1, 6 * span / 8)
+    val df = lakeRead(root).where(col("event_id").isin(ids: _*))
+    val scan = plannedScan(df)
+    assert(scan.files.length === 2,
+      s"IN prune kept ${scan.files.length}: ${scan.description()}")
+    assert(df.select(col("event_id")).collect().map(_.getLong(0)).sorted
+      === ids.sorted.toArray)
+    // bloom-column IN: user ids hashed across the clustered files —
+    // bloom membership must keep a superset of the true files and
+    // the rows must stay exact
+    val users = Seq(1L, 3L)
+    val dfb = lakeRead(root).where(col("user_id").isin(users: _*))
+    val scanB = plannedScan(dfb)
+    val expect = graft.sources.Tables.events(spark, sf("sf0.001"))
+      .where(col("user_id").isin(users: _*)).count()
+    assert(dfb.count() === expect)
+    assert(scanB.files.length <= scanB.filesTotal)
+    // conjunction of two IN lists intersects down to the overlap
+    val overlap = lakeRead(root)
+      .where(col("event_id").isin(1L, 2L, span - 1) &&
+        col("event_id").isin(2L, 5L, span - 1))
+    val scanO = plannedScan(overlap)
+    assert(scanO.files.length === 2, // first and last file only
+      s"IN-intersection kept ${scanO.files.length}: ${scanO.description()}")
+    assert(overlap.select(col("event_id")).collect().map(_.getLong(0)).sorted
+      === Array(2L, span - 1))
+  }
+
   test("column pruning reaches the parquet projection") {
     val (root, _) = fixture()
     val df = lakeRead(root).select(col("cents"))

@@ -146,6 +146,23 @@ class LakeMutationSpec extends SparkTestBase {
     assert(SnapshotLake.read(spark, root).count() === 450L)
   }
 
+  test("maintenance rewrites preserve the chain's bloom capacity") {
+    val root = freshRoot()
+    val bucket = when(col("k") < 100, lit(0))
+      .when(col("k") < 200, lit(1)).otherwise(lit(2))
+    SnapshotLake.commitClustered(spark, root, tbl(0 until 300), bucket, "k",
+      bloomCol = Some("k"), bloomBytes = 4096)
+    // delete straddles file 1 → its rewrite must carry a 4096-byte
+    // bloom, not the 1 KB default
+    SnapshotLake.delete(spark, root, 150L, 250L)
+    val sizes = SnapshotLake.snapshot(root).files.flatMap(_.bloom).map(_.length)
+    assert(sizes.nonEmpty && sizes.forall(_ === 4096),
+      s"bloom capacity degraded: $sizes")
+    // point lookups still exact after the rewrite
+    val (df, _, _) = SnapshotLake.readPoint(spark, root, 120L)
+    assert(df.select("k").collect().map(_.getLong(0)).toSeq === Seq(120L))
+  }
+
   test("compact after an interleaved append packs the merged file set") {
     val root = freshRoot()
     val bucket = when(col("k") < 50, lit(0)).otherwise(lit(1))
