@@ -389,7 +389,8 @@ final case class LakeScan(root: String, version: Int,
     // manifest carries write-time byte sizes; pre-sz manifests fall
     // back to one driver-side stat(2) per file
     f.bytes.getOrElse(
-      java.nio.file.Files.size(java.nio.file.Paths.get(root, f.name)))
+      java.nio.file.Files.size(
+        java.nio.file.Paths.get(SnapshotLake.dataPath(root, f.name))))
 
   /** Manifest-derived table statistics AFTER the prune: exact row
     * counts and on-disk bytes for the kept files, zero footers
@@ -423,7 +424,7 @@ final case class LakeScan(root: String, version: Int,
         "128m"))
     val conf = new Configuration()
     effectiveFiles.flatMap { f =>
-      val path = s"$root/${f.name}"
+      val path = SnapshotLake.dataPath(root, f.name)
       val size = sizeOf(f)
       if (size <= maxSplit) Seq(LakeSplit(path, 0L, size))
       else {

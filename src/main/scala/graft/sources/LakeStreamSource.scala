@@ -105,9 +105,9 @@ final class LakeMicroBatchStream(root: String, required: StructType,
           "stream from the restated table")
     snap.files
       .filter(f => !prev(f.name) && keep(f))
-      .map(f => LakeSplit(s"$root/${f.name}", 0L,
-        f.bytes.getOrElse(java.nio.file.Files.size(
-          java.nio.file.Paths.get(root, f.name)))): InputPartition)
+      .map(f => LakeSplit(SnapshotLake.dataPath(root, f.name), 0L,
+        f.bytes.getOrElse(java.nio.file.Files.size(java.nio.file.Paths.get(
+          SnapshotLake.dataPath(root, f.name))))): InputPartition)
       .toArray
   }
 

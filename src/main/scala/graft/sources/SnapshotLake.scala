@@ -176,6 +176,14 @@ object SnapshotLake {
 
   private def logDir(root: String): Path = Paths.get(root, "_log")
 
+  /** Resolve a manifest file entry to a filesystem path. Entries are
+    * normally root-relative (`data/b-xxxx/part-...`); a SHALLOW CLONE's
+    * manifest references its source's files by ABSOLUTE path, which
+    * resolves as-is — the zero-copy mechanism.
+    */
+  private[sources] def dataPath(root: String, name: String): String =
+    if (name.startsWith("/")) name else s"$root/$name"
+
   private def manifestPath(root: String, v: Int): Path =
     logDir(root).resolve(f"v$v%05d.manifest")
 
@@ -435,7 +443,7 @@ object SnapshotLake {
             .withColumn("__src", lit(null).cast("string"))
         else
           readerFor(s, base)
-            .parquet(touchedFiles.map(f => s"$root/${f.name}"): _*)
+            .parquet(touchedFiles.map(f => dataPath(root, f.name)): _*)
             .withColumn("__src", input_file_name())
       // survivors: delete first, then presence-flag update in place
       val survivors = cur
@@ -544,7 +552,7 @@ object SnapshotLake {
         // pattern) — the shuffle moves boundary-file bytes, nothing
         // else
         val cur = readerFor(s, base)
-          .parquet(straddling.map(f => s"$root/${f.name}"): _*)
+          .parquet(straddling.map(f => dataPath(root, f.name)): _*)
           .withColumn("__src", input_file_name())
           .where(!(col(key) >= lo && col(key) < hi))
         val srcToBucket = straddling.map(_.name).zipWithIndex
@@ -630,7 +638,7 @@ object SnapshotLake {
         }
         val batch = s"data/b-${UUID.randomUUID().toString.take(8)}"
         readerFor(s, base)
-          .parquet(packed.flatten.map(f => s"$root/${f.name}"): _*)
+          .parquet(packed.flatten.map(f => dataPath(root, f.name)): _*)
           .withColumn("__src", input_file_name())
           .withColumn("__bucket", srcToBucket).drop("__src")
           .repartition(col("__bucket"))
@@ -680,7 +688,7 @@ object SnapshotLake {
     val added = to.files.filterNot(f => fromNames(f.name))
     def readFiles(fs: Seq[FileStat]): DataFrame =
       if (fs.isEmpty) read(s, root, Some(toV)).where(lit(false))
-      else readerFor(s, to).parquet(fs.map(f => s"$root/${f.name}"): _*)
+      else readerFor(s, to).parquet(fs.map(f => dataPath(root, f.name)): _*)
     val payload = readFiles(to.files.take(1)).columns.filterNot(_ == key).toSeq
     def pack(df: DataFrame, tag: String): DataFrame =
       df.select(col(key).cast("long").as(key),
@@ -869,7 +877,7 @@ object SnapshotLake {
       f.bloom.forall(Bloom.mightContain(_, value)))
     val df =
       if (kept.isEmpty) read(s, root, asOf).where(lit(false))
-      else readerFor(s, snap).parquet(kept.map(f => s"$root/${f.name}"): _*)
+      else readerFor(s, snap).parquet(kept.map(f => dataPath(root, f.name)): _*)
         .where(col(c) === value)
     (df, kept.length, snap.files.length)
   }
@@ -877,7 +885,7 @@ object SnapshotLake {
   /** Read a snapshot (head by default, `asOf` for time travel). */
   def read(s: SparkSession, root: String, asOf: Option[Int] = None): DataFrame = {
     val snap = snapshot(root, asOf)
-    readerFor(s, snap).parquet(snap.files.map(f => s"$root/${f.name}"): _*)
+    readerFor(s, snap).parquet(snap.files.map(f => dataPath(root, f.name)): _*)
   }
 
   /** Read with file skipping for `statCol ∈ [lo, hi)`: drops every
@@ -895,7 +903,7 @@ object SnapshotLake {
       if (kept.isEmpty)
         read(s, root, asOf).where(lit(false))
       else
-        readerFor(s, snap).parquet(kept.map(f => s"$root/${f.name}"): _*)
+        readerFor(s, snap).parquet(kept.map(f => dataPath(root, f.name)): _*)
           .where(col(snap.statCol) >= lo && col(snap.statCol) < hi)
     (df, kept.length, snap.files.length)
   }
@@ -923,7 +931,7 @@ object SnapshotLake {
         f.dim2.forall { case (l2, h2) => h2 >= lo2 && l2 < hi2 })
     val df =
       if (kept.isEmpty) read(s, root, asOf).where(lit(false))
-      else readerFor(s, snap).parquet(kept.map(f => s"$root/${f.name}"): _*)
+      else readerFor(s, snap).parquet(kept.map(f => dataPath(root, f.name)): _*)
         .where(col(snap.statCol) >= lo && col(snap.statCol) < hi &&
           col(c2) >= lo2 && col(c2) < hi2)
     (df, kept.length, snap.files.length)
@@ -996,9 +1004,13 @@ object SnapshotLake {
     // delete data first, manifests last: a crash mid-vacuum leaves
     // dangling manifest entries (loud, detectable) rather than
     // orphaned unreachable files (silent storage leak)
-    dead.foreach(n => Files.deleteIfExists(Paths.get(root, n)))
+    // external (absolute) refs — a shallow clone's borrowed files —
+    // are never owned by this lake: dropping the manifest drops the
+    // REFERENCE, the bytes belong to the source lake
+    val owned = dead.filterNot(_.startsWith("/"))
+    owned.foreach(n => Files.deleteIfExists(Paths.get(root, n)))
     dropped.foreach(v => Files.delete(manifestPath(root, v)))
-    (dropped.size, dead.size)
+    (dropped.size, owned.size)
   }
 
   /** Restore the lake head to an earlier version's contents — AS A
@@ -1021,6 +1033,43 @@ object SnapshotLake {
           overwrite = true, target.files, target.statCol2,
           txns = headTxns, schemaJson = target.schemaJson,
           op = Some("restore")))
+        committed = head + 1
+    }
+    committed
+  }
+
+  /** SHALLOW CLONE (Delta's zero-copy clone): publish a manifest at
+    * `dstRoot` that references the source snapshot's data files by
+    * ABSOLUTE path — no byte moves, the clone materializes in
+    * O(manifest). The clone is immediately a first-class lake:
+    * appends land relative under its own root, maintenance verbs
+    * rewrite borrowed files into owned ones copy-on-write, and its
+    * reads/prunes/stat answers are indistinguishable from the
+    * source's (stats, blooms, dim2 boxes, and schema all carry).
+    * Divergence is free both ways: the source never learns the
+    * clone exists.
+    *
+    * Ownership contract: the clone's vacuum never deletes a borrowed
+    * (absolute) file — those bytes belong to the source — and, as
+    * with Delta shallow clones, a vacuum ON THE SOURCE that reclaims
+    * files the clone still references breaks the clone; pin source
+    * retention accordingly. Returns the clone's committed version.
+    */
+  def shallowClone(srcRoot: String, dstRoot: String,
+      asOf: Option[Int] = None): Int = {
+    val snap = snapshot(srcRoot, asOf)
+    val borrowed = snap.files.map(f =>
+      if (f.name.startsWith("/")) f // cloning a clone: refs stay as-is
+      else f.copy(name = s"$srcRoot/${f.name}"))
+    var committed = -1
+    while (committed < 0) {
+      val head = headVersion(dstRoot)
+      val headTxns = if (head < 0) Map.empty[String, Long]
+        else snapshot(dstRoot, Some(head)).txns
+      if (tryPublish(dstRoot, head + 1, snap.statCol, snap.bloomCol,
+          overwrite = true, borrowed, snap.statCol2,
+          txns = headTxns, schemaJson = snap.schemaJson,
+          op = Some("clone")))
         committed = head + 1
     }
     committed
@@ -1257,6 +1306,47 @@ object SnapshotLake {
         col("event_id") < bound(5) + span / 32)
       .select(col("event_id"))
     (span, merge(s, root, upserts, deletes))
+  }
+
+  /** Judged zero-copy clone: an 8-file clustered source clones in
+    * O(manifest), the clone appends a shifted quarter (its first
+    * OWNED file) and range-prunes across the borrowed/owned seam —
+    * all while the source head stays at v0 with its original row
+    * count. Hash-checked: the clone's file count (9 = 8 borrowed +
+    * 1 owned), the source's untouched version and rows, and a
+    * pruned read on the clone spanning the seam (last borrowed file
+    * + the owned file = 2 of 9) proving borrowed stats prune
+    * exactly like owned ones. At 100 TB a dev/test fork of a
+    * production table costs one manifest write.
+    */
+  def q124LakeClone(s: SparkSession, d: String): DataFrame = {
+    val src = Housekeeping.tempDir("q124_src")
+    val dst = Housekeeping.tempDir("q124_dst")
+    val ev = eventsCents(s, d)
+    val span = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    def bound(i: Int): Long = i.toLong * span / 8
+    val bucket = (1 to 7).foldLeft(lit(0)) { (acc, i) =>
+      when(col("event_id") >= bound(i), lit(i)).otherwise(acc)
+    }
+    commitClustered(s, src, ev, bucket, "event_id")
+    shallowClone(src, dst)
+    commit(s, dst, // owned append: first quarter shifted above the domain
+      ev.where(col("event_id") < span / 4)
+        .select((col("event_id") + span).as("event_id"), col("cents"))
+        .coalesce(1),
+      "event_id")
+    // seam read: [bound(7), span + span/8) touches the last borrowed
+    // file and the owned file only
+    val (pruned, nRead, nTotal) = readPruned(s, dst, bound(7),
+      span + span / 8)
+    pruned.agg(count(lit(1)).as("n_seam"), sum(col("cents")).as("sum_seam"))
+      .select(
+        lit(nTotal).cast("long").as("n_files_clone"),
+        lit(nRead).cast("long").as("n_files_seam"),
+        lit(headVersion(src).toLong).as("src_head"),
+        lit(read(s, src).count()).as("n_src_rows"),
+        lit(read(s, dst).count()).as("n_clone_rows"),
+        col("n_seam"), col("sum_seam"))
   }
 
   /** Judged RUNTIME file pruning (DSv2 dynamic partition pruning):
@@ -1577,6 +1667,23 @@ object SnapshotLake {
   }
 
   val queries: Seq[Q] = Seq(
+    Q("q124_lake_clone", q124LakeClone, Some("""
+      WITH b AS (SELECT count(*) AS n, max(event_id) + 1 AS span
+                 FROM events),
+      ec AS (SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+             FROM events),
+      seam AS (
+        SELECT cents FROM ec, b WHERE event_id >= (7 * span) // 8
+        UNION ALL
+        SELECT cents FROM ec, b WHERE event_id < span // 8)
+      SELECT CAST(9 AS BIGINT) AS n_files_clone,
+             CAST(2 AS BIGINT) AS n_files_seam,
+             CAST(0 AS BIGINT) AS src_head,
+             (SELECT CAST(n AS BIGINT) FROM b) AS n_src_rows,
+             (SELECT CAST(n + span // 4 AS BIGINT) FROM b) AS n_clone_rows,
+             count(*) AS n_seam,
+             CAST(sum(cents) AS BIGINT) AS sum_seam
+      FROM seam""")),
     Q("q121_lake_runtime_prune", q121RuntimePrune, Some("""
       WITH b AS (SELECT max(event_id) + 1 AS span FROM events),
       picks AS (SELECT event_id,

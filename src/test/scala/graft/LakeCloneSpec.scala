@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotLake
+
+/** Shallow clone: zero-copy manifest-level forking, divergence in
+  * both directions, copy-on-write maintenance over borrowed files,
+  * and the ownership contract (a clone's vacuum never touches the
+  * source's bytes).
+  */
+class LakeCloneSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("lake_clone_").toString
+
+  private def tbl(ids: Range) =
+    ids.map(i => (i.toLong, i.toLong * 7)).toDF("k", "v")
+
+  test("clone reads the source snapshot zero-copy; both sides diverge freely") {
+    val src = freshRoot(); val dst = freshRoot()
+    SnapshotLake.commit(spark, src, tbl(0 until 100), "k")
+    val v = SnapshotLake.shallowClone(src, dst)
+    assert(v === 0)
+    // no data bytes under the clone's root
+    assert(!Files.isDirectory(Paths.get(dst, "data")))
+    assert(SnapshotLake.read(spark, dst).count() === 100L)
+    // clone diverges: append lands under the CLONE only
+    SnapshotLake.commit(spark, dst, tbl(100 until 150), "k")
+    assert(SnapshotLake.read(spark, dst).count() === 150L)
+    assert(SnapshotLake.read(spark, src).count() === 100L)
+    // source diverges: later source commits are invisible to the clone
+    SnapshotLake.commit(spark, src, tbl(500 until 600), "k")
+    assert(SnapshotLake.read(spark, dst).count() === 150L)
+    // connector read agrees across the borrowed/owned seam
+    val cdf = spark.read.format("graft.sources.GraftLakeSource")
+      .option("path", dst).load()
+    assert(cdf.count() === 150L)
+    assert(cdf.where(col("k") >= 90 && col("k") < 110).count() === 20L)
+  }
+
+  test("maintenance on a clone is copy-on-write: borrowed bytes never change") {
+    val src = freshRoot(); val dst = freshRoot()
+    val bucket = when(col("k") < 100, lit(0)).otherwise(lit(1))
+    SnapshotLake.commitClustered(spark, src, tbl(0 until 200), bucket, "k")
+    SnapshotLake.shallowClone(src, dst)
+    // delete straddling borrowed file 0: its rewrite lands OWNED
+    val res = SnapshotLake.delete(spark, dst, 50L, 100L)
+    assert(res.filesRewritten === 1)
+    assert(SnapshotLake.read(spark, dst).count() === 150L)
+    assert(SnapshotLake.read(spark, src).count() === 200L, "source mutated!")
+    val names = SnapshotLake.snapshot(dst).files.map(_.name)
+    assert(names.count(_.startsWith("/")) === 1) // file 1 still borrowed
+    assert(names.count(!_.startsWith("/")) === 1) // rewrite owned
+  }
+
+  test("a clone's vacuum drops borrowed references but never source bytes") {
+    val src = freshRoot(); val dst = freshRoot()
+    SnapshotLake.commit(spark, src, tbl(0 until 100), "k")
+    SnapshotLake.shallowClone(src, dst)
+    // overwrite the clone so the borrowed refs become historical
+    SnapshotLake.commit(spark, dst, tbl(0 until 10), "k", overwrite = true)
+    val (dropped, deleted) = SnapshotLake.vacuum(dst, keepVersions = 1)
+    assert(dropped === 1)
+    assert(deleted === 0, "clone vacuum deleted borrowed source bytes")
+    assert(SnapshotLake.read(spark, src).count() === 100L)
+    assert(SnapshotLake.read(spark, dst).count() === 10L)
+  }
+
+  test("cloning a clone keeps original absolute refs (no double-prefixing)") {
+    val a = freshRoot(); val b = freshRoot(); val c = freshRoot()
+    SnapshotLake.commit(spark, a, tbl(0 until 50), "k")
+    SnapshotLake.shallowClone(a, b)
+    SnapshotLake.shallowClone(b, c)
+    assert(SnapshotLake.read(spark, c).count() === 50L)
+    assert(SnapshotLake.snapshot(c).files.forall(_.name.startsWith(a)))
+  }
+}
