@@ -130,7 +130,7 @@ object Aggregates {
       // target rank inside [(q-eps)n, (q+eps)n] — intervals intersect
       .select(col("l_returnflag"), col("q"), col("n_rows"),
         (col("r_le") >= (col("q") - lit(0.01)) * col("n_rows") &&
-          (col("r_lt") + 1) <= (col("q") + lit(0.01)) * col("n_rows") + 1)
+          (col("r_lt") + 1) <= ceil((col("q") + lit(0.01)) * col("n_rows")))
           .as("in_bounds"))
       .orderBy(col("l_returnflag"), col("q"))
   }

@@ -35,6 +35,16 @@ object ExactQuantile {
 
   private val Buckets = 4096L
 
+  /** Bucket width covering [lo, hi] in ≤ Buckets+1 buckets, with the
+    * full-domain overflow guarded: `hi - lo` can wrap for a frame
+    * containing both extreme longs, and a wrapped width of 0 would
+    * silently resolve every rank to lo.
+    */
+  private def widthFor(lo: Long, hi: Long): Long = {
+    val span = hi - lo
+    if (span < 0) Long.MaxValue / Buckets + 1 else span / Buckets + 1
+  }
+
   /** Test hook: histogram passes run by the last `kthSmallests`. */
   private[graft] var lastPasses: Int = 0
 
@@ -70,11 +80,15 @@ object ExactQuantile {
   private def resolve(df: DataFrame, v: Column, lo: Long, hi: Long,
       ranks: Map[Long, Long]): Map[Long, Long] = {
     if (hi <= lo) return ranks.map { case (orig, _) => orig -> lo }
-    val width = ((hi - lo + 1) + Buckets - 1) / Buckets
+    val width = widthFor(lo, hi)
     lastPasses += 1
+    // integer `div`, never `/`: Spark's Divide is DOUBLE division,
+    // which mis-buckets boundary values once v - lo exceeds 2^53 —
+    // fatal for an operator whose contract is EXACTNESS on longs
     val hist = df
       .where(v >= lo && v <= hi)
-      .groupBy(((v - lo) / width).cast("long").as("b"))
+      .select((v - lo).as("__d"))
+      .groupBy(expr(s"__d div $width").as("b"))
       .agg(count(lit(1)).as("n"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
@@ -136,21 +150,23 @@ object ExactQuantile {
       if (open.isEmpty) return toFrame(s, resolved)
       state = open
       lastPasses += 1
-      val widths = state.map { case (k, (_, lo, hi, _)) =>
-        (k, lo, hi, ((hi - lo + 1) + Buckets - 1) / Buckets)
-      }.toSeq
-      val bounds = widths.toDF("__g", "__lo", "__hi", "__w")
+      val widths: Map[String, Long] = state.map { case (k, (_, lo, hi, _)) =>
+        k -> widthFor(lo, hi)
+      }
+      val bounds = state.map { case (k, (_, lo, hi, _)) =>
+        (k, lo, hi, widths(k))
+      }.toSeq.toDF("__g", "__lo", "__hi", "__w")
       val hist = keyed
         .join(broadcast(bounds), "__g")
         .where(col("__v") >= col("__lo") && col("__v") <= col("__hi"))
         .groupBy(col("__g"),
-          ((col("__v") - col("__lo")) / col("__w")).cast("long").as("__b"))
+          expr("(__v - __lo) div __w").as("__b")) // integer div (see above)
         .agg(count(lit(1)).as("__n"))
         .collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
         .groupBy(_._1)
       state = state.map { case (k, (n, lo, hi, rank)) =>
-        val width = widths.find(_._1 == k).get._4
+        val width = widths(k)
         val bs = hist(k).map(t => (t._2, t._3)).sortBy(_._1)
         var acc = 0L; var i = 0; var found = -1L
         while (found < 0 && i < bs.length) {

@@ -87,7 +87,7 @@ class GraftLakeSource extends TableProvider {
       require(snap.files.nonEmpty, s"lake at $root v${snap.version} has no " +
         "data files; pass a schema explicitly")
       SparkSession.active.read
-        .parquet(s"$root/${snap.files.head.name}").schema
+        .parquet(SnapshotLake.dataPath(root, snap.files.head.name)).schema
     }
   }
 

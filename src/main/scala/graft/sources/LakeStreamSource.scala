@@ -78,10 +78,28 @@ final class LakeMicroBatchStream(root: String, required: StructType,
     throw new UnsupportedOperationException(
       "paced source: latestOffset(start, limit) is the entry point")
 
-  // one version per batch, never past the (possibly pinned) head
+  // one version per batch by default, never past the (possibly
+  // pinned) head — but the ENGINE-supplied limit rules: Trigger.Once
+  // arrives as ReadAllAvailable and means exactly that (advance to
+  // the head in one batch), and a composite containing it does too.
+  // Ignoring the argument would terminate a Trigger.Once query after
+  // v0 with the rest of the chain silently unprocessed (the same
+  // contract bug rowsFor() fixes in SeriesSource).
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    import org.apache.spark.sql.connector.read.streaming.{
+      CompositeReadLimit, ReadAllAvailable, ReadMaxFiles, ReadMaxRows}
+    def allAvailable(l: ReadLimit): Boolean = l match {
+      case _: ReadAllAvailable => true
+      case c: CompositeReadLimit =>
+        val ls = c.getReadLimits
+        ls.exists(_.isInstanceOf[ReadAllAvailable]) &&
+          !ls.exists(x => x.isInstanceOf[ReadMaxFiles] ||
+            x.isInstanceOf[ReadMaxRows]) // a cap in the composite paces
+      case _ => false
+    }
     val s = start.asInstanceOf[LakeVersionOffset].version
-    LakeVersionOffset(math.min(s + 1, math.max(s, head)))
+    val h = math.max(s, head)
+    LakeVersionOffset(if (allAvailable(limit)) h else math.min(s + 1, h))
   }
 
   override def reportLatestOffset(): Offset = LakeVersionOffset(head)

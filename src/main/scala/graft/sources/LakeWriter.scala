@@ -172,7 +172,7 @@ final class LakeBatchWrite(root: String, schema: StructType,
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
     Files.createDirectories(Paths.get(LakeWrite.stagingDir(root)))
-    new LakeWriterFactory(root, schema.json, LakeWrite.writeConf(schema))
+    new LakeWriterFactory(root, LakeWrite.writeConf(schema))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -208,8 +208,7 @@ final class LakeStreamingWrite(root: String, schema: StructType,
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     Files.createDirectories(Paths.get(LakeWrite.stagingDir(root)))
-    val inner = new LakeWriterFactory(root, schema.json,
-      LakeWrite.writeConf(schema))
+    val inner = new LakeWriterFactory(root, LakeWrite.writeConf(schema))
     new StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long,
           epochId: Long): DataWriter[InternalRow] =
@@ -230,7 +229,7 @@ final class LakeStreamingWrite(root: String, schema: StructType,
       case m: LakeStaged => LakeCommit.discard(root, m); case _ => }
 }
 
-final class LakeWriterFactory(root: String, schemaJson: String,
+final class LakeWriterFactory(root: String,
     confKVs: Map[String, String]) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =

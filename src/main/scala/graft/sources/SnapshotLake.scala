@@ -90,17 +90,22 @@ object SnapshotLake {
       parent: org.apache.spark.sql.types.StructType,
       next: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType = {
+    // CASE-INSENSITIVE field identity: the engine resolves columns
+    // case-insensitively by default, so "v" and "V" are the same
+    // column — matching by exact name would let a re-cased append
+    // slip past the re-type guard and record an ambiguous duplicate
+    def key(n: String): String = n.toLowerCase(java.util.Locale.ROOT)
+    val byKey = parent.fields.map(f => key(f.name) -> f).toMap
     next.fields.foreach { f =>
-      parent.fields.find(_.name == f.name).foreach { p =>
+      byKey.get(key(f.name)).foreach { p =>
         require(p.dataType == f.dataType,
           s"schema evolution cannot re-type column '${f.name}': " +
             s"chain has ${p.dataType.simpleString}, " +
             s"append brings ${f.dataType.simpleString}")
       }
     }
-    val parentNames = parent.fieldNames.toSet
     org.apache.spark.sql.types.StructType(
-      parent.fields ++ next.fields.filterNot(f => parentNames(f.name)))
+      parent.fields ++ next.fields.filterNot(f => byKey.contains(key(f.name))))
   }
 
   /** A reader pinned to the snapshot's recorded table schema, so a
@@ -274,8 +279,30 @@ object SnapshotLake {
   def lastTxn(root: String, appId: String): Long = {
     val head = headVersion(root)
     if (head < 0) -1L
-    else snapshot(root, Some(head)).txns.getOrElse(appId, -1L)
+    else txnHighWater(root, snapshot(root, Some(head)), appId)
   }
+
+  /** The app's replay-dedup horizon: the head's accumulated map when
+    * it knows the app (the O(1) fast path every post-map commit
+    * feeds), else a one-time walk of the surviving manifests' legacy
+    * per-commit `txn=` records — a chain written before the map
+    * existed must NOT read as horizon -1, or a restarted sink
+    * re-lands batches it already committed (exactly-once broken on
+    * upgrade). The walk is bounded by vacuum retention and
+    * amortizes away: the app's next commit enters the map.
+    */
+  private def txnHighWater(root: String, head: Snapshot,
+      appId: String): Long =
+    head.txns.getOrElse(appId, {
+      (0 to head.version)
+        .filter(v => Files.exists(manifestPath(root, v)))
+        .foldLeft(-1L) { (acc, v) =>
+          snapshot(root, Some(v)).txn match {
+            case Some((a, b)) if a == appId => math.max(acc, b)
+            case _ => acc
+          }
+        }
+    })
 
   /** Stage + atomically publish version `v`; false = lost the race. */
   private def tryPublish(root: String, v: Int, statCol: String,
@@ -803,9 +830,10 @@ object SnapshotLake {
       val headSnap = if (head < 0) None else Some(snapshot(root, Some(head)))
       // txn replay check INSIDE the loop: a racer that lost the slot
       // CAS rebases here and sees the winner's identical (app, batch)
-      // in the head's accumulated txns map — one manifest read
+      // in the head's accumulated txns map (legacy chains fall back
+      // to the per-commit record walk)
       txn.collect { case (a, b)
-          if headSnap.exists(_.txns.getOrElse(a, -1L) >= b) =>
+          if headSnap.exists(h => txnHighWater(root, h, a) >= b) =>
         return head
       }
       val parent = if (overwrite) None else headSnap

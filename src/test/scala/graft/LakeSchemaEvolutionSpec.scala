@@ -85,6 +85,23 @@ class LakeSchemaEvolutionSpec extends SparkTestBase {
     assert(SnapshotLake.read(spark, root).count() === 90L)
   }
 
+  test("a re-cased column is the same column under case-insensitive resolution") {
+    val root = freshRoot()
+    SnapshotLake.commit(spark, root,
+      (0L until 10L).map(i => (i, i * 7)).toDF("k", "v"), "k")
+    // same column, different case, same type: no phantom duplicate
+    SnapshotLake.commit(spark, root,
+      (10L until 20L).map(i => (i, i * 7)).toDF("k", "V"), "k")
+    assert(SnapshotLake.snapshot(root).schema.map(_.fieldNames.toSeq) ===
+      Some(Seq("k", "v")))
+    // re-cased AND re-typed still refuses
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotLake.commit(spark, root,
+        (20L until 30L).map(i => (i, s"s$i")).toDF("k", "V"), "k")
+    }
+    assert(ex.getMessage.contains("re-type"))
+  }
+
   test("evolveSchema is union-in-parent-order with equal-type dedup") {
     val p = StructType(Seq(StructField("a", LongType), StructField("b", LongType)))
     val n = StructType(Seq(StructField("b", LongType), StructField("c", LongType)))

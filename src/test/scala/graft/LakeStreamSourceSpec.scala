@@ -46,6 +46,26 @@ class LakeStreamSourceSpec extends SparkTestBase {
     assert(ks2.toSeq === (0L until 320L), "restart re-emitted or skipped rows")
   }
 
+  test("Trigger.Once honors ReadAllAvailable: the whole chain lands in one batch") {
+    val root = freshRoot()
+    SnapshotLake.commit(spark, root, tbl(0 until 100), "k")
+    SnapshotLake.commit(spark, root, tbl(100 until 250), "k")
+    SnapshotLake.commit(spark, root, tbl(250 until 300), "k")
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    @annotation.nowarn("cat=deprecation") // Trigger.Once IS the case under test
+    val q = ss.readStream.format("graft.sources.GraftLakeSource")
+      .option("path", root).load()
+      .writeStream.format("memory").queryName("lake_once")
+      .trigger(Trigger.Once()).start()
+    assert(q.awaitTermination(120000))
+    import ss.implicits._
+    val ks = ss.table("lake_once").select("k").as[Long].collect().sorted
+    assert(ks.toSeq === (0L until 300L),
+      "Trigger.Once left committed versions unprocessed")
+    assert(q.recentProgress.count(_.numInputRows > 0) === 1)
+  }
+
   test("a filtered stream stays row-exact (file prune awaits engine-side streaming pushdown)") {
     val root = freshRoot()
     // two clustered commits, each two files with tight disjoint ranges
