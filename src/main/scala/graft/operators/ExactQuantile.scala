@@ -80,6 +80,21 @@ object ExactQuantile {
   private def resolve(df: DataFrame, v: Column, lo: Long, hi: Long,
       ranks: Map[Long, Long]): Map[Long, Long] = {
     if (hi <= lo) return ranks.map { case (orig, _) => orig -> lo }
+    if (hi - lo < 0) {
+      // the domain spans >= 2^63: the per-row offset `v - lo` would
+      // overflow (ANSI mode throws; legacy mode wraps rows near hi
+      // into negative bucket ids, counting the largest values as the
+      // smallest). Split the range at zero — neither half can wrap —
+      // and route each rank by the negative-side count.
+      lastPasses += 1
+      val negCount = df.where(v >= lo && v < 0).count()
+      val (negR, posR) = ranks.partition { case (_, r) => r < negCount }
+      return (if (negR.isEmpty) Map.empty[Long, Long]
+              else resolve(df, v, lo, -1L, negR)) ++
+        (if (posR.isEmpty) Map.empty[Long, Long]
+         else resolve(df, v, 0L, hi,
+           posR.map { case (o, r) => o -> (r - negCount) }))
+    }
     val width = widthFor(lo, hi)
     lastPasses += 1
     // integer `div`, never `/`: Spark's Divide is DOUBLE division,
@@ -134,7 +149,12 @@ object ExactQuantile {
     import s.implicits._
     lastPasses = 0
     val v = c.cast("long")
+    // null group keys are excluded up front: they would survive the
+    // count/bounds probe but silently vanish from the broadcast
+    // bounds join (null never equi-joins), leaving a state entry no
+    // histogram ever answers
     val keyed = df.select(g.cast("string").as("__g"), v.as("__v"))
+      .where(col("__g").isNotNull)
     // one probe: per-group count + bounds (a partial agg, G rows)
     var state = keyed.groupBy(col("__g"))
       .agg(count(lit(1)).as("n"), min(col("__v")).as("lo"),
@@ -149,6 +169,29 @@ object ExactQuantile {
       resolved ++= done.map { case (k, (_, lo, _, _)) => k -> lo }
       if (open.isEmpty) return toFrame(s, resolved)
       state = open
+      // ANSI-safe wrap split (see resolve): a group whose range spans
+      // >= 2^63 gets its candidate range cut at zero before the
+      // histogram pass, rank routed by the group's negative-side
+      // count — one bounded extra job, only when a wrapped group
+      // exists (only ever the first pass: sub-ranges cannot wrap)
+      val wrappedKeys = state.collect {
+        case (k, (_, lo, hi, _)) if hi - lo < 0 => k
+      }.toSet
+      if (wrappedKeys.nonEmpty) {
+        lastPasses += 1
+        val negCounts = keyed
+          .join(broadcast(wrappedKeys.toSeq.toDF("__g")), "__g")
+          .where(col("__v") < 0)
+          .groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        state = state.map {
+          case (k, (n, lo, hi, rank)) if wrappedKeys(k) =>
+            val nc = negCounts.getOrElse(k, 0L)
+            if (rank < nc) (k, (n, lo, -1L, rank))
+            else (k, (n, 0L, hi, rank - nc))
+          case other => other
+        }
+      }
       lastPasses += 1
       val widths: Map[String, Long] = state.map { case (k, (_, lo, hi, _)) =>
         k -> widthFor(lo, hi)
@@ -167,7 +210,10 @@ object ExactQuantile {
         .groupBy(_._1)
       state = state.map { case (k, (n, lo, hi, rank)) =>
         val width = widths(k)
-        val bs = hist(k).map(t => (t._2, t._3)).sortBy(_._1)
+        val bs = hist.getOrElse(k, throw new IllegalStateException(
+          s"group '$k' produced no histogram rows in [$lo, $hi] — " +
+            "rank/bounds invariant broken"))
+          .map(t => (t._2, t._3)).sortBy(_._1)
         var acc = 0L; var i = 0; var found = -1L
         while (found < 0 && i < bs.length) {
           val (bid, cnt) = bs(i)

@@ -104,8 +104,15 @@ object SnapshotLake {
             s"append brings ${f.dataType.simpleString}")
       }
     }
+    // appended fields are forced NULLABLE regardless of the writer's
+    // declaration: the evolved schema is stamped on the whole chain,
+    // and every pre-evolution file lacks the new column — a REQUIRED
+    // marker would make reads of previously valid files fail with
+    // "required column is missing" instead of null-filling (Delta
+    // does the same for newly added columns)
     org.apache.spark.sql.types.StructType(
-      parent.fields ++ next.fields.filterNot(f => byKey.contains(key(f.name))))
+      parent.fields ++ next.fields.filterNot(f => byKey.contains(key(f.name)))
+        .map(_.copy(nullable = true)))
   }
 
   /** A reader pinned to the snapshot's recorded table schema, so a
@@ -394,6 +401,38 @@ object SnapshotLake {
       filesRewritten: Int, filesNew: Int)
 
 
+  /** Suffix of a manifest file name below its last `data/` segment —
+    * unique within a lake because every batch dir carries a fresh
+    * UUID, and stable whether the entry is root-relative or a
+    * clone's absolute borrowed path.
+    */
+  private def dataSuffix(name: String): String = {
+    val i = name.lastIndexOf("data/")
+    require(i >= 0, s"manifest entry '$name' has no data/ segment")
+    name.substring(i + 5)
+  }
+
+  /** Route rows carrying a `__src` file URI (`input_file_name`) back
+    * to one output bucket per SOURCE file via a broadcast
+    * name→bucket join — flat at any file count, where the previous
+    * chained `when` built O(files) expression depth (fine for the
+    * intended ~2 boundary files, pathological for a predicate
+    * straddling thousands). Rows whose `__src` is not in the map
+    * (merge's `__insert__` sentinel) fall to `default`. Emits the
+    * routed frame with `__bucket` set and `__src` dropped.
+    */
+  private def routeToSourceBuckets(s: SparkSession, cur: DataFrame,
+      nameToBucket: Seq[(String, String)], default: String): DataFrame = {
+    val mapDf = s.createDataFrame(nameToBucket.map { case (n, b) =>
+      (dataSuffix(n), b) }).toDF("__sfx", "__b")
+    cur
+      // greedy ^.* pins the LAST data/ segment, mirroring dataSuffix
+      .withColumn("__sfx", regexp_extract(col("__src"), "^.*data/(.*)$", 1))
+      .join(broadcast(mapDf), Seq("__sfx"), "left")
+      .withColumn("__bucket", coalesce(col("__b"), lit(default)))
+      .drop("__sfx", "__b", "__src")
+  }
+
   /** Bloom sizing for maintenance rewrites: preserve the chain's
     * per-file bloom capacity (the largest existing bloom) so a
     * rewrite never silently degrades point-lookup FPR to the 1 KB
@@ -488,14 +527,11 @@ object SnapshotLake {
       survivors.unionByName(inserts)
     }
     // route rewritten rows back to one file per source file; inserts
-    // to one fresh file (driver-side when-chain over ≤ touched paths)
-    val srcToBucket = touchedFiles.map(_.name).zipWithIndex
-      .foldLeft(lit("ins")) { case (acc, (name, i)) =>
-        when(col("__src").contains(name.stripPrefix("data/")), lit(s"f$i"))
-          .otherwise(acc)
-      }
+    // (the `__insert__` sentinel) to one fresh file
     val batch = s"data/b-${UUID.randomUUID().toString.take(8)}"
-    newData.withColumn("__bucket", srcToBucket).drop("__src")
+    routeToSourceBuckets(s, newData,
+      touchedFiles.map(_.name).zipWithIndex.map { case (n, i) => n -> s"f$i" },
+      default = "ins")
       .repartition(col("__bucket"))
       .write.partitionBy("__bucket").parquet(s"$root/$batch")
     val newFiles = statsFor(s, root, batch, key, base.bloomCol,
@@ -582,13 +618,11 @@ object SnapshotLake {
           .parquet(straddling.map(f => dataPath(root, f.name)): _*)
           .withColumn("__src", input_file_name())
           .where(!(col(key) >= lo && col(key) < hi))
-        val srcToBucket = straddling.map(_.name).zipWithIndex
-          .foldLeft(lit("x")) { case (acc, (name, i)) =>
-            when(col("__src").contains(name.stripPrefix("data/")),
-              lit(s"f$i")).otherwise(acc)
-          }
         val batch = s"data/b-${UUID.randomUUID().toString.take(8)}"
-        cur.withColumn("__bucket", srcToBucket).drop("__src")
+        routeToSourceBuckets(s, cur,
+          straddling.map(_.name).zipWithIndex
+            .map { case (n, i) => n -> s"f$i" },
+          default = "x")
           .repartition(col("__bucket"))
           .write.partitionBy("__bucket").parquet(s"$root/$batch")
         statsFor(s, root, batch, key, base.bloomCol,
@@ -657,17 +691,14 @@ object SnapshotLake {
     val newFiles =
       if (packed.isEmpty) Seq.empty[FileStat]
       else {
-        val srcToBucket = packed.zipWithIndex.flatMap { case (g, gi) =>
-          g.map(f => f.name -> gi)
-        }.foldLeft(lit("x")) { case (acc, (name, gi)) =>
-          when(col("__src").contains(name.stripPrefix("data/")),
-            lit(s"g$gi")).otherwise(acc)
-        }
         val batch = s"data/b-${UUID.randomUUID().toString.take(8)}"
-        readerFor(s, base)
-          .parquet(packed.flatten.map(f => dataPath(root, f.name)): _*)
-          .withColumn("__src", input_file_name())
-          .withColumn("__bucket", srcToBucket).drop("__src")
+        routeToSourceBuckets(s,
+          readerFor(s, base)
+            .parquet(packed.flatten.map(f => dataPath(root, f.name)): _*)
+            .withColumn("__src", input_file_name()),
+          packed.zipWithIndex.flatMap { case (g, gi) =>
+            g.map(f => f.name -> s"g$gi") },
+          default = "x")
           .repartition(col("__bucket"))
           .sortWithinPartitions(col(key))
           .write.partitionBy("__bucket").parquet(s"$root/$batch")
@@ -1085,10 +1116,15 @@ object SnapshotLake {
     */
   def shallowClone(srcRoot: String, dstRoot: String,
       asOf: Option[Int] = None): Int = {
-    val snap = snapshot(srcRoot, asOf)
+    // canonicalize: borrowed refs MUST be absolute — a relative
+    // srcRoot would produce entries without the leading '/', so the
+    // clone's dataPath would resolve them under its OWN root (silent
+    // read breakage) and vacuum would classify them as owned
+    val src = Paths.get(srcRoot).toAbsolutePath.normalize.toString
+    val snap = snapshot(src, asOf)
     val borrowed = snap.files.map(f =>
       if (f.name.startsWith("/")) f // cloning a clone: refs stay as-is
-      else f.copy(name = s"$srcRoot/${f.name}"))
+      else f.copy(name = s"$src/${f.name}"))
     var committed = -1
     while (committed < 0) {
       val head = headVersion(dstRoot)

@@ -78,6 +78,37 @@ class ExactQuantileSpec extends SparkTestBase {
       s"grouped passes not shared: ${graft.operators.ExactQuantile.lastPasses}")
   }
 
+  test("full-2^64-span domain: the zero-split keeps every rank exact") {
+    // Long.MinValue..Long.MaxValue wraps hi - lo; the per-row offset
+    // v - lo would overflow (throw under ANSI). The zero-split path
+    // must route ranks across the negative/positive halves exactly.
+    val vs = Seq(Long.MinValue, Long.MinValue + 7, -5L, -1L, 0L, 3L,
+      Long.MaxValue - 2, Long.MaxValue)
+    check(vs, vs.indices.map(_.toLong))
+  }
+
+  test("grouped: wrapped-domain group resolves next to normal groups") {
+    val rows =
+      Seq(("wide", Long.MinValue), ("wide", -3L), ("wide", 10L),
+        ("wide", Long.MaxValue), ("wide", 99L)) ++
+        Seq.tabulate(50)(i => ("norm", (i % 10).toLong))
+    val df = rows.toDF("g", "x").repartition(3)
+    val got = graft.operators.ExactQuantile
+      .groupedKthSmallest(df, col("g"), col("x"), n => n / 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("wide" -> 10L, "norm" -> 5L))
+  }
+
+  test("grouped: null group keys are excluded, not a crash") {
+    val rows: Seq[(String, Long)] =
+      Seq((null, 1L), (null, 2L), ("a", 5L), ("a", 6L), ("a", 7L))
+    val df = rows.toDF("g", "x")
+    val got = graft.operators.ExactQuantile
+      .groupedKthSmallest(df, col("g"), col("x"), n => n / 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 6L))
+  }
+
   test("out-of-range rank fails the invariant loudly") {
     val df = Seq(1L, 2L, 3L).toDF("x")
     intercept[IllegalArgumentException] {

@@ -40,6 +40,26 @@ class LakeCloneSpec extends SparkTestBase {
     assert(cdf.where(col("k") >= 90 && col("k") < 110).count() === 20L)
   }
 
+  test("a relative srcRoot canonicalizes: borrowed refs are absolute and readable") {
+    // relative source path (under the test cwd): without
+    // canonicalization the borrowed entries would lack the leading
+    // '/', resolve under the CLONE's root, and read nothing
+    val relSrc = s"target/lake_clone_rel_${System.nanoTime()}"
+    Files.createDirectories(Paths.get(relSrc))
+    val dst = freshRoot()
+    SnapshotLake.commit(spark, relSrc, tbl(0 until 40), "k")
+    SnapshotLake.shallowClone(relSrc, dst)
+    val entries = SnapshotLake.snapshot(dst).files.map(_.name)
+    assert(entries.nonEmpty && entries.forall(_.startsWith("/")),
+      s"borrowed refs not absolute: $entries")
+    assert(SnapshotLake.read(spark, dst).count() === 40L)
+    // ownership: the clone's vacuum must classify them as borrowed
+    SnapshotLake.commit(spark, dst, tbl(40 until 50), "k",
+      overwrite = true)
+    SnapshotLake.vacuum(dst, 1)
+    assert(SnapshotLake.read(spark, relSrc).count() === 40L)
+  }
+
   test("maintenance on a clone is copy-on-write: borrowed bytes never change") {
     val src = freshRoot(); val dst = freshRoot()
     val bucket = when(col("k") < 100, lit(0)).otherwise(lit(1))

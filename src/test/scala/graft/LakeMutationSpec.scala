@@ -55,6 +55,34 @@ class LakeMutationSpec extends SparkTestBase {
     assert(SnapshotLake.read(spark, root, Some(before.version)).count() === 800L)
   }
 
+  test("delete rewrites 100 straddling overlapping files without deep expression trees") {
+    val root = freshRoot()
+    // 100 unclustered appends, each spanning the whole key domain:
+    // file i holds k ∈ {i, 1000+i, 2000+i, ..., 9000+i} — every file
+    // straddles any interior range, the router's worst case
+    val wide = (0 until 100).map { i =>
+      (0 until 10).map(j => ((j * 1000 + i).toLong, i.toLong)).toDF("k", "v")
+        .coalesce(1)
+    }.reduce(_ unionAll _)
+    // one commit of 100 files via per-file bucket (i = k mod 1000)
+    SnapshotLake.commitClustered(spark, root, wide, pmod(col("k"), lit(1000)),
+      "k")
+    assert(SnapshotLake.snapshot(root).files.size === 100)
+    // [500, 9500) clips every file: 0 dropped, 100 rewritten
+    val res = SnapshotLake.delete(spark, root, 500L, 9500L)
+    assert(res.filesDropped === 0)
+    assert(res.filesRewritten === 100)
+    assert(res.filesKept === 0)
+    val after = SnapshotLake.read(spark, root).select("k").as[Long]
+      .collect().sorted.toSeq
+    val expected = (0 until 100).flatMap(i =>
+      Seq(i.toLong, (9000 + i).toLong)).filter(k => k < 500 || k >= 9500)
+      .sorted
+    assert(after === expected)
+    // layout preserved: one output file per straddling source file
+    assert(SnapshotLake.snapshot(root).files.size === 100)
+  }
+
   test("delete with aligned boundaries is pure metadata: no data batch written") {
     val root = freshRoot()
     clustered8(root)

@@ -55,6 +55,33 @@ class LakeSchemaEvolutionSpec extends SparkTestBase {
     assert(df.where(col("t").isNull).count() === 10L)
   }
 
+  test("an appended non-nullable column evolves as nullable") {
+    val root = freshRoot()
+    SnapshotLake.commit(spark, root,
+      (0L until 10L).map(i => (i, i * 7)).toDF("k", "v"), "k")
+    // writer declares the new column REQUIRED; the evolved schema
+    // must relax it — pre-evolution files lack the column entirely,
+    // and a REQUIRED request would fail their reads instead of
+    // null-filling
+    val strict = spark.createDataFrame(
+      spark.sparkContext.parallelize((10L until 20L).map(i =>
+        org.apache.spark.sql.Row(i, i * 7, i * 11))),
+      StructType(Seq(StructField("k", LongType, nullable = false),
+        StructField("v", LongType, nullable = false),
+        StructField("w", LongType, nullable = false))))
+    SnapshotLake.commit(spark, root, strict, "k")
+    val head = SnapshotLake.snapshot(root)
+    val wField = head.schema.get.fields.find(_.name == "w").get
+    assert(wField.nullable, "appended column must evolve as nullable")
+    // the proof: reading a pre-evolution file through the pinned
+    // schema null-fills instead of failing on a missing REQUIRED col
+    val df = SnapshotLake.read(spark, root)
+    assert(df.where(col("w").isNull).count() === 10L)
+    val cdf = spark.read.format("graft.sources.GraftLakeSource")
+      .option("path", root).load()
+    assert(cdf.where(col("w").isNull).count() === 10L)
+  }
+
   test("re-typing a column refuses instead of mislabeling old files") {
     val root = freshRoot()
     SnapshotLake.commit(spark, root,
