@@ -257,7 +257,182 @@ object Composite {
         (sum(col("rev_e4")).cast("double") / 10000.0).as("revenue"))
   }
 
+  /** Register the tables a SQL-text composite needs under stable
+    * prefixed view names (fresh each invocation — temp views are
+    * session-scoped and other queries own the bare names).
+    */
+  private def tpchViews(s: SparkSession, d: String,
+      tables: Seq[String]): Unit =
+    tables.foreach(t =>
+      Tables.load(s, d, t).createOrReplaceTempView(s"tpch_$t"))
+
+  /** TPC-H Q4 (order priority checking, schema-adapted): count
+    * orders per priority in one quarter having at least one line
+    * shipped AFTER the order date (the dataset carries no
+    * commit/receipt dates, so "late" is l_shipdate > o_orderdate).
+    * Written as SQL EXISTS on purpose: the decorrelation under test
+    * is Catalyst's — the correlated predicate mixes an equi key
+    * (l_orderkey = o_orderkey) with a non-equi comparison against
+    * the OUTER column, and must plan as one left-semi hash join with
+    * the date comparison as its residual condition, never a
+    * per-order re-scan or nested loop.
+    */
+  def q125TpchPriorityCheck(s: SparkSession, d: String): DataFrame = {
+    tpchViews(s, d, Seq("orders", "lineitem"))
+    s.sql("""
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM tpch_orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '1997-04-01'
+        AND EXISTS (SELECT 1 FROM tpch_lineitem
+                    WHERE l_orderkey = o_orderkey
+                      AND l_shipdate > o_orderdate)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")
+  }
+
+  /** TPC-H Q13 (customer distribution): how many customers placed
+    * 0, 1, 2, ... qualifying orders — the left-OUTER-join-then-
+    * count-distribution shape (filter adapted from o_comment, which
+    * the schema lacks, to excluding urgent orders). The join filter
+    * lives in the JOIN condition, not a WHERE (a WHERE would turn
+    * the outer join inner and silently drop the zero-order bucket);
+    * count(o_orderkey) counts non-null matches so unmatched
+    * customers land in c_count = 0. Two aggregations over one
+    * shuffled join — no distinct, no window.
+    */
+  def q126TpchCustDistribution(s: SparkSession, d: String): DataFrame = {
+    tpchViews(s, d, Seq("customer", "orders"))
+    s.sql("""
+      SELECT c_count, count(*) AS custdist
+      FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM tpch_customer LEFT OUTER JOIN tpch_orders
+              ON c_custkey = o_custkey
+             AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey) c_orders
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC""")
+  }
+
+  /** TPC-H Q21 (suppliers who kept orders waiting, schema-adapted):
+    * for finalized multi-supplier orders, the suppliers whose line
+    * shipped late while EVERY other supplier on the order shipped on
+    * time ("late" = l_shipdate past a fixed cut, standing in for the
+    * missing receipt-vs-commit comparison). The hardest judged
+    * decorrelation shape: an EXISTS and a NOT EXISTS, both
+    * correlated self-joins of the fact table with a <> on the
+    * correlated key — Catalyst must plan one left-semi and one
+    * left-anti hash join over lineitem, sharing the orderkey
+    * shuffle, with the <> and date tests as residual conditions.
+    */
+  def q127TpchWaitingSuppliers(s: SparkSession, d: String): DataFrame = {
+    tpchViews(s, d, Seq("supplier", "lineitem", "orders"))
+    s.sql("""
+      SELECT s_name, count(*) AS numwait
+      FROM tpch_supplier, tpch_lineitem l1, tpch_orders
+      WHERE s_suppkey = l1.l_suppkey
+        AND o_orderkey = l1.l_orderkey
+        AND o_orderstatus = 'F'
+        AND l1.l_shipdate > TIMESTAMP '1997-09-01'
+        AND EXISTS (SELECT 1 FROM tpch_lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM tpch_lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_shipdate > TIMESTAMP '1997-09-01')
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 100""")
+  }
+
+  /** TPC-H Q22 (global sales opportunity, schema-adapted): lapsed
+    * big-balance customers by nation — country-code prefixes become
+    * a nation-key IN list (no c_phone in the schema), and "never
+    * ordered" becomes "no order since 1999" (every synthetic
+    * customer has ordered at least once). Composes the two
+    * decorrelation shapes q61/q106 gate separately: an uncorrelated
+    * SCALAR subquery (the positive-balance average, broadcast as a
+    * one-row threshold) and a correlated NOT EXISTS (left-anti hash
+    * join against the date-filtered orders scan). The threshold
+    * compares exact integer cents against one double division of
+    * two exact integers, so the cut cannot drift between engines.
+    */
+  def q128TpchLapsedCustomers(s: SparkSession, d: String): DataFrame = {
+    tpchViews(s, d, Seq("customer", "orders"))
+    s.sql("""
+      SELECT c_nationkey, count(*) AS numcust,
+             CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS totacctbal_cents
+      FROM tpch_customer
+      WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+        AND CAST(round(c_acctbal * 100) AS BIGINT) >
+            (SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                         AS DOUBLE) / count(*)
+             FROM tpch_customer
+             WHERE c_acctbal > 0
+               AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+        AND NOT EXISTS (SELECT 1 FROM tpch_orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '1999-01-01')
+      GROUP BY c_nationkey
+      ORDER BY c_nationkey""")
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q125_tpch_priority_check", q125TpchPriorityCheck, Some("""
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '1997-04-01'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey
+                      AND l_shipdate > o_orderdate)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")),
+    Q("q126_tpch_cust_distribution", q126TpchCustDistribution, Some("""
+      SELECT c_count, count(*) AS custdist
+      FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT OUTER JOIN orders
+              ON c_custkey = o_custkey
+             AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey) c_orders
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC""")),
+    Q("q127_tpch_waiting_suppliers", q127TpchWaitingSuppliers, Some("""
+      SELECT s_name, count(*) AS numwait
+      FROM supplier, lineitem l1, orders
+      WHERE s_suppkey = l1.l_suppkey
+        AND o_orderkey = l1.l_orderkey
+        AND o_orderstatus = 'F'
+        AND l1.l_shipdate > TIMESTAMP '1997-09-01'
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_shipdate > TIMESTAMP '1997-09-01')
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 100""")),
+    Q("q128_tpch_lapsed_customers", q128TpchLapsedCustomers, Some("""
+      SELECT c_nationkey, count(*) AS numcust,
+             CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS totacctbal_cents
+      FROM customer
+      WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+        AND CAST(round(c_acctbal * 100) AS BIGINT) >
+            (SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                         AS DOUBLE) / count(*)
+             FROM customer
+             WHERE c_acctbal > 0
+               AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '1999-01-01')
+      GROUP BY c_nationkey
+      ORDER BY c_nationkey""")),
     Q("q123_tpch_disjunctive", q123TpchDisjunctive, Some("""
       SELECT count(*) AS n_lines,
              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *

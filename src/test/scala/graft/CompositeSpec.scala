@@ -116,6 +116,62 @@ class CompositeSpec extends SparkTestBase {
       s"per-side OR filters not visible in plan:\n$plan")
   }
 
+  test("q125's correlated EXISTS decorrelates to a semi join with a non-equi residual") {
+    val df = Composite.q125TpchPriorityCheck(spark, sf("sf0.001"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"EXISTS not a semi join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q125 fell off the equi-join path:\n$plan")
+    // the date window reached the orders scan
+    assert(plan.contains("PushedFilters") &&
+      plan.toLowerCase.contains("o_orderdate"),
+      s"order-date window not pushed:\n$plan")
+  }
+
+  test("q126's join filter stays in the outer join; distribution covers every customer") {
+    val df = Composite.q126TpchCustDistribution(spark, sf("sf0.001"))
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftOuter"), s"outer join lost:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q126 fell off the equi-join path:\n$plan")
+    // every customer lands in exactly one bucket — the outer join
+    // must not have turned inner (which would drop zero-order rows)
+    val nCustomers = graft.sources.Tables
+      .customer(spark, sf("sf0.001")).count()
+    assert(rows.map(_.getLong(1)).sum === nCustomers)
+  }
+
+  test("q127's EXISTS + NOT EXISTS plan one semi and one anti hash join") {
+    val df = Composite.q127TpchWaitingSuppliers(spark, sf("sf0.001"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"EXISTS not a semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS not an anti join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q127 fell off the equi-join path:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-100 not bounded:\n$plan")
+  }
+
+  test("q128's scalar subquery broadcasts once; NOT EXISTS is an anti join") {
+    val df = Composite.q128TpchLapsedCustomers(spark, sf("sf0.001"))
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS not an anti join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q128 fell off the equi-join path:\n$plan")
+    // the threshold is a one-row scalar subquery, not a re-computed join
+    assert(plan.contains("Subquery") || plan.contains("scalar-subquery"),
+      s"no scalar subquery in plan:\n$plan")
+    assert(rows.nonEmpty, "lapsed-customer fixture returned no rows")
+  }
+
   test("q119 is a zero-join pushed-filter scan; q120 broadcasts part") {
     val d6 = Composite.q119TpchRevenueChange(spark, sf("sf0.001"))
     d6.collect()
