@@ -535,8 +535,11 @@ object MediaCodecs {
   // picks sit at closed-form SOURCE offsets, so DuckDB replays the
   // resized raster's channel sums without performing the resize
   // (crc32 of the re-encode is spec-pinned, not judged — no SQL
-  // engine replays CRC). m4 stays rows-only — windowed PCM means are
-  // sample TRANSFORMS, which SQL cannot replay.
+  // engine replays CRC). m4 is oracle-checked the same way: the
+  // fixtures' PCM samples sit at closed-form LE offsets after the
+  // canonical 44-byte header, so the windowed mean-absolute
+  // amplitudes are byte arithmetic DuckDB replays exactly (one
+  // integer-sum division per window — no float accumulation order).
 
   def m2MediaDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -843,10 +846,55 @@ object MediaCodecs {
     FROM g
     ORDER BY file_name"""
 
+  /** The independent SQL replay of m4: PCM samples sit at closed-form
+    * offsets (canonical 44-byte header, 16-bit LE interleaved), so
+    * each window's mean absolute amplitude is hex byte arithmetic —
+    * sample-channel index i lives at bytes 44+2i/45+2i, the signed
+    * conversion is the branchless ((v+32768) % 65536) − 32768, and
+    * the mean is ONE double division of two exact integers, so the
+    * two engines cannot disagree on accumulation order.
+    */
+  private val m4Oracle: String = s"""
+    WITH b AS (
+      SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name,
+             hex(content) AS h
+      FROM read_blob('$MediaDir/*.wav')),
+    g AS (
+      SELECT file_name, h,
+             ${le(23, 2)} AS ch,
+             ${le(25, 4)} AS rate,
+             ${le(41, 4)} // (${le(23, 2)} * 2) AS n_samples
+      FROM b),
+    w AS (
+      SELECT *, rate // 10 AS per_win FROM g WHERE rate // 10 > 0),
+    wins AS (
+      SELECT file_name, h, ch, per_win, n_samples,
+             unnest(range(0, (n_samples + per_win - 1) // per_win))
+               AS window_idx
+      FROM w),
+    stats AS (
+      SELECT file_name, window_idx, ch,
+             least(n_samples, (window_idx + 1) * per_win)
+               - window_idx * per_win AS n_in_win,
+             list_aggregate(list_transform(
+               range(window_idx * per_win * ch,
+                     least(n_samples, (window_idx + 1) * per_win) * ch),
+               i -> abs(((CAST('0x' || substr(h, 2*(44 + 2*i) + 3, 2)
+                                    || substr(h, 2*(44 + 2*i) + 1, 2)
+                          AS INTEGER) + 32768) % 65536) - 32768)),
+               'sum') AS s
+      FROM wins)
+    SELECT file_name,
+           CAST(window_idx AS INTEGER) AS window_idx,
+           CAST(n_in_win AS BIGINT) AS n_samples,
+           CAST(s AS DOUBLE) / (n_in_win * ch) AS mean_abs
+    FROM stats
+    ORDER BY file_name, window_idx"""
+
   val queries: Seq[Q] = Seq(
     Q("m2_media_decode", m2MediaDecode, Some(m2Oracle)),
     Q("m3_image_resize", m3ImageResize, Some(m3Oracle)),
-    Q("m4_audio_windows", m4AudioWindows, None),
+    Q("m4_audio_windows", m4AudioWindows, Some(m4Oracle)),
     Q("m5_frame_sample", m5FrameSample, Some(m5Oracle)),
     Q("m6_png_decode", m6PngDecode, Some(m6Oracle)),
     Q("m7_jpeg_decode", m7JpegDecode, None))

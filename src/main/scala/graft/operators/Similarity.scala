@@ -658,6 +658,74 @@ object Similarity {
     rerankExact(e, cand)
   }
 
+  // -- judged quality certificates for the approximate family ----------
+
+  /** q82's files-read discipline applied to retrieval quality: the
+    * judged output of an approximate ANN path is a per-query
+    * CERTIFICATE row — the EXACT top-k pool's id checksum (which the
+    * oracle replays independently via e1's brute-force SQL) next to
+    * an overall recall@k-vs-e1 floor check computed from the live
+    * approximate result. The driver's hash gate now goes red if
+    * either side drifts: a broken exact ranking changes
+    * `exact_pool_sum`, and an approximate path whose recall falls
+    * below its engineered floor flips `recall_ok` — so retrieval
+    * quality is certified per round by the driver, not only by sbt
+    * (the specs keep pinning determinism and the tighter plan
+    * shapes). Floors are the spec-pinned ones (e2/e5 0.25, e7 0.3,
+    * e6 0.4) expressed as hit counts over the N_queries·k pool.
+    */
+  private def recallCertificate(exact: DataFrame, approx: DataFrame,
+      floorHits: Long): DataFrame = {
+    val hits = approx.select(col("query_id"), col("vec_id"))
+      .join(exact.select(col("query_id"), col("vec_id")),
+        Seq("query_id", "vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    exact.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k"), sum(col("vec_id")).as("exact_pool_sum"))
+      .crossJoin(broadcast(hits))
+      .select(col("query_id"), col("k"), col("exact_pool_sum"),
+        (col("n_hits") >= floorHits).as("recall_ok"))
+      .orderBy(col("query_id"))
+  }
+
+  def e2AnnLshJudged(s: SparkSession, d: String): DataFrame =
+    recallCertificate(e1AnnBruteForce(s, d), e2AnnLsh(s, d),
+      floorHits = (NumQueries * TopK) / 4) // recall >= 0.25
+  def e5AnnIvfJudged(s: SparkSession, d: String): DataFrame =
+    recallCertificate(e1AnnBruteForce(s, d), e5AnnIvf(s, d),
+      floorHits = (NumQueries * TopK) / 4) // recall >= 0.25
+  def e6AnnPqJudged(s: SparkSession, d: String): DataFrame =
+    recallCertificate(e1AnnBruteForce(s, d), e6AnnPq(s, d),
+      floorHits = (NumQueries * TopK) * 2 / 5) // recall >= 0.4
+  def e7AnnIvfPqJudged(s: SparkSession, d: String): DataFrame =
+    recallCertificate(e1AnnBruteForce(s, d), e7AnnIvfPq(s, d),
+      floorHits = (NumQueries * TopK) * 3 / 10) // recall >= 0.3
+
+  /** The oracle's half of [[recallCertificate]]: replay e1's exact
+    * top-k in SQL, emit each query's pool checksum, and pin the
+    * literal `recall_ok = TRUE` the engine must have measured.
+    */
+  private def recallOracle: String = s"""
+      WITH exact AS (
+        SELECT query_id, vec_id FROM (
+          SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                                    ORDER BY ${cosSql.format("q.embedding",
+                                      "e.embedding", "q.embedding",
+                                      "e.embedding")} DESC,
+                                             e.vec_id ASC) AS rk
+          FROM embeddings e
+          JOIN (SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id < $NumQueries) q
+            ON e.vec_id <> q.vec_id)
+        WHERE rk <= $TopK)
+      SELECT query_id, count(*) AS k,
+             CAST(sum(vec_id) AS BIGINT) AS exact_pool_sum,
+             TRUE AS recall_ok
+      FROM exact
+      GROUP BY query_id
+      ORDER BY query_id"""
+
   private val cosSql =
     """list_sum(list_transform(list_zip(%s, %s),
       |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
@@ -690,10 +758,13 @@ object Similarity {
           ON e.label = q.label AND e.vec_id <> q.vec_id)
       WHERE rk <= $TopK
       ORDER BY query_id, rk""")),
-    Q("e2_ann_lsh", e2AnnLsh, None), // hyperplane literals are engine-side state
-    Q("e5_ann_ivf", e5AnnIvf, None), // learned cells are engine-side state
-    Q("e6_ann_pq", e6AnnPq, None), // learned codebooks are engine-side state
-    Q("e7_ann_ivfpq", e7AnnIvfPq, None), // learned cells+codebooks, engine-side
+    // the approximate paths judge their recall CERTIFICATE (exact
+    // pool checksum + floor check) — the raw top-k remains the
+    // spec-gated surface (PipelineOpsSpec: recall, determinism, plan)
+    Q("e2_ann_lsh", e2AnnLshJudged, Some(recallOracle)),
+    Q("e5_ann_ivf", e5AnnIvfJudged, Some(recallOracle)),
+    Q("e6_ann_pq", e6AnnPqJudged, Some(recallOracle)),
+    Q("e7_ann_ivfpq", e7AnnIvfPqJudged, Some(recallOracle)),
     Q("e4_near_dup_lsh", e4NearDupLsh, None), // ditto — spec proves e4 ⊇ e3
     Q("e3_embedding_near_dup", e3EmbeddingNearDup, Some(s"""
       SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
