@@ -786,6 +786,73 @@ object Dedup {
       .orderBy(col("cluster_id"))
   }
 
+  // -- substring-level dedup (duplicated passages) ---------------------
+
+  /** d9: cross-document duplicated-PASSAGE detection at k-token
+    * granularity (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better" — the ~50-token span dedup every
+    * large curation run applies after document-level dedup, because
+    * boilerplate passages recur inside otherwise-distinct documents).
+    * k = 8 tokens here so the synthetic corpus's planted overlapping
+    * passages surface.
+    *
+    * Shape, all shuffle-bounded by REAL duplication, never the
+    * corpus:
+    *  1. hashed k-gram index: per doc, one 64-bit hash per token
+    *     position (positions kept — unlike d4's set semantics, span
+    *     coalescing needs them);
+    *  2. candidate hits = self equi-join on the gram hash (the only
+    *     corpus-wide shuffle; fan-out per gram is its df², bounded
+    *     here by df ≤ 4 — a production run drops super-frequent
+    *     grams first, the Lee et al. recipe);
+    *  3. span coalescing: hits on one (pair, DIAGONAL pa−pb) with
+    *     consecutive positions are one duplicated span — a lag
+    *     window per (pair, diag) partition, whose state is bounded
+    *     by the longer document's token count (KB), never the
+    *     corpus;
+    *  4. per-pair rollup: span count, duplicated gram count, longest
+    *     span in tokens.
+    * No suffix array is ever materialized. Oracle: DuckDB replays
+    * the whole pipeline on gram STRINGS (hash-collision probability
+    * |grams|²/2⁶⁴ — negligible, and the hash gate would catch it).
+    */
+  def d9SubstringDedup(s: SparkSession, d: String): DataFrame =
+    substringSpans(
+      Tables.documents(s, d).select(col("doc_id"), col("text")), 8)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** d9's span pipeline on any (doc_id, text) frame — shared with the
+    * spec's blocked-vs-brute-force equivalence proof.
+    */
+  private[graft] def substringSpans(docs: DataFrame, k: Int): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val grams = docs
+      .select(col("doc_id"), toks.as("toks"))
+      .where(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("toks")) - k),
+          p => xxhash64(concat_ws(" ", slice(col("toks"), p + 1, lit(k))))))
+          .as(Seq("p", "gh")))
+    val hits = grams.as("x").join(grams.as("y"),
+        col("x.gh") === col("y.gh") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.p").as("pa"), (col("x.p") - col("y.p")).as("diag"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pa"))
+    hits
+      .withColumn("is_start",
+        when(lag(col("pa"), 1).over(w) === col("pa") - 1, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("span_id", sum(col("is_start")).over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("span_id"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("len")).as("n_dup_grams"),
+        (max(col("len")) + (k - 1)).as("max_span_tokens"))
+  }
+
   /** d5's component labels as reusable oracle SQL (no ORDER BY):
     * exact + Jaccard edges through a recursive-CTE reachability —
     * an independent CC algorithm. d5 judges it directly; d8 wraps it.
@@ -823,6 +890,40 @@ object Dedup {
       GROUP BY node"""
 
   val queries: Seq[Q] = Seq(
+    Q("d9_substring_dedup", d9SubstringDedup, Some("""
+      WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents),
+      g AS (
+        SELECT doc_id, unnest(range(0, len(toks) - 7)) AS p, toks
+        FROM t WHERE len(toks) >= 8),
+      g2 AS (
+        SELECT doc_id, p, array_to_string(toks[p+1:p+8], ' ') AS gram
+        FROM g),
+      hits AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.p AS pa, a.p - b.p AS diag
+        FROM g2 a JOIN g2 b
+          ON a.gram = b.gram AND a.doc_id < b.doc_id),
+      st AS (
+        SELECT *, CASE WHEN lag(pa) OVER (PARTITION BY doc_a, doc_b, diag
+                                          ORDER BY pa) = pa - 1
+                       THEN 0 ELSE 1 END AS is_start
+        FROM hits),
+      sp AS (
+        SELECT *, sum(is_start) OVER (PARTITION BY doc_a, doc_b, diag
+                                      ORDER BY pa) AS span_id
+        FROM st),
+      spans AS (
+        SELECT doc_a, doc_b, diag, span_id, count(*) AS len
+        FROM sp GROUP BY 1, 2, 3, 4)
+      SELECT doc_a, doc_b,
+             count(*) AS n_spans,
+             CAST(sum(len) AS BIGINT) AS n_dup_grams,
+             CAST(max(len) + 7 AS BIGINT) AS max_span_tokens
+      FROM spans
+      GROUP BY doc_a, doc_b
+      ORDER BY doc_a, doc_b""")),
     Q("d8_cluster_canonicalize", d8ClusterCanonicalize, Some(s"""
       WITH labels AS (SELECT * FROM ($d5LabelsSql) d5),
       j AS (

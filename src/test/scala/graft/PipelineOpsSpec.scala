@@ -267,6 +267,60 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), s"decode plan shuffles:\n$plan")
   }
 
+  test("d9 planted passages coalesce to exact spans") {
+    import spark.implicits._
+    // doc 1 embeds doc 0's tokens a..j (10 tokens => 3 eight-grams on
+    // one diagonal = ONE span of 10 tokens); doc 2 shares nothing
+    val docs = Seq(
+      (0L, "a b c d e f g h i j k2 l2 m2 n2 o2 p2"),
+      (1L, "z y a b c d e f g h i j x w v u t s"),
+      (2L, "q r s t u v w x y0 z0 a1 b1 c1 d1 e1 f1")).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.substringSpans(docs, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq((0L, 1L, 1L, 3L, 10L)))
+  }
+
+  test("d9 index-join spans equal a brute-force per-pair diagonal scan") {
+    // ground truth: all-pairs driver-side scan of the real corpus —
+    // no hashing, no join, just token comparison per diagonal run
+    val k = 8
+    val raw = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+      .sortBy(_._1)
+    def gramsOf(toks: Seq[String]): Map[Seq[String], Seq[Int]] =
+      if (toks.size < k) Map.empty
+      else toks.sliding(k).zipWithIndex.toSeq.groupMap(_._1)(_._2)
+    val truth = (for {
+      i <- raw.indices; j <- (i + 1) until raw.length
+      (ida, ta) = raw(i); (idb, tb) = raw(j)
+      ga = gramsOf(ta); gb = gramsOf(tb)
+      hits = ga.keySet.intersect(gb.keySet).toSeq.flatMap(g =>
+        for (pa <- ga(g); pb <- gb(g)) yield (pa, pb))
+      if hits.nonEmpty
+    } yield {
+      val runs = hits.groupBy { case (pa, pb) => pa - pb }.toSeq.flatMap {
+        case (_, ps) =>
+          val sorted = ps.map(_._1).sorted
+          sorted.foldLeft(List.empty[List[Int]]) {
+            case (run :: rest, p) if p == run.head + 1 => (p :: run) :: rest
+            case (acc, p) => List(p) :: acc
+          }.map(_.size)
+      }
+      (ida, idb) -> ((runs.size.toLong, runs.map(_.toLong).sum,
+        runs.max.toLong + (k - 1)))
+    }).toMap
+    val got = graft.operators.Dedup.substringSpans(
+      graft.sources.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text")), k)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(truth.nonEmpty, "fixture has no duplicated passages — vacuous")
+    assert(got === truth,
+      s"missing=${truth.keySet.diff(got.keySet)} spurious=${got.keySet.diff(truth.keySet)}")
+  }
+
   test("fingerprint is order-sensitive (permuted tokens differ)") {
     import spark.implicits._
     val fps = Seq("alpha beta gamma", "gamma beta alpha")
