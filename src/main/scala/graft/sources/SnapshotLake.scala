@@ -16,9 +16,12 @@ import graft.Catalog.Q
   *
   * Layout: `root/data/b-<uuid>/part-*.parquet` (immutable data
   * files, one subdir per commit) and `root/_log/v%05d.manifest`
-  * (one TSV manifest per snapshot: header + one line per live file
-  * with its per-file min/max/rowcount stats on a declared stat
-  * column). A snapshot IS its manifest's explicit file list:
+  * (one TSV manifest per snapshot). A manifest is either a FULL
+  * CHECKPOINT (header + one line per live file with its per-file
+  * min/max/rowcount stats on a declared stat column) or, between
+  * checkpoints, a DELTA holding only the commit's add/remove
+  * actions — see [[CheckpointInterval]]; a snapshot IS the nearest
+  * checkpoint's file list with its delta tail replayed:
   *
   *  - COMMIT is write-new-files → write `_log/.tmp-*` → atomically
   *    hard-LINK it into the next version slot (link(2) fails with
@@ -224,9 +227,46 @@ object SnapshotLake {
       Snapshot(-1, "", None, Seq.empty)
     else snapshot(root, asOf)
 
-  def snapshot(root: String, asOf: Option[Int] = None): Snapshot = {
-    val v = asOf.getOrElse(headVersion(root))
-    require(v >= 0, s"lake at $root has no committed snapshot (asOf=$asOf)")
+  /** Versions between full (checkpoint) manifests. A commit whose
+    * version is a multiple of this — or whose writer cannot state a
+    * parent file list (bootstrap, restore, clone, overwrite) — writes
+    * a FULL manifest; every other commit writes a DELTA manifest
+    * holding only its add/remove actions, so at a 1M-file table a
+    * streaming sink's 10-second commits cost O(files touched)
+    * manifest bytes, not a multi-GB full-list rewrite (Delta's
+    * commit-log + periodic-checkpoint economics). [[snapshot]]
+    * reconstructs any version from its nearest checkpoint plus at
+    * most `CheckpointInterval − 1` delta tails.
+    */
+  private[graft] val CheckpointInterval = 16
+
+  /** One parsed manifest file: the version's full header, plus either
+    * the complete file list (checkpoint) or this commit's actions.
+    */
+  private final case class Manifest(statCol: String,
+      bloomCol: Option[String], statCol2: Option[String],
+      txn: Option[(String, Long)], txns: Map[String, Long],
+      schemaJson: Option[String], op: Option[String],
+      isDelta: Boolean, files: Seq[FileStat],
+      adds: Seq[FileStat], removes: Set[String])
+
+  private def parseFileLine(fields: Array[String]): FileStat = {
+    // fields after the fixed four are TAGGED (d2=lo:hi, bf=<b64>)
+    // so optional extras compose without positional ambiguity
+    val extras = fields.drop(4)
+    val dim2 = extras.find(_.startsWith("d2=")).map { t =>
+      val Array(a, b) = t.stripPrefix("d2=").split(':')
+      (a.toLong, b.toLong)
+    }
+    val bloom = extras.find(_.startsWith("bf=")).map(t =>
+      java.util.Base64.getDecoder.decode(t.stripPrefix("bf=")))
+    val bytes = extras.find(_.startsWith("sz="))
+      .map(_.stripPrefix("sz=").toLong)
+    FileStat(fields(0), fields(1).toLong, fields(2).toLong,
+      fields(3).toLong, bloom, dim2, bytes)
+  }
+
+  private def parseManifest(root: String, v: Int): Manifest = {
     val lines = Files.readAllLines(
       manifestPath(root, v), StandardCharsets.UTF_8).asScala.toSeq
     val header = lines.head.split('\t')
@@ -248,24 +288,47 @@ object SnapshotLake {
       new String(java.util.Base64.getDecoder.decode(
         t.stripPrefix("schema=")), StandardCharsets.UTF_8))
     val op = header.find(_.startsWith("op=")).map(_.stripPrefix("op="))
-    val files = lines.tail.map { l =>
-      val fields = l.split('\t')
-      // fields after the fixed four are TAGGED (d2=lo:hi, bf=<b64>)
-      // so optional extras compose without positional ambiguity
-      val extras = fields.drop(4)
-      val dim2 = extras.find(_.startsWith("d2=")).map { t =>
-        val Array(a, b) = t.stripPrefix("d2=").split(':')
-        (a.toLong, b.toLong)
-      }
-      val bloom = extras.find(_.startsWith("bf=")).map(t =>
-        java.util.Base64.getDecoder.decode(t.stripPrefix("bf=")))
-      val bytes = extras.find(_.startsWith("sz="))
-        .map(_.stripPrefix("sz=").toLong)
-      FileStat(fields(0), fields(1).toLong, fields(2).toLong,
-        fields(3).toLong, bloom, dim2, bytes)
+    val isDelta = header.contains("kind=delta")
+    if (isDelta) {
+      val (addLines, rmLines) = lines.tail.partition(_.startsWith("add\t"))
+      Manifest(statCol, bloomCol, statCol2, txn, txns, schemaJson, op,
+        isDelta = true, Seq.empty,
+        addLines.map(l => parseFileLine(l.split('\t').drop(1))),
+        rmLines.map(_.stripPrefix("rm\t")).toSet)
+    } else
+      Manifest(statCol, bloomCol, statCol2, txn, txns, schemaJson, op,
+        isDelta = false, lines.tail.map(l => parseFileLine(l.split('\t'))),
+        Seq.empty, Set.empty)
+  }
+
+  /** Test hook: manifest files read by the last [[snapshot]] call —
+    * the "1 checkpoint + bounded tail" contract, observable.
+    */
+  private[graft] var lastSnapshotReads: Int = 0
+
+  def snapshot(root: String, asOf: Option[Int] = None): Snapshot = {
+    val v = asOf.getOrElse(headVersion(root))
+    require(v >= 0, s"lake at $root has no committed snapshot (asOf=$asOf)")
+    val top = parseManifest(root, v)
+    var reads = 1
+    // walk back to the nearest checkpoint, then replay each delta's
+    // removes-then-adds forward — ≤ CheckpointInterval−1 tail files
+    var deltas = List.empty[Manifest] // oldest-first after the loop
+    var cur = top
+    var cv = v
+    while (cur.isDelta) {
+      deltas = cur :: deltas
+      cv -= 1
+      require(cv >= 0, s"delta chain at $root ran past version 0")
+      cur = parseManifest(root, cv)
+      reads += 1
     }
-    Snapshot(v, statCol, bloomCol, files, statCol2, txn, txns, schemaJson,
-      op)
+    val files = deltas.foldLeft(cur.files) { (acc, d) =>
+      acc.filterNot(f => d.removes(f.name)) ++ d.adds
+    }
+    lastSnapshotReads = reads
+    Snapshot(v, top.statCol, top.bloomCol, files, top.statCol2, top.txn,
+      top.txns, top.schemaJson, top.op)
   }
 
   /** Highest batch id recorded for writer `appId`, or -1 if none —
@@ -311,16 +374,28 @@ object SnapshotLake {
         }
     })
 
-  /** Stage + atomically publish version `v`; false = lost the race. */
+  /** Stage + atomically publish version `v`; false = lost the race.
+    *
+    * `parentFiles` = the file list of version v−1 as the caller read
+    * it inside its optimistic loop. When present and v is not a
+    * checkpoint boundary, the manifest is written as a DELTA — only
+    * the names that left the list and the [[FileStat]] lines that
+    * entered it — so commit cost is O(touched files). Callers that
+    * cannot state a parent (bootstrap, overwrite-by-intent verbs
+    * like restore/clone) pass None and publish a full checkpoint.
+    */
   private def tryPublish(root: String, v: Int, statCol: String,
       bloomCol: Option[String], overwrite: Boolean,
       files: Seq[FileStat], statCol2: Option[String] = None,
       txn: Option[(String, Long)] = None,
       txns: Map[String, Long] = Map.empty,
       schemaJson: Option[String] = None,
-      op: Option[String] = None): Boolean = {
+      op: Option[String] = None,
+      parentFiles: Option[Seq[FileStat]] = None): Boolean = {
     txns.keys.foreach(a => require(!a.exists(c => c == ',' || c == '\t' ||
       c == '\n'), s"txn appId '$a' may not contain ',', tab, or newline"))
+    val asDelta = parentFiles.isDefined && v > 0 &&
+      v % CheckpointInterval != 0
     val header = s"v=$v\t$statCol\toverwrite=$overwrite" +
       bloomCol.fold("")(c => s"\tbloom=$c") +
       statCol2.fold("")(c => s"\tstat2=$c") +
@@ -332,14 +407,25 @@ object SnapshotLake {
       // carry tabs/newlines, the manifest's own delimiters
       schemaJson.fold("")(j => "\tschema=" + java.util.Base64.getEncoder
         .encodeToString(j.getBytes(StandardCharsets.UTF_8))) +
-      op.fold("")(o => s"\top=$o")
-    val body = (header +: files.map { f =>
+      op.fold("")(o => s"\top=$o") +
+      (if (asDelta) "\tkind=delta" else "")
+    def fileLine(f: FileStat): String = {
       val base = s"${f.name}\t${f.lo}\t${f.hi}\t${f.rows}"
       val withD2 = f.dim2.fold(base) { case (a, b) => s"$base\td2=$a:$b" }
       val withSz = f.bytes.fold(withD2)(n => s"$withD2\tsz=$n")
       f.bloom.fold(withSz)(b =>
         s"$withSz\tbf=${java.util.Base64.getEncoder.encodeToString(b)}")
-    }).mkString("", "\n", "\n")
+    }
+    val bodyLines: Seq[String] =
+      if (asDelta) {
+        val parent = parentFiles.get
+        val parentNames = parent.map(_.name).toSet
+        val newNames = files.map(_.name).toSet
+        parent.collect { case f if !newNames(f.name) => s"rm\t${f.name}" } ++
+          files.collect { case f if !parentNames(f.name) =>
+            s"add\t${fileLine(f)}" }
+      } else files.map(fileLine)
+    val body = (header +: bodyLines).mkString("", "\n", "\n")
     Files.createDirectories(logDir(root))
     val tmp = logDir(root).resolve(s".tmp-${UUID.randomUUID()}")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
@@ -545,7 +631,7 @@ object SnapshotLake {
       if (tryPublish(root, head.version + 1, key, head.bloomCol,
           overwrite = true, kept ++ appended ++ newFiles, head.statCol2,
           txns = head.txns, schemaJson = head.schemaJson,
-          op = Some("merge")))
+          op = Some("merge"), parentFiles = Some(head.files)))
         committed = head.version + 1
     }
     MergeResult(committed, kept.size, touchedFiles.size, newFiles.size)
@@ -637,7 +723,7 @@ object SnapshotLake {
       if (tryPublish(root, head.version + 1, key, head.bloomCol,
           overwrite = true, kept ++ appended ++ newFiles, head.statCol2,
           txns = head.txns, schemaJson = head.schemaJson,
-          op = Some("delete")))
+          op = Some("delete"), parentFiles = Some(head.files)))
         committed = head.version + 1
     }
     DeleteResult(committed, dropped.size, straddling.size, kept.size,
@@ -715,7 +801,7 @@ object SnapshotLake {
       if (tryPublish(root, head.version + 1, key, head.bloomCol,
           overwrite = true, kept ++ appended ++ newFiles, head.statCol2,
           txns = head.txns, schemaJson = head.schemaJson,
-          op = Some("compact")))
+          op = Some("compact"), parentFiles = Some(head.files)))
         committed = head.version + 1
     }
     CompactResult(committed, base.files.size,
@@ -847,7 +933,7 @@ object SnapshotLake {
     * write path whose BatchWrite.commit stages its own acknowledged
     * file set before running the stats pass.
     */
-  private[sources] def commitFiles(root: String, newFiles: Seq[FileStat],
+  private[graft] def commitFiles(root: String, newFiles: Seq[FileStat],
       statCol: String, overwrite: Boolean, bloomCol: Option[String],
       statCol2: Option[String] = None,
       txn: Option[(String, Long)] = None,
@@ -910,7 +996,10 @@ object SnapshotLake {
       if (tryPublish(root, v, statCol, effBloomCol, overwrite,
           parent.map(_.files).getOrElse(Seq.empty) ++ newFiles, effStat2,
           txn, newTxns, effSchema,
-          Some(if (overwrite) "overwrite" else "append")))
+          Some(if (overwrite) "overwrite" else "append"),
+          // append commits cost O(new files) manifest bytes; an
+          // overwrite redeclares the list and checkpoints
+          parentFiles = parent.map(_.files)))
         committed = v
     }
     committed
@@ -1046,11 +1135,31 @@ object SnapshotLake {
     * prune — no cluster I/O. Returns (versions dropped, data files
     * deleted).
     */
+  /** True iff version v's manifest is a full checkpoint (not a
+    * delta) — decided from the header line alone.
+    */
+  private def isCheckpoint(root: String, v: Int): Boolean = {
+    val in = Files.newBufferedReader(manifestPath(root, v),
+      StandardCharsets.UTF_8)
+    try !in.readLine().split('\t').contains("kind=delta")
+    finally in.close()
+  }
+
   def vacuum(root: String, keepVersions: Int): (Int, Int) = {
     require(keepVersions >= 1, "must keep at least the head version")
     val head = headVersion(root)
     require(head >= 0, s"lake at $root has no committed snapshot")
-    val cutoff = head - keepVersions + 1
+    // the earliest surviving version must be reconstructible, so the
+    // cutoff snaps BACK to the nearest checkpoint manifest at or
+    // before it — retention extends by < CheckpointInterval versions,
+    // the standard cost of a commit-log design (Delta retains back to
+    // a checkpoint too). The invariant this preserves: the oldest
+    // surviving manifest is always full.
+    val wanted = head - keepVersions + 1
+    val cutoff = (wanted to 0 by -1)
+      .find(v => Files.exists(manifestPath(root, v)) &&
+        isCheckpoint(root, v))
+      .getOrElse(0)
     val dropped = (0 until cutoff)
       .filter(v => Files.exists(manifestPath(root, v)))
     if (dropped.isEmpty) return (0, 0)

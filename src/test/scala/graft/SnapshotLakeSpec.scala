@@ -227,6 +227,74 @@ class SnapshotLakeSpec extends SparkTestBase {
     assert(hit.where(col("v") === 999999L).count() === 1)
   }
 
+  test("incremental log: 1,000 commits cost O(delta) bytes each; snapshots read one checkpoint + a bounded tail") {
+    val root = freshRoot()
+    // driver-only chain: 1,000 appends of one synthetic file each —
+    // the streaming-sink shape (no Spark jobs, the log is the test)
+    (0 until 1000).foreach { i =>
+      SnapshotLake.commitFiles(root,
+        Seq(SnapshotLake.FileStat(f"data/b-$i%05d/part-0.parquet",
+          i * 10L, i * 10L + 9, 10L)),
+        "k", overwrite = false, bloomCol = None)
+    }
+    def manifestSize(v: Int): Long =
+      Files.size(Paths.get(root, "_log", f"v$v%05d.manifest"))
+    // per-commit bytes: every non-checkpoint manifest carries ONE add
+    // action — O(delta), independent of the 1,000-file live list
+    val deltaSizes = (0 to 999).filterNot(_ % SnapshotLake.CheckpointInterval == 0)
+      .map(manifestSize)
+    assert(deltaSizes.max < 400,
+      s"delta manifest grew with the table: max ${deltaSizes.max} bytes")
+    // checkpoints DO grow with the live list — that is their job
+    assert(manifestSize(992) > manifestSize(16))
+    // head reconstruction: full list, <= 1 checkpoint + tail reads
+    val head = SnapshotLake.snapshot(root)
+    assert(head.files.size === 1000)
+    assert(SnapshotLake.lastSnapshotReads <= SnapshotLake.CheckpointInterval,
+      s"head snapshot read ${SnapshotLake.lastSnapshotReads} manifests")
+    // time travel at checkpoint boundaries, mid-tail, and the start
+    Seq(0, 15, 16, 17, 399, 767, 998).foreach { v =>
+      val s = SnapshotLake.snapshot(root, Some(v))
+      assert(s.files.size === v + 1, s"version $v wrong file count")
+      assert(s.files.map(_.rows).sum === (v + 1) * 10L)
+      assert(SnapshotLake.lastSnapshotReads <= SnapshotLake.CheckpointInterval)
+    }
+    // vacuum keeps the earliest surviving version reconstructible:
+    // wanted cutoff 990 snaps back to the 976 checkpoint
+    val (dropped, _) = SnapshotLake.vacuum(root, keepVersions = 10)
+    assert(dropped === 976)
+    assert(SnapshotLake.snapshot(root, Some(976)).files.size === 977)
+    assert(SnapshotLake.snapshot(root, Some(999)).files.size === 1000)
+    intercept[Exception] { SnapshotLake.snapshot(root, Some(975)) }
+  }
+
+  test("removes travel through the delta log: merge/delete actions reconstruct exactly") {
+    val root = freshRoot()
+    // v0 checkpoint with 4 files, then delta commits that REMOVE:
+    // a delete dropping one file and rewriting another must
+    // reconstruct from (rm + add) actions, not a full list
+    val bucket = (1 to 3).foldLeft(lit(0)) { (acc, i) =>
+      when(col("k") >= i * 100, lit(i)).otherwise(acc)
+    }
+    SnapshotLake.commitClustered(spark, root, tbl(0 until 400), bucket, "k")
+    val res = SnapshotLake.delete(spark, root, 100L, 250L)
+    assert(res.filesDropped === 1 && res.filesRewritten === 1)
+    // the delete's manifest is a delta holding its actions only
+    val lines = Files.readAllLines(
+      Paths.get(root, "_log", "v00001.manifest"),
+      StandardCharsets.UTF_8).asScala
+    assert(lines.head.contains("kind=delta"), s"expected delta: ${lines.head}")
+    assert(lines.tail.count(_.startsWith("rm\t")) === 2)
+    assert(lines.tail.count(_.startsWith("add\t")) === 1)
+    // reconstruction agrees with the data
+    val ks = SnapshotLake.read(spark, root).select("k").as[Long]
+      .collect().sorted.toSeq
+    assert(ks === ((0L until 100L) ++ (250L until 400L)))
+    assert(SnapshotLake.snapshot(root).files.size === 3)
+    // time travel to the checkpoint is untouched
+    assert(SnapshotLake.read(spark, root, Some(0)).count() === 400L)
+  }
+
   test("vacuum reclaims only unreachable files; retained versions read byte-stable") {
     val root = freshRoot()
     SnapshotLake.commit(spark, root, tbl(0 until 10).coalesce(1), "k")       // v0

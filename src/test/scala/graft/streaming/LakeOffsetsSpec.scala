@@ -95,8 +95,12 @@ class LakeOffsetsSpec extends SparkTestBase {
     SnapshotLake.commit(spark, root, frame(5), "event_id",
       txn = Some(("appA", 1L)))
     SnapshotLake.commit(spark, root, frame(5), "event_id")
+    // an overwrite checkpoint at the head lets vacuum really drop the
+    // manifests that RECORDED the txns (delta-log retention otherwise
+    // snaps back to the nearest checkpoint, v0 here)
+    SnapshotLake.commit(spark, root, frame(5), "event_id", overwrite = true)
     val (droppedManifests, _) = SnapshotLake.vacuum(root, keepVersions = 1)
-    assert(droppedManifests === 2)
+    assert(droppedManifests === 3)
     // the accumulated map rides every manifest header, so dropping
     // the manifests that RECORDED the txns loses nothing — vacuum no
     // longer truncates the replay-dedup horizon
