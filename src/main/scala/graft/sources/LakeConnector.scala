@@ -102,7 +102,8 @@ class GraftLakeSource extends TableProvider {
 final class LakeTable(root: String, asOf: Option[Int], tschema: StructType,
     opts: Map[String, String] = Map.empty)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
   override def name(): String =
     s"graft_lake($root${asOf.fold("")(v => s"@v$v")})"
   override def schema(): StructType = tschema
@@ -118,6 +119,71 @@ final class LakeTable(root: String, asOf: Option[Int], tschema: StructType,
     require(asOf.isEmpty,
       s"cannot write to time-travel snapshot v${asOf.get} of $root")
     new LakeWriteBuilder(root, info, opts)
+  }
+
+  // -- SQL row-level DELETE --------------------------------------------
+  // `DELETE FROM lake WHERE <stat-column range>` routes through the
+  // SAME [[SnapshotLake.delete]] verb the Scala API exposes, so SQL
+  // DML inherits the metadata-only fast path: fully-covered files drop
+  // from the manifest unopened, only boundary-straddling files
+  // rewrite. Only conjunctions of comparisons on the stat column are
+  // claimable as an exact [lo, hi) range; anything else is refused
+  // (canDeleteWhere = false → Spark raises a clear unsupported-DELETE
+  // error rather than this table deleting the wrong rows).
+
+  /** Conjunctive stat-column comparisons → one exact [lo, hi) range. */
+  private def deleteRange(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Option[(Long, Long)] = {
+    if (asOf.nonEmpty || predicates.isEmpty) return None
+    val statCol = SnapshotLake.snapshot(root).statCol
+    var lo = Long.MinValue
+    var hi = Long.MaxValue // exclusive
+    def refAndValue(p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+        : Option[Long] = p.children() match {
+      case Array(r: NamedReference,
+          l: org.apache.spark.sql.connector.expressions.Literal[_])
+          if r.fieldNames().length == 1 && r.fieldNames()(0) == statCol =>
+        l.value() match {
+          case v: java.lang.Long => Some(v.longValue())
+          case v: java.lang.Integer => Some(v.longValue())
+          case v: java.lang.Short => Some(v.longValue())
+          case _ => None
+        }
+      case _ => None
+    }
+    def visit(p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+        : Boolean = p match {
+      case a: org.apache.spark.sql.connector.expressions.filter.And =>
+        visit(a.left()) && visit(a.right())
+      case _ => p.name() match {
+        case ">=" => refAndValue(p).exists { v => lo = math.max(lo, v); true }
+        case ">" => refAndValue(p).exists { v =>
+          v < Long.MaxValue && { lo = math.max(lo, v + 1); true } }
+        case "<" => refAndValue(p).exists { v => hi = math.min(hi, v); true }
+        case "<=" => refAndValue(p).exists { v =>
+          v < Long.MaxValue && { hi = math.min(hi, v + 1); true } }
+        case "=" => refAndValue(p).exists { v =>
+          v < Long.MaxValue && {
+            lo = math.max(lo, v); hi = math.min(hi, v + 1); true } }
+        case _ => false
+      }
+    }
+    if (predicates.forall(visit) && lo < hi) Some((lo, hi)) else None
+  }
+
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Boolean = deleteRange(predicates).isDefined
+
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    val (lo, hi) = deleteRange(predicates).getOrElse(throw
+      new UnsupportedOperationException(
+        s"DELETE on ${name()} supports only stat-column range predicates, " +
+          s"got ${predicates.mkString(", ")}"))
+    SnapshotLake.delete(SparkSession.active, root, lo, hi): Unit
   }
 }
 

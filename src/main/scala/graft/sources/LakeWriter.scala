@@ -320,6 +320,47 @@ object LakeWriteQueries {
         col("n_rows"), col("sum_cents"), col("min_id"), col("max_id"))
   }
 
+  /** Judged SQL row-level DELETE: q109's 8-file clustered fixture and
+    * delete range, driven entirely through `DELETE FROM ... WHERE`
+    * over the connector's `SupportsDeleteV2` — SQL DML must inherit
+    * the Scala verb's metadata-only fast path exactly. Hash-checked
+    * columns: the recorded `op`, the head version (bootstrap + one
+    * delete = 1), and the post-delete file count (4 kept + 1
+    * boundary rewrite = 5 — a DELETE that rewrote covered files
+    * would land more); the aggregate certifies the surviving rows
+    * against the oracle's closed-form complement.
+    */
+  def q129LakeDeleteSql(s: SparkSession, d: String): DataFrame = {
+    val root = Housekeeping.tempDir("q129")
+    s.sql("DROP TABLE IF EXISTS q129_lake")
+    Housekeeping.tables(s, "q129_tbl", Seq("q129_lake"))
+    val ev = Tables.events(s, d).select(
+      col("event_id"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val span = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    def bound(i: Int): Long = i.toLong * span / 8
+    val bucket = (1 to 7).foldLeft(lit(0)) { (acc, i) =>
+      when(col("event_id") >= bound(i), lit(i)).otherwise(acc)
+    }
+    SnapshotLake.commitClustered(s, root, ev, bucket, "event_id")
+    s.sql(s"""
+      CREATE TABLE q129_lake (event_id BIGINT, cents BIGINT)
+      USING graft.sources.GraftLakeSource
+      OPTIONS (path '$root', statCol 'event_id')""")
+    s.sql(s"""
+      DELETE FROM q129_lake
+      WHERE event_id >= ${bound(2)}
+        AND event_id < ${bound(5) + span / 32}""").collect(): Unit
+    val snap = SnapshotLake.snapshot(root)
+    s.table("q129_lake")
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .select(
+        lit(snap.op.getOrElse("")).as("op"),
+        lit(snap.version.toLong).as("head_version"),
+        lit(snap.files.size.toLong).as("n_files_after"),
+        col("n_rows"), col("sum_cents"))
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q107_lake_insert_sql", q107LakeInsertSql, Some("""
       WITH ec AS (SELECT event_id,
@@ -330,5 +371,18 @@ object LakeWriteQueries {
              CAST(sum(cents) AS BIGINT) AS sum_cents,
              min(event_id) AS min_id,
              max(event_id) AS max_id
-      FROM ec""")))
+      FROM ec""")),
+    Q("q129_lake_delete_sql", q129LakeDeleteSql, Some("""
+      WITH b AS (SELECT max(event_id) + 1 AS span FROM events),
+      surv AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events, b
+        WHERE NOT (event_id >= (2 * span) // 8
+               AND event_id < (5 * span) // 8 + span // 32))
+      SELECT 'delete' AS op,
+             CAST(1 AS BIGINT) AS head_version,
+             CAST(5 AS BIGINT) AS n_files_after,
+             count(*) AS n_rows,
+             CAST(sum(cents) AS BIGINT) AS sum_cents
+      FROM surv""")))
 }

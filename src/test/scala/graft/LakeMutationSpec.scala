@@ -83,6 +83,33 @@ class LakeMutationSpec extends SparkTestBase {
     assert(SnapshotLake.snapshot(root).files.size === 100)
   }
 
+  test("SQL DELETE FROM routes through SupportsDeleteV2 to the metadata fast path") {
+    val root = freshRoot()
+    clustered8(root)
+    spark.sql("DROP TABLE IF EXISTS lake_del_sql")
+    spark.sql(s"""
+      CREATE TABLE lake_del_sql (k BIGINT, v BIGINT)
+      USING graft.sources.GraftLakeSource
+      OPTIONS (path '$root', statCol 'k')""")
+    try {
+      spark.sql("DELETE FROM lake_del_sql WHERE k >= 150 AND k < 450")
+      val after = SnapshotLake.snapshot(root)
+      assert(after.op === Some("delete"), "SQL DELETE did not reach the lake verb")
+      // files 2-3 fully covered -> dropped unopened; files 1 and 4
+      // straddle -> rewritten; 4 carried
+      assert(after.files.size === 6)
+      val ks = spark.table("lake_del_sql").select("k").as[Long]
+        .collect().sorted.toSeq
+      assert(ks === ((0L until 150L) ++ (450L until 800L)))
+      // a predicate not expressible as a stat-column range must refuse
+      // loudly, never delete the wrong rows
+      intercept[Exception] {
+        spark.sql("DELETE FROM lake_del_sql WHERE v = 7")
+      }
+      assert(spark.table("lake_del_sql").count() === 500L)
+    } finally spark.sql("DROP TABLE IF EXISTS lake_del_sql")
+  }
+
   test("delete with aligned boundaries is pure metadata: no data batch written") {
     val root = freshRoot()
     clustered8(root)
