@@ -348,6 +348,15 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
         bloomIn.forall(vs => f.bloom.forall(b =>
           vs.exists(SnapshotLake.Bloom.mightContain(b, _))))
     }
+    // data files store PHYSICAL column names (column mapping): the
+    // reader requests them; readSchema stays logical, and positional
+    // batch binding performs the rename for free
+    val physRequired = snap.schema.fold(required) { logical =>
+      val m = logical.fields
+        .map(f => f.name.toLowerCase -> SnapshotLake.ColMap.phys(f)).toMap
+      StructType(required.fields.map(f =>
+        f.copy(name = m.getOrElse(f.name.toLowerCase, f.name))))
+    }
     LakeScan(root, snap.version, kept,
       snap.files.length, required,
       s"stat=${snap.statCol}∈[$lo,$hi)" +
@@ -355,7 +364,8 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
         point.fold("")(v => s" bloom=$v") +
         statIn.fold("")(vs => s" in(${vs.length})") +
         bloomIn.fold("")(vs => s" bloomIn(${vs.length})"),
-      asOf, lo, hi, lo2, hi2, point, snap.statCol, snap.bloomCol)
+      asOf, lo, hi, lo2, hi2, point, snap.statCol, snap.bloomCol,
+      physRequired)
   }
 }
 
@@ -366,7 +376,8 @@ final case class LakeScan(root: String, version: Int,
     lo: Long = Long.MinValue, hi: Long = Long.MaxValue,
     lo2: Long = Long.MinValue, hi2: Long = Long.MaxValue,
     point: Option[Long] = None,
-    statCol: String = "", bloomColName: Option[String] = None)
+    statCol: String = "", bloomColName: Option[String] = None,
+    physRequired: StructType = null)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -439,7 +450,8 @@ final case class LakeScan(root: String, version: Int,
     require(asOf.isEmpty,
       s"cannot stream from time-travel snapshot v${asOf.get} of $root — " +
         "a pinned version never grows")
-    new LakeMicroBatchStream(root, required, f =>
+    new LakeMicroBatchStream(root, Option(physRequired).getOrElse(required),
+      f =>
       f.hi >= lo && (hi == Long.MaxValue || f.lo < hi) &&
         f.dim2.forall { case (l2, h2) =>
           h2 >= lo2 && (hi2 == Long.MaxValue || l2 < hi2) } &&
@@ -519,7 +531,8 @@ final case class LakeScan(root: String, version: Int,
     }.map(identity[InputPartition]).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new LakeReaderFactory(required, LakeReaderFactory.sessionConf())
+    new LakeReaderFactory(Option(physRequired).getOrElse(required),
+      LakeReaderFactory.sessionConf())
 }
 
 object LakeScan {

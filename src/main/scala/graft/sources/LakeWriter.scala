@@ -80,6 +80,21 @@ final class LakeWriteBuilder(root: String, info: LogicalWriteInfo,
 object LakeWrite {
   def stagingDir(root: String): String = s"$root/_staging"
 
+  /** Data files carry PHYSICAL column names (column mapping): an
+    * append's write schema renames any chain-mapped logical columns
+    * back to their storage names; an overwrite declares a fresh
+    * schema with no mapping yet. Rows are positional, so only the
+    * parquet field names change.
+    */
+  def physicalFor(root: String, schema: StructType,
+      overwrite: Boolean): StructType = {
+    val chain =
+      if (!overwrite && SnapshotLake.headVersion(root) >= 0)
+        SnapshotLake.snapshot(root).schema
+      else None
+    SnapshotLake.ColMap.toPhysicalSchema(schema, chain)
+  }
+
   /** Driver-side capture of the session confs `ParquetWriteSupport
     * .init` asserts present in the task-side Hadoop conf (schema,
     * legacy-format flag, timestamp physical type — ParquetFileFormat
@@ -172,7 +187,8 @@ final class LakeBatchWrite(root: String, schema: StructType,
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
     Files.createDirectories(Paths.get(LakeWrite.stagingDir(root)))
-    new LakeWriterFactory(root, LakeWrite.writeConf(schema))
+    new LakeWriterFactory(root,
+      LakeWrite.writeConf(LakeWrite.physicalFor(root, schema, overwrite)))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -208,7 +224,8 @@ final class LakeStreamingWrite(root: String, schema: StructType,
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     Files.createDirectories(Paths.get(LakeWrite.stagingDir(root)))
-    val inner = new LakeWriterFactory(root, LakeWrite.writeConf(schema))
+    val inner = new LakeWriterFactory(root,
+      LakeWrite.writeConf(LakeWrite.physicalFor(root, schema, overwrite)))
     new StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long,
           epochId: Long): DataWriter[InternalRow] =

@@ -76,10 +76,92 @@ object SnapshotLake {
       txn: Option[(String, Long)] = None,
       txns: Map[String, Long] = Map.empty,
       schemaJson: Option[String] = None,
-      op: Option[String] = None) {
+      op: Option[String] = None,
+      retired: Set[String] = Set.empty) {
     def schema: Option[org.apache.spark.sql.types.StructType] =
       schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  /** COLUMN MAPPING (Delta's column-mapping mode, name-based): each
+    * schema field carries a stable numeric id and the PHYSICAL name
+    * its values live under inside data files, as StructField
+    * metadata in the manifest's recorded schema. Logical renames and
+    * drops then become metadata-only commits — zero file rewrites —
+    * because readers translate logical ↔ physical per snapshot:
+    * every write path materializes PHYSICAL names into parquet, and
+    * every read path requests physical names and surfaces logical
+    * ones. A field with no mapping metadata has physical == logical
+    * (every pre-mapping chain, unchanged on disk).
+    */
+  object ColMap {
+    val IdKey = "graft.col.id"
+    val PhysKey = "graft.col.phys"
+
+    def phys(f: org.apache.spark.sql.types.StructField): String =
+      if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey)
+      else f.name
+
+    /** The schema as data files store it: physical names, logical
+      * types/nullability/order.
+      */
+    def physicalSchema(logical: org.apache.spark.sql.types.StructType)
+        : org.apache.spark.sql.types.StructType =
+      org.apache.spark.sql.types.StructType(
+        logical.fields.map(f => f.copy(name = phys(f))))
+
+    private def key(n: String): String =
+      n.toLowerCase(java.util.Locale.ROOT)
+
+    /** Rename a frame's renamed-logical columns back to physical
+      * before a file write (appends and CoW rewrites). Columns the
+      * chain schema doesn't know (brand-new columns, `__bucket`
+      * routing artifacts) pass through under their own names.
+      */
+    def toPhysical(df: DataFrame,
+        chain: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+      chain.fold(df) { sch =>
+        val m = sch.fields.map(f => key(f.name) -> phys(f)).toMap
+        if (df.columns.forall(c => m.get(key(c)).forall(_ == c))) df
+        else df.select(df.columns.map(c =>
+          col(c).as(m.getOrElse(key(c), c))): _*)
+      }
+
+    /** [[toPhysical]] for a bare write schema (the DSv2 write path,
+      * where rows are positional and only the parquet field names
+      * need the translation).
+      */
+    def toPhysicalSchema(write: org.apache.spark.sql.types.StructType,
+        chain: Option[org.apache.spark.sql.types.StructType])
+        : org.apache.spark.sql.types.StructType =
+      chain.fold(write) { sch =>
+        val m = sch.fields.map(f => key(f.name) -> phys(f)).toMap
+        org.apache.spark.sql.types.StructType(write.fields.map(f =>
+          f.copy(name = m.getOrElse(key(f.name), f.name))))
+      }
+
+    /** Stamp ids + physical names on every unmapped field (ids
+      * continue from the schema's max; physical = the field's
+      * current name, i.e. its name at birth). Idempotent, and
+      * existing mappings are never disturbed — field identity
+      * survives any later rename.
+      */
+    def annotate(sch: org.apache.spark.sql.types.StructType)
+        : org.apache.spark.sql.types.StructType = {
+      var next = sch.fields.flatMap(f =>
+        if (f.metadata.contains(IdKey)) Some(f.metadata.getLong(IdKey))
+        else None).foldLeft(-1L)(math.max) + 1
+      org.apache.spark.sql.types.StructType(sch.fields.map { f =>
+        if (f.metadata.contains(IdKey) && f.metadata.contains(PhysKey)) f
+        else {
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+          if (!f.metadata.contains(IdKey)) { mb.putLong(IdKey, next); next += 1 }
+          if (!f.metadata.contains(PhysKey)) mb.putString(PhysKey, f.name)
+          f.copy(metadata = mb.build())
+        }
+      })
+    }
   }
 
   /** Additive schema evolution: the union of parent and next in
@@ -91,7 +173,8 @@ object SnapshotLake {
     */
   private[graft] def evolveSchema(
       parent: org.apache.spark.sql.types.StructType,
-      next: org.apache.spark.sql.types.StructType)
+      next: org.apache.spark.sql.types.StructType,
+      retired: Set[String] = Set.empty)
       : org.apache.spark.sql.types.StructType = {
     // CASE-INSENSITIVE field identity: the engine resolves columns
     // case-insensitively by default, so "v" and "V" are the same
@@ -113,19 +196,40 @@ object SnapshotLake {
     // marker would make reads of previously valid files fail with
     // "required column is missing" instead of null-filling (Delta
     // does the same for newly added columns)
-    org.apache.spark.sql.types.StructType(
-      parent.fields ++ next.fields.filterNot(f => byKey.contains(key(f.name)))
-        .map(_.copy(nullable = true)))
+    val fresh = next.fields.filterNot(f => byKey.contains(key(f.name)))
+      .map(_.copy(nullable = true))
+    // a new column may not land on a DROPPED column's physical
+    // storage name: the old files still carry those bytes, and the
+    // collision would silently resurface them under the new column
+    fresh.foreach(f => require(!retired.contains(ColMap.phys(f)),
+      s"column '${f.name}' collides with a dropped column's physical " +
+        "storage name — pick a different name"))
+    // ids + physical names stamp on first touch (column mapping)
+    ColMap.annotate(
+      org.apache.spark.sql.types.StructType(parent.fields ++ fresh))
   }
 
-  /** A reader pinned to the snapshot's recorded table schema, so a
-    * file written before a column existed reads as nulls in that
-    * column (Spark's user-specified-schema parquet contract) —
-    * pre-schema manifests fall back to plain footer inference.
+  /** Read `fs` under the snapshot's recorded table schema: files
+    * written before a column existed null-fill it (Spark's
+    * user-specified-schema parquet contract), data files are
+    * requested by their PHYSICAL column names, and the frame
+    * surfaces the LOGICAL ones — the read half of column mapping.
+    * Pre-schema manifests fall back to plain footer inference.
     */
-  private def readerFor(s: SparkSession, snap: Snapshot)
-      : org.apache.spark.sql.DataFrameReader =
-    snap.schema.fold(s.read)(s.read.schema)
+  private def readFiles(s: SparkSession, root: String, snap: Snapshot,
+      fs: Seq[FileStat]): DataFrame = {
+    val paths = fs.map(f => dataPath(root, f.name))
+    snap.schema match {
+      case None => s.read.parquet(paths: _*)
+      case Some(logical) =>
+        val phys = ColMap.physicalSchema(logical)
+        val df = s.read.schema(phys).parquet(paths: _*)
+        if (java.util.Arrays.equals(
+            phys.fieldNames.asInstanceOf[Array[AnyRef]],
+            logical.fieldNames.asInstanceOf[Array[AnyRef]])) df
+        else df.toDF(logical.fieldNames.toIndexedSeq: _*)
+    }
+  }
 
   /** Blocked bloom over longs: k=6 bit positions from one 64-bit
     * avalanche hash (double hashing h1 + i·h2) — deterministic
@@ -247,6 +351,7 @@ object SnapshotLake {
       bloomCol: Option[String], statCol2: Option[String],
       txn: Option[(String, Long)], txns: Map[String, Long],
       schemaJson: Option[String], op: Option[String],
+      retired: Set[String],
       isDelta: Boolean, files: Seq[FileStat],
       adds: Seq[FileStat], removes: Set[String])
 
@@ -288,16 +393,20 @@ object SnapshotLake {
       new String(java.util.Base64.getDecoder.decode(
         t.stripPrefix("schema=")), StandardCharsets.UTF_8))
     val op = header.find(_.startsWith("op=")).map(_.stripPrefix("op="))
+    val retired = header.find(_.startsWith("retired="))
+      .map(_.stripPrefix("retired=").split(',').toSet)
+      .getOrElse(Set.empty[String])
     val isDelta = header.contains("kind=delta")
     if (isDelta) {
       val (addLines, rmLines) = lines.tail.partition(_.startsWith("add\t"))
       Manifest(statCol, bloomCol, statCol2, txn, txns, schemaJson, op,
-        isDelta = true, Seq.empty,
+        retired, isDelta = true, Seq.empty,
         addLines.map(l => parseFileLine(l.split('\t').drop(1))),
         rmLines.map(_.stripPrefix("rm\t")).toSet)
     } else
       Manifest(statCol, bloomCol, statCol2, txn, txns, schemaJson, op,
-        isDelta = false, lines.tail.map(l => parseFileLine(l.split('\t'))),
+        retired, isDelta = false,
+        lines.tail.map(l => parseFileLine(l.split('\t'))),
         Seq.empty, Set.empty)
   }
 
@@ -328,7 +437,7 @@ object SnapshotLake {
     }
     lastSnapshotReads = reads
     Snapshot(v, top.statCol, top.bloomCol, files, top.statCol2, top.txn,
-      top.txns, top.schemaJson, top.op)
+      top.txns, top.schemaJson, top.op, top.retired)
   }
 
   /** Highest batch id recorded for writer `appId`, or -1 if none —
@@ -391,9 +500,12 @@ object SnapshotLake {
       txns: Map[String, Long] = Map.empty,
       schemaJson: Option[String] = None,
       op: Option[String] = None,
-      parentFiles: Option[Seq[FileStat]] = None): Boolean = {
+      parentFiles: Option[Seq[FileStat]] = None,
+      retired: Set[String] = Set.empty): Boolean = {
     txns.keys.foreach(a => require(!a.exists(c => c == ',' || c == '\t' ||
       c == '\n'), s"txn appId '$a' may not contain ',', tab, or newline"))
+    retired.foreach(n => require(!n.exists(c => c == ',' || c == '\t' ||
+      c == '\n'), s"retired name '$n' may not contain ',', tab, or newline"))
     val asDelta = parentFiles.isDefined && v > 0 &&
       v % CheckpointInterval != 0
     val header = s"v=$v\t$statCol\toverwrite=$overwrite" +
@@ -408,6 +520,8 @@ object SnapshotLake {
       schemaJson.fold("")(j => "\tschema=" + java.util.Base64.getEncoder
         .encodeToString(j.getBytes(StandardCharsets.UTF_8))) +
       op.fold("")(o => s"\top=$o") +
+      (if (retired.isEmpty) ""
+       else "\tretired=" + retired.toSeq.sorted.mkString(",")) +
       (if (asDelta) "\tkind=delta" else "")
     def fileLine(f: FileStat): String = {
       val base = s"${f.name}\t${f.lo}\t${f.hi}\t${f.rows}"
@@ -470,9 +584,15 @@ object SnapshotLake {
       return headVersion(root) // replay detected before staging files
     }
     val batch = s"data/b-${UUID.randomUUID().toString.take(8)}"
+    // appends materialize PHYSICAL column names (column mapping); the
+    // recorded schema below stays logical
+    val chainSchema =
+      if (!overwrite && headVersion(root) >= 0) snapshot(root).schema
+      else None
     // writeOptions = parquet writer tuning (e.g. parquet.block.size
     // to shape row-group granularity for the connector's splits)
-    df.write.options(writeOptions).parquet(s"$root/$batch")
+    ColMap.toPhysical(df, chainSchema)
+      .write.options(writeOptions).parquet(s"$root/$batch")
     commitBatch(s, root, batch, statCol, overwrite, bloomCol, bloomBytes,
       statCol2, txn, Some(df.schema.json))
   }
@@ -594,8 +714,7 @@ object SnapshotLake {
           read(s, root).where(lit(false))
             .withColumn("__src", lit(null).cast("string"))
         else
-          readerFor(s, base)
-            .parquet(touchedFiles.map(f => dataPath(root, f.name)): _*)
+          readFiles(s, root, base, touchedFiles)
             .withColumn("__src", input_file_name())
       // survivors: delete first, then presence-flag update in place
       val survivors = cur
@@ -615,9 +734,9 @@ object SnapshotLake {
     // route rewritten rows back to one file per source file; inserts
     // (the `__insert__` sentinel) to one fresh file
     val batch = s"data/b-${UUID.randomUUID().toString.take(8)}"
-    routeToSourceBuckets(s, newData,
+    ColMap.toPhysical(routeToSourceBuckets(s, newData,
       touchedFiles.map(_.name).zipWithIndex.map { case (n, i) => n -> s"f$i" },
-      default = "ins")
+      default = "ins"), base.schema)
       .repartition(col("__bucket"))
       .write.partitionBy("__bucket").parquet(s"$root/$batch")
     val newFiles = statsFor(s, root, batch, key, base.bloomCol,
@@ -631,7 +750,8 @@ object SnapshotLake {
       if (tryPublish(root, head.version + 1, key, head.bloomCol,
           overwrite = true, kept ++ appended ++ newFiles, head.statCol2,
           txns = head.txns, schemaJson = head.schemaJson,
-          op = Some("merge"), parentFiles = Some(head.files)))
+          op = Some("merge"), parentFiles = Some(head.files),
+          retired = head.retired))
         committed = head.version + 1
     }
     MergeResult(committed, kept.size, touchedFiles.size, newFiles.size)
@@ -700,15 +820,14 @@ object SnapshotLake {
         // output file per source file (merge's layout-preserving
         // pattern) — the shuffle moves boundary-file bytes, nothing
         // else
-        val cur = readerFor(s, base)
-          .parquet(straddling.map(f => dataPath(root, f.name)): _*)
+        val cur = readFiles(s, root, base, straddling)
           .withColumn("__src", input_file_name())
           .where(!(col(key) >= lo && col(key) < hi))
         val batch = s"data/b-${UUID.randomUUID().toString.take(8)}"
-        routeToSourceBuckets(s, cur,
+        ColMap.toPhysical(routeToSourceBuckets(s, cur,
           straddling.map(_.name).zipWithIndex
             .map { case (n, i) => n -> s"f$i" },
-          default = "x")
+          default = "x"), base.schema)
           .repartition(col("__bucket"))
           .write.partitionBy("__bucket").parquet(s"$root/$batch")
         statsFor(s, root, batch, key, base.bloomCol,
@@ -723,7 +842,8 @@ object SnapshotLake {
       if (tryPublish(root, head.version + 1, key, head.bloomCol,
           overwrite = true, kept ++ appended ++ newFiles, head.statCol2,
           txns = head.txns, schemaJson = head.schemaJson,
-          op = Some("delete"), parentFiles = Some(head.files)))
+          op = Some("delete"), parentFiles = Some(head.files),
+          retired = head.retired))
         committed = head.version + 1
     }
     DeleteResult(committed, dropped.size, straddling.size, kept.size,
@@ -778,13 +898,12 @@ object SnapshotLake {
       if (packed.isEmpty) Seq.empty[FileStat]
       else {
         val batch = s"data/b-${UUID.randomUUID().toString.take(8)}"
-        routeToSourceBuckets(s,
-          readerFor(s, base)
-            .parquet(packed.flatten.map(f => dataPath(root, f.name)): _*)
+        ColMap.toPhysical(routeToSourceBuckets(s,
+          readFiles(s, root, base, packed.flatten)
             .withColumn("__src", input_file_name()),
           packed.zipWithIndex.flatMap { case (g, gi) =>
             g.map(f => f.name -> s"g$gi") },
-          default = "x")
+          default = "x"), base.schema)
           .repartition(col("__bucket"))
           .sortWithinPartitions(col(key))
           .write.partitionBy("__bucket").parquet(s"$root/$batch")
@@ -801,7 +920,8 @@ object SnapshotLake {
       if (tryPublish(root, head.version + 1, key, head.bloomCol,
           overwrite = true, kept ++ appended ++ newFiles, head.statCol2,
           txns = head.txns, schemaJson = head.schemaJson,
-          op = Some("compact"), parentFiles = Some(head.files)))
+          op = Some("compact"), parentFiles = Some(head.files),
+          retired = head.retired))
         committed = head.version + 1
     }
     CompactResult(committed, base.files.size,
@@ -830,15 +950,15 @@ object SnapshotLake {
     val toNames = to.files.map(_.name).toSet
     val removed = from.files.filterNot(f => toNames(f.name))
     val added = to.files.filterNot(f => fromNames(f.name))
-    def readFiles(fs: Seq[FileStat]): DataFrame =
+    def readSide(fs: Seq[FileStat]): DataFrame =
       if (fs.isEmpty) read(s, root, Some(toV)).where(lit(false))
-      else readerFor(s, to).parquet(fs.map(f => dataPath(root, f.name)): _*)
-    val payload = readFiles(to.files.take(1)).columns.filterNot(_ == key).toSeq
+      else readFiles(s, root, to, fs)
+    val payload = readSide(to.files.take(1)).columns.filterNot(_ == key).toSeq
     def pack(df: DataFrame, tag: String): DataFrame =
       df.select(col(key).cast("long").as(key),
         struct(payload.map(col): _*).as(s"__$tag"))
-    val pre = pack(readFiles(removed), "pre")
-    val post = pack(readFiles(added), "post")
+    val pre = pack(readSide(removed), "pre")
+    val post = pack(readSide(added), "post")
     val diff = pre.join(post, Seq(key), "full_outer")
       .withColumn("change_type",
         when(col("__pre").isNull, lit("insert"))
@@ -868,7 +988,10 @@ object SnapshotLake {
       overwrite: Boolean = false, bloomCol: Option[String] = None,
       bloomBytes: Int = 1024, statCol2: Option[String] = None): Int = {
     val batch = s"data/b-${UUID.randomUUID().toString.take(8)}"
-    df.withColumn("__bucket", bucket)
+    val chainSchema =
+      if (!overwrite && headVersion(root) >= 0) snapshot(root).schema
+      else None
+    ColMap.toPhysical(df, chainSchema).withColumn("__bucket", bucket)
       .repartition(col("__bucket"))
       .write.partitionBy("__bucket").parquet(s"$root/$batch")
     // recorded schema = df's own (pre-__bucket): the bucket is a
@@ -983,10 +1106,14 @@ object SnapshotLake {
       // declares its own. A schema-less legacy chain STAYS schema-less
       // on append — stamping the batch's schema onto inherited files
       // of unknown shape would mislabel them.
+      // retired physical names accumulate like the txn map — an
+      // overwrite replaces the file list, never the collision guard
+      val headRetired = headSnap.map(_.retired).getOrElse(Set.empty[String])
       val effSchema = (parent, schemaJson) match {
         case (Some(p), Some(sj)) => p.schema.map(ps =>
           evolveSchema(ps, org.apache.spark.sql.types.DataType.fromJson(sj)
-            .asInstanceOf[org.apache.spark.sql.types.StructType]).json)
+            .asInstanceOf[org.apache.spark.sql.types.StructType],
+            headRetired).json)
         case (Some(p), None) => p.schemaJson
         case (None, sj) => sj
       }
@@ -999,7 +1126,8 @@ object SnapshotLake {
           Some(if (overwrite) "overwrite" else "append"),
           // append commits cost O(new files) manifest bytes; an
           // overwrite redeclares the list and checkpoints
-          parentFiles = parent.map(_.files)))
+          parentFiles = parent.map(_.files),
+          retired = headRetired))
         committed = v
     }
     committed
@@ -1025,7 +1153,7 @@ object SnapshotLake {
       f.bloom.forall(Bloom.mightContain(_, value)))
     val df =
       if (kept.isEmpty) read(s, root, asOf).where(lit(false))
-      else readerFor(s, snap).parquet(kept.map(f => dataPath(root, f.name)): _*)
+      else readFiles(s, root, snap, kept)
         .where(col(c) === value)
     (df, kept.length, snap.files.length)
   }
@@ -1033,7 +1161,7 @@ object SnapshotLake {
   /** Read a snapshot (head by default, `asOf` for time travel). */
   def read(s: SparkSession, root: String, asOf: Option[Int] = None): DataFrame = {
     val snap = snapshot(root, asOf)
-    readerFor(s, snap).parquet(snap.files.map(f => dataPath(root, f.name)): _*)
+    readFiles(s, root, snap, snap.files)
   }
 
   /** Read with file skipping for `statCol ∈ [lo, hi)`: drops every
@@ -1051,7 +1179,7 @@ object SnapshotLake {
       if (kept.isEmpty)
         read(s, root, asOf).where(lit(false))
       else
-        readerFor(s, snap).parquet(kept.map(f => dataPath(root, f.name)): _*)
+        readFiles(s, root, snap, kept)
           .where(col(snap.statCol) >= lo && col(snap.statCol) < hi)
     (df, kept.length, snap.files.length)
   }
@@ -1079,7 +1207,7 @@ object SnapshotLake {
         f.dim2.forall { case (l2, h2) => h2 >= lo2 && l2 < hi2 })
     val df =
       if (kept.isEmpty) read(s, root, asOf).where(lit(false))
-      else readerFor(s, snap).parquet(kept.map(f => dataPath(root, f.name)): _*)
+      else readFiles(s, root, snap, kept)
         .where(col(snap.statCol) >= lo && col(snap.statCol) < hi &&
           col(c2) >= lo2 && col(c2) < hi2)
     (df, kept.length, snap.files.length)
@@ -1195,16 +1323,97 @@ object SnapshotLake {
       // restore rolls back DATA, never the replay-dedup horizon: the
       // txn map comes from the current head, or a restored sink
       // would re-accept batches it already committed
-      val headTxns = if (head < 0) Map.empty[String, Long]
-        else snapshot(root, Some(head)).txns
+      val headSnap = if (head < 0) None else Some(snapshot(root, Some(head)))
       if (tryPublish(root, head + 1, target.statCol, target.bloomCol,
           overwrite = true, target.files, target.statCol2,
-          txns = headTxns, schemaJson = target.schemaJson,
-          op = Some("restore")))
+          txns = headSnap.map(_.txns).getOrElse(Map.empty),
+          schemaJson = target.schemaJson,
+          op = Some("restore"),
+          retired = headSnap.map(_.retired).getOrElse(Set.empty)))
         committed = head + 1
     }
     committed
   }
+
+  private def colKey(n: String): String =
+    n.toLowerCase(java.util.Locale.ROOT)
+
+  /** The lake's indexing identity — columns whose manifest stats the
+    * prune and aggregate pushdown answer from. Renaming or dropping
+    * one would desynchronize header names from recorded stats, so
+    * the mapping verbs refuse them (Delta similarly restricts its
+    * clustering/partition columns).
+    */
+  private def indexCols(head: Snapshot): Seq[String] =
+    Seq(Some(head.statCol), head.bloomCol, head.statCol2).flatten
+
+  /** Metadata-only schema commit: republish the head's file list
+    * untouched (a ZERO-action delta manifest) under a transformed
+    * schema. The transform re-derives from the CURRENT head inside
+    * the optimistic loop, so a concurrent append's new column is
+    * never lost to a stale schema.
+    */
+  private def publishSchemaChange(root: String, op: String,
+      transform: (Snapshot, org.apache.spark.sql.types.StructType) =>
+        (org.apache.spark.sql.types.StructType, Set[String])): Int = {
+    var committed = -1
+    while (committed < 0) {
+      val head = snapshot(root)
+      val schema = head.schema.getOrElse(throw new IllegalStateException(
+        s"lake at $root has no recorded schema — legacy chains cannot $op"))
+      val (newSchema, newRetired) = transform(head, schema)
+      if (tryPublish(root, head.version + 1, head.statCol, head.bloomCol,
+          overwrite = true, head.files, head.statCol2,
+          txns = head.txns, schemaJson = Some(newSchema.json),
+          op = Some(op), parentFiles = Some(head.files),
+          retired = newRetired))
+        committed = head.version + 1
+    }
+    committed
+  }
+
+  /** RENAME COLUMN, metadata-only (column mapping): the field keeps
+    * its id and physical storage name, only its logical name changes
+    * — zero data files touched, one zero-action delta manifest. Time
+    * travel reads every snapshot under ITS OWN name for the column.
+    */
+  def renameColumn(root: String, oldName: String, newName: String): Int =
+    publishSchemaChange(root, "rename", { (head, schema) =>
+      require(!indexCols(head).exists(c => colKey(c) == colKey(oldName)),
+        s"cannot rename '$oldName': it is a stat/bloom index column " +
+          "(the lake's pruning identity)")
+      require(schema.fields.exists(f => colKey(f.name) == colKey(oldName)),
+        s"no column '$oldName' in ${schema.fieldNames.mkString(", ")}")
+      require(!schema.fields.exists(f => colKey(f.name) == colKey(newName)),
+        s"column '$newName' already exists")
+      (org.apache.spark.sql.types.StructType(
+        ColMap.annotate(schema).fields.map(f =>
+          if (colKey(f.name) == colKey(oldName)) f.copy(name = newName)
+          else f)),
+        head.retired)
+    })
+
+  /** DROP COLUMN, logical (column mapping): the field leaves the
+    * schema; its bytes stay in every data file and remain readable
+    * via time travel. The physical storage name is RETIRED in the
+    * manifest header so a later column cannot land on it and
+    * resurface the dropped values.
+    */
+  def dropColumn(root: String, name: String): Int =
+    publishSchemaChange(root, "drop_column", { (head, schema) =>
+      require(!indexCols(head).exists(c => colKey(c) == colKey(name)),
+        s"cannot drop '$name': it is a stat/bloom index column " +
+          "(the lake's pruning identity)")
+      val annotated = ColMap.annotate(schema)
+      val victim = annotated.fields.find(f => colKey(f.name) == colKey(name))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no column '$name' in ${schema.fieldNames.mkString(", ")}"))
+      require(annotated.fields.length > 1,
+        s"cannot drop the last remaining column '$name'")
+      (org.apache.spark.sql.types.StructType(
+        annotated.fields.filterNot(_ eq victim)),
+        head.retired + ColMap.phys(victim))
+    })
 
   /** SHALLOW CLONE (Delta's zero-copy clone): publish a manifest at
     * `dstRoot` that references the source snapshot's data files by
@@ -1242,7 +1451,7 @@ object SnapshotLake {
       if (tryPublish(dstRoot, head + 1, snap.statCol, snap.bloomCol,
           overwrite = true, borrowed, snap.statCol2,
           txns = headTxns, schemaJson = snap.schemaJson,
-          op = Some("clone")))
+          op = Some("clone"), retired = snap.retired))
         committed = head + 1
     }
     committed

@@ -24,7 +24,11 @@ class CatalogSpec extends SparkTestBase {
   private val nljWhitelist = Set("q17_band_join", "q39_gap_fill",
     "e1_ann_brute_force", "q75_session_window_overlap",
     "e6_ann_pq", // the ADC scan: codes × 8 broadcast query tables
-    "q93_hll_algebra") // 1-row agg × 1-row agg: the q39 span shape
+    "q93_hll_algebra", // 1-row agg × 1-row agg: the q39 span shape
+    // the recall certificates run e1's whitelisted brute-force plan
+    // as their exact side, plus a 1-row broadcast hits × 8-row
+    // per-query frame cross (the q93 shape)
+    "e2_ann_lsh", "e5_ann_ivf", "e7_ann_ivfpq")
 
   test("every catalog query executes, returns rows, and plans clean at sf0.001") {
     Catalog.all.foreach { q =>

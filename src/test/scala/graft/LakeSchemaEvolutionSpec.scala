@@ -129,6 +129,82 @@ class LakeSchemaEvolutionSpec extends SparkTestBase {
     assert(ex.getMessage.contains("re-type"))
   }
 
+  test("rename is metadata-only: zero file rewrites, every read path maps physical names") {
+    val root = freshRoot()
+    val v0 = SnapshotLake.commit(spark, root,
+      (0L until 20L).map(i => (i, i * 7)).toDF("k", "v"), "k")
+    val filesBefore = SnapshotLake.snapshot(root).files.map(_.name)
+    SnapshotLake.renameColumn(root, "v", "w")
+    val head = SnapshotLake.snapshot(root)
+    assert(head.files.map(_.name) === filesBefore, "rename rewrote files")
+    assert(head.op === Some("rename"))
+    assert(head.schema.map(_.fieldNames.toSeq) === Some(Seq("k", "w")))
+    // helper read surfaces the new logical name with the old values
+    val df = SnapshotLake.read(spark, root)
+    assert(df.columns.toSeq === Seq("k", "w"))
+    assert(df.agg(sum(col("w"))).head.getLong(0) ===
+      (0L until 20L).map(_ * 7).sum)
+    // connector read maps physical → logical positionally
+    val cdf = spark.read.format("graft.sources.GraftLakeSource")
+      .option("path", root).load()
+    assert(cdf.columns.toSeq === Seq("k", "w"))
+    assert(cdf.where(col("w") === 70L).count() === 1L)
+    // time travel: v0 reads under ITS OWN column name
+    assert(SnapshotLake.read(spark, root, Some(v0)).columns.toSeq ===
+      Seq("k", "v"))
+    // appends under the new logical name STORE the physical one
+    SnapshotLake.commit(spark, root,
+      (20L until 30L).map(i => (i, i * 7)).toDF("k", "w"), "k")
+    val after = SnapshotLake.read(spark, root)
+    assert(after.count() === 30L)
+    assert(after.where(col("w").isNull).count() === 0L)
+    val newFiles = SnapshotLake.snapshot(root).files.map(_.name)
+      .filterNot(filesBefore.toSet)
+    newFiles.foreach(n =>
+      assert(spark.read.parquet(s"$root/$n").columns.toSeq.contains("v"),
+        s"append after rename stored logical, not physical, names in $n"))
+    // CoW rewrite keeps physical naming (no silent logical column)
+    SnapshotLake.delete(spark, root, 5L, 7L)
+    val rewritten = SnapshotLake.read(spark, root)
+    assert(rewritten.count() === 28L)
+    assert(rewritten.where(col("w").isNull).count() === 0L)
+    // the pruning identity may not be renamed
+    intercept[IllegalArgumentException] {
+      SnapshotLake.renameColumn(root, "k", "kk")
+    }
+  }
+
+  test("drop column is logical: time travel keeps it, retired physical name blocks reuse") {
+    val root = freshRoot()
+    SnapshotLake.commit(spark, root,
+      (0L until 10L).map(i => (i, i * 7)).toDF("k", "v"), "k")
+    val vPre = SnapshotLake.commit(spark, root,
+      (10L until 20L).map(i => (i, i * 7, s"t$i")).toDF("k", "v", "t"), "k")
+    val filesBefore = SnapshotLake.snapshot(root).files.map(_.name)
+    SnapshotLake.dropColumn(root, "t")
+    val head = SnapshotLake.snapshot(root)
+    assert(head.files.map(_.name) === filesBefore, "drop rewrote files")
+    assert(head.schema.map(_.fieldNames.toSeq) === Some(Seq("k", "v")))
+    assert(head.retired === Set("t"))
+    assert(SnapshotLake.read(spark, root).columns.toSeq === Seq("k", "v"))
+    // time travel still surfaces the dropped column
+    assert(SnapshotLake.read(spark, root, Some(vPre)).columns.toSeq ===
+      Seq("k", "v", "t"))
+    // a new column on the retired physical name would resurface the
+    // dropped bytes from old files — refused
+    intercept[IllegalArgumentException] {
+      SnapshotLake.commit(spark, root,
+        (20L until 25L).map(i => (i, i * 7, s"x$i")).toDF("k", "v", "t"), "k")
+    }
+    // a differently-named column is fine
+    SnapshotLake.commit(spark, root,
+      (30L until 35L).map(i => (i, i * 7, s"u$i")).toDF("k", "v", "u"), "k")
+    assert(SnapshotLake.read(spark, root).columns.toSeq === Seq("k", "v", "u"))
+    intercept[IllegalArgumentException] {
+      SnapshotLake.dropColumn(root, "k")
+    }
+  }
+
   test("evolveSchema is union-in-parent-order with equal-type dedup") {
     val p = StructType(Seq(StructField("a", LongType), StructField("b", LongType)))
     val n = StructType(Seq(StructField("b", LongType), StructField("c", LongType)))
