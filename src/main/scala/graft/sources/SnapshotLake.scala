@@ -2048,7 +2048,56 @@ object SnapshotLake {
       col("n_rows")).orderBy(col("version"))
   }
 
+  /** Judged column mapping: bootstrap (event_id, cents), metadata-only
+    * RENAME cents→amount_cents, append under the new name, then
+    * metadata-only DROP of a second column added along the way — and
+    * read the head through the DSv2 connector. Hash-checked: the
+    * surviving column NAMES (n_cols + the aggregate's own schema),
+    * the ops recorded for the two metadata commits, that ZERO data
+    * files were rewritten by either verb (file counts ride the row),
+    * and the aggregate over the renamed column spanning pre- and
+    * post-rename files — physical-name mapping on both the write and
+    * read paths must agree exactly or values null out and the hash
+    * goes red.
+    */
+  def q130ColumnMapping(s: SparkSession, d: String): DataFrame = {
+    val root = Housekeeping.tempDir("q130")
+    val ev = eventsCents(s, d).select(col("event_id"), col("cents"))
+    commit(s, root, ev.where(col("event_id") % 2 === 0), "event_id")
+    val filesV0 = snapshot(root).files.size
+    renameColumn(root, "cents", "amount_cents")
+    val filesAfterRename = snapshot(root).files.size
+    val renameOp = snapshot(root).op.getOrElse("")
+    // append under the NEW logical name, carrying a new column too
+    commit(s, root,
+      ev.where(col("event_id") % 2 === 1)
+        .select(col("event_id"), col("cents").as("amount_cents"),
+          (col("cents") % 10).as("bucket3")),
+      "event_id")
+    dropColumn(root, "bucket3")
+    val dropOp = snapshot(root).op.getOrElse("")
+    val df = s.read.format("graft.sources.GraftLakeSource")
+      .option("path", root).load()
+    df.agg(count(lit(1)).as("n_events"),
+        sum(col("amount_cents")).as("sum_cents"))
+      .select(
+        lit(df.columns.length.toLong).as("n_cols"),
+        lit(renameOp).as("rename_op"),
+        lit(dropOp).as("drop_op"),
+        lit((filesAfterRename - filesV0).toLong).as("files_rewritten_by_rename"),
+        col("n_events"), col("sum_cents"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q130_column_mapping", q130ColumnMapping, Some("""
+      SELECT CAST(2 AS BIGINT) AS n_cols,
+             'rename' AS rename_op,
+             'drop_column' AS drop_op,
+             CAST(0 AS BIGINT) AS files_rewritten_by_rename,
+             count(*) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+      FROM events""")),
     Q("q124_lake_clone", q124LakeClone, Some("""
       WITH b AS (SELECT count(*) AS n, max(event_id) + 1 AS span
                  FROM events),
