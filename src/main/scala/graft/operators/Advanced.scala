@@ -120,9 +120,22 @@ object Advanced {
     * (HLL sketches differ by implementation) — rows-only judged.
     */
   def q22ApproxDistinct(s: SparkSession, d: String): DataFrame =
+    // judged as a CERTIFICATE (the ANN-recall discipline): the exact
+    // distinct count is oracle-replayable, and the sketch's relative
+    // error vs it rides as a hash-checked boolean against the spec's
+    // 15% bound (≈3σ at the default rsd 0.05) — an HLL regression
+    // goes red at the driver, while the raw estimate (engine-specific
+    // bytes, no cross-engine twin) stays out of the hash. The exact
+    // count is validation-harness cost, not the operator's: a
+    // deployment runs the sketch alone.
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx"),
+        count_distinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx") - col("exact_parts")).cast("double") /
+          col("exact_parts").cast("double") <= 0.15)
+          .as("approx_within_15pct"))
       .orderBy(col("l_returnflag"))
 
   /** As-of join: each event picks up the user's most recent order at
@@ -285,7 +298,13 @@ object Advanced {
       FROM events
       GROUP BY event_type
       ORDER BY event_type""")),
-    Q("q22_approx_distinct", q22ApproxDistinct, None), // HLL: no cross-engine oracle
+    Q("q22_approx_distinct", q22ApproxDistinct, Some("""
+      SELECT l_returnflag,
+             count(DISTINCT l_partkey) AS exact_parts,
+             TRUE AS approx_within_15pct
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""")),
     Q("q23_asof_join", q23AsofJoin, Some("""
       WITH ro AS (
         SELECT o_custkey, o_orderdate,

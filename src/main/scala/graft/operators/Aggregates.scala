@@ -265,14 +265,23 @@ object Aggregates {
     val pctOk = (est: org.apache.spark.sql.Column) =>
       abs(est - col("exact_total")).cast("double") /
         col("exact_total").cast("double") <= 0.05
+    // certificate output (the ANN-recall discipline): the exact total
+    // is oracle-replayable and the two error-bound verdicts ride as
+    // hash-checked booleans; the raw estimates (sketch-implementation
+    // specific) stay out of the hash — AdvancedSpec still pins the
+    // merge law and determinism on them directly.
     merged.crossJoin(direct).select(
-      col("exact_total"), col("hll_direct"), col("hll_merged"),
+      col("exact_total"),
       pctOk(col("hll_direct")).as("direct_within_5pct"),
       pctOk(col("hll_merged")).as("merged_within_5pct"))
   }
 
   val queries: Seq[Q] = Seq(
-    Q("q93_hll_algebra", q93HllAlgebra, None),
+    Q("q93_hll_algebra", q93HllAlgebra, Some("""
+      SELECT count(DISTINCT c_custkey) AS exact_total,
+             TRUE AS direct_within_5pct,
+             TRUE AS merged_within_5pct
+      FROM customer""")),
     Q("q55_percentile_disc", q55PercentileDisc, Some("""
       SELECT l_returnflag,
              quantile_disc(l_quantity, 0.25) AS p25,
