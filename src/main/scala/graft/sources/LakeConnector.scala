@@ -95,7 +95,8 @@ class GraftLakeSource extends TableProvider {
       properties: JMap[String, String]): Table = {
     val o = new CaseInsensitiveStringMap(properties)
     new LakeTable(lakeRoot(o), asOf(o), schema, o.asCaseSensitiveMap()
-      .asScala.map { case (k, v) => k.toLowerCase -> v }.toMap)
+      .asScala.map { case (k, v) =>
+        k.toLowerCase(java.util.Locale.ROOT) -> v }.toMap)
   }
 }
 
@@ -136,6 +137,11 @@ final class LakeTable(root: String, asOf: Option[Int], tschema: StructType,
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
       : Option[(Long, Long)] = {
     if (asOf.nonEmpty || predicates.isEmpty) return None
+    // an uncommitted lake (CREATE TABLE over an empty path) has no
+    // snapshot to read a statCol from — refuse cleanly (canDeleteWhere
+    // false → Spark's clear unsupported-DELETE error) instead of
+    // leaking the internal "no committed snapshot" require
+    if (SnapshotLake.headVersion(root) < 0) return None
     val statCol = SnapshotLake.snapshot(root).statCol
     var lo = Long.MinValue
     var hi = Long.MaxValue // exclusive
@@ -352,10 +358,14 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
     // reader requests them; readSchema stays logical, and positional
     // batch binding performs the rename for free
     val physRequired = snap.schema.fold(required) { logical =>
+      // Locale.ROOT, matching SnapshotLake.colKey — the default JVM
+      // locale would mis-key 'I'/'i' columns under e.g. tr_TR and
+      // request the wrong (logical) parquet field name
+      def k(n: String) = n.toLowerCase(java.util.Locale.ROOT)
       val m = logical.fields
-        .map(f => f.name.toLowerCase -> SnapshotLake.ColMap.phys(f)).toMap
+        .map(f => k(f.name) -> SnapshotLake.ColMap.phys(f)).toMap
       StructType(required.fields.map(f =>
-        f.copy(name = m.getOrElse(f.name.toLowerCase, f.name))))
+        f.copy(name = m.getOrElse(k(f.name), f.name))))
     }
     LakeScan(root, snap.version, kept,
       snap.files.length, required,

@@ -198,12 +198,26 @@ object SnapshotLake {
     // does the same for newly added columns)
     val fresh = next.fields.filterNot(f => byKey.contains(key(f.name)))
       .map(_.copy(nullable = true))
-    // a new column may not land on a DROPPED column's physical
-    // storage name: the old files still carry those bytes, and the
-    // collision would silently resurface them under the new column
-    fresh.foreach(f => require(!retired.contains(ColMap.phys(f)),
-      s"column '${f.name}' collides with a dropped column's physical " +
-        "storage name — pick a different name"))
+    // a new column may not land on an IN-USE physical storage name:
+    // for a DROPPED column the old files still carry those bytes and
+    // the collision would silently resurface them under the new
+    // column; for a RENAMED-away column (physical name unchanged,
+    // logical moved on) two fields would claim the same parquet
+    // field. Both compare under the same case-insensitive key the
+    // engine resolves columns with — a re-cased name is the same
+    // storage slot.
+    val retiredKeys = retired.map(key)
+    val inUsePhys = parent.fields.map(f => key(ColMap.phys(f))).toSet
+    fresh.foreach { f =>
+      val pk = key(ColMap.phys(f))
+      require(!retiredKeys.contains(pk),
+        s"column '${f.name}' collides with a dropped column's physical " +
+          "storage name — pick a different name")
+      require(!inUsePhys.contains(pk),
+        s"column '${f.name}' collides with an existing column's physical " +
+          "storage name (a renamed column still stores under its birth " +
+          "name) — pick a different name")
+    }
     // ids + physical names stamp on first touch (column mapping)
     ColMap.annotate(
       org.apache.spark.sql.types.StructType(parent.fields ++ fresh))
@@ -586,9 +600,19 @@ object SnapshotLake {
     val batch = s"data/b-${UUID.randomUUID().toString.take(8)}"
     // appends materialize PHYSICAL column names (column mapping); the
     // recorded schema below stays logical
-    val chainSchema =
-      if (!overwrite && headVersion(root) >= 0) snapshot(root).schema
+    val chainSnap =
+      if (!overwrite && headVersion(root) >= 0) Some(snapshot(root))
       else None
+    val chainSchema = chainSnap.flatMap(_.schema)
+    // run the evolution guards BEFORE staging any file: a physical-name
+    // collision (dropped or renamed-away column) must surface as the
+    // guard's clear refusal, not as toPhysical mapping two logical
+    // columns onto one storage name and the parquet writer failing
+    // with a bare duplicate-column error. commitBatch re-evolves
+    // against the final head inside the optimistic loop — this is the
+    // fast, user-facing copy of the same check.
+    chainSchema.foreach(ps => evolveSchema(ps, df.schema,
+      chainSnap.map(_.retired).getOrElse(Set.empty)): Unit)
     // writeOptions = parquet writer tuning (e.g. parquet.block.size
     // to shape row-group granularity for the connector's splits)
     ColMap.toPhysical(df, chainSchema)
@@ -1410,9 +1434,12 @@ object SnapshotLake {
           s"no column '$name' in ${schema.fieldNames.mkString(", ")}"))
       require(annotated.fields.length > 1,
         s"cannot drop the last remaining column '$name'")
+      // retire under the same case-insensitive key evolveSchema's
+      // collision guard compares with — a re-cased append may not
+      // land on the dropped column's storage slot
       (org.apache.spark.sql.types.StructType(
         annotated.fields.filterNot(_ eq victim)),
-        head.retired + ColMap.phys(victim))
+        head.retired + colKey(ColMap.phys(victim)))
     })
 
   /** SHALLOW CLONE (Delta's zero-copy clone): publish a manifest at

@@ -110,6 +110,22 @@ class LakeMutationSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS lake_del_sql")
   }
 
+  test("SQL DELETE on an uncommitted lake refuses cleanly, not via the internal require") {
+    val root = freshRoot()
+    spark.sql("DROP TABLE IF EXISTS lake_del_empty")
+    spark.sql(s"""
+      CREATE TABLE lake_del_empty (k BIGINT, v BIGINT)
+      USING graft.sources.GraftLakeSource
+      OPTIONS (path '$root', statCol 'k')""")
+    try {
+      val err = intercept[Exception] {
+        spark.sql("DELETE FROM lake_del_empty WHERE k >= 10 AND k < 20")
+      }
+      assert(!err.getMessage.contains("no committed snapshot"),
+        s"internal require leaked to the user: ${err.getMessage}")
+    } finally spark.sql("DROP TABLE IF EXISTS lake_del_empty")
+  }
+
   test("delete with aligned boundaries is pure metadata: no data batch written") {
     val root = freshRoot()
     clustered8(root)

@@ -205,6 +205,49 @@ class LakeSchemaEvolutionSpec extends SparkTestBase {
     }
   }
 
+  test("a re-cased append cannot land on a retired physical name") {
+    // the engine resolves columns case-insensitively, so after
+    // dropColumn("t") an appended "T" is the SAME storage slot — it
+    // would match old files' physical `t` bytes and silently
+    // resurface the dropped values; the guard must compare under the
+    // same case-insensitive key the rest of the engine uses
+    val root = freshRoot()
+    SnapshotLake.commit(spark, root,
+      (0L until 10L).map(i => (i, i * 7, s"t$i")).toDF("k", "v", "t"), "k")
+    SnapshotLake.dropColumn(root, "t")
+    val err = intercept[IllegalArgumentException] {
+      SnapshotLake.commit(spark, root,
+        (10L until 15L).map(i => (i, i * 7, s"x$i")).toDF("k", "v", "T"), "k")
+    }
+    assert(err.getMessage.contains("dropped column's physical"))
+  }
+
+  test("a new column cannot collide with a renamed column's storage name") {
+    // rename keeps the physical name: after cents → amount_cents the
+    // files still store `cents`, so a NEW logical column named
+    // `cents` would give two fields the same parquet field — refuse
+    // with the guard's clear message, not an accidental
+    // duplicate-column failure deep in the write path
+    val root = freshRoot()
+    SnapshotLake.commit(spark, root,
+      (0L until 10L).map(i => (i, i * 100)).toDF("k", "cents"), "k")
+    SnapshotLake.renameColumn(root, "cents", "amount_cents")
+    val err = intercept[IllegalArgumentException] {
+      SnapshotLake.commit(spark, root,
+        (10L until 15L).map(i => (i, i * 100, i)).toDF(
+          "k", "amount_cents", "cents"), "k")
+    }
+    assert(err.getMessage.contains("physical"),
+      s"wanted the collision guard's message, got: ${err.getMessage}")
+    // and the re-cased spelling of the same storage slot is equally refused
+    val err2 = intercept[IllegalArgumentException] {
+      SnapshotLake.commit(spark, root,
+        (10L until 15L).map(i => (i, i * 100, i)).toDF(
+          "k", "amount_cents", "CENTS"), "k")
+    }
+    assert(err2.getMessage.contains("physical"))
+  }
+
   test("evolveSchema is union-in-parent-order with equal-type dedup") {
     val p = StructType(Seq(StructField("a", LongType), StructField("b", LongType)))
     val n = StructType(Seq(StructField("b", LongType), StructField("c", LongType)))
