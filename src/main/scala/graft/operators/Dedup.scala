@@ -801,30 +801,50 @@ object Dedup {
     *  1. hashed k-gram index: per doc, one 64-bit hash per token
     *     position (positions kept — unlike d4's set semantics, span
     *     coalescing needs them);
-    *  2. candidate hits = self equi-join on the gram hash (the only
-    *     corpus-wide shuffle; fan-out per gram is its df², bounded
-    *     here by df ≤ 4 — a production run drops super-frequent
-    *     grams first, the Lee et al. recipe);
-    *  3. span coalescing: hits on one (pair, DIAGONAL pa−pb) with
+    *  2. hot-gram guard (the Lee et al. recipe, IMPLEMENTED, not
+    *     assumed): per-gram posting counts via one partial-agg
+    *     count, then grams above `maxPostings` corpus-wide
+    *     occurrences drop from the index BEFORE the join — a
+    *     super-frequent boilerplate gram ("all rights reserved...")
+    *     otherwise fans out df² candidate rows and the self-join
+    *     explodes quadratically on exactly the corpora this
+    *     operator exists for. Spans through a dropped gram split —
+    *     a conservative under-count, the trade Lee et al. make;
+    *  3. candidate hits = self equi-join on the gram hash (the only
+    *     corpus-wide shuffle; per-gram fan-out now ≤ maxPostings²
+    *     by construction);
+    *  4. span coalescing: hits on one (pair, DIAGONAL pa−pb) with
     *     consecutive positions are one duplicated span — a lag
     *     window per (pair, diag) partition, whose state is bounded
     *     by the longer document's token count (KB), never the
     *     corpus;
-    *  4. per-pair rollup: span count, duplicated gram count, longest
+    *  5. per-pair rollup: span count, duplicated gram count, longest
     *     span in tokens.
     * No suffix array is ever materialized. Oracle: DuckDB replays
-    * the whole pipeline on gram STRINGS (hash-collision probability
-    * |grams|²/2⁶⁴ — negligible, and the hash gate would catch it).
+    * the whole pipeline — INCLUDING the posting cap — on gram
+    * STRINGS (hash-collision probability |grams|²/2⁶⁴ — negligible,
+    * and the hash gate would catch it).
     */
   def d9SubstringDedup(s: SparkSession, d: String): DataFrame =
     substringSpans(
-      Tables.documents(s, d).select(col("doc_id"), col("text")), 8)
+      Tables.documents(s, d).select(col("doc_id"), col("text")), 8,
+      D9MaxPostings)
       .orderBy(col("doc_a"), col("doc_b"))
 
-  /** d9's span pipeline on any (doc_id, text) frame — shared with the
-    * spec's blocked-vs-brute-force equivalence proof.
+  /** d9's judged posting cap: a gram occurring in more than this
+    * many positions corpus-wide is boilerplate, not a passage worth
+    * attributing — mirrored verbatim in the DuckDB oracle.
     */
-  private[graft] def substringSpans(docs: DataFrame, k: Int): DataFrame = {
+  private[graft] val D9MaxPostings = 16
+
+  /** d9's span pipeline on any (doc_id, text) frame — shared with the
+    * spec's blocked-vs-brute-force equivalence proof and the
+    * hot-gram fan-out spec. `maxPostings` bounds the candidate join:
+    * a gram's posting list longer than this drops entirely (its
+    * cross-doc fan-out would be quadratic in the list length).
+    */
+  private[graft] def substringSpans(docs: DataFrame, k: Int,
+      maxPostings: Int): DataFrame = {
     val toks = split(trim(col("text")), "\\s+")
     val grams = docs
       .select(col("doc_id"), toks.as("toks"))
@@ -833,7 +853,19 @@ object Dedup {
         posexplode(transform(sequence(lit(0), size(col("toks")) - k),
           p => xxhash64(concat_ws(" ", slice(col("toks"), p + 1, lit(k))))))
           .as(Seq("p", "gh")))
-    val hits = grams.as("x").join(grams.as("y"),
+    // hot-gram guard: one count aggregate (partial-agg friendly — the
+    // map side collapses each partition's repeats before the shuffle),
+    // anti-join the rare survivors. NOT a broadcast hint: the hot set
+    // is usually tiny but adversarially unbounded (every gram of a
+    // pathological corpus could be hot), so the plan must stay a
+    // shuffle join when it is not — AQE picks broadcast at runtime
+    // when the measured size allows.
+    val hot = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("postings"))
+      .where(col("postings") > maxPostings)
+      .select(col("gh"))
+    val kept = grams.join(hot, Seq("gh"), "left_anti")
+    val hits = kept.as("x").join(kept.as("y"),
         col("x.gh") === col("y.gh") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.p").as("pa"), (col("x.p") - col("y.p")).as("diag"))
@@ -900,10 +932,15 @@ object Dedup {
       g2 AS (
         SELECT doc_id, p, array_to_string(toks[p+1:p+8], ' ') AS gram
         FROM g),
+      g3 AS (
+        SELECT doc_id, p, gram FROM (
+          SELECT *, count(*) OVER (PARTITION BY gram) AS postings
+          FROM g2)
+        WHERE postings <= 16),
       hits AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                a.p AS pa, a.p - b.p AS diag
-        FROM g2 a JOIN g2 b
+        FROM g3 a JOIN g3 b
           ON a.gram = b.gram AND a.doc_id < b.doc_id),
       st AS (
         SELECT *, CASE WHEN lag(pa) OVER (PARTITION BY doc_a, doc_b, diag

@@ -701,6 +701,44 @@ object Similarity {
     recallCertificate(e1AnnBruteForce(s, d), e7AnnIvfPq(s, d),
       floorHits = (NumQueries * TopK) * 3 / 10) // recall >= 0.3
 
+  /** e4's graduation to the hash gate — the e2/e5/e6/e7 certificate
+    * pattern applied to PAIR MINING. The judged output is a
+    * per-vec_a summary of e3, the label-blocked EXACT twin the
+    * oracle replays independently, plus two engine-measured
+    * booleans: `recall_ok` (zero e3 pairs missed by the LSH-blocked
+    * path — the 32×4-bit amplification engineers ≈0.993 per-pair
+    * recall and the fixture's full containment is spec-pinned) and
+    * `precision_ok` (zero same-label e4 pairs OUTSIDE e3 — the
+    * verify step's exact-cosine threshold makes any spurious pair a
+    * broken verify, not an LSH artifact). A recall regression, a
+    * precision break, or drift in the exact pair checksums now goes
+    * red at the driver, not only in sbt.
+    */
+  def e4NearDupLshJudged(s: SparkSession, d: String): DataFrame = {
+    val exact = e3EmbeddingNearDup(s, d).select(col("vec_a"), col("vec_b"))
+    val approx = e4NearDupLsh(s, d).select(col("vec_a"), col("vec_b"))
+    val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    val sameLabel = approx
+      .join(labels.select(col("vec_id").as("vec_a"), col("label").as("la")),
+        Seq("vec_a"))
+      .join(labels.select(col("vec_id").as("vec_b"), col("label").as("lb")),
+        Seq("vec_b"))
+      .where(col("la") === col("lb"))
+      .select(col("vec_a"), col("vec_b"))
+    val missed = exact.join(approx, Seq("vec_a", "vec_b"), "left_anti")
+      .agg(count(lit(1)).as("n_missed"))
+    val spurious = sameLabel.join(exact, Seq("vec_a", "vec_b"), "left_anti")
+      .agg(count(lit(1)).as("n_spurious"))
+    exact.groupBy(col("vec_a"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("vec_b")).as("pair_sum"))
+      .crossJoin(broadcast(missed))
+      .crossJoin(broadcast(spurious))
+      .select(col("vec_a"), col("n_pairs"), col("pair_sum"),
+        (col("n_missed") === 0L).as("recall_ok"),
+        (col("n_spurious") === 0L).as("precision_ok"))
+      .orderBy(col("vec_a"))
+  }
+
   /** The oracle's half of [[recallCertificate]]: replay e1's exact
     * top-k in SQL, emit each query's pool checksum, and pin the
     * literal `recall_ok = TRUE` the engine must have measured.
@@ -765,7 +803,21 @@ object Similarity {
     Q("e5_ann_ivf", e5AnnIvfJudged, Some(recallOracle)),
     Q("e6_ann_pq", e6AnnPqJudged, Some(recallOracle)),
     Q("e7_ann_ivfpq", e7AnnIvfPqJudged, Some(recallOracle)),
-    Q("e4_near_dup_lsh", e4NearDupLsh, None), // ditto — spec proves e4 ⊇ e3
+    // e4 judges its containment CERTIFICATE vs e3 (the exact twin the
+    // oracle replays) — the raw pair list stays spec-gated
+    Q("e4_near_dup_lsh", e4NearDupLshJudged, Some(s"""
+      WITH exact AS (
+        SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+        FROM embeddings x
+        JOIN embeddings y ON x.label = y.label AND x.vec_id < y.vec_id
+        WHERE ${cosSql.format("x.embedding", "y.embedding",
+          "x.embedding", "y.embedding")} >= 0.35)
+      SELECT vec_a, count(*) AS n_pairs,
+             CAST(sum(vec_b) AS BIGINT) AS pair_sum,
+             TRUE AS recall_ok, TRUE AS precision_ok
+      FROM exact
+      GROUP BY vec_a
+      ORDER BY vec_a""")),
     Q("e3_embedding_near_dup", e3EmbeddingNearDup, Some(s"""
       SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
              ${cosSql.format("x.embedding", "y.embedding", "x.embedding", "y.embedding")} AS cos

@@ -27,8 +27,9 @@ class CatalogSpec extends SparkTestBase {
     "q93_hll_algebra", // 1-row agg × 1-row agg: the q39 span shape
     // the recall certificates run e1's whitelisted brute-force plan
     // as their exact side, plus a 1-row broadcast hits × 8-row
-    // per-query frame cross (the q93 shape)
-    "e2_ann_lsh", "e5_ann_ivf", "e7_ann_ivfpq")
+    // per-query frame cross (the q93 shape); e4's containment
+    // certificate crosses two 1-row flag aggregates the same way
+    "e2_ann_lsh", "e5_ann_ivf", "e7_ann_ivfpq", "e4_near_dup_lsh")
 
   test("every catalog query executes, returns rows, and plans clean at sf0.001") {
     Catalog.all.foreach { q =>

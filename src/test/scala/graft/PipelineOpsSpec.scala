@@ -275,23 +275,63 @@ class PipelineOpsSpec extends SparkTestBase {
       (0L, "a b c d e f g h i j k2 l2 m2 n2 o2 p2"),
       (1L, "z y a b c d e f g h i j x w v u t s"),
       (2L, "q r s t u v w x y0 z0 a1 b1 c1 d1 e1 f1")).toDF("doc_id", "text")
-    val got = graft.operators.Dedup.substringSpans(docs, 8)
+    val got = graft.operators.Dedup.substringSpans(docs, 8,
+        graft.operators.Dedup.D9MaxPostings)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4)))
     assert(got.toSeq === Seq((0L, 1L, 1L, 3L, 10L)))
   }
 
+  test("d9 hot-gram guard drops super-frequent grams before the candidate join") {
+    import spark.implicits._
+    val cap = graft.operators.Dedup.D9MaxPostings
+    // boilerplate: an 8-token footer planted in MANY docs — its gram
+    // posting count is 2·cap, far over the cap, so it must generate
+    // ZERO candidate pairs (fan-out would be (2·cap)² = 1024 rows
+    // from one gram). docs 1000/1001 share a genuine rare passage
+    // that must still surface as one exact span.
+    val footer = "f1 f2 f3 f4 f5 f6 f7 f8"
+    val boiler = (0 until 2 * cap).map(i =>
+      (i.toLong, s"u$i v$i w$i x$i $footer"))
+    val rare = Seq(
+      (1000L, "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 tail1000"),
+      (1001L, "head1001 p1 p2 p3 p4 p5 p6 p7 p8 p9 p10"))
+    val docs = (boiler ++ rare).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.substringSpans(docs, 8, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // only the rare passage survives: 10 tokens = 3 eight-grams on
+    // one diagonal = one span; every footer-only pair is gone
+    assert(got.toSeq === Seq((1000L, 1001L, 1L, 3L, 10L)),
+      s"hot gram leaked into candidates: ${got.toSeq}")
+    // and with the cap lifted the same corpus DOES pair the footer
+    // docs — proving the guard, not the fixture, removed them
+    val uncapped = graft.operators.Dedup.substringSpans(docs, 8, Int.MaxValue)
+      .where(col("doc_a") < 1000L).count()
+    assert(uncapped === (2L * cap) * (2L * cap - 1L) / 2L)
+  }
+
   test("d9 index-join spans equal a brute-force per-pair diagonal scan") {
     // ground truth: all-pairs driver-side scan of the real corpus —
-    // no hashing, no join, just token comparison per diagonal run
+    // no hashing, no join, just token comparison per diagonal run,
+    // with the SAME posting cap the judged operator applies
     val k = 8
+    val cap = graft.operators.Dedup.D9MaxPostings
     val raw = graft.sources.Tables.documents(spark, dir)
       .select(col("doc_id"), col("text")).collect()
       .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
       .sortBy(_._1)
-    def gramsOf(toks: Seq[String]): Map[Seq[String], Seq[Int]] =
+    def rawGramsOf(toks: Seq[String]): Map[Seq[String], Seq[Int]] =
       if (toks.size < k) Map.empty
       else toks.sliding(k).zipWithIndex.toSeq.groupMap(_._1)(_._2)
+    // corpus-wide posting counts → the hot set the guard drops
+    val postings = scala.collection.mutable.Map.empty[Seq[String], Int]
+    raw.foreach { case (_, toks) =>
+      rawGramsOf(toks).foreach { case (g, ps) =>
+        postings(g) = postings.getOrElse(g, 0) + ps.size } }
+    val hot = postings.collect { case (g, n) if n > cap => g }.toSet
+    def gramsOf(toks: Seq[String]): Map[Seq[String], Seq[Int]] =
+      rawGramsOf(toks).filterNot { case (g, _) => hot(g) }
     val truth = (for {
       i <- raw.indices; j <- (i + 1) until raw.length
       (ida, ta) = raw(i); (idb, tb) = raw(j)
@@ -313,7 +353,7 @@ class PipelineOpsSpec extends SparkTestBase {
     }).toMap
     val got = graft.operators.Dedup.substringSpans(
       graft.sources.Tables.documents(spark, dir)
-        .select(col("doc_id"), col("text")), k)
+        .select(col("doc_id"), col("text")), k, cap)
       .collect().map(r => (r.getLong(0), r.getLong(1)) ->
         ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     assert(truth.nonEmpty, "fixture has no duplicated passages — vacuous")
