@@ -104,7 +104,27 @@ final class LakeTable(root: String, asOf: Option[Int], tschema: StructType,
     opts: Map[String, String] = Map.empty)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** `_file` — the data file each row resides in, answered as a
+    * per-split constant vector (zero decode cost). Doubles as the
+    * row-level operations' group identity: the CoW rewrite requests
+    * it via `requiredMetadataAttributes`, which ALSO routes Spark's
+    * writing task through the projection that separates data columns
+    * from the rewrite's bookkeeping columns.
+    */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = LakeTable.FileColumn
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "absolute path of the lake data file holding the row"
+    })
   override def name(): String =
     s"graft_lake($root${asOf.fold("")(v => s"@v$v")})"
   override def schema(): StructType = tschema
@@ -120,6 +140,20 @@ final class LakeTable(root: String, asOf: Option[Int], tschema: StructType,
     require(asOf.isEmpty,
       s"cannot write to time-travel snapshot v${asOf.get} of $root")
     new LakeWriteBuilder(root, info, opts)
+  }
+
+  // -- SQL UPDATE / MERGE / general DELETE (copy-on-write) -------------
+  // Spark routes UPDATE, MERGE INTO, and any DELETE whose predicate
+  // canDeleteWhere refuses through this group-based rewrite; range
+  // DELETEs still take the metadata-only fast path below (the
+  // optimizer converts the rewrite back when canDeleteWhere accepts).
+
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(asOf.isEmpty,
+      s"cannot ${info.command()} a time-travel snapshot v${asOf.get} of $root")
+    () => new LakeRowLevelOperation(root, tschema, opts, info.command())
   }
 
   // -- SQL row-level DELETE --------------------------------------------
@@ -193,6 +227,11 @@ final class LakeTable(root: String, asOf: Option[Int], tschema: StructType,
   }
 }
 
+object LakeTable {
+  /** The lake's one metadata column (Delta/Iceberg's `_file`). */
+  val FileColumn = "_file"
+}
+
 /** Accumulates pushdown state against the snapshot's manifest:
   * range predicates on the stat column (and the second stat
   * dimension, when declared) tighten per-axis [lo, hi) windows;
@@ -202,11 +241,18 @@ final class LakeTable(root: String, asOf: Option[Int], tschema: StructType,
   * stat on an axis are kept on that axis (absence never prunes).
   */
 final class LakeScanBuilder(root: String, asOf: Option[Int],
-    tschema: StructType) extends ScanBuilder
+    tschema: StructType, forRowLevelOp: Boolean = false)
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
 
   private val snap = SnapshotLake.snapshotOrEmpty(root, asOf)
+
+  /** The scan this builder last produced — the row-level operation's
+    * write reads its post-runtime-filter file list at commit time to
+    * know exactly which files its rows replace.
+    */
+  private[sources] var lastScan: Option[LakeScan] = None
 
   private var lo = Long.MinValue
   private var hi = Long.MaxValue // exclusive
@@ -313,6 +359,9 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
   // column-count assertion fails the whole query (caught by the
   // catalog sweep's count() over q81's union-of-aggregates shape)
   private def canAnswer(agg: Aggregation): Boolean =
+    !forRowLevelOp && // a row-level scan feeds a REWRITE: it must
+      // produce the candidate files' actual rows, never a
+      // manifest-answered aggregate
     agg.groupByExpressions().isEmpty && snap.files.nonEmpty &&
       agg.aggregateExpressions().nonEmpty &&
       agg.aggregateExpressions().forall {
@@ -354,20 +403,29 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
         bloomIn.forall(vs => f.bloom.forall(b =>
           vs.exists(SnapshotLake.Bloom.mightContain(b, _))))
     }
+    // `_file` is answered per split, never decoded: it leaves the
+    // parquet projection here and re-enters as a constant vector in
+    // the reader
+    val fileColIdx = required.fieldNames.indexWhere(
+      _.equalsIgnoreCase(LakeTable.FileColumn))
+    val dataRequired =
+      if (fileColIdx < 0) required
+      else StructType(required.fields.filterNot(
+        _.name.equalsIgnoreCase(LakeTable.FileColumn)))
     // data files store PHYSICAL column names (column mapping): the
     // reader requests them; readSchema stays logical, and positional
     // batch binding performs the rename for free
-    val physRequired = snap.schema.fold(required) { logical =>
+    val physRequired = snap.schema.fold(dataRequired) { logical =>
       // Locale.ROOT, matching SnapshotLake.colKey — the default JVM
       // locale would mis-key 'I'/'i' columns under e.g. tr_TR and
       // request the wrong (logical) parquet field name
       def k(n: String) = n.toLowerCase(java.util.Locale.ROOT)
       val m = logical.fields
         .map(f => k(f.name) -> SnapshotLake.ColMap.phys(f)).toMap
-      StructType(required.fields.map(f =>
+      StructType(dataRequired.fields.map(f =>
         f.copy(name = m.getOrElse(k(f.name), f.name))))
     }
-    LakeScan(root, snap.version, kept,
+    val scan = LakeScan(root, snap.version, kept,
       snap.files.length, required,
       s"stat=${snap.statCol}∈[$lo,$hi)" +
         snap.statCol2.fold("")(c => s" stat2=$c∈[$lo2,$hi2)") +
@@ -375,8 +433,60 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
         statIn.fold("")(vs => s" in(${vs.length})") +
         bloomIn.fold("")(vs => s" bloomIn(${vs.length})"),
       asOf, lo, hi, lo2, hi2, point, snap.statCol, snap.bloomCol,
-      physRequired)
+      physRequired, fileColIdx)
+    lastScan = Some(scan)
+    scan
   }
+}
+
+/** Group-based (copy-on-write) row-level operation for SQL `UPDATE`,
+  * `MERGE INTO`, and any `DELETE` the metadata fast path refuses:
+  * Spark's rewrite reads candidate files through [[LakeScanBuilder]]
+  * (static stat/bloom prune + the runtime group filter — files with
+  * no matching rows never spawn a task OR a rewrite), recomputes the
+  * scanned files' complete contents, and the write publishes
+  * `head − scanned + rewritten` through
+  * [[SnapshotLake.commitReplaceFiles]]'s optimistic loop. The scan
+  * and the write are linked through this object: commit reads the
+  * scan's post-runtime-filter file list, so the rewrite's blast
+  * radius is exactly what the prune left.
+  */
+final class LakeRowLevelOperation(root: String, tschema: StructType,
+    opts: Map[String, String],
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+
+  @volatile private var scanBuilder: LakeScanBuilder = _
+
+  override def command()
+      : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder = {
+    scanBuilder = new LakeScanBuilder(root, None, tschema,
+      forRowLevelOp = true)
+    scanBuilder
+  }
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new LakeReplaceWriteBuilder(root, info, opts,
+      () => Option(scanBuilder).flatMap(_.lastScan),
+      cmd.toString.toLowerCase(java.util.Locale.ROOT))
+
+  /** `_file` — load-bearing twice: it names each row's rewrite group,
+    * and (because metadata attributes are present) Spark's writing
+    * task applies the row projection that strips the rewrite's
+    * bookkeeping columns before rows reach the data writer. With NO
+    * metadata attributes Spark hands the writer the RAW rewrite
+    * output (operation column included) — the projection only rides
+    * the metadata path.
+    */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(LakeTable.FileColumn))
 }
 
 final case class LakeScan(root: String, version: Int,
@@ -387,7 +497,7 @@ final case class LakeScan(root: String, version: Int,
     lo2: Long = Long.MinValue, hi2: Long = Long.MaxValue,
     point: Option[Long] = None,
     statCol: String = "", bloomColName: Option[String] = None,
-    physRequired: StructType = null)
+    physRequired: StructType = null, fileColIdx: Int = -1)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -542,7 +652,7 @@ final case class LakeScan(root: String, version: Int,
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new LakeReaderFactory(Option(physRequired).getOrElse(required),
-      LakeReaderFactory.sessionConf())
+      LakeReaderFactory.sessionConf(), fileColIdx)
 }
 
 object LakeScan {
@@ -634,7 +744,8 @@ object LakeReaderFactory {
   * Spark 4, never legacy-calendar parquet.
   */
 final class LakeReaderFactory(required: StructType,
-    confKVs: Map[String, String]) extends PartitionReaderFactory {
+    confKVs: Map[String, String], fileColIdx: Int = -1)
+    extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = true
 
@@ -666,11 +777,41 @@ final class LakeReaderFactory(required: StructType,
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val reader = open(partition)
-    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
-      override def next(): Boolean = reader.nextBatch()
-      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
-        reader.resultBatch()
-      override def close(): Unit = reader.close()
+    if (fileColIdx < 0)
+      new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+        override def next(): Boolean = reader.nextBatch()
+        override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
+          reader.resultBatch()
+        override def close(): Unit = reader.close()
+      }
+    else {
+      // `_file` splices in as a CONSTANT vector — per split, one
+      // UTF8String; per batch, one array copy of column references.
+      // The parquet decode path is untouched.
+      val path = org.apache.spark.unsafe.types.UTF8String
+        .fromString(partition.asInstanceOf[LakeSplit].path)
+      new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+        override def next(): Boolean = reader.nextBatch()
+        override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
+          val b = reader.resultBatch()
+          val const = new org.apache.spark.sql.execution.vectorized
+            .ConstantColumnVector(b.numRows(),
+              org.apache.spark.sql.types.StringType)
+          const.setUtf8String(path)
+          val cols = new Array[
+            org.apache.spark.sql.vectorized.ColumnVector](b.numCols() + 1)
+          var src = 0
+          var dst = 0
+          while (dst < cols.length) {
+            if (dst == fileColIdx) cols(dst) = const
+            else { cols(dst) = b.column(src); src += 1 }
+            dst += 1
+          }
+          new org.apache.spark.sql.vectorized.ColumnarBatch(
+            cols, b.numRows())
+        }
+        override def close(): Unit = reader.close()
+      }
     }
   }
 

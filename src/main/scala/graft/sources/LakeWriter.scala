@@ -181,6 +181,80 @@ private[sources] object LakeCommit {
   }
 }
 
+/** The write half of a row-level operation ([[LakeRowLevelOperation]]):
+  * same task protocol as every lake write (stage → acknowledge →
+  * move exactly the named set), but the driver commit publishes a
+  * REPLACE — the scanned files leave the manifest, the staged files
+  * (those files' complete rewritten contents) enter it, untouched
+  * files carry by reference. `scanOf` reads the operation's scan at
+  * commit time, AFTER any runtime group filter narrowed it.
+  */
+final class LakeReplaceWriteBuilder(root: String, info: LogicalWriteInfo,
+    tableOpts: Map[String, String], scanOf: () => Option[LakeScan],
+    op: String) extends WriteBuilder {
+  override def build(): Write = {
+    val opts = tableOpts ++ info.options().asCaseSensitiveMap()
+      .asScala.map { case (k, v) =>
+        k.toLowerCase(java.util.Locale.ROOT) -> v }
+    new Write {
+      override def toBatch: BatchWrite =
+        new LakeReplaceBatchWrite(root, info.schema(), opts, scanOf, op)
+    }
+  }
+}
+
+final class LakeReplaceBatchWrite(root: String, schema: StructType,
+    opts: Map[String, String], scanOf: () => Option[LakeScan],
+    op: String) extends BatchWrite {
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    Files.createDirectories(Paths.get(LakeWrite.stagingDir(root)))
+    new LakeWriterFactory(root,
+      LakeWrite.writeConf(
+        LakeWrite.physicalFor(root, schema, overwrite = false)))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val staged = messages.collect { case m: LakeStaged => m }
+    val (live, empty) = staged.partition(_.rows > 0)
+    empty.foreach(LakeCommit.discard(root, _))
+    val replaced = scanOf().fold(Seq.empty[String])(
+      _.effectiveFiles.map(_.name))
+    if (live.isEmpty && replaced.isEmpty) return // vacuous (empty chain)
+    val head =
+      if (SnapshotLake.headVersion(root) >= 0)
+        Some(SnapshotLake.snapshot(root))
+      else None
+    val statCol = opts.get("statcol").orElse(head.map(_.statCol))
+      .getOrElse(throw new IllegalArgumentException(
+        s"first commit to empty lake $root requires OPTIONS(statCol …)"))
+    val bloomCol = opts.get("bloomcol").orElse(head.flatMap(_.bloomCol))
+    val bloomBytes = opts.get("bloombytes").map(_.toInt).getOrElse(1024)
+    val statCol2 = opts.get("statcol2").orElse(head.flatMap(_.statCol2))
+    val newFiles =
+      if (live.isEmpty) Seq.empty[SnapshotLake.FileStat]
+      else {
+        val batch = s"data/b-${UUID.randomUUID().toString.take(8)}"
+        Files.createDirectories(Paths.get(root, batch))
+        live.foreach { m =>
+          Files.move(
+            Paths.get(LakeWrite.stagingDir(root), m.name),
+            Paths.get(root, batch, m.name),
+            StandardCopyOption.ATOMIC_MOVE)
+        }
+        SnapshotLake.statsFor(SparkSession.active, root, batch,
+          statCol, bloomCol, bloomBytes, statCol2)
+      }
+    SnapshotLake.commitReplaceFiles(root, replaced, newFiles, op,
+      statCol, bloomCol, statCol2, Some(schema.json)): Unit
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case m: LakeStaged => LakeCommit.discard(root, m); case _ => }
+}
+
 final class LakeBatchWrite(root: String, schema: StructType,
     overwrite: Boolean, opts: Map[String, String]) extends BatchWrite {
 
@@ -378,7 +452,123 @@ object LakeWriteQueries {
         col("n_rows"), col("sum_cents"))
   }
 
+  /** Judged SQL row-level UPDATE: the copy-on-write path over
+    * `SupportsRowLevelOperations`. q129's 8-file clustered fixture;
+    * an UPDATE whose predicate covers files 2–3 exactly. Hash-checked
+    * columns: the recorded `op`, head version (bootstrap + one
+    * update = 1), and `n_carried` = 6 — the six files OUTSIDE the
+    * predicate must survive BY NAME (an update that rewrote the
+    * whole table lands 0 carried files and goes red); the aggregate
+    * certifies the updated values row-exactly.
+    */
+  def q131LakeUpdateSql(s: SparkSession, d: String): DataFrame = {
+    val root = Housekeeping.tempDir("q131")
+    s.sql("DROP TABLE IF EXISTS q131_lake")
+    Housekeeping.tables(s, "q131_tbl", Seq("q131_lake"))
+    val ev = Tables.events(s, d).select(
+      col("event_id"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val span = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    def bound(i: Int): Long = i.toLong * span / 8
+    val bucket = (1 to 7).foldLeft(lit(0)) { (acc, i) =>
+      when(col("event_id") >= bound(i), lit(i)).otherwise(acc)
+    }
+    SnapshotLake.commitClustered(s, root, ev, bucket, "event_id")
+    val before = SnapshotLake.snapshot(root).files.map(_.name).toSet
+    s.sql(s"""
+      CREATE TABLE q131_lake (event_id BIGINT, cents BIGINT)
+      USING graft.sources.GraftLakeSource
+      OPTIONS (path '$root', statCol 'event_id')""")
+    s.sql(s"""
+      UPDATE q131_lake SET cents = cents + 1000000
+      WHERE event_id >= ${bound(2)} AND event_id < ${bound(4)}""")
+      .collect(): Unit
+    val snap = SnapshotLake.snapshot(root)
+    s.table("q131_lake")
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .select(
+        lit(snap.op.getOrElse("")).as("op"),
+        lit(snap.version.toLong).as("head_version"),
+        lit(snap.files.count(f => before(f.name)).toLong).as("n_carried"),
+        col("n_rows"), col("sum_cents"))
+  }
+
+  /** Judged SQL MERGE INTO over the same DSv2 surface: the source
+    * doubles every event id, so even ids within range UPDATE and
+    * doubled ids beyond the max INSERT — both clauses exercised in
+    * one statement, replayed closed-form by the oracle.
+    */
+  def q132LakeMergeSql(s: SparkSession, d: String): DataFrame = {
+    val root = Housekeeping.tempDir("q132")
+    s.sql("DROP TABLE IF EXISTS q132_lake")
+    Housekeeping.tables(s, "q132_tbl", Seq("q132_lake"))
+    val ev = Tables.events(s, d).select(
+      col("event_id"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val span = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    def bound(i: Int): Long = i.toLong * span / 8
+    val bucket = (1 to 7).foldLeft(lit(0)) { (acc, i) =>
+      when(col("event_id") >= bound(i), lit(i)).otherwise(acc)
+    }
+    SnapshotLake.commitClustered(s, root, ev, bucket, "event_id")
+    s.sql(s"""
+      CREATE TABLE q132_lake (event_id BIGINT, cents BIGINT)
+      USING graft.sources.GraftLakeSource
+      OPTIONS (path '$root', statCol 'event_id')""")
+    Tables.events(s, d)
+      .select((col("event_id") * 2).as("event_id"),
+        col("event_id").as("new_cents"))
+      .createOrReplaceTempView("q132_src")
+    s.sql("""
+      MERGE INTO q132_lake t USING q132_src s ON t.event_id = s.event_id
+      WHEN MATCHED THEN UPDATE SET cents = s.new_cents
+      WHEN NOT MATCHED THEN INSERT (event_id, cents)
+        VALUES (s.event_id, s.new_cents)""").collect(): Unit
+    val snap = SnapshotLake.snapshot(root)
+    s.table("q132_lake")
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"),
+        max(col("event_id")).as("max_id"))
+      .select(
+        lit(snap.op.getOrElse("")).as("op"),
+        lit(snap.version.toLong).as("head_version"),
+        col("n_rows"), col("sum_cents"), col("max_id"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q131_lake_update_sql", q131LakeUpdateSql, Some("""
+      WITH b AS (SELECT max(event_id) + 1 AS span FROM events),
+      upd AS (
+        SELECT CASE WHEN event_id >= (2 * span) // 8
+                     AND event_id < (4 * span) // 8
+               THEN CAST(round(value * 100) AS BIGINT) + 1000000
+               ELSE CAST(round(value * 100) AS BIGINT) END AS cents
+        FROM events, b)
+      SELECT 'update' AS op,
+             CAST(1 AS BIGINT) AS head_version,
+             CAST(6 AS BIGINT) AS n_carried,
+             count(*) AS n_rows,
+             CAST(sum(cents) AS BIGINT) AS sum_cents
+      FROM upd""")),
+    Q("q132_lake_merge_sql", q132LakeMergeSql, Some("""
+      WITH tgt AS (
+        SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events),
+      src AS (
+        SELECT event_id * 2 AS event_id, event_id AS new_cents
+        FROM events),
+      merged AS (
+        SELECT t.event_id, COALESCE(s.new_cents, t.cents) AS cents
+        FROM tgt t LEFT JOIN src s ON t.event_id = s.event_id
+        UNION ALL
+        SELECT s.event_id, s.new_cents
+        FROM src s
+        WHERE NOT EXISTS (SELECT 1 FROM tgt WHERE tgt.event_id = s.event_id))
+      SELECT 'merge' AS op,
+             CAST(1 AS BIGINT) AS head_version,
+             count(*) AS n_rows,
+             CAST(sum(cents) AS BIGINT) AS sum_cents,
+             max(event_id) AS max_id
+      FROM merged""")),
     Q("q107_lake_insert_sql", q107LakeInsertSql, Some("""
       WITH ec AS (SELECT event_id,
                          CAST(round(value * 100) AS BIGINT) AS cents

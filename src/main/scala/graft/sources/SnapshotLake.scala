@@ -630,6 +630,51 @@ object SnapshotLake {
   final case class MergeResult(version: Int, filesKept: Int,
       filesRewritten: Int, filesNew: Int)
 
+  /** Group-based copy-on-write publish for SQL row-level commands
+    * (UPDATE / MERGE / non-range DELETE routed through Spark's
+    * `SupportsRowLevelOperations` rewrite): the new snapshot is
+    * `head.files − replaced + newFiles`, where `replaced` is exactly
+    * the file set the command's scan enumerated and `newFiles` holds
+    * those files' complete rewritten contents. Untouched files carry
+    * by reference — the O(table) cost is bounded by the scan's
+    * static file prune, never the manifest.
+    *
+    * Concurrency is the write-serializable discipline the Scala
+    * `merge` verb uses: a concurrent APPEND rebases through (its
+    * files are disjoint from `replaced` by construction), while a
+    * concurrent commit that rewrote or dropped any replaced file
+    * (delete / compact / another row-level command) conflicts — the
+    * rewritten rows were derived from bytes no longer at the head.
+    * An empty `replaced` (nothing scanned, e.g. a pure-insert MERGE
+    * against pruned files, or any command on an empty chain) is an
+    * ordinary append and bootstraps via [[commitFiles]].
+    */
+  private[sources] def commitReplaceFiles(root: String,
+      replaced: Seq[String], newFiles: Seq[FileStat], op: String,
+      statCol: String, bloomCol: Option[String],
+      statCol2: Option[String], schemaJson: Option[String]): Int = {
+    if (replaced.isEmpty)
+      return commitFiles(root, newFiles, statCol, overwrite = false,
+        bloomCol, statCol2, txn = None, schemaJson)
+    val replacedSet = replaced.toSet
+    var committed = -1
+    while (committed < 0) {
+      val head = snapshot(root)
+      val gone = replacedSet -- head.files.map(_.name).toSet
+      if (gone.nonEmpty) throw new MergeConflictException(
+        s"$op conflicts with a concurrent commit: scanned file(s) " +
+          s"${gone.mkString(", ")} are no longer at the head of $root")
+      val kept = head.files.filterNot(f => replacedSet(f.name))
+      if (tryPublish(root, head.version + 1, head.statCol, head.bloomCol,
+          overwrite = true, kept ++ newFiles, head.statCol2,
+          txns = head.txns, schemaJson = head.schemaJson.orElse(schemaJson),
+          op = Some(op), parentFiles = Some(head.files),
+          retired = head.retired))
+        committed = head.version + 1
+    }
+    committed
+  }
+
 
   /** Suffix of a manifest file name below its last `data/` segment —
     * unique within a lake because every batch dir carries a fresh

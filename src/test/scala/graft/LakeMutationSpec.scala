@@ -101,16 +101,21 @@ class LakeMutationSpec extends SparkTestBase {
       val ks = spark.table("lake_del_sql").select("k").as[Long]
         .collect().sorted.toSeq
       assert(ks === ((0L until 150L) ++ (450L until 800L)))
-      // a predicate not expressible as a stat-column range must refuse
-      // loudly, never delete the wrong rows
-      intercept[Exception] {
-        spark.sql("DELETE FROM lake_del_sql WHERE v = 7")
-      }
-      assert(spark.table("lake_del_sql").count() === 500L)
+      // a predicate not expressible as a stat-column range falls back
+      // to the copy-on-write row-level path (LakeRowLevelSpec pins
+      // it); here: it deletes exactly the named row, nothing else
+      spark.sql("DELETE FROM lake_del_sql WHERE v = 7")
+      assert(spark.table("lake_del_sql").count() === 499L)
+      assert(spark.table("lake_del_sql").where(col("v") === 7L).count()
+        === 0L)
     } finally spark.sql("DROP TABLE IF EXISTS lake_del_sql")
   }
 
-  test("SQL DELETE on an uncommitted lake refuses cleanly, not via the internal require") {
+  test("SQL DELETE on an uncommitted lake succeeds vacuously") {
+    // canDeleteWhere has no snapshot to read a statCol from, so it
+    // declines the metadata path WITHOUT leaking the internal
+    // "no committed snapshot" require; the row-level fallback then
+    // scans zero files and commits nothing
     val root = freshRoot()
     spark.sql("DROP TABLE IF EXISTS lake_del_empty")
     spark.sql(s"""
@@ -118,11 +123,9 @@ class LakeMutationSpec extends SparkTestBase {
       USING graft.sources.GraftLakeSource
       OPTIONS (path '$root', statCol 'k')""")
     try {
-      val err = intercept[Exception] {
-        spark.sql("DELETE FROM lake_del_empty WHERE k >= 10 AND k < 20")
-      }
-      assert(!err.getMessage.contains("no committed snapshot"),
-        s"internal require leaked to the user: ${err.getMessage}")
+      spark.sql("DELETE FROM lake_del_empty WHERE k >= 10 AND k < 20")
+      assert(spark.table("lake_del_empty").count() === 0L)
+      assert(SnapshotLake.headVersion(root) === -1)
     } finally spark.sql("DROP TABLE IF EXISTS lake_del_empty")
   }
 
