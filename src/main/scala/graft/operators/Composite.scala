@@ -379,7 +379,138 @@ object Composite {
       ORDER BY c_nationkey""")
   }
 
+  /** TPC-H Q17 (small-quantity-order revenue, schema-adapted): total
+    * revenue from lines of one brand's parts whose quantity is below
+    * 20% of that part's average — the CORRELATED SCALAR AGGREGATE
+    * INSIDE A FACT FILTER shape (the hardest of the three Q17/Q20/Q2
+    * decorrelation stress shapes this trio adds): Catalyst must
+    * decorrelate `avg(l_quantity) WHERE l_partkey = p_partkey` into
+    * one per-part aggregate joined back to the fact scan, never a
+    * per-row re-scan. The 20%-of-average cut is evaluated in pure
+    * integers (5·qty·count < sum ⟺ qty < 0.2·avg, count > 0) so the
+    * boundary cannot drift between engines; no p_container column
+    * exists, so the brand filter stands alone.
+    */
+  def q133TpchSmallQtyRevenue(s: SparkSession, d: String): DataFrame = {
+    tpchViews(s, d, Seq("part", "lineitem"))
+    s.sql("""
+      SELECT count(*) AS n_small_lines,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+      FROM tpch_lineitem, tpch_part
+      WHERE p_partkey = l_partkey
+        AND p_brand = 'Brand#13'
+        AND 5 * CAST(round(l_quantity) AS BIGINT) *
+            (SELECT count(*) FROM tpch_lineitem l2
+             WHERE l2.l_partkey = p_partkey)
+          < (SELECT CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+             FROM tpch_lineitem l2 WHERE l2.l_partkey = p_partkey)""")
+  }
+
+  /** TPC-H Q20 (potential part promotion, schema-adapted): suppliers
+    * who shipped the MAJORITY of some small part's volume in 1997.
+    * With no partsupp table, availqty > 0.5·shipped becomes
+    * 2·(this supplier's shipped qty) > (part's total shipped qty) —
+    * preserving Q20's nested shape exactly: an IN whose subquery
+    * contains another IN (the part filter) AND a correlated scalar
+    * aggregate under a HAVING, correlated on a GROUP BY column.
+    * Catalyst must stack semi-join decorrelations: part-filter
+    * semi-join inside the grouped fact scan, the per-part total as
+    * a decorrelated aggregate joined on the group key, and the
+    * outer IN as a final semi-join against supplier. All-integer
+    * comparisons — no boundary drift.
+    */
+  def q134TpchPartPromotion(s: SparkSession, d: String): DataFrame = {
+    tpchViews(s, d, Seq("part", "supplier", "lineitem"))
+    s.sql("""
+      SELECT s_name, s_nationkey
+      FROM tpch_supplier
+      WHERE s_suppkey IN (
+        SELECT l_suppkey FROM tpch_lineitem l1
+        WHERE l_partkey IN (SELECT p_partkey FROM tpch_part
+                            WHERE p_size <= 10)
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey, l_partkey
+        HAVING 2 * CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) >
+          (SELECT CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+           FROM tpch_lineitem l2
+           WHERE l2.l_partkey = l1.l_partkey
+             AND l2.l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l2.l_shipdate < TIMESTAMP '1998-01-01'))
+      ORDER BY s_name""")
+  }
+
+  /** TPC-H Q2 (minimum-cost supplier, schema-adapted): for each
+    * small part, the region-1 supplier(s) who shipped it at the
+    * minimum price. With no partsupp, lineitem is the part↔supplier
+    * bridge and l_extendedprice stands in for ps_supplycost — the
+    * shape under test survives intact: a CORRELATED MIN ACROSS A
+    * MULTI-TABLE JOIN (lineitem × supplier × nation, the region
+    * filter inside the subquery), which Catalyst must decorrelate
+    * into one per-part minimum over the joined snowflake, joined
+    * back on the correlation key. Prices compare as exact cents;
+    * DISTINCT collapses min-price ties to unique rows.
+    */
+  def q135TpchMinCostSupplier(s: SparkSession, d: String): DataFrame = {
+    tpchViews(s, d, Seq("part", "supplier", "lineitem", "nation"))
+    s.sql("""
+      SELECT DISTINCT p_partkey, p_name, s_name, s_nationkey,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS min_price_cents
+      FROM tpch_part, tpch_supplier, tpch_lineitem, tpch_nation
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND n_nationkey = s_nationkey AND n_regionkey = 1
+        AND p_size <= 8
+        AND CAST(round(l_extendedprice * 100) AS BIGINT) =
+          (SELECT min(CAST(round(l2.l_extendedprice * 100) AS BIGINT))
+           FROM tpch_lineitem l2, tpch_supplier s2, tpch_nation n2
+           WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+             AND n2.n_nationkey = s2.s_nationkey AND n2.n_regionkey = 1)
+      ORDER BY p_partkey, s_name""")
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q133_tpch_small_qty_revenue", q133TpchSmallQtyRevenue, Some("""
+      SELECT count(*) AS n_small_lines,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+      FROM lineitem, part
+      WHERE p_partkey = l_partkey
+        AND p_brand = 'Brand#13'
+        AND 5 * CAST(round(l_quantity) AS BIGINT) *
+            (SELECT count(*) FROM lineitem l2
+             WHERE l2.l_partkey = p_partkey)
+          < (SELECT CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+             FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""")),
+    Q("q134_tpch_part_promotion", q134TpchPartPromotion, Some("""
+      SELECT s_name, s_nationkey
+      FROM supplier
+      WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem l1
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 10)
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey, l_partkey
+        HAVING 2 * CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) >
+          (SELECT CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+           FROM lineitem l2
+           WHERE l2.l_partkey = l1.l_partkey
+             AND l2.l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l2.l_shipdate < TIMESTAMP '1998-01-01'))
+      ORDER BY s_name""")),
+    Q("q135_tpch_min_cost_supplier", q135TpchMinCostSupplier, Some("""
+      SELECT DISTINCT p_partkey, p_name, s_name, s_nationkey,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS min_price_cents
+      FROM part, supplier, lineitem, nation
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND n_nationkey = s_nationkey AND n_regionkey = 1
+        AND p_size <= 8
+        AND CAST(round(l_extendedprice * 100) AS BIGINT) =
+          (SELECT min(CAST(round(l2.l_extendedprice * 100) AS BIGINT))
+           FROM lineitem l2, supplier s2, nation n2
+           WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+             AND n2.n_nationkey = s2.s_nationkey AND n2.n_regionkey = 1)
+      ORDER BY p_partkey, s_name""")),
     Q("q125_tpch_priority_check", q125TpchPriorityCheck, Some("""
       SELECT o_orderpriority, count(*) AS order_count
       FROM orders

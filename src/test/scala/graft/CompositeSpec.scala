@@ -190,4 +190,54 @@ class CompositeSpec extends SparkTestBase {
     assert(math.abs(r.getDouble(2) -
       r.getLong(0).toDouble * 100.0 / r.getLong(1)) < 1e-9)
   }
+
+  test("q133's correlated scalar aggregates decorrelate into per-part aggregates") {
+    val df = Composite.q133TpchSmallQtyRevenue(spark, sf("sf0.001"))
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the two correlated scalars (count, sum per part) must plan as
+    // aggregate-then-join on l_partkey, never a per-row re-scan
+    assert(plan.contains("HashAggregate"), s"no decorrelated agg:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q133 fell off the equi-join path:\n$plan")
+    assert(rows.length === 1 && rows(0).getLong(0) > 0,
+      "small-quantity fixture returned no qualifying lines")
+  }
+
+  test("q134's nested IN + correlated HAVING stack as semi joins over one grouped scan") {
+    val df = Composite.q134TpchPartPromotion(spark, sf("sf0.001"))
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"IN not a semi join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q134 fell off the equi-join path:\n$plan")
+    assert(rows.nonEmpty, "no majority-shipper suppliers in fixture")
+    // majority is exclusive per (part, year): the filter cannot
+    // admit every supplier-part pair, so SOME supplier count < all
+    val total = graft.sources.Tables.load(spark, sf("sf0.001"), "supplier")
+      .count()
+    assert(rows.length <= total)
+  }
+
+  test("q135's correlated MIN over a 3-table join decorrelates; ties stay unique rows") {
+    val df = Composite.q135TpchMinCostSupplier(spark, sf("sf0.001"))
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), s"no decorrelated min:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q135 fell off the equi-join path:\n$plan")
+    assert(rows.nonEmpty, "no region-1 min-cost suppliers in fixture")
+    // DISTINCT must have collapsed ties: rows are unique
+    assert(rows.map(_.toString).distinct.length === rows.length)
+    // every emitted price IS the part's regional minimum (row-local
+    // re-check against the frame itself)
+    val byPart = rows.groupBy(_.getLong(0))
+    byPart.foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(4)).distinct.length === 1,
+        "one part surfaced two different 'minimum' prices")
+    }
+  }
 }
