@@ -267,11 +267,37 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
   private var bloomIn: Option[Seq[Long]] = None
   private var handled = Array.empty[Filter]
   private var required = tschema
+  // partition-tag prune: (column, admissible value strings) — a file
+  // tagged under this column must match; untagged files and files
+  // tagged under ANOTHER partition spec (evolution) always survive
+  private var partIn: Option[(String, Set[String])] = None
 
   private def num(v: Any): Option[Long] = v match {
     case l: Long => Some(l)
     case i: Int => Some(i.toLong)
     case _ => None
+  }
+
+  /** Partition values compare as the STRINGS the partition dirs were
+    * named with — exact for the integer/string types partitioning
+    * makes sense for; anything else declines the prune.
+    */
+  private def partStr(v: Any): Option[String] = v match {
+    case s: String => Some(s)
+    case l: Long => Some(l.toString)
+    case i: Int => Some(i.toString)
+    case s: Short => Some(s.toString)
+    case b: Boolean => Some(b.toString)
+    case _ => None
+  }
+
+  private def recordPart(c: String, vs: Seq[String]): Boolean = {
+    partIn = Some(partIn match {
+      case Some((c0, vs0)) if c0 == c => (c0, vs0.intersect(vs.toSet))
+      case Some(other) => other // one partition column per scan
+      case None => (c, vs.toSet)
+    })
+    true
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -318,6 +344,17 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
         ls.length == vs.length && {
           bloomIn = Some(bloomIn.fold(ls)(_.intersect(ls))); true
         }
+      // partition-tag prune: equality/IN on a column some files are
+      // partition-tagged with (checked per file at build) — kept
+      // AFTER the stat/bloom cases so those columns take their own,
+      // tighter paths
+      case EqualTo(c, v) if v != null &&
+          snap.files.exists(_.part.exists(_._1.equalsIgnoreCase(c))) =>
+        partStr(v).exists(sv => recordPart(c, Seq(sv)))
+      case In(c, vs) if vs.nonEmpty &&
+          snap.files.exists(_.part.exists(_._1.equalsIgnoreCase(c))) =>
+        val svs = vs.toSeq.flatMap(partStr(_))
+        svs.length == vs.length && recordPart(c, svs)
       case _ => false
     }
     handled = accepted
@@ -401,7 +438,11 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
         point.forall(v => f.bloom.forall(SnapshotLake.Bloom.mightContain(_, v))) &&
         statIn.forall(_.exists(v => f.lo <= v && v <= f.hi)) &&
         bloomIn.forall(vs => f.bloom.forall(b =>
-          vs.exists(SnapshotLake.Bloom.mightContain(b, _))))
+          vs.exists(SnapshotLake.Bloom.mightContain(b, _)))) &&
+        partIn.forall { case (c, vs) => f.part match {
+          case Some((pc, pv)) if pc.equalsIgnoreCase(c) => vs(pv)
+          case _ => true // untagged / other-spec file: never pruned
+        } }
     }
     // `_file` is answered per split, never decoded: it leaves the
     // parquet projection here and re-enters as a constant vector in
@@ -431,7 +472,8 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
         snap.statCol2.fold("")(c => s" stat2=$c∈[$lo2,$hi2)") +
         point.fold("")(v => s" bloom=$v") +
         statIn.fold("")(vs => s" in(${vs.length})") +
-        bloomIn.fold("")(vs => s" bloomIn(${vs.length})"),
+        bloomIn.fold("")(vs => s" bloomIn(${vs.length})") +
+        partIn.fold("") { case (c, vs) => s" part=$c(${vs.size})" },
       asOf, lo, hi, lo2, hi2, point, snap.statCol, snap.bloomCol,
       physRequired, fileColIdx)
     lastScan = Some(scan)

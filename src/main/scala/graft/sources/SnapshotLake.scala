@@ -68,7 +68,8 @@ object SnapshotLake {
   final case class FileStat(name: String, lo: Long, hi: Long, rows: Long,
       bloom: Option[Array[Byte]] = None,
       dim2: Option[(Long, Long)] = None,
-      bytes: Option[Long] = None)
+      bytes: Option[Long] = None,
+      part: Option[(String, String)] = None)
 
   final case class Snapshot(version: Int, statCol: String,
       bloomCol: Option[String], files: Seq[FileStat],
@@ -320,6 +321,106 @@ object SnapshotLake {
   private def manifestPath(root: String, v: Int): Path =
     logDir(root).resolve(f"v$v%05d.manifest")
 
+  /** Checkpoint file lists as PARQUET sidecars (Delta's checkpoint
+    * economics): a full (checkpoint) manifest's text file holds only
+    * the O(100-byte) header plus a `ckptfile=` pointer; the file
+    * list itself — the part that is O(table files), with per-file
+    * blooms — lands columnar and snappy-compressed next to it. At
+    * 1M files this turns the every-16th-commit cost from a multi-GB
+    * text serialization (inline base64 blooms) into a compact
+    * parquet write, and — because it IS parquet — the log is
+    * directly queryable by the engine
+    * (`spark.read.parquet(<root>/_log/v*.ckpt-*.parquet)`), the
+    * property q136 certifies. Sidecars are written BEFORE the
+    * manifest's atomic link: the link either publishes text+sidecar
+    * together or the loser deletes its own sidecar — readers never
+    * see a pointer to a missing file.
+    */
+  private object Ckpt {
+    import org.apache.parquet.example.data.simple.SimpleGroup
+    import org.apache.parquet.hadoop.example.{
+      ExampleParquetWriter, GroupReadSupport, GroupWriteSupport}
+
+    private val Schema = org.apache.parquet.schema.MessageTypeParser
+      .parseMessageType("""
+        message graft_ckpt {
+          required binary name (UTF8);
+          required int64 lo;
+          required int64 hi;
+          required int64 rows;
+          optional int64 d2lo;
+          optional int64 d2hi;
+          optional int64 sz;
+          optional binary bf;
+          optional binary pcol (UTF8);
+          optional binary pval (UTF8);
+        }""")
+
+    def write(root: String, v: Int, files: Seq[FileStat]): String = {
+      val name = f"v$v%05d.ckpt-${UUID.randomUUID().toString.take(8)}.parquet"
+      val conf = new org.apache.hadoop.conf.Configuration()
+      GroupWriteSupport.setSchema(Schema, conf)
+      val w = ExampleParquetWriter
+        .builder(new org.apache.hadoop.fs.Path(
+          logDir(root).resolve(name).toString))
+        .withConf(conf)
+        .withCompressionCodec(
+          org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+        .build()
+      try files.foreach { f =>
+        val g = new SimpleGroup(Schema)
+        g.append("name", f.name)
+        g.append("lo", f.lo)
+        g.append("hi", f.hi)
+        g.append("rows", f.rows)
+        f.dim2.foreach { case (a, b) =>
+          g.append("d2lo", a); g.append("d2hi", b): Unit }
+        f.bytes.foreach(n => g.append("sz", n): Unit)
+        f.bloom.foreach(b => g.append("bf",
+          org.apache.parquet.io.api.Binary.fromConstantByteArray(b)): Unit)
+        f.part.foreach { case (c, v) =>
+          g.append("pcol", c); g.append("pval", v): Unit }
+        w.write(g)
+      } finally w.close()
+      name
+    }
+
+    def read(root: String, name: String): Seq[FileStat] = {
+      val r = org.apache.parquet.hadoop.ParquetReader
+        .builder(new GroupReadSupport(),
+          new org.apache.hadoop.fs.Path(
+            logDir(root).resolve(name).toString))
+        .build()
+      try Iterator.continually(r.read()).takeWhile(_ != null).map { g =>
+        def opt(field: String): Boolean =
+          g.getFieldRepetitionCount(field) > 0
+        FileStat(
+          g.getString("name", 0),
+          g.getLong("lo", 0), g.getLong("hi", 0), g.getLong("rows", 0),
+          bloom = if (opt("bf")) Some(g.getBinary("bf", 0).getBytes)
+            else None,
+          dim2 = if (opt("d2lo")) Some((g.getLong("d2lo", 0),
+            g.getLong("d2hi", 0))) else None,
+          bytes = if (opt("sz")) Some(g.getLong("sz", 0)) else None,
+          part = if (opt("pcol")) Some((g.getString("pcol", 0),
+            g.getString("pval", 0))) else None)
+      }.toVector
+      finally r.close()
+    }
+
+    def delete(root: String, name: String): Unit =
+      Files.deleteIfExists(logDir(root).resolve(name)): Unit
+
+    /** The `ckptfile=` pointer of version v's manifest, if any. */
+    def pointerOf(root: String, v: Int): Option[String] = {
+      val in = Files.newBufferedReader(manifestPath(root, v),
+        StandardCharsets.UTF_8)
+      try in.readLine().split('\t')
+        .find(_.startsWith("ckptfile=")).map(_.stripPrefix("ckptfile="))
+      finally in.close()
+    }
+  }
+
   /** Latest committed version, or -1 for an empty lake. Listing the
     * log dir is the head lookup — same as a lake's `_last_checkpoint`
     * fast path, adequate at one file per commit.
@@ -381,8 +482,18 @@ object SnapshotLake {
       java.util.Base64.getDecoder.decode(t.stripPrefix("bf=")))
     val bytes = extras.find(_.startsWith("sz="))
       .map(_.stripPrefix("sz=").toLong)
+    // pt=<col>:<base64 value>: the file's partition identity — the
+    // value is base64 so arbitrary partition values cannot collide
+    // with the manifest's tab/colon delimiters
+    val part = extras.find(_.startsWith("pt=")).map { t =>
+      val body = t.stripPrefix("pt=")
+      val i = body.indexOf(':')
+      (body.substring(0, i),
+        new String(java.util.Base64.getDecoder.decode(
+          body.substring(i + 1)), StandardCharsets.UTF_8))
+    }
     FileStat(fields(0), fields(1).toLong, fields(2).toLong,
-      fields(3).toLong, bloom, dim2, bytes)
+      fields(3).toLong, bloom, dim2, bytes, part)
   }
 
   private def parseManifest(root: String, v: Int): Manifest = {
@@ -417,11 +528,15 @@ object SnapshotLake {
         retired, isDelta = true, Seq.empty,
         addLines.map(l => parseFileLine(l.split('\t').drop(1))),
         rmLines.map(_.stripPrefix("rm\t")).toSet)
-    } else
+    } else {
+      // checkpoint manifests externalize the file list as a parquet
+      // sidecar; pre-sidecar chains (and empty lists) stay inline
+      val files = header.find(_.startsWith("ckptfile="))
+        .map(p => Ckpt.read(root, p.stripPrefix("ckptfile=")))
+        .getOrElse(lines.tail.map(l => parseFileLine(l.split('\t'))))
       Manifest(statCol, bloomCol, statCol2, txn, txns, schemaJson, op,
-        retired, isDelta = false,
-        lines.tail.map(l => parseFileLine(l.split('\t'))),
-        Seq.empty, Set.empty)
+        retired, isDelta = false, files, Seq.empty, Set.empty)
+    }
   }
 
   /** Test hook: manifest files read by the last [[snapshot]] call —
@@ -541,9 +656,19 @@ object SnapshotLake {
       val base = s"${f.name}\t${f.lo}\t${f.hi}\t${f.rows}"
       val withD2 = f.dim2.fold(base) { case (a, b) => s"$base\td2=$a:$b" }
       val withSz = f.bytes.fold(withD2)(n => s"$withD2\tsz=$n")
-      f.bloom.fold(withSz)(b =>
-        s"$withSz\tbf=${java.util.Base64.getEncoder.encodeToString(b)}")
+      val withPt = f.part.fold(withSz) { case (c, v) =>
+        s"$withSz\tpt=$c:${java.util.Base64.getEncoder.encodeToString(
+          v.getBytes(StandardCharsets.UTF_8))}" }
+      f.bloom.fold(withPt)(b =>
+        s"$withPt\tbf=${java.util.Base64.getEncoder.encodeToString(b)}")
     }
+    Files.createDirectories(logDir(root))
+    // full (checkpoint) manifests externalize the O(files) list as a
+    // parquet sidecar — the text manifest stays O(header); deltas
+    // stay inline (they are O(touched files) already)
+    val ckptName: Option[String] =
+      if (asDelta || files.isEmpty) None
+      else Some(Ckpt.write(root, v, files))
     val bodyLines: Seq[String] =
       if (asDelta) {
         val parent = parentFiles.get
@@ -552,9 +677,10 @@ object SnapshotLake {
         parent.collect { case f if !newNames(f.name) => s"rm\t${f.name}" } ++
           files.collect { case f if !parentNames(f.name) =>
             s"add\t${fileLine(f)}" }
-      } else files.map(fileLine)
-    val body = (header +: bodyLines).mkString("", "\n", "\n")
-    Files.createDirectories(logDir(root))
+      } else if (ckptName.isDefined) Seq.empty
+      else files.map(fileLine)
+    val fullHeader = header + ckptName.fold("")(n => s"\tckptfile=$n")
+    val body = (fullHeader +: bodyLines).mkString("", "\n", "\n")
     val tmp = logDir(root).resolve(s".tmp-${UUID.randomUUID()}")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     try {
@@ -570,6 +696,7 @@ object SnapshotLake {
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         Files.deleteIfExists(tmp) // lost the race — caller rebases
+        ckptName.foreach(Ckpt.delete(root, _)) // and reclaims its sidecar
         false
     }
   }
@@ -950,17 +1077,25 @@ object SnapshotLake {
     require(targetRows >= 1, "targetRows must be positive")
     val base = snapshot(root)
     val key = base.statCol
-    val small = base.files.filter(_.rows < targetRows).sortBy(_.lo)
-    // greedy adjacent pack: close the group when adding the next
-    // file would exceed the budget
-    val groups = small.foldLeft(List.empty[List[FileStat]]) {
-      case (acc, f) => acc match {
-        case g :: rest if g.map(_.rows).sum + f.rows <= targetRows =>
-          (f :: g) :: rest
-        case _ => List(f) :: acc
+    val small = base.files.filter(_.rows < targetRows)
+    // greedy adjacent pack WITHIN a partition domain: files sharing a
+    // partition tag (or untagged files) pack among themselves in
+    // stat-range order, never across — merging two partitions' files
+    // would hand every partition-pruned read a file it must open and
+    // discard, quietly destroying the tag's selectivity the same way
+    // a commit-order pack destroys q82's range selectivity
+    val groups = small.groupBy(_.part).toSeq
+      .sortBy(_._1.map(p => p._1 + " " + p._2).getOrElse(""))
+      .flatMap { case (_, fs) =>
+        fs.sortBy(_.lo).foldLeft(List.empty[List[FileStat]]) {
+          case (acc, f) => acc match {
+            case g :: rest if g.map(_.rows).sum + f.rows <= targetRows =>
+              (f :: g) :: rest
+            case _ => List(f) :: acc
+          }
+        }.map(_.reverse).reverse
       }
-    }.map(_.reverse).reverse
-    val packed = groups.filter(_.size >= 2)
+    val packed = groups.filter(_.size >= 2).toList
     val kept = base.files.filterNot(f =>
       packed.exists(_.exists(_.name == f.name)))
     val newFiles =
@@ -976,8 +1111,14 @@ object SnapshotLake {
           .repartition(col("__bucket"))
           .sortWithinPartitions(col(key))
           .write.partitionBy("__bucket").parquet(s"$root/$batch")
+        val gTag = "__bucket=g(\\d+)/".r
         statsFor(s, root, batch, key, base.bloomCol,
-          inheritedBloomBytes(base), base.statCol2)
+            inheritedBloomBytes(base), base.statCol2)
+          // a packed output inherits its group's partition identity
+          // (groups never span partitions, so head's tag is the
+          // group's tag)
+          .map(f => gTag.findFirstMatchIn(f.name)
+            .fold(f)(m => f.copy(part = packed(m.group(1).toInt).head.part)))
       }
     var committed = -1
     while (committed < 0) {
@@ -1067,6 +1208,66 @@ object SnapshotLake {
     // partition directory, invisible to explicit-file-list reads
     commitBatch(s, root, batch, statCol, overwrite, bloomCol, bloomBytes,
       statCol2, schemaJson = Some(df.schema.json))
+  }
+
+  /** Hive-style PARTITION COLUMNS as a first-class lake concept: one
+    * commit, one-or-more files per distinct `partCol` value, each
+    * file TAGGED in the manifest with its (column, value) identity —
+    * so equality/IN predicates on the partition column prune whole
+    * files from the manifest alone (the Scala helper below and the
+    * DSv2 pushdown both answer from the tag), OPTIMIZE packs within
+    * a partition but never across ([[compactLake]]), and partition
+    * EVOLUTION is free Iceberg-style: a later commit may declare a
+    * different partCol — old files keep their old tag, and pruning
+    * on either column simply keeps files tagged under the other
+    * (absence never prunes; correctness stays with the residual row
+    * filter). The partition column's values stay IN the data files
+    * (the routing directory is a copy), so explicit-file-list reads
+    * need no value re-injection.
+    */
+  def commitPartitioned(s: SparkSession, root: String, df: DataFrame,
+      partCol: String, statCol: String,
+      overwrite: Boolean = false, bloomCol: Option[String] = None,
+      bloomBytes: Int = 1024, statCol2: Option[String] = None): Int = {
+    val batch = s"data/b-${UUID.randomUUID().toString.take(8)}"
+    val chainSchema =
+      if (!overwrite && headVersion(root) >= 0) snapshot(root).schema
+      else None
+    ColMap.toPhysical(df, chainSchema)
+      .withColumn("__bucket", col(partCol).cast("string"))
+      .repartition(col("__bucket"))
+      .write.partitionBy("__bucket").parquet(s"$root/$batch")
+    val dirTag = "__bucket=([^/]+)/".r
+    val tagged = statsFor(s, root, batch, statCol, bloomCol, bloomBytes,
+        statCol2)
+      .map { f =>
+        val m = dirTag.findFirstMatchIn(f.name).getOrElse(
+          throw new IllegalStateException(
+            s"partitioned batch file ${f.name} lacks a partition dir"))
+        // the writer Hive-escapes special chars in dir names; decode
+        // so the tag holds the VALUE, not its encoding
+        f.copy(part = Some(partCol ->
+          java.net.URLDecoder.decode(m.group(1), "UTF-8")))
+      }
+    commitFiles(root, tagged, statCol, overwrite, bloomCol, statCol2,
+      txn = None, schemaJson = Some(df.schema.json))
+  }
+
+  /** Partition-pruned read: only files whose tag matches `value` (or
+    * files with no tag / another spec's tag — absence never prunes)
+    * are opened; the residual row filter keeps correctness exact on
+    * un-tagged files.
+    */
+  def readPartition(s: SparkSession, root: String, partCol: String,
+      value: String, asOf: Option[Int] = None): DataFrame = {
+    val snap = snapshot(root, asOf)
+    val keep = snap.files.filter(f => f.part match {
+      case Some((c, v)) if colKey(c) == colKey(partCol) => v == value
+      case _ => true
+    })
+    if (keep.isEmpty) read(s, root, asOf).where(lit(false))
+    else readFiles(s, root, snap, keep)
+      .where(col(partCol).cast("string") === value)
   }
 
   /** One pass over the batch's files only: per-file stats keyed by
@@ -1374,7 +1575,11 @@ object SnapshotLake {
     // REFERENCE, the bytes belong to the source lake
     val owned = dead.filterNot(_.startsWith("/"))
     owned.foreach(n => Files.deleteIfExists(Paths.get(root, n)))
-    dropped.foreach(v => Files.delete(manifestPath(root, v)))
+    dropped.foreach { v =>
+      // a dropped checkpoint takes its parquet sidecar with it
+      Ckpt.pointerOf(root, v).foreach(Ckpt.delete(root, _))
+      Files.delete(manifestPath(root, v))
+    }
     (dropped.size, owned.size)
   }
 
@@ -2160,7 +2365,99 @@ object SnapshotLake {
         col("n_events"), col("sum_cents"))
   }
 
+  /** Judged parquet checkpoints: 17 single-file commits cross the
+    * v16 checkpoint boundary, then the v16 file list is read back
+    * NOT through the snapshot API but straight through
+    * `spark.read.parquet` on the log sidecar — certifying the
+    * engine-readability the format exists for. Hash-checked: the
+    * head version, the sidecar's file count (17 — a checkpoint that
+    * lost or duplicated a carried file goes red), total rows and the
+    * global [min_lo, max_hi] stat envelope (closed-form from
+    * events), and that the v16 TEXT manifest stayed under 1 KB — the
+    * economics claim itself (an inline file list with 17 blooms is
+    * tens of KB).
+    */
+  def q136LakeCkptLog(s: SparkSession, d: String): DataFrame = {
+    val root = Housekeeping.tempDir("q136")
+    val ev = eventsCents(s, d)
+    (0 until 17).foreach(i =>
+      commit(s, root,
+        ev.where(col("event_id") % 17 === i).coalesce(1), "event_id"))
+    val textBytes = Files.size(manifestPath(root, 16))
+    val side = s.read.parquet(s"$root/_log/v00016.ckpt-*.parquet")
+    side.agg(count(lit(1)).as("n_files"), sum(col("rows")).as("n_rows"),
+        min(col("lo")).as("min_lo"), max(col("hi")).as("max_hi"))
+      .select(
+        lit(headVersion(root).toLong).as("head_version"),
+        lit(textBytes < 1024L).as("text_manifest_small"),
+        col("n_files"), col("n_rows"), col("min_lo"), col("max_hi"))
+  }
+
+  /** Judged partition columns: a 4-partition commit (`bucket4 =
+    * event_id % 4`), read through the DSv2 connector with an
+    * equality predicate on the partition column. Hash-checked: the
+    * file counts the MANIFEST planned (4 total, exactly 1 kept — a
+    * prune that stopped consulting the tags keeps 4 and goes red)
+    * and the row-exact aggregate of the surviving partition; then
+    * the same discipline after partition EVOLUTION (an append
+    * partitioned by a DIFFERENT column): pruning on the original
+    * column must keep all evolved-spec files (absence never prunes)
+    * while still skipping the original spec's non-matching files.
+    */
+  def q137LakePartitioned(s: SparkSession, d: String): DataFrame = {
+    val root = Housekeeping.tempDir("q137")
+    val ev = eventsCents(s, d)
+      .withColumn("bucket4", col("event_id") % 4)
+      .withColumn("parity", col("event_id") % 2)
+    commitPartitioned(s, root, ev, "bucket4", "event_id")
+    def prunedAgg(): (Long, Long, Long, Long) = {
+      val df = s.read.format("graft.sources.GraftLakeSource")
+        .option("path", root).load()
+        .where(col("bucket4") === 2L)
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+      val row = df.collect().head
+      val scan = LakeScan.findIn(df.queryExecution.executedPlan)
+        .getOrElse(throw new IllegalStateException("no LakeScan planned"))
+      (scan.filesTotal.toLong, scan.files.length.toLong,
+        row.getLong(0), row.getLong(1))
+    }
+    val (total0, kept0, n0, c0) = prunedAgg()
+    // partition evolution: the next commit declares a DIFFERENT
+    // partition column (parity); old files keep their bucket4 tags.
+    // The appended slice spans both parities: %4==1 rows are odd
+    // (parity 1), %4==2 rows even (parity 0) → two new files
+    commitPartitioned(s, root,
+      ev.where(col("event_id") % 4 === 1 || col("event_id") % 4 === 2),
+      "parity", "event_id")
+    val (total1, kept1, n1, c1) = prunedAgg()
+    import s.implicits._
+    Seq((total0, kept0, n0, c0, total1, kept1, n1, c1)).toDF(
+      "n_files_v0", "n_kept_v0", "n_rows_v0", "sum_cents_v0",
+      "n_files_v1", "n_kept_v1", "n_rows_v1", "sum_cents_v1")
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q137_lake_partitioned", q137LakePartitioned, Some("""
+      WITH p AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_id % 4 = 2)
+      SELECT CAST(4 AS BIGINT) AS n_files_v0,
+             CAST(1 AS BIGINT) AS n_kept_v0,
+             count(*) AS n_rows_v0,
+             CAST(sum(cents) AS BIGINT) AS sum_cents_v0,
+             CAST(6 AS BIGINT) AS n_files_v1,
+             CAST(3 AS BIGINT) AS n_kept_v1,
+             2 * count(*) AS n_rows_v1,
+             CAST(2 * sum(cents) AS BIGINT) AS sum_cents_v1
+      FROM p""")),
+    Q("q136_lake_ckpt_log", q136LakeCkptLog, Some("""
+      SELECT CAST(16 AS BIGINT) AS head_version,
+             TRUE AS text_manifest_small,
+             CAST(17 AS BIGINT) AS n_files,
+             count(*) AS n_rows,
+             min(event_id) AS min_lo,
+             max(event_id) AS max_hi
+      FROM events""")),
     Q("q130_column_mapping", q130ColumnMapping, Some("""
       SELECT CAST(2 AS BIGINT) AS n_cols,
              'rename' AS rename_op,

@@ -58,8 +58,11 @@ class SnapshotLakeSpec extends SparkTestBase {
     val head = Files.readAllLines(
       Paths.get(root, "_log", "v00000.manifest"), StandardCharsets.UTF_8)
       .asScala.toSeq
-    val stolen = (s"v=1\tk\toverwrite=false" +: head.tail)
-      .mkString("", "\n", "\n")
+    // re-version the header but keep its remaining fields — including
+    // the ckptfile= sidecar pointer that now carries the file list
+    val stolenHeader = ("v=1" +: head.head.split('\t').toSeq.tail)
+      .mkString("\t")
+    val stolen = (stolenHeader +: head.tail).mkString("", "\n", "\n")
     Files.write(Paths.get(root, "_log", "v00001.manifest"),
       stolen.getBytes(StandardCharsets.UTF_8))
     // this commit targets v1, loses, rebases, lands at v2 — with BOTH
@@ -484,5 +487,42 @@ class SnapshotLakeSpec extends SparkTestBase {
     assert(appDiff.select("change_type").distinct().as[String].collect()
       .toSeq === Seq("insert"))
     assert(appDiff.count() === 10L)
+  }
+
+  test("checkpoint file lists are parquet sidecars: tiny text, engine-readable, vacuumed together") {
+    val root = freshRoot()
+    // 18 one-file commits with blooms cross the v16 checkpoint boundary
+    (0 until 18).foreach(i =>
+      SnapshotLake.commit(spark, root,
+        tbl(i * 10 until i * 10 + 10).coalesce(1), "k",
+        bloomCol = Some("k")))
+    // the v16 TEXT manifest is O(header): no inline file lines, no
+    // base64 blooms — a 17-file inline list with 1 KiB blooms each
+    // would be >20 KB
+    val v16 = new String(Files.readAllBytes(
+      Paths.get(root, "_log", "v00016.manifest")), StandardCharsets.UTF_8)
+    assert(v16.length < 1024, s"checkpoint text is ${v16.length} bytes")
+    assert(v16.contains("ckptfile="))
+    assert(v16.linesIterator.size === 1, "checkpoint text carries file lines")
+    // the sidecar is PLAIN PARQUET readable by the engine itself
+    val side = spark.read.parquet(s"$root/_log/v00016.ckpt-*.parquet")
+    assert(side.count() === 17L)
+    val viaParquet = side.select("name", "lo", "hi", "rows")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val viaSnapshot = SnapshotLake.snapshot(root, Some(16)).files
+      .map(f => (f.name, f.lo, f.hi, f.rows)).sortBy(_._1)
+    assert(viaParquet === viaSnapshot)
+    // blooms survive the sidecar roundtrip: the point prune still skips
+    val snap = SnapshotLake.snapshot(root)
+    assert(snap.files.forall(_.bloom.isDefined), "sidecar dropped blooms")
+    assert(SnapshotLake.read(spark, root).count() === 180L)
+    // vacuum to the v16 checkpoint reclaims v0's sidecar with v0
+    SnapshotLake.vacuum(root, 2)
+    val logNames = Files.list(Paths.get(root, "_log")).iterator().asScala
+      .map(_.getFileName.toString).toSeq
+    assert(!logNames.exists(_.startsWith("v00000.ckpt-")),
+      s"dropped checkpoint's sidecar leaked: $logNames")
+    assert(logNames.exists(_.startsWith("v00016.ckpt-")))
+    assert(SnapshotLake.read(spark, root).count() === 180L)
   }
 }
