@@ -469,7 +469,160 @@ object Composite {
       ORDER BY p_partkey, s_name""")
   }
 
+  /** TPC-H Q7 (volume shipping, schema-adapted to regions): revenue
+    * shipped between two REGIONS (the synthetic nation table spreads
+    * 25 nations over 5 regions; single nation pairs are too sparse),
+    * split by direction and ship year. The shape under test: a
+    * 6-table join whose nation dims appear TWICE under different
+    * roles (supplier's vs customer's), with a symmetric disjunction
+    * over the two role columns — Catalyst must keep both nation
+    * joins broadcast, plan the disjunction as a post-join filter
+    * (not a cartesian), and aggregate on derived columns. Revenue in
+    * exact integer e4 (cents × (100−disc)).
+    */
+  def q138TpchVolumeShipping(s: SparkSession, d: String): DataFrame = {
+    tpchViews(s, d, Seq("supplier", "lineitem", "orders", "customer",
+      "nation"))
+    s.sql("""
+      SELECT supp_region, cust_region, l_year,
+             CAST(sum(vol_e4) AS BIGINT) AS revenue_e4
+      FROM (SELECT n1.n_regionkey AS supp_region,
+                   n2.n_regionkey AS cust_region,
+                   year(l_shipdate) AS l_year,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) *
+                     (100 - CAST(round(l_discount * 100) AS BIGINT))
+                     AS vol_e4
+            FROM tpch_supplier, tpch_lineitem, tpch_orders,
+                 tpch_customer, tpch_nation n1, tpch_nation n2
+            WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+              AND c_custkey = o_custkey
+              AND s_nationkey = n1.n_nationkey
+              AND c_nationkey = n2.n_nationkey
+              AND ((n1.n_regionkey = 1 AND n2.n_regionkey = 3)
+                OR (n1.n_regionkey = 3 AND n2.n_regionkey = 1))
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01') shipping
+      GROUP BY supp_region, cust_region, l_year
+      ORDER BY supp_region, cust_region, l_year""")
+  }
+
+  /** TPC-H Q8 (national market share, schema-adapted to regions):
+    * region-3 suppliers' share of the region-2 customer market per
+    * order year — the conditional-aggregate-ratio shape: one join
+    * tree, two sums over the same rows (a CASE-gated numerator and
+    * the total), the share a single double division of the two EXACT
+    * integer sums so the ratio cannot drift between engines.
+    */
+  def q139TpchMarketShare(s: SparkSession, d: String): DataFrame = {
+    tpchViews(s, d, Seq("supplier", "lineitem", "orders", "customer",
+      "nation"))
+    s.sql("""
+      SELECT o_year,
+             CAST(sum(CASE WHEN supp_region = 3 THEN vol_e4 ELSE 0 END)
+                  AS BIGINT) AS nation_e4,
+             CAST(sum(vol_e4) AS BIGINT) AS total_e4,
+             CAST(sum(CASE WHEN supp_region = 3 THEN vol_e4 ELSE 0 END)
+                  AS DOUBLE) / CAST(sum(vol_e4) AS DOUBLE) AS mkt_share
+      FROM (SELECT year(o_orderdate) AS o_year,
+                   n1.n_regionkey AS supp_region,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) *
+                     (100 - CAST(round(l_discount * 100) AS BIGINT))
+                     AS vol_e4
+            FROM tpch_lineitem, tpch_orders, tpch_customer,
+                 tpch_supplier, tpch_nation n1, tpch_nation n2
+            WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+              AND l_suppkey = s_suppkey
+              AND s_nationkey = n1.n_nationkey
+              AND c_nationkey = n2.n_nationkey
+              AND n2.n_regionkey = 2) all_nations
+      GROUP BY o_year
+      ORDER BY o_year""")
+  }
+
+  /** TPC-H Q15 (top supplier): a derived revenue aggregate consumed
+    * TWICE — once as the join input, once under a scalar MAX
+    * subquery selecting the argmax supplier(s). The uncorrelated
+    * scalar-over-aggregate must plan as one broadcast one-row
+    * subquery result, and revenue compares as exact integer e4 so
+    * the max boundary is bit-stable.
+    */
+  def q140TpchTopSupplier(s: SparkSession, d: String): DataFrame = {
+    tpchViews(s, d, Seq("supplier", "lineitem"))
+    s.sql("""
+      WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                 (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                 AS BIGINT) AS total_revenue_e4
+        FROM tpch_lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, total_revenue_e4
+      FROM tpch_supplier, revenue
+      WHERE s_suppkey = supplier_no
+        AND total_revenue_e4 = (SELECT max(total_revenue_e4) FROM revenue)
+      ORDER BY s_suppkey""")
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q138_tpch_volume_shipping", q138TpchVolumeShipping, Some("""
+      SELECT supp_region, cust_region, l_year,
+             CAST(sum(vol_e4) AS BIGINT) AS revenue_e4
+      FROM (SELECT n1.n_regionkey AS supp_region,
+                   n2.n_regionkey AS cust_region,
+                   year(l_shipdate) AS l_year,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) *
+                     (100 - CAST(round(l_discount * 100) AS BIGINT))
+                     AS vol_e4
+            FROM supplier, lineitem, orders, customer,
+                 nation n1, nation n2
+            WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+              AND c_custkey = o_custkey
+              AND s_nationkey = n1.n_nationkey
+              AND c_nationkey = n2.n_nationkey
+              AND ((n1.n_regionkey = 1 AND n2.n_regionkey = 3)
+                OR (n1.n_regionkey = 3 AND n2.n_regionkey = 1))
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01') shipping
+      GROUP BY supp_region, cust_region, l_year
+      ORDER BY supp_region, cust_region, l_year""")),
+    Q("q139_tpch_market_share", q139TpchMarketShare, Some("""
+      SELECT o_year,
+             CAST(sum(CASE WHEN supp_region = 3 THEN vol_e4 ELSE 0 END)
+                  AS BIGINT) AS nation_e4,
+             CAST(sum(vol_e4) AS BIGINT) AS total_e4,
+             CAST(sum(CASE WHEN supp_region = 3 THEN vol_e4 ELSE 0 END)
+                  AS DOUBLE) / CAST(sum(vol_e4) AS DOUBLE) AS mkt_share
+      FROM (SELECT year(o_orderdate) AS o_year,
+                   n1.n_regionkey AS supp_region,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) *
+                     (100 - CAST(round(l_discount * 100) AS BIGINT))
+                     AS vol_e4
+            FROM lineitem, orders, customer, supplier,
+                 nation n1, nation n2
+            WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+              AND l_suppkey = s_suppkey
+              AND s_nationkey = n1.n_nationkey
+              AND c_nationkey = n2.n_nationkey
+              AND n2.n_regionkey = 2) all_nations
+      GROUP BY o_year
+      ORDER BY o_year""")),
+    Q("q140_tpch_top_supplier", q140TpchTopSupplier, Some("""
+      WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                 (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                 AS BIGINT) AS total_revenue_e4
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, total_revenue_e4
+      FROM supplier, revenue
+      WHERE s_suppkey = supplier_no
+        AND total_revenue_e4 = (SELECT max(total_revenue_e4) FROM revenue)
+      ORDER BY s_suppkey""")),
     Q("q133_tpch_small_qty_revenue", q133TpchSmallQtyRevenue, Some("""
       SELECT count(*) AS n_small_lines,
              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)

@@ -191,6 +191,49 @@ class CompositeSpec extends SparkTestBase {
       r.getLong(0).toDouble * 100.0 / r.getLong(1)) < 1e-9)
   }
 
+  test("q138's double-role nation dims broadcast; the region disjunction is a join filter") {
+    val df = Composite.q138TpchVolumeShipping(spark, sf("sf0.001"))
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"nation dims not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q138 fell off the equi-join path:\n$plan")
+    // both directions of the region pair must surface
+    val dirs = rows.map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(dirs === Set((1, 3), (3, 1)), s"directions: $dirs")
+  }
+
+  test("q139's market share is the exact ratio of its two exact sums") {
+    val df = Composite.q139TpchMarketShare(spark, sf("sf0.001"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2), "numerator exceeds total")
+      assert(math.abs(r.getDouble(3) -
+        r.getLong(1).toDouble / r.getLong(2)) < 1e-15)
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q139 fell off the equi-join path:\n$plan")
+  }
+
+  test("q140's max-revenue scalar subquery is a one-row broadcast, argmax exact") {
+    val df = Composite.q140TpchTopSupplier(spark, sf("sf0.001"))
+    val rows = df.collect()
+    assert(rows.nonEmpty, "no top supplier in the quarter")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Subquery") || plan.contains("scalar-subquery"),
+      s"no scalar subquery planned:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q140 fell off the equi-join path:\n$plan")
+    // every returned supplier carries the SAME (maximal) revenue
+    assert(rows.map(_.getLong(2)).distinct.length === 1)
+  }
+
   test("q133's correlated scalar aggregates decorrelate into per-part aggregates") {
     val df = Composite.q133TpchSmallQtyRevenue(spark, sf("sf0.001"))
     val rows = df.collect()
