@@ -58,6 +58,7 @@ object Catalog {
       graft.sources.Sinks.queries ++
       graft.sources.SnapshotLake.queries ++
       graft.sources.LakeWriteQueries.queries ++
+      graft.sources.LakeCatalogQueries.queries ++
       graft.streaming.StreamingGate.queries
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

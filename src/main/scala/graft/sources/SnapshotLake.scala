@@ -1667,6 +1667,24 @@ object SnapshotLake {
         head.retired)
     })
 
+  /** ADD COLUMN, metadata-only: the evolved schema gains a NULLABLE
+    * field (pre-evolution files null-fill it — the same contract as
+    * evolution-by-append), stamped with a fresh column-mapping id
+    * and physical name, guarded against landing on a dropped or
+    * in-use physical storage slot. Zero data files touched.
+    */
+  def addColumn(root: String, name: String,
+      dataType: org.apache.spark.sql.types.DataType): Int =
+    publishSchemaChange(root, "add_column", { (head, schema) =>
+      require(!schema.fields.exists(f => colKey(f.name) == colKey(name)),
+        s"column '$name' already exists")
+      (evolveSchema(schema,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(name, dataType))),
+        head.retired),
+        head.retired)
+    })
+
   /** DROP COLUMN, logical (column mapping): the field leaves the
     * schema; its bytes stay in every data file and remain readable
     * via time travel. The physical storage name is RETIRED in the

@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotLake
+
+/** The lake's `TableCatalog` face: the full table lifecycle in pure
+  * SQL — CREATE / INSERT / UPDATE / MERGE / DELETE / ALTER TABLE
+  * ADD|RENAME|DROP COLUMN / VERSION AS OF time travel / DROP TABLE —
+  * with the ALTER verbs routed to the metadata-only column-mapping
+  * commits (zero data files rewritten).
+  */
+class LakeCatalogSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val cat = "graftcat"
+
+  private def withCatalog(body: String => Unit): Unit = {
+    val base = Files.createTempDirectory("lake_cat_").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", base)
+    body(base)
+  }
+
+  test("pure-SQL lifecycle: create, insert, alter, time travel, drop") {
+    withCatalog { base =>
+      spark.sql(s"""
+        CREATE TABLE $cat.t1 (k BIGINT, cents BIGINT)
+        TBLPROPERTIES ('statCol' = 'k')""")
+      assert(spark.sql(s"SHOW TABLES IN $cat").count() === 1L)
+      // empty table is selectable before any insert
+      assert(spark.table(s"$cat.t1").count() === 0L)
+      spark.sql(s"INSERT INTO $cat.t1 SELECT id, id * 7 FROM range(100)")
+      assert(spark.table(s"$cat.t1").count() === 100L)
+      val root = s"$base/t1"
+      val filesV0 = SnapshotLake.snapshot(root).files.size
+      // ALTER: rename is metadata-only
+      spark.sql(s"ALTER TABLE $cat.t1 RENAME COLUMN cents TO amount")
+      assert(SnapshotLake.snapshot(root).files.size === filesV0)
+      assert(spark.table(s"$cat.t1").columns.toSeq === Seq("k", "amount"))
+      assert(spark.sql(s"SELECT sum(amount) FROM $cat.t1")
+        .head.getLong(0) === (0L until 100L).map(_ * 7).sum)
+      // ALTER: add column, null-filled on old files
+      spark.sql(s"ALTER TABLE $cat.t1 ADD COLUMN note STRING")
+      assert(spark.table(s"$cat.t1").columns.toSeq ===
+        Seq("k", "amount", "note"))
+      assert(spark.table(s"$cat.t1").where(col("note").isNull).count()
+        === 100L)
+      spark.sql(
+        s"INSERT INTO $cat.t1 SELECT id, id, 'x' FROM range(100, 110)")
+      assert(spark.table(s"$cat.t1").where(col("note") === "x").count()
+        === 10L)
+      // ALTER: drop is logical; the retired slot refuses reuse
+      spark.sql(s"ALTER TABLE $cat.t1 DROP COLUMN note")
+      assert(spark.table(s"$cat.t1").columns.toSeq === Seq("k", "amount"))
+      // time travel reads v0 under its ORIGINAL column names
+      val v0 = spark.sql(s"SELECT * FROM $cat.t1 VERSION AS OF 0")
+      assert(v0.columns.toSeq === Seq("k", "cents"))
+      assert(v0.count() === 100L)
+      // DROP TABLE removes it
+      spark.sql(s"DROP TABLE $cat.t1")
+      assert(spark.sql(s"SHOW TABLES IN $cat").count() === 0L)
+    }
+  }
+
+  test("row-level SQL DML works through catalog identifiers") {
+    withCatalog { base =>
+      spark.sql(s"""
+        CREATE TABLE $cat.t2 (k BIGINT, v BIGINT)
+        TBLPROPERTIES ('statCol' = 'k')""")
+      spark.sql(s"INSERT INTO $cat.t2 SELECT id, id * 7 FROM range(100)")
+      spark.sql(s"UPDATE $cat.t2 SET v = 0 WHERE k >= 90")
+      assert(spark.sql(s"SELECT sum(v) FROM $cat.t2").head.getLong(0)
+        === (0L until 90L).map(_ * 7).sum)
+      spark.sql(s"DELETE FROM $cat.t2 WHERE k >= 50 AND k < 60")
+      assert(spark.table(s"$cat.t2").count() === 90L)
+      Seq((5L, 1L), (200L, 2L)).toDF("k", "v")
+        .createOrReplaceTempView("cat_src")
+      spark.sql(s"""
+        MERGE INTO $cat.t2 t USING cat_src s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+      assert(spark.table(s"$cat.t2").count() === 91L)
+      assert(spark.table(s"$cat.t2").where(col("k") === 5L)
+        .head.getLong(1) === 1L)
+      spark.sql(s"DROP TABLE $cat.t2")
+    }
+  }
+
+  test("ALTER on an uncommitted table edits the declared schema") {
+    withCatalog { _ =>
+      spark.sql(s"""
+        CREATE TABLE $cat.t3 (a BIGINT, b BIGINT)
+        TBLPROPERTIES ('statCol' = 'a')""")
+      spark.sql(s"ALTER TABLE $cat.t3 RENAME COLUMN b TO c")
+      spark.sql(s"ALTER TABLE $cat.t3 ADD COLUMN d STRING")
+      assert(spark.table(s"$cat.t3").columns.toSeq === Seq("a", "c", "d"))
+      // first insert bootstraps under the ALTERed shape
+      spark.sql(s"INSERT INTO $cat.t3 SELECT id, id, 'z' FROM range(5)")
+      assert(spark.table(s"$cat.t3").count() === 5L)
+      spark.sql(s"DROP TABLE $cat.t3")
+    }
+  }
+
+  test("RENAME TABLE moves the lake; CREATE refuses an existing name") {
+    withCatalog { _ =>
+      spark.sql(s"""
+        CREATE TABLE $cat.t4 (k BIGINT, v BIGINT)
+        TBLPROPERTIES ('statCol' = 'k')""")
+      spark.sql(s"INSERT INTO $cat.t4 SELECT id, id FROM range(10)")
+      spark.sql(s"ALTER TABLE $cat.t4 RENAME TO t5")
+      assert(spark.table(s"$cat.t5").count() === 10L)
+      intercept[Exception] {
+        spark.sql(s"""
+          CREATE TABLE $cat.t5 (x BIGINT) TBLPROPERTIES ('statCol' = 'x')""")
+      }
+      spark.sql(s"DROP TABLE $cat.t5")
+    }
+  }
+}
