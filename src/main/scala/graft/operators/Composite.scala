@@ -565,7 +565,52 @@ object Composite {
       ORDER BY s_suppkey""")
   }
 
+  /** TPC-H Q9 (product type profit, schema-adapted): per supplier
+    * nation and order year, the profit on one product family. With
+    * no partsupp table, supply cost substitutes
+    * `quantity × p_retailprice × 0.5` — the SHAPE survives intact: a
+    * five-table join where the selective dim filter (the part-name
+    * pattern) must reach the part scan and gate the whole join tree,
+    * the profit expression mixes columns of THREE tables (lineitem
+    * price/discount/quantity, part retail price), and the aggregate
+    * groups on derived columns from two more (nation key, order
+    * year). Profit in exact integer e4 — the subtraction cannot
+    * drift.
+    */
+  def q142TpchProductProfit(s: SparkSession, d: String): DataFrame = {
+    tpchViews(s, d, Seq("part", "supplier", "lineitem", "orders", "nation"))
+    s.sql("""
+      SELECT n_nationkey, year(o_orderdate) AS o_year,
+             CAST(sum(
+               CAST(round(l_extendedprice * 100) AS BIGINT) *
+                 (100 - CAST(round(l_discount * 100) AS BIGINT))
+               - CAST(round(l_quantity) AS BIGINT) *
+                 CAST(round(p_retailprice * 100) AS BIGINT) * 50)
+               AS BIGINT) AS profit_e4
+      FROM tpch_part, tpch_supplier, tpch_lineitem, tpch_orders,
+           tpch_nation
+      WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        AND p_name LIKE '%anvil%'
+      GROUP BY n_nationkey, year(o_orderdate)
+      ORDER BY n_nationkey, o_year DESC""")
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q142_tpch_product_profit", q142TpchProductProfit, Some("""
+      SELECT n_nationkey, year(o_orderdate) AS o_year,
+             CAST(sum(
+               CAST(round(l_extendedprice * 100) AS BIGINT) *
+                 (100 - CAST(round(l_discount * 100) AS BIGINT))
+               - CAST(round(l_quantity) AS BIGINT) *
+                 CAST(round(p_retailprice * 100) AS BIGINT) * 50)
+               AS BIGINT) AS profit_e4
+      FROM part, supplier, lineitem, orders, nation
+      WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        AND p_name LIKE '%anvil%'
+      GROUP BY n_nationkey, year(o_orderdate)
+      ORDER BY n_nationkey, o_year DESC""")),
     Q("q138_tpch_volume_shipping", q138TpchVolumeShipping, Some("""
       SELECT supp_region, cust_region, l_year,
              CAST(sum(vol_e4) AS BIGINT) AS revenue_e4

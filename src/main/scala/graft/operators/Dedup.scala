@@ -843,7 +843,11 @@ object Dedup {
     * a gram's posting list longer than this drops entirely (its
     * cross-doc fan-out would be quadratic in the list length).
     */
-  private[graft] def substringSpans(docs: DataFrame, k: Int,
+  /** The shared candidate stage of d9/d10: hot-gram-capped positional
+    * k-gram hits, one row per (doc_a < doc_b, pa, diag). `pb` (the
+    * gram's start in doc_b) = pa − diag.
+    */
+  private def substringHits(docs: DataFrame, k: Int,
       maxPostings: Int): DataFrame = {
     val toks = split(trim(col("text")), "\\s+")
     val grams = docs
@@ -865,10 +869,15 @@ object Dedup {
       .where(col("postings") > maxPostings)
       .select(col("gh"))
     val kept = grams.join(hot, Seq("gh"), "left_anti")
-    val hits = kept.as("x").join(kept.as("y"),
+    kept.as("x").join(kept.as("y"),
         col("x.gh") === col("y.gh") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.p").as("pa"), (col("x.p") - col("y.p")).as("diag"))
+  }
+
+  private[graft] def substringSpans(docs: DataFrame, k: Int,
+      maxPostings: Int): DataFrame = {
+    val hits = substringHits(docs, k, maxPostings)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_a"), col("doc_b"), col("diag"))
       .orderBy(col("pa"))
@@ -883,6 +892,60 @@ object Dedup {
       .agg(count(lit(1)).as("n_spans"),
         sum(col("len")).as("n_dup_grams"),
         (max(col("len")) + (k - 1)).as("max_span_tokens"))
+  }
+
+  /** d10: duplicated-passage REMOVAL — the decision step d9's
+    * detection exists for (Lee et al. 2022 cut one copy of every
+    * duplicated ~50-token span; keeping both is the training-data
+    * bug). Policy: the LATER document (higher doc_id, d1/d8's
+    * keep-the-first convention) loses every token covered by a
+    * duplicated gram occurrence; the earlier copy survives intact.
+    * A document that is doc_a in one pair and doc_b in another loses
+    * only its doc_b-side coverage.
+    *
+    * Shape: the d9 candidate stage (hot-gram-capped hits) →
+    * doc_b-side gram starts (pb = pa − diag), distinct → explode the
+    * k covered offsets, distinct again (rows ∝ REAL duplication × k,
+    * never the corpus) → per-doc sorted coverage array (bounded by
+    * one document's tokens — KB) → one higher-order `filter` drops
+    * covered tokens in place, preserving order. No window over the
+    * corpus, no driver-side text.
+    *
+    * Judged output: per affected doc, token counts before/after/
+    * removed and the md5 of the cleaned text — the oracle rebuilds
+    * the cleaned text independently in SQL, so a removal that cut
+    * the wrong tokens (or reassembled out of order) flips the hash.
+    */
+  def d10SpanRemoval(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val k = 8
+    val covered = substringHits(docs, k, D9MaxPostings)
+      .select(col("doc_b").as("doc_id"),
+        (col("pa") - col("diag")).as("pb"))
+      .distinct()
+      .select(col("doc_id"),
+        explode(sequence(col("pb"), col("pb") + (k - 1))).as("pos"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(col("pos"))).as("covered"))
+    docs.join(covered, Seq("doc_id")) // inner: only affected docs
+      .select(col("doc_id"),
+        split(trim(col("text")), "\\s+").as("toks"), col("covered"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("covered")).cast("long").as("n_removed"),
+        // a FULLY covered doc (an exact duplicate on the losing side)
+        // cleans to nothing: null hash, matching SQL's empty string_agg
+        when(size(col("covered")) === size(col("toks")), lit(null))
+          .otherwise(md5(concat_ws(" ",
+            zip_with(col("toks"),
+              sequence(lit(0), size(col("toks")) - 1),
+              (t, i) => when(array_contains(col("covered"), i), lit(null))
+                .otherwise(t))))).as("cleaned_hash"))
+      .withColumn("n_kept", col("n_tokens") - col("n_removed"))
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        col("n_kept"), col("cleaned_hash"))
+      .orderBy(col("doc_id"))
   }
 
   /** d5's component labels as reusable oracle SQL (no ORDER BY):
@@ -922,6 +985,53 @@ object Dedup {
       GROUP BY node"""
 
   val queries: Seq[Q] = Seq(
+    Q("d10_span_removal", d10SpanRemoval, Some("""
+      WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents),
+      g AS (
+        SELECT doc_id, unnest(range(0, len(toks) - 7)) AS p, toks
+        FROM t WHERE len(toks) >= 8),
+      g2 AS (
+        SELECT doc_id, p, array_to_string(toks[p+1:p+8], ' ') AS gram
+        FROM g),
+      g3 AS (
+        SELECT doc_id, p, gram FROM (
+          SELECT *, count(*) OVER (PARTITION BY gram) AS postings
+          FROM g2)
+        WHERE postings <= 16),
+      starts AS (
+        SELECT b.doc_id AS doc_id, b.p AS pb
+        FROM g3 a JOIN g3 b
+          ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      cov AS (
+        SELECT DISTINCT doc_id, pb + o.o AS pos
+        FROM starts, (SELECT unnest(range(0, 8)) AS o) o),
+      tokpos AS (
+        SELECT doc_id, unnest(range(0, len(toks))) AS pos, toks
+        FROM t
+        WHERE doc_id IN (SELECT doc_id FROM cov)),
+      kept AS (
+        SELECT tp.doc_id, tp.pos, tp.toks[tp.pos + 1] AS tok
+        FROM tokpos tp
+        WHERE NOT EXISTS (SELECT 1 FROM cov
+                          WHERE cov.doc_id = tp.doc_id
+                            AND cov.pos = tp.pos)),
+      cleaned AS (
+        SELECT doc_id,
+               md5(string_agg(tok, ' ' ORDER BY pos)) AS cleaned_hash,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id),
+      nrem AS (
+        SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
+      SELECT t.doc_id,
+             CAST(len(t.toks) AS BIGINT) AS n_tokens,
+             CAST(n.n_removed AS BIGINT) AS n_removed,
+             CAST(COALESCE(c.n_kept, 0) AS BIGINT) AS n_kept,
+             c.cleaned_hash
+      FROM t JOIN nrem n USING (doc_id) LEFT JOIN cleaned c USING (doc_id)
+      ORDER BY t.doc_id""")),
     Q("d9_substring_dedup", d9SubstringDedup, Some("""
       WITH t AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks

@@ -191,6 +191,21 @@ class CompositeSpec extends SparkTestBase {
       r.getLong(0).toDouble * 100.0 / r.getLong(1)) < 1e-9)
   }
 
+  test("q142's part-name filter gates the join tree; profit is exact-integer") {
+    val df = Composite.q142TpchProductProfit(spark, sf("sf0.001"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dims not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q142 fell off the equi-join path:\n$plan")
+    // the selective name filter must reach the part scan, not sit
+    // above the join
+    assert(plan.contains("anvil"), s"p_name filter missing from plan:\n$plan")
+  }
+
   test("q138's double-role nation dims broadcast; the region disjunction is a join filter") {
     val df = Composite.q138TpchVolumeShipping(spark, sf("sf0.001"))
     val rows = df.collect()

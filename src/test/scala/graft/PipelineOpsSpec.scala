@@ -282,6 +282,42 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got.toSeq === Seq((0L, 1L, 1L, 3L, 10L)))
   }
 
+  test("d10 removes exactly the later copy's covered tokens, in order") {
+    import spark.implicits._
+    // doc 1 embeds doc 0's 10-token passage at offset 2: its grams
+    // 2..4 are duplicated, covering tokens 2..11; doc 0 (the earlier
+    // copy) must be untouched — absent from the output entirely
+    val dir = java.nio.file.Files.createTempDirectory("d10_").toString
+    Seq(
+      (0L, "a b c d e f g h i j k2 l2 m2 n2 o2 p2"),
+      (1L, "z y a b c d e f g h i j x w v u t s"),
+      (2L, "q r s t u v w x y0 z0 a1 b1 c1 d1 e1 f1"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = graft.operators.Dedup.d10SpanRemoval(spark, dir).collect()
+    assert(got.length === 1, s"expected only doc 1 affected: ${got.toSeq}")
+    val r = got(0)
+    assert(r.getLong(0) === 1L)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((18L, 10L, 8L)))
+    // the cleaned text is the ORIGINAL minus positions 2..11, order kept
+    val want = "z y x w v u t s"
+    assert(r.getString(4) ===
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(want.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+  }
+
+  test("d10 cleans an exact duplicate to nothing (null hash, zero kept)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("d10x_").toString
+    Seq(
+      (0L, "p q r s t u v w x y"),
+      (1L, "p q r s t u v w x y"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = graft.operators.Dedup.d10SpanRemoval(spark, dir).collect()
+    assert(got.length === 1 && got(0).getLong(0) === 1L)
+    assert(got(0).getLong(3) === 0L, "exact dup should clean to nothing")
+    assert(got(0).isNullAt(4))
+  }
+
   test("d9 hot-gram guard drops super-frequent grams before the candidate join") {
     import spark.implicits._
     val cap = graft.operators.Dedup.D9MaxPostings
