@@ -141,6 +141,14 @@ final class GraftLakeCatalog extends TableCatalog
   override def loadTable(ident: Identifier, version: String): Table =
     loadAt(ident, Some(version.toInt))
 
+  /** `TIMESTAMP AS OF t` time travel — Spark hands MICROseconds since
+    * the epoch; the manifest headers record publish millis, and the
+    * greatest version at-or-before the instant wins.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    loadAt(ident,
+      Some(SnapshotLake.versionAt(rootOf(ident), timestamp / 1000L)))
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): Table = {

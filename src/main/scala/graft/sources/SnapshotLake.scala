@@ -78,7 +78,8 @@ object SnapshotLake {
       txns: Map[String, Long] = Map.empty,
       schemaJson: Option[String] = None,
       op: Option[String] = None,
-      retired: Set[String] = Set.empty) {
+      retired: Set[String] = Set.empty,
+      ts: Option[Long] = None) {
     def schema: Option[org.apache.spark.sql.types.StructType] =
       schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
@@ -468,7 +469,8 @@ object SnapshotLake {
       schemaJson: Option[String], op: Option[String],
       retired: Set[String],
       isDelta: Boolean, files: Seq[FileStat],
-      adds: Seq[FileStat], removes: Set[String])
+      adds: Seq[FileStat], removes: Set[String],
+      ts: Option[Long] = None)
 
   private def parseFileLine(fields: Array[String]): FileStat = {
     // fields after the fixed four are TAGGED (d2=lo:hi, bf=<b64>)
@@ -521,13 +523,15 @@ object SnapshotLake {
     val retired = header.find(_.startsWith("retired="))
       .map(_.stripPrefix("retired=").split(',').toSet)
       .getOrElse(Set.empty[String])
+    val ts = header.find(_.startsWith("ts="))
+      .map(_.stripPrefix("ts=").toLong)
     val isDelta = header.contains("kind=delta")
     if (isDelta) {
       val (addLines, rmLines) = lines.tail.partition(_.startsWith("add\t"))
       Manifest(statCol, bloomCol, statCol2, txn, txns, schemaJson, op,
         retired, isDelta = true, Seq.empty,
         addLines.map(l => parseFileLine(l.split('\t').drop(1))),
-        rmLines.map(_.stripPrefix("rm\t")).toSet)
+        rmLines.map(_.stripPrefix("rm\t")).toSet, ts)
     } else {
       // checkpoint manifests externalize the file list as a parquet
       // sidecar; pre-sidecar chains (and empty lists) stay inline
@@ -535,8 +539,35 @@ object SnapshotLake {
         .map(p => Ckpt.read(root, p.stripPrefix("ckptfile=")))
         .getOrElse(lines.tail.map(l => parseFileLine(l.split('\t'))))
       Manifest(statCol, bloomCol, statCol2, txn, txns, schemaJson, op,
-        retired, isDelta = false, files, Seq.empty, Set.empty)
+        retired, isDelta = false, files, Seq.empty, Set.empty, ts)
     }
+  }
+
+  /** Greatest committed version whose publish timestamp is ≤
+    * `tsMillis` — `TIMESTAMP AS OF` resolution (Delta's
+    * `versionAtTimestamp`). One header line per version, newest
+    * first, stopping at the first qualifying manifest; vacuumed
+    * versions are skipped. Pre-timestamp manifests (chains written
+    * before ts= landed) never qualify, so asking for a time before
+    * the first stamped commit refuses with the same clear error as
+    * an out-of-range time.
+    */
+  def versionAt(root: String, tsMillis: Long): Int = {
+    val head = headVersion(root)
+    require(head >= 0, s"lake at $root has no committed snapshot")
+    val found = (head to 0 by -1).find { v =>
+      Files.exists(manifestPath(root, v)) && {
+        val in = Files.newBufferedReader(manifestPath(root, v),
+          StandardCharsets.UTF_8)
+        val ts = try in.readLine().split('\t')
+          .find(_.startsWith("ts=")).map(_.stripPrefix("ts=").toLong)
+        finally in.close()
+        ts.exists(_ <= tsMillis)
+      }
+    }
+    found.getOrElse(throw new IllegalArgumentException(
+      s"no committed version of $root at or before timestamp $tsMillis " +
+        "(earliest retained commit is newer, or predates timestamps)"))
   }
 
   /** Test hook: manifest files read by the last [[snapshot]] call —
@@ -566,7 +597,7 @@ object SnapshotLake {
     }
     lastSnapshotReads = reads
     Snapshot(v, top.statCol, top.bloomCol, files, top.statCol2, top.txn,
-      top.txns, top.schemaJson, top.op, top.retired)
+      top.txns, top.schemaJson, top.op, top.retired, top.ts)
   }
 
   /** Highest batch id recorded for writer `appId`, or -1 if none —
@@ -638,6 +669,7 @@ object SnapshotLake {
     val asDelta = parentFiles.isDefined && v > 0 &&
       v % CheckpointInterval != 0
     val header = s"v=$v\t$statCol\toverwrite=$overwrite" +
+      s"\tts=${System.currentTimeMillis()}" +
       bloomCol.fold("")(c => s"\tbloom=$c") +
       statCol2.fold("")(c => s"\tstat2=$c") +
       txn.fold("") { case (a, b) => s"\ttxn=$a:$b" } +

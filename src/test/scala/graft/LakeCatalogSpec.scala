@@ -146,6 +146,36 @@ class LakeCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("TIMESTAMP AS OF resolves to the version live at that instant") {
+    withCatalog { base =>
+      spark.sql(s"""
+        CREATE TABLE $cat.t7 (k BIGINT, v BIGINT)
+        TBLPROPERTIES ('statCol' = 'k')""")
+      spark.sql(s"INSERT INTO $cat.t7 SELECT id, id FROM range(10)")
+      Thread.sleep(25)
+      val mid = System.currentTimeMillis()
+      Thread.sleep(25)
+      spark.sql(s"INSERT INTO $cat.t7 SELECT id, id FROM range(10, 30)")
+      val root = s"$base/t7"
+      assert(SnapshotLake.versionAt(root, mid) === 0)
+      assert(SnapshotLake.versionAt(root, System.currentTimeMillis()) === 1)
+      val midStr = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(mid))
+      assert(spark.sql(
+        s"SELECT * FROM $cat.t7 TIMESTAMP AS OF '$midStr'").count() === 10L)
+      // an instant before the first commit refuses with a clear error
+      val err = intercept[Exception] {
+        spark.sql(s"SELECT * FROM $cat.t7 TIMESTAMP AS OF '1999-01-01'")
+          .count()
+      }
+      assert(err.getMessage.contains("no committed version"),
+        s"wanted the versionAt refusal, got: ${err.getMessage}")
+      spark.sql(s"DROP TABLE $cat.t7")
+    }
+  }
+
   test("RENAME TABLE moves the lake; CREATE refuses an existing name") {
     withCatalog { _ =>
       spark.sql(s"""
