@@ -176,6 +176,44 @@ class LakeCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("writeStream.toTable lands exactly-once commits in a catalog table") {
+    withCatalog { base =>
+      spark.sql(s"""
+        CREATE TABLE $cat.t8 (k BIGINT, v BIGINT)
+        TBLPROPERTIES ('statCol' = 'k')""")
+      val src = java.nio.file.Files.createTempDirectory("cat_stream_src_")
+        .toString
+      val ckpt = java.nio.file.Files.createTempDirectory("cat_stream_ck_")
+        .toString
+      import spark.implicits._
+      (0L until 50L).map(i => (i, i * 3)).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$src/b0")
+      val q = spark.readStream
+        .schema("k BIGINT, v BIGINT").parquet(s"$src/*")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(s"$cat.t8")
+      assert(q.awaitTermination(120000), "stream did not self-terminate")
+      assert(spark.table(s"$cat.t8").count() === 50L)
+      assert(spark.table(s"$cat.t8").agg(sum(col("v"))).head.getLong(0)
+        === (0L until 50L).map(_ * 3).sum)
+      // a second batch appends; the first is not re-landed (the sink's
+      // txn map swallows replays)
+      (50L until 60L).map(i => (i, i * 3)).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$src/b1")
+      val q2 = spark.readStream
+        .schema("k BIGINT, v BIGINT").parquet(s"$src/*")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(s"$cat.t8")
+      assert(q2.awaitTermination(120000))
+      assert(spark.table(s"$cat.t8").count() === 60L)
+      spark.sql(s"DROP TABLE $cat.t8")
+    }
+  }
+
   test("RENAME TABLE moves the lake; CREATE refuses an existing name") {
     withCatalog { _ =>
       spark.sql(s"""
