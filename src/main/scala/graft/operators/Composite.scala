@@ -596,7 +596,143 @@ object Composite {
       ORDER BY n_nationkey, o_year DESC""")
   }
 
+  /** TPC-H Q11 (important stock, schema-adapted): the parts whose
+    * total shipped value through one nation group's suppliers
+    * exceeds twice the average part's — a grouped aggregate HAVING
+    * against UNCORRELATED scalar subqueries over the SAME join.
+    * Catalyst must compute each scalar once and broadcast it into
+    * the HAVING filter, never re-evaluate per group. Official Q11
+    * scales its fixed fraction by 1/SF; a fixed fraction goes empty
+    * (or selects everything) as part count grows, so the adapted
+    * threshold is mean-relative — `n_parts · value > 2 · total`,
+    * all-integer, identical semantics at every scale. With no
+    * partsupp, value is Σ price_cents · qty over lineitem as the
+    * part↔supplier bridge.
+    */
+  def q144TpchImportantStock(s: SparkSession, d: String): DataFrame = {
+    tpchViews(s, d, Seq("supplier", "lineitem"))
+    s.sql("""
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                      CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+               AS value_cents
+      FROM tpch_lineitem, tpch_supplier
+      WHERE l_suppkey = s_suppkey AND s_nationkey < 13
+      GROUP BY l_partkey
+      HAVING (SELECT count(DISTINCT l_partkey)
+              FROM tpch_lineitem, tpch_supplier
+              WHERE l_suppkey = s_suppkey AND s_nationkey < 13) *
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                      CAST(round(l_quantity) AS BIGINT)) AS BIGINT) >
+        2 * (SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                             CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+             FROM tpch_lineitem, tpch_supplier
+             WHERE l_suppkey = s_suppkey AND s_nationkey < 13)
+      ORDER BY value_cents DESC, l_partkey""")
+  }
+
+  /** TPC-H Q12 (shipping modes and order priority, schema-adapted):
+    * per line status, how many shipped lines belong to critical
+    * (urgent/high) vs other orders — the fact↔fact join with
+    * CONDITIONAL AGGREGATION shape. The dataset has no
+    * shipmode/commitdate/receiptdate columns, so l_linestatus is the
+    * grouping dimension, l_returnflag ∈ {A,R} the fact-side IN
+    * filter, and the ship-year range the date window; the plan under
+    * test is unchanged: both date bounds and the IN filter push to
+    * the lineitem scan, the orders join is a plain equi hash join,
+    * and the two CASE sums fold into ONE aggregate pass (never two
+    * joins or a pivot).
+    */
+  def q145TpchShipPriority(s: SparkSession, d: String): DataFrame = {
+    tpchViews(s, d, Seq("orders", "lineitem"))
+    s.sql("""
+      SELECT l_linestatus,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT)
+               AS high_line_count,
+             CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT)
+               AS low_line_count
+      FROM tpch_orders, tpch_lineitem
+      WHERE o_orderkey = l_orderkey
+        AND l_returnflag IN ('A', 'R')
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_linestatus
+      ORDER BY l_linestatus""")
+  }
+
+  /** TPC-H Q16 (parts/supplier relationship, schema-adapted): how
+    * many DISTINCT suppliers ship each qualifying (brand, type,
+    * size) part family, excluding flagged suppliers — the
+    * DISTINCT-AGGREGATE-OVER-JOIN + NOT-IN shape. The NOT IN
+    * subquery (no s_comment column, so a negative account balance
+    * stands in for the complaints filter) must plan as a null-aware
+    * anti join evaluated ONCE, the brand/size filters must reach the
+    * part scan, and count(DISTINCT l_suppkey) must plan as the
+    * two-level expand-free distinct aggregate (partial distinct on
+    * (group, suppkey), final count), never a per-group set collect.
+    */
+  def q146TpchSupplierRelation(s: SparkSession, d: String): DataFrame = {
+    tpchViews(s, d, Seq("part", "supplier", "lineitem"))
+    s.sql("""
+      SELECT p_brand, p_type, p_size,
+             count(DISTINCT l_suppkey) AS supplier_cnt
+      FROM tpch_part, tpch_lineitem
+      WHERE p_partkey = l_partkey
+        AND p_brand <> 'Brand#13'
+        AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM tpch_supplier
+                              WHERE s_acctbal < 0)
+      GROUP BY p_brand, p_type, p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q144_tpch_important_stock", q144TpchImportantStock, Some("""
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                      CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+               AS value_cents
+      FROM lineitem, supplier
+      WHERE l_suppkey = s_suppkey AND s_nationkey < 13
+      GROUP BY l_partkey
+      HAVING (SELECT count(DISTINCT l_partkey)
+              FROM lineitem, supplier
+              WHERE l_suppkey = s_suppkey AND s_nationkey < 13) *
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                      CAST(round(l_quantity) AS BIGINT)) AS BIGINT) >
+        2 * (SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                             CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+             FROM lineitem, supplier
+             WHERE l_suppkey = s_suppkey AND s_nationkey < 13)
+      ORDER BY value_cents DESC, l_partkey""")),
+    Q("q145_tpch_ship_priority", q145TpchShipPriority, Some("""
+      SELECT l_linestatus,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT)
+               AS high_line_count,
+             CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT)
+               AS low_line_count
+      FROM orders, lineitem
+      WHERE o_orderkey = l_orderkey
+        AND l_returnflag IN ('A', 'R')
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_linestatus
+      ORDER BY l_linestatus""")),
+    Q("q146_tpch_supplier_relation", q146TpchSupplierRelation, Some("""
+      SELECT p_brand, p_type, p_size,
+             count(DISTINCT l_suppkey) AS supplier_cnt
+      FROM part, lineitem
+      WHERE p_partkey = l_partkey
+        AND p_brand <> 'Brand#13'
+        AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0)
+      GROUP BY p_brand, p_type, p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")),
     Q("q142_tpch_product_profit", q142TpchProductProfit, Some("""
       SELECT n_nationkey, year(o_orderdate) AS o_year,
              CAST(sum(

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Composite
+import org.apache.spark.sql.functions._
 
 /** Plan gates for the TPC-H-shaped composites: the point of q83-q85
   * is that Catalyst composes the individually-gated operators into
@@ -297,5 +298,69 @@ class CompositeSpec extends SparkTestBase {
       assert(rs.map(_.getLong(4)).distinct.length === 1,
         "one part surfaced two different 'minimum' prices")
     }
+  }
+
+  test("q144's uncorrelated scalar subqueries broadcast once into the HAVING") {
+    val df = Composite.q144TpchImportantStock(spark, sf("sf0.001"))
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Subquery") || plan.contains("scalar-subquery"),
+      s"no scalar subquery planned:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q144 fell off the equi-join path:\n$plan")
+    assert(rows.nonEmpty, "no above-average parts in fixture")
+    // the HAVING cut is exclusive: some parts must NOT qualify
+    val allParts = graft.sources.Tables.load(spark, sf("sf0.001"), "lineitem")
+      .join(graft.sources.Tables.load(spark, sf("sf0.001"), "supplier")
+          .where(col("s_nationkey") < 13),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey")).distinct().count()
+    assert(rows.length < allParts,
+      s"HAVING admitted every part (${rows.length} of $allParts)")
+    // output descends by exact value
+    val vals = rows.map(_.getLong(1))
+    assert(vals.zip(vals.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q145's two CASE sums fold into one aggregate over one hash join") {
+    val df = Composite.q145TpchShipPriority(spark, sf("sf0.001"))
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // one aggregate pass: exactly one final HashAggregate pair, no
+    // second join for the second CASE branch
+    assert(plan.contains("HashAggregate"), s"no hash aggregate:\n$plan")
+    // AQE prints the initial plan after the final one — count joins
+    // in the final plan only
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val joins = "(ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin)".r
+      .findAllIn(finalPlan).length
+    assert(joins === 1, s"expected exactly 1 join, saw $joins:\n$finalPlan")
+    assert(rows.nonEmpty)
+    // the date window + returnflag IN must push to the lineitem scan
+    val pushed = df.queryExecution.executedPlan.toString
+    assert(pushed.contains("PushedFilters"), s"no pushdown recorded:\n$pushed")
+    // high + low = all joined lines in the window (row-local re-check)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(2) >= 0)
+    }
+  }
+
+  test("q146's NOT IN plans one anti join; distinct count never collects sets") {
+    val df = Composite.q146TpchSupplierRelation(spark, sf("sf0.001"))
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"NOT IN not an anti join:\n$plan")
+    assert(plan.contains("HashAggregate"), s"no hash aggregate:\n$plan")
+    assert(!plan.contains("collect_set"),
+      s"distinct count degraded to set collection:\n$plan")
+    assert(rows.nonEmpty, "no qualifying part families in fixture")
+    // supplier_cnt is bounded by the unflagged supplier population
+    val okSupp = graft.sources.Tables.load(spark, sf("sf0.001"), "supplier")
+      .where(col("s_acctbal") >= 0).count()
+    assert(rows.forall(_.getLong(3) <= okSupp))
+    // ordering: counts descend, ties break on the group columns
+    val cnts = rows.map(_.getLong(3))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
   }
 }
