@@ -7,8 +7,12 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.analysis.{
   NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{
-  Identifier, Table, TableCatalog, TableChange}
+  Identifier, StagedTable, StagingTableCatalog, SupportsWrite, Table,
+  TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write.{
+  BatchWrite, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate,
+  Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -43,6 +47,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * schema commit.
   */
 final class GraftLakeCatalog extends TableCatalog
+    with StagingTableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
@@ -149,26 +154,90 @@ final class GraftLakeCatalog extends TableCatalog
     loadAt(ident,
       Some(SnapshotLake.versionAt(rootOf(ident), timestamp / 1000L)))
 
-  override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform],
-      properties: java.util.Map[String, String]): Table = {
-    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    require(partitions.isEmpty,
-      "graft lake catalog tables take no PARTITIONED BY — use " +
-        "SnapshotLake.commitPartitioned / clustering verbs")
-    // normalize TBLPROPERTIES and OPTIONS (option.-prefixed) into the
-    // lake's lowercase write-option space
-    val props = properties.asScala.map { case (k, v) =>
+  /** TBLPROPERTIES and OPTIONS (`option.`-prefixed) normalized into
+    * the lake's lowercase write-option space, engine-managed keys
+    * dropped.
+    */
+  private def normProps(
+      properties: java.util.Map[String, String]): Map[String, String] =
+    properties.asScala.map { case (k, v) =>
       k.stripPrefix(TableCatalog.OPTION_PREFIX)
         .toLowerCase(java.util.Locale.ROOT) -> v
     }.toMap.filterNot { case (k, _) =>
       k == "provider" || k == "owner" || k == "location" }
+
+  private def requireNoPartitions(partitions: Array[Transform]): Unit =
+    require(partitions.isEmpty,
+      "graft lake catalog tables take no PARTITIONED BY — use " +
+        "SnapshotLake.commitPartitioned / clustering verbs")
+
+  private def requireStatCol(props: Map[String, String]): Unit =
     require(props.contains("statcol"),
       "CREATE TABLE on the graft lake catalog requires TBLPROPERTIES " +
         "('statCol' = '<column>') — the lake's pruning identity")
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    requireNoPartitions(partitions)
+    val props = normProps(properties)
+    requireStatCol(props)
     writeProps(ident, schema, props)
     loadTable(ident)
   }
+
+  // -- atomic CTAS / RTAS ----------------------------------------------
+  // `CREATE TABLE ... AS SELECT` and `REPLACE TABLE ... AS SELECT`
+  // route through these because the catalog is a StagingTableCatalog:
+  // the SELECT's files land in `_staging/` through the normal write
+  // protocol, but the BatchWrite commit is DEFERRED — nothing (no
+  // manifest version, no `_table.json` sidecar) becomes visible until
+  // commitStagedChanges publishes. A failed or aborted CTAS leaves no
+  // table behind (the non-atomic fallback would strand an empty one),
+  // and RTAS swaps contents in ONE commit — readers see the old table
+  // or the new one, never an intermediate truncation, and time travel
+  // keeps every pre-replace version.
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    requireNoPartitions(partitions)
+    val props = normProps(properties)
+    requireStatCol(props)
+    new StagedLakeTable(this, ident, rootOf(ident), schema, props,
+      replace = false)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    requireNoPartitions(partitions)
+    // statCol may be omitted: the chain's is inherited at publish
+    new StagedLakeTable(this, ident, rootOf(ident), schema,
+      normProps(properties), replace = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable = {
+    requireNoPartitions(partitions)
+    val props = normProps(properties)
+    val exists = tableExists(ident)
+    if (!exists) requireStatCol(props)
+    new StagedLakeTable(this, ident, rootOf(ident), schema, props,
+      replace = exists)
+  }
+
+  /** The staged commit's sidecar persist — same shape CREATE TABLE
+    * writes (declared schema so an empty-result CTAS still loads;
+    * write options for future appends).
+    */
+  private[sources] def persistSidecar(ident: Identifier,
+      schema: StructType, props: Map[String, String]): Unit =
+    writeProps(ident, schema, props)
 
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
@@ -323,6 +392,78 @@ final class GraftLakeCatalog extends TableCatalog
         s"no procedure '$other' in catalog $catalogName " +
           "(have: optimize, vacuum, restore)")
     }
+}
+
+/** A CTAS/RTAS staging handle: the SELECT writes through the lake's
+  * normal two-phase task protocol (uniquely-named `_staging/` files,
+  * acknowledged by name), but the driver-side publish is CAPTURED
+  * instead of run — `commitStagedChanges` is the single atomic point
+  * where the manifest version (and, for a fresh table, the sidecar)
+  * appears. Until then `tableExists` stays false for CTAS and the old
+  * contents stay live for RTAS; `abortStagedChanges` discards the
+  * acknowledged staged files and leaves no trace.
+  */
+private[sources] final class StagedLakeTable(catalog: GraftLakeCatalog,
+    ident: Identifier, root: String, tschema: StructType,
+    props: Map[String, String], replace: Boolean)
+    extends StagedTable with SupportsWrite {
+
+  @volatile private var pendingCommit: Option[() => Unit] = None
+  @volatile private var pendingAbort: Option[() => Unit] = None
+
+  override def name(): String =
+    s"graft_lake($root, staged ${if (replace) "replace" else "create"})"
+  override def schema(): StructType = tschema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      // RTAS is an overwrite commit even when Spark hands us a plain
+      // append write: replace semantics live in the publish
+      private var overwrite = replace
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = {
+        val opts = props ++ info.options().asCaseSensitiveMap().asScala
+          .map { case (k, v) =>
+            k.toLowerCase(java.util.Locale.ROOT) -> v }
+        val real = new LakeBatchWrite(root, info.schema(), overwrite, opts)
+        new Write {
+          override def toBatch: BatchWrite = new BatchWrite {
+            override def createBatchWriterFactory(p: PhysicalWriteInfo)
+                : org.apache.spark.sql.connector.write.DataWriterFactory =
+              real.createBatchWriterFactory(p)
+            override def commit(
+                msgs: Array[WriterCommitMessage]): Unit = {
+              // defer: the staged files are acknowledged, publication
+              // waits for commitStagedChanges
+              pendingCommit = Some(() => real.commit(msgs))
+              pendingAbort = Some(() => real.abort(msgs))
+            }
+            override def abort(msgs: Array[WriterCommitMessage]): Unit =
+              real.abort(msgs)
+          }
+        }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    // publish first (the atomic point), sidecar second — a crash
+    // between the two leaves a manifest-authoritative table, never a
+    // sidecar-only ghost of a failed publish. An empty-result CTAS
+    // publishes nothing; the sidecar alone makes the empty table load
+    // with its declared schema (the CREATE TABLE shape).
+    pendingCommit.foreach(_.apply())
+    catalog.persistSidecar(ident, tschema, props)
+    pendingCommit = None
+    pendingAbort = None
+  }
+
+  override def abortStagedChanges(): Unit = {
+    pendingAbort.foreach(_.apply())
+    pendingCommit = None
+    pendingAbort = None
+  }
 }
 
 /** Judged query for the catalog's pure-SQL lifecycle. */

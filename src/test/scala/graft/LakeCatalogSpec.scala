@@ -214,6 +214,79 @@ class LakeCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("CTAS is atomic: the staged path engages, a failed SELECT strands no table") {
+    withCatalog { base =>
+      // the staged (atomic) exec must be chosen, not the
+      // create-then-insert fallback
+      val explained = spark.sql(s"""
+        EXPLAIN CREATE TABLE $cat.t9 TBLPROPERTIES ('statCol' = 'k')
+        AS SELECT id AS k, id * 7 AS cents FROM range(10)""")
+        .head.getString(0)
+      assert(explained.contains("AtomicCreateTableAsSelect"),
+        s"CTAS fell back to the non-atomic path:\n$explained")
+      spark.sql(s"""
+        CREATE TABLE $cat.t9 TBLPROPERTIES ('statCol' = 'k')
+        AS SELECT id AS k, id * 7 AS cents FROM range(100)""")
+      assert(spark.table(s"$cat.t9").count() === 100L)
+      assert(spark.sql(s"SELECT sum(cents) FROM $cat.t9")
+        .head.getLong(0) === (0L until 100L).map(_ * 7).sum)
+      // the CTAS commit is a real chain head: appends continue it
+      spark.sql(s"INSERT INTO $cat.t9 SELECT id, id FROM range(100, 110)")
+      assert(spark.table(s"$cat.t9").count() === 110L)
+      // a CTAS whose SELECT fails mid-write leaves NO table — neither
+      // a manifest nor a sidecar
+      val boom = udf((i: Long) =>
+        if (i > 5) throw new RuntimeException("boom") else i)
+      spark.udf.register("ctas_boom", boom)
+      intercept[Exception] {
+        spark.sql(s"""
+          CREATE TABLE $cat.t10 TBLPROPERTIES ('statCol' = 'k')
+          AS SELECT ctas_boom(id) AS k FROM range(1000000)""")
+      }
+      assert(!spark.catalog.tableExists(s"$cat.t10"),
+        "failed CTAS stranded a table")
+      assert(spark.sql(s"SHOW TABLES IN $cat")
+        .where(col("tableName") === "t10").count() === 0L)
+      spark.sql(s"DROP TABLE $cat.t9")
+    }
+  }
+
+  test("RTAS swaps contents in one commit; time travel keeps the old version") {
+    withCatalog { base =>
+      spark.sql(s"""
+        CREATE TABLE $cat.t11 TBLPROPERTIES ('statCol' = 'k')
+        AS SELECT id AS k, id * 3 AS v FROM range(50)""")
+      val root = s"$base/t11"
+      val headBefore = SnapshotLake.headVersion(root)
+      spark.sql(s"""
+        REPLACE TABLE $cat.t11 TBLPROPERTIES ('statCol' = 'k')
+        AS SELECT id AS k, id * 100 AS v FROM range(20)""")
+      // ONE commit: old head + 1
+      assert(SnapshotLake.headVersion(root) === headBefore + 1)
+      assert(spark.table(s"$cat.t11").count() === 20L)
+      assert(spark.sql(s"SELECT sum(v) FROM $cat.t11")
+        .head.getLong(0) === (0L until 20L).map(_ * 100).sum)
+      // the pre-replace contents stay time-travelable
+      assert(spark.sql(
+        s"SELECT count(*) FROM $cat.t11 VERSION AS OF $headBefore")
+        .head.getLong(0) === 50L)
+      // CREATE OR REPLACE on a table that doesn't exist yet creates it
+      spark.sql(s"""
+        CREATE OR REPLACE TABLE $cat.t12
+        TBLPROPERTIES ('statCol' = 'k')
+        AS SELECT id AS k FROM range(7)""")
+      assert(spark.table(s"$cat.t12").count() === 7L)
+      // an empty-result CTAS still creates a loadable, empty table
+      spark.sql(s"""
+        CREATE TABLE $cat.t13 TBLPROPERTIES ('statCol' = 'k')
+        AS SELECT id AS k, id * 2 AS v FROM range(10) WHERE id < 0""")
+      assert(spark.table(s"$cat.t13").count() === 0L)
+      assert(spark.table(s"$cat.t13").columns.toSeq === Seq("k", "v"))
+      Seq("t11", "t12", "t13").foreach(t =>
+        spark.sql(s"DROP TABLE $cat.$t"))
+    }
+  }
+
   test("RENAME TABLE moves the lake; CREATE refuses an existing name") {
     withCatalog { _ =>
       spark.sql(s"""
