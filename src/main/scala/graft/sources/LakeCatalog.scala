@@ -317,8 +317,9 @@ final class GraftLakeCatalog extends TableCatalog
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.unsafe.types.UTF8String
 
-  private def proc(procName: String, params: Seq[ProcedureParameter],
-      out: StructType)(body: InternalRow => Seq[Any]): UnboundProcedure =
+  private def procRows(procName: String, params: Seq[ProcedureParameter],
+      out: StructType)(body: InternalRow => Seq[Seq[Any]])
+      : UnboundProcedure =
     new UnboundProcedure {
       override def name(): String = procName
       override def description(): String = s"graft lake $procName"
@@ -333,17 +334,22 @@ final class GraftLakeCatalog extends TableCatalog
               : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] =
             java.util.List.of[org.apache.spark.sql.connector.read.Scan](
               new org.apache.spark.sql.connector.read.LocalScan {
-                private val vals = body(input).map {
+                private val all = body(input).map(_.map {
                   case s: String => UTF8String.fromString(s)
                   case other => other
-                }.toArray[Any]
-                override def rows(): Array[InternalRow] = Array(
+                }.toArray[Any])
+                override def rows(): Array[InternalRow] = all.map(vals =>
                   new org.apache.spark.sql.catalyst.expressions
-                    .GenericInternalRow(vals))
+                    .GenericInternalRow(vals)
+                    : InternalRow).toArray
                 override def readSchema(): StructType = out
               }).iterator()
         }
     }
+
+  private def proc(procName: String, params: Seq[ProcedureParameter],
+      out: StructType)(body: InternalRow => Seq[Any]): UnboundProcedure =
+    procRows(procName, params, out)(in => Seq(body(in)))
 
   private def tableRoot(input: InternalRow): String = {
     val t = input.getUTF8String(0).toString
@@ -354,7 +360,7 @@ final class GraftLakeCatalog extends TableCatalog
 
   override def listProcedures(namespace: Array[String])
       : Array[Identifier] =
-    Array("optimize", "vacuum", "restore")
+    Array("optimize", "vacuum", "restore", "history")
       .map(Identifier.of(namespace, _))
 
   override def loadProcedure(ident: Identifier): UnboundProcedure =
@@ -388,9 +394,27 @@ final class GraftLakeCatalog extends TableCatalog
         StructType(Seq(StructField("new_version", LongType)))) { in =>
         Seq(SnapshotLake.restore(tableRoot(in), in.getLong(1).toInt).toLong)
       }
+      // DESCRIBE HISTORY as a procedure: one row per un-vacuumed
+      // version — the verb that produced it, live file/row counts,
+      // and the txn record if transactional. Answered from manifest
+      // headers only (KB-scale; no data file opened).
+      case "history" => procRows("history",
+        Seq(ProcedureParameter.in("table", StringType).build()),
+        StructType(Seq(
+          StructField("version", LongType),
+          StructField("op", StringType),
+          StructField("n_files", LongType),
+          StructField("n_rows", LongType),
+          StructField("txn", StringType)))) { in =>
+        SnapshotLake.history(
+          org.apache.spark.sql.SparkSession.active, tableRoot(in))
+          .collect().toSeq.map(r =>
+            Seq(r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+              r.getString(4)))
+      }
       case other => throw new UnsupportedOperationException(
         s"no procedure '$other' in catalog $catalogName " +
-          "(have: optimize, vacuum, restore)")
+          "(have: optimize, vacuum, restore, history)")
     }
 }
 

@@ -287,6 +287,58 @@ class LakeCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("CALL history returns the audit trail: one row per version with its verb") {
+    withCatalog { _ =>
+      spark.sql(s"""
+        CREATE TABLE $cat.t14 TBLPROPERTIES ('statCol' = 'k')
+        AS SELECT id AS k, id * 2 AS v FROM range(40)""")
+      spark.sql(s"INSERT INTO $cat.t14 SELECT id, id FROM range(40, 60)")
+      spark.sql(
+        s"INSERT OVERWRITE $cat.t14 SELECT id, id * 5 FROM range(10)")
+      spark.sql(
+        s"CALL $cat.optimize(table => 't14', target_rows => 1000000)")
+      val hist = spark.sql(s"CALL $cat.history(table => 't14')")
+        .orderBy(col("version")).collect()
+      assert(hist.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L, 3L))
+      assert(hist.map(_.getString(1)).toSeq ===
+        Seq("append", "append", "overwrite", "compact"))
+      // row counts track each version's LIVE contents
+      assert(hist.map(_.getLong(3)).toSeq === Seq(40L, 60L, 10L, 10L))
+      spark.sql(s"DROP TABLE $cat.t14")
+    }
+  }
+
+  test("readStream.table streams a catalog table's commits exactly once") {
+    withCatalog { _ =>
+      spark.sql(s"""
+        CREATE TABLE $cat.t15 TBLPROPERTIES ('statCol' = 'k')
+        AS SELECT id AS k, id * 3 AS v FROM range(30)""")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("cat_rstream_ck_").toString
+      val sinkDir = java.nio.file.Files
+        .createTempDirectory("cat_rstream_out_").toString
+      def drain(): Unit = {
+        val q = spark.readStream.table(s"$cat.t15")
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .format("parquet").option("path", sinkDir)
+          .outputMode("append").start()
+        assert(q.awaitTermination(120000), "stream did not self-terminate")
+      }
+      def landed() = spark.read.parquet(sinkDir)
+      drain()
+      assert(landed().count() === 30L)
+      // a second commit streams incrementally: only the new rows land
+      spark.sql(s"INSERT INTO $cat.t15 SELECT id, id * 3 FROM range(30, 45)")
+      drain()
+      assert(landed().count() === 45L)
+      assert(landed().agg(sum(col("v"))).head.getLong(0)
+        === (0L until 45L).map(_ * 3).sum)
+      spark.sql(s"DROP TABLE $cat.t15")
+    }
+  }
+
   test("RENAME TABLE moves the lake; CREATE refuses an existing name") {
     withCatalog { _ =>
       spark.sql(s"""
