@@ -46,6 +46,17 @@ object GraftSession {
       // letting sf0.1 stages collapse to a handful of tasks.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+      // storage-partitioned joins: let the planner use the lake
+      // scan's KeyGroupedPartitioning (zero-shuffle joins of
+      // co-partitioned lake tables); pushPartValues tolerates a
+      // missing partition value on one side
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        "true")
+      // join keys may be a SUPERSET of the partition keys (join on
+      // (bucket, id) over bucket-partitioned tables): co-partition
+      // compatibility checks the partition-key subset
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")

@@ -48,7 +48,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 final class GraftLakeCatalog extends TableCatalog
     with StagingTableCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = _
   private var base: String = _
@@ -168,24 +169,82 @@ final class GraftLakeCatalog extends TableCatalog
 
   private def requireNoPartitions(partitions: Array[Transform]): Unit =
     require(partitions.isEmpty,
-      "graft lake catalog tables take no PARTITIONED BY — use " +
-        "SnapshotLake.commitPartitioned / clustering verbs")
+      "graft lake CTAS/RTAS take no PARTITIONED BY yet — CREATE the " +
+        "partitioned table first, then INSERT INTO it")
+
+  /** `PARTITIONED BY (c)` → the `partcol` table property the write
+    * path plans around (clustered+sorted DSv2 write, one
+    * single-valued tagged file per value run) and the read path
+    * prunes/SPJs on. One identity column — the lake's partition
+    * model is one spec per file, evolvable between commits.
+    */
+  private def partColOf(partitions: Array[Transform]): Option[String] = {
+    require(partitions.length <= 1,
+      "graft lake tables take at most one PARTITIONED BY column")
+    partitions.headOption.map { t =>
+      require(t.name == "identity" && t.references().length == 1,
+        s"only identity PARTITIONED BY is supported, got $t")
+      t.references()(0).fieldNames().mkString(".")
+    }
+  }
 
   private def requireStatCol(props: Map[String, String]): Unit =
     require(props.contains("statcol"),
       "CREATE TABLE on the graft lake catalog requires TBLPROPERTIES " +
         "('statCol' = '<column>') — the lake's pruning identity")
 
-  override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform],
-      properties: java.util.Map[String, String]): Table = {
+  /** The catalog speaks Spark's DSv2 CONSTRAINT protocol (Spark
+    * 4.1): enforced CHECK constraints persist as `constraint.<name>`
+    * sidecar props, surface through `Table.constraints()`, and Spark
+    * itself validates every batch write against them (the analyzer's
+    * ResolveTableConstraints wraps the write plan) — the engine
+    * stores and serves the contract; the planner enforces it.
+    * PK/FK/UNIQUE are informational-only in Spark and refused here
+    * rather than silently recorded.
+    */
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability] =
+    java.util.Set.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
+  private def constraintProps(
+      cs: Array[org.apache.spark.sql.connector.catalog.constraints.Constraint])
+      : Map[String, String] =
+    cs.toSeq.map {
+      case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        require(c.enforced(),
+          "graft lake supports only ENFORCED CHECK constraints")
+        s"constraint.${c.name().toLowerCase(java.util.Locale.ROOT)}" ->
+          c.predicateSql()
+      case other => throw new UnsupportedOperationException(
+        "graft lake supports only CHECK constraints, got " +
+          other.toDDL())
+    }.toMap
+
+  private def create0(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], props0: Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    requireNoPartitions(partitions)
-    val props = normProps(properties)
+    val props = props0 ++
+      partColOf(partitions).map { pc =>
+        require(schema.fieldNames.exists(_.equalsIgnoreCase(pc)),
+          s"PARTITIONED BY column '$pc' not in the table schema")
+        "partcol" -> pc
+      }
     requireStatCol(props)
     writeProps(ident, schema, props)
     loadTable(ident)
   }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    create0(ident, schema, partitions, normProps(properties))
+
+  override def createTable(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): Table =
+    create0(ident, info.schema(), info.partitions(),
+      normProps(info.properties()) ++ constraintProps(info.constraints()))
 
   // -- atomic CTAS / RTAS ----------------------------------------------
   // `CREATE TABLE ... AS SELECT` and `REPLACE TABLE ... AS SELECT`
@@ -416,6 +475,23 @@ final class GraftLakeCatalog extends TableCatalog
         s"no procedure '$other' in catalog $catalogName " +
           "(have: optimize, vacuum, restore, history)")
     }
+
+  // -- catalog-shipped SQL functions ------------------------------------
+  // `SELECT <cat>.cosine_sim(a, b)` etc. — the DSv2 FunctionCatalog
+  // face; the function registry itself lives in
+  // [[graft.functions.V2Functions]]. Functions are namespace-global
+  // (no per-table functions), so the namespace is echoed, not used.
+
+  override def listFunctions(namespace: Array[String])
+      : Array[Identifier] =
+    graft.functions.V2Functions.names
+      .map(Identifier.of(namespace, _)).toArray
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    graft.functions.V2Functions.load(ident.name()).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident))
 }
 
 /** A CTAS/RTAS staging handle: the SELECT writes through the lake's
@@ -597,7 +673,221 @@ object LakeCatalogQueries {
         col("n_rows"), col("sum_cents"))
   }
 
+  /** Judged catalog-shipped SCALAR functions (DSv2 FunctionCatalog):
+    * `graftcat.token_count` and `graftcat.cosine_sim` called from
+    * pure SQL — no session extensions, no temp function registration.
+    * Both resolve through the magic-method `Invoke` path, so the
+    * whole projection stays inside whole-stage codegen. Hash-checked
+    * against the oracle's independent replays of the t1 tokenization
+    * contract and the e1 cosine arithmetic (same index-order IEEE
+    * accumulation), on a documents⋈embeddings join with the 1-row
+    * query-vector side broadcast.
+    */
+  def q147SqlScalarFunctions(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftcat",
+      "graft.sources.GraftLakeCatalog")
+    s.conf.set("spark.sql.catalog.graftcat.root", catBase)
+    Tables.documents(s, d).createOrReplaceTempView("q147_docs")
+    Tables.embeddings(s, d).createOrReplaceTempView("q147_emb")
+    s.sql("""
+      SELECT d.doc_id,
+             graftcat.token_count(d.text) AS n_tokens,
+             graftcat.cosine_sim(e.embedding, q.embedding) AS cos_q0
+      FROM q147_docs d
+      JOIN q147_emb e ON e.vec_id = d.doc_id
+      CROSS JOIN (SELECT embedding FROM q147_emb WHERE vec_id = 0) q
+      ORDER BY d.doc_id""")
+  }
+
+  /** Judged catalog-shipped AGGREGATE function (V2
+    * `AggregateFunction`): `graftcat.sum_cents(l_extendedprice)` —
+    * the engine's exact-cents money discipline callable from pure
+    * SQL, planned by Spark as a partial/merge hash aggregate
+    * (map-side combine; one Long of state per partition×group
+    * crosses the shuffle). Hash-checked against the oracle's
+    * independent `sum(CAST(round(x*100) AS BIGINT))`.
+    */
+  def q148SqlAggFunction(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftcat",
+      "graft.sources.GraftLakeCatalog")
+    s.conf.set("spark.sql.catalog.graftcat.root", catBase)
+    Tables.lineitem(s, d).createOrReplaceTempView("q148_lineitem")
+    s.sql("""
+      SELECT l_returnflag, l_linestatus,
+             graftcat.sum_cents(l_extendedprice) AS revenue_cents,
+             count(*) AS n_items
+      FROM q148_lineitem
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")
+  }
+
+  /** Judged PURE-SQL partitioned-table lifecycle: `CREATE TABLE …
+    * PARTITIONED BY (bucket4)` → `INSERT INTO … SELECT` (the DSv2
+    * write declares clustered+sorted layout via
+    * RequiresDistributionAndOrdering, so Spark plans the shuffle and
+    * the task writers roll one single-valued file per value run —
+    * exactly 4 tagged files for 4 bucket values, independent of task
+    * count) → a partition-PRUNED aggregate (one file planned) → a
+    * zero-shuffle STORAGE-PARTITIONED self-join through a second
+    * identically-partitioned SQL table. Every layout claim is a
+    * hash-checked column: file count, tag count, tag values, files
+    * planned under the prune, and the join's shuffle count.
+    */
+  def q152SqlPartitionedTable(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftcat",
+      "graft.sources.GraftLakeCatalog")
+    s.conf.set("spark.sql.catalog.graftcat.root", catBase)
+    s.sql("DROP TABLE IF EXISTS graftcat.q152")
+    s.sql("DROP TABLE IF EXISTS graftcat.q152b")
+    Tables.events(s, d).select(col("event_id"),
+        (col("event_id") % 4).as("bucket4"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("q152_events")
+    for (t <- Seq("q152", "q152b")) s.sql(s"""
+      CREATE TABLE graftcat.$t (
+        event_id BIGINT, bucket4 BIGINT, cents BIGINT)
+      PARTITIONED BY (bucket4)
+      TBLPROPERTIES ('statCol' = 'event_id')""")
+    s.sql("""
+      INSERT INTO graftcat.q152
+      SELECT event_id, bucket4, cents FROM q152_events""").collect(): Unit
+    s.sql("""
+      INSERT INTO graftcat.q152b
+      SELECT event_id, bucket4, cents * 2 FROM q152_events""")
+      .collect(): Unit
+    val snap = SnapshotLake.snapshot(s"$catBase/q152")
+    val nFiles = snap.files.size.toLong
+    val nTagged = snap.files.count(
+      _.part.exists(_._1.equalsIgnoreCase("bucket4"))).toLong
+    val tagVals = snap.files.flatMap(_.part.map(_._2)).sorted
+      .mkString(",")
+    val pruned = s.table("graftcat.q152").where(col("bucket4") === 2L)
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+    val prow = pruned.collect().head
+    val prunedPlanned = LakeScan
+      .findIn(pruned.queryExecution.executedPlan)
+      .map(_.files.length.toLong).getOrElse(-1L)
+    val joined = s.sql("""
+      SELECT /*+ MERGE(a) */ sum(a.cents + b.cents) AS sum_c3
+      FROM graftcat.q152 a JOIN graftcat.q152b b
+        ON a.bucket4 = b.bucket4 AND a.event_id = b.event_id""")
+    val jrow = joined.collect().head
+    val nShuffles =
+      LakeScan.countShuffles(joined.queryExecution.executedPlan).toLong
+    import s.implicits._
+    Seq((nFiles, nTagged, tagVals, prunedPlanned,
+        prow.getLong(0), prow.getLong(1),
+        // the final single-row aggregate contributes the plan's ONE
+        // exchange; the join itself is storage-partitioned
+        nShuffles, jrow.getLong(0)))
+      .toDF("n_files", "n_tagged", "tag_values", "pruned_files_planned",
+        "pruned_n_rows", "pruned_sum_cents", "n_shuffles_total",
+        "join_sum_c3")
+  }
+
+  /** Judged partition-level DML: on a fully tagged partitioned table,
+    * `DELETE FROM t WHERE bucket4 = 3` is METADATA-ONLY (whole files
+    * leave the manifest — hash-pinned by the after-files being a
+    * strict subset of the before-files) and `INSERT OVERWRITE t
+    * PARTITION (bucket4 = 2) SELECT …` swaps exactly that
+    * partition's files for the new contents in ONE replace commit,
+    * other partitions untouched. The final aggregate replays the
+    * whole lifecycle arithmetic in DuckDB: total = buckets {0,1}
+    * original + bucket 2 at 10× + bucket 3 gone.
+    */
+  def q153PartitionDml(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftcat",
+      "graft.sources.GraftLakeCatalog")
+    s.conf.set("spark.sql.catalog.graftcat.root", catBase)
+    s.sql("DROP TABLE IF EXISTS graftcat.q153")
+    Tables.events(s, d).select(col("event_id"),
+        (col("event_id") % 4).as("bucket4"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("q153_events")
+    s.sql("""
+      CREATE TABLE graftcat.q153 (
+        event_id BIGINT, bucket4 BIGINT, cents BIGINT)
+      PARTITIONED BY (bucket4)
+      TBLPROPERTIES ('statCol' = 'event_id')""")
+    s.sql("""
+      INSERT INTO graftcat.q153
+      SELECT event_id, bucket4, cents FROM q153_events""").collect(): Unit
+    val root = s"$catBase/q153"
+    val v1Files = SnapshotLake.snapshot(root).files
+    s.sql("DELETE FROM graftcat.q153 WHERE bucket4 = 3")
+    val v2 = SnapshotLake.snapshot(root)
+    val deleteMetadataOnly =
+      v2.files.map(_.name).toSet.subsetOf(v1Files.map(_.name).toSet)
+    s.sql("""
+      INSERT OVERWRITE graftcat.q153 PARTITION (bucket4 = 2)
+      SELECT event_id, cents * 10 FROM q153_events WHERE bucket4 = 2""")
+      .collect(): Unit
+    val v3 = SnapshotLake.snapshot(root)
+    val agg = s.table("graftcat.q153")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+      .collect().head
+    import s.implicits._
+    Seq((v1Files.size.toLong, v2.files.size.toLong, deleteMetadataOnly,
+        v3.files.size.toLong,
+        v3.files.count(_.part.exists(_._2 == "2")).toLong,
+        agg.getLong(0), agg.getLong(1)))
+      .toDF("n_files_v1", "files_after_delete", "delete_metadata_only",
+        "files_after_overwrite", "bucket2_files", "n_rows", "sum_cents")
+  }
+
+  // the e1/e3 cosine replay (list ops accumulate in index order, the
+  // same IEEE order the engine uses)
+  private def cosOracleSql(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b),
+       |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+       |      (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+       |       sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q153_partition_dml", q153PartitionDml, Some("""
+      WITH e AS (SELECT event_id, event_id % 4 AS bucket4,
+                        CAST(round(value * 100) AS BIGINT) AS cents
+                 FROM events)
+      SELECT CAST(4 AS BIGINT) AS n_files_v1,
+             CAST(3 AS BIGINT) AS files_after_delete,
+             TRUE AS delete_metadata_only,
+             CAST(3 AS BIGINT) AS files_after_overwrite,
+             CAST(1 AS BIGINT) AS bucket2_files,
+             (SELECT count(*) FROM e WHERE bucket4 <> 3) AS n_rows,
+             (SELECT CAST(sum(CASE WHEN bucket4 = 2 THEN 10 * cents
+                                   ELSE cents END) AS BIGINT)
+              FROM e WHERE bucket4 <> 3) AS sum_cents""")),
+    Q("q152_sql_partitioned_table", q152SqlPartitionedTable, Some("""
+      WITH e AS (SELECT event_id, event_id % 4 AS bucket4,
+                        CAST(round(value * 100) AS BIGINT) AS cents
+                 FROM events)
+      SELECT CAST(4 AS BIGINT) AS n_files,
+             CAST(4 AS BIGINT) AS n_tagged,
+             '0,1,2,3' AS tag_values,
+             CAST(1 AS BIGINT) AS pruned_files_planned,
+             (SELECT count(*) FROM e WHERE bucket4 = 2) AS pruned_n_rows,
+             (SELECT CAST(sum(cents) AS BIGINT) FROM e
+              WHERE bucket4 = 2) AS pruned_sum_cents,
+             CAST(1 AS BIGINT) AS n_shuffles_total,
+             (SELECT CAST(sum(3 * cents) AS BIGINT) FROM e)
+               AS join_sum_c3""")),
+    Q("q147_sql_scalar_functions", q147SqlScalarFunctions, Some(s"""
+      SELECT d.doc_id,
+             CAST(len(regexp_split_to_array(trim(d.text), '\\s+'))
+                  AS INTEGER) AS n_tokens,
+             ${cosOracleSql("e.embedding", "q.embedding")} AS cos_q0
+      FROM documents d
+      JOIN embeddings e ON e.vec_id = d.doc_id
+      CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      ORDER BY d.doc_id""")),
+    Q("q148_sql_agg_function", q148SqlAggFunction, Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS revenue_cents,
+             count(*) AS n_items
+      FROM lineitem
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")),
     Q("q143_lake_sql_maintenance", q143LakeSqlMaintenance, Some("""
       WITH ec AS (SELECT event_id,
                          CAST(round(value * 100) AS BIGINT) AS cents

@@ -128,9 +128,17 @@ final class LakeTable(root: String, asOf: Option[Int], tschema: StructType,
   override def name(): String =
     s"graft_lake($root${asOf.fold("")(v => s"@v$v")})"
   override def schema(): StructType = tschema
+  // declared partitioning (the `partcol` prop): DESCRIBE shows it,
+  // and writes plan the clustered+sorted layout through
+  // RequiresDistributionAndOrdering
+  override def partitioning(): Array[Transform] =
+    opts.get("partcol").map(pc =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(pc))
+      .toArray
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.STREAMING_WRITE,
       TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScanBuilder(root, asOf, tschema)
@@ -212,24 +220,94 @@ final class LakeTable(root: String, asOf: Option[Int], tschema: StructType,
     if (predicates.forall(visit) && lo < hi) Some((lo, hi)) else None
   }
 
+  /** `DELETE FROM t WHERE <partcol> = v` / `IN (…)` on a FULLY
+    * TAGGED snapshot: whole files leave the manifest, zero bytes
+    * rewritten. Declined (→ row-level CoW fallback) when any live
+    * file is untagged or tagged under another spec — an untagged
+    * file might hold matching rows the metadata path would miss.
+    */
+  private def deletePartitionSpec(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Option[(String, Set[String])] = {
+    if (asOf.nonEmpty) return None
+    if (SnapshotLake.headVersion(root) < 0) return None
+    PartPredicate.eqOrIn(predicates).filter { case (c, _) =>
+      val files = SnapshotLake.snapshot(root).files
+      files.nonEmpty && files.forall(
+        _.part.exists(_._1.equalsIgnoreCase(c)))
+    }
+  }
+
   override def canDeleteWhere(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
-      : Boolean = deleteRange(predicates).isDefined
+      : Boolean =
+    deleteRange(predicates).isDefined ||
+      deletePartitionSpec(predicates).isDefined
 
   override def deleteWhere(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
-      : Unit = {
-    val (lo, hi) = deleteRange(predicates).getOrElse(throw
-      new UnsupportedOperationException(
-        s"DELETE on ${name()} supports only stat-column range predicates, " +
-          s"got ${predicates.mkString(", ")}"))
-    SnapshotLake.delete(SparkSession.active, root, lo, hi): Unit
-  }
+      : Unit =
+    deleteRange(predicates) match {
+      case Some((lo, hi)) =>
+        SnapshotLake.delete(SparkSession.active, root, lo, hi): Unit
+      case None =>
+        val (c, vs) = deletePartitionSpec(predicates).getOrElse(throw
+          new UnsupportedOperationException(
+            s"DELETE on ${name()} supports stat-column ranges and " +
+              s"partition-value predicates, got ${predicates.mkString(", ")}"))
+        SnapshotLake.deletePartition(root, c, vs): Unit
+    }
 }
 
 object LakeTable {
   /** The lake's one metadata column (Delta/Iceberg's `_file`). */
   val FileColumn = "_file"
+}
+
+/** Shared parser for partition-VALUE predicates (`c = v` /
+  * `c IN (…)`): the shape both the metadata partition DELETE and the
+  * partition-scoped INSERT OVERWRITE accept. Values render as the
+  * canonical strings partition tags are written with.
+  */
+private[sources] object PartPredicate {
+  def eqOrIn(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Option[(String, Set[String])] = {
+    if (predicates.length != 1) return None
+    def render(v: Any): Option[String] = v match {
+      case l: java.lang.Long => Some(l.toString)
+      case i: java.lang.Integer => Some(i.toString)
+      case s: java.lang.Short => Some(s.toString)
+      case b: java.lang.Boolean => Some(b.toString)
+      case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+      case s: String => Some(s)
+      case _ => None
+    }
+    val p = predicates(0)
+    val refs = p.children().collect {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        r.fieldNames()(0)
+    }
+    val values = p.children().toSeq.collect {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+        render(l.value())
+    }
+    // `<=>`: SQL `PARTITION (c = v)` arrives null-safe; with a
+    // non-null literal it is plain equality
+    val isEqOrIn =
+      p.name() == "=" || p.name() == "IN" || p.name() == "<=>"
+    if (isEqOrIn && refs.length == 1 && values.nonEmpty &&
+        values.forall(_.isDefined) &&
+        values.length == p.children().length - 1)
+      Some((refs(0), values.flatten.toSet))
+    else None
+  }
+
+  def isTruncate(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Boolean =
+    predicates.isEmpty || (predicates.length == 1 &&
+      predicates(0).name() == "ALWAYS_TRUE")
 }
 
 /** Accumulates pushdown state against the snapshot's manifest:
@@ -244,7 +322,9 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
     tschema: StructType, forRowLevelOp: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   private val snap = SnapshotLake.snapshotOrEmpty(root, asOf)
 
@@ -364,6 +444,90 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
   }
   override def pushedFilters(): Array[Filter] = handled
 
+  // -- LIMIT / ORDER BY ... LIMIT k file pruning -----------------------
+  // Both answered from manifest ROW COUNTS (and, for top-k, the
+  // [lo,hi] stat ranges): `head(n)` on a million-file lake plans the
+  // first files covering n rows; `ORDER BY statCol LIMIT k` plans
+  // only files that can still contribute to the top k. Always
+  // PARTIAL (Spark re-applies its own limit/sort): the prune selects
+  // files, never rows. Spark only offers these pushdowns when
+  // nothing sits between the limit and the scan — and every filter
+  // this builder accepts stays residual, so a WHERE blocks the
+  // offer; the guards below are belt and braces.
+
+  private var pushedLimit: Option[Int] = None
+  private var pushedTopN: Option[(Boolean, Int)] = None // (asc, k)
+
+  private def noFiltersPushed: Boolean =
+    handled.isEmpty && lo == Long.MinValue && hi == Long.MaxValue &&
+      lo2 == Long.MinValue && hi2 == Long.MaxValue && point.isEmpty &&
+      statIn.isEmpty && bloomIn.isEmpty && partIn.isEmpty
+
+  override def pushLimit(n: Int): Boolean =
+    noFiltersPushed && n >= 0 && {
+      pushedLimit = Some(n); true
+    }
+
+  /** Top-k on the STAT column only: the one ordering the manifest's
+    * per-file [lo, hi] can reason about. A file is kept unless ≥ k
+    * rows live in files ENTIRELY beyond it in the sort direction
+    * (every row there strictly outranks every row here). Contract
+    * note: like the static range prune and the runtime filter, this
+    * treats the stat column as the lake's non-null clustering key —
+    * the write path derives every file's stats from it.
+    */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    if (!noFiltersPushed || orders.length != 1 || n < 0 ||
+        snap.statCol.isEmpty) return false
+    val o = orders(0)
+    val onStat = o.expression() match {
+      case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+        r.fieldNames.length == 1 &&
+          r.fieldNames()(0).equalsIgnoreCase(snap.statCol)
+      case _ => false
+    }
+    onStat && {
+      pushedTopN = Some((o.direction() ==
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING,
+        n))
+      true
+    }
+  }
+
+  override def isPartiallyPushed(): Boolean = true
+
+  /** Files that can still contribute to the top k (see pushTopN). */
+  private def topKFiles(fs: Seq[SnapshotLake.FileStat], asc: Boolean,
+      k: Int): Seq[SnapshotLake.FileStat] = {
+    // rows strictly beyond f: binary-search a prefix-sum over files
+    // sorted by their FAR bound — O(F log F) on manifest metadata
+    val bounds =
+      if (asc) fs.map(f => (f.hi, f.rows)).sortBy(_._1)
+      else fs.map(f => (-f.lo, f.rows)).sortBy(_._1)
+    val keys = bounds.map(_._1).toArray
+    val pre = bounds.map(_._2).scanLeft(0L)(_ + _).toArray
+    def rowsBeyond(edge: Long): Long = {
+      var l = 0; var r = keys.length
+      while (l < r) {
+        val m = (l + r) >>> 1
+        if (keys(m) < edge) l = m + 1 else r = m
+      }
+      pre(l)
+    }
+    fs.filter(f => rowsBeyond(if (asc) f.lo else -f.hi) < k)
+  }
+
+  /** Manifest-order prefix covering n rows (see pushLimit). */
+  private def limitFiles(fs: Seq[SnapshotLake.FileStat], n: Int)
+      : Seq[SnapshotLake.FileStat] = {
+    var acc = 0L
+    fs.foldLeft(Vector.empty[SnapshotLake.FileStat]) { (keep, f) =>
+      if (acc < n) { acc += f.rows; keep :+ f } else keep
+    }
+  }
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
@@ -431,7 +595,7 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
       return LakeAggScan(snap.version, snap.files.length,
         pushedAgg.map(_.toString), values, schema)
     }
-    val kept = snap.files.filter { f =>
+    val keptAll = snap.files.filter { f =>
       f.hi >= lo && (hi == Long.MaxValue || f.lo < hi) &&
         f.dim2.forall { case (l2, h2) =>
           h2 >= lo2 && (hi2 == Long.MaxValue || l2 < hi2) } &&
@@ -443,6 +607,13 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
           case Some((pc, pv)) if pc.equalsIgnoreCase(c) => vs(pv)
           case _ => true // untagged / other-spec file: never pruned
         } }
+    }
+    // limit/top-k file pruning (filterless scans only — see
+    // pushLimit/pushTopN)
+    val kept = (pushedTopN, pushedLimit) match {
+      case (Some((asc, k)), _) => topKFiles(keptAll, asc, k)
+      case (None, Some(n)) => limitFiles(keptAll, n)
+      case _ => keptAll
     }
     // `_file` is answered per split, never decoded: it leaves the
     // parquet projection here and re-enters as a constant vector in
@@ -466,6 +637,22 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
       StructType(dataRequired.fields.map(f =>
         f.copy(name = m.getOrElse(k(f.name), f.name))))
     }
+    // storage-partitioned-join eligibility: every kept file tagged
+    // under ONE spec, the partition column read by this scan, and a
+    // key type the dir-string round-trips exactly (long/int/string)
+    val spj: Option[(String, org.apache.spark.sql.types.DataType)] = {
+      val tags = kept.map(_.part)
+      val cols = tags.flatten.map(_._1.toLowerCase(java.util.Locale.ROOT))
+        .distinct
+      if (kept.nonEmpty && tags.forall(_.isDefined) && cols.length == 1)
+        required.fields
+          .find(_.name.toLowerCase(java.util.Locale.ROOT) == cols.head)
+          .collect { case f if f.dataType == LongType ||
+              f.dataType == org.apache.spark.sql.types.IntegerType ||
+              f.dataType == org.apache.spark.sql.types.StringType =>
+            (f.name, f.dataType) }
+      else None
+    }
     val scan = LakeScan(root, snap.version, kept,
       snap.files.length, required,
       s"stat=${snap.statCol}∈[$lo,$hi)" +
@@ -473,9 +660,14 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
         point.fold("")(v => s" bloom=$v") +
         statIn.fold("")(vs => s" in(${vs.length})") +
         bloomIn.fold("")(vs => s" bloomIn(${vs.length})") +
-        partIn.fold("") { case (c, vs) => s" part=$c(${vs.size})" },
+        partIn.fold("") { case (c, vs) => s" part=$c(${vs.size})" } +
+        spj.fold("") { case (c, _) => s" keyGrouped=$c" } +
+        pushedTopN.fold("") { case (asc, k) =>
+          s" topk=$k(${if (asc) "asc" else "desc"})" } +
+        pushedTopN.fold(pushedLimit.fold("")(n => s" limit=$n"))(_ => ""),
       asOf, lo, hi, lo2, hi2, point, snap.statCol, snap.bloomCol,
-      physRequired, fileColIdx)
+      physRequired, fileColIdx, spj.map(_._1),
+      spj.map(_._2).getOrElse(org.apache.spark.sql.types.NullType))
     lastScan = Some(scan)
     scan
   }
@@ -539,10 +731,14 @@ final case class LakeScan(root: String, version: Int,
     lo2: Long = Long.MinValue, hi2: Long = Long.MaxValue,
     point: Option[Long] = None,
     statCol: String = "", bloomColName: Option[String] = None,
-    physRequired: StructType = null, fileColIdx: Int = -1)
+    physRequired: StructType = null, fileColIdx: Int = -1,
+    spjCol: Option[String] = None,
+    spjType: org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.NullType)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   // set by the engine's execution-time filter() call; read by
   // planInputPartitions and the judged gate
@@ -571,9 +767,51 @@ final case class LakeScan(root: String, version: Int,
         .column(c))
       .toArray
 
+  /** Storage-partitioned-join face: when every kept file is tagged
+    * under ONE partition spec (all `part = (c, v)` on the same
+    * column, q137's write path), the scan reports
+    * `KeyGroupedPartitioning(identity(c), #distinct values)` and
+    * each split carries its typed partition key. Spark (with
+    * `spark.sql.sources.v2.bucketing.enabled`, set in GraftSession)
+    * then plans a join of two such tables on the partition column
+    * with ZERO shuffle on either side — the Iceberg/Delta SPJ
+    * pattern, which at 100 TB is the difference between re-shuffling
+    * both fact tables and reading co-located buckets in place.
+    * Mixed/untagged snapshots report UnknownPartitioning and plan
+    * exactly as before.
+    */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    spjCol match {
+      case Some(c) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            Array(org.apache.spark.sql.connector.expressions.Expressions
+              .identity(c)),
+            files.flatMap(_.part.map(_._2)).distinct.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(files.size)
+    }
+
+  /** Partition-dir string → the key's JVM value under `spjType`
+    * (long/int/string partition columns only — gated at build()).
+    */
+  private def typedKey(v: String): Any = spjType match {
+    case org.apache.spark.sql.types.LongType => java.lang.Long.valueOf(v.toLong)
+    case org.apache.spark.sql.types.IntegerType =>
+      java.lang.Integer.valueOf(v.toInt)
+    case _ => org.apache.spark.unsafe.types.UTF8String.fromString(v)
+  }
+
   override def filter(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
       : Unit = {
+    // a key-grouped scan's group count is part of its reported
+    // partitioning — dropping whole groups at runtime would falsify
+    // it; SPJ-mode scans decline the (file-level) runtime prune and
+    // keep the static one
+    if (spjCol.isDefined) return
     import org.apache.spark.sql.connector.expressions.{
       Literal => VLiteral, NamedReference}
     val kept = predicates.foldLeft(effectiveFiles) { (fs, p) =>
@@ -666,6 +904,7 @@ final case class LakeScan(root: String, version: Int,
     effectiveFiles.flatMap { f =>
       val path = SnapshotLake.dataPath(root, f.name)
       val size = sizeOf(f)
+      val raw: Seq[LakeSplit] =
       if (size <= maxSplit) Seq(LakeSplit(path, 0L, size))
       else {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
@@ -690,7 +929,13 @@ final case class LakeScan(root: String, version: Int,
           LakeSplit(path, start, end - start)
         }
       }
-    }.map(identity[InputPartition]).toArray
+      // SPJ mode: every split carries its file's typed partition key
+      // (splits of one file share the key — Spark groups them)
+      if (spjCol.isDefined) {
+        val key = typedKey(f.part.get._2)
+        raw.map(s => LakeKeyedSplit(s, key): InputPartition)
+      } else raw.map(identity[InputPartition])
+    }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new LakeReaderFactory(Option(physRequired).getOrElse(required),
@@ -712,11 +957,55 @@ object LakeScan {
       b.scan match { case l: LakeScan => Some(l); case _ => None }
     case other => other.children.iterator.flatMap(findIn).nextOption()
   }
+
+  /** Every LakeScan in an executed plan (findIn's traversal, all
+    * matches) — the two-sided SPJ gates need both scans.
+    */
+  def collectIn(plan: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[LakeScan] = plan match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      collectIn(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      collectIn(q.plan)
+    case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+      b.scan match { case l: LakeScan => Seq(l); case _ => Seq.empty }
+    case other => other.children.flatMap(collectIn)
+  }
+
+  /** Shuffle exchanges in an EXECUTED plan, recursing through AQE's
+    * stage boundaries — the observable a storage-partitioned join is
+    * judged by (zero = co-located join, no re-distribution).
+    */
+  def countShuffles(plan: org.apache.spark.sql.execution.SparkPlan): Int =
+    plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        countShuffles(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        countShuffles(q.plan) // a shuffle stage's plan IS the exchange
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+        1 + s.children.map(countShuffles).sum
+      case other => other.children.map(countShuffles).sum
+    }
 }
 
 /** A byte range of one data file covering whole row groups. */
 final case class LakeSplit(path: String, start: Long, length: Long)
     extends InputPartition
+
+/** [[LakeSplit]] plus its file's partition key — the
+  * `HasPartitionKey` face a `KeyGroupedPartitioning` scan must give
+  * every split so Spark can group co-partitioned inputs for a
+  * storage-partitioned join. `keyVal` is the already-typed JVM value
+  * (JLong / JInteger / UTF8String); grouping compares the ROW value,
+  * so a fresh wrapper per call is fine.
+  */
+final case class LakeKeyedSplit(split: LakeSplit, keyVal: Any)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array(keyVal))
+}
 
 /** A fully-pushed aggregate answered from the manifest: one exact
   * row, zero data partitions read. `description()` carries the
@@ -791,9 +1080,17 @@ final class LakeReaderFactory(required: StructType,
 
   override def supportColumnarReads(partition: InputPartition): Boolean = true
 
+  private def splitOf(partition: InputPartition): LakeSplit =
+    partition match {
+      case s: LakeSplit => s
+      case k: LakeKeyedSplit => k.split
+      case other => throw new IllegalArgumentException(
+        s"not a lake split: $other")
+    }
+
   private def open(partition: InputPartition)
       : org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader = {
-    val split = partition.asInstanceOf[LakeSplit]
+    val split = splitOf(partition)
     val conf = new Configuration()
     confKVs.foreach { case (k, v) => conf.set(k, v) }
     conf.set("org.apache.spark.sql.parquet.row.requested_schema",
@@ -831,7 +1128,7 @@ final class LakeReaderFactory(required: StructType,
       // UTF8String; per batch, one array copy of column references.
       // The parquet decode path is untouched.
       val path = org.apache.spark.unsafe.types.UTF8String
-        .fromString(partition.asInstanceOf[LakeSplit].path)
+        .fromString(splitOf(partition).path)
       new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
         override def next(): Boolean = reader.nextBatch()
         override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {

@@ -59,20 +59,100 @@ import org.apache.spark.sql.types.StructType
   */
 final class LakeWriteBuilder(root: String, info: LogicalWriteInfo,
     tableOpts: Map[String, String]) extends WriteBuilder
-    with SupportsTruncate {
+    with org.apache.spark.sql.connector.write.SupportsOverwriteV2 {
   private var overwrite = false
+  private var replaceWhere: Option[(String, Set[String])] = None
   override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  // -- partition-scoped INSERT OVERWRITE --------------------------------
+  // `INSERT OVERWRITE t PARTITION (c = v)` / `writeTo(t).overwrite(
+  // c === v)`: only the files tagged with the named values leave the
+  // manifest; the staged files take their place in ONE commit.
+  // Accepted only when every live file is tagged under the predicate
+  // column (an untagged file might hold matching rows the swap would
+  // have to remove); full-table overwrite (ALWAYS_TRUE) stays the
+  // truncate path.
+
+  private def partitionScope(
+      predicates: Array[org.apache.spark.sql.connector.expressions
+        .filter.Predicate]): Option[(String, Set[String])] =
+    PartPredicate.eqOrIn(predicates).filter { case (c, _) =>
+      SnapshotLake.headVersion(root) >= 0 && {
+        val files = SnapshotLake.snapshot(root).files
+        files.nonEmpty && files.forall(
+          _.part.exists(_._1.equalsIgnoreCase(c)))
+      }
+    }
+
+  override def canOverwrite(
+      predicates: Array[org.apache.spark.sql.connector.expressions
+        .filter.Predicate]): Boolean =
+    PartPredicate.isTruncate(predicates) ||
+      partitionScope(predicates).isDefined
+
+  override def overwrite(
+      predicates: Array[org.apache.spark.sql.connector.expressions
+        .filter.Predicate]): WriteBuilder = {
+    if (PartPredicate.isTruncate(predicates)) overwrite = true
+    else replaceWhere = Some(partitionScope(predicates).getOrElse(
+      throw new UnsupportedOperationException(
+        s"INSERT OVERWRITE on graft_lake($root) supports full-table " +
+          "overwrite or partition-value predicates over a fully " +
+          s"tagged snapshot, got ${predicates.mkString(", ")}")))
+    this
+  }
   override def build(): Write = {
     // write options override table OPTIONS; both are lowercased
     val opts = tableOpts ++ info.options().asCaseSensitiveMap()
       .asScala.map { case (k, v) => k.toLowerCase -> v }
-    new Write {
-      override def toBatch: BatchWrite =
-        new LakeBatchWrite(root, info.schema(), overwrite, opts)
-      override def toStreaming
-          : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-        new LakeStreamingWrite(root, info.schema(), overwrite, opts,
-          info.queryId())
+    // partitioned table (`partcol` prop / PARTITIONED BY): the WRITE
+    // declares its layout needs through DSv2 — cluster by the
+    // partition column, sort within tasks by it — so Spark plans the
+    // repartition+sort and the task writer just ROLLS to a new file
+    // on each value change: every data file single-valued, tagged in
+    // the manifest, SPJ/prune-ready. No engine-side shuffle code.
+    val partSpec: Option[(String, Int)] = opts.get("partcol").map { pc =>
+      val idx = info.schema().fieldNames
+        .indexWhere(_.equalsIgnoreCase(pc))
+      require(idx >= 0,
+        s"partition column '$pc' not in write schema " +
+          info.schema().fieldNames.mkString("(", ",", ")"))
+      (info.schema().fieldNames(idx), idx)
+    }
+    partSpec match {
+      case None => new Write {
+        override def toBatch: BatchWrite =
+          new LakeBatchWrite(root, info.schema(), overwrite, opts,
+            None, replaceWhere)
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new LakeStreamingWrite(root, info.schema(), overwrite, opts,
+            info.queryId())
+      }
+      case Some((pc, idx)) => new Write
+          with org.apache.spark.sql.connector.write
+            .RequiresDistributionAndOrdering {
+        import org.apache.spark.sql.connector.expressions.Expressions
+        override def requiredDistribution()
+            : org.apache.spark.sql.connector.distributions.Distribution =
+          org.apache.spark.sql.connector.distributions.Distributions
+            .clustered(Array(Expressions.identity(pc)))
+        override def requiredOrdering()
+            : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+          Array(Expressions.sort(Expressions.column(pc),
+            org.apache.spark.sql.connector.expressions
+              .SortDirection.ASCENDING))
+        override def toBatch: BatchWrite =
+          new LakeBatchWrite(root, info.schema(), overwrite, opts,
+            Some((pc, idx, info.schema().fields(idx).dataType)),
+            replaceWhere)
+        // streaming writes stay untagged (mixed tags are legal; an
+        // untagged file is simply never partition-pruned)
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new LakeStreamingWrite(root, info.schema(), overwrite, opts,
+            info.queryId())
+      }
     }
   }
 }
@@ -121,9 +201,17 @@ object LakeWrite {
 }
 
 /** One acknowledged staged file + its row count (empty writers are
-  * dropped at commit, not published as zero-row files).
+  * dropped at commit, not published as zero-row files). `partVal` is
+  * the file's single partition value when the write was partitioned.
   */
-final case class LakeStaged(name: String, rows: Long)
+final case class LakeStaged(name: String, rows: Long,
+    partVal: Option[String] = None)
+    extends WriterCommitMessage
+
+/** A partitioned task's acknowledged files — one per partition-value
+  * run (clustered+sorted input makes runs contiguous).
+  */
+final case class LakeStagedSet(files: Seq[LakeStaged])
     extends WriterCommitMessage
 
 /** The driver-side publish shared by the batch and streaming commit
@@ -138,7 +226,11 @@ private[sources] object LakeCommit {
       messages: Array[WriterCommitMessage],
       txn: Option[(String, Long)],
       schemaJson: Option[String] = None): Unit = {
-    val staged = messages.collect { case m: LakeStaged => m }
+    val staged = messages.toSeq.flatMap {
+      case m: LakeStaged => Seq(m)
+      case s: LakeStagedSet => s.files
+      case _ => Seq.empty
+    }
     val (live, empty) = staged.partition(_.rows > 0)
     empty.foreach(discard(root, _))
     val head =
@@ -176,8 +268,78 @@ private[sources] object LakeCommit {
     }
     val files = SnapshotLake.statsFor(SparkSession.active, root, batch,
       statCol, bloomCol, bloomBytes, statCol2)
-    SnapshotLake.commitFiles(root, files, statCol, overwrite, bloomCol,
+    // partitioned write: each staged file declared its single value —
+    // carry it into the manifest tag the prune/SPJ machinery reads
+    val tagged = opts.get("partcol") match {
+      case None => files
+      case Some(pc) =>
+        val valOf = live.map(m => m.name -> m.partVal).toMap
+        files.map { f =>
+          val base = f.name.substring(f.name.lastIndexOf('/') + 1)
+          valOf.get(base).flatten.fold(f)(v => f.copy(part = Some(pc -> v)))
+        }
+    }
+    SnapshotLake.commitFiles(root, tagged, statCol, overwrite, bloomCol,
       statCol2, txn, schemaJson): Unit
+  }
+
+  /** Partition-scoped INSERT OVERWRITE: the files tagged with the
+    * named values leave the manifest and the staged files take their
+    * place — one REPLACE commit ([[SnapshotLake.commitReplaceFiles]],
+    * the row-level ops' publish). Staged rows landing OUTSIDE the
+    * overwritten partition values are refused before anything
+    * publishes (Delta's replaceWhere constraint): a mis-scoped
+    * SELECT must fail loudly, not quietly leak rows into partitions
+    * it claimed not to touch.
+    */
+  def publishPartitionReplace(root: String, colName: String,
+      values: Set[String], opts: Map[String, String],
+      messages: Array[WriterCommitMessage],
+      schemaJson: Option[String]): Unit = {
+    val staged = messages.toSeq.flatMap {
+      case m: LakeStaged => Seq(m)
+      case s: LakeStagedSet => s.files
+      case _ => Seq.empty
+    }
+    val (live, empty) = staged.partition(_.rows > 0)
+    empty.foreach(discard(root, _))
+    val outside = live.filter(m => !m.partVal.exists(values))
+    if (outside.nonEmpty) {
+      live.foreach(discard(root, _))
+      throw new IllegalArgumentException(
+        s"INSERT OVERWRITE PARTITION ($colName IN ${values.mkString(",")})" +
+          s" produced rows outside the overwritten values: " +
+          outside.flatMap(_.partVal).distinct.mkString(","))
+    }
+    val head = SnapshotLake.snapshot(root)
+    val replaced = head.files.filter(_.part.exists { case (c, v) =>
+      c.equalsIgnoreCase(colName) && values(v) }).map(_.name)
+    val statCol = opts.get("statcol").getOrElse(head.statCol)
+    val bloomCol = opts.get("bloomcol").orElse(head.bloomCol)
+    val bloomBytes = opts.get("bloombytes").map(_.toInt).getOrElse(1024)
+    val statCol2 = opts.get("statcol2").orElse(head.statCol2)
+    val newFiles =
+      if (live.isEmpty) Seq.empty[SnapshotLake.FileStat]
+      else {
+        val batch = s"data/b-${UUID.randomUUID().toString.take(8)}"
+        Files.createDirectories(Paths.get(root, batch))
+        live.foreach { m =>
+          Files.move(
+            Paths.get(LakeWrite.stagingDir(root), m.name),
+            Paths.get(root, batch, m.name),
+            StandardCopyOption.ATOMIC_MOVE)
+        }
+        val stats = SnapshotLake.statsFor(SparkSession.active, root, batch,
+          statCol, bloomCol, bloomBytes, statCol2)
+        val valOf = live.map(m => m.name -> m.partVal).toMap
+        stats.map { f =>
+          val base = f.name.substring(f.name.lastIndexOf('/') + 1)
+          valOf.get(base).flatten
+            .fold(f)(v => f.copy(part = Some(colName -> v)))
+        }
+      }
+    SnapshotLake.commitReplaceFiles(root, replaced, newFiles, "overwrite",
+      statCol, bloomCol, statCol2, schemaJson): Unit
   }
 }
 
@@ -252,30 +414,45 @@ final class LakeReplaceBatchWrite(root: String, schema: StructType,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case m: LakeStaged => LakeCommit.discard(root, m); case _ => }
+      case m: LakeStaged => LakeCommit.discard(root, m)
+      case s: LakeStagedSet => s.files.foreach(LakeCommit.discard(root, _))
+      case _ => }
 }
 
 final class LakeBatchWrite(root: String, schema: StructType,
-    overwrite: Boolean, opts: Map[String, String]) extends BatchWrite {
+    overwrite: Boolean, opts: Map[String, String],
+    partSpec: Option[(String, Int, org.apache.spark.sql.types.DataType)] =
+      None,
+    replaceWhere: Option[(String, Set[String])] = None)
+    extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
     Files.createDirectories(Paths.get(LakeWrite.stagingDir(root)))
     new LakeWriterFactory(root,
-      LakeWrite.writeConf(LakeWrite.physicalFor(root, schema, overwrite)))
+      LakeWrite.writeConf(LakeWrite.physicalFor(root, schema, overwrite)),
+      partSpec)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val txn = for {
       a <- opts.get("txnappid"); v <- opts.get("txnversion")
     } yield (a, v.toLong)
-    LakeCommit.publish(root, overwrite, opts, messages, txn,
-      Some(schema.json))
+    replaceWhere match {
+      case None =>
+        LakeCommit.publish(root, overwrite, opts, messages, txn,
+          Some(schema.json))
+      case Some((c, vs)) =>
+        LakeCommit.publishPartitionReplace(root, c, vs, opts, messages,
+          Some(schema.json))
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case m: LakeStaged => LakeCommit.discard(root, m); case _ => }
+      case m: LakeStaged => LakeCommit.discard(root, m)
+      case s: LakeStagedSet => s.files.foreach(LakeCommit.discard(root, _))
+      case _ => }
 }
 
 /** The STREAMING sink face of the same commit machinery —
@@ -317,14 +494,18 @@ final class LakeStreamingWrite(root: String, schema: StructType,
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case m: LakeStaged => LakeCommit.discard(root, m); case _ => }
+      case m: LakeStaged => LakeCommit.discard(root, m)
+      case s: LakeStagedSet => s.files.foreach(LakeCommit.discard(root, _))
+      case _ => }
 }
 
 final class LakeWriterFactory(root: String,
-    confKVs: Map[String, String]) extends DataWriterFactory {
+    confKVs: Map[String, String],
+    partSpec: Option[(String, Int, org.apache.spark.sql.types.DataType)] =
+      None) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new LakeDataWriter(root, confKVs, partitionId, taskId)
+    new LakeDataWriter(root, confKVs, partitionId, taskId, partSpec)
 }
 
 /** Task-side parquet writer: Spark's `ParquetWriteSupport` (the
@@ -333,13 +514,9 @@ final class LakeWriterFactory(root: String,
   * file invisible until the driver's commit names it.
   */
 final class LakeDataWriter(root: String, confKVs: Map[String, String],
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
-
-  private val name =
-    s"part-$partitionId-$taskId-${UUID.randomUUID().toString.take(8)}.parquet"
-  private val staged = Paths.get(LakeWrite.stagingDir(root), name)
-  private var rows = 0L
-  private var closed = false
+    partitionId: Int, taskId: Long,
+    partSpec: Option[(String, Int, org.apache.spark.sql.types.DataType)] =
+      None) extends DataWriter[InternalRow] {
 
   private final class SupportBuilder(
       file: org.apache.parquet.io.OutputFile,
@@ -350,26 +527,94 @@ final class LakeDataWriter(root: String, confKVs: Map[String, String],
         conf: Configuration): WriteSupport[InternalRow] = support
   }
 
-  private val writer: ParquetWriter[InternalRow] = {
+  // one OPEN segment at a time; a partitioned write rolls to a new
+  // segment whenever the (clustered + sorted) partition value changes
+  private var segName: String = _
+  private var segPath: java.nio.file.Path = _
+  private var writer: ParquetWriter[InternalRow] = null
+  private var rows = 0L
+  private var curVal: Option[String] = None
+  private val finished = scala.collection.mutable.ArrayBuffer
+    .empty[LakeStaged]
+
+  private def openSeg(): Unit = {
+    segName = s"part-$partitionId-$taskId-" +
+      s"${UUID.randomUUID().toString.take(8)}.parquet"
+    segPath = Paths.get(LakeWrite.stagingDir(root), segName)
+    rows = 0L
     val conf = new Configuration()
     confKVs.foreach { case (k, v) => conf.set(k, v) }
     // LocalOutputFile = pure NIO: no Hadoop ChecksumFileSystem, so no
     // .crc sidecars to orphan in staging (same single-filesystem
     // assumption the protocol already makes)
-    new SupportBuilder(
-      new org.apache.parquet.io.LocalOutputFile(staged),
+    writer = new SupportBuilder(
+      new org.apache.parquet.io.LocalOutputFile(segPath),
       new ParquetWriteSupport)
       .withConf(conf)
       .withCompressionCodec(CompressionCodecName.SNAPPY)
       .build()
   }
 
-  private def shut(): Unit = if (!closed) { closed = true; writer.close() }
+  private def closeSeg(): Unit = if (writer != null) {
+    writer.close()
+    finished += LakeStaged(segName, rows, curVal)
+    writer = null
+  }
 
-  override def write(row: InternalRow): Unit = { writer.write(row); rows += 1 }
-  override def commit(): WriterCommitMessage = { shut(); LakeStaged(name, rows) }
-  override def abort(): Unit = { shut(); Files.deleteIfExists(staged): Unit }
-  override def close(): Unit = shut()
+  /** The file's single partition value, rendered the way partition
+    * tags compare everywhere else (LakeScanBuilder.partStr /
+    * commitPartitioned's dir decode): long/int/string/bool as their
+    * canonical strings. Null partition values are refused — the tag
+    * IS the prune key.
+    */
+  private def partValOf(row: InternalRow): Option[String] =
+    partSpec.map { case (c, idx, dt) =>
+      require(!row.isNullAt(idx),
+        s"null partition value for column '$c' — partitioned lake " +
+          "tables require a non-null partition column")
+      dt match {
+        case org.apache.spark.sql.types.LongType => row.getLong(idx).toString
+        case org.apache.spark.sql.types.IntegerType =>
+          row.getInt(idx).toString
+        case org.apache.spark.sql.types.StringType =>
+          row.getUTF8String(idx).toString
+        case org.apache.spark.sql.types.ShortType =>
+          row.getShort(idx).toString
+        case org.apache.spark.sql.types.BooleanType =>
+          row.getBoolean(idx).toString
+        case other => throw new IllegalArgumentException(
+          s"unsupported partition column type $other for '$c' " +
+            "(long/int/short/string/boolean)")
+      }
+    }
+
+  override def write(row: InternalRow): Unit = {
+    val v = partValOf(row)
+    if (writer == null) { curVal = v; openSeg() }
+    else if (v != curVal) { closeSeg(); curVal = v; openSeg() }
+    writer.write(row)
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    closeSeg()
+    if (partSpec.isEmpty)
+      finished.headOption.getOrElse(LakeStaged(
+        // an empty unpartitioned task still acknowledges a zero-row
+        // marker (publish drops it), preserving the old protocol
+        s"part-$partitionId-$taskId-" +
+          s"${UUID.randomUUID().toString.take(8)}.parquet", 0L))
+    else LakeStagedSet(finished.toSeq)
+  }
+  override def abort(): Unit = {
+    if (writer != null) { writer.close(); writer = null }
+    if (segPath != null) Files.deleteIfExists(segPath): Unit
+    finished.foreach(m => Files.deleteIfExists(
+      Paths.get(LakeWrite.stagingDir(root), m.name)): Unit)
+  }
+  override def close(): Unit = if (writer != null) {
+    writer.close(); writer = null
+  }
 }
 
 /** Judged query: a lake born and grown through PURE SQL — `CREATE

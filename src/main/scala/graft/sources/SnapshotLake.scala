@@ -1078,6 +1078,42 @@ object SnapshotLake {
       rowsDeleted)
   }
 
+  /** METADATA-ONLY partition delete: drop every file tagged
+    * (column, value ∈ values) from the manifest — zero bytes read,
+    * zero rewritten, the dropped files stay on disk for time travel.
+    * Sound ONLY when every live file is tagged under `colName`
+    * (an untagged file might hold matching rows); callers gate on
+    * that — [[LakeTable.canDeleteWhere]] declines otherwise and
+    * Spark falls back to the row-level CoW rewrite. The publish loop
+    * re-partitions from each fresh head, and refuses if a concurrent
+    * commit introduced a file outside the spec mid-flight.
+    */
+  def deletePartition(root: String, colName: String,
+      values: Set[String]): (Int, Int, Long) = {
+    var committed = -1
+    var droppedN = 0
+    var rowsDropped = 0L
+    while (committed < 0) {
+      val head = snapshot(root)
+      require(head.files.forall(
+          _.part.exists(p => colKey(p._1) == colKey(colName))),
+        s"partition delete on '$colName' raced a commit that added a " +
+          "file outside the partition spec — retry (the row-level " +
+          "path stays correct)")
+      val (dropped, kept) = head.files.partition(
+        _.part.exists { case (c, v) =>
+          colKey(c) == colKey(colName) && values(v) })
+      droppedN = dropped.size
+      rowsDropped = dropped.map(_.rows).sum
+      if (tryPublish(root, head.version + 1, head.statCol, head.bloomCol,
+          overwrite = true, kept, head.statCol2, txns = head.txns,
+          schemaJson = head.schemaJson, op = Some("delete"),
+          parentFiles = Some(head.files), retired = head.retired))
+        committed = head.version + 1
+    }
+    (committed, droppedN, rowsDropped)
+  }
+
   final case class CompactResult(version: Int, filesBefore: Int,
       filesAfter: Int, filesCompacted: Int)
 
@@ -1117,7 +1153,7 @@ object SnapshotLake {
     // discard, quietly destroying the tag's selectivity the same way
     // a commit-order pack destroys q82's range selectivity
     val groups = small.groupBy(_.part).toSeq
-      .sortBy(_._1.map(p => p._1 + " " + p._2).getOrElse(""))
+      .sortBy(_._1.map(p => p._1 + "\u0000" + p._2).getOrElse(""))
       .flatMap { case (_, fs) =>
         fs.sortBy(_.lo).foldLeft(List.empty[List[FileStat]]) {
           case (acc, f) => acc match {
@@ -2486,7 +2522,177 @@ object SnapshotLake {
       "n_files_v1", "n_kept_v1", "n_rows_v1", "sum_cents_v1")
   }
 
+  /** Judged STORAGE-PARTITIONED JOIN: two lakes partitioned on the
+    * same key (q137's write path) join on (bucket4, event_id) — and
+    * then GROUP BY bucket4 — with ZERO shuffle exchanges end to end:
+    * the scans report `KeyGroupedPartitioning(identity(bucket4))`,
+    * every split carries its typed partition key, and Spark's SPJ
+    * machinery (v2 bucketing, GraftSession posture) co-locates the
+    * join AND the aggregate on the reported grouping. At 100 TB this
+    * is the shuffle-free bucket-join Hive/Iceberg deployments design
+    * their table layouts around. Hash-checked: the per-bucket join
+    * aggregate (each row pairs cents with its own doubled cents →
+    * 3·cents), the shuffle count (0) measured from the executed
+    * plan, and both scans' keyGrouped posture.
+    */
+  def q149StoragePartitionedJoin(s: SparkSession, d: String): DataFrame = {
+    val rootA = Housekeeping.tempDir("q149a")
+    val rootB = Housekeeping.tempDir("q149b")
+    val ev = eventsCents(s, d)
+      .withColumn("bucket4", col("event_id") % 4)
+      .select(col("event_id"), col("bucket4"), col("cents"))
+    commitPartitioned(s, rootA, ev, "bucket4", "event_id")
+    commitPartitioned(s, rootB,
+      ev.withColumn("cents", col("cents") * 2), "bucket4", "event_id")
+    def lake(r: String) = s.read.format("graft.sources.GraftLakeSource")
+      .option("path", r).load()
+    val agg = lake(rootA).as("a")
+      .hint("merge") // pin SMJ: the judged shape is the co-located
+                     // sort-merge, not a broadcast of the tiny side
+      .join(lake(rootB).as("b"), Seq("bucket4", "event_id"))
+      .select(col("bucket4"),
+        (col("a.cents") + col("b.cents")).as("c3"))
+      .groupBy(col("bucket4"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("c3")).as("sum_c3"))
+    val rows = agg.collect()
+    val plan = agg.queryExecution.executedPlan
+    val shuffles = graft.sources.LakeScan.countShuffles(plan)
+    val scans = graft.sources.LakeScan.collectIn(plan)
+    val keyGrouped =
+      scans.count(_.description().contains("keyGrouped=bucket4"))
+    import s.implicits._
+    rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+      .toDF("bucket4", "n_rows", "sum_c3")
+      .withColumn("n_shuffles", lit(shuffles.toLong))
+      .withColumn("n_keygrouped_scans", lit(keyGrouped.toLong))
+  }
+
+  /** Four single-file commits over contiguous event_id quarters —
+    * manifest order == id order, file row counts exact (ids are
+    * dense 0..n-1 in the fixture). The limit/top-k pushdown fixture.
+    */
+  private def quarterSlicedLake(s: SparkSession, d: String,
+      tag: String): (String, Long) = {
+    val root = Housekeeping.tempDir(tag)
+    val ev = eventsCents(s, d).select(col("event_id"), col("cents"))
+    val n = ev.count()
+    val q = n / 4
+    (0L until 4L).foreach { i =>
+      val hiB = if (i == 3) Long.MaxValue else (i + 1) * q
+      commit(s, root,
+        ev.where(col("event_id") >= i * q && col("event_id") < hiB)
+          .coalesce(1),
+        "event_id")
+    }
+    (root, q)
+  }
+
+  /** Judged LIMIT pushdown (`SupportsPushDownLimit`): `limit(n)` on
+    * a filterless lake scan plans only the manifest-order file
+    * prefix covering n rows — `head(1000)` on a million-file lake
+    * opens a handful of files, not the table. The prune is PARTIAL
+    * (Spark re-applies the limit); the fixture sizes the limit to
+    * exactly two of four files so the limited content itself is
+    * deterministic and DuckDB-replayable (ids below half). Pinned:
+    * files planned (2 of 4), the pushed-limit plan marker, and the
+    * row-exact aggregate of the limited read.
+    */
+  def q150LakeLimitPushdown(s: SparkSession, d: String): DataFrame = {
+    val (root, q) = quarterSlicedLake(s, d, "q150")
+    val half = (2 * q).toInt
+    val limited = s.read.format("graft.sources.GraftLakeSource")
+      .option("path", root).load().limit(half)
+    val agg = limited.agg(count(lit(1)).as("n_rows"),
+      sum(col("cents")).as("sum_cents"), max(col("event_id")).as("max_id"))
+    val row = agg.collect().head
+    val scan = LakeScan.findIn(agg.queryExecution.executedPlan)
+      .getOrElse(throw new IllegalStateException("no LakeScan planned"))
+    import s.implicits._
+    Seq((scan.filesTotal.toLong, scan.files.length.toLong,
+        scan.description().contains(s"limit=$half"),
+        row.getLong(0), row.getLong(1), row.getLong(2)))
+      .toDF("n_files_total", "n_files_planned", "limit_pushed",
+        "n_rows", "sum_cents", "max_id")
+  }
+
+  /** Judged TOP-K pushdown (`SupportsPushDownTopN`): `ORDER BY
+    * statCol LIMIT k` plans only files that can still contribute to
+    * the top k — rows strictly beyond a file (by manifest [lo,hi])
+    * already filling k drop it before a task launches. Both
+    * directions judged; each plans exactly ONE of the four files.
+    * Spark still sorts (partial pushdown), so the rows are the true
+    * top-k and DuckDB replays them as id-range aggregates (dense
+    * ids: top-k asc = ids < k).
+    */
+  def q151LakeTopkPushdown(s: SparkSession, d: String): DataFrame = {
+    val (root, q) = quarterSlicedLake(s, d, "q151")
+    val k = (q / 2).toInt
+    def side(asc: Boolean)
+        : (String, Long, Long, Long, Long, Long, Boolean) = {
+      val base = s.read.format("graft.sources.GraftLakeSource")
+        .option("path", root).load()
+      val df = (if (asc) base.orderBy(col("event_id"))
+                else base.orderBy(col("event_id").desc)).limit(k)
+      val agg = df.agg(count(lit(1)).as("n_rows"),
+        sum(col("cents")).as("sum_cents"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      val row = agg.collect().head
+      val scan = LakeScan.findIn(agg.queryExecution.executedPlan)
+        .getOrElse(throw new IllegalStateException("no LakeScan planned"))
+      val dir = if (asc) "asc" else "desc"
+      (dir, row.getLong(0), row.getLong(1), row.getLong(2),
+        row.getLong(3), scan.files.length.toLong,
+        scan.description().contains(s"topk=$k($dir)"))
+    }
+    import s.implicits._
+    Seq(side(asc = true), side(asc = false))
+      .toDF("dir", "n_rows", "sum_cents", "min_id", "max_id",
+        "n_files_planned", "topk_pushed")
+      .orderBy(col("dir"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q150_lake_limit_pushdown", q150LakeLimitPushdown, Some("""
+      WITH b AS (SELECT CAST(floor(count(*) / 4) AS BIGINT) AS q
+                 FROM events),
+           e AS (SELECT event_id,
+                        CAST(round(value * 100) AS BIGINT) AS cents
+                 FROM events, b WHERE event_id < 2 * b.q)
+      SELECT CAST(4 AS BIGINT) AS n_files_total,
+             CAST(2 AS BIGINT) AS n_files_planned,
+             TRUE AS limit_pushed,
+             count(*) AS n_rows,
+             CAST(sum(cents) AS BIGINT) AS sum_cents,
+             max(event_id) AS max_id
+      FROM e""")),
+    Q("q151_lake_topk_pushdown", q151LakeTopkPushdown, Some("""
+      WITH b AS (SELECT CAST(floor(count(*) / 4) AS BIGINT) AS q,
+                        count(*) AS n
+                 FROM events),
+           k AS (SELECT CAST(floor(q / 2) AS BIGINT) AS k, n FROM b),
+           e AS (SELECT event_id,
+                        CAST(round(value * 100) AS BIGINT) AS cents
+                 FROM events)
+      SELECT 'asc' AS dir, count(*) AS n_rows,
+             CAST(sum(cents) AS BIGINT) AS sum_cents,
+             min(event_id) AS min_id, max(event_id) AS max_id,
+             CAST(1 AS BIGINT) AS n_files_planned, TRUE AS topk_pushed
+      FROM e, k WHERE event_id < k.k
+      UNION ALL
+      SELECT 'desc', count(*), CAST(sum(cents) AS BIGINT),
+             min(event_id), max(event_id), CAST(1 AS BIGINT), TRUE
+      FROM e, k WHERE event_id >= k.n - k.k
+      ORDER BY dir""")),
+    Q("q149_storage_partitioned_join", q149StoragePartitionedJoin, Some("""
+      WITH e AS (SELECT event_id % 4 AS bucket4,
+                        CAST(round(value * 100) AS BIGINT) AS cents
+                 FROM events)
+      SELECT bucket4, count(*) AS n_rows,
+             CAST(sum(3 * cents) AS BIGINT) AS sum_c3,
+             CAST(0 AS BIGINT) AS n_shuffles,
+             CAST(2 AS BIGINT) AS n_keygrouped_scans
+      FROM e GROUP BY bucket4 ORDER BY bucket4""")),
     Q("q137_lake_partitioned", q137LakePartitioned, Some("""
       WITH p AS (
         SELECT CAST(round(value * 100) AS BIGINT) AS cents

@@ -29,7 +29,11 @@ class CatalogSpec extends SparkTestBase {
     // as their exact side, plus a 1-row broadcast hits × 8-row
     // per-query frame cross (the q93 shape); e4's containment
     // certificate crosses two 1-row flag aggregates the same way
-    "e2_ann_lsh", "e5_ann_ivf", "e7_ann_ivfpq", "e4_near_dup_lsh")
+    "e2_ann_lsh", "e5_ann_ivf", "e7_ann_ivfpq", "e4_near_dup_lsh",
+    // CROSS JOIN against a 1-row query-vector subselect — the SQL
+    // spelling of e1's broadcast-the-query pattern; the bounded side
+    // is one row by construction (vec_id = 0)
+    "q147_sql_scalar_functions")
 
   test("every catalog query executes, returns rows, and plans clean at sf0.001") {
     Catalog.all.foreach { q =>
