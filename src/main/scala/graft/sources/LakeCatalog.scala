@@ -49,7 +49,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 final class GraftLakeCatalog extends TableCatalog
     with StagingTableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog
-    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.ViewCatalog {
 
   private var catalogName: String = _
   private var base: String = _
@@ -341,6 +342,21 @@ final class GraftLakeCatalog extends TableCatalog
           .getOrElse((loadTable(ident).schema(), Map.empty[String, String]))
         writeProps(ident, sch, props +
           (set.property().toLowerCase(java.util.Locale.ROOT) -> set.value()))
+      case add: TableChange.AddConstraint =>
+        val kv = constraintProps(Array(add.constraint()))
+        val (sch, props) = readProps(ident)
+          .getOrElse((loadTable(ident).schema(), Map.empty[String, String]))
+        kv.keys.foreach(k => require(!props.contains(k),
+          s"constraint already exists: ${k.stripPrefix("constraint.")}"))
+        writeProps(ident, sch, props ++ kv)
+      case drop: TableChange.DropConstraint =>
+        val key = "constraint." +
+          drop.name().toLowerCase(java.util.Locale.ROOT)
+        val (sch, props) = readProps(ident)
+          .getOrElse((loadTable(ident).schema(), Map.empty[String, String]))
+        require(drop.ifExists() || props.contains(key),
+          s"no constraint '${drop.name()}' on ${ident.name()}")
+        writeProps(ident, sch, props - key)
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change not supported by the graft lake: $other")
     }
@@ -475,6 +491,165 @@ final class GraftLakeCatalog extends TableCatalog
         s"no procedure '$other' in catalog $catalogName " +
           "(have: optimize, vacuum, restore, history)")
     }
+
+  // -- persisted SQL VIEWS (DSv2 ViewCatalog) ---------------------------
+  // `CREATE VIEW <cat>.v AS SELECT …` persists the view TEXT (plus
+  // schema and resolution context) as `_view.json` in the view's
+  // directory; `SELECT … FROM <cat>.v` re-resolves the text in any
+  // session that mounts the catalog. Views and tables share the
+  // namespace directory tree and exclude each other by name.
+
+  private def viewPath(ident: Identifier): Path =
+    dirOf(ident).resolve("_view.json")
+
+  override def viewExists(ident: Identifier): Boolean =
+    Files.exists(viewPath(ident))
+
+  private def jstr(v: org.json4s.JValue): String =
+    v.asInstanceOf[org.json4s.JsonAST.JString].s
+
+  private def jarr(v: org.json4s.JValue): Array[String] = v match {
+    case org.json4s.JsonAST.JArray(xs) =>
+      xs.collect { case org.json4s.JsonAST.JString(x) => x }.toArray
+    case _ => Array.empty
+  }
+
+  private def writeViewJson(ident: Identifier, sql: String,
+      curCat: String, curNs: Array[String], schema: StructType,
+      qcols: Array[String], aliases: Array[String],
+      comments: Array[String], props: Map[String, String]): Unit = {
+    import org.json4s.JsonAST._
+    val obj = JObject(List(
+      "sql" -> JString(sql),
+      "currentCatalog" -> JString(curCat),
+      "currentNamespace" -> JArray(curNs.toList.map(JString(_))),
+      "schema" -> JString(schema.json),
+      "queryColumnNames" -> JArray(qcols.toList.map(JString(_))),
+      "columnAliases" -> JArray(aliases.toList.map(JString(_))),
+      "columnComments" -> JArray(comments.toList.map(JString(_))),
+      "props" -> JObject(props.toList.map { case (k, v) =>
+        k -> (JString(v): JValue) })))
+    Files.createDirectories(dirOf(ident))
+    Files.write(viewPath(ident),
+      org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(obj))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+  }
+
+  override def createView(
+      info: org.apache.spark.sql.connector.catalog.ViewInfo)
+      : org.apache.spark.sql.connector.catalog.View = {
+    val ident = info.ident()
+    require(!tableExists(ident),
+      s"cannot CREATE VIEW ${ident.name()}: a table with that name exists")
+    if (viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(ident)
+    writeViewJson(ident, info.sql(), info.currentCatalog(),
+      info.currentNamespace(), info.schema(), info.queryColumnNames(),
+      info.columnAliases(), info.columnComments(),
+      info.properties().asScala.toMap)
+    loadView(ident)
+  }
+
+  override def replaceView(
+      info: org.apache.spark.sql.connector.catalog.ViewInfo,
+      orCreate: Boolean): org.apache.spark.sql.connector.catalog.View = {
+    val ident = info.ident()
+    require(!tableExists(ident),
+      s"cannot REPLACE VIEW ${ident.name()}: a table with that name exists")
+    if (!viewExists(ident) && !orCreate)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident)
+    writeViewJson(ident, info.sql(), info.currentCatalog(),
+      info.currentNamespace(), info.schema(), info.queryColumnNames(),
+      info.columnAliases(), info.columnComments(),
+      info.properties().asScala.toMap)
+    loadView(ident)
+  }
+
+  override def loadView(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.View = {
+    if (!viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident)
+    val ast = org.json4s.jackson.JsonMethods.parse(
+      new String(Files.readAllBytes(viewPath(ident)),
+        java.nio.charset.StandardCharsets.UTF_8))
+    val props: Map[String, String] = (ast \ "props") match {
+      case o: org.json4s.JsonAST.JObject => o.obj.collect {
+        case (k, org.json4s.JsonAST.JString(v)) => k -> v }.toMap
+      case _ => Map.empty
+    }
+    new org.apache.spark.sql.connector.catalog.View {
+      override def name(): String =
+        (ident.namespace() :+ ident.name()).mkString(".")
+      override def query(): String = jstr(ast \ "sql")
+      override def currentCatalog(): String = jstr(ast \ "currentCatalog")
+      override def currentNamespace(): Array[String] =
+        jarr(ast \ "currentNamespace")
+      override def schema(): StructType =
+        DataType.fromJson(jstr(ast \ "schema")).asInstanceOf[StructType]
+      override def queryColumnNames(): Array[String] =
+        jarr(ast \ "queryColumnNames")
+      override def columnAliases(): Array[String] =
+        jarr(ast \ "columnAliases")
+      override def columnComments(): Array[String] =
+        jarr(ast \ "columnComments")
+      override def properties(): java.util.Map[String, String] =
+        props.asJava
+    }
+  }
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val dir = Paths.get(base, namespace: _*)
+    if (!Files.isDirectory(dir)) Array.empty
+    else Files.list(dir).iterator().asScala
+      .filter(Files.isDirectory(_))
+      .map(p => Identifier.of(namespace.toArray, p.getFileName.toString))
+      .filter(viewExists)
+      .toArray
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    viewExists(ident) && {
+      Files.delete(viewPath(ident))
+      // the dir held only the view
+      if (Files.list(dirOf(ident)).count() == 0)
+        Files.delete(dirOf(ident))
+      true
+    }
+
+  override def renameView(oldIdent: Identifier,
+      newIdent: Identifier): Unit = {
+    if (!viewExists(oldIdent))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(oldIdent)
+    if (viewExists(newIdent) || tableExists(newIdent))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(newIdent)
+    Files.createDirectories(dirOf(newIdent))
+    Files.move(viewPath(oldIdent), viewPath(newIdent)): Unit
+    if (Files.list(dirOf(oldIdent)).count() == 0)
+      Files.delete(dirOf(oldIdent)): Unit
+  }
+
+  override def alterView(ident: Identifier,
+      changes: org.apache.spark.sql.connector.catalog.ViewChange*)
+      : org.apache.spark.sql.connector.catalog.View = {
+    val v = loadView(ident)
+    val props = changes.foldLeft(v.properties().asScala.toMap) {
+      case (m, set: org.apache.spark.sql.connector.catalog
+          .ViewChange.SetProperty) => m + (set.property() -> set.value())
+      case (m, rm: org.apache.spark.sql.connector.catalog
+          .ViewChange.RemoveProperty) => m - rm.property()
+      case (m, _) => m
+    }
+    writeViewJson(ident, v.query(), v.currentCatalog(),
+      v.currentNamespace(), v.schema(), v.queryColumnNames(),
+      v.columnAliases(), v.columnComments(), props)
+    loadView(ident)
+  }
 
   // -- catalog-shipped SQL functions ------------------------------------
   // `SELECT <cat>.cosine_sim(a, b)` etc. — the DSv2 FunctionCatalog
@@ -835,6 +1010,63 @@ object LakeCatalogQueries {
         "files_after_overwrite", "bucket2_files", "n_rows", "sum_cents")
   }
 
+  /** Judged ENFORCED CHECK constraints (DSv2 constraints protocol):
+    * the table declares `CHECK (cents >= 0)` at CREATE, the catalog
+    * persists and SERVES it (`Table.constraints()`), and SPARK's
+    * analyzer enforces it on every write — the valid bulk INSERT
+    * lands, the violating INSERT throws and publishes NOTHING
+    * (head version pinned unchanged), and `ALTER TABLE … ADD
+    * CONSTRAINT` tightens the contract on a live table (the
+    * now-too-large re-insert refused). Declarative data quality at
+    * the table boundary — at 100 TB the constraint runs inside the
+    * write's own codegen pass, not as a post-hoc audit query.
+    */
+  def q154CheckConstraints(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftcat",
+      "graft.sources.GraftLakeCatalog")
+    s.conf.set("spark.sql.catalog.graftcat.root", catBase)
+    s.sql("DROP TABLE IF EXISTS graftcat.q154")
+    Tables.events(s, d).select(col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("q154_events")
+    s.sql("""
+      CREATE TABLE graftcat.q154 (
+        event_id BIGINT, cents BIGINT,
+        CONSTRAINT nonneg_cents CHECK (cents >= 0))
+      TBLPROPERTIES ('statCol' = 'event_id')""")
+    s.sql("""
+      INSERT INTO graftcat.q154
+      SELECT event_id, cents FROM q154_events""").collect(): Unit
+    val root = s"$catBase/q154"
+    val headAfterLoad = SnapshotLake.headVersion(root)
+    val violationRefused =
+      try {
+        s.sql("INSERT INTO graftcat.q154 VALUES (-1, -5)").collect()
+        false
+      } catch { case _: Exception => true }
+    val nothingPublished = SnapshotLake.headVersion(root) == headAfterLoad
+    s.sql("""
+      ALTER TABLE graftcat.q154
+      ADD CONSTRAINT cents_cap CHECK (cents < 1000000000)""")
+    val nConstraints = s.sessionState.catalogManager.catalog("graftcat")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(Identifier.of(Array.empty, "q154"))
+      .constraints().length.toLong
+    val capRefused =
+      try {
+        s.sql("INSERT INTO graftcat.q154 VALUES (2, 2000000000)").collect()
+        false
+      } catch { case _: Exception => true }
+    val agg = s.table("graftcat.q154")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+      .collect().head
+    import s.implicits._
+    Seq((violationRefused, nothingPublished, capRefused, nConstraints,
+        agg.getLong(0), agg.getLong(1)))
+      .toDF("violation_refused", "nothing_published", "cap_refused",
+        "n_constraints", "n_rows", "sum_cents")
+  }
+
   // the e1/e3 cosine replay (list ops accumulate in index order, the
   // same IEEE order the engine uses)
   private def cosOracleSql(a: String, b: String): String =
@@ -844,6 +1076,15 @@ object LakeCatalogQueries {
        |       sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
 
   val queries: Seq[Q] = Seq(
+    Q("q154_check_constraints", q154CheckConstraints, Some("""
+      SELECT TRUE AS violation_refused,
+             TRUE AS nothing_published,
+             TRUE AS cap_refused,
+             CAST(2 AS BIGINT) AS n_constraints,
+             count(*) AS n_rows,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+      FROM events""")),
     Q("q153_partition_dml", q153PartitionDml, Some("""
       WITH e AS (SELECT event_id, event_id % 4 AS bucket4,
                         CAST(round(value * 100) AS BIGINT) AS cents

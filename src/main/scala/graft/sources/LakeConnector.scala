@@ -135,6 +135,25 @@ final class LakeTable(root: String, asOf: Option[Int], tschema: StructType,
     opts.get("partcol").map(pc =>
       org.apache.spark.sql.connector.expressions.Expressions.identity(pc))
       .toArray
+
+  /** Enforced CHECK constraints (`constraint.<name>` props, the
+    * DSv2 constraints protocol): serving them here is the whole
+    * enforcement story — Spark's analyzer wraps every batch write to
+    * this table with the validation, so a violating INSERT / UPDATE
+    * / MERGE throws before one file stages. Deterministic order for
+    * stable DESCRIBE output.
+    */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    opts.toSeq
+      .collect { case (k, v) if k.startsWith("constraint.") =>
+        (k.stripPrefix("constraint."), v) }
+      .sortBy(_._1)
+      .map { case (n, sql) =>
+        org.apache.spark.sql.connector.catalog.constraints.Constraint
+          .check(n).predicateSql(sql).enforced(true).build()
+          : org.apache.spark.sql.connector.catalog.constraints.Constraint }
+      .toArray
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
