@@ -106,7 +106,8 @@ final class LakeTable(root: String, asOf: Option[Int], tschema: StructType,
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
 
   /** `_file` — the data file each row resides in, answered as a
     * per-split constant vector (zero decode cost). Doubles as the
@@ -135,6 +136,113 @@ final class LakeTable(root: String, asOf: Option[Int], tschema: StructType,
     opts.get("partcol").map(pc =>
       org.apache.spark.sql.connector.expressions.Expressions.identity(pc))
       .toArray
+
+  // -- SHOW PARTITIONS / ALTER TABLE DROP PARTITION ---------------------
+  // Partitions are DEFINED BY DATA (a value exists while tagged files
+  // hold it): SHOW PARTITIONS lists the distinct manifest tags —
+  // metadata only — and DROP PARTITION routes to the metadata-only
+  // partition delete. ADD PARTITION is refused (INSERT creates
+  // partitions); an unpartitioned table reports an empty partition
+  // schema, which Spark turns into its own clear "not partitioned"
+  // analysis error.
+
+  private def partColType: Option[(String,
+      org.apache.spark.sql.types.DataType)] =
+    opts.get("partcol").flatMap(pc =>
+      tschema.fields.find(_.name.equalsIgnoreCase(pc))
+        .map(f => (f.name, f.dataType)))
+
+  override def partitionSchema(): StructType =
+    partColType.fold(new StructType()) { case (n, dt) =>
+      StructType(Seq(org.apache.spark.sql.types.StructField(n, dt))) }
+
+  private def typedTag(v: String,
+      dt: org.apache.spark.sql.types.DataType): Any = dt match {
+    case org.apache.spark.sql.types.LongType => java.lang.Long.valueOf(v.toLong)
+    case org.apache.spark.sql.types.IntegerType =>
+      java.lang.Integer.valueOf(v.toInt)
+    case org.apache.spark.sql.types.ShortType =>
+      java.lang.Short.valueOf(v.toShort)
+    case org.apache.spark.sql.types.BooleanType =>
+      java.lang.Boolean.valueOf(v.toBoolean)
+    case _ => org.apache.spark.unsafe.types.UTF8String.fromString(v)
+  }
+
+  private def tagOf(row: InternalRow,
+      dt: org.apache.spark.sql.types.DataType): String = dt match {
+    case org.apache.spark.sql.types.LongType => row.getLong(0).toString
+    case org.apache.spark.sql.types.IntegerType => row.getInt(0).toString
+    case org.apache.spark.sql.types.ShortType => row.getShort(0).toString
+    case org.apache.spark.sql.types.BooleanType =>
+      row.getBoolean(0).toString
+    case _ => row.getUTF8String(0).toString
+  }
+
+  private def liveTagValues(pc: String): Seq[String] =
+    SnapshotLake.snapshot(root, asOf).files
+      .flatMap(_.part.collect {
+        case (c, v) if c.equalsIgnoreCase(pc) => v })
+      .distinct.sorted
+
+  override def listPartitionIdentifiers(names: Array[String],
+      ident: InternalRow): Array[InternalRow] =
+    partColType.fold(Array.empty[InternalRow]) { case (pc, dt) =>
+      val all = liveTagValues(pc)
+      val wanted =
+        if (names.isEmpty) all
+        else all.filter(v => tagOf(ident, dt) == v)
+      wanted.map(v =>
+        new GenericInternalRow(Array(typedTag(v, dt))): InternalRow)
+        .toArray
+    }
+
+  override def partitionExists(ident: InternalRow): Boolean =
+    partColType.exists { case (pc, dt) =>
+      liveTagValues(pc).contains(tagOf(ident, dt)) }
+
+  override def dropPartition(ident: InternalRow): Boolean = {
+    require(asOf.isEmpty,
+      s"cannot DROP PARTITION on a time-travel snapshot of $root")
+    partColType.exists { case (pc, dt) =>
+      val snap = SnapshotLake.snapshot(root)
+      require(snap.files.forall(_.part.exists(_._1.equalsIgnoreCase(pc))),
+        s"DROP PARTITION needs a fully '$pc'-tagged snapshot — an " +
+          "untagged file might hold rows of this partition; use " +
+          "DELETE FROM (row-level) instead")
+      val v = tagOf(ident, dt)
+      liveTagValues(pc).contains(v) && {
+        SnapshotLake.deletePartition(root, pc, Set(v)); true
+      }
+    }
+  }
+
+  override def truncatePartition(ident: InternalRow): Boolean =
+    dropPartition(ident) // same storage effect: the value's files leave
+
+  override def createPartition(ident: InternalRow,
+      properties: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graft lake partitions are defined by data — INSERT creates them")
+
+  override def replacePartitionMetadata(ident: InternalRow,
+      properties: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graft lake partitions carry no mutable metadata")
+
+  /** Per-partition observability from the manifest: file and row
+    * counts for the value, zero data files opened.
+    */
+  override def loadPartitionMetadata(ident: InternalRow)
+      : java.util.Map[String, String] =
+    partColType.fold(
+      java.util.Collections.emptyMap[String, String]()) { case (pc, dt) =>
+      val v = tagOf(ident, dt)
+      val fs = SnapshotLake.snapshot(root, asOf).files
+        .filter(_.part.exists { case (c, pv) =>
+          c.equalsIgnoreCase(pc) && pv == v })
+      java.util.Map.of("files", fs.size.toString,
+        "rows", fs.map(_.rows).sum.toString)
+    }
 
   /** Enforced CHECK constraints (`constraint.<name>` props, the
     * DSv2 constraints protocol): serving them here is the whole

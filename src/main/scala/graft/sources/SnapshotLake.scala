@@ -2470,7 +2470,15 @@ object SnapshotLake {
       commit(s, root,
         ev.where(col("event_id") % 17 === i).coalesce(1), "event_id"))
     val textBytes = Files.size(manifestPath(root, 16))
-    val side = s.read.parquet(s"$root/_log/v00016.ckpt-*.parquet")
+    // resolve the checkpoint sidecar by listing (a glob path makes
+    // Spark's FileStreamSink metadata probe log a harmless-but-noisy
+    // FileNotFoundException stack before the glob resolves)
+    val ckptFile = Files.list(Paths.get(root, "_log")).iterator().asScala
+      .map(_.toString)
+      .find(p => p.contains("/v00016.ckpt-") && p.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(
+        s"no v16 checkpoint sidecar under $root/_log"))
+    val side = s.read.parquet(ckptFile)
     side.agg(count(lit(1)).as("n_files"), sum(col("rows")).as("n_rows"),
         min(col("lo")).as("min_lo"), max(col("hi")).as("max_hi"))
       .select(

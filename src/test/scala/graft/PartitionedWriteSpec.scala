@@ -219,6 +219,58 @@ class PartitionedWriteSpec extends SparkTestBase {
     }
   }
 
+  test("SHOW PARTITIONS lists manifest tags; DROP PARTITION is " +
+      "metadata-only") {
+    withCatalog {
+      ev.createOrReplaceTempView("pw_sp")
+      spark.sql(s"""
+        CREATE TABLE $cat.sp (event_id BIGINT, bucket4 BIGINT, cents BIGINT)
+        PARTITIONED BY (bucket4) TBLPROPERTIES ('statCol' = 'event_id')""")
+      spark.sql(s"INSERT INTO $cat.sp SELECT * FROM pw_sp").collect()
+      val parts = spark.sql(s"SHOW PARTITIONS $cat.sp")
+        .collect().map(_.getString(0)).sorted
+      assert(parts === Array("bucket4=0", "bucket4=1", "bucket4=2",
+        "bucket4=3"))
+      val filesBefore = SnapshotLake.snapshot(s"$suiteBase/sp").files
+      spark.sql(s"ALTER TABLE $cat.sp DROP PARTITION (bucket4 = 2)")
+      val after = SnapshotLake.snapshot(s"$suiteBase/sp")
+      assert(after.files.size === 3)
+      assert(after.files.map(_.name).toSet
+        .subsetOf(filesBefore.map(_.name).toSet))
+      assert(spark.sql(s"SHOW PARTITIONS $cat.sp")
+        .collect().map(_.getString(0)).sorted ===
+        Array("bucket4=0", "bucket4=1", "bucket4=3"))
+      assert(spark.table(s"$cat.sp").count() ===
+        ev.where(col("bucket4") =!= 2).count())
+      // dropping a missing partition without IF EXISTS errors; with
+      // IF EXISTS it is a no-op
+      val e = intercept[Exception] {
+        spark.sql(s"ALTER TABLE $cat.sp DROP PARTITION (bucket4 = 9)")
+      }
+      assert(e.getMessage.toLowerCase.contains("partition"))
+      spark.sql(
+        s"ALTER TABLE $cat.sp DROP IF EXISTS PARTITION (bucket4 = 9)")
+      // ADD PARTITION is refused: partitions are defined by data
+      val e2 = intercept[Exception] {
+        spark.sql(s"ALTER TABLE $cat.sp ADD PARTITION (bucket4 = 7)")
+      }
+      assert(e2.getMessage.contains("INSERT creates them"))
+    }
+  }
+
+  test("SHOW PARTITIONS on an unpartitioned table fails with " +
+      "Spark's own clear error") {
+    withCatalog {
+      spark.sql(s"""
+        CREATE TABLE $cat.up (id BIGINT)
+        TBLPROPERTIES ('statCol' = 'id')""")
+      val e = intercept[Exception] {
+        spark.sql(s"SHOW PARTITIONS $cat.up").collect()
+      }
+      assert(e.getMessage.toLowerCase.contains("partition"))
+    }
+  }
+
   test("appends to a partitioned table keep tagging; mixed specs " +
       "stay readable") {
     withCatalog {
