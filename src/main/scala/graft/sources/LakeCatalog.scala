@@ -206,7 +206,9 @@ final class GraftLakeCatalog extends TableCatalog
       : java.util.Set[org.apache.spark.sql.connector.catalog
         .TableCatalogCapability] =
     java.util.Set.of(org.apache.spark.sql.connector.catalog
-      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   private def constraintProps(
       cs: Array[org.apache.spark.sql.connector.catalog.constraints.Constraint])
@@ -225,8 +227,33 @@ final class GraftLakeCatalog extends TableCatalog
   private def create0(ident: Identifier, schema: StructType,
       partitions: Array[Transform], props0: Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    val props = props0 ++
-      partColOf(partitions).map { pc =>
+    // `CLUSTER BY (x, y)` arrives as a ClusterByTransform among the
+    // partition transforms: it only RECORDS the clustering intent
+    // (Delta liquid-clustering economics) — `CALL <cat>.cluster(...)`
+    // applies the Morton re-layout; meanwhile the second clustering
+    // column doubles as the chain's dim2 stat column so every commit
+    // records the boxes the 2-D prune reads.
+    val (clusterT, partT) = partitions.partition(
+      _.isInstanceOf[org.apache.spark.sql.connector.expressions
+        .ClusterByTransform])
+    val clusterProps = clusterT.headOption.map {
+      case c: org.apache.spark.sql.connector.expressions
+          .ClusterByTransform =>
+        val cols = c.columnNames.map(_.fieldNames().mkString("."))
+        require(cols.length == 2,
+          "graft lake CLUSTER BY takes exactly two columns (the " +
+            "Morton layout's two dimensions), got " +
+            cols.mkString("(", ", ", ")"))
+        cols.foreach(cc => require(
+          schema.fieldNames.exists(_.equalsIgnoreCase(cc)),
+          s"CLUSTER BY column '$cc' not in the table schema"))
+        require(partT.isEmpty,
+          "CLUSTER BY cannot combine with PARTITIONED BY")
+        Map("clustercols" -> cols.mkString(","),
+          "statcol2" -> cols(1))
+    }.getOrElse(Map.empty)
+    val props = props0 ++ clusterProps ++
+      partColOf(partT).map { pc =>
         require(schema.fieldNames.exists(_.equalsIgnoreCase(pc)),
           s"PARTITIONED BY column '$pc' not in the table schema")
         "partcol" -> pc
@@ -298,6 +325,30 @@ final class GraftLakeCatalog extends TableCatalog
       schema: StructType, props: Map[String, String]): Unit =
     writeProps(ident, schema, props)
 
+  /** `ADD COLUMN` → StructField carrying Spark's default-value
+    * encoding (the ResolveDefaultColumns field-metadata contract):
+    * `CURRENT_DEFAULT` = the DDL's SQL text, filled into future
+    * INSERTs that omit the column; `EXISTS_DEFAULT` = the
+    * constant-folded value's SQL, served for every data file written
+    * before the column existed. The exists SQL renders through
+    * catalyst `Literal.sql` — the exact round-trip
+    * `getExistenceDefaultValue` re-parses on read.
+    */
+  private def encodeAddColumn(add: TableChange.AddColumn)
+      : org.apache.spark.sql.types.StructField = {
+    var f = org.apache.spark.sql.types.StructField(
+      add.fieldNames()(0), add.dataType(), add.isNullable())
+    Option(add.comment()).foreach(c => f = f.withComment(c))
+    Option(add.defaultValue()).foreach { d =>
+      val lv = d.getValue()
+      val existsSql = org.apache.spark.sql.catalyst.expressions
+        .Literal(lv.value(), lv.dataType()).sql
+      f = f.withCurrentDefaultValue(Option(d.getSql()).getOrElse(existsSql))
+        .withExistenceDefaultValue(existsSql)
+    }
+    f
+  }
+
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
@@ -307,13 +358,15 @@ final class GraftLakeCatalog extends TableCatalog
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
           "nested ADD COLUMN is not supported")
+        require(add.position() == null,
+          "column position (FIRST / AFTER) is not supported — " +
+            "columns append at the end")
+        val encoded = encodeAddColumn(add)
         if (committed)
-          SnapshotLake.addColumn(root, add.fieldNames()(0), add.dataType())
+          SnapshotLake.addColumn(root, encoded)
         else {
           val (sch, props) = readProps(ident).get
-          writeProps(ident, StructType(sch.fields :+
-            org.apache.spark.sql.types.StructField(
-              add.fieldNames()(0), add.dataType())), props)
+          writeProps(ident, StructType(sch.fields :+ encoded), props)
         }
       case ren: TableChange.RenameColumn =>
         require(ren.fieldNames().length == 1,
@@ -335,6 +388,23 @@ final class GraftLakeCatalog extends TableCatalog
           val (sch, props) = readProps(ident).get
           writeProps(ident, StructType(sch.fields.filterNot(
             _.name.equalsIgnoreCase(del.fieldNames()(0)))), props)
+        }
+      case upd: TableChange.UpdateColumnDefaultValue =>
+        require(upd.fieldNames().length == 1,
+          "nested ALTER COLUMN is not supported")
+        // `DROP DEFAULT` arrives as the empty string; the change
+        // governs CURRENT_DEFAULT (future inserts) only — the
+        // existence default is fixed at ADD COLUMN time
+        val sql = Option(upd.newDefaultValue()).filter(_.nonEmpty)
+        if (committed)
+          SnapshotLake.updateColumnDefault(root, upd.fieldNames()(0), sql)
+        else {
+          val (sch, props) = readProps(ident).get
+          writeProps(ident, StructType(sch.fields.map(f =>
+            if (f.name.equalsIgnoreCase(upd.fieldNames()(0)))
+              sql.fold(f.clearCurrentDefaultValue())(
+                f.withCurrentDefaultValue)
+            else f)), props)
         }
       case set: TableChange.SetProperty =>
         val (sch, props) = readProps(ident)
@@ -434,7 +504,7 @@ final class GraftLakeCatalog extends TableCatalog
 
   override def listProcedures(namespace: Array[String])
       : Array[Identifier] =
-    Array("optimize", "vacuum", "restore", "history")
+    Array("optimize", "cluster", "vacuum", "restore", "history")
       .map(Identifier.of(namespace, _))
 
   override def loadProcedure(ident: Identifier): UnboundProcedure =
@@ -452,6 +522,28 @@ final class GraftLakeCatalog extends TableCatalog
           in.getLong(1))
         Seq(r.version.toLong, r.filesBefore.toLong, r.filesAfter.toLong,
           r.filesCompacted.toLong)
+      }
+      case "cluster" => proc("cluster",
+        Seq(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("target_rows", LongType).build()),
+        StructType(Seq(
+          StructField("version", LongType),
+          StructField("files_before", LongType),
+          StructField("files_after", LongType),
+          StructField("buckets", LongType)))) { in =>
+        val t = in.getUTF8String(0).toString
+        val root = tableRoot(in)
+        val cols = readProps(Identifier.of(Array.empty, t))
+          .flatMap(_._2.get("clustercols"))
+          .getOrElse(throw new IllegalArgumentException(
+            s"table '$t' has no clustering columns — " +
+              "CREATE TABLE ... CLUSTER BY (x, y) first"))
+        val Array(x, y) = cols.split(",")
+        val r = SnapshotLake.clusterLake(
+          org.apache.spark.sql.SparkSession.active, root, x, y,
+          in.getLong(1))
+        Seq(r.version.toLong, r.filesBefore.toLong, r.filesAfter.toLong,
+          r.buckets.toLong)
       }
       case "vacuum" => proc("vacuum",
         Seq(ProcedureParameter.in("table", StringType).build(),
@@ -488,7 +580,7 @@ final class GraftLakeCatalog extends TableCatalog
       }
       case other => throw new UnsupportedOperationException(
         s"no procedure '$other' in catalog $catalogName " +
-          "(have: optimize, vacuum, restore, history)")
+          "(have: optimize, cluster, vacuum, restore, history)")
     }
 
   // -- catalog-shipped SQL functions ------------------------------------
@@ -951,6 +1043,118 @@ object LakeCatalogQueries {
         "drop_metadata_only", "n_files_after", "n_rows", "sum_cents")
   }
 
+  /** Judged CLUSTER BY (Delta liquid-clustering economics): the DDL
+    * records the two clustering columns, `CALL <cat>.cluster(...)`
+    * applies the fixed-width Morton re-layout (16 buckets here), and
+    * a 2-D box predicate through the DSv2 scan must READ EXACTLY the
+    * 2 of 16 files whose z-prefix covers the box — the executed
+    * plan's LakeScan is the certificate, hash-checked, so a broken
+    * DDL→layout→prune chain goes red, not slow. Thresholds derive
+    * from the same exact-integer 16-bit lattice the layout used
+    * (q96's discipline), replayed independently by the oracle.
+    */
+  def q157ClusterBy(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftcat",
+      "graft.sources.GraftLakeCatalog")
+    s.conf.set("spark.sql.catalog.graftcat.root", catBase)
+    s.sql("DROP TABLE IF EXISTS graftcat.q157")
+    val ev = Tables.events(s, d).select(
+      col("user_id"),
+      expr("CAST(CAST(ts AS BIGINT) div 86400 AS BIGINT)").as("dy"),
+      round(col("value") * 100).cast("long").as("cents"))
+    ev.createOrReplaceTempView("q157_events")
+    s.sql("""
+      CREATE TABLE graftcat.q157 (user_id BIGINT, dy BIGINT, cents BIGINT)
+      CLUSTER BY (user_id, dy)
+      TBLPROPERTIES ('statCol' = 'user_id')""")
+    s.sql("INSERT INTO graftcat.q157 SELECT * FROM q157_events")
+      .collect(): Unit
+    val rows = ev.count()
+    val clustered = s.sql(s"""
+      CALL graftcat.cluster(table => 'q157',
+        target_rows => ${(rows + 15) / 16})""").collect().head
+    val (nAfter, buckets) =
+      (clustered.getLong(2), clustered.getLong(3))
+    // query box on the layout's own 16-bit lattice (q96 thresholds:
+    // top half of users × first quarter of days -> buckets {0100,0101})
+    val b = ev.agg(min(col("user_id")), max(col("user_id")),
+      min(col("dy")), max(col("dy"))).head()
+    val (xLo, xHi, yLo, yHi) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    def ceilDiv(a: Long, q: Long): Long = (a + q - 1) / q
+    val xq = xLo + ceilDiv(32768L * (xHi - xLo), 65535L)
+    val yq = yLo + ceilDiv(16384L * (yHi - yLo), 65535L)
+    val boxed = s.table("graftcat.q157")
+      .where(col("user_id") >= xq && col("dy") < yq)
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+    val agg = boxed.collect().head
+    val scan = LakeScan.findIn(boxed.queryExecution.executedPlan)
+      .getOrElse(throw new IllegalStateException(
+        "no LakeScan in the executed q157 plan"))
+    import s.implicits._
+    Seq((buckets, nAfter, scan.effectiveFiles.size.toLong,
+        agg.getLong(0), agg.getLong(1)))
+      .toDF("n_buckets", "n_files_total", "n_files_read",
+        "n_events", "sum_cents")
+  }
+
+  /** Judged column DEFAULT values (DSv2
+    * SUPPORT_COLUMN_DEFAULT_VALUE): the full lifecycle — CREATE,
+    * `ADD COLUMN … DEFAULT` (metadata-only, hash-pinned: zero files
+    * touched), existence-default fill for pre-evolution rows, the
+    * current default filling subset INSERTs, `SET DEFAULT` governing
+    * only later inserts, and a CoW UPDATE materializing the exists
+    * fill in rewritten files. DuckDB replays the whole timeline as a
+    * CASE over the insert batches.
+    */
+  def q156ColumnDefaults(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftcat",
+      "graft.sources.GraftLakeCatalog")
+    s.conf.set("spark.sql.catalog.graftcat.root", catBase)
+    s.sql("DROP TABLE IF EXISTS graftcat.q156")
+    Tables.events(s, d).select(col("event_id"),
+        (col("event_id") % 4).as("b"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("q156_events")
+    s.sql("""
+      CREATE TABLE graftcat.q156 (event_id BIGINT, cents BIGINT)
+      TBLPROPERTIES ('statCol' = 'event_id')""")
+    s.sql("""
+      INSERT INTO graftcat.q156
+      SELECT event_id, cents FROM q156_events WHERE b = 0""")
+      .collect(): Unit
+    val root = s"$catBase/q156"
+    val before = SnapshotLake.snapshot(root)
+    s.sql(
+      "ALTER TABLE graftcat.q156 ADD COLUMN src STRING DEFAULT 'legacy'")
+    val after = SnapshotLake.snapshot(root)
+    val addMetadataOnly = after.version == before.version + 1 &&
+      after.files.map(_.name) == before.files.map(_.name)
+    s.sql("""
+      INSERT INTO graftcat.q156
+      SELECT event_id, cents, 'new' FROM q156_events WHERE b = 1""")
+      .collect(): Unit
+    s.sql("""
+      INSERT INTO graftcat.q156 (event_id, cents)
+      SELECT event_id, cents FROM q156_events WHERE b = 2""")
+      .collect(): Unit
+    s.sql("ALTER TABLE graftcat.q156 ALTER COLUMN src SET DEFAULT 'fresh'")
+    s.sql("""
+      INSERT INTO graftcat.q156 (event_id, cents)
+      SELECT event_id, cents FROM q156_events WHERE b = 3""")
+      .collect(): Unit
+    // CoW rewrite of the pre-evolution files: the exists fill must
+    // materialize as 'legacy' in every rewritten row
+    s.sql("""
+      UPDATE graftcat.q156 SET cents = cents + 1
+      WHERE event_id % 4 = 0""").collect(): Unit
+    s.table("graftcat.q156")
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+      .withColumn("add_metadata_only", lit(addMetadataOnly))
+      .orderBy(col("src"))
+  }
+
   // the e1/e3 cosine replay (list ops accumulate in index order, the
   // same IEEE order the engine uses)
   private def cosOracleSql(a: String, b: String): String =
@@ -960,6 +1164,35 @@ object LakeCatalogQueries {
        |       sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
 
   val queries: Seq[Q] = Seq(
+    Q("q157_cluster_by", q157ClusterBy, Some("""
+      WITH ev AS (SELECT user_id,
+                         CAST(floor(date_part('epoch', ts)) AS BIGINT)
+                           // 86400 AS dy,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events),
+      b AS (SELECT min(user_id) AS xlo, max(user_id) AS xhi,
+                   min(dy) AS ylo, max(dy) AS yhi FROM ev),
+      q AS (SELECT xlo + (32768 * (xhi - xlo) + 65534) // 65535 AS xq,
+                   ylo + (16384 * (yhi - ylo) + 65534) // 65535 AS yq
+            FROM b)
+      SELECT CAST(16 AS BIGINT) AS n_buckets,
+             CAST(16 AS BIGINT) AS n_files_total,
+             CAST(2 AS BIGINT) AS n_files_read,
+             count(*) AS n_events,
+             CAST(sum(cents) AS BIGINT) AS sum_cents
+      FROM ev, q WHERE user_id >= q.xq AND dy < q.yq""")),
+    Q("q156_column_defaults", q156ColumnDefaults, Some("""
+      WITH e AS (SELECT event_id, event_id % 4 AS b,
+                        CAST(round(value * 100) AS BIGINT) AS cents
+                 FROM events)
+      SELECT CASE WHEN b = 1 THEN 'new'
+                  WHEN b = 3 THEN 'fresh'
+                  ELSE 'legacy' END AS src,
+             count(*) AS n,
+             CAST(SUM(cents + CASE WHEN b = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS c,
+             TRUE AS add_metadata_only
+      FROM e GROUP BY 1 ORDER BY 1""")),
     Q("q155_partition_management", q155PartitionManagement, Some("""
       WITH e AS (SELECT event_id, event_id % 4 AS bucket4,
                         CAST(round(value * 100) AS BIGINT) AS cents

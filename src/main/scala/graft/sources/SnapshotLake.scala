@@ -436,6 +436,28 @@ object SnapshotLake {
       .foldLeft(-1)(math.max)
   }
 
+  /** The declared-schema sidecar a [[GraftLakeCatalog]] CREATE TABLE
+    * writes at `<root>/_table.json` — consulted on the lake's FIRST
+    * commit so the declared schema (nullability, column-DEFAULT
+    * field metadata) rules the manifest stamp rather than the write
+    * frame's. Absent for path-based lakes; unreadable sidecars read
+    * as absent (the stamp falls back to the frame schema — a plain
+    * degraded mode, never a failed commit).
+    */
+  private[sources] def declaredSchema(root: String)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val p = Paths.get(root, "_table.json")
+    if (!Files.exists(p)) None
+    else scala.util.Try {
+      val ast = org.json4s.jackson.JsonMethods.parse(
+        new String(Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8))
+      org.apache.spark.sql.types.DataType.fromJson(
+        (ast \ "schema").asInstanceOf[org.json4s.JsonAST.JString].s)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }.toOption
+  }
+
   /** Like [[snapshot]], but an uncommitted lake reads as an empty
     * version -1 snapshot instead of failing — what a freshly
     * `CREATE TABLE`d (schema-declared, never-inserted) DSv2 table
@@ -1278,6 +1300,67 @@ object SnapshotLake {
       statCol2, schemaJson = Some(df.schema.json))
   }
 
+  final case class ClusterResult(version: Int, filesBefore: Int,
+      filesAfter: Int, buckets: Int)
+
+  /** Re-cluster the live rows into fixed-width Morton buckets over
+    * two clustering columns — the maintenance half of `CLUSTER BY`
+    * (Delta liquid-clustering economics: the DDL only RECORDS the
+    * clustering intent; this verb applies it). Every output file
+    * gets a tight box in BOTH dimensions (dim2 stats recorded under
+    * `yCol`), so selective 2-D predicates prune to the few covering
+    * files. One "cluster" commit: pre-cluster versions stay
+    * byte-stable for time travel, concurrent appends rebase in (they
+    * simply stay unclustered until the next pass — absence never
+    * prunes). Cost shape: a 4-value bounds aggregate plus the one
+    * full-data pass any re-layout must pay.
+    */
+  def clusterLake(s: SparkSession, root: String, xCol: String,
+      yCol: String, targetRows: Long): ClusterResult = {
+    require(targetRows >= 1, "targetRows must be positive")
+    val base = snapshot(root)
+    if (base.files.isEmpty)
+      return ClusterResult(base.version, 0, 0, 0)
+    val df = readFiles(s, root, base, base.files)
+    val b = df.agg(min(col(xCol)).cast("long"), max(col(xCol)).cast("long"),
+      min(col(yCol)).cast("long"), max(col(yCol)).cast("long")).head()
+    require(!b.anyNull,
+      s"cannot cluster $root on ($xCol, $yCol): a clustering column " +
+        "is all-null or non-numeric")
+    val (xLo, xHi, yLo, yHi) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val rows = base.files.map(_.rows).sum
+    // pow2 bucket count sized to targetRows, capped: past 1024
+    // buckets the manifest stats dominate the win
+    val buckets = math.min(1024L,
+      java.lang.Long.highestOneBit(
+        math.max(1L, (rows + targetRows - 1) / targetRows) * 2 - 1)).toInt
+    val bucket = zOrderBucket(xCol, xLo, xHi, yCol, yLo, yHi, buckets)
+    val batch = s"data/b-${UUID.randomUUID().toString.take(8)}"
+    ColMap.toPhysical(df, base.schema).withColumn("__bucket", bucket)
+      .repartition(col("__bucket"))
+      .sortWithinPartitions(col(base.statCol))
+      .write.partitionBy("__bucket").parquet(s"$root/$batch")
+    val newFiles = statsFor(s, root, batch, base.statCol, base.bloomCol,
+      inheritedBloomBytes(base), Some(yCol))
+    var committed = -1
+    while (committed < 0) {
+      val head = snapshot(root)
+      // empty conflict envelope: concurrent appends carry unclustered
+      val appended =
+        rebaseCheck(base, head, base.files, Long.MaxValue, Long.MinValue)
+      if (tryPublish(root, head.version + 1, base.statCol, head.bloomCol,
+          overwrite = true, appended ++ newFiles, Some(yCol),
+          txns = head.txns, schemaJson = head.schemaJson,
+          op = Some("cluster"), parentFiles = Some(head.files),
+          retired = head.retired))
+        committed = head.version + 1
+    }
+    // committed-version file count (rebase may have carried appends)
+    ClusterResult(committed,
+      base.files.size, snapshot(root, Some(committed)).files.size, buckets)
+  }
+
   /** Hive-style PARTITION COLUMNS as a first-class lake concept: one
     * commit, one-or-more files per distinct `partCol` value, each
     * file TAGGED in the manifest with its (column, value) identity —
@@ -1453,7 +1536,27 @@ object SnapshotLake {
             .asInstanceOf[org.apache.spark.sql.types.StructType],
             headRetired).json)
         case (Some(p), None) => p.schemaJson
-        case (None, sj) => sj
+        case (None, sj) =>
+          // the lake's FIRST commit: a declared CREATE TABLE schema
+          // (the catalog's `_table.json` sidecar) rules the manifest
+          // stamp — the write frame's schema would tighten
+          // nullability (non-null data ≠ non-nullable column) and
+          // lose declared field metadata (column DEFAULTs). Evolve
+          // keeps declared fields verbatim and appends genuinely new
+          // ones. First commits ONLY (`head < 0`, not parent==None):
+          // an overwrite of an existing chain redeclares its own
+          // schema, and the sidecar goes stale after committed-chain
+          // ALTERs.
+          val declared =
+            if (head < 0) declaredSchema(root) else None
+          declared match {
+            case Some(decl) => Some(sj.fold(decl)(j =>
+              evolveSchema(decl,
+                org.apache.spark.sql.types.DataType.fromJson(j)
+                  .asInstanceOf[org.apache.spark.sql.types.StructType],
+                Set.empty)).json)
+            case None => sj
+          }
       }
       // the accumulated txn map ALWAYS carries forward — an overwrite
       // replaces the file list, never the replay-dedup horizon
@@ -1743,13 +1846,51 @@ object SnapshotLake {
     */
   def addColumn(root: String, name: String,
       dataType: org.apache.spark.sql.types.DataType): Int =
+    addColumn(root,
+      org.apache.spark.sql.types.StructField(name, dataType))
+
+  /** ADD COLUMN taking a full [[StructField]] — the DDL face passes
+    * fields already carrying Spark's default-value encoding
+    * (`CURRENT_DEFAULT` / `EXISTS_DEFAULT` field metadata, the
+    * ResolveDefaultColumns contract). With an EXISTS_DEFAULT every
+    * file lacking the column's bytes — pre-evolution files AND later
+    * subset appends — reads the default instead of null: the fill is
+    * Spark's parquet missing-column contract, keyed on byte absence,
+    * not on commit time. Still metadata-only: zero data files
+    * touched, one zero-action delta manifest.
+    */
+  def addColumn(root: String,
+      field: org.apache.spark.sql.types.StructField): Int =
     publishSchemaChange(root, "add_column", { (head, schema) =>
-      require(!schema.fields.exists(f => colKey(f.name) == colKey(name)),
-        s"column '$name' already exists")
+      require(!schema.fields.exists(f =>
+        colKey(f.name) == colKey(field.name)),
+        s"column '${field.name}' already exists")
       (evolveSchema(schema,
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField(name, dataType))),
+        org.apache.spark.sql.types.StructType(Seq(field)),
         head.retired),
+        head.retired)
+    })
+
+  /** ALTER COLUMN SET / DROP DEFAULT, metadata-only. Governs FUTURE
+    * inserts only (`CURRENT_DEFAULT`): rows already on disk keep
+    * reading their birth-time `EXISTS_DEFAULT` fill — re-stamping the
+    * existence default would silently rewrite history for every file
+    * missing the column (the Delta/Spark contract keeps the two
+    * independent for exactly this reason).
+    */
+  def updateColumnDefault(root: String, name: String,
+      sql: Option[String]): Int =
+    publishSchemaChange(root, "set_default", { (head, schema) =>
+      val annotated = ColMap.annotate(schema)
+      val i = annotated.fields.indexWhere(f =>
+        colKey(f.name) == colKey(name))
+      require(i >= 0,
+        s"no column '$name' in ${schema.fieldNames.mkString(", ")}")
+      val f = annotated.fields(i)
+      val nf = sql.fold(f.clearCurrentDefaultValue())(
+        f.withCurrentDefaultValue)
+      (org.apache.spark.sql.types.StructType(
+        annotated.fields.updated(i, nf)),
         head.retired)
     })
 
