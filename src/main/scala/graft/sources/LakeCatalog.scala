@@ -1155,6 +1155,69 @@ object LakeCatalogQueries {
       .orderBy(col("src"))
   }
 
+  /** Judged streaming CHANGE DATA FEED: a `changefeed=true` table
+    * mutates through SQL (two INSERTs, a CoW UPDATE, a MERGE, a CoW
+    * DELETE) and an AvailableNow stream with `readChangeFeed=true`
+    * drains the classified per-version change sets — inserts derived
+    * from the manifest diff, rewrites replayed from the `_changes`
+    * sidecars the mutations materialized. The (version, change_type)
+    * counts and cents sums are the certificate: DuckDB replays the
+    * whole timeline's change algebra from the events table, so a
+    * wrong classification, a leaked carried-unchanged row, or a
+    * missed sidecar all flip the hash. The q118 follower-replication
+    * economics, now as a stream: a 100 TB follower moves only
+    * changed rows, planned from KB-scale manifest metadata.
+    */
+  def q158StreamCdf(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftcat",
+      "graft.sources.GraftLakeCatalog")
+    s.conf.set("spark.sql.catalog.graftcat.root", catBase)
+    s.sql("DROP TABLE IF EXISTS graftcat.q158")
+    Tables.events(s, d).select(col("event_id"),
+        (col("event_id") % 4).as("b"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("q158_events")
+    s.sql("""
+      CREATE TABLE graftcat.q158 (event_id BIGINT, cents BIGINT)
+      TBLPROPERTIES ('statCol' = 'event_id', 'changefeed' = 'true')""")
+    s.sql("""INSERT INTO graftcat.q158
+             SELECT event_id, cents FROM q158_events WHERE b = 0""")
+      .collect(): Unit // v0
+    s.sql("""INSERT INTO graftcat.q158
+             SELECT event_id, cents FROM q158_events WHERE b = 1""")
+      .collect(): Unit // v1
+    s.sql("""UPDATE graftcat.q158 SET cents = cents + 7
+             WHERE event_id % 10 = 3""").collect(): Unit // v2, CoW
+    s.sql("""
+      MERGE INTO graftcat.q158 AS t
+      USING (SELECT event_id, cents + 1000 AS cents
+             FROM q158_events WHERE b IN (1, 2)) AS u
+      ON t.event_id = u.event_id
+      WHEN MATCHED THEN UPDATE SET cents = u.cents
+      WHEN NOT MATCHED THEN INSERT (event_id, cents)
+        VALUES (u.event_id, u.cents)""").collect(): Unit // v3, CoW
+    s.sql("""DELETE FROM graftcat.q158
+             WHERE event_id % 10 = 3""").collect(): Unit // v4, CoW
+    val outRoot = Housekeeping.tempDir("q158_out")
+    val (sink, chk) = (s"$outRoot/data", s"$outRoot/chk")
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = ss.readStream.format("graft.sources.GraftLakeSource")
+      .option("path", s"$catBase/q158")
+      .option("readChangeFeed", "true").load()
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", chk)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    require(q.awaitTermination(180000),
+      "CDF AvailableNow drain did not self-terminate")
+    s.read.parquet(sink)
+      .groupBy(col("_commit_version").as("commit_version"),
+        col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+      .orderBy(col("commit_version"), col("change_type"))
+  }
+
   // the e1/e3 cosine replay (list ops accumulate in index order, the
   // same IEEE order the engine uses)
   private def cosOracleSql(a: String, b: String): String =
@@ -1164,6 +1227,31 @@ object LakeCatalogQueries {
        |       sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
 
   val queries: Seq[Q] = Seq(
+    Q("q158_stream_cdf", q158StreamCdf, Some("""
+      WITH e AS (SELECT event_id, event_id % 4 AS b,
+                        CAST(round(value * 100) AS BIGINT) AS cents
+                 FROM events)
+      SELECT CAST(0 AS BIGINT) AS commit_version, 'insert' AS change_type,
+             count(*) AS n, CAST(sum(cents) AS BIGINT) AS c
+      FROM e WHERE b = 0
+      UNION ALL
+      SELECT 1, 'insert', count(*), CAST(sum(cents) AS BIGINT)
+      FROM e WHERE b = 1
+      UNION ALL
+      SELECT 2, 'update', count(*), CAST(sum(cents + 7) AS BIGINT)
+      FROM e WHERE b IN (0, 1) AND event_id % 10 = 3
+      UNION ALL
+      SELECT 3, 'insert', count(*), CAST(sum(cents + 1000) AS BIGINT)
+      FROM e WHERE b = 2
+      UNION ALL
+      SELECT 3, 'update', count(*), CAST(sum(cents + 1000) AS BIGINT)
+      FROM e WHERE b = 1
+      UNION ALL
+      SELECT 4, 'delete', count(*),
+             CAST(sum(CASE WHEN b = 0 THEN cents + 7
+                           ELSE cents + 1000 END) AS BIGINT)
+      FROM e WHERE b IN (0, 1, 2) AND event_id % 10 = 3
+      ORDER BY 1, 2""")),
     Q("q157_cluster_by", q157ClusterBy, Some("""
       WITH ev AS (SELECT user_id,
                          CAST(floor(date_part('epoch', ts)) AS BIGINT)

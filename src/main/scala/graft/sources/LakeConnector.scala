@@ -83,12 +83,21 @@ class GraftLakeSource extends TableProvider {
     // and it costs zero footer reads. Pre-schema manifests fall back
     // to one footer read of one committed file (driver-side,
     // KB-scale).
-    snap.schema.getOrElse {
+    val base = snap.schema.getOrElse {
       require(snap.files.nonEmpty, s"lake at $root v${snap.version} has no " +
         "data files; pass a schema explicitly")
       SparkSession.active.read
         .parquet(SnapshotLake.dataPath(root, snap.files.head.name)).schema
     }
+    // change-feed reads surface the table schema plus the change
+    // bookkeeping columns (Delta CDF's _change_type/_commit_version)
+    if (options.getBoolean("readChangeFeed", false))
+      StructType(base.fields :+
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType, nullable = false) :+
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    else base
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -268,7 +277,9 @@ final class LakeTable(root: String, asOf: Option[Int], tschema: StructType,
       TableCapability.STREAMING_WRITE,
       TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new LakeScanBuilder(root, asOf, tschema)
+    new LakeScanBuilder(root, asOf, tschema,
+      cdf = opts.get("readchangefeed").exists(_.toBoolean) ||
+        options.getBoolean("readChangeFeed", false))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -376,7 +387,15 @@ final class LakeTable(root: String, asOf: Option[Int], tschema: StructType,
       : Unit =
     deleteRange(predicates) match {
       case Some((lo, hi)) =>
-        SnapshotLake.delete(SparkSession.active, root, lo, hi): Unit
+        val res = SnapshotLake.delete(SparkSession.active, root, lo, hi)
+        // a boundary-straddling rewrite mixes dropped-whole files with
+        // a residual file — not derivable from the manifest diff, so a
+        // change-feed table materializes the sidecar (fully-covered
+        // drops stay derivable and cost nothing)
+        if (res.filesRewritten > 0 &&
+            opts.get("changefeed").exists(_.equalsIgnoreCase("true")))
+          SnapshotLake.materializeChanges(SparkSession.active, root,
+            res.version): Unit
       case None =>
         val (c, vs) = deletePartitionSpec(predicates).getOrElse(throw
           new UnsupportedOperationException(
@@ -446,7 +465,8 @@ private[sources] object PartPredicate {
   * stat on an axis are kept on that axis (absence never prunes).
   */
 final class LakeScanBuilder(root: String, asOf: Option[Int],
-    tschema: StructType, forRowLevelOp: Boolean = false)
+    tschema: StructType, forRowLevelOp: Boolean = false,
+    cdf: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
@@ -699,11 +719,14 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
         case _ => false
       }
 
+  // a change-feed scan's rows are NOT the table's rows — the
+  // manifest-stat answers would be wrong, and batch CDF must reach
+  // toBatch's refusal rather than short-circuit here
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    canAnswer(agg)
+    !cdf && canAnswer(agg)
 
   override def pushAggregation(agg: Aggregation): Boolean =
-    canAnswer(agg) && {
+    !cdf && canAnswer(agg) && {
       pushedAgg = agg.aggregateExpressions().toSeq
       true
     }
@@ -794,7 +817,8 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
         pushedTopN.fold(pushedLimit.fold("")(n => s" limit=$n"))(_ => ""),
       asOf, lo, hi, lo2, hi2, point, snap.statCol, snap.bloomCol,
       physRequired, fileColIdx, spj.map(_._1),
-      spj.map(_._2).getOrElse(org.apache.spark.sql.types.NullType))
+      spj.map(_._2).getOrElse(org.apache.spark.sql.types.NullType),
+      cdf)
     lastScan = Some(scan)
     scan
   }
@@ -861,7 +885,8 @@ final case class LakeScan(root: String, version: Int,
     physRequired: StructType = null, fileColIdx: Int = -1,
     spjCol: Option[String] = None,
     spjType: org.apache.spark.sql.types.DataType =
-      org.apache.spark.sql.types.NullType)
+      org.apache.spark.sql.types.NullType,
+    cdf: Boolean = false)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
@@ -966,17 +991,27 @@ final case class LakeScan(root: String, version: Int,
     runtimeFiles = Some(kept)
   }
   override def readSchema(): StructType = required
-  override def toBatch: Batch = this
+  override def toBatch: Batch = {
+    require(!cdf,
+      "readChangeFeed is a STREAMING read option — batch change sets " +
+        "come from SnapshotLake.changes(root, fromVersion, toVersion)")
+    this
+  }
 
   /** Streaming face: the per-batch version-diff file sets pass
     * through the SAME stat-window/bloom prune the batch scan planned
     * with, so pushed predicates skip files per micro-batch too.
+    * With `readChangeFeed=true` the stream is the classified CDF
+    * replay instead ([[LakeCdfMicroBatchStream]]).
     */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(asOf.isEmpty,
       s"cannot stream from time-travel snapshot v${asOf.get} of $root — " +
         "a pinned version never grows")
+    if (cdf)
+      return new LakeCdfMicroBatchStream(root,
+        Option(physRequired).getOrElse(required))
     new LakeMicroBatchStream(root, Option(physRequired).getOrElse(required),
       f =>
       f.hi >= lo && (hi == Long.MaxValue || f.lo < hi) &&
@@ -1189,6 +1224,36 @@ object LakeReaderFactory {
       "spark.sql.session.timeZone" ->
         g("spark.sql.session.timeZone", "UTC"))
   }
+
+  /** Open one lake split through Spark's vectorized parquet reader —
+    * shared by the batch factory below and the change-feed factory
+    * ([[LakeCdfReaderFactory]]), which requests a per-partition
+    * subset of its output schema.
+    */
+  private[sources] def openSplit(split: LakeSplit,
+      confKVs: Map[String, String], required: StructType)
+      : org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader = {
+    val conf = new Configuration()
+    confKVs.foreach { case (k, v) => conf.set(k, v) }
+    conf.set("org.apache.spark.sql.parquet.row.requested_schema",
+      required.json)
+    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
+    val reader = new org.apache.spark.sql.execution.datasources.parquet
+      .VectorizedParquetRecordReader(
+        null, "CORRECTED", "UTC", "CORRECTED", "UTC",
+        /* useOffHeap = */ false, /* capacity = */ 4096)
+    // mapred.FileSplit extends the mapreduce one Spark casts to; the
+    // [start, start+length) range selects exactly the row groups
+    // whose starting offset falls inside it
+    reader.initialize(
+      new org.apache.hadoop.mapred.FileSplit(
+        new org.apache.hadoop.fs.Path(split.path), split.start,
+        split.length, Array.empty[String]), ctx)
+    reader.initBatch(new StructType(), InternalRow.empty)
+    reader.enableReturningBatches()
+    reader
+  }
 }
 
 /** Executor-side decode through Spark's OWN vectorized parquet
@@ -1216,29 +1281,8 @@ final class LakeReaderFactory(required: StructType,
     }
 
   private def open(partition: InputPartition)
-      : org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader = {
-    val split = splitOf(partition)
-    val conf = new Configuration()
-    confKVs.foreach { case (k, v) => conf.set(k, v) }
-    conf.set("org.apache.spark.sql.parquet.row.requested_schema",
-      required.json)
-    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
-      conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
-    val reader = new org.apache.spark.sql.execution.datasources.parquet
-      .VectorizedParquetRecordReader(
-        null, "CORRECTED", "UTC", "CORRECTED", "UTC",
-        /* useOffHeap = */ false, /* capacity = */ 4096)
-    // mapred.FileSplit extends the mapreduce one Spark casts to; the
-    // [start, start+length) range selects exactly the row groups
-    // whose starting offset falls inside it
-    reader.initialize(
-      new org.apache.hadoop.mapred.FileSplit(
-        new org.apache.hadoop.fs.Path(split.path), split.start,
-        split.length, Array.empty[String]), ctx)
-    reader.initBatch(new StructType(), InternalRow.empty)
-    reader.enableReturningBatches()
-    reader
-  }
+      : org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader =
+    LakeReaderFactory.openSplit(splitOf(partition), confKVs, required)
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {

@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.{
+  InputPartition, PartitionReader, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming.{
   MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl,
   SupportsTriggerAvailableNow}
@@ -50,7 +51,7 @@ final case class LakeVersionOffset(version: Int) extends Offset {
   * and filters evaluate row-level; the spec documents the
   * limitation and flips the gate the day the engine starts pushing.
   */
-final class LakeMicroBatchStream(root: String, required: StructType,
+class LakeMicroBatchStream(root: String, required: StructType,
     keep: SnapshotLake.FileStat => Boolean)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
@@ -134,4 +135,160 @@ final class LakeMicroBatchStream(root: String, required: StructType,
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+/** One change-feed input split: a parquet file plus the change
+  * bookkeeping the reader splices in as constant vectors —
+  * `constType = Some(t)` for manifest-derived changes (an append
+  * version's added files read as inserts, a metadata-only delete's
+  * dropped files read as pre-image deletes), `None` for CDC sidecar
+  * files whose `_change_type` column is real parquet data.
+  * `commitVersion` is always a per-split constant: each split
+  * belongs to exactly one version of the chain.
+  */
+final case class LakeCdfSplit(split: LakeSplit, constType: Option[String],
+    commitVersion: Long) extends InputPartition
+
+/** The CHANGE DATA FEED streaming face (`readStream.format(...)
+  * .option("readChangeFeed", "true")`) — Delta CDF's semantics on
+  * the lake's version chain. Pacing, offsets, checkpoint restart and
+  * AvailableNow come from [[LakeMicroBatchStream]]; what differs is
+  * WHAT a version replays as:
+  *
+  *  - pure-append version → added files as `insert` rows (derived
+  *    from the manifest diff, zero extra storage — Delta likewise
+  *    derives inserts from add actions);
+  *  - metadata-only DELETE (dropped whole files, nothing added) →
+  *    the dropped files read as `delete` pre-images (they stay on
+  *    disk until vacuum; a vacuumed file fails the read loudly);
+  *  - compaction / re-clustering → NO rows (layout-only rewrites
+  *    carry every row unchanged — their own specs pin that);
+  *  - any version that REWROTE rows (CoW UPDATE / MERGE / straddling
+  *    DELETE / overwrite / restore) → the `_changes/v<N>` CDC
+  *    sidecar ([[SnapshotLake.materializeChanges]], written by the
+  *    mutation when the table has TBLPROPERTIES changefeed=true);
+  *    absent sidecar → loud refusal naming the fix, never a guess.
+  *
+  * Planning stays O(changed files per version) on KB-scale driver
+  * metadata — at 100 TB a follower tracking a mutating table moves
+  * only changed rows, the q118 replication economics as a stream.
+  */
+final class LakeCdfMicroBatchStream(root: String, required: StructType)
+    extends LakeMicroBatchStream(root, required, _ => true) {
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[LakeVersionOffset].version
+    val e = end.asInstanceOf[LakeVersionOffset].version
+    (s + 1 to e).flatMap(versionChanges).toArray
+  }
+
+  private def sizeOf(path: String): Long =
+    java.nio.file.Files.size(java.nio.file.Paths.get(path))
+
+  private def versionChanges(v: Int): Seq[InputPartition] = {
+    SnapshotLake.changeFiles(root, v).foreach { cdc =>
+      return cdc.map(p =>
+        LakeCdfSplit(LakeSplit(p, 0L, sizeOf(p)), None, v))
+    }
+    val cur = SnapshotLake.snapshot(root, Some(v))
+    val prev =
+      if (v == 0) Seq.empty else SnapshotLake.snapshot(root, Some(v - 1)).files
+    val curNames = cur.files.map(_.name).toSet
+    val prevNames = prev.map(_.name).toSet
+    val added = cur.files.filterNot(f => prevNames(f.name))
+    val removed = prev.filterNot(f => curNames(f.name))
+    def splits(fs: Seq[SnapshotLake.FileStat], ct: String) = fs.map { f =>
+      val p = SnapshotLake.dataPath(root, f.name)
+      LakeCdfSplit(
+        LakeSplit(p, 0L, f.bytes.getOrElse(sizeOf(p))), Some(ct), v)
+    }
+    if (removed.isEmpty) splits(added, "insert")
+    else cur.op match {
+      case Some("delete") if added.isEmpty => splits(removed, "delete")
+      case Some("compact") | Some("cluster") => Seq.empty // layout-only
+      case op => throw new IllegalStateException(
+        s"change feed at $root: version $v (op=${op.getOrElse("?")}) " +
+          "rewrote rows without a _changes sidecar — CREATE the table " +
+          "with TBLPROPERTIES('changefeed'='true') so mutations " +
+          "materialize change files, or call " +
+          "SnapshotLake.materializeChanges(spark, root, version)")
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LakeCdfReaderFactory(required, LakeReaderFactory.sessionConf())
+}
+
+/** Reader for [[LakeCdfSplit]]s: the parquet decode path is
+  * [[LakeReaderFactory.openSplit]]'s vectorized reader over the
+  * split's REAL columns; `_commit_version` (and `_change_type`, for
+  * manifest-derived splits) splice in as constant vectors per batch
+  * — the `_file` metadata-column pattern, zero decode cost.
+  */
+final class LakeCdfReaderFactory(required: StructType,
+    confKVs: Map[String, String]) extends PartitionReaderFactory {
+
+  override def supportColumnarReads(p: InputPartition): Boolean = true
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val c = p match {
+      case s: LakeCdfSplit => s
+      case other => throw new IllegalArgumentException(
+        s"not a change-feed split: $other")
+    }
+    val isConst: Array[Boolean] = required.fields.map(f =>
+      f.name.equalsIgnoreCase("_commit_version") ||
+        (c.constType.isDefined && f.name.equalsIgnoreCase("_change_type")))
+    val parquetReq = StructType(
+      required.fields.zip(isConst).collect { case (f, false) => f })
+    val reader = LakeReaderFactory.openSplit(c.split, confKVs, parquetReq)
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      override def next(): Boolean = reader.nextBatch()
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
+        val b = reader.resultBatch()
+        val n = b.numRows()
+        val cols = new Array[
+          org.apache.spark.sql.vectorized.ColumnVector](required.length)
+        var src = 0
+        var i = 0
+        while (i < cols.length) {
+          if (!isConst(i)) { cols(i) = b.column(src); src += 1 }
+          else {
+            val f = required.fields(i)
+            val cv = new org.apache.spark.sql.execution.vectorized
+              .ConstantColumnVector(n, f.dataType)
+            if (f.name.equalsIgnoreCase("_commit_version"))
+              cv.setLong(c.commitVersion)
+            else cv.setUtf8String(org.apache.spark.unsafe.types.UTF8String
+              .fromString(c.constType.get))
+            cols(i) = cv
+          }
+          i += 1
+        }
+        new org.apache.spark.sql.vectorized.ColumnarBatch(cols, n)
+      }
+      override def close(): Unit = reader.close()
+    }
+  }
+
+  // row-based fallback (not taken while supportColumnarReads is true)
+  override def createReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+    val batches = createColumnarReader(partition)
+    new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+      private var rows: java.util.Iterator[
+        org.apache.spark.sql.catalyst.InternalRow] =
+        java.util.Collections.emptyIterator()
+      @annotation.tailrec
+      override def next(): Boolean =
+        rows.hasNext || (batches.next() && {
+          rows = batches.get().rowIterator(); true
+        } && next())
+      override def get(): org.apache.spark.sql.catalyst.InternalRow =
+        rows.next()
+      override def close(): Unit = batches.close()
+    }
+  }
 }

@@ -408,8 +408,13 @@ final class LakeReplaceBatchWrite(root: String, schema: StructType,
         SnapshotLake.statsFor(SparkSession.active, root, batch,
           statCol, bloomCol, bloomBytes, statCol2)
       }
-    SnapshotLake.commitReplaceFiles(root, replaced, newFiles, op,
-      statCol, bloomCol, statCol2, Some(schema.json)): Unit
+    val v = SnapshotLake.commitReplaceFiles(root, replaced, newFiles, op,
+      statCol, bloomCol, statCol2, Some(schema.json))
+    // change-feed tables materialize the CDC sidecar for every CoW
+    // rewrite — the streaming CDF replays it (a rewrite's row changes
+    // are not derivable from the manifest diff alone)
+    if (opts.get("changefeed").exists(_.equalsIgnoreCase("true")))
+      SnapshotLake.materializeChanges(SparkSession.active, root, v): Unit
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

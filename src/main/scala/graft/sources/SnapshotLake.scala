@@ -1272,6 +1272,63 @@ object SnapshotLake {
     (diff, removed.size + added.size, to.files.size)
   }
 
+  /** Where version `v`'s materialized change-data sidecar lives. */
+  private[sources] def changesDir(root: String, v: Int): Path =
+    Paths.get(root, "_changes", f"v$v%05d")
+
+  /** Version `v`'s change-data parquet files, if the sidecar exists
+    * and finished writing (`_SUCCESS` present). `Some(Nil)` — a
+    * sidecar recording an EMPTY change set (a rewrite that changed
+    * no row's payload) — is distinct from `None` (no sidecar).
+    */
+  private[graft] def changeFiles(root: String, v: Int)
+      : Option[Seq[String]] = {
+    val dir = changesDir(root, v)
+    if (!Files.exists(dir.resolve("_SUCCESS"))) None
+    else Some {
+      val s = Files.list(dir)
+      try s.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toList.sorted
+      finally s.close()
+    }
+  }
+
+  /** Materialize version `v`'s classified change set as a parquet
+    * sidecar under `_changes/v<v>/` — Delta's change-data-feed files.
+    * The mutation verbs write it post-commit when the table opted in
+    * (`TBLPROPERTIES('changefeed'='true')`), and the streaming CDF
+    * reader ([[LakeCdfMicroBatchStream]]) replays it for any version
+    * whose row changes aren't derivable from the manifest diff alone
+    * (CoW UPDATE / MERGE / boundary-straddling DELETE).
+    *
+    * The sidecar stores the table's PHYSICAL column names with the
+    * manifest schema's exact types restored (the [[changes]] diff
+    * widens the key to long for its join) plus `_change_type`, so
+    * the stream requests it with the same physical schema it uses
+    * for data files. Idempotent: mode=overwrite over a deterministic
+    * input. Cost: O(changed files) — exactly the files the mutation
+    * just wrote or dropped; untouched files are never opened.
+    *
+    * The sidecar lands AFTER the manifest publish (a two-step,
+    * unlike Delta's same-commit CDC actions): a stream that wins the
+    * tiny race sees a loud no-sidecar refusal, never wrong data, and
+    * its restart/retry finds the sidecar in place.
+    */
+  def materializeChanges(s: SparkSession, root: String, v: Int): Long = {
+    require(v >= 1, s"version $v has no predecessor to diff against")
+    val snap = snapshot(root, Some(v))
+    val logical = snap.schema.getOrElse(throw new IllegalStateException(
+      s"change feed requires a schema-stamped chain; v$v of $root " +
+        "records none"))
+    val (diff, _, _) = changes(s, root, v - 1, v)
+    val cols = logical.fields.toSeq.map(f =>
+      col(f.name).cast(f.dataType).as(ColMap.phys(f)))
+    val dir = changesDir(root, v).toString
+    diff.select(cols :+ col("change_type").as("_change_type"): _*)
+      .write.mode("overwrite").parquet(dir)
+    s.read.parquet(dir).count()
+  }
+
   /** Clustered bulk commit: route rows to buckets with ONE shuffle
     * and write one file per bucket, so a whole clustered layout
     * lands as a single write job + a single stats pass + one
@@ -1749,6 +1806,16 @@ object SnapshotLake {
     dropped.foreach { v =>
       // a dropped checkpoint takes its parquet sidecar with it
       Ckpt.pointerOf(root, v).foreach(Ckpt.delete(root, _))
+      // ...and its change-data sidecar: a version that can no longer
+      // be time-traveled to can't anchor a CDF replay either — Delta
+      // vacuums CDC files on the same retention clock as data files
+      val cdc = changesDir(root, v)
+      if (Files.exists(cdc)) {
+        val s = Files.list(cdc)
+        try s.iterator().asScala.foreach(p => Files.deleteIfExists(p): Unit)
+        finally s.close()
+        Files.deleteIfExists(cdc): Unit
+      }
       Files.delete(manifestPath(root, v))
     }
     (dropped.size, owned.size)
