@@ -1218,6 +1218,81 @@ object LakeCatalogQueries {
       .orderBy(col("commit_version"), col("change_type"))
   }
 
+  /** Judged streaming CDC REPLICATION — the apply side of q158's
+    * change feed: a follower lake tracks the mutating source by
+    * draining the CDF stream through `foreachBatch`, merging each
+    * version's change set (insert/update → upsert, delete → key
+    * delete) in commit order. The certificate is the replication
+    * contract itself: `n_diff` counts the symmetric difference
+    * between follower and source after the drain and rides the row
+    * as a hash-checked 0, with the follower's row count and cents
+    * sum replayed closed-form by DuckDB. At 100 TB the follower
+    * moves only changed rows per version — never a table copy.
+    */
+  def q159CdcReplication(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftcat",
+      "graft.sources.GraftLakeCatalog")
+    s.conf.set("spark.sql.catalog.graftcat.root", catBase)
+    s.sql("DROP TABLE IF EXISTS graftcat.q159")
+    Tables.events(s, d).select(col("event_id"),
+        (col("event_id") % 4).as("b"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("q159_events")
+    s.sql("""
+      CREATE TABLE graftcat.q159 (event_id BIGINT, cents BIGINT)
+      TBLPROPERTIES ('statCol' = 'event_id', 'changefeed' = 'true')""")
+    s.sql("""INSERT INTO graftcat.q159
+             SELECT event_id, cents FROM q159_events WHERE b = 0""")
+      .collect(): Unit // v0
+    s.sql("""INSERT INTO graftcat.q159
+             SELECT event_id, cents FROM q159_events WHERE b = 1""")
+      .collect(): Unit // v1
+    s.sql("""UPDATE graftcat.q159 SET cents = cents + 7
+             WHERE event_id % 10 = 3""").collect(): Unit // v2, CoW
+    s.sql("""
+      MERGE INTO graftcat.q159 AS t
+      USING (SELECT event_id, cents + 1000 AS cents
+             FROM q159_events WHERE b IN (1, 2)) AS u
+      ON t.event_id = u.event_id
+      WHEN MATCHED THEN UPDATE SET cents = u.cents
+      WHEN NOT MATCHED THEN INSERT (event_id, cents)
+        VALUES (u.event_id, u.cents)""").collect(): Unit // v3, CoW
+    s.sql("""DELETE FROM graftcat.q159
+             WHERE event_id % 10 = 3""").collect(): Unit // v4, CoW
+    val srcRoot = s"$catBase/q159"
+    val follower = Housekeeping.tempDir("q159_follower")
+    val chk = Housekeeping.tempDir("q159_chk")
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = ss.readStream.format("graft.sources.GraftLakeSource")
+      .option("path", srcRoot).option("readChangeFeed", "true").load()
+      .writeStream.option("checkpointLocation", chk)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ups = batch
+          .where(col("_change_type").isin("insert", "update"))
+          .select(col("event_id"), col("cents"))
+        val dels = batch.where(col("_change_type") === "delete")
+          .select(col("event_id"))
+        if (SnapshotLake.headVersion(follower) < 0)
+          SnapshotLake.commit(ss, follower, ups, "event_id"): Unit
+        else SnapshotLake.merge(ss, follower, ups, dels): Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    require(q.awaitTermination(180000),
+      "CDC replication drain did not self-terminate")
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    val f = SnapshotLake.read(s, follower)
+      .select(col("event_id"), col("cents"))
+    val src = s.table("graftcat.q159")
+      .select(col("event_id"), col("cents"))
+    val nDiff = f.exceptAll(src).unionAll(src.exceptAll(f)).count()
+    f.agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .select(lit(nDiff).as("n_diff"),
+        lit(batches).cast("long").as("n_batches"),
+        col("n_rows"), col("sum_cents"))
+  }
+
   // the e1/e3 cosine replay (list ops accumulate in index order, the
   // same IEEE order the engine uses)
   private def cosOracleSql(a: String, b: String): String =
@@ -1227,6 +1302,18 @@ object LakeCatalogQueries {
        |       sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
 
   val queries: Seq[Q] = Seq(
+    Q("q159_cdc_replication", q159CdcReplication, Some("""
+      WITH e AS (SELECT event_id, event_id % 4 AS b,
+                        CAST(round(value * 100) AS BIGINT) AS cents
+                 FROM events),
+      fin AS (SELECT event_id, b, cents FROM e
+              WHERE b IN (0, 1, 2) AND event_id % 10 <> 3)
+      SELECT CAST(0 AS BIGINT) AS n_diff,
+             CAST(5 AS BIGINT) AS n_batches,
+             count(*) AS n_rows,
+             CAST(sum(CASE WHEN b = 0 THEN cents
+                           ELSE cents + 1000 END) AS BIGINT) AS sum_cents
+      FROM fin""")),
     Q("q158_stream_cdf", q158StreamCdf, Some("""
       WITH e AS (SELECT event_id, event_id % 4 AS b,
                         CAST(round(value * 100) AS BIGINT) AS cents
