@@ -1293,6 +1293,43 @@ object LakeCatalogQueries {
         col("n_rows"), col("sum_cents"))
   }
 
+  /** Judged BATCH change-feed read (Delta's `startingVersion`/
+    * `endingVersion` contract, both bounds inclusive): after a
+    * three-version timeline, `startingVersion = 1` must replay
+    * exactly v1's derived inserts plus v2's sidecar updates — v0
+    * excluded by the range, nothing re-read from untouched files.
+    * DuckDB replays the per-(version, type) change algebra.
+    */
+  def q160BatchCdf(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftcat",
+      "graft.sources.GraftLakeCatalog")
+    s.conf.set("spark.sql.catalog.graftcat.root", catBase)
+    s.sql("DROP TABLE IF EXISTS graftcat.q160")
+    Tables.events(s, d).select(col("event_id"),
+        (col("event_id") % 4).as("b"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("q160_events")
+    s.sql("""
+      CREATE TABLE graftcat.q160 (event_id BIGINT, cents BIGINT)
+      TBLPROPERTIES ('statCol' = 'event_id', 'changefeed' = 'true')""")
+    s.sql("""INSERT INTO graftcat.q160
+             SELECT event_id, cents FROM q160_events WHERE b = 0""")
+      .collect(): Unit // v0
+    s.sql("""INSERT INTO graftcat.q160
+             SELECT event_id, cents FROM q160_events WHERE b = 1""")
+      .collect(): Unit // v1
+    s.sql("""UPDATE graftcat.q160 SET cents = cents + 7
+             WHERE event_id % 10 = 3""").collect(): Unit // v2, CoW
+    s.read.format("graft.sources.GraftLakeSource")
+      .option("path", s"$catBase/q160")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1").load()
+      .groupBy(col("_commit_version").as("commit_version"),
+        col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+      .orderBy(col("commit_version"), col("change_type"))
+  }
+
   // the e1/e3 cosine replay (list ops accumulate in index order, the
   // same IEEE order the engine uses)
   private def cosOracleSql(a: String, b: String): String =
@@ -1302,6 +1339,17 @@ object LakeCatalogQueries {
        |       sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
 
   val queries: Seq[Q] = Seq(
+    Q("q160_batch_cdf", q160BatchCdf, Some("""
+      WITH e AS (SELECT event_id, event_id % 4 AS b,
+                        CAST(round(value * 100) AS BIGINT) AS cents
+                 FROM events)
+      SELECT CAST(1 AS BIGINT) AS commit_version, 'insert' AS change_type,
+             count(*) AS n, CAST(sum(cents) AS BIGINT) AS c
+      FROM e WHERE b = 1
+      UNION ALL
+      SELECT 2, 'update', count(*), CAST(sum(cents + 7) AS BIGINT)
+      FROM e WHERE b IN (0, 1) AND event_id % 10 = 3
+      ORDER BY 1, 2""")),
     Q("q159_cdc_replication", q159CdcReplication, Some("""
       WITH e AS (SELECT event_id, event_id % 4 AS b,
                         CAST(round(value * 100) AS BIGINT) AS cents

@@ -276,10 +276,27 @@ final class LakeTable(root: String, asOf: Option[Int], tschema: StructType,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.STREAMING_WRITE,
       TableCapability.MICRO_BATCH_READ).asJava
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new LakeScanBuilder(root, asOf, tschema,
-      cdf = opts.get("readchangefeed").exists(_.toBoolean) ||
-        options.getBoolean("readChangeFeed", false))
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val cdf = opts.get("readchangefeed").exists(_.toBoolean) ||
+      options.getBoolean("readChangeFeed", false)
+    def intOpt(k: String): Option[Int] =
+      opts.get(k.toLowerCase(java.util.Locale.ROOT)).map(_.toInt)
+        .orElse(Option(options.get(k)).map(_.toInt))
+    // batch CDF (Delta's startingVersion/endingVersion, both
+    // inclusive): validate eagerly so a bad range fails at planning
+    // with the real bounds, not mid-scan
+    val cdfRange = if (!cdf) None else intOpt("startingVersion").map { from =>
+      val head = SnapshotLake.headVersion(root)
+      val to = intOpt("endingVersion").getOrElse(head)
+      require(asOf.isEmpty,
+        "readChangeFeed takes startingVersion/endingVersion, not " +
+          "VERSION AS OF time travel")
+      require(from >= 0 && from <= to && to <= head,
+        s"change-feed range [$from, $to] outside the chain's [0, $head]")
+      (from, to)
+    }
+    new LakeScanBuilder(root, asOf, tschema, cdf = cdf, cdfRange = cdfRange)
+  }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -466,7 +483,7 @@ private[sources] object PartPredicate {
   */
 final class LakeScanBuilder(root: String, asOf: Option[Int],
     tschema: StructType, forRowLevelOp: Boolean = false,
-    cdf: Boolean = false)
+    cdf: Boolean = false, cdfRange: Option[(Int, Int)] = None)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
@@ -818,7 +835,7 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
       asOf, lo, hi, lo2, hi2, point, snap.statCol, snap.bloomCol,
       physRequired, fileColIdx, spj.map(_._1),
       spj.map(_._2).getOrElse(org.apache.spark.sql.types.NullType),
-      cdf)
+      cdf, cdfRange)
     lastScan = Some(scan)
     scan
   }
@@ -886,7 +903,7 @@ final case class LakeScan(root: String, version: Int,
     spjCol: Option[String] = None,
     spjType: org.apache.spark.sql.types.DataType =
       org.apache.spark.sql.types.NullType,
-    cdf: Boolean = false)
+    cdf: Boolean = false, cdfRange: Option[(Int, Int)] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
@@ -992,9 +1009,11 @@ final case class LakeScan(root: String, version: Int,
   }
   override def readSchema(): StructType = required
   override def toBatch: Batch = {
-    require(!cdf,
-      "readChangeFeed is a STREAMING read option — batch change sets " +
-        "come from SnapshotLake.changes(root, fromVersion, toVersion)")
+    require(!cdf || cdfRange.isDefined,
+      "a BATCH change-feed read needs .option(\"startingVersion\", v) " +
+        "(and optionally endingVersion) — without a version range, " +
+        "readChangeFeed is a streaming option; the Scala API is " +
+        "SnapshotLake.changes(root, fromVersion, toVersion)")
     this
   }
 
@@ -1059,6 +1078,13 @@ final case class LakeScan(root: String, version: Int,
     * read twice, none dropped).
     */
   override def planInputPartitions(): Array[InputPartition] = {
+    // batch change-feed read: each version in [from, to] replays by
+    // the shared CDF rules (both bounds inclusive, Delta's
+    // startingVersion/endingVersion contract)
+    cdfRange.foreach { case (from, to) =>
+      return (from to to).flatMap(v => LakeCdf.versionChanges(root, v))
+        .toArray
+    }
     val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       SparkSession.active.conf.get("spark.sql.files.maxPartitionBytes",
         "128m"))
@@ -1100,8 +1126,12 @@ final case class LakeScan(root: String, version: Int,
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new LakeReaderFactory(Option(physRequired).getOrElse(required),
-      LakeReaderFactory.sessionConf(), fileColIdx)
+    if (cdf)
+      new LakeCdfReaderFactory(Option(physRequired).getOrElse(required),
+        LakeReaderFactory.sessionConf())
+    else
+      new LakeReaderFactory(Option(physRequired).getOrElse(required),
+        LakeReaderFactory.sessionConf(), fileColIdx)
 }
 
 object LakeScan {

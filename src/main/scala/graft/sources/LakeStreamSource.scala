@@ -180,13 +180,22 @@ final class LakeCdfMicroBatchStream(root: String, required: StructType)
       end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[LakeVersionOffset].version
     val e = end.asInstanceOf[LakeVersionOffset].version
-    (s + 1 to e).flatMap(versionChanges).toArray
+    (s + 1 to e).flatMap(v => LakeCdf.versionChanges(root, v)).toArray
   }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LakeCdfReaderFactory(required, LakeReaderFactory.sessionConf())
+}
+
+/** The per-version change-replay rules, shared by the streaming CDF
+  * and the batch `startingVersion`/`endingVersion` read face.
+  */
+object LakeCdf {
 
   private def sizeOf(path: String): Long =
     java.nio.file.Files.size(java.nio.file.Paths.get(path))
 
-  private def versionChanges(v: Int): Seq[InputPartition] = {
+  def versionChanges(root: String, v: Int): Seq[InputPartition] = {
     SnapshotLake.changeFiles(root, v).foreach { cdc =>
       return cdc.map(p =>
         LakeCdfSplit(LakeSplit(p, 0L, sizeOf(p)), None, v))
@@ -215,9 +224,6 @@ final class LakeCdfMicroBatchStream(root: String, required: StructType)
           "SnapshotLake.materializeChanges(spark, root, version)")
     }
   }
-
-  override def createReaderFactory(): PartitionReaderFactory =
-    new LakeCdfReaderFactory(required, LakeReaderFactory.sessionConf())
 }
 
 /** Reader for [[LakeCdfSplit]]s: the parquet decode path is

@@ -151,7 +151,50 @@ class LakeCdfStreamSpec extends SparkTestBase {
       "vacuum left the dropped version's CDC sidecar behind")
   }
 
-  test("readChangeFeed is refused on the batch read path") {
+  test("batch CDF with startingVersion/endingVersion replays " +
+      "inclusive version ranges") {
+    val root = Files.createTempDirectory("cdf_range_").toString
+    SnapshotLake.commit(spark, root, tbl(0 until 40), "k") // v0
+    SnapshotLake.commit(spark, root, tbl(40 until 100), "k") // v1
+    SnapshotLake.merge(spark, root, // v2
+      upserts = (0 until 10).map(i => (i.toLong, i.toLong + 5000))
+        .toDF("k", "v"),
+      deleteKeys = spark.emptyDataset[Long].toDF("k"))
+    SnapshotLake.materializeChanges(spark, root, 2)
+    SnapshotLake.commit(spark, root, tbl(100 until 130), "k") // v3
+    def changesOf(from: Int, to: Option[Int]) = {
+      val r = spark.read.format("graft.sources.GraftLakeSource")
+        .option("path", root).option("readChangeFeed", "true")
+        .option("startingVersion", from.toString)
+      to.foreach(v => r.option("endingVersion", v.toString))
+      r.load().groupBy(col("_commit_version"), col("_change_type"))
+        .count().collect()
+        .map(x => (x.getLong(0), x.getString(1)) -> x.getLong(2)).toMap
+    }
+    // both bounds inclusive; head default
+    assert(changesOf(1, None) === Map(
+      (1L, "insert") -> 60L, (2L, "update") -> 10L,
+      (3L, "insert") -> 30L))
+    assert(changesOf(0, Some(2)) === Map(
+      (0L, "insert") -> 40L, (1L, "insert") -> 60L,
+      (2L, "update") -> 10L))
+    // a filter on the change columns stays a residual row filter
+    val upd = spark.read.format("graft.sources.GraftLakeSource")
+      .option("path", root).option("readChangeFeed", "true")
+      .option("startingVersion", "0").load()
+      .where(col("_change_type") === "update" && col("k") < 5)
+    assert(upd.count() === 5)
+    val bad = intercept[Exception] {
+      spark.read.format("graft.sources.GraftLakeSource")
+        .option("path", root).option("readChangeFeed", "true")
+        .option("startingVersion", "2").option("endingVersion", "9")
+        .load().count()
+    }
+    assert(bad.getMessage.contains("outside the chain"),
+      s"wrong refusal: ${bad.getMessage}")
+  }
+
+  test("batch readChangeFeed without a version range is refused") {
     val root = Files.createTempDirectory("cdf_batch_").toString
     SnapshotLake.commit(spark, root, tbl(0 until 10), "k")
     val ex = intercept[Exception] {
@@ -159,7 +202,7 @@ class LakeCdfStreamSpec extends SparkTestBase {
         .option("path", root).option("readChangeFeed", "true").load()
         .count()
     }
-    assert(ex.getMessage.contains("STREAMING read option"),
+    assert(ex.getMessage.contains("startingVersion"),
       s"wrong refusal: ${ex.getMessage}")
   }
 }
