@@ -110,18 +110,31 @@ class LakeMicroBatchStream(root: String, required: StructType,
     val s = start.asInstanceOf[LakeVersionOffset].version
     val e = end.asInstanceOf[LakeVersionOffset].version
     if (e <= s) return Array.empty
-    val prev: Set[String] =
-      if (s < 0) Set.empty
-      else SnapshotLake.snapshot(root, Some(s)).files.map(_.name).toSet
+    val prevFiles: Seq[SnapshotLake.FileStat] =
+      if (s < 0) Seq.empty
+      else SnapshotLake.snapshot(root, Some(s)).files
+    val prev = prevFiles.map(_.name).toSet
     val snap = SnapshotLake.snapshot(root, Some(e))
-    val cur = snap.files.map(_.name).toSet
-    val removed = prev.diff(cur)
+    val curByName = snap.files.map(f => f.name -> f).toMap
+    val removed = prev.diff(curByName.keySet)
     if (removed.nonEmpty)
       throw new IllegalStateException(
         s"lake stream at $root: version ${s + 1}..$e removed files " +
           s"${removed.take(3).mkString(", ")}… (overwrite/merge/delete/" +
           "compaction) — this source replays appends only; start a fresh " +
           "stream from the restated table")
+    // a grown deletion vector is a DELETE wearing the same file name —
+    // passing it silently would be wrong twice over (the old batch
+    // already replayed rows the table no longer has, and the version
+    // emits nothing); refuse like any other non-append change
+    val dvChanged = prevFiles.filter(f =>
+      curByName.get(f.name).exists(_.dv != f.dv))
+    if (dvChanged.nonEmpty)
+      throw new IllegalStateException(
+        s"lake stream at $root: version ${s + 1}..$e changed deletion " +
+          s"vectors on ${dvChanged.take(3).map(_.name).mkString(", ")}… " +
+          "(merge-on-read delete) — this source replays appends only; " +
+          "use the change data feed (readChangeFeed) for mutating tables")
     snap.files
       .filter(f => !prev(f.name) && keep(f))
       .map(f => LakeSplit(SnapshotLake.dataPath(root, f.name), 0L,

@@ -69,7 +69,88 @@ object SnapshotLake {
       bloom: Option[Array[Byte]] = None,
       dim2: Option[(Long, Long)] = None,
       bytes: Option[Long] = None,
-      part: Option[(String, String)] = None)
+      part: Option[(String, String)] = None,
+      dv: Option[Dv] = None) {
+    /** Rows a reader actually surfaces: physical rows minus the
+      * deletion vector's cardinality. This is the row count every
+      * manifest-answered number must use (COUNT pushdown, limit/top-k
+      * file prefixes, CBO statistics) — `rows` stays the PHYSICAL
+      * count because deletion-vector positions index physical rows.
+      */
+    def liveRows: Long = rows - dv.fold(0L)(_.count)
+  }
+
+  /** DELETION VECTOR (merge-on-read delete — Delta's DV feature): the
+    * set of physical row positions of `name` that are deleted,
+    * carried INSIDE the manifest's file entry. Deleting 10 scattered
+    * rows of a 1 GB file becomes an O(bytes-of-10-varints) manifest
+    * edit instead of a 1 GB copy-on-write rewrite — and because the
+    * vector rides the per-version file entry, time travel is free:
+    * version v reads with exactly the vector v recorded.
+    *
+    * Encoding: sorted distinct positions as delta-varints (first
+    * value, then gaps), base64 in the text manifest / raw bytes in
+    * parquet checkpoints. Structural equality on (count, b64) is
+    * what lets the incremental log detect "same file, vector grew"
+    * and re-state the entry as a remove+add action pair.
+    *
+    * The inline encoding is deliberately bounded: [[deleteRows]]
+    * falls back to copy-on-write for any file whose matched-row
+    * count exceeds its threshold, so a vector never grows past the
+    * point where rewriting the file is cheaper anyway (Delta makes
+    * the same cost call between DVs and CoW).
+    */
+  final case class Dv(count: Long, b64: String) {
+    def positions: Array[Long] = Dv.decode(b64)
+  }
+
+  object Dv {
+    def fromPositions(positions: Array[Long]): Dv = {
+      val sorted = positions.distinct.sorted
+      require(sorted.isEmpty || sorted.head >= 0,
+        "deletion-vector positions must be non-negative")
+      val out = new java.io.ByteArrayOutputStream()
+      var prev = -1L
+      sorted.foreach { p =>
+        var gap = p - prev // ≥ 1: strictly increasing
+        while ((gap & ~0x7FL) != 0) {
+          out.write(((gap & 0x7F) | 0x80).toInt); gap >>>= 7
+        }
+        out.write(gap.toInt)
+        prev = p
+      }
+      Dv(sorted.length.toLong,
+        java.util.Base64.getEncoder.encodeToString(out.toByteArray))
+    }
+
+    def decode(b64: String): Array[Long] = {
+      val bytes = java.util.Base64.getDecoder.decode(b64)
+      val buf = Array.newBuilder[Long]
+      var i = 0
+      var prev = -1L
+      while (i < bytes.length) {
+        var gap = 0L
+        var shift = 0
+        var more = true
+        while (more) {
+          val b = bytes(i); i += 1
+          gap |= (b & 0x7FL) << shift
+          shift += 7
+          more = (b & 0x80) != 0
+        }
+        prev += gap
+        buf += prev
+      }
+      buf.result()
+    }
+
+    /** Union of an existing vector (if any) with fresh positions —
+      * idempotent for overlaps, which is what makes a lost-race
+      * retry of the same delete safe.
+      */
+    def union(existing: Option[Dv], fresh: Array[Long]): Dv =
+      fromPositions(existing.fold(fresh)(_.positions ++ fresh))
+  }
 
   final case class Snapshot(version: Int, statCol: String,
       bloomCol: Option[String], files: Seq[FileStat],
@@ -234,17 +315,60 @@ object SnapshotLake {
     */
   private def readFiles(s: SparkSession, root: String, snap: Snapshot,
       fs: Seq[FileStat]): DataFrame = {
-    val paths = fs.map(f => dataPath(root, f.name))
-    snap.schema match {
-      case None => s.read.parquet(paths: _*)
-      case Some(logical) =>
-        val phys = ColMap.physicalSchema(logical)
-        val df = s.read.schema(phys).parquet(paths: _*)
-        if (java.util.Arrays.equals(
-            phys.fieldNames.asInstanceOf[Array[AnyRef]],
-            logical.fieldNames.asInstanceOf[Array[AnyRef]])) df
-        else df.toDF(logical.fieldNames.toIndexedSeq: _*)
+    def physRead(fl: Seq[FileStat]): DataFrame = {
+      val paths = fl.map(f => dataPath(root, f.name))
+      snap.schema match {
+        case None => s.read.parquet(paths: _*)
+        case Some(logical) =>
+          s.read.schema(ColMap.physicalSchema(logical)).parquet(paths: _*)
+      }
     }
+    val (dvd, plain) = fs.partition(_.dv.exists(_.count > 0))
+    val physDf =
+      if (dvd.isEmpty) physRead(fs)
+      else {
+        // DELETION-VECTOR files: anti-join (file, row position)
+        // against the vectors' positions — total anti-join build rows
+        // = deleted-row count, KB-scale by the DV/CoW threshold, so
+        // the join broadcasts and the filter is map-side. Clean files
+        // keep the untouched scan; the two legs union.
+        val masked = antiJoinDv(s, root,
+          physRead(dvd)
+            .withColumn("__dv_f", normFilePath(col("_metadata.file_path")))
+            .withColumn("__dv_i", col("_metadata.row_index")),
+          dvd).drop("__dv_f", "__dv_i")
+        if (plain.isEmpty) masked else physRead(plain).unionByName(masked)
+      }
+    snap.schema.fold(physDf) { logical =>
+      val phys = ColMap.physicalSchema(logical)
+      if (java.util.Arrays.equals(
+          phys.fieldNames.asInstanceOf[Array[AnyRef]],
+          logical.fieldNames.asInstanceOf[Array[AnyRef]])) physDf
+      else physDf.toDF(logical.fieldNames.toIndexedSeq: _*)
+    }
+  }
+
+  /** `_metadata.file_path` renders as a URI (`file:/…` or
+    * `file:///…`); normalize to the plain absolute path manifest
+    * math uses. A path with no scheme passes through unchanged.
+    */
+  private def normFilePath(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    regexp_replace(c, "^file:/+", "/")
+
+  /** Drop rows of `df` whose (normalized absolute path `__dv_f`,
+    * physical row position `__dv_i`) is deleted in `fs`' vectors.
+    */
+  private def antiJoinDv(s: SparkSession, root: String, df: DataFrame,
+      fs: Seq[FileStat]): DataFrame = {
+    val pos = fs.flatMap(f =>
+      f.dv.fold(Array.empty[Long])(_.positions)
+        .map(p => (dataPath(root, f.name), p)))
+    if (pos.isEmpty) df
+    else df.join(
+      broadcast(s.createDataFrame(pos).toDF("__dvj_f", "__dvj_p")),
+      col("__dv_f") === col("__dvj_f") && col("__dv_i") === col("__dvj_p"),
+      "left_anti")
   }
 
   /** Blocked bloom over longs: k=6 bit positions from one 64-bit
@@ -355,6 +479,8 @@ object SnapshotLake {
           optional binary bf;
           optional binary pcol (UTF8);
           optional binary pval (UTF8);
+          optional int64 dvn;
+          optional binary dvb;
         }""")
 
     def write(root: String, v: Int, files: Seq[FileStat]): String = {
@@ -381,6 +507,14 @@ object SnapshotLake {
           org.apache.parquet.io.api.Binary.fromConstantByteArray(b)): Unit)
         f.part.foreach { case (c, v) =>
           g.append("pcol", c); g.append("pval", v): Unit }
+        // deletion vector: dropping it here would resurrect deleted
+        // rows at every 16th (checkpoint) commit
+        f.dv.foreach { d =>
+          g.append("dvn", d.count)
+          g.append("dvb", org.apache.parquet.io.api.Binary
+            .fromConstantByteArray(
+              java.util.Base64.getDecoder.decode(d.b64))): Unit
+        }
         w.write(g)
       } finally w.close()
       name
@@ -404,7 +538,10 @@ object SnapshotLake {
             g.getLong("d2hi", 0))) else None,
           bytes = if (opt("sz")) Some(g.getLong("sz", 0)) else None,
           part = if (opt("pcol")) Some((g.getString("pcol", 0),
-            g.getString("pval", 0))) else None)
+            g.getString("pval", 0))) else None,
+          dv = if (opt("dvn")) Some(Dv(g.getLong("dvn", 0),
+            java.util.Base64.getEncoder.encodeToString(
+              g.getBinary("dvb", 0).getBytes))) else None)
       }.toVector
       finally r.close()
     }
@@ -516,8 +653,15 @@ object SnapshotLake {
         new String(java.util.Base64.getDecoder.decode(
           body.substring(i + 1)), StandardCharsets.UTF_8))
     }
+    // dv=<count>:<base64 delta-varint positions> — the file's
+    // deletion vector (count up front so row math never decodes)
+    val dv = extras.find(_.startsWith("dv=")).map { t =>
+      val body = t.stripPrefix("dv=")
+      val i = body.indexOf(':')
+      Dv(body.substring(0, i).toLong, body.substring(i + 1))
+    }
     FileStat(fields(0), fields(1).toLong, fields(2).toLong,
-      fields(3).toLong, bloom, dim2, bytes, part)
+      fields(3).toLong, bloom, dim2, bytes, part, dv)
   }
 
   private def parseManifest(root: String, v: Int): Manifest = {
@@ -713,8 +857,9 @@ object SnapshotLake {
       val withPt = f.part.fold(withSz) { case (c, v) =>
         s"$withSz\tpt=$c:${java.util.Base64.getEncoder.encodeToString(
           v.getBytes(StandardCharsets.UTF_8))}" }
-      f.bloom.fold(withPt)(b =>
-        s"$withPt\tbf=${java.util.Base64.getEncoder.encodeToString(b)}")
+      val withDv = f.dv.fold(withPt)(d => s"$withPt\tdv=${d.count}:${d.b64}")
+      f.bloom.fold(withDv)(b =>
+        s"$withDv\tbf=${java.util.Base64.getEncoder.encodeToString(b)}")
     }
     Files.createDirectories(logDir(root))
     // full (checkpoint) manifests externalize the O(files) list as a
@@ -728,8 +873,17 @@ object SnapshotLake {
         val parent = parentFiles.get
         val parentNames = parent.map(_.name).toSet
         val newNames = files.map(_.name).toSet
-        parent.collect { case f if !newNames(f.name) => s"rm\t${f.name}" } ++
-          files.collect { case f if !parentNames(f.name) =>
+        // a file whose DELETION VECTOR changed keeps its name but is a
+        // different logical entry — restate it as rm+add so the delta
+        // replay (removes, then adds) lands the new vector; matching
+        // by name alone would silently drop the mutation from the log
+        val parentDv = parent.map(f => f.name -> f.dv).toMap
+        val dvChanged = files.collect {
+          case f if parentNames(f.name) && parentDv(f.name) != f.dv => f.name
+        }.toSet
+        parent.collect { case f if !newNames(f.name) || dvChanged(f.name) =>
+          s"rm\t${f.name}" } ++
+          files.collect { case f if !parentNames(f.name) || dvChanged(f.name) =>
             s"add\t${fileLine(f)}" }
       } else if (ckptName.isDefined) Seq.empty
       else files.map(fileLine)
@@ -1083,8 +1237,8 @@ object SnapshotLake {
         statsFor(s, root, batch, key, base.bloomCol,
           inheritedBloomBytes(base), base.statCol2)
       }
-    val rowsDeleted = dropped.map(_.rows).sum +
-      (straddling.map(_.rows).sum - newFiles.map(_.rows).sum)
+    val rowsDeleted = dropped.map(_.liveRows).sum +
+      (straddling.map(_.liveRows).sum - newFiles.map(_.rows).sum)
     var committed = -1
     while (committed < 0) {
       val head = snapshot(root)
@@ -1126,7 +1280,7 @@ object SnapshotLake {
         _.part.exists { case (c, v) =>
           colKey(c) == colKey(colName) && values(v) })
       droppedN = dropped.size
-      rowsDropped = dropped.map(_.rows).sum
+      rowsDropped = dropped.map(_.liveRows).sum
       if (tryPublish(root, head.version + 1, head.statCol, head.bloomCol,
           overwrite = true, kept, head.statCol2, txns = head.txns,
           schemaJson = head.schemaJson, op = Some("delete"),
@@ -1134,6 +1288,156 @@ object SnapshotLake {
         committed = head.version + 1
     }
     (committed, droppedN, rowsDropped)
+  }
+
+  /** Logical-named read of `fs` that ALSO surfaces each row's
+    * physical identity — normalized absolute file path `__dv_f` and
+    * physical row position `__dv_i` — with existing deletion vectors
+    * applied (an already-deleted row must never re-match). The
+    * deletion-vector write path's scan.
+    */
+  private def readWithRowPos(s: SparkSession, root: String,
+      snap: Snapshot, fs: Seq[FileStat]): DataFrame = {
+    val paths = fs.map(f => dataPath(root, f.name))
+    val physDf = snap.schema match {
+      case None => s.read.parquet(paths: _*)
+      case Some(logical) =>
+        s.read.schema(ColMap.physicalSchema(logical)).parquet(paths: _*)
+    }
+    val masked = antiJoinDv(s, root,
+      physDf
+        .withColumn("__dv_f", normFilePath(col("_metadata.file_path")))
+        .withColumn("__dv_i", col("_metadata.row_index")),
+      fs.filter(_.dv.exists(_.count > 0)))
+    snap.schema.fold(masked) { logical =>
+      val phys = ColMap.physicalSchema(logical)
+      if (java.util.Arrays.equals(
+          phys.fieldNames.asInstanceOf[Array[AnyRef]],
+          logical.fieldNames.asInstanceOf[Array[AnyRef]])) masked
+      else masked.toDF(
+        (logical.fieldNames :+ "__dv_f" :+ "__dv_i").toIndexedSeq: _*)
+    }
+  }
+
+  final case class DvDeleteResult(version: Int, filesWithDv: Int,
+      filesRewritten: Int, filesDropped: Int, filesUntouched: Int,
+      rowsDeleted: Long)
+
+  /** MERGE-ON-READ DELETE (deletion vectors — Delta's DV feature):
+    * delete the rows matching `cond` by recording their physical row
+    * positions in per-file deletion vectors instead of rewriting the
+    * files. Deleting 10 scattered rows across ten 1 GB files costs
+    * ~10 varints of manifest bytes and zero data I/O beyond the
+    * matching scan — the [[delete]] range verb's economics extended
+    * to arbitrary predicates. Per-file cost routing, decided from
+    * MEASURED matched counts (the d7 probe discipline):
+    *
+    *  - matched ≤ `cowThresholdRows` → the vector grows (merged with
+    *    any existing vector; union is idempotent, so retries and
+    *    racing duplicate deletes stay exact);
+    *  - matched > threshold → that file copy-on-write rewrites with
+    *    the residual filter (a vector past the threshold would cost
+    *    more to carry and filter than the rewrite it avoids — the
+    *    same cost call Delta makes);
+    *  - vector reaching the file's full row count → the entry drops
+    *    from the manifest entirely (metadata-only completion).
+    *
+    * The matching scan evaluates `cond` once over the candidate
+    * files (NULL = keep, DELETE semantics); per-file counts collect
+    * first (one row per touched file), then positions collect only
+    * for vector-routed files — both driver pulls bounded by the
+    * threshold, never O(table). Time travel is untouched: old
+    * versions keep their old vectors.
+    *
+    * Concurrency: WriteSerializable semantics — concurrent appends
+    * carry through un-scanned (they were not visible to the
+    * predicate), a vanished touched file conflicts, and a concurrent
+    * vector on the same file merges by position union against the
+    * fresh head each publish attempt.
+    */
+  def deleteRows(s: SparkSession, root: String,
+      cond: org.apache.spark.sql.Column,
+      cowThresholdRows: Long = 100000L): DvDeleteResult = {
+    require(cowThresholdRows >= 1, "cowThresholdRows must be positive")
+    val base = snapshot(root)
+    val key = base.statCol
+    val matched = readWithRowPos(s, root, base, base.files)
+      .where(coalesce(cond, lit(false)))
+    // pass 1: matched count per file — one output row per TOUCHED file
+    val counts: Map[String, Long] = matched.groupBy(col("__dv_f"))
+      .agg(count(lit(1)).as("__n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byPath = base.files.map(f => dataPath(root, f.name) -> f).toMap
+    counts.keys.foreach(p => require(byPath.contains(p),
+      s"deleteRows matched a row from unknown file $p"))
+    val (cowPaths, dvPaths) =
+      counts.keys.toSeq.sorted.partition(p => counts(p) > cowThresholdRows)
+    val dvFiles = dvPaths.map(byPath)
+    val cowFiles = cowPaths.map(byPath)
+    // pass 2: positions, re-scanning ONLY the vector-routed files
+    val positions: Map[String, Array[Long]] =
+      if (dvFiles.isEmpty) Map.empty
+      else readWithRowPos(s, root, base, dvFiles)
+        .where(coalesce(cond, lit(false)))
+        .groupBy(col("__dv_f"))
+        .agg(sort_array(collect_list(col("__dv_i"))).as("__ps"))
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+    // over-threshold files rewrite copy-on-write, survivors routed
+    // back one output file per source file (the [[delete]] pattern)
+    val newFiles =
+      if (cowFiles.isEmpty) Seq.empty[FileStat]
+      else {
+        val cur = readFiles(s, root, base, cowFiles)
+          .withColumn("__src", input_file_name())
+          .where(!coalesce(cond, lit(false)))
+        val batch = s"data/b-${UUID.randomUUID().toString.take(8)}"
+        ColMap.toPhysical(routeToSourceBuckets(s, cur,
+          cowFiles.map(_.name).zipWithIndex
+            .map { case (n, i) => n -> s"f$i" },
+          default = "x"), base.schema)
+          .repartition(col("__bucket"))
+          .write.partitionBy("__bucket").parquet(s"$root/$batch")
+        statsFor(s, root, batch, key, base.bloomCol,
+          inheritedBloomBytes(base), base.statCol2)
+      }
+    val touchedNames = (dvFiles ++ cowFiles).map(_.name).toSet
+    var committed = -1
+    var filesDropped = 0
+    var rowsDeleted = 0L
+    while (committed < 0) {
+      val head = snapshot(root)
+      val headByName = head.files.map(f => f.name -> f).toMap
+      val vanished = touchedNames.filterNot(headByName.contains)
+      if (vanished.nonEmpty)
+        throw new MergeConflictException(
+          s"deleteRows base files ${vanished.mkString(", ")} vanished " +
+            "(concurrent overwrite/merge/delete) — re-run on the new head")
+      filesDropped = 0
+      var dvRows = 0L
+      val dvUpdated = dvFiles.flatMap { f =>
+        // merge against the HEAD's vector: a racing deleteRows on the
+        // same file may have landed first, and union keeps both exact
+        val h = headByName(f.name)
+        val merged = Dv.union(h.dv, positions(dataPath(root, f.name)))
+        require(merged.count <= h.rows, s"deletion vector of ${f.name} " +
+          s"records ${merged.count} positions for a ${h.rows}-row file")
+        dvRows += merged.count - h.dv.fold(0L)(_.count)
+        if (merged.count == h.rows) { filesDropped += 1; None }
+        else Some(h.copy(dv = Some(merged)))
+      }
+      rowsDeleted = dvRows +
+        (cowFiles.map(_.liveRows).sum - newFiles.map(_.rows).sum)
+      val kept = head.files.filterNot(f => touchedNames(f.name))
+      if (tryPublish(root, head.version + 1, key, head.bloomCol,
+          overwrite = true, kept ++ dvUpdated ++ newFiles, head.statCol2,
+          txns = head.txns, schemaJson = head.schemaJson,
+          op = Some("delete"), parentFiles = Some(head.files),
+          retired = head.retired))
+        committed = head.version + 1
+    }
+    DvDeleteResult(committed, dvFiles.size - filesDropped, cowFiles.size,
+      filesDropped, base.files.size - touchedNames.size, rowsDeleted)
   }
 
   final case class CompactResult(version: Int, filesBefore: Int,
@@ -1246,10 +1550,17 @@ object SnapshotLake {
     require(from.statCol == to.statCol,
       s"stat column changed between v$fromV and v$toV")
     val key = to.statCol
-    val fromNames = from.files.map(_.name).toSet
-    val toNames = to.files.map(_.name).toSet
-    val removed = from.files.filterNot(f => toNames(f.name))
-    val added = to.files.filterNot(f => fromNames(f.name))
+    // a file whose DELETION VECTOR differs between the versions is a
+    // changed entry: its pre-image reads with the FROM vector and its
+    // post-image with the TO vector, and the key diff below derives
+    // the newly-vectored rows as deletes — matching by name alone
+    // would make a merge-on-read delete invisible to the feed
+    val fromByName = from.files.map(f => f.name -> f).toMap
+    val toByName = to.files.map(f => f.name -> f).toMap
+    val removed = from.files.filter(f =>
+      toByName.get(f.name).forall(_.dv != f.dv))
+    val added = to.files.filter(f =>
+      fromByName.get(f.name).forall(_.dv != f.dv))
     def readSide(fs: Seq[FileStat]): DataFrame =
       if (fs.isEmpty) read(s, root, Some(toV)).where(lit(false))
       else readFiles(s, root, to, fs)

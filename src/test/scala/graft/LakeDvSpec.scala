@@ -1,0 +1,196 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotLake
+import graft.sources.SnapshotLake.Dv
+
+/** Deletion vectors (merge-on-read delete): codec exactness, the
+  * [[SnapshotLake.deleteRows]] verb's DV-vs-CoW routing, read paths
+  * (current, time travel, post-checkpoint reconstruction), vector
+  * merging under repeated deletes, interaction with the rewrite
+  * verbs (merge/compact must not resurrect deleted rows and must
+  * purge vectors on rewrite), the change feed's manifest-derived
+  * delete pre-images, and the append-only stream's loud refusal.
+  */
+class LakeDvSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("lake_dv_").toString
+
+  private def tbl(ids: Range) =
+    ids.map(i => (i.toLong, i.toLong * 7)).toDF("k", "v")
+
+  /** 8 range-clustered files over k = 0 until 800, file i = [100i, 100i+99]. */
+  private def clustered8(root: String): Unit = {
+    val bucket = (1 to 7).foldLeft(lit(0)) { (acc, i) =>
+      when(col("k") >= i * 100, lit(i)).otherwise(acc)
+    }
+    SnapshotLake.commitClustered(spark, root, tbl(0 until 800), bucket, "k")
+  }
+
+  test("dv codec: delta-varint roundtrip is exact") {
+    assert(Dv.fromPositions(Array.empty[Long]).positions.toSeq === Seq.empty)
+    assert(Dv.fromPositions(Array(0L)).positions.toSeq === Seq(0L))
+    val gappy = Array(0L, 1L, 127L, 128L, 16383L, 16384L,
+      Int.MaxValue.toLong, Int.MaxValue * 1000L)
+    val dv = Dv.fromPositions(gappy)
+    assert(dv.count === gappy.length.toLong)
+    assert(dv.positions.toSeq === gappy.toSeq)
+    // unsorted + duplicate input normalizes to sorted distinct
+    val messy = Dv.fromPositions(Array(5L, 3L, 5L, 9L, 3L))
+    assert(messy.count === 3L)
+    assert(messy.positions.toSeq === Seq(3L, 5L, 9L))
+    // union is an idempotent position-set union
+    val u = Dv.union(Some(messy), Array(5L, 7L))
+    assert(u.positions.toSeq === Seq(3L, 5L, 7L, 9L))
+  }
+
+  test("deleteRows records vectors instead of rewriting: zero rewrites, exact reads, free time travel") {
+    val root = freshRoot()
+    clustered8(root)
+    val v0 = SnapshotLake.snapshot(root).version
+    // 6 scattered rows across 3 files
+    val dead = Seq(7L, 99L, 310L, 311L, 555L, 556L)
+    val res = SnapshotLake.deleteRows(spark, root, col("k").isin(dead: _*))
+    assert(res.filesWithDv === 3)
+    assert(res.filesRewritten === 0)
+    assert(res.filesDropped === 0)
+    assert(res.filesUntouched === 5)
+    assert(res.rowsDeleted === 6L)
+    val snap = SnapshotLake.snapshot(root)
+    // every file entry kept its NAME (no data I/O) and the touched
+    // three carry vectors with exact cardinalities
+    assert(snap.files.map(_.name).toSet ===
+      SnapshotLake.snapshot(root, Some(v0)).files.map(_.name).toSet)
+    assert(snap.files.flatMap(_.dv).map(_.count).sorted === Seq(2L, 2L, 2L))
+    assert(snap.files.map(_.liveRows).sum === 794L)
+    // reads exclude exactly the vectored rows
+    val ks = SnapshotLake.read(spark, root).select("k").as[Long]
+      .collect().sorted.toSeq
+    assert(ks === (0L until 800L).filterNot(dead.contains))
+    // time travel reads the PRE-delete vector state
+    assert(SnapshotLake.read(spark, root, Some(v0)).count() === 800L)
+    // repeat delete of the same rows is a no-op union
+    val again = SnapshotLake.deleteRows(spark, root, col("k").isin(dead: _*))
+    assert(again.rowsDeleted === 0L)
+  }
+
+  test("second deleteRows on the same file unions vectors; full coverage drops the entry") {
+    val root = freshRoot()
+    clustered8(root)
+    SnapshotLake.deleteRows(spark, root, col("k") === 42L)
+    val r2 = SnapshotLake.deleteRows(spark, root,
+      col("k") >= 0L && col("k") < 100L) // rest of file 0
+    // 99 more rows die; vector reaches the file's 100 rows → the
+    // entry drops from the manifest entirely (metadata completion)
+    assert(r2.rowsDeleted === 99L)
+    assert(r2.filesDropped === 1)
+    assert(r2.filesWithDv === 0)
+    val snap = SnapshotLake.snapshot(root)
+    assert(snap.files.size === 7)
+    assert(SnapshotLake.read(spark, root).count() === 700L)
+  }
+
+  test("per-file cost routing: over-threshold files CoW, small ones vector, in one call") {
+    val root = freshRoot()
+    clustered8(root)
+    val before = SnapshotLake.snapshot(root).files.map(_.name).toSet
+    // file 2 loses 80 rows (CoW at threshold 10), file 5 loses 2 (DV)
+    val res = SnapshotLake.deleteRows(spark, root,
+      (col("k") >= 200L && col("k") < 280L) || col("k").isin(501L, 502L),
+      cowThresholdRows = 10L)
+    assert(res.filesWithDv === 1)
+    assert(res.filesRewritten === 1)
+    assert(res.rowsDeleted === 82L)
+    val snap = SnapshotLake.snapshot(root)
+    val fresh = snap.files.filterNot(f => before(f.name))
+    assert(fresh.size === 1)
+    assert(fresh.head.dv.isEmpty) // rewrites never carry a vector
+    assert((fresh.head.lo, fresh.head.hi, fresh.head.rows) ===
+      (280L, 299L, 20L))
+    val ks = SnapshotLake.read(spark, root).select("k").as[Long]
+      .collect().sorted.toSeq
+    assert(ks === (0L until 800L)
+      .filterNot(k => (k >= 200 && k < 280) || k == 501 || k == 502))
+  }
+
+  test("vectors survive checkpoint reconstruction and delta replay") {
+    val root = freshRoot()
+    clustered8(root)
+    SnapshotLake.deleteRows(spark, root, col("k").isin(5L, 305L))
+    // push the chain well past a checkpoint boundary (interval 16)
+    (0 until 18).foreach { i =>
+      SnapshotLake.commit(spark, root,
+        Seq((10000L + i, 1L)).toDF("k", "v"), "k")
+    }
+    val head = SnapshotLake.snapshot(root)
+    assert(head.version >= SnapshotLake.CheckpointInterval)
+    assert(head.files.flatMap(_.dv).map(_.count).sum === 2L)
+    assert(SnapshotLake.read(spark, root)
+      .where(col("k") < 1000L).count() === 798L)
+    // and time travel to any intermediate version still applies them
+    assert(SnapshotLake.read(spark, root, Some(head.version - 5))
+      .where(col("k") < 1000L).count() === 798L)
+  }
+
+  test("rewrite verbs respect vectors: merge does not resurrect, compact purges") {
+    val root = freshRoot()
+    clustered8(root)
+    SnapshotLake.deleteRows(spark, root, col("k").isin(110L, 115L))
+    // CoW merge touching the vectored file must not resurrect 110/115
+    SnapshotLake.merge(spark, root,
+      upserts = Seq((120L, 9999L)).toDF("k", "v"),
+      deleteKeys = Seq.empty[Long].toDF("k"))
+    val ks = SnapshotLake.read(spark, root).where(col("k") < 200L)
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(ks === (0L until 200L).filterNot(k => k == 110L || k == 115L))
+    assert(SnapshotLake.read(spark, root)
+      .where(col("k") === 120L).select("v").as[Long].head() === 9999L)
+    // the rewritten file replaced the vectored entry: no vectors left
+    assert(SnapshotLake.snapshot(root).files.forall(_.dv.isEmpty))
+    // now vector another file and compact everything: output is
+    // vector-free and content-exact
+    SnapshotLake.deleteRows(spark, root, col("k").isin(700L, 701L))
+    SnapshotLake.compactLake(spark, root, targetRows = 1000L)
+    val after = SnapshotLake.snapshot(root)
+    assert(after.files.forall(_.dv.isEmpty))
+    assert(SnapshotLake.read(spark, root).count() === 796L)
+    assert(SnapshotLake.read(spark, root)
+      .where(col("k").isin(110L, 115L, 700L, 701L)).count() === 0L)
+  }
+
+  test("changes() derives a dv delete's pre-images from the manifest diff") {
+    val root = freshRoot()
+    clustered8(root)
+    val v0 = SnapshotLake.snapshot(root).version
+    SnapshotLake.deleteRows(spark, root, col("k").isin(13L, 14L, 660L))
+    val v1 = SnapshotLake.snapshot(root).version
+    val (diff, filesDiffed, _) = SnapshotLake.changes(spark, root, v0, v1)
+    val rows = diff.select("change_type", "k").as[(String, Long)]
+      .collect().sorted.toSeq
+    assert(rows === Seq(("delete", 13L), ("delete", 14L), ("delete", 660L)))
+    // only the two touched files diffed (each on both sides)
+    assert(filesDiffed === 4)
+  }
+
+  test("append-only lake stream refuses a dv-change version loudly") {
+    val root = freshRoot()
+    clustered8(root)
+    SnapshotLake.commit(spark, root, Seq((900L, 1L)).toDF("k", "v"), "k")
+    SnapshotLake.deleteRows(spark, root, col("k") === 3L)
+    val q = spark.readStream.format("graft.sources.GraftLakeSource")
+      .option("path", root).load()
+      .writeStream.format("memory").queryName("dv_refuse")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(err).exists(c =>
+      c.getMessage != null && c.getMessage.contains("deletion vectors")))
+  }
+}
