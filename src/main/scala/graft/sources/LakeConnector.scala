@@ -393,15 +393,80 @@ final class LakeTable(root: String, asOf: Option[Int], tschema: StructType,
     }
   }
 
+  /** `DELETE FROM t WHERE <longcol> = v` / `IN (…)` on a table that
+    * opted into deletion vectors (`TBLPROPERTIES('dv'='true')`): the
+    * merge-on-read shape. Point/IN deletes are exactly where the
+    * range path degrades (a 1-row delete never fully covers a file,
+    * so it straddles and copy-on-writes the whole containing file);
+    * the vector path records the positions instead. Precedence:
+    * partition-spec metadata drops still win (zero I/O beats any
+    * vector), then this, then the stat-range path.
+    */
+  private def dvPointSpec(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Option[(String, Seq[Long])] = {
+    if (asOf.nonEmpty || predicates.length != 1) return None
+    if (!opts.get("dv").exists(_.equalsIgnoreCase("true"))) return None
+    if (SnapshotLake.headVersion(root) < 0) return None
+    def longLit(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[Long] = e match {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+        l.value() match {
+          case v: java.lang.Long => Some(v.longValue())
+          case v: java.lang.Integer => Some(v.longValue())
+          case v: java.lang.Short => Some(v.longValue())
+          case _ => None
+        }
+      case _ => None
+    }
+    def integralCol(r: NamedReference): Option[String] =
+      Option(r.fieldNames()).filter(_.length == 1).map(_(0)).filter(n =>
+        tschema.fields.exists(f => f.name.equalsIgnoreCase(n) &&
+          (f.dataType == LongType ||
+            f.dataType == org.apache.spark.sql.types.IntegerType)))
+    val p = predicates(0)
+    (p.name(), p.children()) match {
+      case ("=", Array(r: NamedReference, l)) =>
+        integralCol(r).flatMap(c => longLit(l).map(v => (c, Seq(v))))
+      case ("IN", Array(r: NamedReference, rest @ _*)) =>
+        integralCol(r).flatMap { c =>
+          val vs = rest.map(longLit)
+          if (vs.nonEmpty && vs.forall(_.isDefined)) Some((c, vs.flatten.toSeq))
+          else None
+        }
+      case _ => None
+    }
+  }
+
   override def canDeleteWhere(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
       : Boolean =
-    deleteRange(predicates).isDefined ||
-      deletePartitionSpec(predicates).isDefined
+    deletePartitionSpec(predicates).isDefined ||
+      dvPointSpec(predicates).isDefined ||
+      deleteRange(predicates).isDefined
 
   override def deleteWhere(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
-      : Unit =
+      : Unit = {
+    val changefeed = opts.get("changefeed").exists(_.equalsIgnoreCase("true"))
+    deletePartitionSpec(predicates) match {
+      case Some((c, vs)) =>
+        SnapshotLake.deletePartition(root, c, vs): Unit
+        return
+      case None =>
+    }
+    dvPointSpec(predicates) match {
+      case Some((c, vs)) =>
+        val res = SnapshotLake.deleteRows(SparkSession.active, root,
+          org.apache.spark.sql.functions.col(c).isin(vs: _*))
+        // the vector part of the version derives its change rows from
+        // the manifest diff; only a CoW-routed file needs the sidecar
+        if (res.filesRewritten > 0 && changefeed)
+          SnapshotLake.materializeChanges(SparkSession.active, root,
+            res.version): Unit
+        return
+      case None =>
+    }
     deleteRange(predicates) match {
       case Some((lo, hi)) =>
         val res = SnapshotLake.delete(SparkSession.active, root, lo, hi)
@@ -409,17 +474,17 @@ final class LakeTable(root: String, asOf: Option[Int], tschema: StructType,
         // a residual file — not derivable from the manifest diff, so a
         // change-feed table materializes the sidecar (fully-covered
         // drops stay derivable and cost nothing)
-        if (res.filesRewritten > 0 &&
-            opts.get("changefeed").exists(_.equalsIgnoreCase("true")))
+        if (res.filesRewritten > 0 && changefeed)
           SnapshotLake.materializeChanges(SparkSession.active, root,
             res.version): Unit
       case None =>
-        val (c, vs) = deletePartitionSpec(predicates).getOrElse(throw
-          new UnsupportedOperationException(
-            s"DELETE on ${name()} supports stat-column ranges and " +
-              s"partition-value predicates, got ${predicates.mkString(", ")}"))
-        SnapshotLake.deletePartition(root, c, vs): Unit
+        throw new UnsupportedOperationException(
+          s"DELETE on ${name()} supports stat-column ranges, " +
+            "partition-value predicates, and (with " +
+            "TBLPROPERTIES dv=true) integral-column point/IN " +
+            s"predicates, got ${predicates.mkString(", ")}")
     }
+  }
 }
 
 object LakeTable {
@@ -667,9 +732,11 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
       k: Int): Seq[SnapshotLake.FileStat] = {
     // rows strictly beyond f: binary-search a prefix-sum over files
     // sorted by their FAR bound — O(F log F) on manifest metadata
+    // liveRows: counting vectored-away rows would overstate "rows
+    // strictly beyond" and prune a file the top k still needs
     val bounds =
-      if (asc) fs.map(f => (f.hi, f.rows)).sortBy(_._1)
-      else fs.map(f => (-f.lo, f.rows)).sortBy(_._1)
+      if (asc) fs.map(f => (f.hi, f.liveRows)).sortBy(_._1)
+      else fs.map(f => (-f.lo, f.liveRows)).sortBy(_._1)
     val keys = bounds.map(_._1).toArray
     val pre = bounds.map(_._2).scanLeft(0L)(_ + _).toArray
     def rowsBeyond(edge: Long): Long = {
@@ -688,7 +755,10 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
       : Seq[SnapshotLake.FileStat] = {
     var acc = 0L
     fs.foldLeft(Vector.empty[SnapshotLake.FileStat]) { (keep, f) =>
-      if (acc < n) { acc += f.rows; keep :+ f } else keep
+      // liveRows: a vectored file contributes fewer rows than its
+      // physical count — counting physical rows could end the prefix
+      // before n live rows are covered
+      if (acc < n) { acc += f.liveRows; keep :+ f } else keep
     }
   }
 
@@ -731,8 +801,13 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
       agg.aggregateExpressions().nonEmpty &&
       agg.aggregateExpressions().forall {
         case _: CountStar => true
-        case m: Min => refsStatCol(m.column) && statColIsLong
-        case m: Max => refsStatCol(m.column) && statColIsLong
+        // a deletion vector may have removed the extremum row: the
+        // manifest's lo/hi are a SUPERSET bound (sound for pruning,
+        // wrong as an answer) — refuse and take the data path
+        case m: Min => refsStatCol(m.column) && statColIsLong &&
+          snap.files.forall(_.dv.isEmpty)
+        case m: Max => refsStatCol(m.column) && statColIsLong &&
+          snap.files.forall(_.dv.isEmpty)
         case _ => false
       }
 
@@ -751,7 +826,7 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
   override def build(): Scan = {
     if (pushedAgg.nonEmpty) {
       val values = pushedAgg.map {
-        case _: CountStar => snap.files.map(_.rows).sum
+        case _: CountStar => snap.files.map(_.liveRows).sum
         case _: Min => snap.files.map(_.lo).min
         case _: Max => snap.files.map(_.hi).max
       }
@@ -1042,6 +1117,9 @@ final case class LakeScan(root: String, version: Int,
   // visible in `.explain` on the BatchScan node
   override def description(): String =
     s"GraftLake v=$version files=${files.length}/$filesTotal $pushedDesc " +
+      (if (files.exists(_.dv.isDefined))
+        s"dv=${files.count(_.dv.isDefined)}(${
+          files.flatMap(_.dv).map(_.count).sum}rows) " else "") +
       s"cols=[${required.fieldNames.mkString(",")}]"
 
   private def sizeOf(f: SnapshotLake.FileStat): Long =
@@ -1063,7 +1141,7 @@ final case class LakeScan(root: String, version: Int,
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(files.map(sizeOf).sum)
       override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.of(files.map(_.rows).sum)
+        java.util.OptionalLong.of(files.map(_.liveRows).sum)
     }
 
   /** One partition per row-group RUN: files at or under
@@ -1092,8 +1170,9 @@ final case class LakeScan(root: String, version: Int,
     effectiveFiles.flatMap { f =>
       val path = SnapshotLake.dataPath(root, f.name)
       val size = sizeOf(f)
+      val dvB64 = f.dv.map(_.b64)
       val raw: Seq[LakeSplit] =
-      if (size <= maxSplit) Seq(LakeSplit(path, 0L, size))
+      if (size <= maxSplit) Seq(LakeSplit(path, 0L, size, dvB64, 0L))
       else {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromPath(new org.apache.hadoop.fs.Path(path), conf)
@@ -1110,11 +1189,14 @@ final case class LakeScan(root: String, version: Int,
             acc.init :+ (acc.last :+ b)
           else acc :+ Vector(b)
         }
+        // each run's first PHYSICAL row index = preceding runs' rows
+        val firstRows = runs.map(_.map(_.getRowCount).sum)
+          .scanLeft(0L)(_ + _)
         runs.zipWithIndex.map { case (run, i) =>
           val start = run.head.getStartingPos
           val end =
             if (i + 1 < runs.length) runs(i + 1).head.getStartingPos else size
-          LakeSplit(path, start, end - start)
+          LakeSplit(path, start, end - start, dvB64, firstRows(i))
         }
       }
       // SPJ mode: every split carries its file's typed partition key
@@ -1180,8 +1262,16 @@ object LakeScan {
     }
 }
 
-/** A byte range of one data file covering whole row groups. */
-final case class LakeSplit(path: String, start: Long, length: Long)
+/** A byte range of one data file covering whole row groups.
+  * `dvB64` carries the file's deletion vector (base64 delta-varint
+  * positions) when one exists — the reader drops those physical
+  * rows; `firstRow` is the physical row index of the range's first
+  * row (0 for whole-file splits, the preceding row groups' row-count
+  * sum for a row-group run), which is what lets each task translate
+  * batch ordinals to file positions with no metadata column decoded.
+  */
+final case class LakeSplit(path: String, start: Long, length: Long,
+    dvB64: Option[String] = None, firstRow: Long = 0L)
     extends InputPartition
 
 /** [[LakeSplit]] plus its file's partition key — the
@@ -1300,7 +1390,24 @@ final class LakeReaderFactory(required: StructType,
     confKVs: Map[String, String], fileColIdx: Int = -1)
     extends PartitionReaderFactory {
 
-  override def supportColumnarReads(partition: InputPartition): Boolean = true
+  /** The batch's OUTPUT schema: parquet columns plus the `_file`
+    * constant at its projected slot.
+    */
+  private def outputSchema: StructType =
+    if (fileColIdx < 0) required
+    else {
+      val (before, after) = required.fields.splitAt(fileColIdx)
+      StructType((before :+ org.apache.spark.sql.types.StructField(
+        LakeTable.FileColumn, org.apache.spark.sql.types.StringType,
+        nullable = false)) ++ after)
+    }
+
+  // a deletion-vectored split of nested types declines columnar: the
+  // survivor copy handles atomic vectors only, and PARTITION_DEFINED
+  // mode then plans the whole scan row-based (no mixing)
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    splitOf(partition).dvB64.isEmpty ||
+      outputSchema.fields.forall(f => DvFilter.copyable(f.dataType))
 
   private def splitOf(partition: InputPartition): LakeSplit =
     partition match {
@@ -1314,7 +1421,12 @@ final class LakeReaderFactory(required: StructType,
       : org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader =
     LakeReaderFactory.openSplit(splitOf(partition), confKVs, required)
 
-  override def createColumnarReader(partition: InputPartition)
+  /** Raw batches: parquet decode plus the `_file` constant splice —
+    * per split, one UTF8String; per batch, one array copy of column
+    * references. The parquet decode path is untouched. Deletion
+    * vectors are NOT applied here.
+    */
+  private def rawColumnar(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val reader = open(partition)
     if (fileColIdx < 0)
@@ -1325,9 +1437,6 @@ final class LakeReaderFactory(required: StructType,
         override def close(): Unit = reader.close()
       }
     else {
-      // `_file` splices in as a CONSTANT vector — per split, one
-      // UTF8String; per batch, one array copy of column references.
-      // The parquet decode path is untouched.
       val path = org.apache.spark.unsafe.types.UTF8String
         .fromString(splitOf(partition).path)
       new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
@@ -1355,18 +1464,54 @@ final class LakeReaderFactory(required: StructType,
     }
   }
 
-  // row-based fallback for engines that decline columnar (not taken
-  // by BatchScanExec while supportColumnarReads is true)
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val raw = rawColumnar(partition)
+    splitOf(partition).dvB64 match {
+      case None => raw
+      case Some(b64) =>
+        val split = splitOf(partition)
+        val walker = new DvFilter.Walker(
+          SnapshotLake.Dv.decode(b64), split.firstRow)
+        val schema = outputSchema
+        new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+          private var cur: org.apache.spark.sql.vectorized.ColumnarBatch = _
+          override def next(): Boolean = raw.next() && {
+            val b = raw.get()
+            cur = DvFilter.filterBatch(b, schema,
+              walker.nextSelection(b.numRows()))
+            true
+          }
+          override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
+            cur
+          override def close(): Unit = raw.close()
+        }
+    }
+  }
+
+  // row-based path: taken when the engine declines columnar (a
+  // deletion-vectored split of nested types forces the whole scan
+  // here). Deletion vectors filter by ordinal against the same
+  // walker — the batch is raw, so ordinals are physical.
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
-    val batches = createColumnarReader(partition)
+    val split = splitOf(partition)
+    val batches = rawColumnar(partition)
+    val walker = split.dvB64.map(b64 =>
+      new DvFilter.Walker(SnapshotLake.Dv.decode(b64), split.firstRow))
     new PartitionReader[InternalRow] {
-      private var rows: java.util.Iterator[InternalRow] =
-        java.util.Collections.emptyIterator()
+      private var rows: Iterator[InternalRow] = Iterator.empty
       @annotation.tailrec
       override def next(): Boolean =
         rows.hasNext || (batches.next() && {
-          rows = batches.get().rowIterator(); true
+          val b = batches.get()
+          rows = walker match {
+            case None =>
+              b.rowIterator().asScala
+            case Some(w) =>
+              w.nextSelection(b.numRows()).iterator.map(b.getRow)
+          }
+          true
         } && next())
       override def get(): InternalRow = rows.next()
       override def close(): Unit = batches.close()

@@ -6,6 +6,7 @@ import org.apache.spark.sql.connector.read.streaming.{
   MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl,
   SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.StructType
+import scala.jdk.CollectionConverters._
 
 /** Offset in the lake's version chain — a committed manifest version
   * IS a streaming offset (Delta's model): monotonic, durable, and
@@ -139,7 +140,8 @@ class LakeMicroBatchStream(root: String, required: StructType,
       .filter(f => !prev(f.name) && keep(f))
       .map(f => LakeSplit(SnapshotLake.dataPath(root, f.name), 0L,
         f.bytes.getOrElse(java.nio.file.Files.size(java.nio.file.Paths.get(
-          SnapshotLake.dataPath(root, f.name))))): InputPartition)
+          SnapshotLake.dataPath(root, f.name)))),
+        f.dv.map(_.b64)): InputPartition)
       .toArray
   }
 
@@ -160,7 +162,14 @@ class LakeMicroBatchStream(root: String, required: StructType,
   * belongs to exactly one version of the chain.
   */
 final case class LakeCdfSplit(split: LakeSplit, constType: Option[String],
-    commitVersion: Long) extends InputPartition
+    commitVersion: Long,
+    /** Base64 positions to read EXCLUSIVELY — a deletion-vector
+      * change replays only its newly-vectored rows (as `delete`
+      * pre-images) or newly-restored rows (as `insert`s), derived
+      * from the manifest diff with zero sidecar storage. `None` =
+      * the whole split (minus its own exclude vector, if any).
+      */
+    includeB64: Option[String] = None) extends InputPartition
 
 /** The CHANGE DATA FEED streaming face (`readStream.format(...)
   * .option("readChangeFeed", "true")`) — Delta CDF's semantics on
@@ -218,16 +227,46 @@ object LakeCdf {
       if (v == 0) Seq.empty else SnapshotLake.snapshot(root, Some(v - 1)).files
     val curNames = cur.files.map(_.name).toSet
     val prevNames = prev.map(_.name).toSet
+    val prevByName = prev.map(f => f.name -> f).toMap
     val added = cur.files.filterNot(f => prevNames(f.name))
     val removed = prev.filterNot(f => curNames(f.name))
     def splits(fs: Seq[SnapshotLake.FileStat], ct: String) = fs.map { f =>
       val p = SnapshotLake.dataPath(root, f.name)
+      // the file's own vector rides along: a dropped vectored file's
+      // pre-image must exclude rows already deleted in EARLIER versions
       LakeCdfSplit(
-        LakeSplit(p, 0L, f.bytes.getOrElse(sizeOf(p))), Some(ct), v)
+        LakeSplit(p, 0L, f.bytes.getOrElse(sizeOf(p)), f.dv.map(_.b64)),
+        Some(ct), v)
     }
-    if (removed.isEmpty) splits(added, "insert")
+    // a same-name entry whose DELETION VECTOR changed derives its
+    // change rows from the position diff alone — read ONLY the newly
+    // vectored positions as `delete` pre-images (or, after a restore
+    // that shrank the vector, the resurrected positions as `insert`s).
+    // Zero sidecar storage, O(changed rows) I/O: the DV analogue of
+    // deriving inserts from add actions.
+    val dvChanged = cur.files.flatMap { f =>
+      prevByName.get(f.name).toSeq.filter(_.dv != f.dv).flatMap { p =>
+        val oldPos = p.dv.fold(Array.empty[Long])(_.positions)
+        val newPos = f.dv.fold(Array.empty[Long])(_.positions)
+        val oldSet = oldPos.toSet
+        val newSet = newPos.toSet
+        val path = SnapshotLake.dataPath(root, f.name)
+        def inc(ps: Array[Long], ct: String) = LakeCdfSplit(
+          LakeSplit(path, 0L, f.bytes.getOrElse(sizeOf(path))),
+          Some(ct), v,
+          includeB64 = Some(SnapshotLake.Dv.fromPositions(ps).b64))
+        Seq(
+          Some(newPos.filterNot(oldSet)).filter(_.nonEmpty)
+            .map(inc(_, "delete")),
+          Some(oldPos.filterNot(newSet)).filter(_.nonEmpty)
+            .map(inc(_, "insert"))).flatten
+      }
+    }
+    if (removed.isEmpty && added.isEmpty) dvChanged
+    else if (removed.isEmpty && dvChanged.isEmpty) splits(added, "insert")
     else cur.op match {
-      case Some("delete") if added.isEmpty => splits(removed, "delete")
+      case Some("delete") if added.isEmpty =>
+        splits(removed, "delete") ++ dvChanged
       case Some("compact") | Some("cluster") => Seq.empty // layout-only
       case op => throw new IllegalStateException(
         s"change feed at $root: version $v (op=${op.getOrElse("?")}) " +
@@ -248,15 +287,35 @@ object LakeCdf {
 final class LakeCdfReaderFactory(required: StructType,
     confKVs: Map[String, String]) extends PartitionReaderFactory {
 
-  override def supportColumnarReads(p: InputPartition): Boolean = true
+  private def cdfSplitOf(p: InputPartition): LakeCdfSplit = p match {
+    case s: LakeCdfSplit => s
+    case other => throw new IllegalArgumentException(
+      s"not a change-feed split: $other")
+  }
 
-  override def createColumnarReader(p: InputPartition)
-      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val c = p match {
-      case s: LakeCdfSplit => s
-      case other => throw new IllegalArgumentException(
-        s"not a change-feed split: $other")
+  /** This split's position filter, if any: a deletion-vector-change
+    * replay reads ONLY its diffed positions (include mode); a
+    * pre-image replay of a vectored file excludes its vector.
+    */
+  private def walkerOf(c: LakeCdfSplit): Option[DvFilter.Walker] =
+    c.includeB64 match {
+      case Some(b64) => Some(new DvFilter.Walker(
+        SnapshotLake.Dv.decode(b64), c.split.firstRow, include = true))
+      case None => c.split.dvB64.map(b64 => new DvFilter.Walker(
+        SnapshotLake.Dv.decode(b64), c.split.firstRow))
     }
+
+  override def supportColumnarReads(p: InputPartition): Boolean = {
+    val c = cdfSplitOf(p)
+    (c.includeB64.isEmpty && c.split.dvB64.isEmpty) ||
+      required.fields.forall(f => DvFilter.copyable(f.dataType))
+  }
+
+  /** Raw batches: parquet decode plus the `_commit_version` /
+    * `_change_type` constant splice. Position filters NOT applied.
+    */
+  private def rawColumnar(c: LakeCdfSplit)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val isConst: Array[Boolean] = required.fields.map(f =>
       f.name.equalsIgnoreCase("_commit_version") ||
         (c.constType.isDefined && f.name.equalsIgnoreCase("_change_type")))
@@ -292,18 +351,48 @@ final class LakeCdfReaderFactory(required: StructType,
     }
   }
 
-  // row-based fallback (not taken while supportColumnarReads is true)
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val c = cdfSplitOf(p)
+    val raw = rawColumnar(c)
+    walkerOf(c) match {
+      case None => raw
+      case Some(w) =>
+        new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+          private var cur: org.apache.spark.sql.vectorized.ColumnarBatch = _
+          override def next(): Boolean = raw.next() && {
+            val b = raw.get()
+            cur = DvFilter.filterBatch(b, required,
+              w.nextSelection(b.numRows()))
+            true
+          }
+          override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
+            cur
+          override def close(): Unit = raw.close()
+        }
+    }
+  }
+
+  // row-based path (taken when a position-filtered split of nested
+  // types declines columnar)
   override def createReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
-    val batches = createColumnarReader(partition)
+    val c = cdfSplitOf(partition)
+    val batches = rawColumnar(c)
+    val walker = walkerOf(c)
     new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
-      private var rows: java.util.Iterator[
-        org.apache.spark.sql.catalyst.InternalRow] =
-        java.util.Collections.emptyIterator()
+      private var rows: Iterator[
+        org.apache.spark.sql.catalyst.InternalRow] = Iterator.empty
       @annotation.tailrec
       override def next(): Boolean =
         rows.hasNext || (batches.next() && {
-          rows = batches.get().rowIterator(); true
+          val b = batches.get()
+          rows = walker match {
+            case None => b.rowIterator().asScala
+            case Some(w) =>
+              w.nextSelection(b.numRows()).iterator.map(b.getRow)
+          }
+          true
         } && next())
       override def get(): org.apache.spark.sql.catalyst.InternalRow =
         rows.next()

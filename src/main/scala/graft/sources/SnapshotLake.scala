@@ -2758,6 +2758,89 @@ object SnapshotLake {
         col("n_rows"), col("sum_cents"))
   }
 
+  /** Judged DELETION VECTORS (merge-on-read delete): the q109 8-file
+    * lake deletes a SCATTERED set (every id ≡ 7 mod 101 — a handful
+    * of rows in each file) plus one DENSE block (half of file 6),
+    * with the CoW threshold at span/32 rows. The hash-checked file
+    * counts certify the measured per-file cost routing: the 7
+    * lightly-hit files take vectors (manifest bytes, zero data I/O —
+    * the rewrite path would have copied 7/8 of the table to delete
+    * ~0.1% of it), the densely-hit file copy-on-writes (a vector
+    * covering half a file costs more to carry than the rewrite), and
+    * the post-delete aggregate reads back through the DSv2 CONNECTOR
+    * — certifying the vectorized reader's position filter end to
+    * end, not just the Scala read path.
+    */
+  def q161LakeDvDelete(s: SparkSession, d: String): DataFrame = {
+    val root = Housekeeping.tempDir("q161")
+    val ev = eventsCents(s, d).select(col("event_id"), col("cents"))
+    val span = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    def bound(i: Int): Long = i.toLong * span / 8
+    val bucket = (1 to 7).foldLeft(lit(0)) { (acc, i) =>
+      when(col("event_id") >= bound(i), lit(i)).otherwise(acc)
+    }
+    commitClustered(s, root, ev, bucket, "event_id")
+    val cond = (col("event_id") % 101 === 7) ||
+      (col("event_id") >= bound(6) && col("event_id") < bound(6) + span / 16)
+    val res = deleteRows(s, root, cond, cowThresholdRows = span / 32)
+    s.read.format("graft.sources.GraftLakeSource")
+      .option("path", root).load()
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .select(
+        lit(res.filesWithDv).cast("long").as("n_files_dv"),
+        lit(res.filesRewritten).cast("long").as("n_files_cow"),
+        lit(res.filesDropped).cast("long").as("n_files_dropped"),
+        lit(res.rowsDeleted).cast("long").as("rows_deleted"),
+        col("n_rows"), col("sum_cents"))
+  }
+
+  /** Judged SQL deletion-vector delete + manifest-derived change
+    * feed: a catalog table with `dv 'true'` takes `DELETE … WHERE
+    * event_id IN (4 scattered ids)` through `SupportsDeleteV2` into
+    * the vector path (4 one-position vectors, zero files rewritten,
+    * all 8 entries keep their names), and the batch change feed then
+    * replays that version's deletes FROM THE MANIFEST DIFF ALONE —
+    * reading only the 4 newly-vectored positions, no CDC sidecar on
+    * disk (the DV analogue of deriving inserts from add actions).
+    * The oracle replays the surviving table AND the change rows'
+    * aggregate independently.
+    */
+  def q162LakeDvDeleteSql(s: SparkSession, d: String): DataFrame = {
+    val root = Housekeeping.tempDir("q162")
+    s.sql("DROP TABLE IF EXISTS q162_lake")
+    Housekeeping.tables(s, "q162_tbl", Seq("q162_lake"))
+    val ev = eventsCents(s, d).select(col("event_id"), col("cents"))
+    val span = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    def bound(i: Int): Long = i.toLong * span / 8
+    val bucket = (1 to 7).foldLeft(lit(0)) { (acc, i) =>
+      when(col("event_id") >= bound(i), lit(i)).otherwise(acc)
+    }
+    commitClustered(s, root, ev, bucket, "event_id")
+    s.sql(s"""
+      CREATE TABLE q162_lake (event_id BIGINT, cents BIGINT)
+      USING graft.sources.GraftLakeSource
+      OPTIONS (path '$root', statCol 'event_id', dv 'true')""")
+    val picks = Seq(0, 2, 5, 7).map(i => bound(i) + 13)
+    s.sql(s"DELETE FROM q162_lake WHERE event_id IN " +
+      s"(${picks.mkString(", ")})").collect(): Unit
+    val snap = snapshot(root)
+    val cdf = s.read.format("graft.sources.GraftLakeSource")
+      .option("path", root).option("readChangeFeed", "true")
+      .option("startingVersion", snap.version.toString)
+      .option("endingVersion", snap.version.toString).load()
+      .agg(count(lit(1)).as("cdf_deletes"),
+        sum(col("cents")).as("cdf_cents")).collect().head
+    s.table("q162_lake")
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .select(
+        lit(snap.op.getOrElse("")).as("op"),
+        lit(snap.files.size.toLong).as("n_files"),
+        lit(snap.files.count(_.dv.isDefined).toLong).as("n_files_dv"),
+        col("n_rows"), col("sum_cents"),
+        lit(cdf.getLong(0)).as("cdf_deletes"),
+        lit(cdf.getLong(1)).as("cdf_cents"))
+  }
+
   /** Judged OPTIMIZE: a 64-file range-clustered lake (the streaming
     * small-file shape) compacts under a `span/8`-row budget to
     * exactly 8 files, and — the half that matters — a quarter-range
@@ -3339,6 +3422,37 @@ object SnapshotLake {
              count(*) AS n_rows,
              CAST(sum(cents) AS BIGINT) AS sum_cents
       FROM surv""")),
+    Q("q161_lake_dv_delete", q161LakeDvDelete, Some("""
+      WITH b AS (SELECT max(event_id) + 1 AS span FROM events),
+      ec AS (SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+             FROM events),
+      surv AS (SELECT event_id, cents FROM ec, b
+               WHERE NOT (event_id % 101 = 7
+                      OR (event_id >= (6 * span) // 8
+                      AND event_id < (6 * span) // 8 + span // 16)))
+      SELECT CAST(7 AS BIGINT) AS n_files_dv,
+             CAST(1 AS BIGINT) AS n_files_cow,
+             CAST(0 AS BIGINT) AS n_files_dropped,
+             (SELECT count(*) FROM ec) - count(*) AS rows_deleted,
+             count(*) AS n_rows,
+             CAST(sum(cents) AS BIGINT) AS sum_cents
+      FROM surv""")),
+    Q("q162_lake_dv_delete_sql", q162LakeDvDeleteSql, Some("""
+      WITH b AS (SELECT max(event_id) + 1 AS span FROM events),
+      ec AS (SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+             FROM events),
+      del AS (SELECT event_id, cents FROM ec, b
+              WHERE event_id IN ((0 * span) // 8 + 13, (2 * span) // 8 + 13,
+                                 (5 * span) // 8 + 13, (7 * span) // 8 + 13))
+      SELECT 'delete' AS op,
+             CAST(8 AS BIGINT) AS n_files,
+             CAST(4 AS BIGINT) AS n_files_dv,
+             (SELECT count(*) FROM ec) - count(*) AS n_rows,
+             (SELECT CAST(sum(cents) AS BIGINT) FROM ec)
+               - CAST(sum(cents) AS BIGINT) AS sum_cents,
+             count(*) AS cdf_deletes,
+             CAST(sum(cents) AS BIGINT) AS cdf_cents
+      FROM del""")),
     Q("q110_lake_compact", q110LakeCompact, Some("""
       WITH b AS (SELECT max(event_id) + 1 AS span FROM events)
       SELECT CAST(64 AS BIGINT) AS n_files_before,

@@ -175,6 +175,104 @@ class LakeDvSpec extends SparkTestBase {
     assert(filesDiffed === 4)
   }
 
+  test("connector SQL reads apply vectors on the columnar path; manifest aggregates stay honest") {
+    val root = freshRoot()
+    clustered8(root)
+    SnapshotLake.deleteRows(spark, root,
+      col("k").isin(50L, 450L, 451L, 452L))
+    def lake() = spark.read.format("graft.sources.GraftLakeSource")
+      .option("path", root).load()
+    // full scan excludes exactly the vectored rows (columnar path:
+    // flat long schema keeps every split columnar)
+    assert(lake().count() === 796L)
+    assert(lake().where(col("k").isin(50L, 451L)).count() === 0L)
+    assert(lake().agg(sum(col("v"))).as[Long].head() ===
+      (0L until 800L).filterNot(Seq(50L, 450L, 451L, 452L).contains)
+        .map(_ * 7).sum)
+    // COUNT(*) still answers from the manifest — minus vector counts
+    val cnt = lake().agg(count(lit(1)))
+    val cntPushed = cnt.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan
+    }.exists(_.isInstanceOf[graft.sources.LakeAggScan])
+    assert(cntPushed, "COUNT should stay manifest-answered under DVs")
+    assert(cnt.as[Long].head() === 796L)
+    // MIN/MAX must REFUSE the manifest answer (the extremum row may
+    // be vectored away) and still be right through the data path
+    SnapshotLake.deleteRows(spark, root, col("k") === 799L)
+    val mm = lake().agg(min(col("k")), max(col("k")))
+    val mmPushed = mm.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan
+    }.exists(_.isInstanceOf[graft.sources.LakeAggScan])
+    assert(!mmPushed, "MIN/MAX must take the data path under DVs")
+    assert(mm.as[(Long, Long)].head() === ((0L, 798L)))
+    // time travel through the connector reads the old vector state
+    assert(spark.read.format("graft.sources.GraftLakeSource")
+      .option("path", root).option("version", "0").load()
+      .count() === 800L)
+  }
+
+  test("batch change feed derives a dv delete from the manifest diff — no sidecar") {
+    val root = freshRoot()
+    clustered8(root)
+    SnapshotLake.deleteRows(spark, root, col("k").isin(123L, 124L, 720L))
+    val changes = spark.read.format("graft.sources.GraftLakeSource")
+      .option("path", root).option("readChangeFeed", "true")
+      .option("startingVersion", "1").option("endingVersion", "1")
+      .load()
+    val rows = changes.select("_change_type", "k", "_commit_version")
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    assert(rows === Seq(("delete", 123L, 1L), ("delete", 124L, 1L),
+      ("delete", 720L, 1L)))
+  }
+
+  test("SQL DELETE point/IN routes through deletion vectors when the table opts in") {
+    val root = freshRoot()
+    clustered8(root)
+    spark.sql("DROP TABLE IF EXISTS dv_sql")
+    spark.sql(s"""
+      CREATE TABLE dv_sql (k BIGINT, v BIGINT)
+      USING graft.sources.GraftLakeSource
+      OPTIONS (path '$root', statCol 'k', dv 'true')""")
+    try {
+      spark.sql("DELETE FROM dv_sql WHERE k IN (11, 333, 777)")
+      val snap = SnapshotLake.snapshot(root)
+      assert(snap.op === Some("delete"))
+      // merge-on-read: every file entry kept its name, three vectors
+      assert(snap.files.flatMap(_.dv).map(_.count).sum === 3L)
+      assert(snap.files.size === 8)
+      assert(spark.sql("SELECT count(*) FROM dv_sql").as[Long].head() === 797L)
+      assert(spark.sql("SELECT count(*) FROM dv_sql WHERE k IN (11, 333, 777)")
+        .as[Long].head() === 0L)
+      // single-row equality too
+      spark.sql("DELETE FROM dv_sql WHERE k = 500")
+      assert(spark.sql("SELECT sum(v) FROM dv_sql").as[Long].head() ===
+        (0L until 800L).filterNot(Seq(11L, 333L, 500L, 777L).contains)
+          .map(_ * 7).sum)
+      // a range DELETE still takes the metadata path, not vectors
+      spark.sql("DELETE FROM dv_sql WHERE k >= 600 AND k < 700")
+      val after = SnapshotLake.snapshot(root)
+      assert(after.files.size === 7)
+      assert(spark.sql("SELECT count(*) FROM dv_sql").as[Long].head() === 696L)
+      // without the dv property, a point DELETE falls back to the
+      // row-level CoW path (no new vectors appear)
+      val root2 = freshRoot()
+      clustered8(root2)
+      spark.sql("DROP TABLE IF EXISTS dv_sql_off")
+      spark.sql(s"""
+        CREATE TABLE dv_sql_off (k BIGINT, v BIGINT)
+        USING graft.sources.GraftLakeSource
+        OPTIONS (path '$root2', statCol 'k')""")
+      try {
+        spark.sql("DELETE FROM dv_sql_off WHERE k IN (11, 333)")
+        assert(SnapshotLake.snapshot(root2).files.forall(_.dv.isEmpty))
+        assert(spark.sql("SELECT count(*) FROM dv_sql_off")
+          .as[Long].head() === 798L)
+      } finally spark.sql("DROP TABLE IF EXISTS dv_sql_off")
+    } finally spark.sql("DROP TABLE IF EXISTS dv_sql")
+  }
+
   test("append-only lake stream refuses a dv-change version loudly") {
     val root = freshRoot()
     clustered8(root)
