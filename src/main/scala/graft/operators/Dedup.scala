@@ -222,6 +222,65 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** d2's graduation to the hash gate — the e2/e4 certificate
+    * pattern. The judged output is a per-doc_a summary of d4, the
+    * EXACT same-source Jaccard twin the oracle replays independently
+    * on raw string shingles, plus two engine-measured booleans:
+    * `recall_ok` (the banded LSH path missed ZERO exact pairs — the
+    * 16×2 banding engineers ≈0.99 per-pair catch probability at the
+    * threshold and this corpus's full containment is what the probe
+    * measured at all three SFs) and `precision_ok` (every same-source
+    * LSH pair lies inside the exact set — the exact-Jaccard verify
+    * step makes a spurious pair a broken verify, not an LSH
+    * artifact). Cross-source pairs — d2 blocks globally, d4 by
+    * source — stay covered by the spec's boundary-pair invariants.
+    * A recall regression now goes red at the driver, not only in sbt.
+    */
+  def d2MinhashLshJudged(s: SparkSession, d: String): DataFrame = {
+    val exact = d4Pairs(s, d).select(col("doc_a"), col("doc_b"))
+    val p = d2MinhashLsh(s, d).select(col("doc_a"), col("doc_b"))
+    val missed = exact.join(p, Seq("doc_a", "doc_b"), "left_anti").count()
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val sameSrc = p
+      .join(src.select(col("doc_id").as("doc_a"),
+        col("source").as("src_a")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"),
+        col("source").as("src_b")), "doc_b")
+      .where(col("src_a") === col("src_b"))
+      .select(col("doc_a"), col("doc_b"))
+    val spurious =
+      sameSrc.join(exact, Seq("doc_a", "doc_b"), "left_anti").count()
+    exact.groupBy(col("doc_a"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("doc_b")).as("pair_sum"))
+      .select(col("doc_a"), col("n_pairs"), col("pair_sum"),
+        lit(missed == 0L).as("recall_ok"),
+        lit(spurious == 0L).as("precision_ok"))
+      .orderBy(col("doc_a"))
+  }
+
+  /** d3's graduation to the hash gate: SimHash (hamming ≤ 3 on the
+    * 63-bit signature) approximates NEAR-IDENTITY, so its exact
+    * reference is the tight tail of d4 — same-source pairs at raw
+    * 2-gram Jaccard ≥ 0.9, every one of which a working SimHash must
+    * bucket together (measured: zero missed at all three SFs; a
+    * near-identical pair differing in ≤ a few tokens lands within
+    * the hamming budget by construction). The judged row is the
+    * oracle-replayable summary of that exact tail plus the measured
+    * `recall_ok`; d3's own (hash-derived) pair set stays pinned by
+    * the spec's boundary-pair invariants.
+    */
+  def d3SimhashJudged(s: SparkSession, d: String): DataFrame = {
+    val exact = d4Pairs(s, d).where(col("jaccard") >= 0.9)
+      .select(col("doc_a"), col("doc_b"))
+    val p = d3Simhash(s, d).select(col("doc_a"), col("doc_b"))
+    val missed = exact.join(p, Seq("doc_a", "doc_b"), "left_anti").count()
+    exact.groupBy(col("doc_a"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("doc_b")).as("pair_sum"))
+      .select(col("doc_a"), col("n_pairs"), col("pair_sum"),
+        lit(missed == 0L).as("recall_ok"))
+      .orderBy(col("doc_a"))
+  }
+
   // -- Exact n-gram Jaccard (oracle-checked) ---------------------------
 
   /** Exact 2-gram Jaccard near-dup pairs at threshold 0.5, blocked by
@@ -1130,10 +1189,52 @@ object Dedup {
       WHERE CAST(len(list_intersect(d.sh, c.sh)) AS DOUBLE) /
               CAST(len(d.sh) + len(c.sh) - len(list_intersect(d.sh, c.sh)) AS DOUBLE) >= 0.5
       ORDER BY delta_id, corpus_id""")),
-    // d2/d3 signatures depend on Spark's xxhash64 — no SQL oracle;
-    // the driver records rows-only and D4 is the exact ground truth.
-    Q("d2_minhash_lsh", d2MinhashLsh, None),
-    Q("d3_simhash", d3Simhash, None),
+    // d2/d3 raw signatures depend on Spark's xxhash64 — not SQL
+    // expressible — so their judged faces are recall/precision
+    // CERTIFICATES against d4's exact set, which DuckDB replays on
+    // raw string shingles (the e2/e4 graduation pattern).
+    Q("d2_minhash_lsh", d2MinhashLshJudged, Some("""
+      WITH t AS (
+        SELECT doc_id, source,
+               regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents),
+      s AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i+1])) AS sh
+        FROM t
+        WHERE len(toks) >= 2),
+      exact AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+                  AS DOUBLE) >= 0.5)
+      SELECT doc_a, count(*) AS n_pairs,
+             CAST(sum(doc_b) AS BIGINT) AS pair_sum,
+             TRUE AS recall_ok, TRUE AS precision_ok
+      FROM exact GROUP BY doc_a ORDER BY doc_a""")),
+    Q("d3_simhash", d3SimhashJudged, Some("""
+      WITH t AS (
+        SELECT doc_id, source,
+               regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents),
+      s AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i+1])) AS sh
+        FROM t
+        WHERE len(toks) >= 2),
+      exact AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+                  AS DOUBLE) >= 0.9)
+      SELECT doc_a, count(*) AS n_pairs,
+             CAST(sum(doc_b) AS BIGINT) AS pair_sum,
+             TRUE AS recall_ok
+      FROM exact GROUP BY doc_a ORDER BY doc_a""")),
     Q("d4_ngram_jaccard", d4NgramJaccard, Some("""
       WITH t AS (
         SELECT doc_id, source,
