@@ -1440,6 +1440,112 @@ object SnapshotLake {
       filesDropped, base.files.size - touchedNames.size, rowsDeleted)
   }
 
+  final case class DvUpdateResult(version: Int, filesWithDv: Int,
+      filesRewritten: Int, filesNew: Int, rowsUpdated: Long)
+
+  /** MERGE-ON-READ UPDATE via deletion vectors: rows matching `cond`
+    * get `sets` applied by VECTORING OUT their old positions and
+    * appending the post-image rows as one fresh file — updating 10
+    * scattered rows across ten 1 GB files costs 10 manifest varints
+    * plus a 10-row file write, not ten 1 GB copy-on-write rewrites.
+    * Per-file cost routing mirrors [[deleteRows]]: a file with more
+    * than `cowThresholdRows` matched rows copy-on-writes in place
+    * (update applied in position, clustering preserved) instead of
+    * carrying a vector covering most of itself.
+    *
+    * The change feed treats the version like any rewrite (CoW
+    * UPDATE's contract): a changefeed table materializes the
+    * `_changes` sidecar, whose key-matched diff classifies the rows
+    * as proper `update`s — the manifest-derived DV replay is
+    * reserved for pure deletes, where delete-vs-insert labels are
+    * unambiguous without key semantics.
+    */
+  def updateRows(s: SparkSession, root: String,
+      cond: org.apache.spark.sql.Column,
+      sets: Seq[(String, org.apache.spark.sql.Column)],
+      cowThresholdRows: Long = 100000L): DvUpdateResult = {
+    require(sets.nonEmpty, "updateRows needs at least one SET column")
+    require(cowThresholdRows >= 1, "cowThresholdRows must be positive")
+    val base = snapshot(root)
+    val key = base.statCol
+    def applySets(df: DataFrame): DataFrame =
+      sets.foldLeft(df) { case (acc, (c, e)) => acc.withColumn(c, e) }
+    val hit = coalesce(cond, lit(false))
+    val matched = readWithRowPos(s, root, base, base.files).where(hit)
+    val counts: Map[String, Long] = matched.groupBy(col("__dv_f"))
+      .agg(count(lit(1)).as("__n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty)
+      return DvUpdateResult(base.version, 0, 0, 0, 0L)
+    val byPath = base.files.map(f => dataPath(root, f.name) -> f).toMap
+    counts.keys.foreach(p => require(byPath.contains(p),
+      s"updateRows matched a row from unknown file $p"))
+    val (cowPaths, dvPaths) =
+      counts.keys.toSeq.sorted.partition(p => counts(p) > cowThresholdRows)
+    val dvFiles = dvPaths.map(byPath)
+    val cowFiles = cowPaths.map(byPath)
+    val positions: Map[String, Array[Long]] =
+      if (dvFiles.isEmpty) Map.empty
+      else readWithRowPos(s, root, base, dvFiles).where(hit)
+        .groupBy(col("__dv_f"))
+        .agg(sort_array(collect_list(col("__dv_i"))).as("__ps"))
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+    // one write job lands both legs: the vectored files' POST-IMAGES
+    // (one fresh "ins" file) and the over-threshold files' in-place
+    // rewrites (one output file per source file, merge's pattern)
+    val legs = Seq(
+      if (dvFiles.isEmpty) None
+      else Some(applySets(
+          readFiles(s, root, base, dvFiles).where(hit))
+        .withColumn("__src", lit("__fresh__"))),
+      if (cowFiles.isEmpty) None
+      else Some {
+        val cur = readFiles(s, root, base, cowFiles)
+          .withColumn("__src", input_file_name())
+        cur.where(!hit).unionByName(applySets(cur.where(hit)))
+      }).flatten
+    val newData = legs.reduce(_ unionByName _)
+    val batch = s"data/b-${UUID.randomUUID().toString.take(8)}"
+    ColMap.toPhysical(routeToSourceBuckets(s, newData,
+      cowFiles.map(_.name).zipWithIndex.map { case (n, i) => n -> s"f$i" },
+      default = "ins"), base.schema)
+      .repartition(col("__bucket"))
+      .write.partitionBy("__bucket").parquet(s"$root/$batch")
+    val newFiles = statsFor(s, root, batch, key, base.bloomCol,
+      inheritedBloomBytes(base), base.statCol2)
+    val touchedNames = (dvFiles ++ cowFiles).map(_.name).toSet
+    var committed = -1
+    var filesWithDv = 0
+    while (committed < 0) {
+      val head = snapshot(root)
+      val headByName = head.files.map(f => f.name -> f).toMap
+      val vanished = touchedNames.filterNot(headByName.contains)
+      if (vanished.nonEmpty)
+        throw new MergeConflictException(
+          s"updateRows base files ${vanished.mkString(", ")} vanished " +
+            "(concurrent overwrite/merge/delete) — re-run on the new head")
+      filesWithDv = 0
+      val dvUpdated = dvFiles.flatMap { f =>
+        val h = headByName(f.name)
+        val merged = Dv.union(h.dv, positions(dataPath(root, f.name)))
+        require(merged.count <= h.rows, s"deletion vector of ${f.name} " +
+          s"records ${merged.count} positions for a ${h.rows}-row file")
+        if (merged.count == h.rows) None
+        else { filesWithDv += 1; Some(h.copy(dv = Some(merged))) }
+      }
+      val kept = head.files.filterNot(f => touchedNames(f.name))
+      if (tryPublish(root, head.version + 1, key, head.bloomCol,
+          overwrite = true, kept ++ dvUpdated ++ newFiles, head.statCol2,
+          txns = head.txns, schemaJson = head.schemaJson,
+          op = Some("update"), parentFiles = Some(head.files),
+          retired = head.retired))
+        committed = head.version + 1
+    }
+    DvUpdateResult(committed, filesWithDv, cowFiles.size,
+      newFiles.size - cowFiles.size, counts.values.sum)
+  }
+
   final case class CompactResult(version: Int, filesBefore: Int,
       filesAfter: Int, filesCompacted: Int)
 
@@ -2841,6 +2947,39 @@ object SnapshotLake {
         lit(cdf.getLong(1)).as("cdf_cents"))
   }
 
+  /** Judged merge-on-read UPDATE: every id ≡ 13 mod 401 gets its
+    * cents bumped by 1,000,000 through [[updateRows]] — old positions
+    * vector out (zero file rewrites), post-images land in ONE fresh
+    * appended file. `n_files_dv` is replayed by the oracle as the
+    * count of distinct id-buckets the matched ids fall in (the same
+    * eighth-of-span clustering the fixture wrote), so a routing
+    * change shows up as a hash mismatch, and the post-update
+    * aggregate reads back through the DSv2 connector — the vector
+    * filter and the fresh file certified together.
+    */
+  def q163LakeDvUpdate(s: SparkSession, d: String): DataFrame = {
+    val root = Housekeeping.tempDir("q163")
+    val ev = eventsCents(s, d).select(col("event_id"), col("cents"))
+    val span = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    def bound(i: Int): Long = i.toLong * span / 8
+    val bucket = (1 to 7).foldLeft(lit(0)) { (acc, i) =>
+      when(col("event_id") >= bound(i), lit(i)).otherwise(acc)
+    }
+    commitClustered(s, root, ev, bucket, "event_id")
+    val res = updateRows(s, root, col("event_id") % 401 === 13,
+      Seq("cents" -> (col("cents") + lit(1000000L))),
+      cowThresholdRows = span / 32)
+    s.read.format("graft.sources.GraftLakeSource")
+      .option("path", root).load()
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .select(
+        lit(res.filesWithDv).cast("long").as("n_files_dv"),
+        lit(res.filesRewritten).cast("long").as("n_files_cow"),
+        lit(res.filesNew).cast("long").as("n_files_new"),
+        lit(res.rowsUpdated).cast("long").as("rows_updated"),
+        col("n_rows"), col("sum_cents"))
+  }
+
   /** Judged OPTIMIZE: a 64-file range-clustered lake (the streaming
     * small-file shape) compacts under a `span/8`-row budget to
     * exactly 8 files, and — the half that matters — a quarter-range
@@ -3453,6 +3592,21 @@ object SnapshotLake {
              count(*) AS cdf_deletes,
              CAST(sum(cents) AS BIGINT) AS cdf_cents
       FROM del""")),
+    Q("q163_lake_dv_update", q163LakeDvUpdate, Some("""
+      WITH b AS (SELECT max(event_id) + 1 AS span FROM events),
+      ec AS (SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+             FROM events),
+      m AS (SELECT event_id FROM ec, b WHERE event_id % 401 = 13)
+      SELECT (SELECT CAST(count(DISTINCT len(list_filter(
+                       [1, 2, 3, 4, 5, 6, 7],
+                       i -> m.event_id >= (i * span) // 8))) AS BIGINT)
+              FROM m, b) AS n_files_dv,
+             CAST(0 AS BIGINT) AS n_files_cow,
+             CAST(1 AS BIGINT) AS n_files_new,
+             (SELECT count(*) FROM m) AS rows_updated,
+             (SELECT count(*) FROM ec) AS n_rows,
+             (SELECT CAST(sum(cents) AS BIGINT) FROM ec)
+               + 1000000 * (SELECT count(*) FROM m) AS sum_cents""")),
     Q("q110_lake_compact", q110LakeCompact, Some("""
       WITH b AS (SELECT max(event_id) + 1 AS span FROM events)
       SELECT CAST(64 AS BIGINT) AS n_files_before,

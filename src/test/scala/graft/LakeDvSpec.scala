@@ -227,6 +227,63 @@ class LakeDvSpec extends SparkTestBase {
       ("delete", 720L, 1L)))
   }
 
+  test("updateRows: scattered update vectors old positions and appends post-images") {
+    val root = freshRoot()
+    clustered8(root)
+    val v0 = SnapshotLake.snapshot(root).version
+    val res = SnapshotLake.updateRows(spark, root,
+      col("k").isin(42L, 310L, 311L, 650L),
+      Seq("v" -> (col("v") + lit(1000000L))))
+    assert(res.filesWithDv === 3)
+    assert(res.filesRewritten === 0)
+    assert(res.filesNew === 1)
+    assert(res.rowsUpdated === 4L)
+    // count unchanged, updated values present exactly once
+    assert(SnapshotLake.read(spark, root).count() === 800L)
+    val got = SnapshotLake.read(spark, root)
+      .where(col("k").isin(42L, 310L, 311L, 650L))
+      .select("k", "v").as[(Long, Long)].collect().sorted.toSeq
+    assert(got === Seq((42L, 42L * 7 + 1000000L), (310L, 310L * 7 + 1000000L),
+      (311L, 311L * 7 + 1000000L), (650L, 650L * 7 + 1000000L)))
+    assert(SnapshotLake.read(spark, root).agg(sum(col("v")))
+      .as[Long].head() === (0L until 800L).map(_ * 7).sum + 4L * 1000000L)
+    // pre-update snapshot untouched
+    assert(SnapshotLake.read(spark, root, Some(v0))
+      .agg(sum(col("v"))).as[Long].head() ===
+      (0L until 800L).map(_ * 7).sum)
+    // a second update of an already-updated row hits the POST-image
+    // (in the fresh file), not the vectored-out original
+    val res2 = SnapshotLake.updateRows(spark, root,
+      col("k") === 42L, Seq("v" -> lit(5L)))
+    assert(res2.rowsUpdated === 1L)
+    assert(SnapshotLake.read(spark, root).where(col("k") === 42L)
+      .select("v").as[Long].head() === 5L)
+    assert(SnapshotLake.read(spark, root).count() === 800L)
+    // no-match update publishes nothing
+    val res3 = SnapshotLake.updateRows(spark, root,
+      col("k") === -1L, Seq("v" -> lit(0L)))
+    assert(res3.rowsUpdated === 0L)
+    assert(SnapshotLake.snapshot(root).version === res2.version)
+  }
+
+  test("updateRows routes a densely-hit file to in-place CoW") {
+    val root = freshRoot()
+    clustered8(root)
+    val before = SnapshotLake.snapshot(root).files.map(_.name).toSet
+    val res = SnapshotLake.updateRows(spark, root,
+      (col("k") >= 200L && col("k") < 280L) || col("k") === 700L,
+      Seq("v" -> lit(-1L)), cowThresholdRows = 10L)
+    assert(res.filesWithDv === 1)    // file 7, one position
+    assert(res.filesRewritten === 1) // file 2, 80 rows in place
+    assert(res.filesNew === 1)       // file 7's post-image
+    assert(res.rowsUpdated === 81L)
+    val snap = SnapshotLake.snapshot(root)
+    assert(snap.files.count(f => !before(f.name)) === 2)
+    assert(SnapshotLake.read(spark, root).count() === 800L)
+    assert(SnapshotLake.read(spark, root).where(col("v") === -1L)
+      .count() === 81L)
+  }
+
   test("SQL DELETE point/IN routes through deletion vectors when the table opts in") {
     val root = freshRoot()
     clustered8(root)
