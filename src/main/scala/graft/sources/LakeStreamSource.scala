@@ -267,7 +267,9 @@ object LakeCdf {
     else cur.op match {
       case Some("delete") if added.isEmpty =>
         splits(removed, "delete") ++ dvChanged
-      case Some("compact") | Some("cluster") => Seq.empty // layout-only
+      // layout-only rewrites (compaction, re-clustering, vector
+      // purges) carry every live row unchanged — zero change rows
+      case Some("compact") | Some("cluster") | Some("purge") => Seq.empty
       case op => throw new IllegalStateException(
         s"change feed at $root: version $v (op=${op.getOrElse("?")}) " +
           "rewrote rows without a _changes sidecar — CREATE the table " +

@@ -1546,6 +1546,72 @@ object SnapshotLake {
       newFiles.size - cowFiles.size, counts.values.sum)
   }
 
+  final case class PurgeResult(version: Int, filesPurged: Int,
+      rowsDropped: Long)
+
+  /** REORG/PURGE (Delta's `REORG TABLE … APPLY (PURGE)`): physically
+    * rewrite the files whose deletion vector has grown past
+    * `minDeletedFraction` of their rows, materializing the deletes
+    * and dropping the vectors — the maintenance verb that keeps the
+    * merge-on-read economics honest over time (every read of a
+    * vectored file pays the position filter; once enough of a file
+    * is dead, one rewrite beats paying it forever). Layout-only for
+    * the change feed: the live rowset is untouched, so the version
+    * replays as zero change rows (compact/cluster's contract).
+    * `minDeletedFraction = 0` purges every vectored file.
+    */
+  def purgeVectors(s: SparkSession, root: String,
+      minDeletedFraction: Double = 0.0): PurgeResult = {
+    require(minDeletedFraction >= 0.0 && minDeletedFraction <= 1.0,
+      s"minDeletedFraction must be in [0, 1], got $minDeletedFraction")
+    val base = snapshot(root)
+    val key = base.statCol
+    val purge = base.files.filter(f => f.dv.exists(d =>
+      d.count > 0 && d.count.toDouble >= minDeletedFraction * f.rows))
+    if (purge.isEmpty) return PurgeResult(base.version, 0, 0L)
+    val batch = s"data/b-${UUID.randomUUID().toString.take(8)}"
+    // one output file per purged file (merge's layout-preserving
+    // routing): the rewrite drops dead positions, nothing else
+    ColMap.toPhysical(routeToSourceBuckets(s,
+      readFiles(s, root, base, purge)
+        .withColumn("__src", input_file_name()),
+      purge.map(_.name).zipWithIndex.map { case (n, i) => n -> s"f$i" },
+      default = "x"), base.schema)
+      .repartition(col("__bucket"))
+      .sortWithinPartitions(col(key))
+      .write.partitionBy("__bucket").parquet(s"$root/$batch")
+    val newFiles = statsFor(s, root, batch, key, base.bloomCol,
+      inheritedBloomBytes(base), base.statCol2)
+    val purgedNames = purge.map(_.name).toSet
+    var committed = -1
+    while (committed < 0) {
+      val head = snapshot(root)
+      // content-identical rewrite: appends carry through; a vanished
+      // base file — or a CONCURRENT VECTOR GROWTH on a purged file,
+      // whose deletes this rewrite would silently resurrect — conflicts
+      val headByName = head.files.map(f => f.name -> f).toMap
+      purge.foreach { f =>
+        headByName.get(f.name) match {
+          case Some(h) if h.dv == f.dv => ()
+          case Some(_) => throw new MergeConflictException(
+            s"purge raced a deletion-vector change on ${f.name} — " +
+              "re-run on the new head")
+          case None => throw new MergeConflictException(
+            s"purge base file ${f.name} vanished (concurrent " +
+              "overwrite/merge/delete) — re-run on the new head")
+        }
+      }
+      val kept = head.files.filterNot(f => purgedNames(f.name))
+      if (tryPublish(root, head.version + 1, key, head.bloomCol,
+          overwrite = true, kept ++ newFiles, head.statCol2,
+          txns = head.txns, schemaJson = head.schemaJson,
+          op = Some("purge"), parentFiles = Some(head.files),
+          retired = head.retired))
+        committed = head.version + 1
+    }
+    PurgeResult(committed, purge.size, purge.flatMap(_.dv).map(_.count).sum)
+  }
+
   final case class CompactResult(version: Int, filesBefore: Int,
       filesAfter: Int, filesCompacted: Int)
 
@@ -1577,7 +1643,7 @@ object SnapshotLake {
     require(targetRows >= 1, "targetRows must be positive")
     val base = snapshot(root)
     val key = base.statCol
-    val small = base.files.filter(_.rows < targetRows)
+    val small = base.files.filter(_.liveRows < targetRows)
     // greedy adjacent pack WITHIN a partition domain: files sharing a
     // partition tag (or untagged files) pack among themselves in
     // stat-range order, never across — merging two partitions' files
@@ -1589,7 +1655,8 @@ object SnapshotLake {
       .flatMap { case (_, fs) =>
         fs.sortBy(_.lo).foldLeft(List.empty[List[FileStat]]) {
           case (acc, f) => acc match {
-            case g :: rest if g.map(_.rows).sum + f.rows <= targetRows =>
+            case g :: rest if g.map(_.liveRows).sum + f.liveRows
+                <= targetRows =>
               (f :: g) :: rest
             case _ => List(f) :: acc
           }

@@ -284,6 +284,44 @@ class LakeDvSpec extends SparkTestBase {
       .count() === 81L)
   }
 
+  test("purgeVectors rewrites only heavily-vectored files and the feed sees zero changes") {
+    val root = freshRoot()
+    clustered8(root)
+    // file 1 loses 30% of its rows, file 5 loses 2 rows
+    SnapshotLake.deleteRows(spark, root,
+      (col("k") >= 100L && col("k") < 130L) || col("k").isin(501L, 502L),
+      cowThresholdRows = 50L)
+    val before = SnapshotLake.snapshot(root)
+    assert(before.files.count(_.dv.isDefined) === 2)
+    val res = SnapshotLake.purgeVectors(spark, root,
+      minDeletedFraction = 0.25)
+    assert(res.filesPurged === 1)
+    assert(res.rowsDropped === 30L)
+    val after = SnapshotLake.snapshot(root)
+    assert(after.op === Some("purge"))
+    // file 5's small vector survives; file 1's is materialized away
+    assert(after.files.count(_.dv.isDefined) === 1)
+    assert(after.files.flatMap(_.dv).map(_.count).sum === 2L)
+    assert(SnapshotLake.read(spark, root).count() === 768L)
+    // the purged file carries fresh, tight stats
+    val fresh = after.files.filterNot(f =>
+      before.files.map(_.name).toSet(f.name))
+    assert(fresh.map(f => (f.lo, f.hi, f.rows)) === Seq((130L, 199L, 70L)))
+    // the change feed replays the purge version as ZERO rows
+    val cdf = spark.read.format("graft.sources.GraftLakeSource")
+      .option("path", root).option("readChangeFeed", "true")
+      .option("startingVersion", res.version.toString)
+      .option("endingVersion", res.version.toString).load()
+    assert(cdf.count() === 0L)
+    // purge everything: no vectors remain, content unchanged
+    val res2 = SnapshotLake.purgeVectors(spark, root)
+    assert(res2.filesPurged === 1)
+    assert(SnapshotLake.snapshot(root).files.forall(_.dv.isEmpty))
+    assert(SnapshotLake.read(spark, root).count() === 768L)
+    // idempotent on a clean table
+    assert(SnapshotLake.purgeVectors(spark, root).filesPurged === 0)
+  }
+
   test("SQL DELETE point/IN routes through deletion vectors when the table opts in") {
     val root = freshRoot()
     clustered8(root)
