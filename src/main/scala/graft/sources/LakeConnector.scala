@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.catalog.{
   SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{
-  AggregateFunc, Aggregation, CountStar, Max, Min}
+  AggregateFunc, Aggregation, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read.{
   Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan,
   ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters,
@@ -776,6 +776,8 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
   // the prune can keep straddling files, whose manifest stats would
   // over-count the filtered result.
   private var pushedAgg: Seq[AggregateFunc] = Seq.empty
+  private var pushedGroupCol
+      : Option[(String, org.apache.spark.sql.types.DataType)] = None
 
   private def statColIsLong: Boolean =
     tschema.fields.find(_.name == snap.statCol).exists(_.dataType == LongType)
@@ -787,29 +789,64 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
       case _ => false
     }
 
+  /** The one partition column EVERY live file is tagged under (with
+    * its read type), when one exists — the soundness condition for
+    * grouped pushdown: an untagged file's rows belong to an unknown
+    * group, so any untagged file refuses the whole push.
+    */
+  private def fullPartCol
+      : Option[(String, org.apache.spark.sql.types.DataType)] = {
+    val tags = snap.files.map(_.part)
+    val cols = tags.flatten.map(_._1.toLowerCase(java.util.Locale.ROOT))
+      .distinct
+    if (snap.files.nonEmpty && tags.forall(_.isDefined) && cols.length == 1)
+      tschema.fields
+        .find(_.name.toLowerCase(java.util.Locale.ROOT) == cols.head)
+        .collect { case f if f.dataType == LongType ||
+            f.dataType == org.apache.spark.sql.types.IntegerType ||
+            f.dataType == org.apache.spark.sql.types.StringType =>
+          (f.name, f.dataType) }
+    else None
+  }
+
   // nonEmpty is load-bearing: Spark probes with an EMPTY Aggregation
   // when an outer count(*) prunes a subquery's aggregate list to
   // nothing — forall on the empty list would accept the push, build()
   // would then return the normal data scan, and Spark's pushed-agg
   // column-count assertion fails the whole query (caught by the
   // catalog sweep's count() over q81's union-of-aggregates shape)
+  private def aggsAnswerable(fns: Seq[AggregateFunc]): Boolean = {
+    def noDv = snap.files.forall(_.dv.isEmpty)
+    fns.nonEmpty && fns.forall {
+      case _: CountStar => true
+      // a deletion vector may have removed the extremum row: the
+      // manifest's lo/hi are a SUPERSET bound (sound for pruning,
+      // wrong as an answer) — refuse and take the data path. SUM
+      // additionally needs every file's write-time su= record (a
+      // pre-sum chain or an overflowed file has none).
+      case m: Min => refsStatCol(m.column) && statColIsLong && noDv
+      case m: Max => refsStatCol(m.column) && statColIsLong && noDv
+      case sm: Sum => refsStatCol(sm.column) && statColIsLong &&
+        !sm.isDistinct && noDv && snap.files.forall(_.sum.isDefined)
+      case _ => false
+    }
+  }
+
   private def canAnswer(agg: Aggregation): Boolean =
     !forRowLevelOp && // a row-level scan feeds a REWRITE: it must
       // produce the candidate files' actual rows, never a
       // manifest-answered aggregate
-    agg.groupByExpressions().isEmpty && snap.files.nonEmpty &&
-      agg.aggregateExpressions().nonEmpty &&
-      agg.aggregateExpressions().forall {
-        case _: CountStar => true
-        // a deletion vector may have removed the extremum row: the
-        // manifest's lo/hi are a SUPERSET bound (sound for pruning,
-        // wrong as an answer) — refuse and take the data path
-        case m: Min => refsStatCol(m.column) && statColIsLong &&
-          snap.files.forall(_.dv.isEmpty)
-        case m: Max => refsStatCol(m.column) && statColIsLong &&
-          snap.files.forall(_.dv.isEmpty)
+    snap.files.nonEmpty &&
+      (agg.groupByExpressions() match {
+        case Array() => aggsAnswerable(agg.aggregateExpressions().toSeq)
+        // GROUP BY the (fully-tagged) partition column: per-group
+        // answers are per-tag file-list folds — a 100 TB GROUP BY
+        // answered from KB-scale manifest metadata
+        case Array(r: NamedReference) if r.fieldNames().length == 1 &&
+            fullPartCol.exists(_._1.equalsIgnoreCase(r.fieldNames()(0))) =>
+          aggsAnswerable(agg.aggregateExpressions().toSeq)
         case _ => false
-      }
+      })
 
   // a change-feed scan's rows are NOT the table's rows — the
   // manifest-stat answers would be wrong, and batch CDF must reach
@@ -820,22 +857,44 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
   override def pushAggregation(agg: Aggregation): Boolean =
     !cdf && canAnswer(agg) && {
       pushedAgg = agg.aggregateExpressions().toSeq
+      pushedGroupCol =
+        if (agg.groupByExpressions().isEmpty) None else fullPartCol
       true
     }
 
   override def build(): Scan = {
     if (pushedAgg.nonEmpty) {
-      val values = pushedAgg.map {
-        case _: CountStar => snap.files.map(_.liveRows).sum
-        case _: Min => snap.files.map(_.lo).min
-        case _: Max => snap.files.map(_.hi).max
+      val groups: Seq[(Option[String], Seq[SnapshotLake.FileStat])] =
+        pushedGroupCol match {
+          case None => Seq((None, snap.files))
+          case Some(_) => snap.files.groupBy(_.part.get._2).toSeq
+            .sortBy(_._1).map { case (v, fs) => (Some(v), fs) }
+        }
+      def fold(fs: Seq[SnapshotLake.FileStat]): Seq[Long] = pushedAgg.map {
+        case _: CountStar => fs.map(_.liveRows).sum
+        case _: Min => fs.map(_.lo).min
+        case _: Max => fs.map(_.hi).max
+        case _: Sum => fs.flatMap(_.sum).sum
       }
-      val schema = StructType(pushedAgg.zipWithIndex.map { case (f, i) =>
+      def typedGroup(v: String): Any = pushedGroupCol.get._2 match {
+        case LongType => java.lang.Long.valueOf(v.toLong)
+        case org.apache.spark.sql.types.IntegerType =>
+          java.lang.Integer.valueOf(v.toInt)
+        case _ => org.apache.spark.unsafe.types.UTF8String.fromString(v)
+      }
+      val rows: Seq[Seq[Any]] = groups.map { case (gv, fs) =>
+        gv.map(typedGroup).toSeq ++ fold(fs).map(java.lang.Long.valueOf)
+      }
+      val aggFields = pushedAgg.zipWithIndex.map { case (_, i) =>
         org.apache.spark.sql.types.StructField(s"agg_$i", LongType,
           nullable = false)
-      })
+      }
+      val schema = StructType(pushedGroupCol.toSeq.map { case (n, dt) =>
+        org.apache.spark.sql.types.StructField(n, dt, nullable = false)
+      } ++ aggFields)
       return LakeAggScan(snap.version, snap.files.length,
-        pushedAgg.map(_.toString), values, schema)
+        pushedGroupCol.map(c => s"groupBy=${c._1}").toSeq ++
+          pushedAgg.map(_.toString), rows, schema)
     }
     val keptAll = snap.files.filter { f =>
       f.hi >= lo && (hi == Long.MaxValue || f.lo < hi) &&
@@ -1289,35 +1348,36 @@ final case class LakeKeyedSplit(split: LakeSplit, keyVal: Any)
       Array(keyVal))
 }
 
-/** A fully-pushed aggregate answered from the manifest: one exact
-  * row, zero data partitions read. `description()` carries the
-  * answered functions so `.explain` shows the metadata-only plan.
+/** A fully-pushed aggregate answered from the manifest: exact rows
+  * (one, or one per partition-tag group), zero data partitions read.
+  * `description()` carries the answered functions so `.explain`
+  * shows the metadata-only plan.
   */
 final case class LakeAggScan(version: Int, filesTotal: Int,
-    funcs: Seq[String], values: Seq[Long], schema: StructType)
+    funcs: Seq[String], rows: Seq[Seq[Any]], schema: StructType)
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftLake v=$version MANIFEST-AGG [${funcs.mkString(", ")}] " +
-      s"files=$filesTotal (0 opened)"
+      s"files=$filesTotal (0 opened) rows=${rows.length}"
   override def planInputPartitions(): Array[InputPartition] =
-    Array(LakeAggPartition(values))
+    Array(LakeAggPartition(rows))
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
         new PartitionReader[InternalRow] {
-          private val vs = p.asInstanceOf[LakeAggPartition].values
-          private var emitted = false
-          override def next(): Boolean = !emitted && { emitted = true; true }
+          private val it = p.asInstanceOf[LakeAggPartition].rows.iterator
+          private var cur: Seq[Any] = _
+          override def next(): Boolean = it.hasNext && { cur = it.next(); true }
           override def get(): InternalRow =
-            new GenericInternalRow(vs.map(_.asInstanceOf[Any]).toArray)
+            new GenericInternalRow(cur.toArray)
           override def close(): Unit = ()
         }
     }
 }
 
-final case class LakeAggPartition(values: Seq[Long]) extends InputPartition
+final case class LakeAggPartition(rows: Seq[Seq[Any]]) extends InputPartition
 
 object LakeReaderFactory {
   /** Driver-side capture of the session confs Spark's own parquet

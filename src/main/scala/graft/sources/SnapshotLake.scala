@@ -70,7 +70,15 @@ object SnapshotLake {
       dim2: Option[(Long, Long)] = None,
       bytes: Option[Long] = None,
       part: Option[(String, String)] = None,
-      dv: Option[Dv] = None) {
+      dv: Option[Dv] = None,
+      /** Write-time `sum(statCol)` over the file's PHYSICAL rows —
+        * what lets a full-table (or partition-grouped) SUM answer
+        * from the manifest with zero files opened. `None` on
+        * pre-sum chains or when the write-time try_sum overflowed;
+        * pushdown refuses in either case, and under a deletion
+        * vector (the dead rows' contribution is unknown).
+        */
+      sum: Option[Long] = None) {
     /** Rows a reader actually surfaces: physical rows minus the
       * deletion vector's cardinality. This is the row count every
       * manifest-answered number must use (COUNT pushdown, limit/top-k
@@ -481,6 +489,7 @@ object SnapshotLake {
           optional binary pval (UTF8);
           optional int64 dvn;
           optional binary dvb;
+          optional int64 su;
         }""")
 
     def write(root: String, v: Int, files: Seq[FileStat]): String = {
@@ -515,6 +524,7 @@ object SnapshotLake {
             .fromConstantByteArray(
               java.util.Base64.getDecoder.decode(d.b64))): Unit
         }
+        f.sum.foreach(v => g.append("su", v): Unit)
         w.write(g)
       } finally w.close()
       name
@@ -541,7 +551,8 @@ object SnapshotLake {
             g.getString("pval", 0))) else None,
           dv = if (opt("dvn")) Some(Dv(g.getLong("dvn", 0),
             java.util.Base64.getEncoder.encodeToString(
-              g.getBinary("dvb", 0).getBytes))) else None)
+              g.getBinary("dvb", 0).getBytes))) else None,
+          sum = if (opt("su")) Some(g.getLong("su", 0)) else None)
       }.toVector
       finally r.close()
     }
@@ -660,8 +671,10 @@ object SnapshotLake {
       val i = body.indexOf(':')
       Dv(body.substring(0, i).toLong, body.substring(i + 1))
     }
+    val sum = extras.find(_.startsWith("su="))
+      .map(_.stripPrefix("su=").toLong)
     FileStat(fields(0), fields(1).toLong, fields(2).toLong,
-      fields(3).toLong, bloom, dim2, bytes, part, dv)
+      fields(3).toLong, bloom, dim2, bytes, part, dv, sum)
   }
 
   private def parseManifest(root: String, v: Int): Manifest = {
@@ -858,8 +871,9 @@ object SnapshotLake {
         s"$withSz\tpt=$c:${java.util.Base64.getEncoder.encodeToString(
           v.getBytes(StandardCharsets.UTF_8))}" }
       val withDv = f.dv.fold(withPt)(d => s"$withPt\tdv=${d.count}:${d.b64}")
-      f.bloom.fold(withDv)(b =>
-        s"$withDv\tbf=${java.util.Base64.getEncoder.encodeToString(b)}")
+      val withSu = f.sum.fold(withDv)(v => s"$withDv\tsu=$v")
+      f.bloom.fold(withSu)(b =>
+        s"$withSu\tbf=${java.util.Base64.getEncoder.encodeToString(b)}")
     }
     Files.createDirectories(logDir(root))
     // full (checkpoint) manifests externalize the O(files) list as a
@@ -1972,7 +1986,12 @@ object SnapshotLake {
     val baseAggs = Seq(
       min(col(statCol)).cast("long").as("lo"),
       max(col(statCol)).cast("long").as("hi"),
-      count(lit(1)).as("rows"))
+      count(lit(1)).as("rows"),
+      // write-time per-file sum of the stat column — what makes a
+      // full-table/grouped SUM manifest-answerable. try_sum: an
+      // overflowing file records no sum (pushdown refuses) instead
+      // of failing the whole stats pass
+      expr(s"try_sum(`$statCol`)").cast("long").as("su"))
     val d2Aggs = statCol2.toSeq.flatMap(c => Seq(
       min(col(c)).cast("long").as("lo2"),
       max(col(c)).cast("long").as("hi2")))
@@ -1980,7 +1999,7 @@ object SnapshotLake {
       val bloomUdaf = udaf(new BloomAgg(bloomBytes))
       bloomUdaf(col(c).cast("long")).as("bloom")
     }
-    val bloomIdx = 4 + d2Aggs.size
+    val bloomIdx = 5 + d2Aggs.size
     s.read.parquet(s"$root/$batch")
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
@@ -1995,9 +2014,10 @@ object SnapshotLake {
         FileStat(rel, r.getLong(1), r.getLong(2), r.getLong(3),
           if (bloomCol.isDefined) Some(r.getAs[Array[Byte]](bloomIdx))
           else None,
-          if (statCol2.isDefined) Some((r.getLong(4), r.getLong(5)))
+          if (statCol2.isDefined) Some((r.getLong(5), r.getLong(6)))
           else None,
-          Some(Files.size(Paths.get(root, rel))))
+          Some(Files.size(Paths.get(root, rel))),
+          sum = if (r.isNullAt(4)) None else Some(r.getLong(4)))
       }
       .sortBy(_.name).toSeq
   }
@@ -3338,6 +3358,39 @@ object SnapshotLake {
       "n_files_v1", "n_kept_v1", "n_rows_v1", "sum_cents_v1")
   }
 
+  /** Judged GROUPED aggregate pushdown: a partition-tagged lake
+    * answers `GROUP BY bucket4` COUNT/MIN/MAX/SUM entirely from the
+    * manifest — per-group answers are per-tag folds of the file
+    * entries' rows/lo/hi/su records, zero data files opened (the
+    * `.explain` shows one MANIFEST-AGG scan with rows=4). At 100 TB
+    * this is a full-table GROUP BY answered from KB-scale metadata.
+    * Soundness gates are spec-pinned: any untagged file, any
+    * deletion vector (for MIN/MAX/SUM), or any file missing its
+    * write-time sum refuses the push and takes the data path. The
+    * judged row carries the pushed-plan flag so a silent fallback to
+    * the data path goes red, and the oracle replays every group's
+    * numbers independently.
+    */
+  def q164LakeGroupedAgg(s: SparkSession, d: String): DataFrame = {
+    val root = Housekeeping.tempDir("q164")
+    val ev = eventsCents(s, d).withColumn("bucket4", col("event_id") % 4)
+    commitPartitioned(s, root, ev, "bucket4", "event_id")
+    val agg = s.read.format("graft.sources.GraftLakeSource")
+      .option("path", root).load()
+      .groupBy(col("bucket4"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"),
+        sum(col("event_id")).as("sum_id"))
+    val pushed = agg.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan
+    }.exists(_.isInstanceOf[LakeAggScan])
+    agg.select(lit(pushed).as("manifest_answered"), col("bucket4"),
+        col("n_events"), col("min_id"), col("max_id"), col("sum_id"))
+      .orderBy(col("bucket4"))
+  }
+
   /** Judged STORAGE-PARTITIONED JOIN: two lakes partitioned on the
     * same key (q137's write path) join on (bucket4, event_id) — and
     * then GROUP BY bucket4 — with ZERO shuffle exchanges end to end:
@@ -3793,6 +3846,16 @@ object SnapshotLake {
                AS sum_cents
       FROM events, b
       WHERE event_id >= (2 * span) // 8 AND event_id < (4 * span) // 8""")),
+    Q("q164_lake_grouped_agg", q164LakeGroupedAgg, Some("""
+      SELECT TRUE AS manifest_answered,
+             event_id % 4 AS bucket4,
+             count(*) AS n_events,
+             CAST(min(event_id) AS BIGINT) AS min_id,
+             CAST(max(event_id) AS BIGINT) AS max_id,
+             CAST(sum(event_id) AS BIGINT) AS sum_id
+      FROM events
+      GROUP BY bucket4
+      ORDER BY bucket4""")),
     Q("q103_lake_agg_stats", q103LakeAggStats, Some("""
       SELECT TRUE AS manifest_answered,
              count(*) AS n_events,

@@ -368,6 +368,60 @@ class LakeDvSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS dv_sql")
   }
 
+  test("SUM pushdown answers from write-time sums and refuses under vectors") {
+    val root = freshRoot()
+    clustered8(root)
+    def lake() = spark.read.format("graft.sources.GraftLakeSource")
+      .option("path", root).load()
+    def pushed(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan
+      }.exists(_.isInstanceOf[graft.sources.LakeAggScan])
+    val s0 = lake().agg(sum(col("k")).as("s"))
+    assert(pushed(s0), "SUM(statCol) should answer from the manifest")
+    assert(s0.as[Long].head() === (0L until 800L).sum)
+    // a vector invalidates the file's sum → whole push refuses, data
+    // path stays exact
+    SnapshotLake.deleteRows(spark, root, col("k") === 5L)
+    val s1 = lake().agg(sum(col("k")).as("s"))
+    assert(!pushed(s1), "SUM must refuse under a deletion vector")
+    assert(s1.as[Long].head() === (0L until 800L).sum - 5L)
+    // sum over a NON-stat column never pushes
+    assert(!pushed(lake().agg(sum(col("v")))))
+  }
+
+  test("grouped aggregate pushdown folds per partition tag; untagged files refuse") {
+    val root = freshRoot()
+    val ev = tbl(0 until 800).withColumn("b", col("k") % 4)
+    SnapshotLake.commitPartitioned(spark, root, ev, "b", "k")
+    def lake() = spark.read.format("graft.sources.GraftLakeSource")
+      .option("path", root).load()
+    def pushed(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan
+      }.exists(_.isInstanceOf[graft.sources.LakeAggScan])
+    val g = lake().groupBy(col("b"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("mn"),
+        max(col("k")).as("mx"), sum(col("k")).as("s"))
+      .orderBy(col("b"))
+    assert(pushed(g), "grouped agg should answer from the manifest")
+    val rows = g.as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val expect = (0L until 800L).groupBy(_ % 4).toSeq.sortBy(_._1)
+      .map { case (b, ks) => (b, ks.length.toLong, ks.min, ks.max, ks.sum) }
+    assert(rows === expect)
+    // an UNTAGGED appended file poisons group soundness → refuse,
+    // data path stays exact
+    SnapshotLake.commit(spark, root,
+      Seq((900L, 1L, 0L)).toDF("k", "v", "b"), "k")
+    val g2 = lake().groupBy(col("b")).agg(count(lit(1)).as("n"))
+    assert(!pushed(g2), "untagged file must refuse grouped pushdown")
+    assert(g2.where(col("b") === 0L).select("n").as[Long].head() === 201L)
+    // GROUP BY a non-partition column never pushes
+    assert(!pushed(lake().groupBy(col("v")).agg(count(lit(1)))))
+  }
+
   test("append-only lake stream refuses a dv-change version loudly") {
     val root = freshRoot()
     clustered8(root)
