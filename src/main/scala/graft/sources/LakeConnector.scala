@@ -1190,9 +1190,26 @@ final case class LakeScan(root: String, version: Int,
 
   /** Manifest-derived table statistics AFTER the prune: exact row
     * counts and on-disk bytes for the kept files, zero footers
-    * opened. This is what lets Spark's CBO/join-reorder (q69's
-    * machinery) see lake-table sizes and make honest broadcast
-    * decisions instead of defaulting to "unknown = huge".
+    * opened — plus COLUMN statistics (Spark feeds `columnStats()`
+    * through `transformV2Stats` into catalyst's `ColumnStat`, so
+    * under CBO the estimator sees them with NO `ANALYZE TABLE`):
+    *
+    *  - stat column: exact min/max from the manifest envelope,
+    *    nullCount 0 (the non-null clustering-key contract every
+    *    prune already relies on), and distinctCount as
+    *    `min(live rows, value span)` — both are sound upper bounds
+    *    on NDV, and for the id-like columns lakes cluster on the
+    *    tighter one is near-exact. That is what FilterEstimation
+    *    needs to size a range predicate and JoinEstimation needs to
+    *    size an equi-join on the key.
+    *  - partition column: EXACT distinctCount (the tag set), when
+    *    every kept file is tagged under one spec.
+    *
+    * Reported only for LongType columns — a Long min/max literal
+    * against a differently-typed attribute would poison estimation
+    * rather than inform it. Estimates feed the COST MODEL only;
+    * answers still come from data (or the manifest-agg fast path,
+    * which has its own exactness gates).
     */
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics =
@@ -1201,6 +1218,49 @@ final case class LakeScan(root: String, version: Int,
         java.util.OptionalLong.of(files.map(sizeOf).sum)
       override def numRows(): java.util.OptionalLong =
         java.util.OptionalLong.of(files.map(_.liveRows).sum)
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+        val m = new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        def colStat(ndv: Long, mn: Option[Long], mx: Option[Long]) =
+          new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+            override def distinctCount(): java.util.OptionalLong =
+              java.util.OptionalLong.of(ndv)
+            override def min(): java.util.Optional[Object] =
+              mn.fold(java.util.Optional.empty[Object]())(v =>
+                java.util.Optional.of(java.lang.Long.valueOf(v)))
+            override def max(): java.util.Optional[Object] =
+              mx.fold(java.util.Optional.empty[Object]())(v =>
+                java.util.Optional.of(java.lang.Long.valueOf(v)))
+            override def nullCount(): java.util.OptionalLong =
+              java.util.OptionalLong.of(0L)
+          }
+        def isLong(name: String): Boolean =
+          required.fields.exists(f => f.name.equalsIgnoreCase(name) &&
+            f.dataType == LongType)
+        if (files.nonEmpty && statCol.nonEmpty && isLong(statCol)) {
+          val lo0 = files.map(_.lo).min
+          val hi0 = files.map(_.hi).max
+          val rows = files.map(_.liveRows).sum
+          val span = hi0 - lo0 + 1 // clustering keys span << Long range
+          m.put(org.apache.spark.sql.connector.expressions.Expressions
+            .column(statCol),
+            colStat(math.min(rows, span), Some(lo0), Some(hi0)))
+        }
+        val tags = files.flatMap(_.part)
+        if (files.nonEmpty && tags.length == files.length &&
+            tags.map(_._1.toLowerCase(java.util.Locale.ROOT))
+              .distinct.length == 1 && isLong(tags.head._1)) {
+          val vs = tags.flatMap(t => scala.util.Try(t._2.toLong).toOption)
+          if (vs.length == tags.length)
+            m.put(org.apache.spark.sql.connector.expressions.Expressions
+              .column(tags.head._1),
+              colStat(vs.distinct.length.toLong, Some(vs.min), Some(vs.max)))
+        }
+        m
+      }
     }
 
   /** One partition per row-group RUN: files at or under

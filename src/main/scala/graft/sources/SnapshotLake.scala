@@ -3391,6 +3391,56 @@ object SnapshotLake {
       .orderBy(col("bucket4"))
   }
 
+  /** Judged manifest-fed COLUMN STATISTICS: under CBO, a range
+    * filter over the lake is SIZED by the estimator from the
+    * manifest's column statistics (exact stat-column min/max, NDV =
+    * min(rows, span)) with NO `ANALYZE TABLE` — the `columnStats()`
+    * DSv2 face feeding catalyst's `ColumnStat` via transformV2Stats.
+    * The judged row pins (a) the scan relation surfacing attribute
+    * stats at all, and (b) the optimizer's estimated row count for a
+    * quarter-range filter landing within 2× of truth — if the stats
+    * stop flowing the estimate collapses to the no-information
+    * default and the booleans flip. The aggregate itself stays
+    * exact-by-data; statistics only steer the cost model.
+    */
+  def q165LakeColStats(s: SparkSession, d: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.cbo.enabled", "true")
+    val root = Housekeeping.tempDir("q165")
+    val ev = eventsCents(ss, d).select(col("event_id"), col("cents"))
+    val span = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    def bound(i: Int): Long = i.toLong * span / 8
+    val bucket = (1 to 7).foldLeft(lit(0)) { (acc, i) =>
+      when(col("event_id") >= bound(i), lit(i)).otherwise(acc)
+    }
+    commitClustered(ss, root, ev, bucket, "event_id")
+    val df = ss.read.format("graft.sources.GraftLakeSource")
+      .option("path", root).load()
+      .where(col("event_id") >= bound(2) && col("event_id") < bound(4))
+    // stats visitors read the ACTIVE session's conf (SQLConf.get):
+    // accessing .stats with the parent (cbo-off) session active would
+    // silently pick the size-only visitor and drop rowCount
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.setActiveSession(ss)
+    val (attrVisible, estInBand) =
+      try {
+        val stats = df.queryExecution.optimizedPlan.stats
+        val vis = df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            r.stats.attributeStats.exists { case (a, cs) =>
+              a.name.equalsIgnoreCase("event_id") &&
+                cs.distinctCount.isDefined && cs.min.isDefined }
+        }.exists(identity)
+        val exactQuarter = span / 4
+        (vis, stats.rowCount.exists(rc =>
+          rc >= BigInt(exactQuarter) / 2 && rc <= BigInt(exactQuarter) * 2))
+      } finally prevActive.foreach(SparkSession.setActiveSession)
+    df.agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .select(lit(attrVisible).as("colstats_visible"),
+        lit(estInBand).as("estimate_in_band"),
+        col("n_rows"), col("sum_cents"))
+  }
+
   /** Judged STORAGE-PARTITIONED JOIN: two lakes partitioned on the
     * same key (q137's write path) join on (bucket4, event_id) — and
     * then GROUP BY bucket4 — with ZERO shuffle exchanges end to end:
@@ -3842,6 +3892,15 @@ object SnapshotLake {
       SELECT CAST(8 AS BIGINT) AS n_files_total,
              CAST(2 AS BIGINT) AS n_files_read,
              count(*) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+      FROM events, b
+      WHERE event_id >= (2 * span) // 8 AND event_id < (4 * span) // 8""")),
+    Q("q165_lake_colstats", q165LakeColStats, Some("""
+      WITH b AS (SELECT max(event_id) + 1 AS span FROM events)
+      SELECT TRUE AS colstats_visible,
+             TRUE AS estimate_in_band,
+             count(*) AS n_rows,
              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                AS sum_cents
       FROM events, b

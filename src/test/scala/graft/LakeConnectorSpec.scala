@@ -269,4 +269,27 @@ class LakeConnectorSpec extends SparkTestBase {
       .where(col("event_id") >= lo && col("event_id") < hi)
     assert(df.count() === hi - lo) // dense ids: exact row-level result
   }
+
+  test("manifest column statistics flow to catalyst under CBO") {
+    val (root, span) = fixture()
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.cbo.enabled", "true")
+    val df = ss.read.format("graft.sources.GraftLakeSource")
+      .option("path", root).load()
+    val prev = org.apache.spark.sql.SparkSession.getActiveSession
+    org.apache.spark.sql.SparkSession.setActiveSession(ss)
+    try {
+      val attr = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.stats.attributeStats
+      }.head
+      val (a, cs) = attr.find(_._1.name == "event_id").getOrElse(
+        fail("no event_id column stats"))
+      // dense ids 0..span-1: ndv = min(rows, span) = span, exact bounds
+      assert(cs.distinctCount === Some(BigInt(span)))
+      assert(cs.min === Some(0L))
+      assert(cs.max === Some(span - 1))
+      assert(cs.nullCount === Some(BigInt(0)))
+    } finally prev.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
+  }
 }
