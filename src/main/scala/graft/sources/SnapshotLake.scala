@@ -1412,8 +1412,14 @@ object SnapshotLake {
           default = "x"), base.schema)
           .repartition(col("__bucket"))
           .write.partitionBy("__bucket").parquet(s"$root/$batch")
+        // one output per source file: each rewrite inherits its
+        // source's partition identity, so a merge-on-read delete on a
+        // partitioned lake never degrades partition pruning
+        val fTag = "__bucket=f(\\d+)/".r
         statsFor(s, root, batch, key, base.bloomCol,
-          inheritedBloomBytes(base), base.statCol2)
+            inheritedBloomBytes(base), base.statCol2)
+          .map(f => fTag.findFirstMatchIn(f.name)
+            .fold(f)(m => f.copy(part = cowFiles(m.group(1).toInt).part)))
       }
     val touchedNames = (dvFiles ++ cowFiles).map(_.name).toSet
     var committed = -1
@@ -1526,8 +1532,13 @@ object SnapshotLake {
       default = "ins"), base.schema)
       .repartition(col("__bucket"))
       .write.partitionBy("__bucket").parquet(s"$root/$batch")
+    // in-place rewrites inherit their source's partition identity
+    // (the "ins" post-image file spans partitions and stays untagged)
+    val fTag = "__bucket=f(\\d+)/".r
     val newFiles = statsFor(s, root, batch, key, base.bloomCol,
-      inheritedBloomBytes(base), base.statCol2)
+        inheritedBloomBytes(base), base.statCol2)
+      .map(f => fTag.findFirstMatchIn(f.name)
+        .fold(f)(m => f.copy(part = cowFiles(m.group(1).toInt).part)))
     val touchedNames = (dvFiles ++ cowFiles).map(_.name).toSet
     var committed = -1
     var filesWithDv = 0

@@ -422,6 +422,44 @@ class LakeDvSpec extends SparkTestBase {
     assert(!pushed(lake().groupBy(col("v")).agg(count(lit(1)))))
   }
 
+  test("merge-on-read on a partitioned lake preserves partition identity") {
+    val root = freshRoot()
+    val ev = tbl(0 until 800).withColumn("b", col("k") % 4)
+    SnapshotLake.commitPartitioned(spark, root, ev, "b", "k")
+    // scattered delete (DV) plus one densely-hit partition (CoW)
+    val res = SnapshotLake.deleteRows(spark, root,
+      col("k").isin(5L, 6L) ||
+        (col("b") === 2L && col("k") < 400L),
+      cowThresholdRows = 50L)
+    assert(res.filesRewritten === 1)
+    val snap = SnapshotLake.snapshot(root)
+    // every live file still carries its partition tag — the rewrite
+    // inherited its source's identity
+    assert(snap.files.forall(_.part.isDefined))
+    // grouped COUNT pushdown still answers (COUNT is exact under
+    // vectors via live rows)
+    def lake() = spark.read.format("graft.sources.GraftLakeSource")
+      .option("path", root).load()
+    val g = lake().groupBy(col("b")).agg(count(lit(1)).as("n"))
+    val pushed = g.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan
+    }.exists(_.isInstanceOf[graft.sources.LakeAggScan])
+    assert(pushed, "grouped COUNT should still push under vectors")
+    val rows = g.orderBy(col("b")).as[(Long, Long)].collect().toSeq
+    val expect = (0L until 800L)
+      .filterNot(k => k == 5L || k == 6L || (k % 4 == 2 && k < 400))
+      .groupBy(_ % 4).toSeq.sortBy(_._1)
+      .map { case (b, ks) => (b, ks.length.toLong) }
+    assert(rows === expect)
+    // updateRows' in-place rewrite keeps the tag too
+    SnapshotLake.updateRows(spark, root,
+      col("b") === 1L && col("k") < 300L,
+      Seq("v" -> lit(-7L)), cowThresholdRows = 10L)
+    assert(SnapshotLake.snapshot(root).files
+      .filterNot(_.name.contains("__bucket=ins")).forall(_.part.isDefined))
+  }
+
   test("append-only lake stream refuses a dv-change version loudly") {
     val root = freshRoot()
     clustered8(root)
