@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.functions.{
+  BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType,
+  StructType}
+
+/** The lake's `bucket(N, col)` partition transform — the hash that
+  * makes high-cardinality keys storage-partitionable (Iceberg's
+  * bucket transform shape: identity partitioning on a key with
+  * millions of values would mean millions of files; hashing the key
+  * into N stable buckets gives N co-located file groups, and a join
+  * of two tables bucketed the same way needs ZERO shuffle on either
+  * side). One function, used identically by every surface:
+  *
+  *  - the catalog DDL (`PARTITIONED BY (bucket(8, k))`) records N
+  *    and the column;
+  *  - the DSv2 write's `RequiresDistributionAndOrdering` clusters by
+  *    this V2 function (Spark resolves it through the catalog's
+  *    `FunctionCatalog` face and plans the repartition itself);
+  *  - the task writer tags each rolled file with its bucket id;
+  *  - the scan reports `KeyGroupedPartitioning(bucket(N, k))` and the
+  *    storage-partitioned join compares both sides' transforms by
+  *    this function's `canonicalName`;
+  *  - equality/IN predicates on the column prune files by hashing
+  *    the literals with the SAME function.
+  *
+  * The mix is splitmix64's finalizer — a full-avalanche 64-bit
+  * permutation (Steele et al., "Fast Splittable Pseudorandom Number
+  * Generators", OOPSLA'14), so dense sequential ids spread uniformly
+  * across buckets. `floorMod` keeps ids non-negative for negative
+  * keys. Determinism across JVMs is the contract that makes old
+  * files' tags forever valid.
+  */
+object GraftBucket {
+
+  def id(v: Long, n: Int): Int = {
+    var z = v + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= (z >>> 31)
+    java.lang.Math.floorMod(z, n.toLong).toInt
+  }
+
+  /** The manifest partition-tag column name for a bucketed file:
+    * `bucket<N>(<col>)` — structurally distinct from any identity
+    * tag, so identity-partition machinery (partition DML, SHOW
+    * PARTITIONS, grouped aggregate pushdown) never mistakes a bucket
+    * id for a column VALUE.
+    */
+  def tagCol(n: Int, c: String): String = s"bucket$n($c)"
+
+  private val TagPattern = "bucket(\\d+)\\(([^)]+)\\)".r
+
+  /** Parse a manifest tag column: `Some((numBuckets, column))` when
+    * it is a bucket tag, `None` for identity tags.
+    */
+  def parseTag(tag: String): Option[(Int, String)] = tag match {
+    case TagPattern(n, c) => Some((n.toInt, c))
+    case _ => None
+  }
+}
+
+/** DSv2 `FunctionCatalog` face of [[GraftBucket]] — what lets Spark
+  * itself resolve the `bucket(N, col)` transform in write
+  * distributions and `KeyGroupedPartitioning` (V2ExpressionUtils
+  * loads "bucket" from the table's catalog, the Iceberg pattern).
+  */
+object BucketUnbound extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(numBuckets INT, value BIGINT|INT) -> INT: the lake's " +
+      "hash partition transform"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2 &&
+      inputType.fields(0).dataType == IntegerType &&
+      (inputType.fields(1).dataType == LongType ||
+        inputType.fields(1).dataType == IntegerType),
+      s"bucket expects (INT numBuckets, BIGINT|INT value), got " +
+        inputType.simpleString)
+    new BucketBound(inputType.fields(1).dataType)
+  }
+}
+
+final class BucketBound(valType: DataType)
+    extends ScalarFunction[java.lang.Integer] {
+  override def name(): String = "bucket"
+  // the SPJ compatibility check compares both sides' bound functions
+  // by canonical name — type-qualified so an int-keyed and a
+  // long-keyed bucketing never pass as co-partitioned
+  override def canonicalName(): String =
+    s"graft.bucket(${valType.simpleString})"
+  override def inputTypes(): Array[DataType] = Array(IntegerType, valType)
+  override def resultType(): DataType = IntegerType
+  override def isDeterministic: Boolean = true
+
+  // magic-method fast path: codegen plans a direct Invoke, no
+  // InternalRow boxing per row in the write's repartition
+  def invoke(n: Int, v: Long): Int = GraftBucket.id(v, n)
+  def invoke(n: Int, v: Int): Int = GraftBucket.id(v.toLong, n)
+
+  override def produceResult(input: InternalRow): java.lang.Integer = {
+    val n = input.getInt(0)
+    val v = valType match {
+      case LongType => input.getLong(1)
+      case _ => input.getInt(1).toLong
+    }
+    GraftBucket.id(v, n)
+  }
+}

@@ -46,13 +46,18 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object V2Functions {
 
-  val names: Seq[String] = Seq("cosine_sim", "token_count", "sum_cents")
+  val names: Seq[String] =
+    Seq("cosine_sim", "token_count", "sum_cents", "bucket")
 
   def load(name: String): Option[UnboundFunction] =
     name.toLowerCase(java.util.Locale.ROOT) match {
       case "cosine_sim" => Some(CosineSimUnbound)
       case "token_count" => Some(TokenCountUnbound)
       case "sum_cents" => Some(SumCentsUnbound)
+      // the partition transform ([[BucketFunction]]): resolved by
+      // Spark itself for bucketed writes and storage-partitioned
+      // joins, and callable as SQL for debugging layouts
+      case "bucket" => Some(BucketUnbound)
       case _ => None
     }
 

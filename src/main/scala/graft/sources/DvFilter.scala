@@ -36,26 +36,44 @@ private[sources] object DvFilter {
     * order, returns each batch's surviving ordinals. `include = true`
     * inverts the selection — keep ONLY the listed positions (the
     * change feed's "replay just the newly-vectored rows" mode).
+    *
+    * Decodes the delta-varint bytes INCREMENTALLY — one position of
+    * state, never a materialized `Array[Long]` — so a 100k-position
+    * externalized vector costs the task its compressed byte size
+    * (KBs), not 800 KB of longs. Positions strictly BEFORE the
+    * split's first row are skipped during construction (the
+    * streaming analogue of the old lower-bound binary search; the
+    * scan is O(count), the same order as decoding ever was).
     */
-  final class Walker(positions: Array[Long], firstRow: Long,
+  final class Walker(bytes: Array[Byte], firstRow: Long,
       include: Boolean = false) {
     private var pos = firstRow
-    private var di = {
-      // lower bound: first deleted position ≥ the split's first row
-      var l = 0; var r = positions.length
-      while (l < r) {
-        val m = (l + r) >>> 1
-        if (positions(m) < firstRow) l = m + 1 else r = m
+    private var bi = 0
+    private var nextDel = -1L // next deleted position; MaxValue = done
+    private def advance(): Unit = {
+      if (bi >= bytes.length) { nextDel = Long.MaxValue; return }
+      var gap = 0L
+      var shift = 0
+      var more = true
+      while (more) {
+        val b = bytes(bi); bi += 1
+        gap |= (b & 0x7FL) << shift
+        shift += 7
+        more = (b & 0x80) != 0
       }
-      l
+      nextDel += gap
     }
+    // position the stream at the first deleted position ≥ firstRow
+    advance()
+    while (nextDel < firstRow) advance()
+
     def nextSelection(n: Int): Array[Int] = {
       val sel = new scala.collection.mutable.ArrayBuilder.ofInt
       sel.sizeHint(n)
       var i = 0
       while (i < n) {
-        if (di < positions.length && positions(di) == pos + i) {
-          di += 1
+        if (nextDel == pos + i) {
+          advance()
           if (include) sel += i
         } else if (!include) sel += i
         i += 1

@@ -127,24 +127,59 @@ final class LakeTable(root: String, asOf: Option[Int], tschema: StructType,
     */
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
-      override def name(): String = LakeTable.FileColumn
-      override def dataType(): org.apache.spark.sql.types.DataType =
-        org.apache.spark.sql.types.StringType
-      override def isNullable: Boolean = false
-      override def comment(): String =
-        "absolute path of the lake data file holding the row"
-    })
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = LakeTable.FileColumn
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.StringType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "absolute path of the lake data file holding the row"
+      },
+      // `_pos` — the row's PHYSICAL position within its data file,
+      // answered as a per-split running vector (zero decode cost,
+      // pre-deletion-vector so surviving rows keep their true
+      // positions). (_file, _pos) is the delta row-level operations'
+      // row identity: a SQL DELETE/UPDATE under SupportsDelta turns
+      // matched rows into deletion-vector positions instead of
+      // rewriting their files.
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = LakeTable.PosColumn
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "physical row position of the row within its data file"
+      },
+      // `_row_id` — the row's STABLE tracking id (Delta's row-id
+      // model): implicit `file base + position` for ordinary files,
+      // the materialized `__rid` column for delta-update post-images
+      // (which is how an updated row KEEPS its identity), NULL for
+      // files that predate row tracking or lost it in a rewrite —
+      // consumers degrade to key semantics, ids are never invented.
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = LakeTable.RowIdColumn
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = true
+        override def comment(): String =
+          "stable row-tracking id (null when the file carries none)"
+      })
   override def name(): String =
     s"graft_lake($root${asOf.fold("")(v => s"@v$v")})"
   override def schema(): StructType = tschema
-  // declared partitioning (the `partcol` prop): DESCRIBE shows it,
-  // and writes plan the clustered+sorted layout through
-  // RequiresDistributionAndOrdering
+  // declared partitioning (the `partcol` [+ `partbuckets`] props):
+  // DESCRIBE shows it, and writes plan the clustered+sorted layout
+  // through RequiresDistributionAndOrdering
   override def partitioning(): Array[Transform] =
-    opts.get("partcol").map(pc =>
-      org.apache.spark.sql.connector.expressions.Expressions.identity(pc))
-      .toArray
+    opts.get("partcol").map { pc =>
+      opts.get("partbuckets") match {
+        case Some(n) => org.apache.spark.sql.connector.expressions
+          .Expressions.bucket(n.toInt, pc)
+        case None => org.apache.spark.sql.connector.expressions
+          .Expressions.identity(pc)
+      }
+    }.toArray
 
   // -- SHOW PARTITIONS / ALTER TABLE DROP PARTITION ---------------------
   // Partitions are DEFINED BY DATA (a value exists while tagged files
@@ -157,9 +192,13 @@ final class LakeTable(root: String, asOf: Option[Int], tschema: StructType,
 
   private def partColType: Option[(String,
       org.apache.spark.sql.types.DataType)] =
-    opts.get("partcol").flatMap(pc =>
-      tschema.fields.find(_.name.equalsIgnoreCase(pc))
-        .map(f => (f.name, f.dataType)))
+    // bucket-partitioned tables opt OUT of value-addressed partition
+    // management: a bucket id is not a column value, so SHOW
+    // PARTITIONS / DROP PARTITION (c = v) have no honest answer there
+    opts.get("partcol").filter(_ => opts.get("partbuckets").isEmpty)
+      .flatMap(pc =>
+        tschema.fields.find(_.name.equalsIgnoreCase(pc))
+          .map(f => (f.name, f.dataType)))
 
   override def partitionSchema(): StructType =
     partColType.fold(new StructType()) { case (n, dt) =>
@@ -316,7 +355,15 @@ final class LakeTable(root: String, asOf: Option[Int], tschema: StructType,
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(asOf.isEmpty,
       s"cannot ${info.command()} a time-travel snapshot v${asOf.get} of $root")
-    () => new LakeRowLevelOperation(root, tschema, opts, info.command())
+    // dv=true tables take the DELTA protocol ([[SupportsDelta]]):
+    // matched rows become deletion-vector positions + appended
+    // post-images — zero files rewritten. Others keep the group CoW
+    // rewrite (clustering-preserving, vector-free).
+    if (opts.get("dv").exists(_.equalsIgnoreCase("true")))
+      () => new LakeDeltaRowLevelOperation(root, tschema, opts,
+        info.command())
+    else
+      () => new LakeRowLevelOperation(root, tschema, opts, info.command())
   }
 
   // -- SQL row-level DELETE --------------------------------------------
@@ -488,8 +535,18 @@ final class LakeTable(root: String, asOf: Option[Int], tschema: StructType,
 }
 
 object LakeTable {
-  /** The lake's one metadata column (Delta/Iceberg's `_file`). */
+  /** The lake's file-identity metadata column (Delta/Iceberg's
+    * `_file`).
+    */
   val FileColumn = "_file"
+  /** Physical row position within the file (Iceberg's `_pos`) — with
+    * [[FileColumn]], the delta row-level operations' row identity.
+    */
+  val PosColumn = "_pos"
+  /** Stable row-tracking id (Delta's row-id model). */
+  val RowIdColumn = "_row_id"
+  /** The PHYSICAL parquet column materialized row ids live under. */
+  val RidPhysColumn = "__rid"
 }
 
 /** Shared parser for partition-VALUE predicates (`c = v` /
@@ -654,14 +711,20 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
           bloomIn = Some(bloomIn.fold(ls)(_.intersect(ls))); true
         }
       // partition-tag prune: equality/IN on a column some files are
-      // partition-tagged with (checked per file at build) — kept
-      // AFTER the stat/bloom cases so those columns take their own,
-      // tighter paths
+      // partition-tagged with — identity tags compare value strings
+      // directly; bucket tags hash the literal with the SAME
+      // function the write used and compare bucket ids (checked per
+      // file at build). Kept AFTER the stat/bloom cases so those
+      // columns take their own, tighter paths
       case EqualTo(c, v) if v != null &&
-          snap.files.exists(_.part.exists(_._1.equalsIgnoreCase(c))) =>
+          snap.files.exists(_.part.exists(t =>
+            t._1.equalsIgnoreCase(c) || graft.functions.GraftBucket
+              .parseTag(t._1).exists(_._2.equalsIgnoreCase(c)))) =>
         partStr(v).exists(sv => recordPart(c, Seq(sv)))
       case In(c, vs) if vs.nonEmpty &&
-          snap.files.exists(_.part.exists(_._1.equalsIgnoreCase(c))) =>
+          snap.files.exists(_.part.exists(t =>
+            t._1.equalsIgnoreCase(c) || graft.functions.GraftBucket
+              .parseTag(t._1).exists(_._2.equalsIgnoreCase(c)))) =>
         val svs = vs.toSeq.flatMap(partStr(_))
         svs.length == vs.length && recordPart(c, svs)
       case _ => false
@@ -815,7 +878,18 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
   // would then return the normal data scan, and Spark's pushed-agg
   // column-count assertion fails the whole query (caught by the
   // catalog sweep's count() over q81's union-of-aggregates shape)
-  private def aggsAnswerable(fns: Seq[AggregateFunc]): Boolean = {
+  /** The cross-file SUM fold, overflow-checked: per-file sums are
+    * write-time try_sum-guarded, but their FOLD can still wrap — and
+    * a completely-pushed aggregate's answer is final, so a wrapped
+    * fold would silently disagree with the (ANSI-erroring) data
+    * path. `None` = refuse the push, take the data path.
+    */
+  private def exactSumFold(fs: Seq[SnapshotLake.FileStat]): Option[Long] =
+    try Some(fs.flatMap(_.sum).foldLeft(0L)(Math.addExact))
+    catch { case _: ArithmeticException => None }
+
+  private def aggsAnswerable(fns: Seq[AggregateFunc],
+      groups: Seq[Seq[SnapshotLake.FileStat]]): Boolean = {
     def noDv = snap.files.forall(_.dv.isEmpty)
     fns.nonEmpty && fns.forall {
       case _: CountStar => true
@@ -823,11 +897,13 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
       // manifest's lo/hi are a SUPERSET bound (sound for pruning,
       // wrong as an answer) — refuse and take the data path. SUM
       // additionally needs every file's write-time su= record (a
-      // pre-sum chain or an overflowed file has none).
+      // pre-sum chain or an overflowed file has none) AND an
+      // overflow-free cross-file fold per answered group.
       case m: Min => refsStatCol(m.column) && statColIsLong && noDv
       case m: Max => refsStatCol(m.column) && statColIsLong && noDv
       case sm: Sum => refsStatCol(sm.column) && statColIsLong &&
-        !sm.isDistinct && noDv && snap.files.forall(_.sum.isDefined)
+        !sm.isDistinct && noDv && snap.files.forall(_.sum.isDefined) &&
+        groups.forall(exactSumFold(_).isDefined)
       case _ => false
     }
   }
@@ -838,13 +914,15 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
       // manifest-answered aggregate
     snap.files.nonEmpty &&
       (agg.groupByExpressions() match {
-        case Array() => aggsAnswerable(agg.aggregateExpressions().toSeq)
+        case Array() => aggsAnswerable(agg.aggregateExpressions().toSeq,
+          Seq(snap.files))
         // GROUP BY the (fully-tagged) partition column: per-group
         // answers are per-tag file-list folds — a 100 TB GROUP BY
         // answered from KB-scale manifest metadata
         case Array(r: NamedReference) if r.fieldNames().length == 1 &&
             fullPartCol.exists(_._1.equalsIgnoreCase(r.fieldNames()(0))) =>
-          aggsAnswerable(agg.aggregateExpressions().toSeq)
+          aggsAnswerable(agg.aggregateExpressions().toSeq,
+            snap.files.groupBy(_.part.get._2).values.toSeq)
         case _ => false
       })
 
@@ -874,7 +952,8 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
         case _: CountStar => fs.map(_.liveRows).sum
         case _: Min => fs.map(_.lo).min
         case _: Max => fs.map(_.hi).max
-        case _: Sum => fs.flatMap(_.sum).sum
+        // cannot wrap: canAnswer pre-checked every group's fold
+        case _: Sum => fs.flatMap(_.sum).foldLeft(0L)(Math.addExact)
       }
       def typedGroup(v: String): Any = pushedGroupCol.get._2 match {
         case LongType => java.lang.Long.valueOf(v.toLong)
@@ -906,6 +985,14 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
           vs.exists(SnapshotLake.Bloom.mightContain(b, _)))) &&
         partIn.forall { case (c, vs) => f.part match {
           case Some((pc, pv)) if pc.equalsIgnoreCase(c) => vs(pv)
+          case Some((pc, pv)) if graft.functions.GraftBucket
+              .parseTag(pc).exists(_._2.equalsIgnoreCase(c)) =>
+            // bucket tag: keep the file iff SOME admissible literal
+            // hashes into its bucket (an unparseable literal keeps
+            // the file — pruning must never guess)
+            val nb = graft.functions.GraftBucket.parseTag(pc).get._1
+            vs.exists(v => scala.util.Try(v.toLong).toOption.fold(true)(
+              l => graft.functions.GraftBucket.id(l, nb).toString == pv))
           case _ => true // untagged / other-spec file: never pruned
         } }
     }
@@ -916,19 +1003,27 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
       case (None, Some(n)) => limitFiles(keptAll, n)
       case _ => keptAll
     }
-    // `_file` is answered per split, never decoded: it leaves the
-    // parquet projection here and re-enters as a constant vector in
-    // the reader
+    // `_file`/`_pos`/`_row_id` are answered per split, never decoded
+    // from user data: they leave the parquet projection here and
+    // re-enter as constant / running / id vectors in the reader
+    // (`_row_id` additionally requests the physical `__rid` column,
+    // which materialized files carry and others null-fill)
     val fileColIdx = required.fieldNames.indexWhere(
       _.equalsIgnoreCase(LakeTable.FileColumn))
+    val posColIdx = required.fieldNames.indexWhere(
+      _.equalsIgnoreCase(LakeTable.PosColumn))
+    val ridColIdx = required.fieldNames.indexWhere(
+      _.equalsIgnoreCase(LakeTable.RowIdColumn))
     val dataRequired =
-      if (fileColIdx < 0) required
-      else StructType(required.fields.filterNot(
-        _.name.equalsIgnoreCase(LakeTable.FileColumn)))
+      if (fileColIdx < 0 && posColIdx < 0 && ridColIdx < 0) required
+      else StructType(required.fields.filterNot(f =>
+        f.name.equalsIgnoreCase(LakeTable.FileColumn) ||
+          f.name.equalsIgnoreCase(LakeTable.PosColumn) ||
+          f.name.equalsIgnoreCase(LakeTable.RowIdColumn)))
     // data files store PHYSICAL column names (column mapping): the
     // reader requests them; readSchema stays logical, and positional
     // batch binding performs the rename for free
-    val physRequired = snap.schema.fold(dataRequired) { logical =>
+    val physRequired0 = snap.schema.fold(dataRequired) { logical =>
       // Locale.ROOT, matching SnapshotLake.colKey — the default JVM
       // locale would mis-key 'I'/'i' columns under e.g. tr_TR and
       // request the wrong (logical) parquet field name
@@ -938,21 +1033,45 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
       StructType(dataRequired.fields.map(f =>
         f.copy(name = m.getOrElse(k(f.name), f.name))))
     }
+    // a projected `_row_id` requests the materialized id column LAST
+    // (files without it null-fill; the reader consumes it and serves
+    // the metadata slot from it or the implicit base)
+    val physRequired =
+      if (ridColIdx < 0) physRequired0
+      else StructType(physRequired0.fields :+
+        org.apache.spark.sql.types.StructField(LakeTable.RidPhysColumn,
+          LongType, nullable = true))
     // storage-partitioned-join eligibility: every kept file tagged
     // under ONE spec, the partition column read by this scan, and a
-    // key type the dir-string round-trips exactly (long/int/string)
-    val spj: Option[(String, org.apache.spark.sql.types.DataType)] = {
+    // key type the dir-string round-trips exactly (long/int/string).
+    // A bucket spec (`bucketN(c)` tags) SPJs too — the reported key
+    // is the bucket ID and the partitioning expression is the
+    // catalog's bucket V2 function, so two same-bucketed tables
+    // join shuffle-free on a high-cardinality column.
+    // spjBuckets = Some(n) marks bucket mode.
+    val (spj, spjBuckets): (Option[(String,
+        org.apache.spark.sql.types.DataType)], Option[Int]) = {
       val tags = kept.map(_.part)
       val cols = tags.flatten.map(_._1.toLowerCase(java.util.Locale.ROOT))
         .distinct
-      if (kept.nonEmpty && tags.forall(_.isDefined) && cols.length == 1)
-        required.fields
-          .find(_.name.toLowerCase(java.util.Locale.ROOT) == cols.head)
-          .collect { case f if f.dataType == LongType ||
-              f.dataType == org.apache.spark.sql.types.IntegerType ||
-              f.dataType == org.apache.spark.sql.types.StringType =>
-            (f.name, f.dataType) }
-      else None
+      if (kept.nonEmpty && tags.forall(_.isDefined) && cols.length == 1) {
+        graft.functions.GraftBucket.parseTag(cols.head) match {
+          case Some((n, bc)) =>
+            (required.fields
+              .find(_.name.toLowerCase(java.util.Locale.ROOT) ==
+                bc.toLowerCase(java.util.Locale.ROOT))
+              .collect { case f if f.dataType == LongType ||
+                  f.dataType == org.apache.spark.sql.types.IntegerType =>
+                (f.name, f.dataType) }, Some(n))
+          case None =>
+            (required.fields
+              .find(_.name.toLowerCase(java.util.Locale.ROOT) == cols.head)
+              .collect { case f if f.dataType == LongType ||
+                  f.dataType == org.apache.spark.sql.types.IntegerType ||
+                  f.dataType == org.apache.spark.sql.types.StringType =>
+                (f.name, f.dataType) }, None)
+        }
+      } else (None, None)
     }
     val scan = LakeScan(root, snap.version, kept,
       snap.files.length, required,
@@ -962,14 +1081,18 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
         statIn.fold("")(vs => s" in(${vs.length})") +
         bloomIn.fold("")(vs => s" bloomIn(${vs.length})") +
         partIn.fold("") { case (c, vs) => s" part=$c(${vs.size})" } +
-        spj.fold("") { case (c, _) => s" keyGrouped=$c" } +
+        spj.fold("") { case (c, _) => spjBuckets match {
+          case Some(n) =>
+            s" keyGrouped=${graft.functions.GraftBucket.tagCol(n, c)}"
+          case None => s" keyGrouped=$c"
+        } } +
         pushedTopN.fold("") { case (asc, k) =>
           s" topk=$k(${if (asc) "asc" else "desc"})" } +
         pushedTopN.fold(pushedLimit.fold("")(n => s" limit=$n"))(_ => ""),
       asOf, lo, hi, lo2, hi2, point, snap.statCol, snap.bloomCol,
       physRequired, fileColIdx, spj.map(_._1),
       spj.map(_._2).getOrElse(org.apache.spark.sql.types.NullType),
-      cdf, cdfRange)
+      cdf, cdfRange, spjBuckets, posColIdx, ridColIdx)
     lastScan = Some(scan)
     scan
   }
@@ -1037,7 +1160,17 @@ final case class LakeScan(root: String, version: Int,
     spjCol: Option[String] = None,
     spjType: org.apache.spark.sql.types.DataType =
       org.apache.spark.sql.types.NullType,
-    cdf: Boolean = false, cdfRange: Option[(Int, Int)] = None)
+    cdf: Boolean = false, cdfRange: Option[(Int, Int)] = None,
+    /** Some(n) = the kept files are `bucket(n, spjCol)`-partitioned:
+      * the reported key-grouped expression is the bucket transform
+      * and each split's partition key is its bucket ID (IntegerType).
+      */
+    spjBuckets: Option[Int] = None,
+    /** projected slot of the `_pos` metadata column, -1 if absent. */
+    posColIdx: Int = -1,
+    /** projected slot of `_row_id`, -1 if absent (when ≥ 0 the
+      * parquet request schema carries a trailing `__rid` column). */
+    ridColIdx: Int = -1)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
@@ -1087,25 +1220,38 @@ final case class LakeScan(root: String, version: Int,
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     spjCol match {
       case Some(c) =>
+        val expr = spjBuckets match {
+          // bucket mode: the partitioning expression is the catalog's
+          // bucket V2 function over the column — Spark resolves it
+          // through the FunctionCatalog and SPJ compares both sides
+          // by the bound function's canonicalName + bucket count
+          case Some(n) => org.apache.spark.sql.connector.expressions
+            .Expressions.bucket(n, c)
+          case None => org.apache.spark.sql.connector.expressions
+            .Expressions.identity(c)
+        }
         new org.apache.spark.sql.connector.read.partitioning
           .KeyGroupedPartitioning(
-            Array(org.apache.spark.sql.connector.expressions.Expressions
-              .identity(c)),
-            files.flatMap(_.part.map(_._2)).distinct.size)
+            Array(expr), files.flatMap(_.part.map(_._2)).distinct.size)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning
           .UnknownPartitioning(files.size)
     }
 
-  /** Partition-dir string → the key's JVM value under `spjType`
-    * (long/int/string partition columns only — gated at build()).
+  /** Partition-tag string → the key's JVM value: the bucket ID
+    * (IntegerType, the transform's result type) in bucket mode, else
+    * the column value under `spjType` (long/int/string partition
+    * columns only — gated at build()).
     */
-  private def typedKey(v: String): Any = spjType match {
-    case org.apache.spark.sql.types.LongType => java.lang.Long.valueOf(v.toLong)
-    case org.apache.spark.sql.types.IntegerType =>
-      java.lang.Integer.valueOf(v.toInt)
-    case _ => org.apache.spark.unsafe.types.UTF8String.fromString(v)
-  }
+  private def typedKey(v: String): Any =
+    if (spjBuckets.isDefined) java.lang.Integer.valueOf(v.toInt)
+    else spjType match {
+      case org.apache.spark.sql.types.LongType =>
+        java.lang.Long.valueOf(v.toLong)
+      case org.apache.spark.sql.types.IntegerType =>
+        java.lang.Integer.valueOf(v.toInt)
+      case _ => org.apache.spark.unsafe.types.UTF8String.fromString(v)
+    }
 
   override def filter(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
@@ -1224,7 +1370,8 @@ final case class LakeScan(root: String, version: Int,
         val m = new java.util.HashMap[
           org.apache.spark.sql.connector.expressions.NamedReference,
           org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-        def colStat(ndv: Long, mn: Option[Long], mx: Option[Long]) =
+        def colStat(ndv: Long, mn: Option[Long], mx: Option[Long],
+            nulls: Option[Long] = Some(0L)) =
           new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
             override def distinctCount(): java.util.OptionalLong =
               java.util.OptionalLong.of(ndv)
@@ -1235,7 +1382,8 @@ final case class LakeScan(root: String, version: Int,
               mx.fold(java.util.Optional.empty[Object]())(v =>
                 java.util.Optional.of(java.lang.Long.valueOf(v)))
             override def nullCount(): java.util.OptionalLong =
-              java.util.OptionalLong.of(0L)
+              nulls.fold(java.util.OptionalLong.empty())(
+                java.util.OptionalLong.of)
           }
         def isLong(name: String): Boolean =
           required.fields.exists(f => f.name.equalsIgnoreCase(name) &&
@@ -1259,6 +1407,40 @@ final case class LakeScan(root: String, version: Int,
               .column(tags.head._1),
               colStat(vs.distinct.length.toLong, Some(vs.min), Some(vs.max)))
         }
+        // per-column manifest sketches (the write-time cs= records):
+        // merged [min, max] is exact, NDV is the KMV fold — served
+        // for every projected LongType column EVERY kept file carries
+        // a record for (a file without one means unknown rows; refuse
+        // rather than misestimate). nullCount stays unset: the
+        // sketch counts null as one phantom value, it never counted
+        // null rows.
+        // logical → PHYSICAL column names (cs= records store what the
+        // data files are named with; column mapping renames on read)
+        val nonMeta = required.fields.filterNot(f =>
+          f.name.equalsIgnoreCase(LakeTable.FileColumn) ||
+            f.name.equalsIgnoreCase(LakeTable.PosColumn))
+        val physOf: Map[String, String] =
+          Option(physRequired).filter(_.fields.length == nonMeta.length)
+            .fold(nonMeta.map(f => f.name -> f.name).toMap)(pr =>
+              nonMeta.zip(pr.fields).map { case (l, p) =>
+                l.name -> p.name }.toMap)
+        if (files.nonEmpty) nonMeta.foreach { f =>
+          val key = physOf.getOrElse(f.name, f.name)
+            .toLowerCase(java.util.Locale.ROOT)
+          if (f.dataType == LongType && !m.containsKey(
+              org.apache.spark.sql.connector.expressions.Expressions
+                .column(f.name)) &&
+              files.forall(_.cstats.contains(key))) {
+            val sts = files.map(_.cstats(key))
+            m.put(org.apache.spark.sql.connector.expressions.Expressions
+              .column(f.name),
+              colStat(
+                SnapshotLake.ColStat.ndv(
+                  SnapshotLake.ColStat.mergeKmv(sts.map(_.kmv))),
+                Some(sts.map(_.lo).min), Some(sts.map(_.hi).max),
+                nulls = Some(sts.map(_.nulls).sum)))
+          }
+        }
         m
       }
     }
@@ -1274,14 +1456,17 @@ final case class LakeScan(root: String, version: Int,
     * starting offset, so runs partition the file exactly (no row
     * read twice, none dropped).
     */
-  override def planInputPartitions(): Array[InputPartition] = {
-    // batch change-feed read: each version in [from, to] replays by
-    // the shared CDF rules (both bounds inclusive, Delta's
-    // startingVersion/endingVersion contract)
-    cdfRange.foreach { case (from, to) =>
-      return (from to to).flatMap(v => LakeCdf.versionChanges(root, v))
-        .toArray
+  // batch change-feed read: each version in [from, to] replays by
+  // the shared CDF rules (both bounds inclusive, Delta's
+  // startingVersion/endingVersion contract). Planned ONCE — the
+  // reader factory's scan-wide columnar decision reads the same list
+  private lazy val cdfParts: Array[InputPartition] =
+    cdfRange.fold(Array.empty[InputPartition]) { case (from, to) =>
+      (from to to).flatMap(v => LakeCdf.versionChanges(root, v)).toArray
     }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    if (cdfRange.isDefined) return cdfParts
     val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       SparkSession.active.conf.get("spark.sql.files.maxPartitionBytes",
         "128m"))
@@ -1290,8 +1475,10 @@ final case class LakeScan(root: String, version: Int,
       val path = SnapshotLake.dataPath(root, f.name)
       val size = sizeOf(f)
       val dvB64 = f.dv.map(_.b64)
+      val ridBase = f.rid.getOrElse(-1L)
       val raw: Seq[LakeSplit] =
-      if (size <= maxSplit) Seq(LakeSplit(path, 0L, size, dvB64, 0L))
+      if (size <= maxSplit)
+        Seq(LakeSplit(path, 0L, size, dvB64, 0L, ridBase, f.ridMat))
       else {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromPath(new org.apache.hadoop.fs.Path(path), conf)
@@ -1315,7 +1502,8 @@ final case class LakeScan(root: String, version: Int,
           val start = run.head.getStartingPos
           val end =
             if (i + 1 < runs.length) runs(i + 1).head.getStartingPos else size
-          LakeSplit(path, start, end - start, dvB64, firstRows(i))
+          LakeSplit(path, start, end - start, dvB64, firstRows(i),
+            ridBase, f.ridMat)
         }
       }
       // SPJ mode: every split carries its file's typed partition key
@@ -1328,11 +1516,21 @@ final case class LakeScan(root: String, version: Int,
   }
   override def createReaderFactory(): PartitionReaderFactory =
     if (cdf)
+      // the scan-wide columnar decision: ANY split in the planned
+      // range carrying a position filter (DV exclude or diff-include)
+      // flips the whole scan's homogeneous mode
       new LakeCdfReaderFactory(Option(physRequired).getOrElse(required),
-        LakeReaderFactory.sessionConf())
+        LakeReaderFactory.sessionConf(),
+        anyFilter = cdfParts.exists {
+          case c: LakeCdfSplit =>
+            c.includeB64.isDefined || c.split.dvB64.isDefined
+          case _ => false
+        })
     else
       new LakeReaderFactory(Option(physRequired).getOrElse(required),
-        LakeReaderFactory.sessionConf(), fileColIdx)
+        LakeReaderFactory.sessionConf(), fileColIdx,
+        anyDv = files.exists(_.dv.isDefined), posColIdx = posColIdx,
+        ridColIdx = ridColIdx)
 }
 
 object LakeScan {
@@ -1390,7 +1588,11 @@ object LakeScan {
   * batch ordinals to file positions with no metadata column decoded.
   */
 final case class LakeSplit(path: String, start: Long, length: Long,
-    dvB64: Option[String] = None, firstRow: Long = 0L)
+    dvB64: Option[String] = None, firstRow: Long = 0L,
+    /** implicit row-id base of the file, -1 = none. */
+    ridBase: Long = -1L,
+    /** file materializes its row ids in the `__rid` column. */
+    ridMat: Boolean = false)
     extends InputPartition
 
 /** [[LakeSplit]] plus its file's partition key — the
@@ -1507,26 +1709,66 @@ object LakeReaderFactory {
   * Spark 4, never legacy-calendar parquet.
   */
 final class LakeReaderFactory(required: StructType,
-    confKVs: Map[String, String], fileColIdx: Int = -1)
+    confKVs: Map[String, String], fileColIdx: Int = -1,
+    anyDv: Boolean = false, posColIdx: Int = -1, ridColIdx: Int = -1)
     extends PartitionReaderFactory {
 
-  /** The batch's OUTPUT schema: parquet columns plus the `_file`
-    * constant at its projected slot.
-    */
-  private def outputSchema: StructType =
-    if (fileColIdx < 0) required
-    else {
-      val (before, after) = required.fields.splitAt(fileColIdx)
-      StructType((before :+ org.apache.spark.sql.types.StructField(
-        LakeTable.FileColumn, org.apache.spark.sql.types.StringType,
-        nullable = false)) ++ after)
-    }
+  // `required` is the PARQUET request schema; when `_row_id` is
+  // projected it carries a trailing `__rid` column the reader
+  // CONSUMES (serving the metadata slot from it or the implicit
+  // base) rather than surfaces
+  private def ridInput: Boolean = ridColIdx >= 0
 
-  // a deletion-vectored split of nested types declines columnar: the
-  // survivor copy handles atomic vectors only, and PARTITION_DEFINED
-  // mode then plans the whole scan row-based (no mixing)
+  /** Parquet columns that surface directly (the request minus the
+    * consumed `__rid`).
+    */
+  private def dataFields: Array[org.apache.spark.sql.types.StructField] =
+    if (ridInput) required.fields.dropRight(1) else required.fields
+
+  /** The batch's OUTPUT schema: surfaced parquet columns plus the
+    * `_file` constant / `_pos` running vector / `_row_id` vector at
+    * their projected slots (indices address the OUTPUT schema — they
+    * were computed on the pre-strip projection).
+    */
+  private def outputSchema: StructType = {
+    val data = dataFields
+    if (fileColIdx < 0 && posColIdx < 0 && ridColIdx < 0)
+      return StructType(data)
+    val n = data.length +
+      (if (fileColIdx >= 0) 1 else 0) + (if (posColIdx >= 0) 1 else 0) +
+      (if (ridColIdx >= 0) 1 else 0)
+    val out = new Array[org.apache.spark.sql.types.StructField](n)
+    var src = 0
+    var i = 0
+    while (i < n) {
+      if (i == fileColIdx)
+        out(i) = org.apache.spark.sql.types.StructField(
+          LakeTable.FileColumn, org.apache.spark.sql.types.StringType,
+          nullable = false)
+      else if (i == posColIdx)
+        out(i) = org.apache.spark.sql.types.StructField(
+          LakeTable.PosColumn, org.apache.spark.sql.types.LongType,
+          nullable = false)
+      else if (i == ridColIdx)
+        out(i) = org.apache.spark.sql.types.StructField(
+          LakeTable.RowIdColumn, org.apache.spark.sql.types.LongType,
+          nullable = true)
+      else { out(i) = data(src); src += 1 }
+      i += 1
+    }
+    StructType(out)
+  }
+
+  // columnar support is decided PER SCAN, never per split: Spark's
+  // default PARTITION_DEFINED batch mode requires every partition of
+  // a scan to agree, and a mix of "clean file → columnar" with
+  // "vectored nested file → row" would fail planning outright
+  // ("Cannot mix row-based and columnar input partitions"). `anyDv`
+  // is the scan-level fact (any kept file carries a deletion
+  // vector); the DV survivor copy handles atomic vectors only, so a
+  // vectored scan of nested types takes the row path WHOLE.
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    splitOf(partition).dvB64.isEmpty ||
+    !anyDv ||
       outputSchema.fields.forall(f => DvFilter.copyable(f.dataType))
 
   private def splitOf(partition: InputPartition): LakeSplit =
@@ -1541,15 +1783,17 @@ final class LakeReaderFactory(required: StructType,
       : org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader =
     LakeReaderFactory.openSplit(splitOf(partition), confKVs, required)
 
-  /** Raw batches: parquet decode plus the `_file` constant splice —
-    * per split, one UTF8String; per batch, one array copy of column
-    * references. The parquet decode path is untouched. Deletion
-    * vectors are NOT applied here.
+  /** Raw batches: parquet decode plus the `_file` constant splice
+    * (per split, one UTF8String) and/or the `_pos` running vector
+    * (the batch's PHYSICAL row positions — `split.firstRow` plus the
+    * rows already surfaced, BEFORE any deletion-vector filter, so a
+    * surviving row's position is its true file ordinal). The parquet
+    * decode path is untouched. Deletion vectors are NOT applied here.
     */
   private def rawColumnar(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val reader = open(partition)
-    if (fileColIdx < 0)
+    if (fileColIdx < 0 && posColIdx < 0 && ridColIdx < 0)
       new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
         override def next(): Boolean = reader.nextBatch()
         override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
@@ -1557,27 +1801,59 @@ final class LakeReaderFactory(required: StructType,
         override def close(): Unit = reader.close()
       }
     else {
+      val split = splitOf(partition)
       val path = org.apache.spark.unsafe.types.UTF8String
-        .fromString(splitOf(partition).path)
+        .fromString(split.path)
       new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+        private var seen = 0L // physical rows surfaced so far
         override def next(): Boolean = reader.nextBatch()
         override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
           val b = reader.resultBatch()
-          val const = new org.apache.spark.sql.execution.vectorized
-            .ConstantColumnVector(b.numRows(),
-              org.apache.spark.sql.types.StringType)
-          const.setUtf8String(path)
+          val n = b.numRows()
+          val extra = (if (fileColIdx >= 0) 1 else 0) +
+            (if (posColIdx >= 0) 1 else 0) +
+            (if (ridColIdx >= 0) 1 else 0) -
+            (if (ridInput) 1 else 0) // __rid consumed from the batch
           val cols = new Array[
-            org.apache.spark.sql.vectorized.ColumnVector](b.numCols() + 1)
+            org.apache.spark.sql.vectorized.ColumnVector](
+            b.numCols() + extra)
           var src = 0
           var dst = 0
           while (dst < cols.length) {
-            if (dst == fileColIdx) cols(dst) = const
-            else { cols(dst) = b.column(src); src += 1 }
+            if (dst == fileColIdx) {
+              val const = new org.apache.spark.sql.execution.vectorized
+                .ConstantColumnVector(n,
+                  org.apache.spark.sql.types.StringType)
+              const.setUtf8String(path)
+              cols(dst) = const
+            } else if (dst == posColIdx) {
+              val pos = new org.apache.spark.sql.execution.vectorized
+                .OnHeapColumnVector(n, org.apache.spark.sql.types.LongType)
+              var i = 0
+              val base = split.firstRow + seen
+              while (i < n) { pos.putLong(i, base + i); i += 1 }
+              cols(dst) = pos
+            } else if (dst == ridColIdx) {
+              // materialized file: the trailing __rid column IS the
+              // id; implicit file: base + physical position; neither:
+              // all-null (identity unknown, never invented)
+              if (split.ridMat) cols(dst) = b.column(b.numCols() - 1)
+              else {
+                val v = new org.apache.spark.sql.execution.vectorized
+                  .OnHeapColumnVector(n,
+                    org.apache.spark.sql.types.LongType)
+                if (split.ridBase >= 0L) {
+                  var i = 0
+                  val base = split.ridBase + split.firstRow + seen
+                  while (i < n) { v.putLong(i, base + i); i += 1 }
+                } else v.putNulls(0, n)
+                cols(dst) = v
+              }
+            } else { cols(dst) = b.column(src); src += 1 }
             dst += 1
           }
-          new org.apache.spark.sql.vectorized.ColumnarBatch(
-            cols, b.numRows())
+          seen += n
+          new org.apache.spark.sql.vectorized.ColumnarBatch(cols, n)
         }
         override def close(): Unit = reader.close()
       }
@@ -1592,7 +1868,7 @@ final class LakeReaderFactory(required: StructType,
       case Some(b64) =>
         val split = splitOf(partition)
         val walker = new DvFilter.Walker(
-          SnapshotLake.Dv.decode(b64), split.firstRow)
+          SnapshotLake.Dv.bytesOf(b64), split.firstRow)
         val schema = outputSchema
         new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
           private var cur: org.apache.spark.sql.vectorized.ColumnarBatch = _
@@ -1618,7 +1894,7 @@ final class LakeReaderFactory(required: StructType,
     val split = splitOf(partition)
     val batches = rawColumnar(partition)
     val walker = split.dvB64.map(b64 =>
-      new DvFilter.Walker(SnapshotLake.Dv.decode(b64), split.firstRow))
+      new DvFilter.Walker(SnapshotLake.Dv.bytesOf(b64), split.firstRow))
     new PartitionReader[InternalRow] {
       private var rows: Iterator[InternalRow] = Iterator.empty
       @annotation.tailrec

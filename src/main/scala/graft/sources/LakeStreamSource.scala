@@ -111,31 +111,49 @@ class LakeMicroBatchStream(root: String, required: StructType,
     val s = start.asInstanceOf[LakeVersionOffset].version
     val e = end.asInstanceOf[LakeVersionOffset].version
     if (e <= s) return Array.empty
-    val prevFiles: Seq[SnapshotLake.FileStat] =
-      if (s < 0) Seq.empty
-      else SnapshotLake.snapshot(root, Some(s)).files
-    val prev = prevFiles.map(_.name).toSet
     val snap = SnapshotLake.snapshot(root, Some(e))
-    val curByName = snap.files.map(f => f.name -> f).toMap
-    val removed = prev.diff(curByName.keySet)
-    if (removed.nonEmpty)
-      throw new IllegalStateException(
-        s"lake stream at $root: version ${s + 1}..$e removed files " +
-          s"${removed.take(3).mkString(", ")}… (overwrite/merge/delete/" +
-          "compaction) — this source replays appends only; start a fresh " +
-          "stream from the restated table")
-    // a grown deletion vector is a DELETE wearing the same file name —
-    // passing it silently would be wrong twice over (the old batch
-    // already replayed rows the table no longer has, and the version
-    // emits nothing); refuse like any other non-append change
-    val dvChanged = prevFiles.filter(f =>
-      curByName.get(f.name).exists(_.dv != f.dv))
-    if (dvChanged.nonEmpty)
-      throw new IllegalStateException(
-        s"lake stream at $root: version ${s + 1}..$e changed deletion " +
-          s"vectors on ${dvChanged.take(3).map(_.name).mkString(", ")}… " +
-          "(merge-on-read delete) — this source replays appends only; " +
-          "use the change data feed (readChangeFeed) for mutating tables")
+    // the append-only guard walks version by version, never just the
+    // range's endpoints: a file appended and then removed (or
+    // vectored) WITHIN a multi-version batch is invisible to an
+    // endpoint diff, so the same history would stream net rows or
+    // refuse depending on where batch boundaries happened to fall.
+    // Admission must not depend on pacing — check every transition.
+    // (s < 0 is the initial load: no rows were previously emitted,
+    // so reading the table AS OF e is exact and needs no guard.)
+    if (s >= 0) {
+      var prevStep = SnapshotLake.snapshot(root, Some(s)).files
+      (s + 1 to e).foreach { v =>
+        val curStep =
+          if (v == e) snap.files
+          else SnapshotLake.snapshot(root, Some(v)).files
+        val curByName = curStep.map(f => f.name -> f).toMap
+        val removed = prevStep.map(_.name).filterNot(curByName.contains)
+        if (removed.nonEmpty)
+          throw new IllegalStateException(
+            s"lake stream at $root: version $v removed files " +
+              s"${removed.take(3).mkString(", ")}… (overwrite/merge/" +
+              "delete/compaction) — this source replays appends only; " +
+              "start a fresh stream from the restated table")
+        // a grown deletion vector is a DELETE wearing the same file
+        // name — passing it silently would be wrong twice over (the
+        // old batch already replayed rows the table no longer has,
+        // and the version emits nothing); refuse like any other
+        // non-append change
+        val dvChanged = prevStep.filter(f =>
+          curByName.get(f.name).exists(_.dv != f.dv))
+        if (dvChanged.nonEmpty)
+          throw new IllegalStateException(
+            s"lake stream at $root: version $v changed deletion " +
+              s"vectors on ${dvChanged.take(3).map(_.name).mkString(", ")}… " +
+              "(merge-on-read delete) — this source replays appends " +
+              "only; use the change data feed (readChangeFeed) for " +
+              "mutating tables")
+        prevStep = curStep
+      }
+    }
+    val prev: Set[String] =
+      if (s < 0) Set.empty
+      else SnapshotLake.snapshot(root, Some(s)).files.map(_.name).toSet
     snap.files
       .filter(f => !prev(f.name) && keep(f))
       .map(f => LakeSplit(SnapshotLake.dataPath(root, f.name), 0L,
@@ -146,7 +164,14 @@ class LakeMicroBatchStream(root: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new LakeReaderFactory(required, LakeReaderFactory.sessionConf())
+    // scan-wide columnar decision (one factory serves every batch):
+    // vectored files can only enter a batch through the INITIAL load
+    // (appends carry no vectors and the stepwise guard refuses any
+    // in-range vector change), so "head has any vectored file at
+    // factory creation" is the honest scan-level fact
+    new LakeReaderFactory(required, LakeReaderFactory.sessionConf(),
+      anyDv = SnapshotLake.headVersion(root) >= 0 &&
+        SnapshotLake.snapshot(root).files.exists(_.dv.isDefined))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -287,7 +312,16 @@ object LakeCdf {
   * — the `_file` metadata-column pattern, zero decode cost.
   */
 final class LakeCdfReaderFactory(required: StructType,
-    confKVs: Map[String, String]) extends PartitionReaderFactory {
+    confKVs: Map[String, String],
+    /** Scan-level "any split may carry a position filter" fact —
+      * columnar support must be homogeneous across a scan's
+      * partitions (PARTITION_DEFINED mode refuses a mix), so the
+      * per-split decision the filters would suggest is not allowed.
+      * Streaming CDF passes `true` (batch contents are unknown at
+      * factory-creation time and DV diffs are routine); the batch
+      * range passes the exact fact from its planned splits.
+      */
+    anyFilter: Boolean = true) extends PartitionReaderFactory {
 
   private def cdfSplitOf(p: InputPartition): LakeCdfSplit = p match {
     case s: LakeCdfSplit => s
@@ -302,16 +336,14 @@ final class LakeCdfReaderFactory(required: StructType,
   private def walkerOf(c: LakeCdfSplit): Option[DvFilter.Walker] =
     c.includeB64 match {
       case Some(b64) => Some(new DvFilter.Walker(
-        SnapshotLake.Dv.decode(b64), c.split.firstRow, include = true))
+        SnapshotLake.Dv.bytesOf(b64), c.split.firstRow, include = true))
       case None => c.split.dvB64.map(b64 => new DvFilter.Walker(
-        SnapshotLake.Dv.decode(b64), c.split.firstRow))
+        SnapshotLake.Dv.bytesOf(b64), c.split.firstRow))
     }
 
-  override def supportColumnarReads(p: InputPartition): Boolean = {
-    val c = cdfSplitOf(p)
-    (c.includeB64.isEmpty && c.split.dvB64.isEmpty) ||
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    !anyFilter ||
       required.fields.forall(f => DvFilter.copyable(f.dataType))
-  }
 
   /** Raw batches: parquet decode plus the `_commit_version` /
     * `_change_type` constant splice. Position filters NOT applied.

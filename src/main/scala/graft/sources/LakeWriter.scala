@@ -107,17 +107,23 @@ final class LakeWriteBuilder(root: String, info: LogicalWriteInfo,
       .asScala.map { case (k, v) => k.toLowerCase -> v }
     // partitioned table (`partcol` prop / PARTITIONED BY): the WRITE
     // declares its layout needs through DSv2 — cluster by the
-    // partition column, sort within tasks by it — so Spark plans the
-    // repartition+sort and the task writer just ROLLS to a new file
-    // on each value change: every data file single-valued, tagged in
-    // the manifest, SPJ/prune-ready. No engine-side shuffle code.
-    val partSpec: Option[(String, Int)] = opts.get("partcol").map { pc =>
+    // partition transform (identity column, or bucket(N, col) when
+    // `partbuckets` is set), sort within tasks by it — so Spark
+    // plans the repartition+sort and the task writer just ROLLS to a
+    // new file on each value change: every data file single-valued,
+    // tagged in the manifest, SPJ/prune-ready. No engine-side
+    // shuffle code. (The bucket transform resolves through the
+    // catalog's FunctionCatalog face, so bucketed writes are a
+    // catalog-table surface — the Iceberg posture.)
+    val partSpec: Option[LakePartSpec] = opts.get("partcol").map { pc =>
       val idx = info.schema().fieldNames
         .indexWhere(_.equalsIgnoreCase(pc))
       require(idx >= 0,
         s"partition column '$pc' not in write schema " +
           info.schema().fieldNames.mkString("(", ",", ")"))
-      (info.schema().fieldNames(idx), idx)
+      LakePartSpec(info.schema().fieldNames(idx), idx,
+        info.schema().fields(idx).dataType,
+        opts.get("partbuckets").map(_.toInt))
     }
     partSpec match {
       case None => new Write {
@@ -129,23 +135,32 @@ final class LakeWriteBuilder(root: String, info: LogicalWriteInfo,
           new LakeStreamingWrite(root, info.schema(), overwrite, opts,
             info.queryId())
       }
-      case Some((pc, idx)) => new Write
+      case Some(spec) => new Write
           with org.apache.spark.sql.connector.write
             .RequiresDistributionAndOrdering {
         import org.apache.spark.sql.connector.expressions.Expressions
+        private def clusterExpr
+            : org.apache.spark.sql.connector.expressions.Expression =
+          spec.buckets match {
+            case Some(n) => Expressions.bucket(n, spec.col)
+            case None => Expressions.identity(spec.col)
+          }
         override def requiredDistribution()
             : org.apache.spark.sql.connector.distributions.Distribution =
           org.apache.spark.sql.connector.distributions.Distributions
-            .clustered(Array(Expressions.identity(pc)))
+            .clustered(Array(clusterExpr))
         override def requiredOrdering()
             : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-          Array(Expressions.sort(Expressions.column(pc),
+          Array(Expressions.sort(
+            spec.buckets.fold(
+              Expressions.column(spec.col)
+                : org.apache.spark.sql.connector.expressions.Expression)(
+              _ => clusterExpr),
             org.apache.spark.sql.connector.expressions
               .SortDirection.ASCENDING))
         override def toBatch: BatchWrite =
           new LakeBatchWrite(root, info.schema(), overwrite, opts,
-            Some((pc, idx, info.schema().fields(idx).dataType)),
-            replaceWhere)
+            Some(spec), replaceWhere)
         // streaming writes stay untagged (mixed tags are legal; an
         // untagged file is simply never partition-pruned)
         override def toStreaming
@@ -198,6 +213,19 @@ object LakeWrite {
       "spark.sql.session.timeZone" ->
         g("spark.sql.session.timeZone", "UTC"))
   }
+}
+
+/** A partitioned write's layout spec: the partition column (name,
+  * write-schema index, type) plus the bucket count when the table is
+  * bucket-partitioned. `tagVal` renders a row's partition identity —
+  * the column value itself for identity partitioning, the
+  * [[graft.functions.GraftBucket]] id for bucketing — and `tagCol`
+  * is the manifest tag column those values file under.
+  */
+final case class LakePartSpec(col: String, idx: Int,
+    dt: org.apache.spark.sql.types.DataType, buckets: Option[Int]) {
+  def tagCol: String =
+    buckets.fold(col)(n => graft.functions.GraftBucket.tagCol(n, col))
 }
 
 /** One acknowledged staged file + its row count (empty writers are
@@ -269,14 +297,19 @@ private[sources] object LakeCommit {
     val files = SnapshotLake.statsFor(SparkSession.active, root, batch,
       statCol, bloomCol, bloomBytes, statCol2)
     // partitioned write: each staged file declared its single value —
-    // carry it into the manifest tag the prune/SPJ machinery reads
+    // carry it into the manifest tag the prune/SPJ machinery reads.
+    // Bucketed tables tag under `bucketN(c)` (the value is a bucket
+    // id, never a column value — the tag name keeps them apart).
     val tagged = opts.get("partcol") match {
       case None => files
       case Some(pc) =>
+        val tagName = opts.get("partbuckets").fold(pc)(n =>
+          graft.functions.GraftBucket.tagCol(n.toInt, pc))
         val valOf = live.map(m => m.name -> m.partVal).toMap
         files.map { f =>
           val base = f.name.substring(f.name.lastIndexOf('/') + 1)
-          valOf.get(base).flatten.fold(f)(v => f.copy(part = Some(pc -> v)))
+          valOf.get(base).flatten.fold(f)(v =>
+            f.copy(part = Some(tagName -> v)))
         }
     }
     SnapshotLake.commitFiles(root, tagged, statCol, overwrite, bloomCol,
@@ -426,8 +459,7 @@ final class LakeReplaceBatchWrite(root: String, schema: StructType,
 
 final class LakeBatchWrite(root: String, schema: StructType,
     overwrite: Boolean, opts: Map[String, String],
-    partSpec: Option[(String, Int, org.apache.spark.sql.types.DataType)] =
-      None,
+    partSpec: Option[LakePartSpec] = None,
     replaceWhere: Option[(String, Set[String])] = None)
     extends BatchWrite {
 
@@ -506,8 +538,7 @@ final class LakeStreamingWrite(root: String, schema: StructType,
 
 final class LakeWriterFactory(root: String,
     confKVs: Map[String, String],
-    partSpec: Option[(String, Int, org.apache.spark.sql.types.DataType)] =
-      None) extends DataWriterFactory {
+    partSpec: Option[LakePartSpec] = None) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new LakeDataWriter(root, confKVs, partitionId, taskId, partSpec)
@@ -520,8 +551,7 @@ final class LakeWriterFactory(root: String,
   */
 final class LakeDataWriter(root: String, confKVs: Map[String, String],
     partitionId: Int, taskId: Long,
-    partSpec: Option[(String, Int, org.apache.spark.sql.types.DataType)] =
-      None) extends DataWriter[InternalRow] {
+    partSpec: Option[LakePartSpec] = None) extends DataWriter[InternalRow] {
 
   private final class SupportBuilder(
       file: org.apache.parquet.io.OutputFile,
@@ -569,27 +599,42 @@ final class LakeDataWriter(root: String, confKVs: Map[String, String],
   /** The file's single partition value, rendered the way partition
     * tags compare everywhere else (LakeScanBuilder.partStr /
     * commitPartitioned's dir decode): long/int/string/bool as their
-    * canonical strings. Null partition values are refused — the tag
-    * IS the prune key.
+    * canonical strings — or, under bucket partitioning, the row's
+    * [[graft.functions.GraftBucket]] id (the same function Spark
+    * clustered the write with, so runs are contiguous). Null
+    * partition values are refused — the tag IS the prune key.
     */
   private def partValOf(row: InternalRow): Option[String] =
-    partSpec.map { case (c, idx, dt) =>
-      require(!row.isNullAt(idx),
-        s"null partition value for column '$c' — partitioned lake " +
-          "tables require a non-null partition column")
-      dt match {
-        case org.apache.spark.sql.types.LongType => row.getLong(idx).toString
-        case org.apache.spark.sql.types.IntegerType =>
-          row.getInt(idx).toString
-        case org.apache.spark.sql.types.StringType =>
-          row.getUTF8String(idx).toString
-        case org.apache.spark.sql.types.ShortType =>
-          row.getShort(idx).toString
-        case org.apache.spark.sql.types.BooleanType =>
-          row.getBoolean(idx).toString
-        case other => throw new IllegalArgumentException(
-          s"unsupported partition column type $other for '$c' " +
-            "(long/int/short/string/boolean)")
+    partSpec.map { spec =>
+      require(!row.isNullAt(spec.idx),
+        s"null partition value for column '${spec.col}' — partitioned " +
+          "lake tables require a non-null partition column")
+      spec.buckets match {
+        case Some(n) =>
+          val v = spec.dt match {
+            case org.apache.spark.sql.types.LongType => row.getLong(spec.idx)
+            case org.apache.spark.sql.types.IntegerType =>
+              row.getInt(spec.idx).toLong
+            case other => throw new IllegalArgumentException(
+              s"bucket partition column '${spec.col}' must be " +
+                s"long/int, got $other")
+          }
+          graft.functions.GraftBucket.id(v, n).toString
+        case None => spec.dt match {
+          case org.apache.spark.sql.types.LongType =>
+            row.getLong(spec.idx).toString
+          case org.apache.spark.sql.types.IntegerType =>
+            row.getInt(spec.idx).toString
+          case org.apache.spark.sql.types.StringType =>
+            row.getUTF8String(spec.idx).toString
+          case org.apache.spark.sql.types.ShortType =>
+            row.getShort(spec.idx).toString
+          case org.apache.spark.sql.types.BooleanType =>
+            row.getBoolean(spec.idx).toString
+          case other => throw new IllegalArgumentException(
+            s"unsupported partition column type $other for " +
+              s"'${spec.col}' (long/int/short/string/boolean)")
+        }
       }
     }
 

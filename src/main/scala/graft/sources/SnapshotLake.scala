@@ -72,13 +72,31 @@ object SnapshotLake {
       part: Option[(String, String)] = None,
       dv: Option[Dv] = None,
       /** Write-time `sum(statCol)` over the file's PHYSICAL rows —
-        * what lets a full-table (or partition-grouped) SUM answer
+        * what lets a full-table (or grouped) SUM answer
         * from the manifest with zero files opened. `None` on
         * pre-sum chains or when the write-time try_sum overflowed;
         * pushdown refuses in either case, and under a deletion
         * vector (the dead rows' contribution is unknown).
         */
-      sum: Option[Long] = None) {
+      sum: Option[Long] = None,
+      /** Per-column write-time statistics BEYOND the stat column
+        * (lowercased physical name → min/max/KMV): what feeds the
+        * connector's `columnStats()` NDV and range estimates for
+        * columns CBO would otherwise guess at. Empty on pre-cs
+        * chains — estimation degrades, answers never change.
+        */
+      cstats: Map[String, ColStat] = Map.empty,
+      /** ROW TRACKING (Delta's row-id model): `rid = Some(base)` —
+        * the file's rows carry IMPLICIT stable ids `base + physical
+        * position`, assigned once from the chain's monotonic
+        * high-water at first publish; `ridMat = true` — the file
+        * MATERIALIZES ids in a physical `__rid` column (how a delta
+        * UPDATE's post-images keep their pre-image identity). A file
+        * with neither exposes NULL row ids, and every consumer
+        * degrades to key-matched semantics — ids are never invented.
+        */
+      rid: Option[Long] = None,
+      ridMat: Boolean = false) {
     /** Rows a reader actually surfaces: physical rows minus the
       * deletion vector's cardinality. This is the row count every
       * manifest-answered number must use (COUNT pushdown, limit/top-k
@@ -108,11 +126,65 @@ object SnapshotLake {
     * point where rewriting the file is cheaper anyway (Delta makes
     * the same cost call between DVs and CoW).
     */
+  /** One column's write-time file statistics: exact [lo, hi] over
+    * the file's non-null values plus a k-minimum-values sketch of
+    * `xxhash64(value) & Long.MaxValue` (sorted ascending, ≤
+    * [[ColStat.K]] entries — EXACT distinct hashes below
+    * saturation). Sketches merge across files by keeping the k
+    * smallest of the union, so a table-level NDV estimate is a
+    * manifest fold, never a data pass (Cohen '97 / the q99 KMV
+    * machinery applied to the manifest).
+    */
+  final case class ColStat(lo: Long, hi: Long, nulls: Long,
+      kmv: Seq[Long])
+
+  object ColStat {
+    /** Sketch size: 32 hashes ≈ 200 manifest chars per column per
+      * file (delta-varint b64) — an order below the bloom filters
+      * already inline — for ~18% relative NDV error, plenty for a
+      * cost model choosing join orders.
+      */
+    val K = 32
+
+    /** Merged NDV estimate: exact below saturation, else the
+      * standard (k−1)/h_k estimator over the [0, 2^63) hash domain.
+      */
+    def ndv(merged: Seq[Long]): Long =
+      if (merged.size < K) merged.size.toLong
+      else math.max(1L, math.round(
+        (K - 1).toDouble * 9.223372036854776e18 / merged.last.toDouble))
+
+    def mergeKmv(sketches: Seq[Seq[Long]]): Seq[Long] =
+      sketches.flatten.distinct.sorted.take(K)
+  }
+
+  /** `b64` is the vector's SPEC: either the inline base64 encoding,
+    * or `@<absolute sidecar path>` for a vector externalized to a
+    * binary sidecar (see [[Dv.ExternalizeOverChars]]). The text
+    * manifest stores pointers ROOT-RELATIVE (`@_dv/dv-<hash>.bin`);
+    * parse absolutizes them, so in-memory comparisons are stable.
+    * Sidecars are CONTENT-ADDRESSED (name = sha-256 prefix of the
+    * raw bytes): the same position set always externalizes to the
+    * same pointer, which keeps the structural (count, spec)
+    * equality the delta log and every conflict guard rely on, and
+    * makes double-writes free.
+    */
   final case class Dv(count: Long, b64: String) {
-    def positions: Array[Long] = Dv.decode(b64)
+    /** Raw delta-varint bytes — reads the sidecar for pointer specs. */
+    def bytes: Array[Byte] = Dv.bytesOf(b64)
+    def positions: Array[Long] = Dv.decodeBytes(bytes)
+    def isExternal: Boolean = b64.startsWith("@")
   }
 
   object Dv {
+    /** Inline encodings longer than this externalize to a binary
+      * sidecar at manifest-write time — a 100k-position vector costs
+      * the text manifest ~30 pointer characters, not ~400 KB of
+      * base64 (the same inline-blob bound the parquet checkpoint
+      * sidecars enforce for file lists).
+      */
+    val ExternalizeOverChars = 512
+
     def fromPositions(positions: Array[Long]): Dv = {
       val sorted = positions.distinct.sorted
       require(sorted.isEmpty || sorted.head >= 0,
@@ -131,8 +203,18 @@ object SnapshotLake {
         java.util.Base64.getEncoder.encodeToString(out.toByteArray))
     }
 
-    def decode(b64: String): Array[Long] = {
-      val bytes = java.util.Base64.getDecoder.decode(b64)
+    /** Spec → raw varint bytes: base64-decode inline specs, read the
+      * sidecar for `@<path>` pointers (executor-safe — the lake's
+      * single-filesystem contract).
+      */
+    def bytesOf(spec: String): Array[Byte] =
+      if (spec.startsWith("@"))
+        Files.readAllBytes(Paths.get(spec.substring(1)))
+      else java.util.Base64.getDecoder.decode(spec)
+
+    def decode(spec: String): Array[Long] = decodeBytes(bytesOf(spec))
+
+    def decodeBytes(bytes: Array[Byte]): Array[Long] = {
       val buf = Array.newBuilder[Long]
       var i = 0
       var prev = -1L
@@ -154,10 +236,55 @@ object SnapshotLake {
 
     /** Union of an existing vector (if any) with fresh positions —
       * idempotent for overlaps, which is what makes a lost-race
-      * retry of the same delete safe.
+      * retry of the same delete safe. Always returns the INLINE
+      * form; the manifest write re-externalizes if it grew past the
+      * threshold.
       */
     def union(existing: Option[Dv], fresh: Array[Long]): Dv =
       fromPositions(existing.fold(fresh)(_.positions ++ fresh))
+
+    /** The spec to WRITE into a text manifest under `root`: pointers
+      * re-relativize; a too-long inline spec externalizes to a
+      * content-addressed `_dv/` sidecar (written only if absent).
+      */
+    private[sources] def manifestSpec(root: String, d: Dv): String =
+      if (d.isExternal) {
+        val abs = Paths.get(d.b64.substring(1))
+        val rootP = Paths.get(root).toAbsolutePath
+        // a borrowed vector (shallow clone of a vectored lake) keeps
+        // its ABSOLUTE pointer — the sidecar belongs to the source
+        // lake, exactly like borrowed data files
+        if (abs.startsWith(rootP)) "@" + rootP.relativize(abs).toString
+        else "@" + abs.toString
+      } else if (d.b64.length <= ExternalizeOverChars) d.b64
+      else {
+        val bytes = java.util.Base64.getDecoder.decode(d.b64)
+        val sha = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(bytes).take(12).map("%02x".format(_)).mkString
+        val rel = s"_dv/dv-$sha.bin"
+        val p = Paths.get(root, rel)
+        if (!Files.exists(p)) {
+          Files.createDirectories(p.getParent)
+          // write-then-move: a reader never sees a partial sidecar
+          val tmp = p.resolveSibling(p.getFileName.toString +
+            s".tmp-${UUID.randomUUID().toString.take(8)}")
+          Files.write(tmp, bytes)
+          try Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
+          catch { // lost a race to identical content: fine
+            case _: java.nio.file.FileAlreadyExistsException =>
+              Files.deleteIfExists(tmp): Unit
+          }
+        }
+        "@" + rel
+      }
+
+    /** Parse-side inverse of [[manifestSpec]]: absolutize relative
+      * pointers; already-absolute (borrowed) pointers pass through.
+      */
+    private[sources] def parsedSpec(root: String, spec: String): String =
+      if (!spec.startsWith("@")) spec
+      else if (spec.startsWith("@/")) spec
+      else "@" + Paths.get(root, spec.substring(1)).toAbsolutePath.toString
   }
 
   final case class Snapshot(version: Int, statCol: String,
@@ -490,6 +617,10 @@ object SnapshotLake {
           optional int64 dvn;
           optional binary dvb;
           optional int64 su;
+          optional binary dvp (UTF8);
+          optional binary cst (UTF8);
+          optional int64 rib;
+          optional boolean rim;
         }""")
 
     def write(root: String, v: Int, files: Seq[FileStat]): String = {
@@ -517,14 +648,34 @@ object SnapshotLake {
         f.part.foreach { case (c, v) =>
           g.append("pcol", c); g.append("pval", v): Unit }
         // deletion vector: dropping it here would resurrect deleted
-        // rows at every 16th (checkpoint) commit
+        // rows at every 16th (checkpoint) commit. Externalized
+        // vectors store their (root-relative) POINTER — the form
+        // must round-trip unchanged or cross-version equality breaks
         f.dv.foreach { d =>
           g.append("dvn", d.count)
-          g.append("dvb", org.apache.parquet.io.api.Binary
-            .fromConstantByteArray(
-              java.util.Base64.getDecoder.decode(d.b64))): Unit
+          if (d.isExternal)
+            g.append("dvp", "@" + Paths.get(root).toAbsolutePath
+              .relativize(Paths.get(d.b64.substring(1))).toString)
+          else
+            g.append("dvb", org.apache.parquet.io.api.Binary
+              .fromConstantByteArray(
+                java.util.Base64.getDecoder.decode(d.b64))): Unit
         }
         f.sum.foreach(v => g.append("su", v): Unit)
+        // per-column stats, same text encoding as the manifest line,
+        // ';'-joined (column names with ':'/';' were refused at the
+        // text-writer gate)
+        if (f.cstats.nonEmpty) {
+          val enc = f.cstats.toSeq.sortBy(_._1)
+            .filter { case (c, st) => st.kmv.nonEmpty &&
+              !c.exists(ch => ch == ':' || ch == ';') }
+            .map { case (c, st) => s"$c:${st.lo}:${st.hi}:${st.nulls}:${
+              Dv.fromPositions(st.kmv.toArray).b64}" }
+          if (enc.nonEmpty) g.append("cst", enc.mkString(";")): Unit
+        }
+        // row tracking: implicit base or the materialized marker
+        if (f.ridMat) g.append("rim", true): Unit
+        else f.rid.foreach(b => g.append("rib", b): Unit)
         w.write(g)
       } finally w.close()
       name
@@ -549,10 +700,21 @@ object SnapshotLake {
           bytes = if (opt("sz")) Some(g.getLong("sz", 0)) else None,
           part = if (opt("pcol")) Some((g.getString("pcol", 0),
             g.getString("pval", 0))) else None,
-          dv = if (opt("dvn")) Some(Dv(g.getLong("dvn", 0),
-            java.util.Base64.getEncoder.encodeToString(
-              g.getBinary("dvb", 0).getBytes))) else None,
-          sum = if (opt("su")) Some(g.getLong("su", 0)) else None)
+          dv = if (!opt("dvn")) None
+            else if (opt("dvp")) Some(Dv(g.getLong("dvn", 0),
+              Dv.parsedSpec(root, g.getString("dvp", 0))))
+            else Some(Dv(g.getLong("dvn", 0),
+              java.util.Base64.getEncoder.encodeToString(
+                g.getBinary("dvb", 0).getBytes))),
+          sum = if (opt("su")) Some(g.getLong("su", 0)) else None,
+          cstats = if (!opt("cst")) Map.empty
+            else g.getString("cst", 0).split(';').map { e =>
+              val Array(c, lo, hi, nn, kmv) = e.split(':')
+              c -> ColStat(lo.toLong, hi.toLong, nn.toLong,
+                Dv.decode(kmv).toSeq)
+            }.toMap,
+          rid = if (opt("rib")) Some(g.getLong("rib", 0)) else None,
+          ridMat = opt("rim") && g.getBoolean("rim", 0))
       }.toVector
       finally r.close()
     }
@@ -642,7 +804,8 @@ object SnapshotLake {
       adds: Seq[FileStat], removes: Set[String],
       ts: Option[Long] = None)
 
-  private def parseFileLine(fields: Array[String]): FileStat = {
+  private def parseFileLine(root: String,
+      fields: Array[String]): FileStat = {
     // fields after the fixed four are TAGGED (d2=lo:hi, bf=<b64>)
     // so optional extras compose without positional ambiguity
     val extras = fields.drop(4)
@@ -664,17 +827,28 @@ object SnapshotLake {
         new String(java.util.Base64.getDecoder.decode(
           body.substring(i + 1)), StandardCharsets.UTF_8))
     }
-    // dv=<count>:<base64 delta-varint positions> — the file's
-    // deletion vector (count up front so row math never decodes)
+    // dv=<count>:<base64 delta-varint positions | @sidecar pointer>
+    // — the file's deletion vector (count up front so row math never
+    // decodes; pointers absolutize here so equality stays stable)
     val dv = extras.find(_.startsWith("dv=")).map { t =>
       val body = t.stripPrefix("dv=")
       val i = body.indexOf(':')
-      Dv(body.substring(0, i).toLong, body.substring(i + 1))
+      Dv(body.substring(0, i).toLong,
+        Dv.parsedSpec(root, body.substring(i + 1)))
     }
     val sum = extras.find(_.startsWith("su="))
       .map(_.stripPrefix("su=").toLong)
+    val cstats = extras.filter(_.startsWith("cs=")).map { t =>
+      val Array(c, lo, hi, nn, kmv) = t.stripPrefix("cs=").split(':')
+      c -> ColStat(lo.toLong, hi.toLong, nn.toLong,
+        Dv.decode(kmv).toSeq)
+    }.toMap
+    // ri=<base> (implicit row ids) | ri=mat (materialized __rid col)
+    val ri = extras.find(_.startsWith("ri=")).map(_.stripPrefix("ri="))
     FileStat(fields(0), fields(1).toLong, fields(2).toLong,
-      fields(3).toLong, bloom, dim2, bytes, part, dv, sum)
+      fields(3).toLong, bloom, dim2, bytes, part, dv, sum, cstats,
+      rid = ri.filter(_ != "mat").map(_.toLong),
+      ridMat = ri.contains("mat"))
   }
 
   private def parseManifest(root: String, v: Int): Manifest = {
@@ -709,14 +883,15 @@ object SnapshotLake {
       val (addLines, rmLines) = lines.tail.partition(_.startsWith("add\t"))
       Manifest(statCol, bloomCol, statCol2, txn, txns, schemaJson, op,
         retired, isDelta = true, Seq.empty,
-        addLines.map(l => parseFileLine(l.split('\t').drop(1))),
+        addLines.map(l => parseFileLine(root, l.split('\t').drop(1))),
         rmLines.map(_.stripPrefix("rm\t")).toSet, ts)
     } else {
       // checkpoint manifests externalize the file list as a parquet
       // sidecar; pre-sidecar chains (and empty lists) stay inline
       val files = header.find(_.startsWith("ckptfile="))
         .map(p => Ckpt.read(root, p.stripPrefix("ckptfile=")))
-        .getOrElse(lines.tail.map(l => parseFileLine(l.split('\t'))))
+        .getOrElse(lines.tail.map(l =>
+          parseFileLine(root, l.split('\t'))))
       Manifest(statCol, bloomCol, statCol2, txn, txns, schemaJson, op,
         retired, isDelta = false, files, Seq.empty, Set.empty, ts)
     }
@@ -832,6 +1007,20 @@ object SnapshotLake {
     * cannot state a parent (bootstrap, overwrite-by-intent verbs
     * like restore/clone) pass None and publish a full checkpoint.
     */
+  /** The row-id high-water recorded by version `v`'s manifest header
+    * (0 for pre-row-tracking chains) — the next implicit base starts
+    * here. A header read, never a body parse.
+    */
+  private def ridHwOf(root: String, v: Int): Long = {
+    if (!Files.exists(manifestPath(root, v))) return 0L
+    val in = Files.newBufferedReader(manifestPath(root, v),
+      StandardCharsets.UTF_8)
+    try in.readLine().split('\t')
+      .find(_.startsWith("ridhw=")).map(_.stripPrefix("ridhw=").toLong)
+      .getOrElse(0L)
+    finally in.close()
+  }
+
   private def tryPublish(root: String, v: Int, statCol: String,
       bloomCol: Option[String], overwrite: Boolean,
       files: Seq[FileStat], statCol2: Option[String] = None,
@@ -847,7 +1036,20 @@ object SnapshotLake {
       c == '\n'), s"retired name '$n' may not contain ',', tab, or newline"))
     val asDelta = parentFiles.isDefined && v > 0 &&
       v % CheckpointInterval != 0
+    // ROW TRACKING: genuinely-new files without row identity get
+    // implicit base ids from the chain's MONOTONIC high-water —
+    // assigned once, never reused (a dropped file retires its range
+    // forever, so ids stay stable witnesses). Carried files keep
+    // whatever identity they had; materialized files own theirs.
+    val inheritedNames =
+      parentFiles.fold(Set.empty[String])(_.map(_.name).toSet)
+    var ridHw = if (v == 0) 0L else ridHwOf(root, v - 1)
+    val files1 = files.map { f =>
+      if (f.rid.isDefined || f.ridMat || inheritedNames(f.name)) f
+      else { val b = ridHw; ridHw += f.rows; f.copy(rid = Some(b)) }
+    }
     val header = s"v=$v\t$statCol\toverwrite=$overwrite" +
+      s"\tridhw=$ridHw" +
       s"\tts=${System.currentTimeMillis()}" +
       bloomCol.fold("")(c => s"\tbloom=$c") +
       statCol2.fold("")(c => s"\tstat2=$c") +
@@ -870,37 +1072,51 @@ object SnapshotLake {
       val withPt = f.part.fold(withSz) { case (c, v) =>
         s"$withSz\tpt=$c:${java.util.Base64.getEncoder.encodeToString(
           v.getBytes(StandardCharsets.UTF_8))}" }
-      val withDv = f.dv.fold(withPt)(d => s"$withPt\tdv=${d.count}:${d.b64}")
+      val withDv = f.dv.fold(withPt)(d =>
+        s"$withPt\tdv=${d.count}:${Dv.manifestSpec(root, d)}")
       val withSu = f.sum.fold(withDv)(v => s"$withDv\tsu=$v")
-      f.bloom.fold(withSu)(b =>
-        s"$withSu\tbf=${java.util.Base64.getEncoder.encodeToString(b)}")
+      // per-column stats: cs=<col>:<lo>:<hi>:<kmv delta-varint b64>
+      // (the KMV is sorted non-negative distinct longs — the same
+      // shape as deletion-vector positions, so the codec is shared)
+      val withCs = f.cstats.toSeq.sortBy(_._1)
+        .filter { case (c, st) => st.kmv.nonEmpty &&
+          !c.exists(ch => ch == ':' || ch == '\t' || ch == '\n') }
+        .foldLeft(withSu) { case (acc, (c, st)) =>
+          s"$acc\tcs=$c:${st.lo}:${st.hi}:${st.nulls}:${
+            Dv.fromPositions(st.kmv.toArray).b64}"
+        }
+      val withRi =
+        if (f.ridMat) s"$withCs\tri=mat"
+        else f.rid.fold(withCs)(b => s"$withCs\tri=$b")
+      f.bloom.fold(withRi)(b =>
+        s"$withRi\tbf=${java.util.Base64.getEncoder.encodeToString(b)}")
     }
     Files.createDirectories(logDir(root))
     // full (checkpoint) manifests externalize the O(files) list as a
     // parquet sidecar — the text manifest stays O(header); deltas
     // stay inline (they are O(touched files) already)
     val ckptName: Option[String] =
-      if (asDelta || files.isEmpty) None
-      else Some(Ckpt.write(root, v, files))
+      if (asDelta || files1.isEmpty) None
+      else Some(Ckpt.write(root, v, files1))
     val bodyLines: Seq[String] =
       if (asDelta) {
         val parent = parentFiles.get
         val parentNames = parent.map(_.name).toSet
-        val newNames = files.map(_.name).toSet
+        val newNames = files1.map(_.name).toSet
         // a file whose DELETION VECTOR changed keeps its name but is a
         // different logical entry — restate it as rm+add so the delta
         // replay (removes, then adds) lands the new vector; matching
         // by name alone would silently drop the mutation from the log
         val parentDv = parent.map(f => f.name -> f.dv).toMap
-        val dvChanged = files.collect {
+        val dvChanged = files1.collect {
           case f if parentNames(f.name) && parentDv(f.name) != f.dv => f.name
         }.toSet
         parent.collect { case f if !newNames(f.name) || dvChanged(f.name) =>
           s"rm\t${f.name}" } ++
-          files.collect { case f if !parentNames(f.name) || dvChanged(f.name) =>
+          files1.collect { case f if !parentNames(f.name) || dvChanged(f.name) =>
             s"add\t${fileLine(f)}" }
       } else if (ckptName.isDefined) Seq.empty
-      else files.map(fileLine)
+      else files1.map(fileLine)
     val fullHeader = header + ckptName.fold("")(n => s"\tckptfile=$n")
     val body = (fullHeader +: bodyLines).mkString("", "\n", "\n")
     val tmp = logDir(root).resolve(s".tmp-${UUID.randomUUID()}")
@@ -1433,6 +1649,17 @@ object SnapshotLake {
         throw new MergeConflictException(
           s"deleteRows base files ${vanished.mkString(", ")} vanished " +
             "(concurrent overwrite/merge/delete) — re-run on the new head")
+      // a CoW-routed rewrite was computed from the BASE vector: a
+      // concurrent vector growth on such a file would be silently
+      // resurrected by the rewrite (dv-routed files union-merge and
+      // stay exact; rewrites cannot) — conflict, like purgeVectors
+      cowFiles.foreach { f =>
+        if (headByName(f.name).dv != f.dv)
+          throw new MergeConflictException(
+            s"deleteRows raced a deletion-vector change on ${f.name} " +
+              "(copy-on-write routed) — the rewrite would resurrect " +
+              "its deletes; re-run on the new head")
+      }
       filesDropped = 0
       var dvRows = 0L
       val dvUpdated = dvFiles.flatMap { f =>
@@ -1550,6 +1777,15 @@ object SnapshotLake {
         throw new MergeConflictException(
           s"updateRows base files ${vanished.mkString(", ")} vanished " +
             "(concurrent overwrite/merge/delete) — re-run on the new head")
+      // same resurrection hazard as deleteRows: CoW rewrites were
+      // computed from the base vector and do not re-merge
+      cowFiles.foreach { f =>
+        if (headByName(f.name).dv != f.dv)
+          throw new MergeConflictException(
+            s"updateRows raced a deletion-vector change on ${f.name} " +
+              "(copy-on-write routed) — the rewrite would resurrect " +
+              "its deletes; re-run on the new head")
+      }
       filesWithDv = 0
       val dvUpdated = dvFiles.flatMap { f =>
         val h = headByName(f.name)
@@ -1569,6 +1805,95 @@ object SnapshotLake {
     }
     DvUpdateResult(committed, filesWithDv, cowFiles.size,
       newFiles.size - cowFiles.size, counts.values.sum)
+  }
+
+  final case class DeltaDmlResult(version: Int, filesWithDv: Int,
+      filesDropped: Int, filesNew: Int, rowsDeleted: Long,
+      rowsInserted: Long)
+
+  /** Publish one DELTA row-level commit ([[LakeDeltaBatchWrite]]'s
+    * driver half): per-file deletion-vector growth (`deletes`: data
+    * path → physical positions) plus ordinary appended files
+    * (`staged`: acknowledged staging names + row counts) in ONE
+    * atomic version. This is what SQL UPDATE/MERGE/DELETE under
+    * `SupportsDelta` land as — the merge-on-read economics of
+    * [[updateRows]] with Spark supplying the matched rows.
+    *
+    * Concurrency: WriteSerializable. Vector growth union-merges
+    * against the fresh head each publish attempt (idempotent — a
+    * racing delete of the same positions stays exact); a touched
+    * file that vanished (concurrent rewrite) conflicts loudly. A
+    * vector reaching the file's physical row count drops the entry
+    * entirely (metadata-only completion, deleteRows' contract).
+    */
+  def commitDeltaOps(s: SparkSession, root: String,
+      deletes: Map[String, Array[Long]],
+      staged: Seq[(String, Long)], op: String,
+      matStaged: Seq[(String, Long)] = Seq.empty): DeltaDmlResult = {
+    val base = snapshot(root)
+    val key = base.statCol
+    val byPath = base.files.map(f => dataPath(root, f.name) -> f).toMap
+    deletes.keys.foreach(p => require(byPath.contains(p),
+      s"delta $op targets unknown file $p"))
+    val deleteByName: Map[String, Array[Long]] =
+      deletes.map { case (p, ps) => byPath(p).name -> ps }
+    val (live, empty) = (staged ++ matStaged).partition(_._2 > 0)
+    empty.foreach { case (n, _) =>
+      Files.deleteIfExists(Paths.get(LakeWrite.stagingDir(root), n)): Unit
+    }
+    val matNames = matStaged.map(_._1).toSet
+    val newFiles =
+      if (live.isEmpty) Seq.empty[FileStat]
+      else {
+        val batch = s"data/b-${UUID.randomUUID().toString.take(8)}"
+        Files.createDirectories(Paths.get(root, batch))
+        live.foreach { case (n, _) =>
+          Files.move(Paths.get(LakeWrite.stagingDir(root), n),
+            Paths.get(root, batch, n),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
+        // post-image files MATERIALIZE their pre-images' row ids (a
+        // __rid column) — tagged so readers serve _row_id from it
+        statsFor(s, root, batch, key, base.bloomCol,
+            inheritedBloomBytes(base), base.statCol2)
+          .map(f => if (matNames(
+              f.name.substring(f.name.lastIndexOf('/') + 1)))
+            f.copy(ridMat = true) else f)
+      }
+    var committed = -1
+    var filesWithDv = 0
+    var filesDropped = 0
+    var rowsDeleted = 0L
+    while (committed < 0) {
+      val head = snapshot(root)
+      val headByName = head.files.map(f => f.name -> f).toMap
+      val vanished = deleteByName.keySet.filterNot(headByName.contains)
+      if (vanished.nonEmpty)
+        throw new MergeConflictException(
+          s"delta $op base files ${vanished.mkString(", ")} vanished " +
+            "(concurrent overwrite/merge/delete) — re-run on the new head")
+      filesWithDv = 0; filesDropped = 0; rowsDeleted = 0L
+      val dvUpdated = deleteByName.toSeq.sortBy(_._1)
+        .flatMap { case (nm, ps) =>
+          val h = headByName(nm)
+          val merged = Dv.union(h.dv, ps)
+          require(merged.count <= h.rows,
+            s"deletion vector of $nm records ${merged.count} positions " +
+              s"for a ${h.rows}-row file")
+          rowsDeleted += merged.count - h.dv.fold(0L)(_.count)
+          if (merged.count == h.rows) { filesDropped += 1; None }
+          else { filesWithDv += 1; Some(h.copy(dv = Some(merged))) }
+        }
+      val kept = head.files.filterNot(f => deleteByName.contains(f.name))
+      if (tryPublish(root, head.version + 1, key, head.bloomCol,
+          overwrite = true, kept ++ dvUpdated ++ newFiles, head.statCol2,
+          txns = head.txns, schemaJson = head.schemaJson,
+          op = Some(op), parentFiles = Some(head.files),
+          retired = head.retired))
+        committed = head.version + 1
+    }
+    DeltaDmlResult(committed, filesWithDv, filesDropped, newFiles.size,
+      rowsDeleted, live.map(_._2).sum)
   }
 
   final case class PurgeResult(version: Int, filesPurged: Int,
@@ -1719,6 +2044,18 @@ object SnapshotLake {
       // only vanished base files conflict
       val appended =
         rebaseCheck(base, head, base.files, Long.MaxValue, Long.MinValue)
+      // a packed rewrite of a VECTORED file was computed from the
+      // base vector: a concurrent vector growth on it would be
+      // silently resurrected — conflict (purgeVectors' guard)
+      packed.flatten.foreach { f =>
+        head.files.find(_.name == f.name).foreach { h =>
+          if (h.dv != f.dv)
+            throw new MergeConflictException(
+              s"compact raced a deletion-vector change on ${f.name} — " +
+                "the packed rewrite would resurrect its deletes; " +
+                "re-run on the new head")
+        }
+      }
       if (tryPublish(root, head.version + 1, key, head.bloomCol,
           overwrite = true, kept ++ appended ++ newFiles, head.statCol2,
           txns = head.txns, schemaJson = head.schemaJson,
@@ -1730,16 +2067,67 @@ object SnapshotLake {
       kept.size + newFiles.size, packed.map(_.size).sum)
   }
 
+  /** Logical-named read of `fs` that ALSO surfaces each row's STABLE
+    * row id as `__t_rid` — the materialized `__rid` column for
+    * `ridMat` files, `base + physical position` for implicit files —
+    * with deletion vectors applied. Per-file legs (CDF diffs touch
+    * few files, and each file's base differs), unioned.
+    */
+  private def readWithRids(s: SparkSession, root: String,
+      snap: Snapshot, fs: Seq[FileStat]): DataFrame = {
+    val physSchema = snap.schema.map(ColMap.physicalSchema)
+    val legs = fs.map { f =>
+      val path = dataPath(root, f.name)
+      val withRid =
+        if (f.ridMat) {
+          val df = physSchema.fold(s.read.parquet(path))(p =>
+            s.read.schema(org.apache.spark.sql.types.StructType(
+              p.fields :+ org.apache.spark.sql.types.StructField(
+                LakeTable.RidPhysColumn,
+                org.apache.spark.sql.types.LongType))).parquet(path))
+          df.withColumn("__t_rid", col(LakeTable.RidPhysColumn))
+            .drop(LakeTable.RidPhysColumn)
+        } else {
+          val df = physSchema.fold(s.read.parquet(path))(p =>
+            s.read.schema(p).parquet(path))
+          df.withColumn("__t_rid",
+            lit(f.rid.getOrElse(sys.error(
+              s"readWithRids on id-less file ${f.name}"))) +
+              col("_metadata.row_index"))
+        }
+      val masked = antiJoinDv(s, root,
+        withRid
+          .withColumn("__dv_f", normFilePath(col("_metadata.file_path")))
+          .withColumn("__dv_i", col("_metadata.row_index")),
+        Seq(f).filter(_.dv.exists(_.count > 0)))
+        .drop("__dv_f", "__dv_i")
+      masked
+    }
+    val physDf = legs.reduce(_ unionByName _)
+    snap.schema.fold(physDf) { logical =>
+      val phys = ColMap.physicalSchema(logical)
+      if (java.util.Arrays.equals(
+          phys.fieldNames.asInstanceOf[Array[AnyRef]],
+          logical.fieldNames.asInstanceOf[Array[AnyRef]])) physDf
+      else physDf.toDF((logical.fieldNames :+ "__t_rid").toIndexedSeq: _*)
+    }
+  }
+
   /** Change data feed between two versions, computed from the
     * manifest diff alone: read ONLY the files that left the manifest
     * (pre-images) and the files that entered it (post-images) —
     * untouched files, the overwhelming majority after a pruned MERGE,
-    * are never opened. Key-matching the two sides classifies each
-    * changed row as insert / update / delete; rows carried unchanged
-    * inside a rewritten file (same key, same payload) are dropped.
-    * Returns (changes, filesDiffed, filesLive): `changes` has the
-    * lake schema plus a leading `change_type`, with post-image
-    * payloads for insert/update and pre-images for delete.
+    * are never opened. The two sides match by STABLE ROW ID when the
+    * diff supports it — every post-image file materializes ids
+    * (`ridMat`, the delta-UPDATE shape) and every pre-image file
+    * exposes them — so a KEY-column update classifies as a proper
+    * `update` (same row id, changed payload) instead of
+    * delete+insert; otherwise the key-matched diff applies as
+    * before. Rows carried unchanged (same identity, same payload)
+    * are dropped. Returns (changes, filesDiffed, filesLive):
+    * `changes` has the lake schema plus a leading `change_type`,
+    * with post-image payloads for insert/update and pre-images for
+    * delete.
     */
   def changes(s: SparkSession, root: String, fromV: Int,
       toV: Int): (DataFrame, Int, Int) = {
@@ -1759,6 +2147,37 @@ object SnapshotLake {
       toByName.get(f.name).forall(_.dv != f.dv))
     val added = to.files.filter(f =>
       fromByName.get(f.name).forall(_.dv != f.dv))
+    // STABLE-ROW-ID diff: applies when every diffed file carries
+    // CONTINUOUS identity — materialized ids (a delta UPDATE's
+    // post-images), or an implicit base assigned BEFORE this version
+    // (a dv-grown file keeps its original base). A file whose base
+    // was assigned AT this version is a fresh-id output (a CoW
+    // rewrite, a MERGE insert): matching it by id would make every
+    // row look new, so those versions keep the key-matched path.
+    val parentHw = ridHwOf(root, fromV)
+    val ridDiff = added.nonEmpty && removed.nonEmpty &&
+      removed.forall(f => f.ridMat || f.rid.isDefined) &&
+      added.forall(f => f.ridMat || f.rid.exists(_ < parentHw))
+    if (ridDiff) {
+      val pre = readWithRids(s, root, from, removed)
+      val post = readWithRids(s, root, to, added)
+      val payload = pre.columns.filterNot(_ == "__t_rid").toSeq
+      def pack(df: DataFrame, tag: String): DataFrame =
+        df.select(col("__t_rid"),
+          struct(payload.map(col): _*).as(s"__$tag"))
+      val diff = pack(pre, "pre").join(pack(post, "post"),
+          Seq("__t_rid"), "full_outer")
+        .withColumn("change_type",
+          when(col("__pre").isNull, lit("insert"))
+            .when(col("__post").isNull, lit("delete"))
+            .otherwise(lit("update")))
+        .where(col("__pre").isNull || col("__post").isNull ||
+          !(col("__pre") <=> col("__post")))
+        .select(col("change_type") +: payload.map(c =>
+          when(col("__post").isNotNull, col(s"__post.$c"))
+            .otherwise(col(s"__pre.$c")).as(c)): _*)
+      return (diff, removed.size + added.size, to.files.size)
+    }
     def readSide(fs: Seq[FileStat]): DataFrame =
       if (fs.isEmpty) read(s, root, Some(toV)).where(lit(false))
       else readFiles(s, root, to, fs)
@@ -2011,13 +2430,46 @@ object SnapshotLake {
       bloomUdaf(col(c).cast("long")).as("bloom")
     }
     val bloomIdx = 5 + d2Aggs.size
-    s.read.parquet(s"$root/$batch")
-      .groupBy(input_file_name().as("f"))
-      .agg(aggs.head, aggs.tail: _*)
+    val df = s.read.parquet(s"$root/$batch")
+    // per-column CBO statistics for the integral columns the stat
+    // envelope does NOT cover: exact [min, max] plus a bounded KMV
+    // sketch of the hashed values (capped at 4 columns so manifest
+    // lines stay bounded; engine columns and routing dirs excluded)
+    val lower = (statCol +: statCol2.toSeq)
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val csCols: Seq[String] = df.schema.fields.iterator
+      .filter(f => f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType)
+      .map(_.name)
+      .filterNot(n => n.startsWith("_") ||
+        lower(n.toLowerCase(java.util.Locale.ROOT)))
+      .take(4).toSeq
+    val minK = udaf(new graft.operators.KmvSketch.MinKDistinct(ColStat.K))
+    val csAggs = csCols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(col(c)).cast("long").as(s"__cs_lo_$i"),
+        max(col(c)).cast("long").as(s"__cs_hi_$i"),
+        count(when(col(c).isNull, 1)).as(s"__cs_nn_$i"),
+        minK(expr(s"xxhash64(`$c`)").bitwiseAND(lit(Long.MaxValue)))
+          .as(s"__cs_kmv_$i"))
+    }
+    val all = aggs ++ csAggs
+    df.groupBy(input_file_name().as("f"))
+      .agg(all.head, all.tail: _*)
       .collect()
       .map { r =>
         val uri = r.getString(0)
         val rel = uri.substring(uri.indexOf("/data/") + 1)
+        val cstats = csCols.zipWithIndex.flatMap { case (c, i) =>
+          val loI = r.fieldIndex(s"__cs_lo_$i")
+          // an all-null file records no entry for the column — the
+          // scan-side merge skips the column whenever ANY kept file
+          // lacks it (absence never misestimates)
+          if (r.isNullAt(loI)) None
+          else Some(c.toLowerCase(java.util.Locale.ROOT) -> ColStat(
+            r.getLong(loI), r.getLong(r.fieldIndex(s"__cs_hi_$i")),
+            r.getLong(r.fieldIndex(s"__cs_nn_$i")),
+            r.getSeq[Long](r.fieldIndex(s"__cs_kmv_$i"))))
+        }.toMap
         // on-disk byte size recorded at write time (one stat(2) per
         // NEW file, driver-side) so the connector can report
         // SupportsReportStatistics and size splits without touching
@@ -2028,7 +2480,8 @@ object SnapshotLake {
           if (statCol2.isDefined) Some((r.getLong(5), r.getLong(6)))
           else None,
           Some(Files.size(Paths.get(root, rel))),
-          sum = if (r.isNullAt(4)) None else Some(r.getLong(4)))
+          sum = if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          cstats = cstats)
       }
       .sortBy(_.name).toSeq
   }
@@ -2318,6 +2771,21 @@ object SnapshotLake {
     // REFERENCE, the bytes belong to the source lake
     val owned = dead.filterNot(_.startsWith("/"))
     owned.foreach(n => Files.deleteIfExists(Paths.get(root, n)))
+    // deletion-vector sidecars referenced ONLY by dropped versions go
+    // too (content-addressed files are shared across versions, so a
+    // sidecar lives while ANY surviving version points at it);
+    // borrowed (absolute, other-lake) pointers are never owned here
+    val rootAbs = Paths.get(root).toAbsolutePath
+    def ownedDvOf(vs: Seq[Int]): Set[String] = vs
+      .filter(v => Files.exists(manifestPath(root, v)))
+      .flatMap(v => snapshot(root, Some(v)).files.flatMap(_.dv))
+      .collect { case d if d.isExternal &&
+          Paths.get(d.b64.substring(1)).startsWith(rootAbs) =>
+        d.b64.substring(1) }
+      .toSet
+    val liveDv = ownedDvOf((cutoff to head).toSeq)
+    ownedDvOf(dropped.toSeq).diff(liveDv)
+      .foreach(p => Files.deleteIfExists(Paths.get(p)): Unit)
     dropped.foreach { v =>
       // a dropped checkpoint takes its parquet sidecar with it
       Ckpt.pointerOf(root, v).foreach(Ckpt.delete(root, _))
@@ -3078,6 +3546,118 @@ object SnapshotLake {
         col("n_rows"), col("sum_cents"))
   }
 
+  /** Judged SQL UPDATE through the DELTA protocol (`SupportsDelta`):
+    * on a `dv 'true'` catalog table, `UPDATE … WHERE event_id % 401
+    * = 13` lands as deletion-vector growth plus ONE appended
+    * post-image file — op=update with ZERO files rewritten (all 8
+    * entries keep their names), the q163 economics with Spark's SQL
+    * planner supplying the matched rows. Twin gates: the same UPDATE
+    * on a plain (group-CoW) table must produce the IDENTICAL table
+    * contents (row-parity columns for both), and the change feed of
+    * the delta version classifies every touched key as a proper
+    * `update`. The oracle replays the post-update aggregate and the
+    * matched count from the base events table.
+    */
+  def q167SqlUpdateDelta(s: SparkSession, d: String): DataFrame = {
+    val rootDv = Housekeeping.tempDir("q167dv")
+    val rootCow = Housekeeping.tempDir("q167cw")
+    val ev = eventsCents(s, d).select(col("event_id"), col("cents"))
+    val span = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    def bound(i: Int): Long = i.toLong * span / 8
+    val bucket = (1 to 7).foldLeft(lit(0)) { (acc, i) =>
+      when(col("event_id") >= bound(i), lit(i)).otherwise(acc)
+    }
+    commitClustered(s, rootDv, ev, bucket, "event_id")
+    commitClustered(s, rootCow, ev, bucket, "event_id")
+    s.sql("DROP TABLE IF EXISTS q167_dv")
+    s.sql("DROP TABLE IF EXISTS q167_cow")
+    Housekeeping.tables(s, "q167_tbl", Seq("q167_dv", "q167_cow"))
+    s.sql(s"""
+      CREATE TABLE q167_dv (event_id BIGINT, cents BIGINT)
+      USING graft.sources.GraftLakeSource
+      OPTIONS (path '$rootDv', statCol 'event_id', dv 'true',
+               changefeed 'true')""")
+    s.sql(s"""
+      CREATE TABLE q167_cow (event_id BIGINT, cents BIGINT)
+      USING graft.sources.GraftLakeSource
+      OPTIONS (path '$rootCow', statCol 'event_id')""")
+    val namesBefore = snapshot(rootDv).files.map(_.name).toSet
+    for (t <- Seq("q167_dv", "q167_cow")) s.sql(
+      s"UPDATE $t SET cents = cents + 1000000 WHERE event_id % 401 = 13")
+      .collect(): Unit
+    val snap = snapshot(rootDv)
+    val kept = snap.files.count(f => namesBefore(f.name)).toLong
+    val hasPostImage = snap.files.exists(f => !namesBefore(f.name))
+    val cdf = s.read.format("graft.sources.GraftLakeSource")
+      .option("path", rootDv).option("readChangeFeed", "true")
+      .option("startingVersion", snap.version.toString)
+      .option("endingVersion", snap.version.toString).load()
+      .where(col("_change_type") === "update")
+      .agg(count(lit(1))).collect().head.getLong(0)
+    def aggOf(t: String) = s.table(t)
+      .agg(count(lit(1)), sum(col("cents"))).collect().head
+    val (aDv, aCow) = (aggOf("q167_dv"), aggOf("q167_cow"))
+    import s.implicits._
+    Seq((snap.op.getOrElse(""), kept, hasPostImage,
+        aDv.getLong(0), aCow.getLong(0), aDv.getLong(1), aCow.getLong(1),
+        cdf))
+      .toDF("op_dv", "n_files_kept", "has_post_image",
+        "n_rows_dv", "n_rows_cow", "sum_cents_dv", "sum_cents_cow",
+        "cdf_updates")
+  }
+
+  /** Judged ROW TRACKING (Delta's row-id model): every committed
+    * file carries implicit stable row ids (`ri=` base + physical
+    * position, assigned once from the chain's monotonic high-water),
+    * a delta UPDATE's post-images MATERIALIZE their pre-images' ids
+    * (`__rid` column), and the change feed matches pre/post images
+    * BY ROW ID when the diff supports it — so a KEY-COLUMN update
+    * (`SET event_id = event_id + 2·span`) classifies as proper
+    * `update`s, where a key-matched diff could only say
+    * delete+insert. Gates: the CDF type counts (update = matched,
+    * delete = insert = 0), all 8 pre-image files kept by name with
+    * vectors, the post-image present, and the post-update aggregate
+    * row-exact (count unchanged, sum shifted by exactly
+    * matched·2·span).
+    */
+  def q169RowTracking(s: SparkSession, d: String): DataFrame = {
+    val root = Housekeeping.tempDir("q169")
+    val ev = eventsCents(s, d).select(col("event_id"), col("cents"))
+    val span = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    def bound(i: Int): Long = i.toLong * span / 8
+    val bucket = (1 to 7).foldLeft(lit(0)) { (acc, i) =>
+      when(col("event_id") >= bound(i), lit(i)).otherwise(acc)
+    }
+    commitClustered(s, root, ev, bucket, "event_id")
+    s.sql("DROP TABLE IF EXISTS q169_lake")
+    Housekeeping.tables(s, "q169_tbl", Seq("q169_lake"))
+    s.sql(s"""
+      CREATE TABLE q169_lake (event_id BIGINT, cents BIGINT)
+      USING graft.sources.GraftLakeSource
+      OPTIONS (path '$root', statCol 'event_id', dv 'true',
+               changefeed 'true')""")
+    val namesBefore = snapshot(root).files.map(_.name).toSet
+    s.sql(s"""UPDATE q169_lake SET event_id = event_id + ${2 * span}
+      WHERE event_id % 401 = 13""").collect(): Unit
+    val snap = snapshot(root)
+    val kept = snap.files.count(f => namesBefore(f.name)).toLong
+    val hasMatPostImage = snap.files.exists(_.ridMat)
+    val byType = s.read.format("graft.sources.GraftLakeSource")
+      .option("path", root).option("readChangeFeed", "true")
+      .option("startingVersion", snap.version.toString)
+      .option("endingVersion", snap.version.toString).load()
+      .groupBy(col("_change_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val agg = s.table("q169_lake")
+      .agg(count(lit(1)), sum(col("event_id"))).collect().head
+    import s.implicits._
+    Seq((kept, hasMatPostImage,
+        byType.getOrElse("update", 0L), byType.getOrElse("delete", 0L),
+        byType.getOrElse("insert", 0L), agg.getLong(0), agg.getLong(1)))
+      .toDF("n_files_kept", "has_mat_post_image", "cdf_updates",
+        "cdf_deletes", "cdf_inserts", "n_rows", "sum_event_id")
+  }
+
   /** Judged OPTIMIZE: a 64-file range-clustered lake (the streaming
     * small-file shape) compacts under a `span/8`-row budget to
     * exactly 8 files, and — the half that matters — a quarter-range
@@ -3305,9 +3885,21 @@ object SnapshotLake {
   def q136LakeCkptLog(s: SparkSession, d: String): DataFrame = {
     val root = Housekeeping.tempDir("q136")
     val ev = eventsCents(s, d)
-    (0 until 17).foreach(i =>
+    // the certificate is about the CHAIN (17 versions: 15 deltas +
+    // the v16 checkpoint externalizing the file list), not about how
+    // much data each version carries — so v0 lands one slice and 16
+    // single-row appends drive the log shape. One filtered events
+    // scan instead of seventeen: same contract, a fraction of the
+    // old fixture cost.
+    val span = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    commit(s, root, ev.where(col("event_id") % 17 === 0).coalesce(1),
+      "event_id")
+    import s.implicits._
+    (0 until 16).foreach(i =>
       commit(s, root,
-        ev.where(col("event_id") % 17 === i).coalesce(1), "event_id"))
+        Seq((span + i, "tick", 0L))
+          .toDF("event_id", "event_type", "cents").coalesce(1),
+        "event_id"))
     val textBytes = Files.size(manifestPath(root, 16))
     // resolve the checkpoint sidecar by listing (a glob path makes
     // Spark's FileStreamSink metadata probe log a harmless-but-noisy
@@ -3449,6 +4041,72 @@ object SnapshotLake {
     df.agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
       .select(lit(attrVisible).as("colstats_visible"),
         lit(estInBand).as("estimate_in_band"),
+        col("n_rows"), col("sum_cents"))
+  }
+
+  /** Judged PER-COLUMN manifest statistics (colstats v2): commits
+    * record, for every integral column beyond the stat envelope, an
+    * exact [min, max] plus a bounded KMV sketch of the hashed values
+    * (`cs=` records, [[ColStat]]), and the connector folds them into
+    * DSv2 `columnStats()` — so CBO sees NDV and range estimates for
+    * a NON-stat column with no `ANALYZE TABLE` and no data pass.
+    * Gates: (a) the scan relation surfaces attribute stats for
+    * `cents` at all, (b) the merged [min, max] is EXACT against the
+    * data, (c) the KMV NDV estimate lands within 1.5× of the true
+    * distinct count (k=32's ~18% error band, doubled for margin),
+    * and (d) an equality-predicate row estimate derived from those
+    * stats lands within 4× of truth — the quantity join reordering
+    * actually consumes. The aggregate itself stays exact-by-data.
+    */
+  def q168ColStatsV2(s: SparkSession, d: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.cbo.enabled", "true")
+    val root = Housekeeping.tempDir("q168")
+    val ev = eventsCents(ss, d).select(col("event_id"),
+      // a coarse derived column: ~65 distinct values, so the NDV
+      // claim is far from both 1 and rowcount (a degenerate estimate
+      // cannot sneak through the band)
+      (col("cents") % 65).as("cents"))
+    val span = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    def bound(i: Int): Long = i.toLong * span / 8
+    val bucket = (1 to 7).foldLeft(lit(0)) { (acc, i) =>
+      when(col("event_id") >= bound(i), lit(i)).otherwise(acc)
+    }
+    commitClustered(ss, root, ev, bucket, "event_id")
+    val truth = ev.agg(countDistinct(col("cents")),
+      min(col("cents")), max(col("cents")), count(lit(1))).head()
+    val (trueNdv, trueMin, trueMax, nRows) =
+      (truth.getLong(0), truth.getLong(1), truth.getLong(2),
+        truth.getLong(3))
+    val df = ss.read.format("graft.sources.GraftLakeSource")
+      .option("path", root).load()
+    val eq = df.where(col("cents") === lit(trueMin))
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.setActiveSession(ss)
+    val (ndvVisible, rangeExact, ndvInBand, eqInBand) =
+      try {
+        val cs = eq.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            r.stats.attributeStats.collectFirst {
+              case (a, st) if a.name.equalsIgnoreCase("cents") => st }
+        }.flatten.headOption
+        val vis = cs.exists(_.distinctCount.isDefined)
+        val range = cs.exists(st =>
+          st.min.map(_.toString.toLong).contains(trueMin) &&
+            st.max.map(_.toString.toLong).contains(trueMax))
+        val band = cs.exists(_.distinctCount.exists(n =>
+          n.toDouble >= trueNdv / 1.5 && n.toDouble <= trueNdv * 1.5))
+        val est = eq.queryExecution.optimizedPlan.stats.rowCount
+        val trueEq = nRows.toDouble / trueNdv // uniform fixture
+        val eqBand = est.exists(e =>
+          e.toDouble >= trueEq / 4 && e.toDouble <= trueEq * 4)
+        (vis, range, band, eqBand)
+      } finally prevActive.foreach(SparkSession.setActiveSession)
+    df.agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .select(lit(ndvVisible).as("ndv_visible"),
+        lit(rangeExact).as("range_exact"),
+        lit(ndvInBand).as("ndv_in_band"),
+        lit(eqInBand).as("eq_estimate_in_band"),
         col("n_rows"), col("sum_cents"))
   }
 
@@ -3637,12 +4295,13 @@ object SnapshotLake {
              CAST(2 * sum(cents) AS BIGINT) AS sum_cents_v1
       FROM p""")),
     Q("q136_lake_ckpt_log", q136LakeCkptLog, Some("""
+      WITH sp AS (SELECT max(event_id) AS mx FROM events)
       SELECT CAST(16 AS BIGINT) AS head_version,
              TRUE AS text_manifest_small,
              CAST(17 AS BIGINT) AS n_files,
-             count(*) AS n_rows,
-             min(event_id) AS min_lo,
-             max(event_id) AS max_hi
+             count(*) FILTER (WHERE event_id % 17 = 0) + 16 AS n_rows,
+             min(event_id) FILTER (WHERE event_id % 17 = 0) AS min_lo,
+             (SELECT mx FROM sp) + 16 AS max_hi
       FROM events""")),
     Q("q130_column_mapping", q130ColumnMapping, Some("""
       SELECT CAST(2 AS BIGINT) AS n_cols,
@@ -3773,6 +4432,35 @@ object SnapshotLake {
              count(*) AS cdf_deletes,
              CAST(sum(cents) AS BIGINT) AS cdf_cents
       FROM del""")),
+    Q("q169_row_tracking", q169RowTracking, Some("""
+      WITH ec AS (SELECT event_id FROM events),
+      sp AS (SELECT max(event_id) + 1 AS span FROM ec),
+      m AS (SELECT count(*) AS n FROM ec WHERE event_id % 401 = 13)
+      SELECT CAST(8 AS BIGINT) AS n_files_kept,
+             TRUE AS has_mat_post_image,
+             m.n AS cdf_updates,
+             CAST(0 AS BIGINT) AS cdf_deletes,
+             CAST(0 AS BIGINT) AS cdf_inserts,
+             (SELECT count(*) FROM ec) AS n_rows,
+             (SELECT CAST(sum(event_id) AS BIGINT) FROM ec)
+               + 2 * sp.span * m.n AS sum_event_id
+      FROM m, sp""")),
+    Q("q167_sql_update_delta", q167SqlUpdateDelta, Some("""
+      WITH ec AS (SELECT event_id,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events),
+      m AS (SELECT count(*) AS n FROM ec WHERE event_id % 401 = 13)
+      SELECT 'update' AS op_dv,
+             CAST(8 AS BIGINT) AS n_files_kept,
+             TRUE AS has_post_image,
+             (SELECT count(*) FROM ec) AS n_rows_dv,
+             (SELECT count(*) FROM ec) AS n_rows_cow,
+             (SELECT CAST(sum(cents) AS BIGINT) FROM ec)
+               + 1000000 * m.n AS sum_cents_dv,
+             (SELECT CAST(sum(cents) AS BIGINT) FROM ec)
+               + 1000000 * m.n AS sum_cents_cow,
+             m.n AS cdf_updates
+      FROM m""")),
     Q("q163_lake_dv_update", q163LakeDvUpdate, Some("""
       WITH b AS (SELECT max(event_id) + 1 AS span FROM events),
       ec AS (SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
@@ -3907,6 +4595,17 @@ object SnapshotLake {
                AS sum_cents
       FROM events, b
       WHERE event_id >= (2 * span) // 8 AND event_id < (4 * span) // 8""")),
+    Q("q168_colstats_v2", q168ColStatsV2, Some("""
+      WITH ec AS (SELECT event_id,
+                         CAST(round(value * 100) AS BIGINT) % 65 AS cents
+                  FROM events)
+      SELECT TRUE AS ndv_visible,
+             TRUE AS range_exact,
+             TRUE AS ndv_in_band,
+             TRUE AS eq_estimate_in_band,
+             count(*) AS n_rows,
+             CAST(sum(cents) AS BIGINT) AS sum_cents
+      FROM ec""")),
     Q("q165_lake_colstats", q165LakeColStats, Some("""
       WITH b AS (SELECT max(event_id) + 1 AS span FROM events)
       SELECT TRUE AS colstats_visible,

@@ -1,0 +1,133 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotLake
+import graft.sources.SnapshotLake.ColStat
+
+/** Per-column manifest statistics (`cs=` records): write-time
+  * [min, max, nullCount, KMV-NDV] for integral columns beyond the
+  * stat envelope, folded into DSv2 `columnStats()` so CBO estimates
+  * filters and joins on NON-stat columns. Pinned: record round-trip
+  * (text + checkpoint), exact-below-saturation NDV, the cross-file
+  * merge, CBO visibility with a join-cardinality estimate in band,
+  * and the refuse-on-partial-coverage rule.
+  */
+class LakeColStatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("lake_cs_").toString
+
+  test("cs records round-trip and NDV is exact below saturation") {
+    val root = freshRoot()
+    // v: 10 distinct values (< k=32) → the sketch IS the value set
+    SnapshotLake.commitClustered(spark, root,
+      (0L until 1000L).map(i => (i, i % 10)).toDF("k", "v"),
+      when(col("k") >= 500L, lit(1)).otherwise(lit(0)), "k")
+    val snap = SnapshotLake.snapshot(root)
+    assert(snap.files.size === 2)
+    snap.files.foreach { f =>
+      val st = f.cstats("v")
+      assert(st.lo === 0L && st.hi === 9L && st.nulls === 0L)
+      assert(st.kmv.size === 10) // exact distinct hash set
+    }
+    assert(ColStat.ndv(ColStat.mergeKmv(
+      snap.files.map(_.cstats("v").kmv))) === 10L)
+    // the stat column itself records no cs entry (the envelope owns it)
+    assert(snap.files.forall(!_.cstats.contains("k")))
+  }
+
+  test("saturated sketches estimate within the k=32 error band and merge across files") {
+    val root = freshRoot()
+    val n = 20000L
+    SnapshotLake.commitClustered(spark, root,
+      (0L until n).map(i => (i, i % 5000)).toDF("k", "v"),
+      when(col("k") >= n / 2, lit(1)).otherwise(lit(0)), "k")
+    val snap = SnapshotLake.snapshot(root)
+    val est = ColStat.ndv(ColStat.mergeKmv(
+      snap.files.map(_.cstats("v").kmv)))
+    assert(est >= 5000 / 2 && est <= 5000 * 2,
+      s"NDV estimate $est outside [2500, 10000] for true 5000")
+  }
+
+  test("CBO sees NDV/range/nulls for a non-stat column; join cardinality lands in band") {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.cbo.enabled", "true")
+    ss.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    val root = freshRoot()
+    import ss.implicits._
+    SnapshotLake.commitClustered(ss, root,
+      (0L until 10000L).map(i => (i, i % 100)).toDF("k", "v"),
+      when(col("k") >= 5000L, lit(1)).otherwise(lit(0)), "k")
+    def lake() = ss.read.format("graft.sources.GraftLakeSource")
+      .option("path", root).load()
+    val j = lake().as("a").join(lake().as("b"), "v")
+    val prev = SparkSession.getActiveSession
+    SparkSession.setActiveSession(ss)
+    try {
+      val cs = j.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.stats.attributeStats.collectFirst {
+            case (a, st) if a.name == "v" => st }
+      }.flatten.headOption
+      assert(cs.exists(_.distinctCount.exists(n =>
+        n >= BigInt(50) && n <= BigInt(200))))
+      assert(cs.exists(_.min.map(_.toString.toLong).contains(0L)))
+      assert(cs.exists(_.max.map(_.toString.toLong).contains(99L)))
+      assert(cs.exists(_.nullCount.contains(BigInt(0))))
+      // JoinEstimation: |A ⋈ B on v| ≈ n·n / ndv(v) = 10k·10k/100 = 1M
+      val est = j.queryExecution.optimizedPlan.stats.rowCount
+      assert(est.exists(e =>
+        e >= BigInt(250000) && e <= BigInt(4000000)),
+        s"join estimate $est outside [250k, 4M] for true 1M")
+    } finally prev.foreach(SparkSession.setActiveSession)
+  }
+
+  test("a file without a cs record for the column refuses the whole merge") {
+    val root = freshRoot()
+    SnapshotLake.commitClustered(spark, root,
+      (0L until 1000L).map(i => (i, i % 10)).toDF("k", "v"),
+      lit(0), "k")
+    // second commit writes v as ALL NULL → that file records no cs
+    // entry for v → the scan must NOT claim column stats for v
+    SnapshotLake.commit(spark, root,
+      (1000L until 1100L).map(i => (i, Option.empty[Long]))
+        .toDF("k", "v").coalesce(1), "k")
+    val snap = SnapshotLake.snapshot(root)
+    assert(snap.files.exists(!_.cstats.contains("v")))
+    val df = spark.read.format("graft.sources.GraftLakeSource")
+      .option("path", root).load().where(col("k") >= 0L)
+    val served = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.stats.attributeStats.exists { case (a, _) => a.name == "v" }
+    }.exists(identity)
+    assert(!served)
+    // nulls COUNT exactly when present (not all-null)
+    val root2 = freshRoot()
+    SnapshotLake.commit(spark, root2,
+      (0L until 100L).map(i =>
+        (i, if (i % 4 == 0) Option.empty[Long] else Some(i % 7)))
+        .toDF("k", "v").coalesce(1), "k")
+    val st = SnapshotLake.snapshot(root2).files.head.cstats("v")
+    assert(st.nulls === 25L)
+    assert(st.lo === 0L && st.hi === 6L)
+  }
+
+  test("checkpoint reconstruction carries cs records") {
+    val root = freshRoot()
+    SnapshotLake.commit(spark, root,
+      (0L until 500L).map(i => (i, i % 10)).toDF("k", "v").coalesce(1),
+      "k")
+    (0 until 16).foreach { i =>
+      SnapshotLake.commit(spark, root,
+        Seq((10000L + i, 3L)).toDF("k", "v").coalesce(1), "k")
+    }
+    assert(SnapshotLake.headVersion(root) === 16)
+    val snap = SnapshotLake.snapshot(root) // checkpoint-reconstructed
+    assert(snap.files.forall(_.cstats.contains("v")))
+    assert(ColStat.ndv(ColStat.mergeKmv(
+      snap.files.map(_.cstats("v").kmv))) === 10L)
+  }
+}

@@ -478,4 +478,85 @@ class LakeDvSpec extends SparkTestBase {
     assert(causes(err).exists(c =>
       c.getMessage != null && c.getMessage.contains("deletion vectors")))
   }
+
+  test("append-only stream refuses an intra-batch add+vector pair — admission independent of batch boundaries") {
+    val root = freshRoot()
+    clustered8(root)
+    val ckpt = Files.createTempDirectory("lake_dv_ckpt_").toString
+    val out = Files.createTempDirectory("lake_dv_out_").toString
+    // drain v0 so the restart's range starts at a committed offset
+    // (file sink: the memory sink cannot recover from a checkpoint)
+    spark.readStream.format("graft.sources.GraftLakeSource")
+      .option("path", root).load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    // v1 appends a 2-row file; v2 vectors one of ITS rows. An
+    // endpoint diff of (0..2] never sees the change (the file is not
+    // in v0), so the pre-fix source silently emitted the net 1 row —
+    // while the same history consumed one version per batch refused.
+    SnapshotLake.commit(spark, root,
+      Seq((900L, 1L), (901L, 1L)).toDF("k", "v").coalesce(1), "k")
+    SnapshotLake.deleteRows(spark, root, col("k") === 900L)
+    val q = spark.readStream.format("graft.sources.GraftLakeSource")
+      .option("path", root).load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+      .start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(err).exists(c =>
+      c.getMessage != null && c.getMessage.contains("deletion vectors")))
+  }
+
+  test("mixed clean+vectored scan over a nested-type column plans whole-scan row-based (no columnar mixing)") {
+    val root = freshRoot()
+    val df = (0L until 200L).map(i => (i, Seq(i, i * 2)))
+      .toDF("k", "arr")
+    SnapshotLake.commitClustered(spark, root, df,
+      when(col("k") >= 100L, lit(1)).otherwise(lit(0)), "k")
+    assert(SnapshotLake.snapshot(root).files.size === 2)
+    // vector one row of ONE file: the scan now mixes a clean file
+    // (columnar-eligible) with a vectored file whose array column
+    // the survivor copy cannot handle — a per-split answer would
+    // fail Spark's PARTITION_DEFINED homogeneity check at planning
+    SnapshotLake.deleteRows(spark, root, col("k") === 7L)
+    val lake = spark.read.format("graft.sources.GraftLakeSource")
+      .option("path", root).load()
+    val rows = lake.selectExpr("k", "aggregate(arr, 0L, (a, x) -> a + x) s")
+      .as[(Long, Long)].collect().toMap
+    assert(rows.size === 199)
+    assert(!rows.contains(7L))
+    assert(rows(11L) === 33L)
+  }
+
+  test("manifest SUM pushdown refuses a cross-file fold that overflows Long") {
+    val root = freshRoot()
+    val big = Long.MaxValue / 2 + 1 // two per-file sums that wrap when folded
+    SnapshotLake.commitClustered(spark, root,
+      Seq((big, 0L), (big + 1, 1L)).toDF("k", "v"),
+      when(col("k") === big, lit(1)).otherwise(lit(0)), "k")
+    val snap = SnapshotLake.snapshot(root)
+    assert(snap.files.size === 2)
+    assert(snap.files.forall(_.sum.isDefined)) // per-file sums recorded
+    def scanOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan
+      }
+    val lake = spark.read.format("graft.sources.GraftLakeSource")
+      .option("path", root).load()
+    // SUM must fall back to the data path (the wrapped fold would be
+    // FINAL under complete pushdown; ANSI's data path errors instead)
+    assert(!scanOf(lake.agg(sum(col("k")).as("s")))
+      .exists(_.isInstanceOf[graft.sources.LakeAggScan]))
+    // COUNT/MIN/MAX stay manifest-answered on the same chain
+    assert(scanOf(lake.agg(count(lit(1)).as("n"), min(col("k")).as("lo")))
+      .exists(_.isInstanceOf[graft.sources.LakeAggScan]))
+  }
 }

@@ -1,0 +1,139 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotLake
+
+/** Row tracking (Delta's row-id model): implicit stable ids
+  * (manifest `ri=` base + physical position) assigned once from the
+  * chain's monotonic high-water, the `_row_id` metadata column
+  * (implicit / materialized / null sources), identity SURVIVING a
+  * SQL key-column UPDATE through the delta path's materialized
+  * `__rid` post-images, the change feed's row-id diff, and the
+  * documented degradation: a CoW rewrite's outputs get FRESH ids and
+  * the CDF falls back to the key-matched diff rather than invent
+  * identity.
+  */
+class LakeRowTrackingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("lake_rid_").toString
+
+  private def clustered4(root: String): Unit = {
+    val bucket = (1 to 3).foldLeft(lit(0)) { (acc, i) =>
+      when(col("k") >= i * 100, lit(i)).otherwise(acc)
+    }
+    SnapshotLake.commitClustered(spark, root,
+      (0L until 400L).map(i => (i, i * 7)).toDF("k", "v"), bucket, "k")
+  }
+
+  private def mkDvTable(name: String, root: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"""
+      CREATE TABLE $name (k BIGINT, v BIGINT)
+      USING graft.sources.GraftLakeSource
+      OPTIONS (path '$root', statCol 'k', dv 'true',
+               changefeed 'true')""")
+  }
+
+  test("implicit ids: disjoint per-file ranges from the monotonic high-water; appends continue it") {
+    val root = freshRoot()
+    clustered4(root)
+    val snap = SnapshotLake.snapshot(root)
+    assert(snap.files.forall(_.rid.isDefined))
+    // bases tile [0, 400) exactly: sorted (base, base+rows) runs
+    val runs = snap.files.map(f => (f.rid.get, f.rid.get + f.rows))
+      .sortBy(_._1)
+    assert(runs.head._1 === 0L)
+    assert(runs.sliding(2).forall {
+      case Seq((_, e), (b, _)) => e == b; case _ => true })
+    assert(runs.last._2 === 400L)
+    // an append starts past the high-water, never reusing ids
+    SnapshotLake.commit(spark, root,
+      Seq((1000L, 1L), (1001L, 1L)).toDF("k", "v").coalesce(1), "k")
+    val f2 = SnapshotLake.snapshot(root).files
+      .find(_.rid.exists(_ >= 400L))
+    assert(f2.exists(_.rid.contains(400L)))
+    // _row_id reads as base + physical position, alongside _pos
+    mkDvTable("rid_t1", root)
+    val rows = spark.sql(
+      "SELECT k, _row_id, _pos FROM rid_t1 WHERE k >= 100 AND k < 103")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // file [100,199] is one sorted run: its rows' ids are contiguous
+    assert(rows.map(_._2) === Array(rows(0)._2, rows(0)._2 + 1,
+      rows(0)._2 + 2))
+    assert(rows.map(_._3) === Array(0L, 1L, 2L))
+  }
+
+  test("a key-column SQL UPDATE keeps each row's _row_id; the CDF classifies it as updates") {
+    val root = freshRoot()
+    clustered4(root)
+    mkDvTable("rid_t2", root)
+    val before = spark.sql(
+      "SELECT k, _row_id FROM rid_t2 WHERE k IN (7, 207)")
+      .as[(Long, Long)].collect().toMap
+    // KEY-column update: k 7→1007, 207→1207
+    spark.sql("UPDATE rid_t2 SET k = k + 1000 WHERE k IN (7, 207)")
+    val after = spark.sql(
+      "SELECT k, _row_id FROM rid_t2 WHERE k IN (1007, 1207)")
+      .as[(Long, Long)].collect().toMap
+    assert(after(1007L) === before(7L))
+    assert(after(1207L) === before(207L))
+    // post-images live in a materialized-id file
+    assert(SnapshotLake.snapshot(root).files.exists(_.ridMat))
+    // the change feed pairs pre/post by row id → proper updates
+    val v = SnapshotLake.snapshot(root).version
+    val byType = spark.read.format("graft.sources.GraftLakeSource")
+      .option("path", root).option("readChangeFeed", "true")
+      .option("startingVersion", v.toString)
+      .option("endingVersion", v.toString).load()
+      .groupBy(col("_change_type")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(byType === Map("update" -> 2L))
+    // a second update of an ALREADY-MATERIALIZED row keeps the id
+    spark.sql("UPDATE rid_t2 SET v = -1 WHERE k = 1007")
+    val again = spark.sql(
+      "SELECT _row_id FROM rid_t2 WHERE k = 1007")
+      .as[Long].collect().toSeq
+    assert(again === Seq(before(7L)))
+  }
+
+  test("CoW rewrites degrade honestly: fresh ids, CDF falls back to the key diff") {
+    val root = freshRoot()
+    clustered4(root)
+    val idsBefore = SnapshotLake.snapshot(root).files
+      .flatMap(_.rid).toSet
+    // dense delete → CoW rewrite (threshold 1): outputs are new
+    // files → fresh implicit bases past the high-water
+    SnapshotLake.deleteRows(spark, root,
+      col("k") >= 100L && col("k") < 180L, cowThresholdRows = 1L)
+    val after = SnapshotLake.snapshot(root)
+    assert(after.files.forall(f => f.rid.isDefined && !f.ridMat))
+    val fresh = after.files.flatMap(_.rid).toSet.diff(idsBefore)
+    assert(fresh.nonEmpty)
+    assert(fresh.forall(_ >= 400L))
+    // rid-diff refuses (added files are plain, not materialized):
+    // the key-matched path still derives the deletes exactly
+    val (diff, _, _) = SnapshotLake.changes(spark, root,
+      after.version - 1, after.version)
+    val byType = diff.groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap
+    assert(byType === Map("delete" -> 80L))
+  }
+
+  test("row ids survive deletion vectors: surviving rows keep their ids") {
+    val root = freshRoot()
+    clustered4(root)
+    mkDvTable("rid_t4", root)
+    val before = spark.sql(
+      "SELECT k, _row_id FROM rid_t4 WHERE k >= 100 AND k < 110")
+      .as[(Long, Long)].collect().toMap
+    spark.sql("DELETE FROM rid_t4 WHERE k IN (103, 105)")
+    val after = spark.sql(
+      "SELECT k, _row_id FROM rid_t4 WHERE k >= 100 AND k < 110")
+      .as[(Long, Long)].collect().toMap
+    assert(!after.contains(103L) && !after.contains(105L))
+    assert(after === (before - 103L - 105L))
+  }
+}
