@@ -26,21 +26,28 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType,
   *  - equality/IN predicates on the column prune files by hashing
   *    the literals with the SAME function.
   *
-  * The mix is splitmix64's finalizer — a full-avalanche 64-bit
-  * permutation (Steele et al., "Fast Splittable Pseudorandom Number
-  * Generators", OOPSLA'14), so dense sequential ids spread uniformly
-  * across buckets. `floorMod` keeps ids non-negative for negative
+  * The hash is Spark's own XXH64 with the engine's default seed 42 —
+  * deliberately, because it makes the bucket id EXPRESSIBLE IN PURE
+  * SQL as `pmod(xxhash64(cast(c AS bigint)), N)`: maintenance verbs
+  * (re-bucketing compaction) and ad-hoc layout queries compute the
+  * exact same id with built-in, codegen'd functions, no private
+  * hooks. Full avalanche, so dense sequential ids spread uniformly.
+  * `floorMod` (= SQL `pmod`) keeps ids non-negative for negative
   * keys. Determinism across JVMs is the contract that makes old
   * files' tags forever valid.
   */
 object GraftBucket {
 
-  def id(v: Long, n: Int): Int = {
-    var z = v + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^= (z >>> 31)
-    java.lang.Math.floorMod(z, n.toLong).toInt
+  def id(v: Long, n: Int): Int =
+    java.lang.Math.floorMod(
+      org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashLong(v, 42L), n.toLong).toInt
+
+  /** The SQL twin of [[id]] — byte-identical by construction. */
+  def idColumn(c: org.apache.spark.sql.Column, n: Int)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+    pmod(xxhash64(c.cast("long")), lit(n.toLong)).cast("int")
   }
 
   /** The manifest partition-tag column name for a bucketed file:

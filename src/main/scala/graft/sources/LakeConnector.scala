@@ -1199,6 +1199,11 @@ final case class LakeScan(root: String, version: Int,
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     (Seq(statCol).filter(_.nonEmpty) ++ bloomColName).distinct
+      // only columns this scan still PROJECTS: Spark resolves these
+      // against the pruned output, and an unresolvable reference is
+      // an AnalysisException at planning (a scan of only non-stat
+      // columns used to advertise the stat column regardless)
+      .filter(c => required.fieldNames.exists(_.equalsIgnoreCase(c)))
       .map(c => org.apache.spark.sql.connector.expressions.Expressions
         .column(c))
       .toArray

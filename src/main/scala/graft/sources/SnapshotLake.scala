@@ -1993,7 +1993,48 @@ object SnapshotLake {
     require(targetRows >= 1, "targetRows must be positive")
     val base = snapshot(root)
     val key = base.statCol
-    val small = base.files.filter(_.liveRows < targetRows)
+    val small0 = base.files.filter(_.liveRows < targetRows)
+    // RE-BUCKETING: when the table's tagged files all share one
+    // bucket spec, small UNTAGGED files (a delta UPDATE's post-image
+    // insertions — the files that silently erode the
+    // storage-partitioned join) re-route into per-bucket tagged
+    // outputs instead of packing among themselves. The hash is the
+    // SQL twin of the write path's bucket function, so restored tags
+    // mean exactly what original tags mean. (Implicit row ids do not
+    // survive the re-route — the documented rewrite degradation.)
+    val bucketSpec: Option[(Int, String)] = {
+      val tagCols = base.files.flatMap(_.part.map(_._1)).distinct
+      if (tagCols.length == 1)
+        graft.functions.GraftBucket.parseTag(tagCols.head)
+      else None
+    }
+    val (rebucket, small) = bucketSpec match {
+      case Some(_) => small0.partition(_.part.isEmpty)
+      case None => (Seq.empty[FileStat], small0)
+    }
+    val rbFiles =
+      if (rebucket.isEmpty) Seq.empty[FileStat]
+      else {
+        val (n, c) = bucketSpec.get
+        val batch = s"data/b-${UUID.randomUUID().toString.take(8)}"
+        ColMap.toPhysical(
+          readFiles(s, root, base, rebucket).withColumn("__bucket",
+            graft.functions.GraftBucket.idColumn(col(c), n)),
+          base.schema)
+          .repartition(col("__bucket"))
+          .sortWithinPartitions(col(key))
+          .write.partitionBy("__bucket").parquet(s"$root/$batch")
+        val bTag = "__bucket=(\\d+)/".r
+        statsFor(s, root, batch, key, base.bloomCol,
+            inheritedBloomBytes(base), base.statCol2)
+          .map { f =>
+            val m = bTag.findFirstMatchIn(f.name).getOrElse(
+              throw new IllegalStateException(
+                s"re-bucketed file ${f.name} lacks a bucket dir"))
+            f.copy(part = Some(
+              graft.functions.GraftBucket.tagCol(n, c) -> m.group(1)))
+          }
+      }
     // greedy adjacent pack WITHIN a partition domain: files sharing a
     // partition tag (or untagged files) pack among themselves in
     // stat-range order, never across — merging two partitions' files
@@ -2013,8 +2054,9 @@ object SnapshotLake {
         }.map(_.reverse).reverse
       }
     val packed = groups.filter(_.size >= 2).toList
+    val rebucketNames = rebucket.map(_.name).toSet
     val kept = base.files.filterNot(f =>
-      packed.exists(_.exists(_.name == f.name)))
+      rebucketNames(f.name) || packed.exists(_.exists(_.name == f.name)))
     val newFiles =
       if (packed.isEmpty) Seq.empty[FileStat]
       else {
@@ -2044,10 +2086,11 @@ object SnapshotLake {
       // only vanished base files conflict
       val appended =
         rebaseCheck(base, head, base.files, Long.MaxValue, Long.MinValue)
-      // a packed rewrite of a VECTORED file was computed from the
-      // base vector: a concurrent vector growth on it would be
-      // silently resurrected — conflict (purgeVectors' guard)
-      packed.flatten.foreach { f =>
+      // a packed (or re-bucketed) rewrite of a VECTORED file was
+      // computed from the base vector: a concurrent vector growth on
+      // it would be silently resurrected — conflict (purgeVectors'
+      // guard)
+      (packed.flatten ++ rebucket).foreach { f =>
         head.files.find(_.name == f.name).foreach { h =>
           if (h.dv != f.dv)
             throw new MergeConflictException(
@@ -2057,14 +2100,16 @@ object SnapshotLake {
         }
       }
       if (tryPublish(root, head.version + 1, key, head.bloomCol,
-          overwrite = true, kept ++ appended ++ newFiles, head.statCol2,
+          overwrite = true, kept ++ appended ++ newFiles ++ rbFiles,
+          head.statCol2,
           txns = head.txns, schemaJson = head.schemaJson,
           op = Some("compact"), parentFiles = Some(head.files),
           retired = head.retired))
         committed = head.version + 1
     }
     CompactResult(committed, base.files.size,
-      kept.size + newFiles.size, packed.map(_.size).sum)
+      kept.size + newFiles.size + rbFiles.size,
+      packed.map(_.size).sum + rebucket.size)
   }
 
   /** Logical-named read of `fs` that ALSO surfaces each row's STABLE

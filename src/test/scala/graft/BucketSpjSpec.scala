@@ -162,6 +162,23 @@ class BucketSpjSpec extends SparkTestBase {
         FROM $cat.t3 a JOIN $cat.t4 b ON a.k = b.k""")
       val expect2 = expect - (1001L * 8) + (-1L + 1001L * 5)
       assert(j2.collect().head.getLong(0) === expect2)
+      // RE-BUCKETING compaction: the untagged post-image routes back
+      // into its bucket (the SQL-twin hash), the table is fully
+      // tagged again, and the zero-shuffle SPJ RETURNS — the
+      // maintenance loop that keeps merge-on-read updates from
+      // eroding the join layout forever
+      val cr2 = SnapshotLake.compactLake(spark, root,
+        targetRows = 100000L)
+      assert(cr2.filesCompacted >= 1)
+      val afterRb = SnapshotLake.snapshot(root)
+      assert(afterRb.files.forall(_.part.exists(_._1 == tag)))
+      val postK = GraftBucket.id(1001L, N).toString
+      assert(afterRb.files.count(_.part.exists(_._2 == postK)) >= 2)
+      val j3 = spark.sql(s"""
+        SELECT /*+ MERGE(a) */ sum(a.cents + b.cents) AS s
+        FROM $cat.t3 a JOIN $cat.t4 b ON a.k = b.k""")
+      assert(j3.collect().head.getLong(0) === expect2)
+      assert(LakeScan.countShuffles(j3.queryExecution.executedPlan) === 1)
     }
   }
 }

@@ -85,6 +85,59 @@ class LakeColStatsSpec extends SparkTestBase {
     } finally prev.foreach(SparkSession.setActiveSession)
   }
 
+  test("CBO join reorder flips on the manifest stats: the selective table moves first") {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.cbo.enabled", "true")
+    ss.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    // defeat size-based broadcasting so the ORDER is the observable,
+    // not the strategy
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import ss.implicits._
+    val rootA = Files.createTempDirectory("lake_cs_a_").toString
+    val rootB = Files.createTempDirectory("lake_cs_b_").toString
+    val rootC = Files.createTempDirectory("lake_cs_c_").toString
+    // A: 20k rows, join key v (ndv 100); B: 20k rows, same key
+    // domain; C: 50 rows. Syntactic order A ⋈ B ⋈ C would build the
+    // 4M-row A⋈B intermediate first; with rowCount + NDV flowing
+    // from the manifests, CostBasedJoinReorder pulls C in first.
+    SnapshotLake.commit(ss, rootA,
+      (0L until 20000L).map(i => (i, i % 100)).toDF("k", "v")
+        .coalesce(2), "k")
+    SnapshotLake.commit(ss, rootB,
+      (0L until 20000L).map(i => (i, i % 100)).toDF("kb", "v")
+        .coalesce(2), "kb")
+    SnapshotLake.commit(ss, rootC,
+      (0L until 50L).map(i => (i, i)).toDF("kc", "v").coalesce(1), "kc")
+    def lake(r: String) = ss.read.format("graft.sources.GraftLakeSource")
+      .option("path", r).load()
+    val j = lake(rootA).join(lake(rootB), "v").join(lake(rootC), "v")
+      .groupBy(col("v")).agg(count(lit(1)).as("n"))
+    val prev = SparkSession.getActiveSession
+    SparkSession.setActiveSession(ss)
+    try {
+      // leaf order of the optimized join tree: reordered plans put C
+      // adjacent to A before B joins in (leaves identified by their
+      // lake roots — column pruning leaves only `v` in the outputs)
+      val leaves = j.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan match {
+            case l: graft.sources.LakeScan =>
+              if (l.root == rootA) "A"
+              else if (l.root == rootB) "B"
+              else if (l.root == rootC) "C" else "?"
+            case _ => "?"
+          }
+      }
+      assert(leaves.sorted === Seq("A", "B", "C"))
+      assert(leaves.indexOf("C") < leaves.indexOf("B"),
+        s"join reorder did not flip: leaf order $leaves")
+      // and the answer stays exact
+      val rows = j.orderBy(col("v")).as[(Long, Long)].collect()
+      assert(rows.length === 50)
+      assert(rows.forall { case (v, n) => n == 200L * 200L && v < 50 })
+    } finally prev.foreach(SparkSession.setActiveSession)
+  }
+
   test("a file without a cs record for the column refuses the whole merge") {
     val root = freshRoot()
     SnapshotLake.commitClustered(spark, root,
