@@ -1872,6 +1872,23 @@ object SnapshotLake {
         throw new MergeConflictException(
           s"delta $op base files ${vanished.mkString(", ")} vanished " +
             "(concurrent overwrite/merge/delete) — re-run on the new head")
+      // WriteSerializable: a pure DELETE tolerates concurrent vector
+      // growth (delete∪delete is still the right answer — union is
+      // idempotent), but a commit carrying POST-IMAGES must conflict
+      // on it: two racing UPDATEs of the same row would union the
+      // delete position once yet BOTH land their post-image — a
+      // silent duplicate. Same failure direction as every other
+      // rewrite guard: re-run on the new head.
+      if (newFiles.nonEmpty) {
+        val baseDvByName = byPath.values.map(f => f.name -> f.dv).toMap
+        deleteByName.keys.foreach { nm =>
+          if (headByName(nm).dv != baseDvByName(nm))
+            throw new MergeConflictException(
+              s"delta $op raced a deletion-vector change on $nm — a " +
+                "concurrent row-level operation touched the same file; " +
+                "re-run on the new head")
+        }
+      }
       filesWithDv = 0; filesDropped = 0; rowsDeleted = 0L
       val dvUpdated = deleteByName.toSeq.sortBy(_._1)
         .flatMap { case (nm, ps) =>
