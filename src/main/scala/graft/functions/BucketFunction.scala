@@ -4,7 +4,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.functions.{
   BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.types.{DataType, IntegerType, LongType,
-  StructType}
+  StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** The lake's `bucket(N, col)` partition transform — the hash that
   * makes high-cardinality keys storage-partitionable (Iceberg's
@@ -43,11 +44,37 @@ object GraftBucket {
       org.apache.spark.sql.catalyst.expressions.XXH64
         .hashLong(v, 42L), n.toLong).toInt
 
+  /** String keys hash their UTF-8 BYTES with the same XXH64/seed 42
+    * — exactly what Spark's built-in `xxhash64(stringCol)` computes,
+    * so the pure-SQL twin `pmod(xxhash64(c), N)` holds for strings
+    * too. This is what lets dedup/curation corpora bucket on their
+    * natural keys (md5 digests, URLs) and storage-partition-join
+    * without a shuffle.
+    */
+  def id(v: UTF8String, n: Int): Int =
+    java.lang.Math.floorMod(
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        v.getBaseObject, v.getBaseOffset, v.numBytes, 42L),
+      n.toLong).toInt
+
+  def id(v: String, n: Int): Int = id(UTF8String.fromString(v), n)
+
   /** The SQL twin of [[id]] — byte-identical by construction. */
   def idColumn(c: org.apache.spark.sql.Column, n: Int)
       : org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
     pmod(xxhash64(c.cast("long")), lit(n.toLong)).cast("int")
+  }
+
+  /** Type-aware SQL twin: strings hash their bytes directly (no
+    * cast), integrals hash the widened long — each matching the
+    * corresponding [[id]] overload.
+    */
+  def idColumnFor(c: org.apache.spark.sql.Column, n: Int, dt: DataType)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+    if (dt == StringType) pmod(xxhash64(c), lit(n.toLong)).cast("int")
+    else idColumn(c, n)
   }
 
   /** The manifest partition-tag column name for a bucketed file:
@@ -77,14 +104,15 @@ object GraftBucket {
 object BucketUnbound extends UnboundFunction {
   override def name(): String = "bucket"
   override def description(): String =
-    "bucket(numBuckets INT, value BIGINT|INT) -> INT: the lake's " +
-      "hash partition transform"
+    "bucket(numBuckets INT, value BIGINT|INT|STRING) -> INT: the " +
+      "lake's hash partition transform"
   override def bind(inputType: StructType): BoundFunction = {
     require(inputType.fields.length == 2 &&
       inputType.fields(0).dataType == IntegerType &&
       (inputType.fields(1).dataType == LongType ||
-        inputType.fields(1).dataType == IntegerType),
-      s"bucket expects (INT numBuckets, BIGINT|INT value), got " +
+        inputType.fields(1).dataType == IntegerType ||
+        inputType.fields(1).dataType == StringType),
+      s"bucket expects (INT numBuckets, BIGINT|INT|STRING value), got " +
         inputType.simpleString)
     new BucketBound(inputType.fields(1).dataType)
   }
@@ -106,13 +134,13 @@ final class BucketBound(valType: DataType)
   // InternalRow boxing per row in the write's repartition
   def invoke(n: Int, v: Long): Int = GraftBucket.id(v, n)
   def invoke(n: Int, v: Int): Int = GraftBucket.id(v.toLong, n)
+  def invoke(n: Int, v: UTF8String): Int = GraftBucket.id(v, n)
 
-  override def produceResult(input: InternalRow): java.lang.Integer = {
-    val n = input.getInt(0)
-    val v = valType match {
-      case LongType => input.getLong(1)
-      case _ => input.getInt(1).toLong
+  override def produceResult(input: InternalRow): java.lang.Integer =
+    valType match {
+      case LongType => GraftBucket.id(input.getLong(1), input.getInt(0))
+      case StringType =>
+        GraftBucket.id(input.getUTF8String(1), input.getInt(0))
+      case _ => GraftBucket.id(input.getInt(1).toLong, input.getInt(0))
     }
-    GraftBucket.id(v, n)
-  }
 }

@@ -280,15 +280,16 @@ final class GraftLakeCatalog extends TableCatalog
         val field = schema.fields.find(_.name.equalsIgnoreCase(pc))
           .getOrElse(throw new IllegalArgumentException(
             s"PARTITIONED BY column '$pc' not in the table schema"))
-        // bucket hashes the column's JVM value: integral types only
-        // (a bucketed string column would need a cross-engine string
-        // hash contract this engine does not promise yet)
+        // bucket hashes the column's JVM value: integrals widen to
+        // long (XXH64.hashLong), strings hash their UTF-8 bytes —
+        // both with the SQL-twin property (pmod(xxhash64(c), N))
         if (ps.contains("partbuckets"))
           require(field.dataType ==
               org.apache.spark.sql.types.LongType ||
-            field.dataType == org.apache.spark.sql.types.IntegerType,
-            s"bucket(N, $pc) requires a BIGINT or INT column, got " +
-              field.dataType.simpleString)
+            field.dataType == org.apache.spark.sql.types.IntegerType ||
+            field.dataType == org.apache.spark.sql.types.StringType,
+            s"bucket(N, $pc) requires a BIGINT, INT, or STRING " +
+              s"column, got ${field.dataType.simpleString}")
         ps
       }
     requireStatCol(props)
@@ -1000,6 +1001,69 @@ object LakeCatalogQueries {
         "n_shuffles_total", "n_keygrouped_scans", "join_sum_c3")
   }
 
+  /** Judged STRING-KEY bucket partitioning + zero-shuffle SPJ — the
+    * layout the 100 TB dedup/curation corpus actually wants: those
+    * tables key on digests and URLs (strings), and `bucket(N, doc)`
+    * hashes the key's UTF-8 bytes with the same XXH64/seed-42 Spark's
+    * built-in `xxhash64` computes, so the bucket id keeps the pure-SQL
+    * twin `pmod(xxhash64(doc), N)` that integral keys have. Same
+    * certificate shape as q166: one tagged file per bucket however
+    * parallel the insert, a string point-lookup planning 1 of 8 files
+    * from the manifest tags alone (the literal's bytes hash with the
+    * same function), and a storage-partitioned join of two
+    * identically-bucketed tables on the RAW STRING key with zero join
+    * shuffles — both scans reporting
+    * `KeyGroupedPartitioning(bucket(8, doc))`.
+    */
+  def q170BucketSpjString(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftcat",
+      "graft.sources.GraftLakeCatalog")
+    s.conf.set("spark.sql.catalog.graftcat.root", catBase)
+    s.sql("DROP TABLE IF EXISTS graftcat.q170a")
+    s.sql("DROP TABLE IF EXISTS graftcat.q170b")
+    Tables.events(s, d).select(
+        concat(lit("e-"), col("event_id").cast("string")).as("doc"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("q170_events")
+    for (t <- Seq("q170a", "q170b")) s.sql(s"""
+      CREATE TABLE graftcat.$t (doc STRING, cents BIGINT)
+      PARTITIONED BY (bucket(8, doc))
+      TBLPROPERTIES ('statCol' = 'cents')""")
+    s.sql("""
+      INSERT INTO graftcat.q170a
+      SELECT doc, cents FROM q170_events""").collect(): Unit
+    s.sql("""
+      INSERT INTO graftcat.q170b
+      SELECT doc, cents * 2 FROM q170_events""").collect(): Unit
+    val snap = SnapshotLake.snapshot(s"$catBase/q170a")
+    val nFiles = snap.files.size.toLong
+    val nTagged = snap.files.count(_.part.exists(
+      _._1 == graft.functions.GraftBucket.tagCol(8, "doc"))).toLong
+    val nBuckets = snap.files.flatMap(_.part.map(_._2)).distinct.size.toLong
+    val pruned = s.table("graftcat.q170a").where(col("doc") === "e-0")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+    val prow = pruned.collect().head
+    val prunedPlanned = LakeScan
+      .findIn(pruned.queryExecution.executedPlan)
+      .map(_.files.length.toLong).getOrElse(-1L)
+    val joined = s.sql("""
+      SELECT /*+ MERGE(a) */ sum(a.cents + b.cents) AS sum_c3
+      FROM graftcat.q170a a JOIN graftcat.q170b b
+        ON a.doc = b.doc""")
+    val jrow = joined.collect().head
+    val jplan = joined.queryExecution.executedPlan
+    val nShuffles = LakeScan.countShuffles(jplan).toLong
+    val keyGrouped = LakeScan.collectIn(jplan).count(
+      _.description().contains("keyGrouped=bucket8(doc)")).toLong
+    import s.implicits._
+    Seq((nFiles, nTagged, nBuckets, prunedPlanned,
+        prow.getLong(0), prow.getLong(1),
+        nShuffles, keyGrouped, jrow.getLong(0)))
+      .toDF("n_files", "n_tagged", "n_buckets_distinct",
+        "pruned_files_planned", "pruned_n_rows", "pruned_cents",
+        "n_shuffles_total", "n_keygrouped_scans", "join_sum_c3")
+  }
+
   /** Judged partition-level DML: on a fully tagged partitioned table,
     * `DELETE FROM t WHERE bucket4 = 3` is METADATA-ONLY (whole files
     * leave the manifest — hash-pinned by the after-files being a
@@ -1459,6 +1523,22 @@ object LakeCatalogQueries {
                AS pruned_n_rows,
              (SELECT CAST(sum(cents) AS BIGINT) FROM e
               WHERE event_id = 0) AS pruned_cents,
+             CAST(1 AS BIGINT) AS n_shuffles_total,
+             CAST(2 AS BIGINT) AS n_keygrouped_scans,
+             (SELECT CAST(sum(3 * cents) AS BIGINT) FROM e)
+               AS join_sum_c3""")),
+    Q("q170_bucket_spj_string", q170BucketSpjString, Some("""
+      WITH e AS (SELECT concat('e-', CAST(event_id AS VARCHAR)) AS doc,
+                        CAST(round(value * 100) AS BIGINT) AS cents
+                 FROM events)
+      SELECT CAST(8 AS BIGINT) AS n_files,
+             CAST(8 AS BIGINT) AS n_tagged,
+             CAST(8 AS BIGINT) AS n_buckets_distinct,
+             CAST(1 AS BIGINT) AS pruned_files_planned,
+             (SELECT count(*) FROM e WHERE doc = 'e-0')
+               AS pruned_n_rows,
+             (SELECT CAST(sum(cents) AS BIGINT) FROM e
+              WHERE doc = 'e-0') AS pruned_cents,
              CAST(1 AS BIGINT) AS n_shuffles_total,
              CAST(2 AS BIGINT) AS n_keygrouped_scans,
              (SELECT CAST(sum(3 * cents) AS BIGINT) FROM e)

@@ -989,10 +989,18 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
               .parseTag(pc).exists(_._2.equalsIgnoreCase(c)) =>
             // bucket tag: keep the file iff SOME admissible literal
             // hashes into its bucket (an unparseable literal keeps
-            // the file — pruning must never guess)
+            // the file — pruning must never guess). String columns
+            // hash the literal's bytes; integrals parse-then-hash —
+            // matching the overload the write tagged with.
             val nb = graft.functions.GraftBucket.parseTag(pc).get._1
-            vs.exists(v => scala.util.Try(v.toLong).toOption.fold(true)(
-              l => graft.functions.GraftBucket.id(l, nb).toString == pv))
+            val isStr = tschema.fields.exists(fld =>
+              fld.name.equalsIgnoreCase(c) && fld.dataType ==
+                org.apache.spark.sql.types.StringType)
+            vs.exists(v =>
+              if (isStr)
+                graft.functions.GraftBucket.id(v, nb).toString == pv
+              else scala.util.Try(v.toLong).toOption.fold(true)(
+                l => graft.functions.GraftBucket.id(l, nb).toString == pv))
           case _ => true // untagged / other-spec file: never pruned
         } }
     }
@@ -1061,7 +1069,8 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
               .find(_.name.toLowerCase(java.util.Locale.ROOT) ==
                 bc.toLowerCase(java.util.Locale.ROOT))
               .collect { case f if f.dataType == LongType ||
-                  f.dataType == org.apache.spark.sql.types.IntegerType =>
+                  f.dataType == org.apache.spark.sql.types.IntegerType ||
+                  f.dataType == org.apache.spark.sql.types.StringType =>
                 (f.name, f.dataType) }, Some(n))
           case None =>
             (required.fields
@@ -1421,11 +1430,23 @@ final case class LakeScan(root: String, version: Int,
         // null rows.
         // logical → PHYSICAL column names (cs= records store what the
         // data files are named with; column mapping renames on read)
+        // nonMeta must strip ALL metadata columns — `_row_id`
+        // included — because the physical projection it zips against
+        // carries data columns only (the materialized `__rid` rides
+        // APPENDED last); leaving `_row_id` in at a non-terminal
+        // slot would shift every later pairing by one and attribute
+        // a column's cs= stats to the wrong attribute
         val nonMeta = required.fields.filterNot(f =>
           f.name.equalsIgnoreCase(LakeTable.FileColumn) ||
-            f.name.equalsIgnoreCase(LakeTable.PosColumn))
+            f.name.equalsIgnoreCase(LakeTable.PosColumn) ||
+            f.name.equalsIgnoreCase(LakeTable.RowIdColumn))
+        // the pre-__rid projection: data columns in logical order
+        val physData = Option(physRequired).map(pr =>
+          if (ridColIdx < 0) pr
+          else org.apache.spark.sql.types.StructType(
+            pr.fields.dropRight(1)))
         val physOf: Map[String, String] =
-          Option(physRequired).filter(_.fields.length == nonMeta.length)
+          physData.filter(_.fields.length == nonMeta.length)
             .fold(nonMeta.map(f => f.name -> f.name).toMap)(pr =>
               nonMeta.zip(pr.fields).map { case (l, p) =>
                 l.name -> p.name }.toMap)

@@ -38,13 +38,26 @@ final class LakeDeltaRowLevelOperation(root: String, tschema: StructType,
 
   override def command(): RowLevelOperation.Command = cmd
 
+  /** The snapshot version the row-level scan is PLANNED against,
+    * resolved once at `newScanBuilder` and pinned as the scan's
+    * `asOf` — so the matched `(_file, _pos)` identities, the staged
+    * post-images, and the commit-time conflict baseline all speak of
+    * the SAME version. Without the pin, a concurrent vector change
+    * landing between scan and commit makes base == head at commit,
+    * the post-image guard passes vacuously, and the UPDATE lands a
+    * post-image for a row a concurrent DELETE already removed.
+    */
+  private[sources] lazy val scannedVersion: Int =
+    SnapshotLake.headVersion(root)
+
   override def newScanBuilder(
       options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
       : org.apache.spark.sql.connector.read.ScanBuilder =
-    new LakeScanBuilder(root, None, tschema, forRowLevelOp = true)
+    new LakeScanBuilder(root, Some(scannedVersion), tschema,
+      forRowLevelOp = true)
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
-    new LakeDeltaWriteBuilder(root, info, opts, cmd)
+    new LakeDeltaWriteBuilder(root, info, opts, cmd, scannedVersion)
 
   /** Row identity = (file, physical position) — exactly what a
     * deletion-vector entry records.
@@ -68,11 +81,13 @@ final class LakeDeltaRowLevelOperation(root: String, tschema: StructType,
 }
 
 final class LakeDeltaWriteBuilder(root: String, info: LogicalWriteInfo,
-    opts: Map[String, String], cmd: RowLevelOperation.Command)
+    opts: Map[String, String], cmd: RowLevelOperation.Command,
+    scannedVersion: Int)
     extends DeltaWriteBuilder {
   override def build(): DeltaWrite = new DeltaWrite {
     override def toBatch: DeltaBatchWrite =
-      new LakeDeltaBatchWrite(root, info.schema(), opts, cmd)
+      new LakeDeltaBatchWrite(root, info.schema(), opts, cmd,
+        scannedVersion)
   }
 }
 
@@ -88,7 +103,8 @@ final case class LakeDeltaStaged(inserted: Seq[LakeStaged],
     deletes: Seq[(String, Array[Long])]) extends WriterCommitMessage
 
 final class LakeDeltaBatchWrite(root: String, schema: StructType,
-    opts: Map[String, String], cmd: RowLevelOperation.Command)
+    opts: Map[String, String], cmd: RowLevelOperation.Command,
+    scannedVersion: Int)
     extends DeltaBatchWrite {
 
   override def createBatchWriterFactory(
@@ -113,7 +129,8 @@ final class LakeDeltaBatchWrite(root: String, schema: StructType,
     val op = cmd.toString.toLowerCase(java.util.Locale.ROOT)
     val res = SnapshotLake.commitDeltaOps(SparkSession.active, root,
       deletes, staged.flatMap(_.inserted).map(m => (m.name, m.rows)), op,
-      matStaged = staged.flatMap(_.updated).map(m => (m.name, m.rows)))
+      matStaged = staged.flatMap(_.updated).map(m => (m.name, m.rows)),
+      scannedVersion = Some(scannedVersion))
     // a delta UPDATE/MERGE version mixes vector growth with added
     // post-image files — not derivable from the manifest diff alone,
     // so change-feed tables materialize the CDC sidecar (pure-delete

@@ -611,15 +611,18 @@ final class LakeDataWriter(root: String, confKVs: Map[String, String],
           "lake tables require a non-null partition column")
       spec.buckets match {
         case Some(n) =>
-          val v = spec.dt match {
-            case org.apache.spark.sql.types.LongType => row.getLong(spec.idx)
+          (spec.dt match {
+            case org.apache.spark.sql.types.LongType =>
+              graft.functions.GraftBucket.id(row.getLong(spec.idx), n)
             case org.apache.spark.sql.types.IntegerType =>
-              row.getInt(spec.idx).toLong
+              graft.functions.GraftBucket.id(row.getInt(spec.idx).toLong, n)
+            case org.apache.spark.sql.types.StringType =>
+              graft.functions.GraftBucket.id(
+                row.getUTF8String(spec.idx), n)
             case other => throw new IllegalArgumentException(
               s"bucket partition column '${spec.col}' must be " +
-                s"long/int, got $other")
-          }
-          graft.functions.GraftBucket.id(v, n).toString
+                s"long/int/string, got $other")
+          }).toString
         case None => spec.dt match {
           case org.apache.spark.sql.types.LongType =>
             row.getLong(spec.idx).toString

@@ -653,10 +653,22 @@ object SnapshotLake {
         // must round-trip unchanged or cross-version equality breaks
         f.dv.foreach { d =>
           g.append("dvn", d.count)
-          if (d.isExternal)
-            g.append("dvp", "@" + Paths.get(root).toAbsolutePath
-              .relativize(Paths.get(d.b64.substring(1))).toString)
-          else
+          if (d.isExternal) {
+            // mirror Dv.manifestSpec's ownership contract: a pointer
+            // under this root relativizes; a BORROWED sidecar (a
+            // shallow clone of a vectored lake — the clone's v0 is
+            // always a full checkpoint) keeps its ABSOLUTE form.
+            // Relativizing it would round-trip as '@../..<src>/…',
+            // which parsedSpec absolutizes into a path the clone's
+            // vacuum mis-classifies as its own — and DELETES the
+            // source lake's sidecar.
+            val abs = Paths.get(d.b64.substring(1))
+            val rootP = Paths.get(root).toAbsolutePath.normalize()
+            g.append("dvp",
+              if (abs.normalize().startsWith(rootP))
+                "@" + rootP.relativize(abs.normalize()).toString
+              else "@" + abs.toString)
+          } else
             g.append("dvb", org.apache.parquet.io.api.Binary
               .fromConstantByteArray(
                 java.util.Base64.getDecoder.decode(d.b64))): Unit
@@ -1029,7 +1041,8 @@ object SnapshotLake {
       schemaJson: Option[String] = None,
       op: Option[String] = None,
       parentFiles: Option[Seq[FileStat]] = None,
-      retired: Set[String] = Set.empty): Boolean = {
+      retired: Set[String] = Set.empty,
+      ridFloor: Long = 0L): Boolean = {
     txns.keys.foreach(a => require(!a.exists(c => c == ',' || c == '\t' ||
       c == '\n'), s"txn appId '$a' may not contain ',', tab, or newline"))
     retired.foreach(n => require(!n.exists(c => c == ',' || c == '\t' ||
@@ -1043,7 +1056,18 @@ object SnapshotLake {
     // whatever identity they had; materialized files own theirs.
     val inheritedNames =
       parentFiles.fold(Set.empty[String])(_.map(_.name).toSet)
-    var ridHw = if (v == 0) 0L else ridHwOf(root, v - 1)
+    // the high-water seeds from the parent header, but never BELOW
+    // the ranges the incoming files already own: a shallow clone's
+    // borrowed files carry bases assigned by the SOURCE chain while
+    // the clone's own header starts at 0 — without the max, the
+    // clone's next append would re-issue ids under the borrowed
+    // ranges and duplicate _row_id values. `ridFloor` lets verbs
+    // that know a foreign chain's high-water (clone, whose borrowed
+    // MATERIALIZED files carry no base to max over) pin it directly.
+    var ridHw = math.max(ridFloor, math.max(
+      if (v == 0) 0L else ridHwOf(root, v - 1),
+      files.iterator.flatMap(f => f.rid.map(_ + f.rows))
+        .foldLeft(0L)(math.max)))
     val files1 = files.map { f =>
       if (f.rid.isDefined || f.ridMat || inheritedNames(f.name)) f
       else { val b = ridHw; ridHw += f.rows; f.copy(rid = Some(b)) }
@@ -1829,8 +1853,14 @@ object SnapshotLake {
   def commitDeltaOps(s: SparkSession, root: String,
       deletes: Map[String, Array[Long]],
       staged: Seq[(String, Long)], op: String,
-      matStaged: Seq[(String, Long)] = Seq.empty): DeltaDmlResult = {
-    val base = snapshot(root)
+      matStaged: Seq[(String, Long)] = Seq.empty,
+      scannedVersion: Option[Int] = None): DeltaDmlResult = {
+    // the conflict baseline is the version the row-level scan was
+    // PLANNED against, not the head at commit time: a concurrent
+    // vector change landing between scan and commit would otherwise
+    // make base == head, slip the post-image guard, and resurrect a
+    // row a concurrent DELETE already removed
+    val base = snapshot(root, scannedVersion)
     val key = base.statCol
     val byPath = base.files.map(f => dataPath(root, f.name) -> f).toMap
     deletes.keys.foreach(p => require(byPath.contains(p),
@@ -2034,9 +2064,13 @@ object SnapshotLake {
       else {
         val (n, c) = bucketSpec.get
         val batch = s"data/b-${UUID.randomUUID().toString.take(8)}"
+        val reread = readFiles(s, root, base, rebucket)
         ColMap.toPhysical(
-          readFiles(s, root, base, rebucket).withColumn("__bucket",
-            graft.functions.GraftBucket.idColumn(col(c), n)),
+          reread.withColumn("__bucket",
+            graft.functions.GraftBucket.idColumnFor(col(c), n,
+              reread.schema.fields.find(_.name.equalsIgnoreCase(c))
+                .map(_.dataType).getOrElse(
+                  org.apache.spark.sql.types.LongType))),
           base.schema)
           .repartition(col("__bucket"))
           .sortWithinPartitions(col(key))
@@ -2837,12 +2871,16 @@ object SnapshotLake {
     // too (content-addressed files are shared across versions, so a
     // sidecar lives while ANY surviving version points at it);
     // borrowed (absolute, other-lake) pointers are never owned here
-    val rootAbs = Paths.get(root).toAbsolutePath
+    // normalize() both sides: the ownership test is segment-based,
+    // so an un-normalized '<root>/../..<elsewhere>' pointer would
+    // MATCH '<root>' and vacuum would delete another lake's sidecar
+    val rootAbs = Paths.get(root).toAbsolutePath.normalize()
     def ownedDvOf(vs: Seq[Int]): Set[String] = vs
       .filter(v => Files.exists(manifestPath(root, v)))
       .flatMap(v => snapshot(root, Some(v)).files.flatMap(_.dv))
       .collect { case d if d.isExternal &&
-          Paths.get(d.b64.substring(1)).startsWith(rootAbs) =>
+          Paths.get(d.b64.substring(1)).toAbsolutePath.normalize()
+            .startsWith(rootAbs) =>
         d.b64.substring(1) }
       .toSet
     val liveDv = ownedDvOf((cutoff to head).toSeq)
@@ -3067,7 +3105,12 @@ object SnapshotLake {
       if (tryPublish(dstRoot, head + 1, snap.statCol, snap.bloomCol,
           overwrite = true, borrowed, snap.statCol2,
           txns = headTxns, schemaJson = snap.schemaJson,
-          op = Some("clone"), retired = snap.retired))
+          op = Some("clone"), retired = snap.retired,
+          // row-id ranges are part of what's borrowed: the clone's
+          // high-water starts at the SOURCE's, or its next append
+          // would assign bases overlapping the borrowed files' id
+          // ranges (materialized files carry no base to infer from)
+          ridFloor = ridHwOf(src, snap.version)))
         committed = head + 1
     }
     committed

@@ -47,15 +47,69 @@ class BucketSpjSpec extends SparkTestBase {
     assert(GraftBucket.parseTag("k") === None)
   }
 
-  test("DDL: bucket on non-integral column refused; identity still works") {
+  test("DDL: bucket on an unhashable column type refused; identity still works") {
     withCatalog { _ =>
       val e = intercept[IllegalArgumentException] {
         spark.sql(s"""
-          CREATE TABLE $cat.bad (s STRING, cents BIGINT)
+          CREATE TABLE $cat.bad (s DOUBLE, cents BIGINT)
           PARTITIONED BY (bucket(8, s))
           TBLPROPERTIES ('statCol' = 'cents')""")
       }
-      assert(e.getMessage.contains("BIGINT or INT"))
+      assert(e.getMessage.contains("BIGINT, INT, or STRING"))
+    }
+  }
+
+  test("string bucket keys: SQL-twin hash, tag-only point prune, zero-shuffle SPJ on a string key") {
+    withCatalog { base =>
+      // the 100 TB shape this exists for: dedup/curation tables
+      // keyed on digests/URLs — strings — bucketed for fact-fact SPJ
+      for (t <- Seq("s1", "s2")) spark.sql(s"""
+        CREATE TABLE $cat.$t (doc STRING, cents BIGINT)
+        PARTITIONED BY (bucket($N, doc))
+        TBLPROPERTIES ('statCol' = 'cents')""")
+      spark.sql(s"INSERT INTO $cat.s1 " +
+        "SELECT concat('doc-', md5(cast(id AS string))), id * 3 " +
+        "FROM range(4000)")
+      spark.sql(s"INSERT INTO $cat.s2 " +
+        "SELECT concat('doc-', md5(cast(id AS string))), id * 5 " +
+        "FROM range(4000)")
+      val stag = GraftBucket.tagCol(N, "doc")
+      val snap = SnapshotLake.snapshot(s"$base/s1")
+      assert(snap.files.size === N)
+      assert(snap.files.forall(_.part.exists(_._1 == stag)))
+      // the tag is the SQL twin: pmod(xxhash64(doc), N) recomputes it
+      snap.files.foreach { f =>
+        val b = f.part.get._2.toInt
+        val ids = spark.read.parquet(s"$base/s1/${f.name}")
+          .select(expr(s"pmod(xxhash64(doc), $N)").cast("int"))
+          .as[Int].collect()
+        assert(ids.forall(_ === b))
+        // ...and the JVM-side overload agrees byte-for-byte
+        val docs = spark.read.parquet(s"$base/s1/${f.name}")
+          .select("doc").as[String].collect()
+        assert(docs.forall(GraftBucket.id(_, N) === b))
+      }
+      // string point lookup prunes to 1 of N files from tags alone
+      val key = spark.sql(
+        "SELECT concat('doc-', md5(cast(777 AS string)))")
+        .collect().head.getString(0)
+      val point = spark.table(s"$cat.s1").where(col("doc") === key)
+      assert(point.collect().map(_.getLong(1)).toSeq === Seq(2331L))
+      val pscan = LakeScan.findIn(point.queryExecution.executedPlan).get
+      assert(pscan.filesTotal === N)
+      assert(pscan.files.length === 1)
+      assert(pscan.files.head.part.get._2.toInt ===
+        GraftBucket.id(key, N))
+      // zero-shuffle SPJ on the STRING key (one shuffle = final agg)
+      val j = spark.sql(s"""
+        SELECT /*+ MERGE(a) */ sum(a.cents + b.cents) AS s
+        FROM $cat.s1 a JOIN $cat.s2 b ON a.doc = b.doc""")
+      assert(j.collect().head.getLong(0) ===
+        (0L until 4000L).map(k => k * 8).sum)
+      val plan = j.queryExecution.executedPlan
+      assert(LakeScan.countShuffles(plan) === 1)
+      assert(LakeScan.collectIn(plan).count(
+        _.description().contains(s"keyGrouped=bucket$N(doc)")) === 2)
     }
   }
 

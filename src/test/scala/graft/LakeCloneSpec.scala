@@ -96,4 +96,54 @@ class LakeCloneSpec extends SparkTestBase {
     assert(SnapshotLake.read(spark, c).count() === 50L)
     assert(SnapshotLake.snapshot(c).files.forall(_.name.startsWith(a)))
   }
+
+  test("borrowed DV sidecars stay absolute through the clone's checkpoint; clone vacuum never deletes them") {
+    val src = freshRoot(); val dst = freshRoot()
+    // a delete wide enough to externalize the vector to a _dv/ sidecar
+    SnapshotLake.commit(spark, src,
+      (0L until 20000L).map(i => (i, i * 7)).toDF("k", "v"), "k")
+    SnapshotLake.deleteRows(spark, src, col("k") % 3 === 1L,
+      cowThresholdRows = 100000L)
+    val srcDv = SnapshotLake.snapshot(src).files.flatMap(_.dv)
+    assert(srcDv.nonEmpty && srcDv.forall(_.isExternal))
+    val sidecars = srcDv.map(d => Paths.get(d.b64.substring(1)))
+    assert(sidecars.forall(Files.exists(_)))
+    // the clone's v0 is always a FULL checkpoint, so the borrowed
+    // pointer round-trips through Ckpt.write — it must come back
+    // absolute under the SOURCE root, not a '<dst>/../..' chimera
+    SnapshotLake.shallowClone(src, dst)
+    val cloneDv = SnapshotLake.snapshot(dst).files.flatMap(_.dv)
+    assert(cloneDv.nonEmpty && cloneDv.forall(d => d.isExternal &&
+      d.b64.substring(1).startsWith(src)),
+      s"borrowed DV pointer mangled: ${cloneDv.map(_.b64)}")
+    val expect = (0L until 20000L).count(_ % 3 != 1).toLong
+    assert(SnapshotLake.read(spark, dst).count() === expect)
+    // retire the borrowed version and vacuum: the sidecar belongs to
+    // the source — the clone may drop its REFERENCE, never the bytes
+    SnapshotLake.commit(spark, dst, tbl(0 until 10), "k",
+      overwrite = true)
+    SnapshotLake.vacuum(dst, keepVersions = 1)
+    assert(sidecars.forall(Files.exists(_)),
+      "clone vacuum deleted the source lake's DV sidecar")
+    assert(SnapshotLake.read(spark, src).count() === expect)
+  }
+
+  test("a clone's appends assign row ids above the source's high-water (no duplicate _row_id)") {
+    val src = freshRoot(); val dst = freshRoot()
+    SnapshotLake.commit(spark, src, tbl(0 until 100).coalesce(2), "k")
+    SnapshotLake.shallowClone(src, dst)
+    SnapshotLake.commit(spark, dst, tbl(100 until 150), "k")
+    val snap = SnapshotLake.snapshot(dst)
+    // the appended (owned) file's base starts at or above the
+    // borrowed ranges' end — id ranges never overlap
+    val borrowedEnd = snap.files.filter(_.name.startsWith("/"))
+      .flatMap(f => f.rid.map(_ + f.rows)).max
+    assert(snap.files.filter(!_.name.startsWith("/"))
+      .forall(_.rid.exists(_ >= borrowedEnd)),
+      s"clone append re-issued ids under the borrowed ranges: " +
+        snap.files.map(f => (f.name.takeRight(20), f.rid, f.rows)))
+    val ids = spark.read.format("graft.sources.GraftLakeSource")
+      .option("path", dst).load().select("_row_id")
+    assert(ids.distinct().count() === 150L)
+  }
 }

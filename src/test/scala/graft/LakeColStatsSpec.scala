@@ -183,4 +183,37 @@ class LakeColStatsSpec extends SparkTestBase {
     assert(ColStat.ndv(ColStat.mergeKmv(
       snap.files.map(_.cstats("v").kmv))) === 10L)
   }
+
+  test("a projected _row_id never shifts cs attribution: stats stay column-aligned") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val root = freshRoot()
+    // a (0..9) and b (0..4) carry DISTINGUISHABLE cs records
+    SnapshotLake.commit(spark, root,
+      (0L until 1000L).map(i => (i, i % 10, i % 5))
+        .toDF("k", "a", "b").coalesce(1), "k")
+    // projection with _row_id at a NON-terminal slot: the physical
+    // projection strips metadata and appends __rid LAST, so a naive
+    // positional zip would pair _row_id↔b and b↔__rid — attributing
+    // a's sketch to the wrong attribute or dropping b's entirely
+    val sb = new graft.sources.LakeScanBuilder(root, None,
+      StructType(Seq(
+        StructField("a", LongType), StructField("_row_id", LongType),
+        StructField("b", LongType))))
+    val stats = sb.build()
+      .asInstanceOf[org.apache.spark.sql.connector.read
+        .SupportsReportStatistics].estimateStatistics()
+    val cs = stats.columnStats().asScala.map { case (ref, st) =>
+      ref.describe() -> st }.toMap
+    def rng(c: String): (Long, Long) =
+      (cs(c).min().get.asInstanceOf[Long],
+        cs(c).max().get.asInstanceOf[Long])
+    assert(cs.contains("a") && cs.contains("b"),
+      s"column stats missing under _row_id projection: ${cs.keySet}")
+    assert(rng("a") === (0L, 9L))
+    assert(rng("b") === (0L, 4L))
+    assert(cs("a").distinctCount().getAsLong === 10L)
+    assert(cs("b").distinctCount().getAsLong === 5L)
+    assert(!cs.contains("_row_id") && !cs.contains("__rid"))
+  }
 }

@@ -150,4 +150,46 @@ class LakeDeltaDmlSpec extends SparkTestBase {
     assert(byType === Map("update" -> (0L until 400L)
       .count(_ % 3 == 1).toLong))
   }
+
+  test("a vector change landing between scan and commit conflicts a post-image commit") {
+    import scala.jdk.CollectionConverters._
+    val root = freshRoot()
+    clustered4(root)
+    val v0 = SnapshotLake.headVersion(root)
+    // a concurrent DELETE lands AFTER the row-level scan was planned
+    // — commit-time head now differs from the scanned version
+    SnapshotLake.deleteRows(spark, root, col("k") === 101L)
+    // stage a post-image file, as the delta writer would
+    val stage = java.nio.file.Paths.get(
+      graft.sources.LakeWrite.stagingDir(root))
+    Files.createDirectories(stage)
+    val tmp = Files.createTempDirectory("dml_stage_").toString
+    Seq((102L, -1L)).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+    val part = Files.list(java.nio.file.Paths.get(tmp))
+      .iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val name = "race-post-image.parquet"
+    Files.copy(part, stage.resolve(name))
+    val file = SnapshotLake.snapshot(root, Some(v0)).files
+      .find(f => f.lo <= 102 && f.hi >= 102).get
+    // positions computed from v0 (k=102 → physical position 2):
+    // carrying a post-image, the commit must refuse — base == head
+    // would have slipped the guard had base been read at commit time
+    val ex = intercept[SnapshotLake.MergeConflictException] {
+      SnapshotLake.commitDeltaOps(spark, root,
+        Map(s"$root/${file.name}" -> Array(2L)),
+        staged = Seq((name, 1L)), op = "update",
+        scannedVersion = Some(v0))
+    }
+    assert(ex.getMessage.contains("deletion-vector change"))
+    // the same positions as a PURE delete tolerate the race: the
+    // vector union is idempotent, delete∪delete stays exact
+    val res = SnapshotLake.commitDeltaOps(spark, root,
+      Map(s"$root/${file.name}" -> Array(2L)),
+      staged = Seq.empty, op = "delete", scannedVersion = Some(v0))
+    assert(res.rowsDeleted === 1L)
+    assert(SnapshotLake.read(spark, root)
+      .where(col("k").isin(101L, 102L)).count() === 0L)
+  }
 }
