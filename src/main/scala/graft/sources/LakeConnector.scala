@@ -1385,7 +1385,8 @@ final case class LakeScan(root: String, version: Int,
           org.apache.spark.sql.connector.expressions.NamedReference,
           org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
         def colStat(ndv: Long, mn: Option[Long], mx: Option[Long],
-            nulls: Option[Long] = Some(0L)) =
+            nulls: Option[Long] = Some(0L), avg: Option[Long] = None,
+            maxL: Option[Long] = None) =
           new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
             override def distinctCount(): java.util.OptionalLong =
               java.util.OptionalLong.of(ndv)
@@ -1397,6 +1398,12 @@ final case class LakeScan(root: String, version: Int,
                 java.util.Optional.of(java.lang.Long.valueOf(v)))
             override def nullCount(): java.util.OptionalLong =
               nulls.fold(java.util.OptionalLong.empty())(
+                java.util.OptionalLong.of)
+            override def avgLen(): java.util.OptionalLong =
+              avg.fold(java.util.OptionalLong.empty())(
+                java.util.OptionalLong.of)
+            override def maxLen(): java.util.OptionalLong =
+              maxL.fold(java.util.OptionalLong.empty())(
                 java.util.OptionalLong.of)
           }
         def isLong(name: String): Boolean =
@@ -1453,18 +1460,39 @@ final case class LakeScan(root: String, version: Int,
         if (files.nonEmpty) nonMeta.foreach { f =>
           val key = physOf.getOrElse(f.name, f.name)
             .toLowerCase(java.util.Locale.ROOT)
-          if (f.dataType == LongType && !m.containsKey(
-              org.apache.spark.sql.connector.expressions.Expressions
-                .column(f.name)) &&
+          val ref = org.apache.spark.sql.connector.expressions.Expressions
+            .column(f.name)
+          if (f.dataType == LongType && !m.containsKey(ref) &&
               files.forall(_.cstats.contains(key))) {
             val sts = files.map(_.cstats(key))
-            m.put(org.apache.spark.sql.connector.expressions.Expressions
-              .column(f.name),
+            m.put(ref,
               colStat(
                 SnapshotLake.ColStat.ndv(
                   SnapshotLake.ColStat.mergeKmv(sts.map(_.kmv))),
                 Some(sts.map(_.lo).min), Some(sts.map(_.hi).max),
                 nulls = Some(sts.map(_.nulls).sum)))
+          } else if (f.dataType ==
+              org.apache.spark.sql.types.StringType &&
+              !m.containsKey(ref) &&
+              files.forall(_.cstats.contains(key))) {
+            // string records repurpose the numeric slots (schema is
+            // authoritative): lo = total non-null chars, hi = max
+            // length. Served as NDV + nullCount + avgLen/maxLen —
+            // min/max stay empty (a Long literal against a string
+            // attribute would poison estimation, and catalyst keeps
+            // no string min/max anyway). NDV on the join key is what
+            // flips CBO reorder for digest/URL-keyed tables.
+            val sts = files.map(_.cstats(key))
+            val nonNull = math.max(1L,
+              files.map(_.rows).sum - sts.map(_.nulls).sum)
+            m.put(ref,
+              colStat(
+                SnapshotLake.ColStat.ndv(
+                  SnapshotLake.ColStat.mergeKmv(sts.map(_.kmv))),
+                None, None,
+                nulls = Some(sts.map(_.nulls).sum),
+                avg = Some(math.max(1L, sts.map(_.lo).sum / nonNull)),
+                maxL = Some(sts.map(_.hi).max)))
           }
         }
         m

@@ -94,13 +94,16 @@ final class LakeDeltaWriteBuilder(root: String, info: LogicalWriteInfo,
 /** A delta task's acknowledgement: the rows it inserted (ordinary
   * staged files), the UPDATE post-images it wrote (staged files that
   * MATERIALIZE their pre-images' row ids in a `__rid` column), and
-  * the positions it deleted, grouped by data-file path. Positions
-  * ride as plain sorted arrays — KB-scale by the nature of delta DML
-  * (each is one task's matched rows).
+  * the positions it deleted, grouped by data-file path and encoded
+  * EXECUTOR-SIDE as [[SnapshotLake.Dv.stageSpec]] specs: a small set
+  * rides inline, a wide one as a pointer to a staging sidecar the
+  * TASK wrote. The acknowledgement is O(touched files) bytes however
+  * many rows were matched — a scattered delete across a million
+  * files never aggregates positions on the driver.
   */
 final case class LakeDeltaStaged(inserted: Seq[LakeStaged],
     updated: Seq[LakeStaged],
-    deletes: Seq[(String, Array[Long])]) extends WriterCommitMessage
+    deletes: Seq[(String, String)]) extends WriterCommitMessage
 
 final class LakeDeltaBatchWrite(root: String, schema: StructType,
     opts: Map[String, String], cmd: RowLevelOperation.Command,
@@ -122,10 +125,10 @@ final class LakeDeltaBatchWrite(root: String, schema: StructType,
       case m: LakeDeltaStaged => Seq(m)
       case _ => Seq.empty
     }
-    // merge every task's per-file positions (two tasks may delete
-    // from the same file)
+    // merge every task's per-file specs (two tasks may delete from
+    // the same file; the union decodes per file at publish time)
     val deletes = staged.flatMap(_.deletes)
-      .groupBy(_._1).map { case (p, gs) => p -> gs.flatMap(_._2).toArray }
+      .groupBy(_._1).map { case (p, gs) => p -> gs.map(_._2) }
     val op = cmd.toString.toLowerCase(java.util.Locale.ROOT)
     val res = SnapshotLake.commitDeltaOps(SparkSession.active, root,
       deletes, staged.flatMap(_.inserted).map(m => (m.name, m.rows)), op,
@@ -145,6 +148,7 @@ final class LakeDeltaBatchWrite(root: String, schema: StructType,
     messages.foreach {
       case m: LakeDeltaStaged =>
         (m.inserted ++ m.updated).foreach(LakeCommit.discard(root, _))
+        SnapshotLake.Dv.discardStaged(m.deletes.map(_._2))
       case _ =>
     }
 }
@@ -213,7 +217,10 @@ final class LakeDeltaDataWriter(root: String,
   override def commit(): WriterCommitMessage =
     LakeDeltaStaged(ack(inner),
       if (matInner == null) Seq.empty else ack(matInner),
-      deletes.toSeq.map { case (f, ps) => (f, ps.toArray) })
+      // encode + stage HERE, on the executor: the ack carries a
+      // pointer-sized spec per touched file, never a position array
+      deletes.toSeq.map { case (f, ps) =>
+        (f, SnapshotLake.Dv.stageSpec(root, ps.toArray)._1) })
 
   override def abort(): Unit = {
     inner.abort()

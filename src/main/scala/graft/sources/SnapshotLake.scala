@@ -96,7 +96,15 @@ object SnapshotLake {
         * degrades to key-matched semantics — ids are never invented.
         */
       rid: Option[Long] = None,
-      ridMat: Boolean = false) {
+      ridMat: Boolean = false,
+      /** The file entered the chain as a GENUINE INSERT under row
+        * tracking (a delta MERGE/UPDATE's insert leg): its implicit
+        * base is fresh at its version, but no pre-existing row lives
+        * in it — so the change feed's row-id diff may include it
+        * (all its rows classify as inserts, which is exactly right)
+        * instead of being forced back to the key-matched diff.
+        */
+      ridNew: Boolean = false) {
     /** Rows a reader actually surfaces: physical rows minus the
       * deletion vector's cardinality. This is the row count every
       * manifest-answered number must use (COUNT pushdown, limit/top-k
@@ -242,6 +250,61 @@ object SnapshotLake {
       */
     def union(existing: Option[Dv], fresh: Array[Long]): Dv =
       fromPositions(existing.fold(fresh)(_.positions ++ fresh))
+
+    /** EXECUTOR-SIDE staging of one file's deleted positions: a
+      * small set returns its inline b64 spec; a wide one writes a
+      * PRIVATE staging sidecar (`_dv/stage-<uuid>.bin` — uuid-named,
+      * never referenced by any manifest, deleted by the operation
+      * that staged it) and returns the ~60-char absolute `@` pointer.
+      * This is what keeps wide row-level operations off the driver: a
+      * scattered delete touching a million files ships a million
+      * pointers through task acknowledgements, never a million
+      * position arrays. Single-filesystem contract, same as
+      * [[bytesOf]] reading sidecars from executors.
+      */
+    def stageSpec(root: String, positions: Array[Long]): (String, Long) = {
+      val d = fromPositions(positions)
+      if (d.b64.length <= ExternalizeOverChars) (d.b64, d.count)
+      else {
+        val rel = s"_dv/stage-${UUID.randomUUID().toString}.bin"
+        val p = Paths.get(root, rel)
+        Files.createDirectories(p.getParent)
+        Files.write(p, java.util.Base64.getDecoder.decode(d.b64))
+        ("@" + p.toAbsolutePath.toString, d.count)
+      }
+    }
+
+    /** Delete the staging sidecars behind task-produced specs —
+      * called by the staging operation once its commit loop settles
+      * (success or failure; the final manifest never points at a
+      * stage file, only at content-addressed `dv-` sidecars).
+      */
+    def discardStaged(specs: Iterable[String]): Unit =
+      specs.foreach { sp =>
+        if (sp.startsWith("@") && sp.contains("/_dv/stage-"))
+          Files.deleteIfExists(Paths.get(sp.substring(1))): Unit
+      }
+
+    /** Union an existing vector with staged specs' positions,
+      * COMPACTING the result: a wide union re-externalizes to a
+      * content-addressed sidecar immediately, so the driver holds
+      * O(pointer) — never O(positions) — per file while assembling a
+      * commit. Per-file decode cost is bounded by that file's row
+      * count; files process one at a time.
+      */
+    def unionSpecs(root: String, existing: Option[Dv],
+        specs: Seq[String]): Dv =
+      compacted(root, fromPositions(
+        existing.fold(Array.empty[Long])(_.positions) ++
+          specs.toArray.flatMap(decode)))
+
+    /** Inline → external form when past the inline bound (the same
+      * content-addressed write [[manifestSpec]] performs, done
+      * eagerly so in-memory [[FileStat]]s stay pointer-sized).
+      */
+    def compacted(root: String, d: Dv): Dv =
+      if (d.isExternal || d.b64.length <= ExternalizeOverChars) d
+      else Dv(d.count, parsedSpec(root, manifestSpec(root, d)))
 
     /** The spec to WRITE into a text manifest under `root`: pointers
       * re-relativize; a too-long inline spec externalizes to a
@@ -621,6 +684,7 @@ object SnapshotLake {
           optional binary cst (UTF8);
           optional int64 rib;
           optional boolean rim;
+          optional boolean rin;
         }""")
 
     def write(root: String, v: Int, files: Seq[FileStat]): String = {
@@ -685,9 +749,11 @@ object SnapshotLake {
               Dv.fromPositions(st.kmv.toArray).b64}" }
           if (enc.nonEmpty) g.append("cst", enc.mkString(";")): Unit
         }
-        // row tracking: implicit base or the materialized marker
+        // row tracking: implicit base or the materialized marker,
+        // plus the genuine-insert flag
         if (f.ridMat) g.append("rim", true): Unit
         else f.rid.foreach(b => g.append("rib", b): Unit)
+        if (f.ridNew) g.append("rin", true): Unit
         w.write(g)
       } finally w.close()
       name
@@ -700,8 +766,12 @@ object SnapshotLake {
             logDir(root).resolve(name).toString))
         .build()
       try Iterator.continually(r.read()).takeWhile(_ != null).map { g =>
+        // containsField first: a checkpoint written by an OLDER
+        // build lacks later optional fields entirely, and the
+        // repetition-count lookup on an unknown field throws
         def opt(field: String): Boolean =
-          g.getFieldRepetitionCount(field) > 0
+          g.getType.containsField(field) &&
+            g.getFieldRepetitionCount(field) > 0
         FileStat(
           g.getString("name", 0),
           g.getLong("lo", 0), g.getLong("hi", 0), g.getLong("rows", 0),
@@ -726,7 +796,8 @@ object SnapshotLake {
                 Dv.decode(kmv).toSeq)
             }.toMap,
           rid = if (opt("rib")) Some(g.getLong("rib", 0)) else None,
-          ridMat = opt("rim") && g.getBoolean("rim", 0))
+          ridMat = opt("rim") && g.getBoolean("rim", 0),
+          ridNew = opt("rin") && g.getBoolean("rin", 0))
       }.toVector
       finally r.close()
     }
@@ -856,11 +927,14 @@ object SnapshotLake {
         Dv.decode(kmv).toSeq)
     }.toMap
     // ri=<base> (implicit row ids) | ri=mat (materialized __rid col)
+    // | ri=new:<base> (implicit ids on a genuine-insert file)
     val ri = extras.find(_.startsWith("ri=")).map(_.stripPrefix("ri="))
     FileStat(fields(0), fields(1).toLong, fields(2).toLong,
       fields(3).toLong, bloom, dim2, bytes, part, dv, sum, cstats,
-      rid = ri.filter(_ != "mat").map(_.toLong),
-      ridMat = ri.contains("mat"))
+      rid = ri.filter(_ != "mat").map(v =>
+        (if (v.startsWith("new:")) v.stripPrefix("new:") else v).toLong),
+      ridMat = ri.contains("mat"),
+      ridNew = ri.exists(_.startsWith("new:")))
   }
 
   private def parseManifest(root: String, v: Int): Manifest = {
@@ -1111,7 +1185,8 @@ object SnapshotLake {
         }
       val withRi =
         if (f.ridMat) s"$withCs\tri=mat"
-        else f.rid.fold(withCs)(b => s"$withCs\tri=$b")
+        else f.rid.fold(withCs)(b =>
+          if (f.ridNew) s"$withCs\tri=new:$b" else s"$withCs\tri=$b")
       f.bloom.fold(withRi)(b =>
         s"$withRi\tbf=${java.util.Base64.getEncoder.encodeToString(b)}")
     }
@@ -1363,7 +1438,14 @@ object SnapshotLake {
     val (deltaLo, deltaHi) = (probe.getLong(1), probe.getLong(2))
     val kept = base.files.filterNot(f => touched(f.name))
     val touchedFiles = base.files.filter(f => touched(f.name))
-    // 2+3. rewrite touched files + split out inserts, in one batch
+    // 2+3. rewrite touched files + split out inserts, in one batch.
+    // Survivors KEEP their stable row ids (an upsert updates a row's
+    // payload, never its identity — __rid rides the rewrite, outputs
+    // tag ridMat); inserts are genuinely new rows and land in a
+    // separate `ins` file tagged ridNew (fresh implicit base, safe
+    // for the change feed's rid diff: all its rows ARE inserts).
+    val ridKept = touchedFiles.nonEmpty &&
+      touchedFiles.forall(f => f.ridMat || f.rid.isDefined)
     val newData: DataFrame = {
       val up = upserts.select(col(key).cast("long").as(key) +:
         payload.map(col): _*)
@@ -1372,22 +1454,26 @@ object SnapshotLake {
           read(s, root).where(lit(false))
             .withColumn("__src", lit(null).cast("string"))
         else
-          readFiles(s, root, base, touchedFiles)
+          (if (ridKept) readFilesForRewrite(s, root, base, touchedFiles)._1
+           else readFiles(s, root, base, touchedFiles))
             .withColumn("__src", input_file_name())
+      val ridCols =
+        if (ridKept) Seq(col(LakeTable.RidPhysColumn)) else Seq.empty
       // survivors: delete first, then presence-flag update in place
       val survivors = cur
         .join(delKeys.withColumn("__d", lit(true)), Seq(key), "left")
         .where(col("__d").isNull).drop("__d")
         .join(up.select(col(key), struct(payload.map(col): _*).as("__new")),
           Seq(key), "left")
-        .select(col(key) +: payload.map(c =>
+        .select((col(key) +: payload.map(c =>
           when(col("__new").isNotNull, col(s"__new.$c"))
-            .otherwise(col(c)).as(c)) :+ col("__src"): _*)
+            .otherwise(col(c)).as(c))) ++ ridCols ++
+          Seq(col("__src")): _*)
       val inserts = up
         .join(cur.select(col(key)), Seq(key), "left_anti")
         .select(col(key) +: payload.map(col): _*)
         .withColumn("__src", lit("__insert__"))
-      survivors.unionByName(inserts)
+      survivors.unionByName(inserts, allowMissingColumns = true)
     }
     // route rewritten rows back to one file per source file; inserts
     // (the `__insert__` sentinel) to one fresh file
@@ -1397,8 +1483,14 @@ object SnapshotLake {
       default = "ins"), base.schema)
       .repartition(col("__bucket"))
       .write.partitionBy("__bucket").parquet(s"$root/$batch")
+    val insName = "__bucket=ins/".r
     val newFiles = statsFor(s, root, batch, key, base.bloomCol,
-      inheritedBloomBytes(base), base.statCol2)
+        inheritedBloomBytes(base), base.statCol2)
+      .map { f =>
+        val isIns = insName.findFirstIn(f.name).isDefined
+        if (isIns) f.copy(ridNew = true)
+        else if (ridKept) f.copy(ridMat = true) else f
+      }
     // 4. publish with conflict-checked optimistic rebase
     var committed = -1
     while (committed < 0) {
@@ -1477,8 +1569,10 @@ object SnapshotLake {
         // rewrite boundary files only, survivors routed back one
         // output file per source file (merge's layout-preserving
         // pattern) — the shuffle moves boundary-file bytes, nothing
-        // else
-        val cur = readFiles(s, root, base, straddling)
+        // else; survivors keep their stable row ids (__rid) when the
+        // sources carry identity
+        val (src, ridKept) = readFilesForRewrite(s, root, base, straddling)
+        val cur = src
           .withColumn("__src", input_file_name())
           .where(!(col(key) >= lo && col(key) < hi))
         val batch = s"data/b-${UUID.randomUUID().toString.take(8)}"
@@ -1489,7 +1583,8 @@ object SnapshotLake {
           .repartition(col("__bucket"))
           .write.partitionBy("__bucket").parquet(s"$root/$batch")
         statsFor(s, root, batch, key, base.bloomCol,
-          inheritedBloomBytes(base), base.statCol2)
+            inheritedBloomBytes(base), base.statCol2)
+          .map(f => if (ridKept) f.copy(ridMat = true) else f)
       }
     val rowsDeleted = dropped.map(_.liveRows).sum +
       (straddling.map(_.liveRows).sum - newFiles.map(_.rows).sum)
@@ -1573,6 +1668,23 @@ object SnapshotLake {
     }
   }
 
+  /** Pass 2 of a row-level operation: per vector-routed file, the
+    * sorted matched positions are encoded and STAGED EXECUTOR-SIDE
+    * ([[Dv.stageSpec]]) — the driver receives one (file → ~60-char
+    * spec) row per touched file, never a position array. Executor
+    * memory per group is bounded by the routing threshold; driver
+    * memory is O(touched files), not O(deleted rows).
+    */
+  private def stagePositions(s: SparkSession, root: String,
+      matched: DataFrame): Map[String, String] = {
+    import s.implicits._
+    matched.groupBy(col("__dv_f"))
+      .agg(sort_array(collect_list(col("__dv_i"))).as("__ps"))
+      .select(col("__dv_f").as[String], col("__ps").as[Seq[Long]])
+      .map { case (f, ps) => (f, Dv.stageSpec(root, ps.toArray)._1) }
+      .collect().toMap
+  }
+
   final case class DvDeleteResult(version: Int, filesWithDv: Int,
       filesRewritten: Int, filesDropped: Int, filesUntouched: Int,
       rowsDeleted: Long)
@@ -1628,21 +1740,23 @@ object SnapshotLake {
       counts.keys.toSeq.sorted.partition(p => counts(p) > cowThresholdRows)
     val dvFiles = dvPaths.map(byPath)
     val cowFiles = cowPaths.map(byPath)
-    // pass 2: positions, re-scanning ONLY the vector-routed files
-    val positions: Map[String, Array[Long]] =
+    // pass 2: positions, re-scanning ONLY the vector-routed files —
+    // encoded and staged EXECUTOR-SIDE; the driver sees pointers
+    val positions: Map[String, String] =
       if (dvFiles.isEmpty) Map.empty
-      else readWithRowPos(s, root, base, dvFiles)
-        .where(coalesce(cond, lit(false)))
-        .groupBy(col("__dv_f"))
-        .agg(sort_array(collect_list(col("__dv_i"))).as("__ps"))
-        .collect()
-        .map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+      else stagePositions(s, root,
+        readWithRowPos(s, root, base, dvFiles)
+          .where(coalesce(cond, lit(false))))
     // over-threshold files rewrite copy-on-write, survivors routed
     // back one output file per source file (the [[delete]] pattern)
     val newFiles =
       if (cowFiles.isEmpty) Seq.empty[FileStat]
       else {
-        val cur = readFiles(s, root, base, cowFiles)
+        // the rewrite MATERIALIZES survivors' stable row ids (__rid)
+        // when every source carries identity — row tracking survives
+        // the CoW route, and the change feed keeps its rid diff
+        val (src, ridKept) = readFilesForRewrite(s, root, base, cowFiles)
+        val cur = src
           .withColumn("__src", input_file_name())
           .where(!coalesce(cond, lit(false)))
         val batch = s"data/b-${UUID.randomUUID().toString.take(8)}"
@@ -1658,6 +1772,7 @@ object SnapshotLake {
         val fTag = "__bucket=f(\\d+)/".r
         statsFor(s, root, batch, key, base.bloomCol,
             inheritedBloomBytes(base), base.statCol2)
+          .map(f => if (ridKept) f.copy(ridMat = true) else f)
           .map(f => fTag.findFirstMatchIn(f.name)
             .fold(f)(m => f.copy(part = cowFiles(m.group(1).toInt).part)))
       }
@@ -1665,7 +1780,7 @@ object SnapshotLake {
     var committed = -1
     var filesDropped = 0
     var rowsDeleted = 0L
-    while (committed < 0) {
+    try while (committed < 0) {
       val head = snapshot(root)
       val headByName = head.files.map(f => f.name -> f).toMap
       val vanished = touchedNames.filterNot(headByName.contains)
@@ -1690,7 +1805,8 @@ object SnapshotLake {
         // merge against the HEAD's vector: a racing deleteRows on the
         // same file may have landed first, and union keeps both exact
         val h = headByName(f.name)
-        val merged = Dv.union(h.dv, positions(dataPath(root, f.name)))
+        val merged = Dv.unionSpecs(root, h.dv,
+          Seq(positions(dataPath(root, f.name))))
         require(merged.count <= h.rows, s"deletion vector of ${f.name} " +
           s"records ${merged.count} positions for a ${h.rows}-row file")
         dvRows += merged.count - h.dv.fold(0L)(_.count)
@@ -1706,7 +1822,7 @@ object SnapshotLake {
           op = Some("delete"), parentFiles = Some(head.files),
           retired = head.retired))
         committed = head.version + 1
-    }
+    } finally Dv.discardStaged(positions.values)
     DvDeleteResult(committed, dvFiles.size - filesDropped, cowFiles.size,
       filesDropped, base.files.size - touchedNames.size, rowsDeleted)
   }
@@ -1755,24 +1871,31 @@ object SnapshotLake {
       counts.keys.toSeq.sorted.partition(p => counts(p) > cowThresholdRows)
     val dvFiles = dvPaths.map(byPath)
     val cowFiles = cowPaths.map(byPath)
-    val positions: Map[String, Array[Long]] =
+    // positions staged executor-side (pointers, never arrays)
+    val positions: Map[String, String] =
       if (dvFiles.isEmpty) Map.empty
-      else readWithRowPos(s, root, base, dvFiles).where(hit)
-        .groupBy(col("__dv_f"))
-        .agg(sort_array(collect_list(col("__dv_i"))).as("__ps"))
-        .collect()
-        .map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+      else stagePositions(s, root,
+        readWithRowPos(s, root, base, dvFiles).where(hit))
     // one write job lands both legs: the vectored files' POST-IMAGES
     // (one fresh "ins" file) and the over-threshold files' in-place
-    // rewrites (one output file per source file, merge's pattern)
+    // rewrites (one output file per source file, merge's pattern).
+    // Both legs MATERIALIZE their rows' stable ids when every
+    // touched file carries identity (__rid, tagged ridMat below):
+    // post-images keep their pre-images' ids — so row tracking
+    // survives updateRows and the CDF classifies it as updates by
+    // rid — and CoW rewrites keep theirs.
+    val ridKept = (dvFiles ++ cowFiles)
+      .forall(f => f.ridMat || f.rid.isDefined)
+    def readLeg(fl: Seq[FileStat]): DataFrame =
+      if (ridKept) readFilesForRewrite(s, root, base, fl)._1
+      else readFiles(s, root, base, fl)
     val legs = Seq(
       if (dvFiles.isEmpty) None
-      else Some(applySets(
-          readFiles(s, root, base, dvFiles).where(hit))
+      else Some(applySets(readLeg(dvFiles).where(hit))
         .withColumn("__src", lit("__fresh__"))),
       if (cowFiles.isEmpty) None
       else Some {
-        val cur = readFiles(s, root, base, cowFiles)
+        val cur = readLeg(cowFiles)
           .withColumn("__src", input_file_name())
         cur.where(!hit).unionByName(applySets(cur.where(hit)))
       }).flatten
@@ -1788,12 +1911,13 @@ object SnapshotLake {
     val fTag = "__bucket=f(\\d+)/".r
     val newFiles = statsFor(s, root, batch, key, base.bloomCol,
         inheritedBloomBytes(base), base.statCol2)
+      .map(f => if (ridKept) f.copy(ridMat = true) else f)
       .map(f => fTag.findFirstMatchIn(f.name)
         .fold(f)(m => f.copy(part = cowFiles(m.group(1).toInt).part)))
     val touchedNames = (dvFiles ++ cowFiles).map(_.name).toSet
     var committed = -1
     var filesWithDv = 0
-    while (committed < 0) {
+    try while (committed < 0) {
       val head = snapshot(root)
       val headByName = head.files.map(f => f.name -> f).toMap
       val vanished = touchedNames.filterNot(headByName.contains)
@@ -1813,7 +1937,8 @@ object SnapshotLake {
       filesWithDv = 0
       val dvUpdated = dvFiles.flatMap { f =>
         val h = headByName(f.name)
-        val merged = Dv.union(h.dv, positions(dataPath(root, f.name)))
+        val merged = Dv.unionSpecs(root, h.dv,
+          Seq(positions(dataPath(root, f.name))))
         require(merged.count <= h.rows, s"deletion vector of ${f.name} " +
           s"records ${merged.count} positions for a ${h.rows}-row file")
         if (merged.count == h.rows) None
@@ -1826,7 +1951,7 @@ object SnapshotLake {
           op = Some("update"), parentFiles = Some(head.files),
           retired = head.retired))
         committed = head.version + 1
-    }
+    } finally Dv.discardStaged(positions.values)
     DvUpdateResult(committed, filesWithDv, cowFiles.size,
       newFiles.size - cowFiles.size, counts.values.sum)
   }
@@ -1837,11 +1962,16 @@ object SnapshotLake {
 
   /** Publish one DELTA row-level commit ([[LakeDeltaBatchWrite]]'s
     * driver half): per-file deletion-vector growth (`deletes`: data
-    * path → physical positions) plus ordinary appended files
-    * (`staged`: acknowledged staging names + row counts) in ONE
-    * atomic version. This is what SQL UPDATE/MERGE/DELETE under
-    * `SupportsDelta` land as — the merge-on-read economics of
-    * [[updateRows]] with Spark supplying the matched rows.
+    * path → STAGED position specs, each an inline b64 encoding or a
+    * task-written `@` sidecar pointer — see [[Dv.stageSpec]]) plus
+    * ordinary appended files (`staged`: acknowledged staging names +
+    * row counts) in ONE atomic version. This is what SQL
+    * UPDATE/MERGE/DELETE under `SupportsDelta` land as — the
+    * merge-on-read economics of [[updateRows]] with Spark supplying
+    * the matched rows. The driver never holds position arrays across
+    * files: specs are pointer-sized, and the per-file union decodes
+    * one file's vector at a time, re-externalizing wide results
+    * immediately ([[Dv.unionSpecs]]).
     *
     * Concurrency: WriteSerializable. Vector growth union-merges
     * against the fresh head each publish attempt (idempotent — a
@@ -1851,7 +1981,7 @@ object SnapshotLake {
     * entirely (metadata-only completion, deleteRows' contract).
     */
   def commitDeltaOps(s: SparkSession, root: String,
-      deletes: Map[String, Array[Long]],
+      deletes: Map[String, Seq[String]],
       staged: Seq[(String, Long)], op: String,
       matStaged: Seq[(String, Long)] = Seq.empty,
       scannedVersion: Option[Int] = None): DeltaDmlResult = {
@@ -1865,7 +1995,7 @@ object SnapshotLake {
     val byPath = base.files.map(f => dataPath(root, f.name) -> f).toMap
     deletes.keys.foreach(p => require(byPath.contains(p),
       s"delta $op targets unknown file $p"))
-    val deleteByName: Map[String, Array[Long]] =
+    val deleteByName: Map[String, Seq[String]] =
       deletes.map { case (p, ps) => byPath(p).name -> ps }
     val (live, empty) = (staged ++ matStaged).partition(_._2 > 0)
     empty.foreach { case (n, _) =>
@@ -1883,18 +2013,21 @@ object SnapshotLake {
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         }
         // post-image files MATERIALIZE their pre-images' row ids (a
-        // __rid column) — tagged so readers serve _row_id from it
+        // __rid column) — tagged so readers serve _row_id from it;
+        // plain insert legs are GENUINE inserts (fresh base, zero
+        // pre-existing rows) — tagged so the CDF's row-id diff may
+        // include them instead of falling back to the key diff
         statsFor(s, root, batch, key, base.bloomCol,
             inheritedBloomBytes(base), base.statCol2)
           .map(f => if (matNames(
               f.name.substring(f.name.lastIndexOf('/') + 1)))
-            f.copy(ridMat = true) else f)
+            f.copy(ridMat = true) else f.copy(ridNew = true))
       }
     var committed = -1
     var filesWithDv = 0
     var filesDropped = 0
     var rowsDeleted = 0L
-    while (committed < 0) {
+    try while (committed < 0) {
       val head = snapshot(root)
       val headByName = head.files.map(f => f.name -> f).toMap
       val vanished = deleteByName.keySet.filterNot(headByName.contains)
@@ -1921,9 +2054,9 @@ object SnapshotLake {
       }
       filesWithDv = 0; filesDropped = 0; rowsDeleted = 0L
       val dvUpdated = deleteByName.toSeq.sortBy(_._1)
-        .flatMap { case (nm, ps) =>
+        .flatMap { case (nm, specs) =>
           val h = headByName(nm)
-          val merged = Dv.union(h.dv, ps)
+          val merged = Dv.unionSpecs(root, h.dv, specs)
           require(merged.count <= h.rows,
             s"deletion vector of $nm records ${merged.count} positions " +
               s"for a ${h.rows}-row file")
@@ -1938,7 +2071,7 @@ object SnapshotLake {
           op = Some(op), parentFiles = Some(head.files),
           retired = head.retired))
         committed = head.version + 1
-    }
+    } finally Dv.discardStaged(deletes.values.flatten)
     DeltaDmlResult(committed, filesWithDv, filesDropped, newFiles.size,
       rowsDeleted, live.map(_._2).sum)
   }
@@ -1968,17 +2101,20 @@ object SnapshotLake {
     if (purge.isEmpty) return PurgeResult(base.version, 0, 0L)
     val batch = s"data/b-${UUID.randomUUID().toString.take(8)}"
     // one output file per purged file (merge's layout-preserving
-    // routing): the rewrite drops dead positions, nothing else
+    // routing): the rewrite drops dead positions, nothing else —
+    // surviving rows keep their stable ids (__rid) so row tracking
+    // survives the maintenance verb
+    val (purgeSrc, ridKept) = readFilesForRewrite(s, root, base, purge)
     ColMap.toPhysical(routeToSourceBuckets(s,
-      readFiles(s, root, base, purge)
-        .withColumn("__src", input_file_name()),
+      purgeSrc.withColumn("__src", input_file_name()),
       purge.map(_.name).zipWithIndex.map { case (n, i) => n -> s"f$i" },
       default = "x"), base.schema)
       .repartition(col("__bucket"))
       .sortWithinPartitions(col(key))
       .write.partitionBy("__bucket").parquet(s"$root/$batch")
     val newFiles = statsFor(s, root, batch, key, base.bloomCol,
-      inheritedBloomBytes(base), base.statCol2)
+        inheritedBloomBytes(base), base.statCol2)
+      .map(f => if (ridKept) f.copy(ridMat = true) else f)
     val purgedNames = purge.map(_.name).toSet
     var committed = -1
     while (committed < 0) {
@@ -2064,7 +2200,11 @@ object SnapshotLake {
       else {
         val (n, c) = bucketSpec.get
         val batch = s"data/b-${UUID.randomUUID().toString.take(8)}"
-        val reread = readFiles(s, root, base, rebucket)
+        // re-routed rows keep their stable ids (__rid) when the
+        // sources carry identity — the old "implicit ids do not
+        // survive the re-route" degradation is gone for tracked
+        // chains
+        val (reread, rbRid) = readFilesForRewrite(s, root, base, rebucket)
         ColMap.toPhysical(
           reread.withColumn("__bucket",
             graft.functions.GraftBucket.idColumnFor(col(c), n,
@@ -2078,6 +2218,7 @@ object SnapshotLake {
         val bTag = "__bucket=(\\d+)/".r
         statsFor(s, root, batch, key, base.bloomCol,
             inheritedBloomBytes(base), base.statCol2)
+          .map(f => if (rbRid) f.copy(ridMat = true) else f)
           .map { f =>
             val m = bTag.findFirstMatchIn(f.name).getOrElse(
               throw new IllegalStateException(
@@ -2112,9 +2253,12 @@ object SnapshotLake {
       if (packed.isEmpty) Seq.empty[FileStat]
       else {
         val batch = s"data/b-${UUID.randomUUID().toString.take(8)}"
+        // packed rows keep their stable ids (row tracking survives
+        // OPTIMIZE — Delta's lineage contract)
+        val (packSrc, packRid) =
+          readFilesForRewrite(s, root, base, packed.flatten)
         ColMap.toPhysical(routeToSourceBuckets(s,
-          readFiles(s, root, base, packed.flatten)
-            .withColumn("__src", input_file_name()),
+          packSrc.withColumn("__src", input_file_name()),
           packed.zipWithIndex.flatMap { case (g, gi) =>
             g.map(f => f.name -> s"g$gi") },
           default = "x"), base.schema)
@@ -2124,6 +2268,7 @@ object SnapshotLake {
         val gTag = "__bucket=g(\\d+)/".r
         statsFor(s, root, batch, key, base.bloomCol,
             inheritedBloomBytes(base), base.statCol2)
+          .map(f => if (packRid) f.copy(ridMat = true) else f)
           // a packed output inherits its group's partition identity
           // (groups never span partitions, so head's tag is the
           // group's tag)
@@ -2209,6 +2354,64 @@ object SnapshotLake {
     }
   }
 
+  /** Rewrite-side read: like [[readFiles]], but when EVERY source
+    * file carries row identity the result ALSO materializes each
+    * row's stable id as the physical `__rid` column — so rewrite
+    * outputs can be tagged `ridMat` and row tracking SURVIVES
+    * copy-on-write, purge, and compaction (Delta's
+    * row-lineage-through-OPTIMIZE contract). Pre-row-tracking
+    * sources degrade to a plain read with `preserved = false`: ids
+    * are never invented.
+    *
+    * Scale shape: TWO scan legs (materialized-id files read their
+    * `__rid` column; implicit-base files derive `base + row_index`
+    * via a BROADCAST join on the KB-scale (file → base) map), never
+    * a leg per file — a 10,000-file compaction plans the same way a
+    * 2-file boundary rewrite does.
+    */
+  private def readFilesForRewrite(s: SparkSession, root: String,
+      snap: Snapshot, fs: Seq[FileStat]): (DataFrame, Boolean) = {
+    if (fs.isEmpty || !fs.forall(f => f.ridMat || f.rid.isDefined))
+      return (readFiles(s, root, snap, fs), false)
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val physSchema = snap.schema.map(ColMap.physicalSchema)
+    val (mat, imp) = fs.partition(_.ridMat)
+    def meta(df: DataFrame): DataFrame = df
+      .withColumn("__dv_f", normFilePath(col("_metadata.file_path")))
+      .withColumn("__dv_i", col("_metadata.row_index"))
+    val matLeg = if (mat.isEmpty) None else Some {
+      val paths = mat.map(f => dataPath(root, f.name))
+      meta(physSchema.fold(s.read.parquet(paths: _*))(p =>
+        s.read.schema(StructType(p.fields :+
+          StructField(LakeTable.RidPhysColumn, LongType)))
+          .parquet(paths: _*)))
+    }
+    val impLeg = if (imp.isEmpty) None else Some {
+      val paths = imp.map(f => dataPath(root, f.name))
+      val baseDf = s.createDataFrame(imp.map(f =>
+        (dataPath(root, f.name), f.rid.get))).toDF("__dv_f", "__ri_b")
+      meta(physSchema.fold(s.read.parquet(paths: _*))(p =>
+        s.read.schema(p).parquet(paths: _*)))
+        .join(broadcast(baseDf), Seq("__dv_f"))
+        .withColumn(LakeTable.RidPhysColumn,
+          col("__ri_b") + col("__dv_i"))
+        .drop("__ri_b")
+    }
+    val masked = antiJoinDv(s, root,
+      (matLeg.toSeq ++ impLeg.toSeq).reduce(_ unionByName _),
+      fs.filter(_.dv.exists(_.count > 0)))
+      .drop("__dv_f", "__dv_i")
+    val renamed = snap.schema.fold(masked) { logical =>
+      val phys = ColMap.physicalSchema(logical)
+      if (java.util.Arrays.equals(
+          phys.fieldNames.asInstanceOf[Array[AnyRef]],
+          logical.fieldNames.asInstanceOf[Array[AnyRef]])) masked
+      else masked.toDF((logical.fieldNames :+
+        LakeTable.RidPhysColumn).toIndexedSeq: _*)
+    }
+    (renamed, true)
+  }
+
   /** Change data feed between two versions, computed from the
     * manifest diff alone: read ONLY the files that left the manifest
     * (pre-images) and the files that entered it (post-images) —
@@ -2244,16 +2447,20 @@ object SnapshotLake {
     val added = to.files.filter(f =>
       fromByName.get(f.name).forall(_.dv != f.dv))
     // STABLE-ROW-ID diff: applies when every diffed file carries
-    // CONTINUOUS identity — materialized ids (a delta UPDATE's
-    // post-images), or an implicit base assigned BEFORE this version
-    // (a dv-grown file keeps its original base). A file whose base
-    // was assigned AT this version is a fresh-id output (a CoW
-    // rewrite, a MERGE insert): matching it by id would make every
-    // row look new, so those versions keep the key-matched path.
+    // CONTINUOUS identity — materialized ids (a rewrite's or delta
+    // UPDATE's outputs), an implicit base assigned BEFORE this
+    // version (a dv-grown file keeps its original base), or a
+    // GENUINE-INSERT file (`ri=new:` — fresh base, but no
+    // pre-existing row lives in it, so its rows correctly classify
+    // as inserts). A fresh-base file WITHOUT the insert tag is an
+    // id-discontinuous output (a pre-row-tracking CoW rewrite):
+    // matching it by id would make every row look new, so those
+    // versions keep the key-matched path.
     val parentHw = ridHwOf(root, fromV)
     val ridDiff = added.nonEmpty && removed.nonEmpty &&
       removed.forall(f => f.ridMat || f.rid.isDefined) &&
-      added.forall(f => f.ridMat || f.rid.exists(_ < parentHw))
+      added.forall(f => f.ridMat || f.ridNew ||
+        f.rid.exists(_ < parentHw))
     if (ridDiff) {
       val pre = readWithRids(s, root, from, removed)
       val post = readWithRids(s, root, to, added)
@@ -2533,17 +2740,30 @@ object SnapshotLake {
     // lines stay bounded; engine columns and routing dirs excluded)
     val lower = (statCol +: statCol2.toSeq)
       .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
-    val csCols: Seq[String] = df.schema.fields.iterator
+    // STRING columns record stats too — they are what TPC-H-style
+    // dims and dedup digests JOIN on, so leaving them out makes CBO
+    // guess exactly where reorder matters most. The record reuses
+    // the numeric slots with a type-driven reading (the table schema
+    // is authoritative on the scan side): lo = total non-null length
+    // (chars), hi = max length — merged into avgLen/maxLen, the two
+    // size stats catalyst keeps for strings — while NDV comes from
+    // the same KMV over xxhash64 (which hashes string bytes natively).
+    val csCols: Seq[(String, Boolean)] = df.schema.fields.iterator
       .filter(f => f.dataType == org.apache.spark.sql.types.LongType ||
-        f.dataType == org.apache.spark.sql.types.IntegerType)
-      .map(_.name)
-      .filterNot(n => n.startsWith("_") ||
-        lower(n.toLowerCase(java.util.Locale.ROOT)))
+        f.dataType == org.apache.spark.sql.types.IntegerType ||
+        f.dataType == org.apache.spark.sql.types.StringType)
+      .map(f => (f.name,
+        f.dataType == org.apache.spark.sql.types.StringType))
+      .filterNot { case (n, _) => n.startsWith("_") ||
+        lower(n.toLowerCase(java.util.Locale.ROOT)) }
       .take(4).toSeq
     val minK = udaf(new graft.operators.KmvSketch.MinKDistinct(ColStat.K))
-    val csAggs = csCols.zipWithIndex.flatMap { case (c, i) =>
-      Seq(min(col(c)).cast("long").as(s"__cs_lo_$i"),
-        max(col(c)).cast("long").as(s"__cs_hi_$i"),
+    val csAggs = csCols.zipWithIndex.flatMap { case ((c, isStr), i) =>
+      val (loAgg, hiAgg) =
+        if (isStr) (sum(length(col(c))).cast("long"),
+          max(length(col(c))).cast("long"))
+        else (min(col(c)).cast("long"), max(col(c)).cast("long"))
+      Seq(loAgg.as(s"__cs_lo_$i"), hiAgg.as(s"__cs_hi_$i"),
         count(when(col(c).isNull, 1)).as(s"__cs_nn_$i"),
         minK(expr(s"xxhash64(`$c`)").bitwiseAND(lit(Long.MaxValue)))
           .as(s"__cs_kmv_$i"))
@@ -2555,7 +2775,7 @@ object SnapshotLake {
       .map { r =>
         val uri = r.getString(0)
         val rel = uri.substring(uri.indexOf("/data/") + 1)
-        val cstats = csCols.zipWithIndex.flatMap { case (c, i) =>
+        val cstats = csCols.zipWithIndex.flatMap { case ((c, _), i) =>
           val loI = r.fieldIndex(s"__cs_lo_$i")
           // an all-null file records no entry for the column — the
           // scan-side merge skips the column whenever ANY kept file
@@ -3763,6 +3983,84 @@ object SnapshotLake {
         "cdf_deletes", "cdf_inserts", "n_rows", "sum_event_id")
   }
 
+  /** Judged ROW-ID LINEAGE THROUGH REWRITES (colstats v3's sibling,
+    * closing row tracking's last gaps): a copy-on-write delete, an
+    * upsert MERGE, and a full compaction each REWRITE files — and
+    * every surviving row keeps its stable `_row_id`, because rewrite
+    * outputs MATERIALIZE their sources' ids (`__rid`, `ri=mat`) and
+    * merge inserts land in a genuine-insert file (`ri=new:` — fresh
+    * base, safe for the rid diff since all its rows really are new).
+    * Gates: (a) every surviving key holds the exact id it had before
+    * any rewrite — one anti-join, zero collect; (b) ids stay unique
+    * after inserts; (c) the MERGE version's CDF classifies BY ROW ID
+    * as exactly (updates, inserts, deletes) with no phantom
+    * delete+insert pairs for carried rows; (d) the compaction
+    * version replays as ZERO change rows under the same rid diff;
+    * (e) the final aggregate is row-exact. Delta calls this row
+    * lineage through OPTIMIZE; at 100 TB it is what lets incremental
+    * consumers trust `_row_id` across maintenance.
+    */
+  def q172RowLineage(s: SparkSession, d: String): DataFrame = {
+    val root = Housekeeping.tempDir("q172")
+    val ev = eventsCents(s, d).select(col("event_id"), col("cents"))
+    val span = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    def bound(i: Int): Long = i.toLong * span / 4
+    val bucket = (1 to 3).foldLeft(lit(0)) { (acc, i) =>
+      when(col("event_id") >= bound(i), lit(i)).otherwise(acc)
+    }
+    commitClustered(s, root, ev, bucket, "event_id")
+    s.sql("DROP TABLE IF EXISTS q172_lake")
+    s.sql(s"""
+      CREATE TABLE q172_lake (event_id BIGINT, cents BIGINT)
+      USING graft.sources.GraftLakeSource
+      OPTIONS (path '$root', statCol 'event_id')""")
+    val v1 = snapshot(root).version
+    // 1. CoW delete of a dense range in bucket 1 (threshold 1 forces
+    //    the rewrite route)
+    deleteRows(s, root,
+      col("event_id") >= bound(1) && col("event_id") < bound(1) + span / 20,
+      cowThresholdRows = 1L)
+    // 2. upsert merge: updates in bucket 0, deletes in buckets 2–3,
+    //    inserts above the id span — all three regions disjoint
+    merge(s, root,
+      ev.where(col("event_id") < bound(1) && col("event_id") % 11 === 3)
+        .select(col("event_id"), (col("cents") + 1000000L).as("cents"))
+        .unionByName(s.range(span, span + 100)
+          .select(col("id").as("event_id"), lit(7L).as("cents"))),
+      ev.where(col("event_id") >= bound(2) && col("event_id") % 617 === 11)
+        .select(col("event_id")))
+    val mergeV = snapshot(root).version
+    // 3. compaction packs everything — ids must ride through
+    compactLake(s, root, targetRows = Long.MaxValue)
+    val headV = snapshot(root).version
+    // (a) surviving keys keep their pre-rewrite ids: anti-join the
+    // v1 (key, id) pairs against the head's — distributed, no collect
+    def pairs(v: Int) = s.read.format("graft.sources.GraftLakeSource")
+      .option("path", root).option("version", v.toString).load()
+      .select(col("event_id"), col("_row_id"))
+    val drifted = pairs(v1).as("a")
+      .join(pairs(headV).as("b"), Seq("event_id"))
+      .where(col("a._row_id") =!= col("b._row_id"))
+      .count()
+    val head = s.table("q172_lake")
+    val idsUnique = head.select(col("_row_id")).distinct().count() ==
+      head.count()
+    // (c) the merge version rid-diffs into exact counts
+    val byType = changes(s, root, mergeV - 1, mergeV)._1
+      .groupBy(col("change_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // (d) compaction replays as zero change rows
+    val compactRows = changes(s, root, headV - 1, headV)._1.count()
+    val agg = head.agg(count(lit(1)), sum(col("cents"))).collect().head
+    import s.implicits._
+    Seq((drifted, idsUnique, compactRows,
+        byType.getOrElse("update", 0L), byType.getOrElse("insert", 0L),
+        byType.getOrElse("delete", 0L), agg.getLong(0), agg.getLong(1)))
+      .toDF("n_ids_drifted", "ids_unique", "compact_change_rows",
+        "cdf_updates", "cdf_inserts", "cdf_deletes", "n_rows",
+        "sum_cents")
+  }
+
   /** Judged OPTIMIZE: a 64-file range-clustered lake (the streaming
     * small-file shape) compacts under a `span/8`-row budget to
     * exactly 8 files, and — the half that matters — a quarter-range
@@ -4213,6 +4511,85 @@ object SnapshotLake {
         lit(ndvInBand).as("ndv_in_band"),
         lit(eqInBand).as("eq_estimate_in_band"),
         col("n_rows"), col("sum_cents"))
+  }
+
+  /** Judged STRING column statistics → CBO join reorder (colstats
+    * v3): commits record `cs=` stats for STRING columns too — NDV
+    * from the same KMV-over-xxhash64 (which hashes string bytes
+    * natively) plus total/max length merged into catalyst's
+    * avgLen/maxLen — because digests and URLs, not integers, are
+    * what dedup/curation tables JOIN on at 100 TB. Gates: (a) the
+    * scan surfaces attribute stats for the string key with NDV in
+    * the KMV band, (b) NO fabricated min/max (a Long literal on a
+    * string attribute would poison estimation), (c) maxLen exact,
+    * and (d) — the consumer that matters — CostBasedJoinReorder
+    * FLIPS a three-table string-key join so the 50-row table joins
+    * before the second fact table, purely from manifest stats (no
+    * ANALYZE). The join aggregate itself stays exact-by-data and is
+    * what DuckDB recomputes.
+    */
+  def q171ColStatsString(s: SparkSession, d: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.cbo.enabled", "true")
+    ss.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    // defeat size-based broadcasting so the ORDER is the observable
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val rootA = Housekeeping.tempDir("q171a")
+    val rootB = Housekeeping.tempDir("q171b")
+    val rootC = Housekeeping.tempDir("q171c")
+    def vkey(c: org.apache.spark.sql.Column) =
+      concat(lit("v-"), (c % 100).cast("string"))
+    val ev = eventsCents(ss, d).where(col("event_id") < 20000L)
+      .select(col("event_id"), vkey(col("event_id")).as("vkey"))
+    commit(ss, rootA, ev.toDF("ka", "vkey").coalesce(2), "ka")
+    commit(ss, rootB, ev.toDF("kb", "vkey").coalesce(2), "kb")
+    commit(ss, rootC, eventsCents(ss, d).where(col("event_id") < 50L)
+      .select(col("event_id").as("kc"),
+        concat(lit("v-"), col("event_id").cast("string")).as("vkey"))
+      .coalesce(1), "kc")
+    def lake(r: String) = ss.read.format("graft.sources.GraftLakeSource")
+      .option("path", r).load()
+    val j = lake(rootA).join(lake(rootB), "vkey")
+      .join(lake(rootC), "vkey")
+      .agg(count(lit(1)).as("total_pairs"),
+        countDistinct(col("vkey")).as("n_keys"))
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.setActiveSession(ss)
+    val (ndvVisible, ndvInBand, noBounds, maxLenExact, flipped) =
+      try {
+        val cs = j.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            r.scan match {
+              case l: LakeScan if l.root == rootA =>
+                r.stats.attributeStats.collectFirst {
+                  case (a, st) if a.name.equalsIgnoreCase("vkey") => st }
+              case _ => None
+            }
+        }.flatten.headOption
+        val leaves = j.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            r.scan match {
+              case l: LakeScan =>
+                if (l.root == rootA) "A"
+                else if (l.root == rootB) "B"
+                else if (l.root == rootC) "C" else "?"
+              case _ => "?"
+            }
+        }
+        (cs.exists(_.distinctCount.isDefined),
+          cs.exists(_.distinctCount.exists(n =>
+            n.toDouble >= 100 / 1.5 && n.toDouble <= 100 * 1.5)),
+          cs.exists(st => st.min.isEmpty && st.max.isEmpty),
+          cs.exists(_.maxLen.contains(4L)),
+          leaves.sorted == Seq("A", "B", "C") &&
+            leaves.indexOf("C") < leaves.indexOf("B"))
+      } finally prevActive.foreach(SparkSession.setActiveSession)
+    j.select(lit(ndvVisible).as("ndv_visible"),
+      lit(ndvInBand).as("ndv_in_band"),
+      lit(noBounds).as("no_fabricated_bounds"),
+      lit(maxLenExact).as("maxlen_exact"),
+      lit(flipped).as("reorder_flipped"),
+      col("total_pairs"), col("n_keys"))
   }
 
   /** Judged STORAGE-PARTITIONED JOIN: two lakes partitioned on the
@@ -4711,6 +5088,52 @@ object SnapshotLake {
              count(*) AS n_rows,
              CAST(sum(cents) AS BIGINT) AS sum_cents
       FROM ec""")),
+    Q("q172_row_lineage", q172RowLineage, Some("""
+      WITH b AS (SELECT max(event_id) + 1 AS span FROM events),
+           ec AS (SELECT event_id,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events),
+           cowdel AS (SELECT event_id, cents FROM ec, b
+                      WHERE event_id >= span // 4
+                        AND event_id < span // 4 + span // 20),
+           upd AS (SELECT event_id FROM ec, b
+                   WHERE event_id < span // 4 AND event_id % 11 = 3),
+           mdel AS (SELECT event_id, cents FROM ec, b
+                    WHERE event_id >= (2 * span) // 4
+                      AND event_id % 617 = 11)
+      SELECT CAST(0 AS BIGINT) AS n_ids_drifted,
+             TRUE AS ids_unique,
+             CAST(0 AS BIGINT) AS compact_change_rows,
+             (SELECT count(*) FROM upd) AS cdf_updates,
+             CAST(100 AS BIGINT) AS cdf_inserts,
+             (SELECT count(*) FROM mdel) AS cdf_deletes,
+             (SELECT count(*) FROM ec)
+               - (SELECT count(*) FROM cowdel)
+               - (SELECT count(*) FROM mdel) + 100 AS n_rows,
+             (SELECT CAST(sum(cents) AS BIGINT) FROM ec)
+               - (SELECT CAST(coalesce(sum(cents), 0) AS BIGINT)
+                  FROM cowdel)
+               - (SELECT CAST(coalesce(sum(cents), 0) AS BIGINT)
+                  FROM mdel)
+               + 1000000 * (SELECT count(*) FROM upd)
+               + 700 AS sum_cents""")),
+    Q("q171_colstats_string", q171ColStatsString, Some("""
+      WITH e AS (SELECT concat('v-', CAST(event_id % 100 AS VARCHAR))
+                          AS vkey
+                 FROM events WHERE event_id < 20000),
+           c AS (SELECT concat('v-', CAST(event_id AS VARCHAR)) AS vkey
+                 FROM events WHERE event_id < 50),
+           j AS (SELECT a.vkey FROM e a
+                 JOIN e b ON a.vkey = b.vkey
+                 JOIN c ON a.vkey = c.vkey)
+      SELECT TRUE AS ndv_visible,
+             TRUE AS ndv_in_band,
+             TRUE AS no_fabricated_bounds,
+             TRUE AS maxlen_exact,
+             TRUE AS reorder_flipped,
+             count(*) AS total_pairs,
+             count(DISTINCT vkey) AS n_keys
+      FROM j""")),
     Q("q165_lake_colstats", q165LakeColStats, Some("""
       WITH b AS (SELECT max(event_id) + 1 AS span FROM events)
       SELECT TRUE AS colstats_visible,

@@ -184,6 +184,96 @@ class LakeColStatsSpec extends SparkTestBase {
       snap.files.map(_.cstats("v").kmv))) === 10L)
   }
 
+  test("string columns record stats: NDV exact below saturation, nulls, avgLen/maxLen served to CBO") {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.cbo.enabled", "true")
+    val root = freshRoot()
+    import ss.implicits._
+    // 10 distinct string values, 25% nulls, lengths 3 and 8
+    SnapshotLake.commit(ss, root,
+      (0L until 1000L).map(i =>
+        (i, if (i % 4 == 0) Option.empty[String]
+            else Some(if (i % 10 < 5) s"s-${i % 10}"
+                      else s"s-long-${i % 10}")))
+        .toDF("k", "v").coalesce(2), "k")
+    val snap = SnapshotLake.snapshot(root)
+    assert(snap.files.forall(_.cstats.contains("v")))
+    // 10 string values + the documented null phantom (xxhash64(null)
+    // hashes to the seed — one extra "value", same as the long path)
+    assert(ColStat.ndv(ColStat.mergeKmv(
+      snap.files.map(_.cstats("v").kmv))) === 11L)
+    assert(snap.files.map(_.cstats("v").nulls).sum === 250L)
+    assert(snap.files.map(_.cstats("v").hi).max === 8L)
+    // served through DSv2 columnStats into catalyst under CBO
+    val df = ss.read.format("graft.sources.GraftLakeSource")
+      .option("path", root).load().where(col("k") >= 0L)
+    val prev = SparkSession.getActiveSession
+    SparkSession.setActiveSession(ss)
+    try {
+      val st = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.stats.attributeStats.collectFirst {
+            case (a, s) if a.name == "v" => s }
+      }.flatten.headOption
+      assert(st.exists(_.distinctCount.contains(BigInt(11))))
+      assert(st.exists(_.nullCount.contains(BigInt(250))))
+      assert(st.exists(_.maxLen.contains(8L)))
+      assert(st.exists(_.avgLen.exists(a => a >= 3L && a <= 8L)))
+      // no fabricated bounds: a Long literal on a string attribute
+      // would poison estimation
+      assert(st.exists(s => s.min.isEmpty && s.max.isEmpty))
+    } finally prev.foreach(SparkSession.setActiveSession)
+  }
+
+  test("CBO join reorder flips on STRING-key manifest stats") {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.cbo.enabled", "true")
+    ss.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import ss.implicits._
+    val rootA = Files.createTempDirectory("lake_css_a_").toString
+    val rootB = Files.createTempDirectory("lake_css_b_").toString
+    val rootC = Files.createTempDirectory("lake_css_c_").toString
+    // same shape as the integral flip test, but the join key is a
+    // STRING (the digest/URL shape dedup corpora key on): without
+    // string cs records CBO guesses and keeps syntactic order
+    def key(c: org.apache.spark.sql.Column) =
+      concat(lit("v-"), (c % 100).cast("string"))
+    SnapshotLake.commit(ss, rootA,
+      (0L until 20000L).toDF("k").select(col("k"), key(col("k")).as("v"))
+        .coalesce(2), "k")
+    SnapshotLake.commit(ss, rootB,
+      (0L until 20000L).toDF("kb").select(col("kb"),
+        key(col("kb")).as("v")).coalesce(2), "kb")
+    SnapshotLake.commit(ss, rootC,
+      (0L until 50L).toDF("kc").select(col("kc"),
+        key(col("kc")).as("v")).coalesce(1), "kc")
+    def lake(r: String) = ss.read.format("graft.sources.GraftLakeSource")
+      .option("path", r).load()
+    val j = lake(rootA).join(lake(rootB), "v").join(lake(rootC), "v")
+      .groupBy(col("v")).agg(count(lit(1)).as("n"))
+    val prev = SparkSession.getActiveSession
+    SparkSession.setActiveSession(ss)
+    try {
+      val leaves = j.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan match {
+            case l: graft.sources.LakeScan =>
+              if (l.root == rootA) "A"
+              else if (l.root == rootB) "B"
+              else if (l.root == rootC) "C" else "?"
+            case _ => "?"
+          }
+      }
+      assert(leaves.sorted === Seq("A", "B", "C"))
+      assert(leaves.indexOf("C") < leaves.indexOf("B"),
+        s"string-key join reorder did not flip: leaf order $leaves")
+      val rows = j.orderBy(col("v")).as[(String, Long)].collect()
+      assert(rows.length === 50)
+      assert(rows.forall { case (_, n) => n == 200L * 200L })
+    } finally prev.foreach(SparkSession.setActiveSession)
+  }
+
   test("a projected _row_id never shifts cs attribution: stats stay column-aligned") {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.types.{LongType, StructField, StructType}

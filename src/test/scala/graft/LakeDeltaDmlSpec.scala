@@ -176,9 +176,10 @@ class LakeDeltaDmlSpec extends SparkTestBase {
     // positions computed from v0 (k=102 → physical position 2):
     // carrying a post-image, the commit must refuse — base == head
     // would have slipped the guard had base been read at commit time
+    val spec = SnapshotLake.Dv.fromPositions(Array(2L)).b64
     val ex = intercept[SnapshotLake.MergeConflictException] {
       SnapshotLake.commitDeltaOps(spark, root,
-        Map(s"$root/${file.name}" -> Array(2L)),
+        Map(s"$root/${file.name}" -> Seq(spec)),
         staged = Seq((name, 1L)), op = "update",
         scannedVersion = Some(v0))
     }
@@ -186,7 +187,7 @@ class LakeDeltaDmlSpec extends SparkTestBase {
     // the same positions as a PURE delete tolerate the race: the
     // vector union is idempotent, delete∪delete stays exact
     val res = SnapshotLake.commitDeltaOps(spark, root,
-      Map(s"$root/${file.name}" -> Array(2L)),
+      Map(s"$root/${file.name}" -> Seq(spec)),
       staged = Seq.empty, op = "delete", scannedVersion = Some(v0))
     assert(res.rowsDeleted === 1L)
     assert(SnapshotLake.read(spark, root)

@@ -140,4 +140,79 @@ class LakeDvSidecarSpec extends SparkTestBase {
       .where(col("k") < 100000L).count() ===
       (0L until 8000L).count(_ % 3 == 0).toLong)
   }
+
+  test("stageSpec/unionSpecs: executor staging inline-vs-pointer, exact union, compaction") {
+    val root = freshRoot()
+    // small set: inline, no file touched
+    val (inline, n1) = Dv.stageSpec(root, Array(3L, 1L, 2L))
+    assert(n1 === 3L && !inline.startsWith("@"))
+    assert(Dv.decode(inline).toSeq === Seq(1L, 2L, 3L))
+    assert(!Files.exists(Paths.get(root, "_dv")))
+    // wide set: a private stage sidecar, absolute pointer
+    val wide = (0L until 20000L by 3).toArray
+    val (ptr, n2) = Dv.stageSpec(root, wide)
+    assert(n2 === wide.length.toLong)
+    assert(ptr.startsWith(s"@$root/_dv/stage-"), ptr)
+    assert(Files.exists(Paths.get(ptr.substring(1))))
+    assert(Dv.decode(ptr).toSeq === wide.toSeq)
+    // union across an existing vector and BOTH spec forms; the wide
+    // result compacts straight to a content-addressed dv- sidecar so
+    // the driver never holds the inline encoding
+    val existing = Dv.fromPositions(Array(0L, 5L))
+    val merged = Dv.unionSpecs(root, Some(existing), Seq(inline, ptr))
+    assert(merged.count === (wide.toSet ++ Set(0L, 5L, 1L, 2L, 3L)).size)
+    assert(merged.isExternal)
+    assert(merged.b64.substring(1).contains("/_dv/dv-"))
+    assert(merged.positions.toSeq ===
+      (wide.toSet ++ Set(0L, 1L, 2L, 3L, 5L)).toSeq.sorted)
+    // the operation retires its stage files; content-addressed
+    // sidecars (referenced by manifests) are never its to discard
+    Dv.discardStaged(Seq(inline, ptr, merged.b64))
+    assert(!Files.exists(Paths.get(ptr.substring(1))))
+    assert(Files.exists(Paths.get(merged.b64.substring(1))))
+  }
+
+  test("wide row-level ops leave no stage residue and never ship positions through the driver ack") {
+    val root = freshRoot()
+    bigLake(root)
+    // wide scattered delete: positions staged executor-side
+    SnapshotLake.deleteRows(spark, root, col("k") % 3 === 1L,
+      cowThresholdRows = 100000L)
+    // wide merge-on-read update on the survivors
+    SnapshotLake.updateRows(spark, root, col("k") % 3 === 2L,
+      Seq("v" -> lit(-1L)), cowThresholdRows = 100000L)
+    val dvDir = Paths.get(root, "_dv")
+    import scala.jdk.CollectionConverters._
+    val residue = Files.list(dvDir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("stage-")).toSeq
+    assert(residue.isEmpty, s"stage sidecars leaked: $residue")
+    // and the results stay exact through both staged unions
+    assert(SnapshotLake.read(spark, root).count() ===
+      (0L until 20000L).count(_ % 3 != 1).toLong)
+    assert(SnapshotLake.read(spark, root).where(col("v") === -1L)
+      .count() === (0L until 20000L).count(_ % 3 == 2).toLong)
+  }
+
+  test("a wide SQL DELETE through SupportsDelta stages task sidecars and cleans them up") {
+    val root = freshRoot()
+    bigLake(root)
+    spark.sql("DROP TABLE IF EXISTS dvx_sql")
+    spark.sql(s"""
+      CREATE TABLE dvx_sql (k BIGINT, v BIGINT)
+      USING graft.sources.GraftLakeSource
+      OPTIONS (path '$root', statCol 'k', dv 'true')""")
+    // non-pushable wide predicate → delta route, ~6,666 positions
+    // spread over both files → past the inline bound → task-side
+    // stage sidecars carry them; the ack is pointer-sized
+    spark.sql("DELETE FROM dvx_sql WHERE k % 3 = 1")
+    val snap = SnapshotLake.snapshot(root)
+    assert(snap.files.flatMap(_.dv).nonEmpty)
+    assert(snap.files.flatMap(_.dv).forall(_.isExternal))
+    import scala.jdk.CollectionConverters._
+    val residue = Files.list(Paths.get(root, "_dv")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("stage-")).toSeq
+    assert(residue.isEmpty, s"stage sidecars leaked: $residue")
+    assert(spark.table("dvx_sql").count() ===
+      (0L until 20000L).count(_ % 3 != 1).toLong)
+  }
 }

@@ -99,27 +99,70 @@ class LakeRowTrackingSpec extends SparkTestBase {
     assert(again === Seq(before(7L)))
   }
 
-  test("CoW rewrites degrade honestly: fresh ids, CDF falls back to the key diff") {
+  test("CoW rewrites PRESERVE row ids: outputs materialize, survivors keep identity, CDF rid-diffs") {
     val root = freshRoot()
     clustered4(root)
-    val idsBefore = SnapshotLake.snapshot(root).files
-      .flatMap(_.rid).toSet
-    // dense delete → CoW rewrite (threshold 1): outputs are new
-    // files → fresh implicit bases past the high-water
+    // read (k, id) pairs before the rewrite through the connector
+    spark.sql("DROP TABLE IF EXISTS rid_cow")
+    spark.sql(s"""
+      CREATE TABLE rid_cow (k BIGINT, v BIGINT)
+      USING graft.sources.GraftLakeSource
+      OPTIONS (path '$root', statCol 'k')""")
+    val before = spark.sql("SELECT k, _row_id FROM rid_cow")
+      .as[(Long, Long)].collect().toMap
+    // dense delete → CoW rewrite (threshold 1): the rewrite
+    // MATERIALIZES survivors' ids (__rid) — row tracking survives
     SnapshotLake.deleteRows(spark, root,
       col("k") >= 100L && col("k") < 180L, cowThresholdRows = 1L)
     val after = SnapshotLake.snapshot(root)
-    assert(after.files.forall(f => f.rid.isDefined && !f.ridMat))
-    val fresh = after.files.flatMap(_.rid).toSet.diff(idsBefore)
-    assert(fresh.nonEmpty)
-    assert(fresh.forall(_ >= 400L))
-    // rid-diff refuses (added files are plain, not materialized):
-    // the key-matched path still derives the deletes exactly
+    assert(after.files.exists(_.ridMat), "CoW output not materialized")
+    val again = spark.sql("SELECT k, _row_id FROM rid_cow")
+      .as[(Long, Long)].collect().toMap
+    assert(again.size === 320)
+    assert(again.forall { case (k, id) => before(k) == id },
+      "a surviving row changed identity through the CoW rewrite")
+    // the CDF rid-diff now applies to the rewrite version and
+    // derives exactly the deleted rows (no phantom delete+insert
+    // pairs for the 320 carried survivors)
     val (diff, _, _) = SnapshotLake.changes(spark, root,
       after.version - 1, after.version)
     val byType = diff.groupBy(col("change_type"))
       .agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap
     assert(byType === Map("delete" -> 80L))
+  }
+
+  test("upsert merge: survivors keep ids, updates keep identity, inserts tag ri=new; CDF rid-diffs the lot") {
+    val root = freshRoot()
+    clustered4(root)
+    spark.sql("DROP TABLE IF EXISTS rid_mrg")
+    spark.sql(s"""
+      CREATE TABLE rid_mrg (k BIGINT, v BIGINT)
+      USING graft.sources.GraftLakeSource
+      OPTIONS (path '$root', statCol 'k')""")
+    val before = spark.sql("SELECT k, _row_id FROM rid_mrg")
+      .as[(Long, Long)].collect().toMap
+    // upsert: update k∈[100,110), insert k∈[400,410), delete k=205
+    SnapshotLake.merge(spark, root,
+      (100L until 110L).map(k => (k, -k)).toDF("k", "v")
+        .unionByName((400L until 410L).map(k => (k, k)).toDF("k", "v")),
+      Seq(205L).toDF("k"))
+    val snap = SnapshotLake.snapshot(root)
+    assert(snap.files.exists(_.ridNew), "insert file not tagged ri=new")
+    assert(snap.files.exists(_.ridMat), "rewrite not materialized")
+    val again = spark.sql("SELECT k, _row_id FROM rid_mrg")
+      .as[(Long, Long)].collect().toMap
+    // updated rows kept their identity; inserts got fresh ids
+    (100L until 110L).foreach(k => assert(again(k) == before(k),
+      s"updated row $k changed identity"))
+    (400L until 410L).foreach(k => assert(!before.values.toSet(again(k))))
+    assert(again.values.toSeq.distinct.size === again.size)
+    // CDF: rid diff classifies updates/inserts/deletes exactly
+    val (diff, _, _) = SnapshotLake.changes(spark, root,
+      snap.version - 1, snap.version)
+    val byType = diff.groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap
+    assert(byType ===
+      Map("update" -> 10L, "insert" -> 10L, "delete" -> 1L))
   }
 
   test("row ids survive deletion vectors: surviving rows keep their ids") {
