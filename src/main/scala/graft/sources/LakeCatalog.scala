@@ -183,30 +183,52 @@ final class GraftLakeCatalog extends TableCatalog
     * value, and a join of two same-bucketed tables on `c` plans with
     * zero shuffles.
     */
+  private def oneTransform(t: Transform): Map[String, String] = {
+    require(t.references().length == 1,
+      s"PARTITIONED BY takes exactly one column per transform, got $t")
+    val c = t.references()(0).fieldNames().mkString(".")
+    t.name match {
+      case "identity" => Map("partcol" -> c)
+      case "bucket" =>
+        val n = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.value().isInstanceOf[Int] =>
+            l.value().asInstanceOf[Int]
+        }.getOrElse(throw new IllegalArgumentException(
+          s"bucket transform lacks an integer bucket count: $t"))
+        require(n >= 2 && n <= (1 << 20),
+          s"bucket count must be in [2, 2^20], got $n")
+        Map("partcol" -> c, "partbuckets" -> n.toString)
+      case other => throw new IllegalArgumentException(
+        "only identity and bucket(N, col) PARTITIONED BY are " +
+          s"supported, got $other")
+    }
+  }
+
   private def partColOf(partitions: Array[Transform])
       : Option[Map[String, String]] = {
-    require(partitions.length <= 1,
-      "graft lake tables take at most one PARTITIONED BY transform")
-    partitions.headOption.map { t =>
-      require(t.references().length == 1,
-        s"PARTITIONED BY takes exactly one column, got $t")
-      val c = t.references()(0).fieldNames().mkString(".")
-      t.name match {
-        case "identity" => Map("partcol" -> c)
-        case "bucket" =>
-          val n = t.arguments().collectFirst {
-            case l: org.apache.spark.sql.connector.expressions.Literal[_]
-                if l.value().isInstanceOf[Int] =>
-              l.value().asInstanceOf[Int]
-          }.getOrElse(throw new IllegalArgumentException(
-            s"bucket transform lacks an integer bucket count: $t"))
-          require(n >= 2 && n <= (1 << 20),
-            s"bucket count must be in [2, 2^20], got $n")
-          Map("partcol" -> c, "partbuckets" -> n.toString)
-        case other => throw new IllegalArgumentException(
-          "only identity and bucket(N, col) PARTITIONED BY are " +
-            s"supported, got $other")
-      }
+    require(partitions.length <= 2,
+      "graft lake tables take at most two PARTITIONED BY transforms " +
+        "(identity [+ identity | bucket(N, col)])")
+    if (partitions.isEmpty) None
+    else if (partitions.length == 1) Some(oneTransform(partitions.head))
+    else {
+      // COMPOSED spec (the canonical date+bucket lakehouse layout):
+      // the FIRST level must be identity (it drives partition DML,
+      // SHOW PARTITIONS, and the primary prune); the second may be
+      // identity or bucket
+      val first = oneTransform(partitions(0))
+      require(!first.contains("partbuckets"),
+        "a composed PARTITIONED BY spec must lead with an identity " +
+          "column (got a bucket transform first); write " +
+          "PARTITIONED BY (p, bucket(N, k))")
+      val second = oneTransform(partitions(1))
+      require(first("partcol").toLowerCase(java.util.Locale.ROOT) !=
+          second("partcol").toLowerCase(java.util.Locale.ROOT),
+        "composed PARTITIONED BY levels must use different columns")
+      Some(first ++
+        Map("partcol2" -> second("partcol")) ++
+        second.get("partbuckets").map("partbuckets2" -> _))
     }
   }
 
@@ -276,20 +298,24 @@ final class GraftLakeCatalog extends TableCatalog
     }.getOrElse(Map.empty)
     val props = props0 ++ clusterProps ++
       partColOf(partT).fold(Map.empty[String, String]) { ps =>
-        val pc = ps("partcol")
-        val field = schema.fields.find(_.name.equalsIgnoreCase(pc))
-          .getOrElse(throw new IllegalArgumentException(
-            s"PARTITIONED BY column '$pc' not in the table schema"))
-        // bucket hashes the column's JVM value: integrals widen to
-        // long (XXH64.hashLong), strings hash their UTF-8 bytes —
-        // both with the SQL-twin property (pmod(xxhash64(c), N))
-        if (ps.contains("partbuckets"))
-          require(field.dataType ==
-              org.apache.spark.sql.types.LongType ||
-            field.dataType == org.apache.spark.sql.types.IntegerType ||
-            field.dataType == org.apache.spark.sql.types.StringType,
-            s"bucket(N, $pc) requires a BIGINT, INT, or STRING " +
-              s"column, got ${field.dataType.simpleString}")
+        def gate(colKey: String, bucketsKey: String): Unit = {
+          val pc = ps(colKey)
+          val field = schema.fields.find(_.name.equalsIgnoreCase(pc))
+            .getOrElse(throw new IllegalArgumentException(
+              s"PARTITIONED BY column '$pc' not in the table schema"))
+          // bucket hashes the column's JVM value: integrals widen to
+          // long (XXH64.hashLong), strings hash their UTF-8 bytes —
+          // both with the SQL-twin property (pmod(xxhash64(c), N))
+          if (ps.contains(bucketsKey))
+            require(field.dataType ==
+                org.apache.spark.sql.types.LongType ||
+              field.dataType == org.apache.spark.sql.types.IntegerType ||
+              field.dataType == org.apache.spark.sql.types.StringType,
+              s"bucket(N, $pc) requires a BIGINT, INT, or STRING " +
+                s"column, got ${field.dataType.simpleString}")
+        }
+        gate("partcol", "partbuckets")
+        if (ps.contains("partcol2")) gate("partcol2", "partbuckets2")
         ps
       }
     requireStatCol(props)
@@ -1064,6 +1090,72 @@ object LakeCatalogQueries {
         "n_shuffles_total", "n_keygrouped_scans", "join_sum_c3")
   }
 
+  /** Judged COMPOSED partition spec — `PARTITIONED BY (event_type,
+    * bucket(4, event_id))`, the canonical identity+bucket lakehouse
+    * layout: the clustered write lands ONE file per (type, bucket)
+    * combination tagged at BOTH levels, the prune intersects
+    * predicates on both columns (identity equality → bucket-count
+    * files; point id → one file per type; both → exactly one file),
+    * and the aggregates stay row-exact. At 100 TB this is the layout
+    * that serves "one day, one shard" reads from manifest tags
+    * alone — no listing, no footer I/O.
+    */
+  def q173ComposedPartition(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftcat",
+      "graft.sources.GraftLakeCatalog")
+    s.conf.set("spark.sql.catalog.graftcat.root", catBase)
+    s.sql("DROP TABLE IF EXISTS graftcat.q173")
+    Tables.events(s, d).select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("q173_events")
+    s.sql("""
+      CREATE TABLE graftcat.q173 (
+        event_type STRING, event_id BIGINT, cents BIGINT)
+      PARTITIONED BY (event_type, bucket(4, event_id))
+      TBLPROPERTIES ('statCol' = 'cents')""")
+    s.sql("""
+      INSERT INTO graftcat.q173
+      SELECT event_type, event_id, cents FROM q173_events""")
+      .collect(): Unit
+    val snap = SnapshotLake.snapshot(s"$catBase/q173")
+    val nTypes = s.sql(
+      "SELECT count(DISTINCT event_type) FROM q173_events")
+      .head().getLong(0)
+    val bTag = graft.functions.GraftBucket.tagCol(4, "event_id")
+    val nFiles = snap.files.size.toLong
+    val nBoth = snap.files.count(f =>
+      f.part.exists(_._1 == "event_type") &&
+        f.part2.exists(_._1 == bTag)).toLong
+    val nCombos = snap.files.flatMap(f =>
+      for { p <- f.part; p2 <- f.part2 } yield (p._2, p2._2))
+      .distinct.size.toLong
+    def planned(df: DataFrame): Long = LakeScan
+      .findIn(df.queryExecution.executedPlan)
+      .map(_.files.length.toLong).getOrElse(-1L)
+    val byType = s.table("graftcat.q173")
+      .where(col("event_type") === "click")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+    val tRow = byType.collect().head
+    val byId = s.table("graftcat.q173").where(col("event_id") === 41L)
+      .agg(sum(col("cents")).as("c"))
+    val idCents = byId.collect().head.getLong(0)
+    val t41 = s.sql(
+      "SELECT event_type FROM q173_events WHERE event_id = 41")
+      .head().getString(0)
+    val both = s.table("graftcat.q173")
+      .where(col("event_type") === t41 && col("event_id") === 41L)
+    val bothN = both.count()
+    val agg = s.table("graftcat.q173")
+      .agg(count(lit(1)), sum(col("cents"))).collect().head
+    import s.implicits._
+    Seq((nFiles, nBoth, nCombos, planned(byType), tRow.getLong(0),
+        tRow.getLong(1), planned(byId) == nTypes, idCents,
+        planned(both), bothN, agg.getLong(0), agg.getLong(1)))
+      .toDF("n_files", "n_both_tagged", "n_combos", "type_planned",
+        "type_rows", "type_cents", "id_planned_eq_types", "id_cents",
+        "both_planned", "both_rows", "n_rows", "sum_cents")
+  }
+
   /** Judged partition-level DML: on a fully tagged partitioned table,
     * `DELETE FROM t WHERE bucket4 = 3` is METADATA-ONLY (whole files
     * leave the manifest — hash-pinned by the after-files being a
@@ -1527,6 +1619,26 @@ object LakeCatalogQueries {
              CAST(2 AS BIGINT) AS n_keygrouped_scans,
              (SELECT CAST(sum(3 * cents) AS BIGINT) FROM e)
                AS join_sum_c3""")),
+    Q("q173_composed_partition", q173ComposedPartition, Some("""
+      WITH e AS (SELECT event_id, event_type,
+                        CAST(round(value * 100) AS BIGINT) AS cents
+                 FROM events),
+           t AS (SELECT count(DISTINCT event_type) AS nt FROM e)
+      SELECT (SELECT nt FROM t) * 4 AS n_files,
+             (SELECT nt FROM t) * 4 AS n_both_tagged,
+             (SELECT nt FROM t) * 4 AS n_combos,
+             CAST(4 AS BIGINT) AS type_planned,
+             (SELECT count(*) FROM e WHERE event_type = 'click')
+               AS type_rows,
+             (SELECT CAST(sum(cents) AS BIGINT) FROM e
+              WHERE event_type = 'click') AS type_cents,
+             TRUE AS id_planned_eq_types,
+             (SELECT CAST(sum(cents) AS BIGINT) FROM e
+              WHERE event_id = 41) AS id_cents,
+             CAST(1 AS BIGINT) AS both_planned,
+             CAST(1 AS BIGINT) AS both_rows,
+             (SELECT count(*) FROM e) AS n_rows,
+             (SELECT CAST(sum(cents) AS BIGINT) FROM e) AS sum_cents""")),
     Q("q170_bucket_spj_string", q170BucketSpjString, Some("""
       WITH e AS (SELECT concat('e-', CAST(event_id AS VARCHAR)) AS doc,
                         CAST(round(value * 100) AS BIGINT) AS cents

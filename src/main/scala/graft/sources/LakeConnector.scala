@@ -171,15 +171,19 @@ final class LakeTable(root: String, asOf: Option[Int], tschema: StructType,
   // declared partitioning (the `partcol` [+ `partbuckets`] props):
   // DESCRIBE shows it, and writes plan the clustered+sorted layout
   // through RequiresDistributionAndOrdering
-  override def partitioning(): Array[Transform] =
-    opts.get("partcol").map { pc =>
-      opts.get("partbuckets") match {
-        case Some(n) => org.apache.spark.sql.connector.expressions
-          .Expressions.bucket(n.toInt, pc)
-        case None => org.apache.spark.sql.connector.expressions
-          .Expressions.identity(pc)
+  override def partitioning(): Array[Transform] = {
+    def one(colKey: String, bucketsKey: String): Option[Transform] =
+      opts.get(colKey).map { pc =>
+        opts.get(bucketsKey) match {
+          case Some(n) => org.apache.spark.sql.connector.expressions
+            .Expressions.bucket(n.toInt, pc)
+          case None => org.apache.spark.sql.connector.expressions
+            .Expressions.identity(pc)
+        }
       }
-    }.toArray
+    (one("partcol", "partbuckets").toSeq ++
+      one("partcol2", "partbuckets2").toSeq).toArray
+  }
 
   // -- SHOW PARTITIONS / ALTER TABLE DROP PARTITION ---------------------
   // Partitions are DEFINED BY DATA (a value exists while tagged files
@@ -633,10 +637,12 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
   private var bloomIn: Option[Seq[Long]] = None
   private var handled = Array.empty[Filter]
   private var required = tschema
-  // partition-tag prune: (column, admissible value strings) — a file
-  // tagged under this column must match; untagged files and files
-  // tagged under ANOTHER partition spec (evolution) always survive
-  private var partIn: Option[(String, Set[String])] = None
+  // partition-tag prune: lowercased column → (column, admissible
+  // value strings) — a file tagged under a listed column must match
+  // on EVERY listed column it carries a tag for; untagged files and
+  // files tagged under ANOTHER partition spec (evolution) always
+  // survive. Multi-entry so a composed spec prunes on both levels.
+  private var partIn: Map[String, (String, Set[String])] = Map.empty
 
   private def num(v: Any): Option[Long] = v match {
     case l: Long => Some(l)
@@ -657,12 +663,22 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
     case _ => None
   }
 
+  /** Some file carries a partition tag — primary or composed-second
+    * level, identity or bucket — on column `c`.
+    */
+  private def anyPartTagOn(c: String): Boolean =
+    snap.files.exists(f => (f.part.toSeq ++ f.part2.toSeq).exists(t =>
+      t._1.equalsIgnoreCase(c) || graft.functions.GraftBucket
+        .parseTag(t._1).exists(_._2.equalsIgnoreCase(c))))
+
   private def recordPart(c: String, vs: Seq[String]): Boolean = {
-    partIn = Some(partIn match {
-      case Some((c0, vs0)) if c0 == c => (c0, vs0.intersect(vs.toSet))
-      case Some(other) => other // one partition column per scan
-      case None => (c, vs.toSet)
-    })
+    // multi-column: a composed spec (p, bucket(N, k)) prunes on BOTH
+    // columns; repeated predicates on one column intersect
+    val key = c.toLowerCase(java.util.Locale.ROOT)
+    partIn = partIn.updatedWith(key) {
+      case Some((c0, vs0)) => Some((c0, vs0.intersect(vs.toSet)))
+      case None => Some((c, vs.toSet))
+    }
     true
   }
 
@@ -716,15 +732,9 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
       // function the write used and compare bucket ids (checked per
       // file at build). Kept AFTER the stat/bloom cases so those
       // columns take their own, tighter paths
-      case EqualTo(c, v) if v != null &&
-          snap.files.exists(_.part.exists(t =>
-            t._1.equalsIgnoreCase(c) || graft.functions.GraftBucket
-              .parseTag(t._1).exists(_._2.equalsIgnoreCase(c)))) =>
+      case EqualTo(c, v) if v != null && anyPartTagOn(c) =>
         partStr(v).exists(sv => recordPart(c, Seq(sv)))
-      case In(c, vs) if vs.nonEmpty &&
-          snap.files.exists(_.part.exists(t =>
-            t._1.equalsIgnoreCase(c) || graft.functions.GraftBucket
-              .parseTag(t._1).exists(_._2.equalsIgnoreCase(c)))) =>
+      case In(c, vs) if vs.nonEmpty && anyPartTagOn(c) =>
         val svs = vs.toSeq.flatMap(partStr(_))
         svs.length == vs.length && recordPart(c, svs)
       case _ => false
@@ -983,26 +993,30 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
         statIn.forall(_.exists(v => f.lo <= v && v <= f.hi)) &&
         bloomIn.forall(vs => f.bloom.forall(b =>
           vs.exists(SnapshotLake.Bloom.mightContain(b, _)))) &&
-        partIn.forall { case (c, vs) => f.part match {
-          case Some((pc, pv)) if pc.equalsIgnoreCase(c) => vs(pv)
-          case Some((pc, pv)) if graft.functions.GraftBucket
-              .parseTag(pc).exists(_._2.equalsIgnoreCase(c)) =>
-            // bucket tag: keep the file iff SOME admissible literal
-            // hashes into its bucket (an unparseable literal keeps
-            // the file — pruning must never guess). String columns
-            // hash the literal's bytes; integrals parse-then-hash —
-            // matching the overload the write tagged with.
-            val nb = graft.functions.GraftBucket.parseTag(pc).get._1
-            val isStr = tschema.fields.exists(fld =>
-              fld.name.equalsIgnoreCase(c) && fld.dataType ==
-                org.apache.spark.sql.types.StringType)
-            vs.exists(v =>
-              if (isStr)
-                graft.functions.GraftBucket.id(v, nb).toString == pv
-              else scala.util.Try(v.toLong).toOption.fold(true)(
-                l => graft.functions.GraftBucket.id(l, nb).toString == pv))
-          case _ => true // untagged / other-spec file: never pruned
-        } }
+        partIn.values.forall { case (c, vs) =>
+          // the file must admit on EVERY tag level that carries this
+          // column (primary or the composed second); untagged /
+          // other-spec files are never pruned
+          (f.part.toSeq ++ f.part2.toSeq).forall {
+            case (pc, pv) if pc.equalsIgnoreCase(c) => vs(pv)
+            case (pc, pv) if graft.functions.GraftBucket
+                .parseTag(pc).exists(_._2.equalsIgnoreCase(c)) =>
+              // bucket tag: keep the file iff SOME admissible literal
+              // hashes into its bucket (an unparseable literal keeps
+              // the file — pruning must never guess). String columns
+              // hash the literal's bytes; integrals parse-then-hash —
+              // matching the overload the write tagged with.
+              val nb = graft.functions.GraftBucket.parseTag(pc).get._1
+              val isStr = tschema.fields.exists(fld =>
+                fld.name.equalsIgnoreCase(c) && fld.dataType ==
+                  org.apache.spark.sql.types.StringType)
+              vs.exists(v =>
+                if (isStr)
+                  graft.functions.GraftBucket.id(v, nb).toString == pv
+                else scala.util.Try(v.toLong).toOption.fold(true)(
+                  l => graft.functions.GraftBucket.id(l, nb).toString == pv))
+            case _ => true
+          } }
     }
     // limit/top-k file pruning (filterless scans only — see
     // pushLimit/pushTopN)
@@ -1089,7 +1103,8 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
         point.fold("")(v => s" bloom=$v") +
         statIn.fold("")(vs => s" in(${vs.length})") +
         bloomIn.fold("")(vs => s" bloomIn(${vs.length})") +
-        partIn.fold("") { case (c, vs) => s" part=$c(${vs.size})" } +
+        partIn.values.toSeq.sortBy(_._1)
+          .map { case (c, vs) => s" part=$c(${vs.size})" }.mkString +
         spj.fold("") { case (c, _) => spjBuckets match {
           case Some(n) =>
             s" keyGrouped=${graft.functions.GraftBucket.tagCol(n, c)}"

@@ -115,16 +115,20 @@ final class LakeWriteBuilder(root: String, info: LogicalWriteInfo,
     // shuffle code. (The bucket transform resolves through the
     // catalog's FunctionCatalog face, so bucketed writes are a
     // catalog-table surface — the Iceberg posture.)
-    val partSpec: Option[LakePartSpec] = opts.get("partcol").map { pc =>
-      val idx = info.schema().fieldNames
-        .indexWhere(_.equalsIgnoreCase(pc))
-      require(idx >= 0,
-        s"partition column '$pc' not in write schema " +
-          info.schema().fieldNames.mkString("(", ",", ")"))
-      LakePartSpec(info.schema().fieldNames(idx), idx,
-        info.schema().fields(idx).dataType,
-        opts.get("partbuckets").map(_.toInt))
-    }
+    def specOf(colKey: String, bucketsKey: String,
+        sub: Option[LakePartSpec]): Option[LakePartSpec] =
+      opts.get(colKey).map { pc =>
+        val idx = info.schema().fieldNames
+          .indexWhere(_.equalsIgnoreCase(pc))
+        require(idx >= 0,
+          s"partition column '$pc' not in write schema " +
+            info.schema().fieldNames.mkString("(", ",", ")"))
+        LakePartSpec(info.schema().fieldNames(idx), idx,
+          info.schema().fields(idx).dataType,
+          opts.get(bucketsKey).map(_.toInt), sub)
+      }
+    val partSpec: Option[LakePartSpec] = specOf("partcol", "partbuckets",
+      specOf("partcol2", "partbuckets2", None))
     partSpec match {
       case None => new Write {
         override def toBatch: BatchWrite =
@@ -139,25 +143,29 @@ final class LakeWriteBuilder(root: String, info: LogicalWriteInfo,
           with org.apache.spark.sql.connector.write
             .RequiresDistributionAndOrdering {
         import org.apache.spark.sql.connector.expressions.Expressions
-        private def clusterExpr
+        private def clusterExprOf(sp: LakePartSpec)
             : org.apache.spark.sql.connector.expressions.Expression =
-          spec.buckets match {
-            case Some(n) => Expressions.bucket(n, spec.col)
-            case None => Expressions.identity(spec.col)
+          sp.buckets match {
+            case Some(n) => Expressions.bucket(n, sp.col)
+            case None => Expressions.identity(sp.col)
           }
+        // a composed spec clusters (and sorts) by BOTH levels, so
+        // (p, bucket) runs are contiguous and the task writer rolls
+        // one single-valued file per combination
+        private def levels: Seq[LakePartSpec] = spec +: spec.sub.toSeq
         override def requiredDistribution()
             : org.apache.spark.sql.connector.distributions.Distribution =
           org.apache.spark.sql.connector.distributions.Distributions
-            .clustered(Array(clusterExpr))
+            .clustered(levels.map(clusterExprOf).toArray)
         override def requiredOrdering()
             : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-          Array(Expressions.sort(
-            spec.buckets.fold(
-              Expressions.column(spec.col)
+          levels.map(sp => Expressions.sort(
+            sp.buckets.fold(
+              Expressions.column(sp.col)
                 : org.apache.spark.sql.connector.expressions.Expression)(
-              _ => clusterExpr),
+              _ => clusterExprOf(sp)),
             org.apache.spark.sql.connector.expressions
-              .SortDirection.ASCENDING))
+              .SortDirection.ASCENDING)).toArray
         override def toBatch: BatchWrite =
           new LakeBatchWrite(root, info.schema(), overwrite, opts,
             Some(spec), replaceWhere)
@@ -223,7 +231,13 @@ object LakeWrite {
   * is the manifest tag column those values file under.
   */
 final case class LakePartSpec(col: String, idx: Int,
-    dt: org.apache.spark.sql.types.DataType, buckets: Option[Int]) {
+    dt: org.apache.spark.sql.types.DataType, buckets: Option[Int],
+    /** Second level of a COMPOSED spec (`PARTITIONED BY (p,
+      * bucket(N, k))`): the write clusters+sorts by BOTH transforms
+      * and the task writer rolls on either value changing, so every
+      * data file is single-valued in both dimensions.
+      */
+    sub: Option[LakePartSpec] = None) {
   def tagCol: String =
     buckets.fold(col)(n => graft.functions.GraftBucket.tagCol(n, col))
 }
@@ -233,7 +247,8 @@ final case class LakePartSpec(col: String, idx: Int,
   * the file's single partition value when the write was partitioned.
   */
 final case class LakeStaged(name: String, rows: Long,
-    partVal: Option[String] = None)
+    partVal: Option[String] = None,
+    partVal2: Option[String] = None)
     extends WriterCommitMessage
 
 /** A partitioned task's acknowledged files — one per partition-value
@@ -305,11 +320,19 @@ private[sources] object LakeCommit {
       case Some(pc) =>
         val tagName = opts.get("partbuckets").fold(pc)(n =>
           graft.functions.GraftBucket.tagCol(n.toInt, pc))
+        // composed spec: the second level tags under p2= with its
+        // own (identity or bucket) tag name
+        val tagName2 = opts.get("partcol2").map(pc2 =>
+          opts.get("partbuckets2").fold(pc2)(n =>
+            graft.functions.GraftBucket.tagCol(n.toInt, pc2)))
         val valOf = live.map(m => m.name -> m.partVal).toMap
+        val val2Of = live.map(m => m.name -> m.partVal2).toMap
         files.map { f =>
           val base = f.name.substring(f.name.lastIndexOf('/') + 1)
-          valOf.get(base).flatten.fold(f)(v =>
+          val f1 = valOf.get(base).flatten.fold(f)(v =>
             f.copy(part = Some(tagName -> v)))
+          (for { tn2 <- tagName2; v2 <- val2Of.get(base).flatten }
+            yield f1.copy(part2 = Some(tn2 -> v2))).getOrElse(f1)
         }
     }
     SnapshotLake.commitFiles(root, tagged, statCol, overwrite, bloomCol,
@@ -365,10 +388,16 @@ private[sources] object LakeCommit {
         val stats = SnapshotLake.statsFor(SparkSession.active, root, batch,
           statCol, bloomCol, bloomBytes, statCol2)
         val valOf = live.map(m => m.name -> m.partVal).toMap
+        val val2Of = live.map(m => m.name -> m.partVal2).toMap
+        val tagName2 = opts.get("partcol2").map(pc2 =>
+          opts.get("partbuckets2").fold(pc2)(n =>
+            graft.functions.GraftBucket.tagCol(n.toInt, pc2)))
         stats.map { f =>
           val base = f.name.substring(f.name.lastIndexOf('/') + 1)
-          valOf.get(base).flatten
+          val f1 = valOf.get(base).flatten
             .fold(f)(v => f.copy(part = Some(colName -> v)))
+          (for { tn2 <- tagName2; v2 <- val2Of.get(base).flatten }
+            yield f1.copy(part2 = Some(tn2 -> v2))).getOrElse(f1)
         }
       }
     SnapshotLake.commitReplaceFiles(root, replaced, newFiles, "overwrite",
@@ -569,6 +598,7 @@ final class LakeDataWriter(root: String, confKVs: Map[String, String],
   private var writer: ParquetWriter[InternalRow] = null
   private var rows = 0L
   private var curVal: Option[String] = None
+  private var curVal2: Option[String] = None
   private val finished = scala.collection.mutable.ArrayBuffer
     .empty[LakeStaged]
 
@@ -592,7 +622,7 @@ final class LakeDataWriter(root: String, confKVs: Map[String, String],
 
   private def closeSeg(): Unit = if (writer != null) {
     writer.close()
-    finished += LakeStaged(segName, rows, curVal)
+    finished += LakeStaged(segName, rows, curVal, curVal2)
     writer = null
   }
 
@@ -605,7 +635,12 @@ final class LakeDataWriter(root: String, confKVs: Map[String, String],
     * partition values are refused — the tag IS the prune key.
     */
   private def partValOf(row: InternalRow): Option[String] =
-    partSpec.map { spec =>
+    partSpec.map(valueOf(_, row))
+
+  private def partVal2Of(row: InternalRow): Option[String] =
+    partSpec.flatMap(_.sub).map(valueOf(_, row))
+
+  private def valueOf(spec: LakePartSpec, row: InternalRow): String = {
       require(!row.isNullAt(spec.idx),
         s"null partition value for column '${spec.col}' — partitioned " +
           "lake tables require a non-null partition column")
@@ -643,8 +678,13 @@ final class LakeDataWriter(root: String, confKVs: Map[String, String],
 
   override def write(row: InternalRow): Unit = {
     val v = partValOf(row)
-    if (writer == null) { curVal = v; openSeg() }
-    else if (v != curVal) { closeSeg(); curVal = v; openSeg() }
+    val v2 = partVal2Of(row)
+    // roll on EITHER level changing — composed-spec files stay
+    // single-valued in both dimensions
+    if (writer == null) { curVal = v; curVal2 = v2; openSeg() }
+    else if (v != curVal || v2 != curVal2) {
+      closeSeg(); curVal = v; curVal2 = v2; openSeg()
+    }
     writer.write(row)
     rows += 1
   }

@@ -104,7 +104,15 @@ object SnapshotLake {
         * (all its rows classify as inserts, which is exactly right)
         * instead of being forced back to the key-matched diff.
         */
-      ridNew: Boolean = false) {
+      ridNew: Boolean = false,
+      /** Secondary partition tag — the second level of a COMPOSED
+        * spec (`PARTITIONED BY (p, bucket(N, k))`, the canonical
+        * date+bucket lakehouse layout): primary identity tag in
+        * [[part]], the bucket (or second identity) tag here. A file
+        * under a composed spec is single-valued in BOTH dimensions,
+        * and the prune intersects both.
+        */
+      part2: Option[(String, String)] = None) {
     /** Rows a reader actually surfaces: physical rows minus the
       * deletion vector's cardinality. This is the row count every
       * manifest-answered number must use (COUNT pushdown, limit/top-k
@@ -685,6 +693,8 @@ object SnapshotLake {
           optional int64 rib;
           optional boolean rim;
           optional boolean rin;
+          optional binary p2c (UTF8);
+          optional binary p2v (UTF8);
         }""")
 
     def write(root: String, v: Int, files: Seq[FileStat]): String = {
@@ -711,6 +721,8 @@ object SnapshotLake {
           org.apache.parquet.io.api.Binary.fromConstantByteArray(b)): Unit)
         f.part.foreach { case (c, v) =>
           g.append("pcol", c); g.append("pval", v): Unit }
+        f.part2.foreach { case (c, v) =>
+          g.append("p2c", c); g.append("p2v", v): Unit }
         // deletion vector: dropping it here would resurrect deleted
         // rows at every 16th (checkpoint) commit. Externalized
         // vectors store their (root-relative) POINTER — the form
@@ -797,7 +809,9 @@ object SnapshotLake {
             }.toMap,
           rid = if (opt("rib")) Some(g.getLong("rib", 0)) else None,
           ridMat = opt("rim") && g.getBoolean("rim", 0),
-          ridNew = opt("rin") && g.getBoolean("rin", 0))
+          ridNew = opt("rin") && g.getBoolean("rin", 0),
+          part2 = if (opt("p2c")) Some((g.getString("p2c", 0),
+            g.getString("p2v", 0))) else None)
       }.toVector
       finally r.close()
     }
@@ -903,13 +917,17 @@ object SnapshotLake {
     // pt=<col>:<base64 value>: the file's partition identity — the
     // value is base64 so arbitrary partition values cannot collide
     // with the manifest's tab/colon delimiters
-    val part = extras.find(_.startsWith("pt=")).map { t =>
-      val body = t.stripPrefix("pt=")
-      val i = body.indexOf(':')
-      (body.substring(0, i),
-        new String(java.util.Base64.getDecoder.decode(
-          body.substring(i + 1)), StandardCharsets.UTF_8))
-    }
+    def parsePt(prefix: String): Option[(String, String)] =
+      extras.find(_.startsWith(prefix)).map { t =>
+        val body = t.stripPrefix(prefix)
+        val i = body.indexOf(':')
+        (body.substring(0, i),
+          new String(java.util.Base64.getDecoder.decode(
+            body.substring(i + 1)), StandardCharsets.UTF_8))
+      }
+    val part = parsePt("pt=")
+    // p2=<col>:<base64 value>: the composed spec's second level
+    val part2 = parsePt("p2=")
     // dv=<count>:<base64 delta-varint positions | @sidecar pointer>
     // — the file's deletion vector (count up front so row math never
     // decodes; pointers absolutize here so equality stays stable)
@@ -934,7 +952,8 @@ object SnapshotLake {
       rid = ri.filter(_ != "mat").map(v =>
         (if (v.startsWith("new:")) v.stripPrefix("new:") else v).toLong),
       ridMat = ri.contains("mat"),
-      ridNew = ri.exists(_.startsWith("new:")))
+      ridNew = ri.exists(_.startsWith("new:")),
+      part2 = part2)
   }
 
   private def parseManifest(root: String, v: Int): Manifest = {
@@ -1170,8 +1189,11 @@ object SnapshotLake {
       val withPt = f.part.fold(withSz) { case (c, v) =>
         s"$withSz\tpt=$c:${java.util.Base64.getEncoder.encodeToString(
           v.getBytes(StandardCharsets.UTF_8))}" }
-      val withDv = f.dv.fold(withPt)(d =>
-        s"$withPt\tdv=${d.count}:${Dv.manifestSpec(root, d)}")
+      val withPt2 = f.part2.fold(withPt) { case (c, v) =>
+        s"$withPt\tp2=$c:${java.util.Base64.getEncoder.encodeToString(
+          v.getBytes(StandardCharsets.UTF_8))}" }
+      val withDv = f.dv.fold(withPt2)(d =>
+        s"$withPt2\tdv=${d.count}:${Dv.manifestSpec(root, d)}")
       val withSu = f.sum.fold(withDv)(v => s"$withDv\tsu=$v")
       // per-column stats: cs=<col>:<lo>:<hi>:<kmv delta-varint b64>
       // (the KMV is sorted non-negative distinct longs — the same
@@ -1774,7 +1796,8 @@ object SnapshotLake {
             inheritedBloomBytes(base), base.statCol2)
           .map(f => if (ridKept) f.copy(ridMat = true) else f)
           .map(f => fTag.findFirstMatchIn(f.name)
-            .fold(f)(m => f.copy(part = cowFiles(m.group(1).toInt).part)))
+            .fold(f)(m => f.copy(part = cowFiles(m.group(1).toInt).part,
+              part2 = cowFiles(m.group(1).toInt).part2)))
       }
     val touchedNames = (dvFiles ++ cowFiles).map(_.name).toSet
     var committed = -1
@@ -1913,7 +1936,8 @@ object SnapshotLake {
         inheritedBloomBytes(base), base.statCol2)
       .map(f => if (ridKept) f.copy(ridMat = true) else f)
       .map(f => fTag.findFirstMatchIn(f.name)
-        .fold(f)(m => f.copy(part = cowFiles(m.group(1).toInt).part)))
+        .fold(f)(m => f.copy(part = cowFiles(m.group(1).toInt).part,
+              part2 = cowFiles(m.group(1).toInt).part2)))
     val touchedNames = (dvFiles ++ cowFiles).map(_.name).toSet
     var committed = -1
     var filesWithDv = 0
@@ -2233,8 +2257,12 @@ object SnapshotLake {
     // would hand every partition-pruned read a file it must open and
     // discard, quietly destroying the tag's selectivity the same way
     // a commit-order pack destroys q82's range selectivity
-    val groups = small.groupBy(_.part).toSeq
-      .sortBy(_._1.map(p => p._1 + "\u0000" + p._2).getOrElse(""))
+    // group key covers BOTH partition levels: a composed-spec pack
+    // never merges two (p, bucket) combinations into one file
+    val groups = small.groupBy(f => (f.part, f.part2)).toSeq
+      .sortBy { case ((p, p2), _) =>
+        (p.toSeq ++ p2.toSeq).map(t => t._1 + "\u0000" + t._2)
+          .mkString("\u0001") }
       .flatMap { case (_, fs) =>
         fs.sortBy(_.lo).foldLeft(List.empty[List[FileStat]]) {
           case (acc, f) => acc match {
@@ -2273,7 +2301,8 @@ object SnapshotLake {
           // (groups never span partitions, so head's tag is the
           // group's tag)
           .map(f => gTag.findFirstMatchIn(f.name)
-            .fold(f)(m => f.copy(part = packed(m.group(1).toInt).head.part)))
+            .fold(f)(m => f.copy(part = packed(m.group(1).toInt).head.part,
+              part2 = packed(m.group(1).toInt).head.part2)))
       }
     var committed = -1
     while (committed < 0) {

@@ -457,7 +457,13 @@ object StreamingGate {
       Seq(base.where(col("ts") < lit(mid)),
         base.where(col("ts") >= lit(mid)),
         sentinel("click", -2L, 4).unionAll(sentinel("purchase", -1L, 4)),
-        sentinel("purchase", -1L, 8))) { df =>
+        sentinel("purchase", -1L, 8)),
+      // 1 state partition, not 8: a symmetric stream-stream join
+      // carries 4 state stores per partition per side, and each of
+      // the 4 micro-batches pays a commit per store — at local test
+      // volume the store lifecycle, not the data, is the cost. Same
+      // answers; 8× fewer state-store commits.
+      extraConf = Map("spark.sql.shuffle.partitions" -> "1")) { df =>
       StreamingJoin.attribute(
         df.where(col("event_type") === "click"),
         df.where(col("event_type") === "purchase"),
