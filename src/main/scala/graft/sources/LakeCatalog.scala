@@ -143,9 +143,14 @@ final class GraftLakeCatalog extends TableCatalog
 
   override def loadTable(ident: Identifier): Table = loadAt(ident, None)
 
-  /** `VERSION AS OF v` time travel. */
+  /** `VERSION AS OF v` time travel — a number pins the version
+    * directly; any other string resolves as a TAG name (Iceberg's
+    * ref time travel), so `SELECT ... FROM t VERSION AS OF 'rel-1'`
+    * reads the pinned release.
+    */
   override def loadTable(ident: Identifier, version: String): Table =
-    loadAt(ident, Some(version.toInt))
+    loadAt(ident, Some(version.toIntOption.getOrElse(
+      SnapshotLake.tagVersion(rootOf(ident), version))))
 
   /** `TIMESTAMP AS OF t` time travel — Spark hands MICROseconds since
     * the epoch; the manifest headers record publish millis, and the
@@ -564,7 +569,8 @@ final class GraftLakeCatalog extends TableCatalog
 
   override def listProcedures(namespace: Array[String])
       : Array[Identifier] =
-    Array("optimize", "cluster", "vacuum", "restore", "history")
+    Array("optimize", "cluster", "vacuum", "restore", "history",
+      "create_branch", "fast_forward", "drop_branch", "create_tag")
       .map(Identifier.of(namespace, _))
 
   override def loadProcedure(ident: Identifier): UnboundProcedure =
@@ -638,9 +644,53 @@ final class GraftLakeCatalog extends TableCatalog
             Seq(r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
               r.getString(4)))
       }
+      // -- write-audit-publish verbs: branches + tags -------------------
+      // `CALL graftcat.create_branch(table => 't', branch => 'audit')`
+      // forks a zero-copy writable chain; stage through
+      // `.option("branch", ...)` writes, audit it, then
+      // `CALL graftcat.fast_forward(...)` publishes the branch head as
+      // one metadata commit. `create_tag` pins a version as an
+      // immutable retention root ([[SnapshotLake.vacuum]] keeps it).
+      case "create_branch" => proc("create_branch",
+        Seq(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("branch", StringType).build()),
+        StructType(Seq(
+          StructField("forked_from_version", LongType)))) { in =>
+        val root = tableRoot(in)
+        val name = in.getUTF8String(1).toString
+        SnapshotLake.createBranch(root, name)
+        Seq(SnapshotLake.listBranches(root)
+          .collectFirst { case (n, v) if n == name => v.toLong }.get)
+      }
+      case "fast_forward" => proc("fast_forward",
+        Seq(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("branch", StringType).build()),
+        StructType(Seq(StructField("published_version", LongType)))) { in =>
+        Seq(SnapshotLake.fastForward(tableRoot(in),
+          in.getUTF8String(1).toString).toLong)
+      }
+      case "drop_branch" => proc("drop_branch",
+        Seq(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("branch", StringType).build()),
+        StructType(Seq(StructField("dropped", LongType)))) { in =>
+        SnapshotLake.dropBranch(tableRoot(in),
+          in.getUTF8String(1).toString)
+        Seq(1L)
+      }
+      case "create_tag" => proc("create_tag",
+        Seq(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("tag", StringType).build(),
+          ProcedureParameter.in("version", LongType).build()),
+        StructType(Seq(StructField("tagged_version", LongType)))) { in =>
+        val v = in.getLong(2)
+        SnapshotLake.createTag(tableRoot(in),
+          in.getUTF8String(1).toString, v.toInt)
+        Seq(v)
+      }
       case other => throw new UnsupportedOperationException(
         s"no procedure '$other' in catalog $catalogName " +
-          "(have: optimize, cluster, vacuum, restore, history)")
+          "(have: optimize, cluster, vacuum, restore, history, " +
+          "create_branch, fast_forward, drop_branch, create_tag)")
     }
 
   // -- catalog-shipped SQL functions ------------------------------------
@@ -1465,7 +1515,7 @@ object LakeCatalogQueries {
     val outRoot = Housekeeping.tempDir("q158_out")
     val (sink, chk) = (s"$outRoot/data", s"$outRoot/chk")
     val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.shuffle.partitions", "2")
     val q = ss.readStream.format("graft.sources.GraftLakeSource")
       .option("path", s"$catBase/q158")
       .option("readChangeFeed", "true").load()
@@ -1527,7 +1577,7 @@ object LakeCatalogQueries {
     val follower = Housekeeping.tempDir("q159_follower")
     val chk = Housekeeping.tempDir("q159_chk")
     val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.shuffle.partitions", "2")
     val q = ss.readStream.format("graft.sources.GraftLakeSource")
       .option("path", srcRoot).option("readChangeFeed", "true").load()
       .writeStream.option("checkpointLocation", chk)

@@ -63,10 +63,21 @@ class GraftLakeSource extends TableProvider {
     // the SQL catalog path (CREATE TABLE ... USING ... OPTIONS(path))
     // qualifies the location to a file: URI; the manifest walk uses
     // java.nio, which wants the raw local path
-    p.stripPrefix("file://").stripPrefix("file:")
+    val raw = p.stripPrefix("file://").stripPrefix("file:")
+    // `.option("branch", name)` addresses the branch's nested chain
+    // (`<root>/_branch/<name>`) — reads AND writes, so the whole
+    // write-audit-publish staging loop runs through this one hop
+    Option(o.get("branch")).fold(raw)(SnapshotLake.branchRoot(raw, _))
   }
-  private def asOf(o: CaseInsensitiveStringMap): Option[Int] =
-    Option(o.get("version")).map(_.toInt)
+  private def asOf(o: CaseInsensitiveStringMap, root: String): Option[Int] = {
+    val v = Option(o.get("version")).map(_.toInt)
+    // `.option("tag", name)` — time travel by immutable named ref,
+    // resolved against the effective root (so a tag on a branch works)
+    val t = Option(o.get("tag")).map(SnapshotLake.tagVersion(root, _))
+    require(v.isEmpty || t.isEmpty,
+      "pass either .option(\"version\", v) or .option(\"tag\", name), not both")
+    v.orElse(t)
+  }
 
   /** A declared schema is accepted (`CREATE TABLE t (cols…) USING …`)
     * — what lets a brand-new lake bootstrap through pure SQL DDL+DML:
@@ -76,7 +87,7 @@ class GraftLakeSource extends TableProvider {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val root = lakeRoot(options)
-    val snap = SnapshotLake.snapshot(root, asOf(options))
+    val snap = SnapshotLake.snapshot(root, asOf(options, root))
     // the manifest's recorded schema is authoritative: on an evolved
     // chain it is the WIDENED union (old files null-fill), where any
     // single file's footer would be one commit's partial view —
@@ -103,7 +114,8 @@ class GraftLakeSource extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
     val o = new CaseInsensitiveStringMap(properties)
-    new LakeTable(lakeRoot(o), asOf(o), schema, o.asCaseSensitiveMap()
+    val root = lakeRoot(o)
+    new LakeTable(root, asOf(o, root), schema, o.asCaseSensitiveMap()
       .asScala.map { case (k, v) =>
         k.toLowerCase(java.util.Locale.ROOT) -> v }.toMap)
   }

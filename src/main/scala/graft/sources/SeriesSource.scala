@@ -289,7 +289,7 @@ object SeriesQueries {
     val outRoot = Housekeeping.tempDir("q104_out")
     val (sink, chk) = (s"$outRoot/data", s"$outRoot/chk")
     val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.shuffle.partitions", "2")
     def start(nAvail: Long) = ss.readStream
       .format("graft.sources.SeriesSource")
       .option("n", nAvail.toString).option("batchRows", "30000").load()
@@ -324,7 +324,7 @@ object SeriesQueries {
     val outRoot = Housekeeping.tempDir("q113_out")
     val (sink, chk) = (s"$outRoot/data", s"$outRoot/chk")
     val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.shuffle.partitions", "2")
     val q = ss.readStream.format("graft.sources.SeriesSource")
       .option("n", "120000").option("batchRows", "25000").load()
       .writeStream.format("parquet")

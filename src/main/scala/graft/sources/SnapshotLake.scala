@@ -3095,10 +3095,23 @@ object SnapshotLake {
     // a checkpoint too). The invariant this preserves: the oldest
     // surviving manifest is always full.
     val wanted = head - keepVersions + 1
-    val cutoff = (wanted to 0 by -1)
+    val cutoff0 = (wanted to 0 by -1)
       .find(v => Files.exists(manifestPath(root, v)) &&
         isCheckpoint(root, v))
       .getOrElse(0)
+    // TAGS ARE RETENTION ROOTS (Iceberg's expire-respects-refs): a
+    // tagged version must stay readable forever, and a tagged DELTA
+    // manifest reconstructs from its nearest checkpoint — so the
+    // cutoff snaps back to the oldest tagged version's checkpoint.
+    // Versions between a tag and the retention window survive as a
+    // consequence; dropping the tag re-exposes them to the next
+    // vacuum.
+    val cutoff = listTags(root).map(_._2).filter(_ < cutoff0)
+      .minOption.fold(cutoff0)(t =>
+        (t to 0 by -1)
+          .find(v => Files.exists(manifestPath(root, v)) &&
+            isCheckpoint(root, v))
+          .getOrElse(0))
     val dropped = (0 until cutoff)
       .filter(v => Files.exists(manifestPath(root, v)))
     if (dropped.isEmpty) return (0, 0)
@@ -3174,6 +3187,178 @@ object SnapshotLake {
           schemaJson = target.schemaJson,
           op = Some("restore"),
           retired = headSnap.map(_.retired).getOrElse(Set.empty)))
+        committed = head + 1
+    }
+    committed
+  }
+
+  // =====================================================================
+  // NAMED REFS: branches + tags — the write-audit-publish (WAP) surface
+  // (Iceberg's branch/tag refs + the shallow-clone staging idiom,
+  // re-expressed over this log).
+  // =====================================================================
+
+  /** Refs are tiny files under `<root>/_refs/`: `tag-<name>` holds
+    * the pinned version (immutable — published with the same link(2)
+    * no-replace discipline as manifests), `branch-<name>` holds the
+    * MAIN version the branch forked from (the fast-forward ancestor
+    * check). The branch chain itself is a full nested lake at
+    * `<root>/_branch/<name>` — a shallow clone, so creation is
+    * O(manifest) zero-copy and every lake verb (append, row-level
+    * DML, compaction, time travel) works on a branch unchanged.
+    */
+  private def refsDir(root: String): Path = Paths.get(root, "_refs")
+
+  private def checkRefName(name: String): Unit =
+    require(name.matches("[A-Za-z0-9_.-]+"),
+      s"ref name '$name' must match [A-Za-z0-9_.-]+")
+
+  private[sources] def branchRoot(root: String, name: String): String = {
+    checkRefName(name)
+    s"$root/_branch/$name"
+  }
+
+  private def listRefs(root: String, prefix: String): Seq[(String, Int)] = {
+    val dir = refsDir(root)
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val st = Files.list(dir)
+      try st.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith(prefix) && !n.startsWith("."))
+        .map { n =>
+          (n.stripPrefix(prefix),
+            new String(Files.readAllBytes(dir.resolve(n)),
+              StandardCharsets.UTF_8).trim.toInt)
+        }.toSeq.sortBy(_._1)
+      finally st.close()
+    }
+  }
+
+  /** (name, forked-from main version) per live branch. */
+  def listBranches(root: String): Seq[(String, Int)] =
+    listRefs(root, "branch-")
+
+  /** (name, pinned version) per tag. */
+  def listTags(root: String): Seq[(String, Int)] = listRefs(root, "tag-")
+
+  private def writeRef(root: String, file: String, v: Int): Unit = {
+    Files.createDirectories(refsDir(root))
+    val tmp = refsDir(root).resolve(s".tmp-${UUID.randomUUID()}")
+    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+    // link(2) no-replace: refs are immutable, and two racing creators
+    // of the same name can never both win
+    try Files.createLink(refsDir(root).resolve(file), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new IllegalArgumentException(
+          s"ref '$file' already exists at $root")
+    }
+    Files.deleteIfExists(tmp): Unit
+  }
+
+  /** CREATE BRANCH: fork a zero-copy WRITABLE chain at the current
+    * head (or `asOf`). The branch is immediately a first-class lake —
+    * reads, appends, and DML land on it without touching main.
+    * Returns the branch chain's committed version (0).
+    */
+  def createBranch(root: String, name: String,
+      asOf: Option[Int] = None): Int = {
+    val br = branchRoot(root, name)
+    val base = asOf.getOrElse(headVersion(root))
+    require(base >= 0, s"cannot branch an empty lake at $root")
+    writeRef(root, s"branch-$name", base) // also the exists check
+    shallowClone(root, br, Some(base))
+  }
+
+  /** DROP BRANCH: retire the branch's LOG and ref. Data files the
+    * branch wrote stay on disk — after a fast-forward main references
+    * them (`_branch/<name>/data/…` are main-relative names main OWNS),
+    * and main's vacuum is the one verb that reclaims them once
+    * unreferenced. An unpublished branch's files become unreferenced
+    * immediately and fall to the same vacuum.
+    */
+  def dropBranch(root: String, name: String): Unit = {
+    val br = Paths.get(branchRoot(root, name))
+    Files.deleteIfExists(refsDir(root).resolve(s"branch-$name"))
+    val log = br.resolve("_log")
+    if (Files.isDirectory(log)) {
+      val st = Files.list(log)
+      try st.iterator().asScala.foreach(p => Files.deleteIfExists(p): Unit)
+      finally st.close()
+      Files.deleteIfExists(log): Unit
+    }
+  }
+
+  /** CREATE TAG: pin `version` under an immutable name. Tagged
+    * versions are RETENTION ROOTS: [[vacuum]] keeps them — and the
+    * checkpoint ancestry needed to reconstruct them — regardless of
+    * `keepVersions`.
+    */
+  def createTag(root: String, name: String, version: Int): Unit = {
+    checkRefName(name)
+    require(Files.exists(manifestPath(root, version)),
+      s"cannot tag v$version at $root — no such committed version")
+    writeRef(root, s"tag-$name", version)
+  }
+
+  def tagVersion(root: String, name: String): Int =
+    listTags(root).collectFirst { case (n, v) if n == name => v }
+      .getOrElse(throw new IllegalArgumentException(
+        s"no tag '$name' at $root"))
+
+  /** FAST-FORWARD PUBLISH — WAP's publish step: land the branch head
+    * as ONE metadata commit on main, zero data bytes moved in either
+    * direction. Files the branch still borrows from main map back to
+    * their original main-relative names; files the branch wrote live
+    * under `_branch/<name>/data/…` — already inside main's root — so
+    * they publish as main-relative names main OWNS from this commit
+    * on (main's vacuum reclaims them once unreferenced). Deletion
+    * vectors ride along the same way: a branch-staged sidecar sits
+    * under main's root, so the manifest write relativizes it into an
+    * owned pointer.
+    *
+    * The ancestor check is strict (Iceberg `fast_forward`
+    * semantics): if main advanced past the fork point the publish
+    * throws [[MergeConflictException]] — re-branch and replay, the
+    * same rebase discipline every optimistic writer here follows.
+    * Row-id safety: the branch seeded its id high-water from main's
+    * at the fork, main has not moved (the ancestor check), and the
+    * publish pins `ridFloor` to the branch's high-water — so ids
+    * stay unique across the publish and main's next append.
+    * Returns the published main version.
+    */
+  def fastForward(root: String, name: String): Int = {
+    val br = branchRoot(root, name)
+    val bHead = headVersion(br)
+    require(bHead >= 0, s"no branch '$name' at $root")
+    val base = listBranches(root).collectFirst {
+      case (n, v) if n == name => v
+    }.getOrElse(throw new IllegalArgumentException(
+      s"no branch ref '$name' at $root"))
+    val snap = snapshot(br, Some(bHead))
+    val rootAbs = Paths.get(root).toAbsolutePath.normalize.toString
+    val files = snap.files.map { f =>
+      val mapped =
+        if (!f.name.startsWith("/")) s"_branch/$name/${f.name}"
+        else if (f.name.startsWith(rootAbs + "/"))
+          f.name.stripPrefix(rootAbs + "/")
+        else f.name // borrowed from a third lake (branch of a clone)
+      f.copy(name = mapped)
+    }
+    var committed = -1
+    while (committed < 0) {
+      val head = headVersion(root)
+      if (head != base) throw new MergeConflictException(
+        s"cannot fast-forward '$name' onto $root: main advanced " +
+          s"v$base -> v$head since the fork; re-branch and replay")
+      val headTxns = snapshot(root, Some(head)).txns
+      if (tryPublish(root, head + 1, snap.statCol, snap.bloomCol,
+          overwrite = true, files, snap.statCol2,
+          txns = headTxns ++ snap.txns, schemaJson = snap.schemaJson,
+          op = Some("publish"), retired = snap.retired,
+          ridFloor = ridHwOf(br, bHead)))
         committed = head + 1
     }
     committed
@@ -3420,6 +3605,64 @@ object SnapshotLake {
         .select(lit(label).as("snap"), col("n_events"), col("sum_cents"))
     agg("v1", v1).unionAll(agg("v2", v2)).unionAll(agg("v3", v3))
       .orderBy(col("snap"))
+  }
+
+  /** Judged write-audit-publish: main holds the clicks; everything
+    * else is STAGED on a zero-copy branch, audited there, then
+    * published by fast-forward — one metadata commit, ZERO data
+    * files written at publish time (walked from the filesystem and
+    * hash-certified as a column). Isolation is certified live: main
+    * is counted through the connector WHILE the branch holds the
+    * staged rows, and must still read pre-publish content. The
+    * published version is pinned under an immutable tag and the
+    * judged aggregate reads THROUGH the tag — ref resolution, the
+    * publish commit, and the zero-copy file mapping all have to
+    * agree with the oracle's recomputation from the base table.
+    * Scale shape: branch creation and publish are O(manifest)
+    * regardless of table size — the economics that make
+    * stage-everything/validate/publish viable on a 100 TB corpus.
+    */
+  def q174BranchWap(s: SparkSession, d: String): DataFrame = {
+    val root = Housekeeping.tempDir("q174")
+    val ev = eventsCents(s, d)
+    commit(s, root, ev.where(col("event_type") === "click"), "event_id")
+    createBranch(root, "audit")
+    // stage the non-click rows on the branch THROUGH THE CONNECTOR —
+    // the production write path a WAP pipeline uses
+    ev.where(col("event_type") =!= "click")
+      .write.format("graft.sources.GraftLakeSource")
+      .option("path", root).option("branch", "audit")
+      .mode(org.apache.spark.sql.SaveMode.Append).save()
+    def readVia(opts: (String, String)*): DataFrame = {
+      val r = s.read.format("graft.sources.GraftLakeSource")
+        .option("path", root)
+      opts.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
+    }
+    // audit window: main must still be clicks-only, the branch holds
+    // everything — both counted through the connector, both certified
+    val mainRowsDuringAudit = readVia().count()
+    val branchRowsDuringAudit = readVia("branch" -> "audit").count()
+    // the publish writes metadata only: count the PHYSICAL data files
+    // under the whole root (branch subtree included, _log excluded)
+    // before and after
+    def nDataFiles(): Long = {
+      val st = Files.walk(Paths.get(root))
+      try st.iterator().asScala.count(p =>
+        p.toString.endsWith(".parquet") && !p.toString.contains("/_log/"))
+      finally st.close()
+    }
+    val before = nDataFiles()
+    val pub = fastForward(root, "audit")
+    val filesWrittenByPublish = nDataFiles() - before
+    createTag(root, "rel-1", pub)
+    readVia("tag" -> "rel-1")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .select(col("event_type"), col("n_rows"), col("sum_cents"),
+        lit(mainRowsDuringAudit).as("main_rows_during_audit"),
+        lit(branchRowsDuringAudit).as("branch_rows_during_audit"),
+        lit(filesWrittenByPublish).as("files_written_by_publish"))
+      .orderBy(col("event_type"))
   }
 
   /** Judged file skipping: commit eight range-bucketed files (dense
@@ -4178,7 +4421,7 @@ object SnapshotLake {
     (0 to 2).foreach(m =>
       commit(s, root, ev.where(col("event_id") % 3 === m), "event_id"))
     val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.shuffle.partitions", "2")
     val q = ss.readStream.format("graft.sources.GraftLakeSource")
       .option("path", root).load()
       .writeStream.format("parquet")
@@ -4215,7 +4458,7 @@ object SnapshotLake {
     (0 to 2).foreach(m =>
       commit(s, src, ev.where(col("event_id") % 3 === m), "event_id"))
     val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.shuffle.partitions", "2")
     val q = ss.readStream.format("graft.sources.GraftLakeSource")
       .option("path", src).load()
       .withColumn("cents2", col("cents") * 2)
@@ -5097,6 +5340,18 @@ object SnapshotLake {
         SELECT 'v3', count(*), CAST(sum(cents) AS BIGINT)
         FROM ec WHERE event_type = 'click')
       ORDER BY snap""")),
+    Q("q174_branch_wap", q174BranchWap, Some("""
+      WITH ec AS (SELECT event_type,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events)
+      SELECT event_type,
+             count(*) AS n_rows,
+             CAST(sum(cents) AS BIGINT) AS sum_cents,
+             (SELECT count(*) FROM events WHERE event_type = 'click')
+               AS main_rows_during_audit,
+             (SELECT count(*) FROM events) AS branch_rows_during_audit,
+             CAST(0 AS BIGINT) AS files_written_by_publish
+      FROM ec GROUP BY event_type ORDER BY event_type""")),
     Q("q82_file_skipping", q82FileSkipping, Some("""
       WITH b AS (SELECT max(event_id) + 1 AS span FROM events)
       SELECT CAST(8 AS BIGINT) AS n_files_total,

@@ -75,10 +75,14 @@ object StreamingGate {
     * FROZEN at first batch from spark.sql.shuffle.partitions, and the
     * bounded judged harness holds a few thousand keys — every extra
     * partition costs a state-store provider + delta file per
-    * micro-batch (32 → 8 ≈ halves harness wall-clock). Scoping the
-    * conf to a clone (instead of set/restore on the shared session)
-    * keeps concurrently-planned catalog queries at the deployed
-    * sizing.
+    * micro-batch, and each batch pays a commit per store. At local
+    * test volume the store LIFECYCLE, not the data, dominates
+    * harness wall-clock (the q97 lesson: 8 → 1 took the 4-batch
+    * outer join from 10.4 s to 6.2 s), so the default is 2 — still
+    * multi-partition, an order of magnitude fewer store commits
+    * than the deployed 32. Scoping the conf to a clone (instead of
+    * set/restore on the shared session) keeps concurrently-planned
+    * catalog queries at the deployed sizing.
     */
   private def runTwoBatch(
       s: SparkSession, tag: String, queryName: String,
@@ -105,7 +109,7 @@ object StreamingGate {
     val src = Housekeeping.tempDir(tag)
     batches.head.coalesce(1).write.mode(SaveMode.Overwrite).parquet(src)
     val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.shuffle.partitions", "2")
     extraConf.foreach { case (k, v) => ss.conf.set(k, v) }
     val stream = ss.readStream.schema(batches.head.schema).parquet(src)
     val query = transform(stream)
@@ -151,7 +155,7 @@ object StreamingGate {
     val (sink, chk) = (s"$outRoot/data", s"$outRoot/chk")
     first.coalesce(1).write.mode(SaveMode.Overwrite).parquet(src)
     val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.shuffle.partitions", "2")
     val query = ss.readStream.schema(base.schema).parquet(src)
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
       .writeStream.format("parquet")
@@ -201,7 +205,7 @@ object StreamingGate {
     val appId = "q102_ingest"
     first.coalesce(1).write.mode(SaveMode.Overwrite).parquet(src)
     val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.shuffle.partitions", "2")
     val schema = first.schema
     def start(chk: String) = ss.readStream.schema(schema).parquet(src)
       .writeStream
@@ -253,7 +257,7 @@ object StreamingGate {
     val lake = Housekeeping.tempDir("q108_lake")
     first.coalesce(1).write.mode(SaveMode.Overwrite).parquet(src)
     val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.shuffle.partitions", "2")
     val schema = first.schema
     def start(chk: String) = ss.readStream.schema(schema).parquet(src)
       .writeStream.format("graft.sources.GraftLakeSource")
@@ -393,7 +397,12 @@ object StreamingGate {
     val mid = new Timestamp(
       (mm.getTimestamp(0).getTime + mm.getTimestamp(1).getTime) / 2)
     runTwoBatch(s, "q65_stream", "graft_q65_attrib",
-      base.where(col("ts") < lit(mid)), base.where(col("ts") >= lit(mid))) { df =>
+      base.where(col("ts") < lit(mid)), base.where(col("ts") >= lit(mid)),
+      // 1 state partition (the q97 precedent): a symmetric
+      // stream-stream join carries 4 state stores per partition per
+      // side, so even at 2 batches the store lifecycle dominates at
+      // local volume. Same answers; 8× fewer state-store commits.
+      extraConf = Map("spark.sql.shuffle.partitions" -> "1")) { df =>
       StreamingJoin.attribute(
         df.where(col("event_type") === "click"),
         df.where(col("event_type") === "purchase"),
@@ -498,7 +507,7 @@ object StreamingGate {
     base.where(col("ts") < lit(mid))
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(src)
     val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.shuffle.partitions", "2")
     def start() = ss.readStream.schema(base.schema).parquet(src)
       .writeStream.format("parquet")
       .option("path", sink).option("checkpointLocation", chk)

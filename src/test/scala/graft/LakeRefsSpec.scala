@@ -1,0 +1,183 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotLake
+
+/** Named refs — branches + tags, the write-audit-publish surface:
+  * zero-copy branch forking, connector-level branch reads/writes,
+  * the strict fast-forward ancestor check, branch DML surviving the
+  * publish, tag immutability + tag time travel, and vacuum treating
+  * tagged versions as retention roots.
+  */
+class LakeRefsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("lake_refs_").toString
+
+  private def tbl(ids: Range) =
+    ids.map(i => (i.toLong, i.toLong * 7)).toDF("k", "v")
+
+  private def readMain(root: String) =
+    spark.read.format("graft.sources.GraftLakeSource")
+      .option("path", root).load()
+
+  private def readBranch(root: String, b: String) =
+    spark.read.format("graft.sources.GraftLakeSource")
+      .option("path", root).option("branch", b).load()
+
+  test("branch stages zero-copy, isolates main, fast-forward publishes " +
+      "as one metadata commit") {
+    val root = freshRoot()
+    SnapshotLake.commit(spark, root, tbl(0 until 100), "k")
+    SnapshotLake.createBranch(root, "audit")
+    // the branch is a zero-copy fork: no data bytes under its subtree
+    assert(!Files.isDirectory(Paths.get(root, "_branch", "audit", "data")))
+    assert(readBranch(root, "audit").count() === 100L)
+    // stage through the CONNECTOR write path
+    tbl(100 until 150).write.format("graft.sources.GraftLakeSource")
+      .option("path", root).option("branch", "audit")
+      .mode(org.apache.spark.sql.SaveMode.Append).save()
+    // isolation: branch sees the staged rows, main does not
+    assert(readBranch(root, "audit").count() === 150L)
+    assert(readMain(root).count() === 100L)
+    // publish writes ZERO data files
+    def nParquet(): Long = {
+      val st = Files.walk(Paths.get(root))
+      try st.iterator().asScala.count(p =>
+        p.toString.endsWith(".parquet") && !p.toString.contains("/_log/"))
+      finally st.close()
+    }
+    val before = nParquet()
+    val pub = SnapshotLake.fastForward(root, "audit")
+    assert(nParquet() === before)
+    assert(pub === 1)
+    assert(readMain(root).count() === 150L)
+    assert(readMain(root).agg(sum($"v")).head.getLong(0) ===
+      (0L until 150L).map(_ * 7).sum)
+    // published files are main-OWNED (relative names): main's own
+    // snapshot must carry no absolute (borrowed) entries
+    assert(SnapshotLake.snapshot(root).files.forall(!_.name.startsWith("/")))
+    // main stays a first-class chain after the publish
+    SnapshotLake.commit(spark, root, tbl(150 until 160), "k")
+    assert(readMain(root).count() === 160L)
+    // row ids stay unique across borrowed + branch-written + appended
+    val rid = readMain(root).select(col("_row_id"))
+    assert(rid.where(col("_row_id").isNull).count() === 0L)
+    assert(rid.distinct().count() === 160L)
+  }
+
+  test("fast-forward refuses when main advanced past the fork") {
+    val root = freshRoot()
+    SnapshotLake.commit(spark, root, tbl(0 until 10), "k")
+    SnapshotLake.createBranch(root, "b1")
+    SnapshotLake.commit(spark, branchOf(root, "b1"), tbl(10 until 20), "k")
+    SnapshotLake.commit(spark, root, tbl(90 until 95), "k") // main moves
+    intercept[SnapshotLake.MergeConflictException] {
+      SnapshotLake.fastForward(root, "b1")
+    }
+    // main unharmed
+    assert(readMain(root).count() === 15L)
+  }
+
+  private def branchOf(root: String, b: String): String =
+    s"$root/_branch/$b"
+
+  test("branch DML (deletion vectors) survives the publish") {
+    val root = freshRoot()
+    SnapshotLake.commit(spark, root, tbl(0 until 100), "k")
+    SnapshotLake.createBranch(root, "fix")
+    // delete on the BRANCH: grows a vector over a borrowed file,
+    // staged under the branch's own _dv/
+    SnapshotLake.deleteRows(spark, branchOf(root, "fix"), col("k") < 10)
+    assert(readBranch(root, "fix").count() === 90L)
+    assert(readMain(root).count() === 100L) // isolation incl. DVs
+    SnapshotLake.fastForward(root, "fix")
+    assert(readMain(root).count() === 90L)
+    assert(readMain(root).agg(min($"k")).head.getLong(0) === 10L)
+    // the published vector is main-owned or main-readable after the
+    // branch log is dropped
+    SnapshotLake.dropBranch(root, "fix")
+    assert(readMain(root).count() === 90L)
+  }
+
+  test("tags are immutable, readable by name, and pin retention") {
+    val root = freshRoot()
+    SnapshotLake.commit(spark, root, tbl(0 until 50), "k") // v0
+    SnapshotLake.commit(spark, root, tbl(0 until 10), "k",
+      overwrite = true) // v1
+    SnapshotLake.commit(spark, root, tbl(0 until 20), "k",
+      overwrite = true) // v2
+    SnapshotLake.createTag(root, "rel", 0)
+    intercept[IllegalArgumentException] {
+      SnapshotLake.createTag(root, "rel", 1) // immutable
+    }
+    assert(SnapshotLake.tagVersion(root, "rel") === 0)
+    val viaTag = spark.read.format("graft.sources.GraftLakeSource")
+      .option("path", root).option("tag", "rel").load()
+    assert(viaTag.count() === 50L)
+    // vacuum keep 1 would drop v0/v1 — the tag pins v0 (and its files)
+    val (dropped, deleted) = SnapshotLake.vacuum(root, 1)
+    assert(dropped === 0 && deleted === 0)
+    assert(spark.read.format("graft.sources.GraftLakeSource")
+      .option("path", root).option("tag", "rel").load().count() === 50L)
+    // dropping the tag re-exposes old versions to the next vacuum
+    Files.delete(Paths.get(root, "_refs", "tag-rel"))
+    val (dropped2, _) = SnapshotLake.vacuum(root, 1)
+    assert(dropped2 === 2)
+    assert(readMain(root).count() === 20L)
+  }
+
+  test("version and tag options are mutually exclusive; unknown refs fail") {
+    val root = freshRoot()
+    SnapshotLake.commit(spark, root, tbl(0 until 5), "k")
+    intercept[Exception] {
+      spark.read.format("graft.sources.GraftLakeSource")
+        .option("path", root).option("tag", "nope").load()
+    }
+    SnapshotLake.createTag(root, "t0", 0)
+    intercept[Exception] {
+      spark.read.format("graft.sources.GraftLakeSource")
+        .option("path", root).option("version", 0).option("tag", "t0")
+        .load().collect()
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotLake.createBranch(root, "bad/name")
+    }
+  }
+
+  test("WAP procedures run through the SQL catalog") {
+    val cat = "graft_refs_cat"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root",
+      Files.createTempDirectory("refs_wh_").toString)
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('statCol' = 'k')")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, id * 3 FROM range(40)")
+    val forked = spark.sql(
+      s"CALL $cat.create_branch(table => 't', branch => 'wap')").head
+    assert(forked.getLong(0) >= 0L)
+    // main advances past the fork point...
+    spark.sql(s"INSERT INTO $cat.t SELECT id, id * 3 FROM range(40, 60)")
+    // ...so the strict ancestor check must refuse the publish
+    val pubErr = intercept[Exception] {
+      spark.sql(s"CALL $cat.fast_forward(table => 't', branch => 'wap')")
+        .collect()
+    }
+    // main advanced (the second INSERT) -> strict ancestor check fires
+    assert(pubErr.getMessage.contains("fast-forward") ||
+      pubErr.getCause != null)
+    spark.sql(s"CALL $cat.create_tag(table => 't', tag => 'r1', " +
+      "version => 0)").collect()
+    // SQL time travel by TAG name rides VERSION AS OF
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 'r1'")
+      .head.getLong(0) === 40L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) === 60L)
+    spark.sql(s"CALL $cat.drop_branch(table => 't', branch => 'wap')")
+      .collect()
+    spark.sql(s"DROP TABLE $cat.t")
+  }
+}
