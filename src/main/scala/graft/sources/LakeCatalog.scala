@@ -1582,14 +1582,21 @@ object LakeCatalogQueries {
       .option("path", srcRoot).option("readChangeFeed", "true").load()
       .writeStream.option("checkpointLocation", chk)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val ups = batch
-          .where(col("_change_type").isin("insert", "update"))
-          .select(col("event_id"), col("cents"))
-        val dels = batch.where(col("_change_type") === "delete")
-          .select(col("event_id"))
-        if (SnapshotLake.headVersion(follower) < 0)
-          SnapshotLake.commit(ss, follower, ups, "event_id"): Unit
-        else SnapshotLake.merge(ss, follower, ups, dels): Unit
+        // the CDF batch is a computed diff (key-diff joins on CoW
+        // versions) and the merge below takes several actions over
+        // it — cache once per micro-batch or every action replays
+        // the diff from the source versions
+        val b = batch.persist()
+        try {
+          val ups = b
+            .where(col("_change_type").isin("insert", "update"))
+            .select(col("event_id"), col("cents"))
+          val dels = b.where(col("_change_type") === "delete")
+            .select(col("event_id"))
+          if (SnapshotLake.headVersion(follower) < 0)
+            SnapshotLake.commit(ss, follower, ups, "event_id"): Unit
+          else SnapshotLake.merge(ss, follower, ups, dels): Unit
+        } finally b.unpersist(): Unit
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -1600,7 +1607,18 @@ object LakeCatalogQueries {
       .select(col("event_id"), col("cents"))
     val src = s.table("graftcat.q159")
       .select(col("event_id"), col("cents"))
-    val nDiff = f.exceptAll(src).unionAll(src.exceptAll(f)).count()
+    // multiset symmetric difference in ONE shuffle round: group both
+    // sides to (row -> multiplicity), full-outer join on the row, sum
+    // |left - right| — same answer as exceptAll both ways (which
+    // costs two shuffles of each side), a quarter of the data moved
+    def counted(df: DataFrame, n: String) =
+      df.groupBy(col("event_id"), col("cents"))
+        .agg(count(lit(1)).as(n))
+    val nDiff = counted(f, "__fn")
+      .join(counted(src, "__sn"), Seq("event_id", "cents"), "full_outer")
+      .select(sum(abs(coalesce(col("__fn"), lit(0L)) -
+        coalesce(col("__sn"), lit(0L)))).as("d"))
+      .head.getLong(0)
     f.agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
       .select(lit(nDiff).as("n_diff"),
         lit(batches).cast("long").as("n_batches"),
