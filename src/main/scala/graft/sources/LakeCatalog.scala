@@ -323,6 +323,20 @@ final class GraftLakeCatalog extends TableCatalog
         if (ps.contains("partcol2")) gate("partcol2", "partbuckets2")
         ps
       }
+    // sorted layout: TBLPROPERTIES('sortcol'='c') declares that every
+    // partitioned write additionally orders rows WITHIN each rolled
+    // file by c — gated here so a scan's outputOrdering claim can
+    // never name a column the table doesn't have (and the manifest's
+    // inline `so=` tag stays delimiter-safe)
+    props.get("sortcol").foreach { sc =>
+      require(props.contains("partcol"),
+        "TBLPROPERTIES('sortcol') requires a PARTITIONED BY table — " +
+          "an unpartitioned write never plans the within-file sort")
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(sc)),
+        s"sortcol '$sc' not in the table schema")
+      require(!sc.exists(ch => ch == ':' || ch == '\t' || ch == '\n'),
+        s"sortcol '$sc' may not contain ':', tab, or newline")
+    }
     requireStatCol(props)
     writeProps(ident, schema, props)
     loadTable(ident)
@@ -1140,6 +1154,63 @@ object LakeCatalogQueries {
         "n_shuffles_total", "n_keygrouped_scans", "join_sum_c3")
   }
 
+  /** Judged SORTED BUCKET LAYOUT — `PARTITIONED BY (bucket(8, k))
+    * TBLPROPERTIES('sortcol'='k')`: the clustered write additionally
+    * orders rows WITHIN each bucket file by the key, the manifest
+    * stamps `so=k` per file, and the scan reports the per-split
+    * ordering through `SupportsReportOrdering` — so the merge join
+    * of two such tables plans with ZERO exchanges (the SPJ report)
+    * AND ZERO SortExec nodes (the ordering report). At 100 TB the
+    * layout replaces both halves of a sort-merge join's cost: no
+    * re-shuffle, no re-sort — read co-located buckets and merge in
+    * place (the Hive/Iceberg bucketed-sorted table, as a pure DSv2
+    * surface). The sort-elision claim is self-certifying: if the
+    * files were NOT truly key-sorted, the sort-free merge join would
+    * emit wrong rows and the hash gate goes red — correctness and
+    * the plan shape are judged together.
+    */
+  def q175SortedSpj(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftcat",
+      "graft.sources.GraftLakeCatalog")
+    s.conf.set("spark.sql.catalog.graftcat.root", catBase)
+    s.sql("DROP TABLE IF EXISTS graftcat.q175a")
+    s.sql("DROP TABLE IF EXISTS graftcat.q175b")
+    Tables.events(s, d).select(col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("q175_events")
+    for (t <- Seq("q175a", "q175b")) s.sql(s"""
+      CREATE TABLE graftcat.$t (event_id BIGINT, cents BIGINT)
+      PARTITIONED BY (bucket(8, event_id))
+      TBLPROPERTIES ('statCol' = 'cents', 'sortcol' = 'event_id')""")
+    s.sql("""
+      INSERT INTO graftcat.q175a
+      SELECT event_id, cents FROM q175_events""").collect(): Unit
+    s.sql("""
+      INSERT INTO graftcat.q175b
+      SELECT event_id, cents * 2 FROM q175_events""").collect(): Unit
+    val snap = SnapshotLake.snapshot(s"$catBase/q175a")
+    val nFiles = snap.files.size.toLong
+    val nSorted = snap.files.count(_.sorted.contains("event_id")).toLong
+    val joined = s.sql("""
+      SELECT /*+ MERGE(a) */ sum(a.cents + b.cents) AS sum_c3
+      FROM graftcat.q175a a JOIN graftcat.q175b b
+        ON a.event_id = b.event_id""")
+    val jrow = joined.collect().head
+    val jplan = joined.queryExecution.executedPlan
+    val nShuffles = LakeScan.countShuffles(jplan).toLong
+    val nSorts = LakeScan.countSorts(jplan).toLong
+    val nMerge = jplan.toString.linesIterator
+      .count(_.contains("SortMergeJoin")).toLong
+    import s.implicits._
+    Seq((nFiles, nSorted,
+        // the single-row aggregate contributes the ONE exchange; the
+        // join re-uses the bucketed layout (no exchange) and the
+        // file order (no sort)
+        nShuffles, nSorts, math.min(nMerge, 1L), jrow.getLong(0)))
+      .toDF("n_files", "n_sorted_files", "n_shuffles_total",
+        "n_sorts_total", "is_merge_join", "join_sum_c3")
+  }
+
   /** Judged COMPOSED partition spec — `PARTITIONED BY (event_type,
     * bucket(4, event_id))`, the canonical identity+bucket lakehouse
     * layout: the clustered write lands ONE file per (type, bucket)
@@ -1685,6 +1756,17 @@ object LakeCatalogQueries {
               WHERE event_id = 0) AS pruned_cents,
              CAST(1 AS BIGINT) AS n_shuffles_total,
              CAST(2 AS BIGINT) AS n_keygrouped_scans,
+             (SELECT CAST(sum(3 * cents) AS BIGINT) FROM e)
+               AS join_sum_c3""")),
+    Q("q175_sorted_spj", q175SortedSpj, Some("""
+      WITH e AS (SELECT event_id,
+                        CAST(round(value * 100) AS BIGINT) AS cents
+                 FROM events)
+      SELECT CAST(8 AS BIGINT) AS n_files,
+             CAST(8 AS BIGINT) AS n_sorted_files,
+             CAST(1 AS BIGINT) AS n_shuffles_total,
+             CAST(0 AS BIGINT) AS n_sorts_total,
+             CAST(1 AS BIGINT) AS is_merge_join,
              (SELECT CAST(sum(3 * cents) AS BIGINT) FROM e)
                AS join_sum_c3""")),
     Q("q173_composed_partition", q173ComposedPartition, Some("""

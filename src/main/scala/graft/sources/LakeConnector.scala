@@ -1210,7 +1210,8 @@ final case class LakeScan(root: String, version: Int,
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   // set by the engine's execution-time filter() call; read by
   // planInputPartitions and the judged gate
@@ -1278,6 +1279,44 @@ final case class LakeScan(root: String, version: Int,
         new org.apache.spark.sql.connector.read.partitioning
           .UnknownPartitioning(files.size)
     }
+
+  /** SORTED-LAYOUT face (`SupportsReportOrdering`): when every kept
+    * file was written under a declared `sortcol` — rows physically
+    * ordered by it, ascending nulls-first, stamped `so=` in the
+    * manifest — the scan reports that per-partition ordering and
+    * Spark's V2ScanPartitioningAndOrdering attaches it to the
+    * relation, so a merge join over two such scans plans with ZERO
+    * SortExec nodes. Combined with the key-grouped SPJ report above,
+    * a bucketed-sorted fact-fact join runs with no exchange AND no
+    * sort — at 100 TB the layout is both the shuffle and the sort.
+    *
+    * The claim is made only when it provably holds per PHYSICAL
+    * partition: a row-group split of a sorted file is itself sorted
+    * and each non-SPJ InputPartition is one contiguous run, but an
+    * SPJ partition CONCATENATES all same-key splits — so in SPJ mode
+    * the report additionally requires at most one file per partition
+    * key (the single-INSERT bucket layout; a multi-file key would
+    * interleave two sorted runs). Mixed or unsorted snapshots report
+    * no ordering and plan exactly as before.
+    */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    val claim = for {
+      f0 <- files.headOption
+      c0 <- f0.sorted
+      if !cdf
+      if files.forall(_.sorted.exists(_.equalsIgnoreCase(c0)))
+      // the ordering expression must resolve against the scan OUTPUT
+      out <- required.fieldNames.find(_.equalsIgnoreCase(c0))
+      if spjCol.isEmpty ||
+        files.groupBy(f => (f.part.map(_._2), f.part2.map(_._2)))
+          .forall(_._2.size <= 1)
+    } yield org.apache.spark.sql.connector.expressions.Expressions.sort(
+      org.apache.spark.sql.connector.expressions.Expressions.column(out)
+        : org.apache.spark.sql.connector.expressions.Expression,
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
+    claim.toArray
+  }
 
   /** Partition-tag string → the key's JVM value: the bucket ID
     * (IntegerType, the transform's result type) in bucket mode, else
@@ -1657,6 +1696,21 @@ object LakeScan {
       case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
         1 + s.children.map(countShuffles).sum
       case other => other.children.map(countShuffles).sum
+    }
+
+  /** SortExec nodes in an executed plan (AQE-recursing, same walk as
+    * [[countShuffles]]) — the sorted-layout gate's certificate: a
+    * merge join over ordering-reporting scans must plan ZERO.
+    */
+  def countSorts(plan: org.apache.spark.sql.execution.SparkPlan): Int =
+    plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        countSorts(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        countSorts(q.plan)
+      case s: org.apache.spark.sql.execution.SortExec =>
+        1 + s.children.map(countSorts).sum
+      case other => other.children.map(countSorts).sum
     }
 }
 

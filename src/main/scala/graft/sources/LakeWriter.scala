@@ -158,14 +158,27 @@ final class LakeWriteBuilder(root: String, info: LogicalWriteInfo,
           org.apache.spark.sql.connector.distributions.Distributions
             .clustered(levels.map(clusterExprOf).toArray)
         override def requiredOrdering()
-            : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-          levels.map(sp => Expressions.sort(
+            : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+          val byLevels = levels.map(sp => Expressions.sort(
             sp.buckets.fold(
               Expressions.column(sp.col)
                 : org.apache.spark.sql.connector.expressions.Expression)(
               _ => clusterExprOf(sp)),
             org.apache.spark.sql.connector.expressions
-              .SortDirection.ASCENDING)).toArray
+              .SortDirection.ASCENDING))
+          // sorted layout (`sortcol` prop): rows WITHIN each
+          // single-valued file are additionally ordered by the sort
+          // column — ascending, nulls first (Spark's default for
+          // ASC) — which is what lets the scan report per-split
+          // outputOrdering and an SPJ merge join skip its sorts
+          val bySortCol = opts.get("sortcol").map(c =>
+            Expressions.sort(
+              Expressions.column(c)
+                : org.apache.spark.sql.connector.expressions.Expression,
+              org.apache.spark.sql.connector.expressions
+                .SortDirection.ASCENDING))
+          (byLevels ++ bySortCol).toArray
+        }
         override def toBatch: BatchWrite =
           new LakeBatchWrite(root, info.schema(), overwrite, opts,
             Some(spec), replaceWhere)
@@ -335,7 +348,18 @@ private[sources] object LakeCommit {
             yield f1.copy(part2 = Some(tn2 -> v2))).getOrElse(f1)
         }
     }
-    SnapshotLake.commitFiles(root, tagged, statCol, overwrite, bloomCol,
+    // sorted layout: a partitioned write that declared `sortcol` had
+    // Spark plan the within-task sort (RequiresDistributionAndOrdering
+    // above), so every rolled file is physically ordered by it —
+    // stamp the claim the scan's outputOrdering report reads.
+    // Partitioned writes only: an unpartitioned write never requests
+    // an ordering, so stamping there would lie.
+    val stamped = opts.get("sortcol")
+      .filter(_ => opts.contains("partcol")) match {
+      case Some(sc) => tagged.map(_.copy(sorted = Some(sc)))
+      case None => tagged
+    }
+    SnapshotLake.commitFiles(root, stamped, statCol, overwrite, bloomCol,
       statCol2, txn, schemaJson): Unit
   }
 

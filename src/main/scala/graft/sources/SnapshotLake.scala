@@ -112,7 +112,15 @@ object SnapshotLake {
         * under a composed spec is single-valued in BOTH dimensions,
         * and the prune intersects both.
         */
-      part2: Option[(String, String)] = None) {
+      part2: Option[(String, String)] = None,
+      /** The column this file's rows are PHYSICALLY ORDERED by
+        * (ascending, nulls first) — stamped when the write declared
+        * `sortcol` and Spark planned the clustered+sorted layout.
+        * What lets the scan report per-split `outputOrdering` so an
+        * SPJ merge join runs with ZERO SortExec nodes (the
+        * bucketed-sorted table layout). Absent = no ordering claim.
+        */
+      sorted: Option[String] = None) {
     /** Rows a reader actually surfaces: physical rows minus the
       * deletion vector's cardinality. This is the row count every
       * manifest-answered number must use (COUNT pushdown, limit/top-k
@@ -695,6 +703,7 @@ object SnapshotLake {
           optional boolean rin;
           optional binary p2c (UTF8);
           optional binary p2v (UTF8);
+          optional binary soc (UTF8);
         }""")
 
     def write(root: String, v: Int, files: Seq[FileStat]): String = {
@@ -766,6 +775,7 @@ object SnapshotLake {
         if (f.ridMat) g.append("rim", true): Unit
         else f.rid.foreach(b => g.append("rib", b): Unit)
         if (f.ridNew) g.append("rin", true): Unit
+        f.sorted.foreach(c => g.append("soc", c): Unit)
         w.write(g)
       } finally w.close()
       name
@@ -811,7 +821,8 @@ object SnapshotLake {
           ridMat = opt("rim") && g.getBoolean("rim", 0),
           ridNew = opt("rin") && g.getBoolean("rin", 0),
           part2 = if (opt("p2c")) Some((g.getString("p2c", 0),
-            g.getString("p2v", 0))) else None)
+            g.getString("p2v", 0))) else None,
+          sorted = if (opt("soc")) Some(g.getString("soc", 0)) else None)
       }.toVector
       finally r.close()
     }
@@ -953,7 +964,8 @@ object SnapshotLake {
         (if (v.startsWith("new:")) v.stripPrefix("new:") else v).toLong),
       ridMat = ri.contains("mat"),
       ridNew = ri.exists(_.startsWith("new:")),
-      part2 = part2)
+      part2 = part2,
+      sorted = extras.find(_.startsWith("so=")).map(_.stripPrefix("so=")))
   }
 
   private def parseManifest(root: String, v: Int): Manifest = {
@@ -1209,8 +1221,11 @@ object SnapshotLake {
         if (f.ridMat) s"$withCs\tri=mat"
         else f.rid.fold(withCs)(b =>
           if (f.ridNew) s"$withCs\tri=new:$b" else s"$withCs\tri=$b")
-      f.bloom.fold(withRi)(b =>
-        s"$withRi\tbf=${java.util.Base64.getEncoder.encodeToString(b)}")
+      // so=<col>: the file's physical sort column (colons/tabs were
+      // refused at the DDL gate, so the name is safe inline)
+      val withSo = f.sorted.fold(withRi)(c => s"$withRi\tso=$c")
+      f.bloom.fold(withSo)(b =>
+        s"$withSo\tbf=${java.util.Base64.getEncoder.encodeToString(b)}")
     }
     Files.createDirectories(logDir(root))
     // full (checkpoint) manifests externalize the O(files) list as a

@@ -1,0 +1,147 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.{LakeScan, SnapshotLake}
+
+/** Sorted bucket layout: `sortcol` orders rows within each rolled
+  * file, the manifest stamps `so=` (text + checkpoint round-trip),
+  * the scan reports per-split ordering through
+  * SupportsReportOrdering under exactly the safe conditions, and the
+  * SPJ merge join of two sorted-bucketed tables plans with zero
+  * exchanges and zero sorts — while a multi-file-per-bucket snapshot
+  * honestly declines the claim and re-sorts.
+  */
+class SortedLayoutSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val cat = "graft_sorted_cat"
+
+  // one root for the suite: Spark caches the catalog instance on
+  // first use, so re-pointing the root conf mid-suite would diverge
+  // from where tables actually live
+  private lazy val suiteBase: String =
+    Files.createTempDirectory("lake_sorted_").toString
+
+  private def withCatalog(body: => Unit): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", suiteBase)
+    body
+  }
+
+  private def rootOf(t: String): String = s"$suiteBase/$t"
+
+  private def mkSorted(t: String, factor: Int): Unit = {
+    spark.sql(s"""
+      CREATE TABLE $cat.$t (k BIGINT, cents BIGINT)
+      PARTITIONED BY (bucket(4, k))
+      TBLPROPERTIES ('statCol' = 'cents', 'sortcol' = 'k')""")
+    // adversarial input order: descending, so only the write's
+    // planned sort can produce ordered files
+    spark.sql(s"""
+      INSERT INTO $cat.$t
+      SELECT id AS k, id * $factor AS cents FROM range(2000)
+      ORDER BY id DESC""")
+  }
+
+  test("files are physically key-sorted and stamped so=; " +
+      "checkpoint round-trips the tag") {
+    withCatalog {
+      mkSorted("t1", 3)
+      val snap = SnapshotLake.snapshot(rootOf("t1"))
+      assert(snap.files.nonEmpty)
+      assert(snap.files.forall(_.sorted.contains("k")))
+      // read ONE file raw: rows must be ascending by k (manifest
+      // names are root-relative)
+      val one = spark.read.parquet(
+        rootOf("t1") + "/" + snap.files.head.name)
+      val ks = one.select("k").collect().map(_.getLong(0)).toSeq
+      assert(ks === ks.sorted)
+      // push the chain to a checkpoint version (v16) and re-read
+      (1 to 16).foreach { i =>
+        spark.sql(s"INSERT INTO $cat.t1 VALUES (${10000 + i}, 1)")
+      }
+      val at16 = SnapshotLake.snapshot(rootOf("t1"), Some(16))
+      assert(at16.files.exists(_.sorted.contains("k")))
+    }
+  }
+
+  test("SPJ merge join of two sorted-bucketed tables: zero exchanges, " +
+      "zero sorts, exact answer") {
+    withCatalog {
+      mkSorted("a", 1)
+      mkSorted("b", 2)
+      val j = spark.sql(s"""
+        SELECT /*+ MERGE(x) */ sum(x.cents + y.cents) AS s
+        FROM $cat.a x JOIN $cat.b y ON x.k = y.k""")
+      assert(j.head.getLong(0) === (0L until 2000L).map(_ * 3).sum)
+      val plan = j.queryExecution.executedPlan
+      assert(LakeScan.countShuffles(plan) === 1) // the scalar agg only
+      assert(LakeScan.countSorts(plan) === 0)
+      assert(plan.toString.contains("SortMergeJoin"))
+    }
+  }
+
+  test("multi-file buckets decline the ordering claim; join stays " +
+      "correct with real sorts") {
+    withCatalog {
+      mkSorted("c", 1)
+      mkSorted("d", 2)
+      // second insert: every bucket now holds TWO sorted files whose
+      // key ranges interleave — an SPJ partition concatenates them,
+      // so the scan must NOT report ordering
+      spark.sql(s"""
+        INSERT INTO $cat.c
+        SELECT id AS k, id AS cents FROM range(2000, 4000)""")
+      spark.sql(s"""
+        INSERT INTO $cat.d
+        SELECT id AS k, id * 2 AS cents FROM range(2000, 4000)""")
+      val j = spark.sql(s"""
+        SELECT /*+ MERGE(x) */ sum(x.cents + y.cents) AS s
+        FROM $cat.c x JOIN $cat.d y ON x.k = y.k""")
+      assert(j.head.getLong(0) === (0L until 4000L).map(_ * 3).sum)
+      val plan = j.queryExecution.executedPlan
+      // still storage-partitioned (zero join exchanges)...
+      assert(LakeScan.countShuffles(plan) === 1)
+      // ...but the merge join re-sorts each side honestly
+      assert(LakeScan.countSorts(plan) === 2)
+    }
+  }
+
+  test("unsorted tables never claim; DML rewrites drop the stamp") {
+    withCatalog {
+      spark.sql(s"""
+        CREATE TABLE $cat.u (k BIGINT, cents BIGINT)
+        PARTITIONED BY (bucket(4, k))
+        TBLPROPERTIES ('statCol' = 'cents')""")
+      spark.sql(s"INSERT INTO $cat.u SELECT id, id FROM range(100)")
+      assert(SnapshotLake.snapshot(rootOf("u")).files
+        .forall(_.sorted.isEmpty))
+      // a sorted table's CoW rewrite produces unstamped files (the
+      // rewrite never re-plans the within-file sort)
+      mkSorted("e", 1)
+      SnapshotLake.deleteRows(spark, rootOf("e"), col("k") < 500,
+        cowThresholdRows = 1L) // force copy-on-write
+      val snap = SnapshotLake.snapshot(rootOf("e"))
+      val rewritten = snap.files.filter(_.sorted.isEmpty)
+      assert(rewritten.nonEmpty)
+    }
+  }
+
+  test("sortcol DDL gates: schema membership and partitioned-only") {
+    withCatalog {
+      intercept[Exception] {
+        spark.sql(s"""
+          CREATE TABLE $cat.bad1 (k BIGINT, cents BIGINT)
+          PARTITIONED BY (bucket(4, k))
+          TBLPROPERTIES ('statCol' = 'cents', 'sortcol' = 'nope')""")
+      }
+      intercept[Exception] {
+        spark.sql(s"""
+          CREATE TABLE $cat.bad2 (k BIGINT, cents BIGINT)
+          TBLPROPERTIES ('statCol' = 'cents', 'sortcol' = 'k')""")
+      }
+    }
+  }
+}
