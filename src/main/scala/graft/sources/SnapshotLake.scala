@@ -2234,10 +2234,20 @@ object SnapshotLake {
       case Some(_) => small0.partition(_.part.isEmpty)
       case None => (Seq.empty[FileStat], small0)
     }
+    // SORTED-LAYOUT PRESERVATION: when every file a rewrite branch
+    // consumes carries the SAME `so=` stamp, the rewrite re-sorts by
+    // that column and re-stamps its outputs — OPTIMIZE keeps the
+    // sort-free-join layout instead of silently degrading it. Mixed
+    // or unstamped sources sort by the stat column as before (the
+    // tightest lo/hi envelopes) and emit unstamped files.
+    def commonSo(fs: Seq[FileStat]): Option[String] =
+      fs.headOption.flatMap(_.sorted).filter(c =>
+        fs.forall(_.sorted.exists(_.equalsIgnoreCase(c))))
     val rbFiles =
       if (rebucket.isEmpty) Seq.empty[FileStat]
       else {
         val (n, c) = bucketSpec.get
+        val rbSo = commonSo(rebucket)
         val batch = s"data/b-${UUID.randomUUID().toString.take(8)}"
         // re-routed rows keep their stable ids (__rid) when the
         // sources carry identity — the old "implicit ids do not
@@ -2252,12 +2262,17 @@ object SnapshotLake {
                   org.apache.spark.sql.types.LongType))),
           base.schema)
           .repartition(col("__bucket"))
-          .sortWithinPartitions(col(key))
+          // __bucket leads the sort: FileFormatWriter requires its
+          // input ordered by the partitionBy columns and ADDS ITS OWN
+          // sort by them alone when the actual ordering doesn't lead
+          // with them — which would silently discard the data order
+          .sortWithinPartitions(col("__bucket"), col(rbSo.getOrElse(key)))
           .write.partitionBy("__bucket").parquet(s"$root/$batch")
         val bTag = "__bucket=(\\d+)/".r
         statsFor(s, root, batch, key, base.bloomCol,
             inheritedBloomBytes(base), base.statCol2)
           .map(f => if (rbRid) f.copy(ridMat = true) else f)
+          .map(f => rbSo.fold(f)(c2 => f.copy(sorted = Some(c2))))
           .map { f =>
             val m = bTag.findFirstMatchIn(f.name).getOrElse(
               throw new IllegalStateException(
@@ -2300,18 +2315,21 @@ object SnapshotLake {
         // OPTIMIZE — Delta's lineage contract)
         val (packSrc, packRid) =
           readFilesForRewrite(s, root, base, packed.flatten)
+        val packSo = commonSo(packed.flatten)
         ColMap.toPhysical(routeToSourceBuckets(s,
           packSrc.withColumn("__src", input_file_name()),
           packed.zipWithIndex.flatMap { case (g, gi) =>
             g.map(f => f.name -> s"g$gi") },
           default = "x"), base.schema)
           .repartition(col("__bucket"))
-          .sortWithinPartitions(col(key))
+          // __bucket leads (see the re-bucket branch note)
+          .sortWithinPartitions(col("__bucket"), col(packSo.getOrElse(key)))
           .write.partitionBy("__bucket").parquet(s"$root/$batch")
         val gTag = "__bucket=g(\\d+)/".r
         statsFor(s, root, batch, key, base.bloomCol,
             inheritedBloomBytes(base), base.statCol2)
           .map(f => if (packRid) f.copy(ridMat = true) else f)
+          .map(f => packSo.fold(f)(c2 => f.copy(sorted = Some(c2))))
           // a packed output inherits its group's partition identity
           // (groups never span partitions, so head's tag is the
           // group's tag)

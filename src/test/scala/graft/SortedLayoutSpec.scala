@@ -109,6 +109,41 @@ class SortedLayoutSpec extends SparkTestBase {
     }
   }
 
+  test("OPTIMIZE preserves the sorted layout and RESTORES the " +
+      "sort-free join a second insert eroded") {
+    withCatalog {
+      mkSorted("f", 1)
+      mkSorted("g", 2)
+      // erode: two sorted files per bucket -> ordering claim declined
+      spark.sql(s"INSERT INTO $cat.f " +
+        "SELECT id AS k, id AS cents FROM range(2000, 4000)")
+      spark.sql(s"INSERT INTO $cat.g " +
+        "SELECT id AS k, id * 2 AS cents FROM range(2000, 4000)")
+      // compact: every pack group's sources share so=k, so outputs
+      // re-sort by k and re-stamp — one sorted file per bucket again
+      for (t <- Seq("f", "g"))
+        spark.sql(s"CALL $cat.optimize(table => '$t', " +
+          "target_rows => 100000)").collect()
+      val snap = SnapshotLake.snapshot(rootOf("f"))
+      assert(snap.files.size === 4)
+      assert(snap.files.forall(_.sorted.contains("k")))
+      // EVERY compacted file must be physically k-sorted — the
+      // sort-free merge join below rides exactly this
+      for (f <- snap.files) {
+        val ks = spark.read.parquet(rootOf("f") + "/" + f.name)
+          .select("k").collect().map(_.getLong(0)).toSeq
+        assert(ks === ks.sorted, s"file ${f.name} not k-sorted")
+      }
+      val j = spark.sql(s"""
+        SELECT /*+ MERGE(x) */ sum(x.cents + y.cents) AS s
+        FROM $cat.f x JOIN $cat.g y ON x.k = y.k""")
+      assert(j.head.getLong(0) === (0L until 4000L).map(_ * 3).sum)
+      val plan = j.queryExecution.executedPlan
+      assert(LakeScan.countShuffles(plan) === 1)
+      assert(LakeScan.countSorts(plan) === 0)
+    }
+  }
+
   test("unsorted tables never claim; DML rewrites drop the stamp") {
     withCatalog {
       spark.sql(s"""
