@@ -1177,11 +1177,24 @@ final class LakeRowLevelOperation(root: String, tschema: StructType,
     * metadata attributes Spark hands the writer the RAW rewrite
     * output (operation column included) — the projection only rides
     * the metadata path.
+    *
+    * `_row_id` — ROW-ID LINEAGE through the group-based CoW path:
+    * Spark's DataAndMetadataWritingSparkTask hands each replacement
+    * row's metadata to the writer (`DataWriter.write(meta, row)`),
+    * so every carried or updated row arrives WITH its pre-image's
+    * stable id and the rewrite can materialize it (`__rid`,
+    * `ri=mat`) — the same contract the delta path's post-images
+    * keep. Rows with NULL metadata ids (untracked source files, or
+    * a MERGE's genuine inserts — never scanned, no pre-image) make
+    * the containing output file honestly decline the `ri=mat` mark.
     */
   override def requiredMetadataAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions
-      .column(LakeTable.FileColumn))
+    Array(
+      org.apache.spark.sql.connector.expressions.Expressions
+        .column(LakeTable.FileColumn),
+      org.apache.spark.sql.connector.expressions.Expressions
+        .column(LakeTable.RowIdColumn))
 }
 
 final case class LakeScan(root: String, version: Int,

@@ -444,27 +444,68 @@ final class LakeReplaceWriteBuilder(root: String, info: LogicalWriteInfo,
     val opts = tableOpts ++ info.options().asCaseSensitiveMap()
       .asScala.map { case (k, v) =>
         k.toLowerCase(java.util.Locale.ROOT) -> v }
+    // the operation's metadata schema carries (_file, _row_id): the
+    // _row_id slot is what lets the CoW rewrite materialize each
+    // replacement row's pre-image identity
+    val ridIdx: Option[Int] = {
+      val ms = info.metadataSchema()
+      if (!ms.isPresent) None
+      else {
+        val i = ms.get.fieldNames
+          .indexWhere(_.equalsIgnoreCase(LakeTable.RowIdColumn))
+        if (i >= 0) Some(i) else None
+      }
+    }
     new Write {
       override def toBatch: BatchWrite =
-        new LakeReplaceBatchWrite(root, info.schema(), opts, scanOf, op)
+        new LakeReplaceBatchWrite(root, info.schema(), opts, scanOf, op,
+          ridIdx)
     }
   }
 }
 
+/** A CoW replacement task's acknowledged file plus how many of its
+  * rows arrived WITHOUT a pre-image id — zero means every row kept
+  * its identity and the file may publish as `ri=mat`.
+  */
+final case class LakeReplaceStaged(staged: LakeStaged, ridNulls: Long)
+    extends WriterCommitMessage
+
 final class LakeReplaceBatchWrite(root: String, schema: StructType,
     opts: Map[String, String], scanOf: () => Option[LakeScan],
-    op: String) extends BatchWrite {
+    op: String, ridIdx: Option[Int] = None) extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
     Files.createDirectories(Paths.get(LakeWrite.stagingDir(root)))
-    new LakeWriterFactory(root,
-      LakeWrite.writeConf(
-        LakeWrite.physicalFor(root, schema, overwrite = false)))
+    val phys = LakeWrite.physicalFor(root, schema, overwrite = false)
+    ridIdx match {
+      case Some(idx) =>
+        // rid-materializing rewrite: output schema appends a NULLABLE
+        // __rid (a MERGE's genuine inserts carry no pre-image id; the
+        // commit marks ri=mat only on all-ids files)
+        new LakeReplaceRidWriterFactory(root,
+          LakeWrite.writeConf(StructType(phys.fields :+
+            org.apache.spark.sql.types.StructField(
+              LakeTable.RidPhysColumn,
+              org.apache.spark.sql.types.LongType, nullable = true))),
+          idx)
+      case None =>
+        new LakeWriterFactory(root, LakeWrite.writeConf(phys))
+    }
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val staged = messages.collect { case m: LakeStaged => m }
+    // files where every replacement row kept a pre-image id publish
+    // with the materialized-rid mark
+    val matNames: Set[String] = messages.collect {
+      case m: LakeReplaceStaged if m.ridNulls == 0 && m.staged.rows > 0 =>
+        m.staged.name
+    }.toSet
+    val staged = messages.collect {
+      case m: LakeStaged => m
+      case m: LakeReplaceStaged => m.staged
+    }
     val (live, empty) = staged.partition(_.rows > 0)
     empty.foreach(LakeCommit.discard(root, _))
     val replaced = scanOf().fold(Seq.empty[String])(
@@ -493,6 +534,10 @@ final class LakeReplaceBatchWrite(root: String, schema: StructType,
         }
         SnapshotLake.statsFor(SparkSession.active, root, batch,
           statCol, bloomCol, bloomBytes, statCol2)
+          .map { f =>
+            val base = f.name.substring(f.name.lastIndexOf('/') + 1)
+            if (matNames(base)) f.copy(ridMat = true) else f
+          }
       }
     val v = SnapshotLake.commitReplaceFiles(root, replaced, newFiles, op,
       statCol, bloomCol, statCol2, Some(schema.json))
@@ -506,8 +551,53 @@ final class LakeReplaceBatchWrite(root: String, schema: StructType,
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case m: LakeStaged => LakeCommit.discard(root, m)
+      case r: LakeReplaceStaged => LakeCommit.discard(root, r.staged)
       case s: LakeStagedSet => s.files.foreach(LakeCommit.discard(root, _))
       case _ => }
+}
+
+final class LakeReplaceRidWriterFactory(root: String,
+    confKVs: Map[String, String], ridIdx: Int) extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new LakeReplaceRidWriter(root, confKVs, ridIdx, partitionId, taskId)
+}
+
+/** Task-side rid-materializing CoW writer: every replacement row
+  * arrives with its metadata row (`DataWriter.write(meta, row)` —
+  * Spark's DataAndMetadataWritingSparkTask, active because the
+  * operation declares metadata attributes), and the pre-image's
+  * `_row_id` lands in the appended `__rid` column. A null id (a
+  * source file without row tracking, or a MERGE's genuine insert —
+  * never scanned) writes as null and is COUNTED: the commit marks
+  * `ri=mat` only on files whose every row kept identity.
+  */
+final class LakeReplaceRidWriter(root: String,
+    confKVs: Map[String, String], ridIdx: Int,
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+
+  private val inner = new LakeDataWriter(root, confKVs, partitionId, taskId)
+  private var ridNulls = 0L
+
+  override def write(meta: InternalRow, row: InternalRow): Unit = {
+    val rid: Any =
+      if (meta == null || meta.numFields <= ridIdx || meta.isNullAt(ridIdx))
+        { ridNulls += 1; null }
+      else meta.getLong(ridIdx)
+    inner.write(new org.apache.spark.sql.catalyst.expressions.JoinedRow(
+      row, new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](rid))))
+  }
+
+  // single-arg writes carry no metadata — identity unknown
+  override def write(row: InternalRow): Unit = write(null, row)
+
+  override def commit(): WriterCommitMessage = inner.commit() match {
+    case m: LakeStaged => LakeReplaceStaged(m, ridNulls)
+    case other => other // unpartitioned task: always a LakeStaged
+  }
+  override def abort(): Unit = inner.abort()
+  override def close(): Unit = inner.close()
 }
 
 final class LakeBatchWrite(root: String, schema: StructType,

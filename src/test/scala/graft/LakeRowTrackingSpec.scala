@@ -8,11 +8,13 @@ import graft.sources.SnapshotLake
   * (manifest `ri=` base + physical position) assigned once from the
   * chain's monotonic high-water, the `_row_id` metadata column
   * (implicit / materialized / null sources), identity SURVIVING a
-  * SQL key-column UPDATE through the delta path's materialized
-  * `__rid` post-images, the change feed's row-id diff, and the
-  * documented degradation: a CoW rewrite's outputs get FRESH ids and
-  * the CDF falls back to the key-matched diff rather than invent
-  * identity.
+  * SQL key-column UPDATE through BOTH row-level paths — the delta
+  * path's materialized `__rid` post-images and the group-based CoW
+  * path's metadata-fed rewrite (`DataWriter.write(meta, row)`) —
+  * and the change feed's row-id diff. Remaining honest decline: a
+  * rewrite output holding any row WITHOUT a pre-image id (untracked
+  * sources, a MERGE's genuine inserts) refuses the `ri=mat` mark
+  * and its versions keep the key-matched diff.
   */
 class LakeRowTrackingSpec extends SparkTestBase {
   import spark.implicits._
@@ -163,6 +165,52 @@ class LakeRowTrackingSpec extends SparkTestBase {
       .agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap
     assert(byType ===
       Map("update" -> 10L, "insert" -> 10L, "delete" -> 1L))
+  }
+
+  test("group-based SQL CoW (non-dv table): rewrites carry pre-image " +
+      "ids via write metadata; key-column UPDATE rid-diffs as updates") {
+    val root = freshRoot()
+    clustered4(root)
+    spark.sql("DROP TABLE IF EXISTS rid_grp")
+    // NO dv option → SQL UPDATE/DELETE route through the GROUP-BASED
+    // ReplaceData path (the delta fast path is never offered)
+    spark.sql(s"""
+      CREATE TABLE rid_grp (k BIGINT, v BIGINT)
+      USING graft.sources.GraftLakeSource
+      OPTIONS (path '$root', statCol 'k')""")
+    val before = spark.sql("SELECT k, _row_id FROM rid_grp")
+      .as[(Long, Long)].collect().toMap
+    // KEY-column update — the case a key diff can only see as
+    // delete+insert; the rid diff must see two updates
+    spark.sql("UPDATE rid_grp SET k = k + 1000 WHERE k IN (7, 207)")
+    val snap = SnapshotLake.snapshot(root)
+    assert(snap.files.exists(_.ridMat),
+      "group-based CoW rewrite did not materialize ids")
+    val after = spark.sql("SELECT k, _row_id FROM rid_grp")
+      .as[(Long, Long)].collect().toMap
+    assert(after(1007L) === before(7L))
+    assert(after(1207L) === before(207L))
+    // carried rows in the rewritten files kept identity too
+    assert(after.size === 400)
+    assert(after.filterNot(kv => kv._1 == 1007L || kv._1 == 1207L)
+      .forall { case (k, id) => before(k) == id })
+    val (diff, _, _) = SnapshotLake.changes(spark, root,
+      snap.version - 1, snap.version)
+    val byType = diff.groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap
+    assert(byType === Map("update" -> 2L))
+    // SQL DELETE through the same path: survivors keep ids, the CDF
+    // derives exactly the deleted rows
+    spark.sql("DELETE FROM rid_grp WHERE k % 100 = 9 AND k < 400")
+    val snap2 = SnapshotLake.snapshot(root)
+    val (diff2, _, _) = SnapshotLake.changes(spark, root,
+      snap2.version - 1, snap2.version)
+    val byType2 = diff2.groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap
+    assert(byType2 === Map("delete" -> 4L)) // k = 9, 109, 209, 309
+    val kept = spark.sql("SELECT k, _row_id FROM rid_grp")
+      .as[(Long, Long)].collect().toMap
+    assert(kept.forall { case (k, id) => after(k) == id })
   }
 
   test("row ids survive deletion vectors: surviving rows keep their ids") {
