@@ -4288,6 +4288,77 @@ object SnapshotLake {
         "cdf_deletes", "cdf_inserts", "n_rows", "sum_event_id")
   }
 
+  /** Judged GROUP-BASED CoW ROW-ID LINEAGE — q169's twin on a table
+    * WITHOUT deletion vectors, where SQL UPDATE routes through
+    * Spark's group-based ReplaceData protocol instead of the delta
+    * path: the operation declares `_row_id` as a required metadata
+    * attribute, Spark's metadata-writing task hands every
+    * replacement row's pre-image id to the writer, and the rewrite
+    * MATERIALIZES it (`__rid`, `ri=mat`) — so a KEY-COLUMN update
+    * still classifies as proper `update`s in the change feed and
+    * every carried row keeps its stable id through the full-file
+    * rewrite. Gates: all rewritten files carry the mat mark, the
+    * CDF type counts (update = matched, delete = insert = 0), a
+    * distributed zero-drift certificate over every surviving row
+    * (one anti-join, no collect), and the row-exact post-update
+    * aggregate. At 100 TB: incremental consumers trust `_row_id`
+    * across plain-table SQL DML, not just deletion-vector tables.
+    */
+  def q176GroupCowLineage(s: SparkSession, d: String): DataFrame = {
+    val root = Housekeeping.tempDir("q176")
+    val ev = eventsCents(s, d).select(col("event_id"), col("cents"))
+    val span = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    def bound(i: Int): Long = i.toLong * span / 8
+    val bucket = (1 to 7).foldLeft(lit(0)) { (acc, i) =>
+      when(col("event_id") >= bound(i), lit(i)).otherwise(acc)
+    }
+    commitClustered(s, root, ev, bucket, "event_id")
+    s.sql("DROP TABLE IF EXISTS q176_lake")
+    // NO dv option: the delta fast path is never offered — SQL DML
+    // goes through the group-based CoW rewrite
+    s.sql(s"""
+      CREATE TABLE q176_lake (event_id BIGINT, cents BIGINT)
+      USING graft.sources.GraftLakeSource
+      OPTIONS (path '$root', statCol 'event_id', changefeed 'true')""")
+    val before = s.table("q176_lake")
+      .select(col("event_id"), col("_row_id").as("__id0"))
+    before.cache()
+    val nBefore = before.count() // also materializes the cache
+    s.sql(s"""UPDATE q176_lake SET event_id = event_id + ${2 * span}
+      WHERE event_id % 401 = 13""").collect(): Unit
+    val snap = snapshot(root)
+    val namesBefore = snapshot(root, Some(snap.version - 1))
+      .files.map(_.name).toSet
+    val rewritten = snap.files.filterNot(f => namesBefore(f.name))
+    val allMat = rewritten.nonEmpty && rewritten.forall(_.ridMat)
+    val byType = s.read.format("graft.sources.GraftLakeSource")
+      .option("path", root).option("readChangeFeed", "true")
+      .option("startingVersion", snap.version.toString)
+      .option("endingVersion", snap.version.toString).load()
+      .groupBy(col("_change_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // zero-drift certificate: every surviving row (updated keys map
+    // back to their pre-image) still holds its original id
+    val after = s.table("q176_lake").select(
+      when(col("event_id") >= lit(2 * span),
+        col("event_id") - lit(2 * span)).otherwise(col("event_id"))
+        .as("event_id"),
+      col("_row_id").as("__id1"))
+    val drifted = after.join(before, Seq("event_id"))
+      .where(!(col("__id1") <=> col("__id0"))).count()
+    before.unpersist()
+    val agg = s.table("q176_lake")
+      .agg(count(lit(1)), sum(col("event_id"))).collect().head
+    import s.implicits._
+    Seq((nBefore, allMat,
+        byType.getOrElse("update", 0L), byType.getOrElse("delete", 0L),
+        byType.getOrElse("insert", 0L), drifted,
+        agg.getLong(0), agg.getLong(1)))
+      .toDF("n_before", "all_rewrites_materialized", "cdf_updates",
+        "cdf_deletes", "cdf_inserts", "n_ids_drifted",
+        "n_rows", "sum_event_id")
+  }
+
   /** Judged ROW-ID LINEAGE THROUGH REWRITES (colstats v3's sibling,
     * closing row tracking's last gaps): a copy-on-write delete, an
     * upsert MERGE, and a full compaction each REWRITE files — and
@@ -5219,6 +5290,20 @@ object SnapshotLake {
              count(*) AS cdf_deletes,
              CAST(sum(cents) AS BIGINT) AS cdf_cents
       FROM del""")),
+    Q("q176_group_cow_lineage", q176GroupCowLineage, Some("""
+      WITH ec AS (SELECT event_id FROM events),
+      sp AS (SELECT max(event_id) + 1 AS span FROM ec),
+      m AS (SELECT count(*) AS n FROM ec WHERE event_id % 401 = 13)
+      SELECT (SELECT count(*) FROM ec) AS n_before,
+             TRUE AS all_rewrites_materialized,
+             m.n AS cdf_updates,
+             CAST(0 AS BIGINT) AS cdf_deletes,
+             CAST(0 AS BIGINT) AS cdf_inserts,
+             CAST(0 AS BIGINT) AS n_ids_drifted,
+             (SELECT count(*) FROM ec) AS n_rows,
+             (SELECT CAST(sum(event_id) AS BIGINT) FROM ec)
+               + 2 * sp.span * m.n AS sum_event_id
+      FROM m, sp""")),
     Q("q169_row_tracking", q169RowTracking, Some("""
       WITH ec AS (SELECT event_id FROM events),
       sp AS (SELECT max(event_id) + 1 AS span FROM ec),
