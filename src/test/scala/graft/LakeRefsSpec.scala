@@ -85,6 +85,29 @@ class LakeRefsSpec extends SparkTestBase {
   private def branchOf(root: String, b: String): String =
     s"$root/_branch/$b"
 
+  test("a branch publishes at most once: the second fast-forward " +
+      "conflicts on the moved head; racing tag creators — one winner") {
+    val root = freshRoot()
+    SnapshotLake.commit(spark, root, tbl(0 until 20), "k")
+    SnapshotLake.createBranch(root, "b")
+    SnapshotLake.commit(spark, branchOf(root, "b"), tbl(20 until 30), "k")
+    assert(SnapshotLake.fastForward(root, "b") === 1)
+    // the publish itself advanced main past the fork, so a replayed
+    // publish (retry, duplicate scheduler run) can never double-land
+    intercept[SnapshotLake.MergeConflictException] {
+      SnapshotLake.fastForward(root, "b")
+    }
+    assert(readMain(root).count() === 30L)
+    // tags are create-once even under a race: link(2) no-replace
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ts = (0 until 2).map(i => new Thread(() =>
+      if (scala.util.Try(SnapshotLake.createTag(root, "t", i)).isSuccess)
+        wins.incrementAndGet(): Unit))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(wins.get() === 1)
+    assert(Set(0, 1).contains(SnapshotLake.tagVersion(root, "t")))
+  }
+
   test("branch DML (deletion vectors) survives the publish") {
     val root = freshRoot()
     SnapshotLake.commit(spark, root, tbl(0 until 100), "k")
