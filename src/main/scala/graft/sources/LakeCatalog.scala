@@ -141,7 +141,25 @@ final class GraftLakeCatalog extends TableCatalog
     new LakeTable(root, asOf, schema, opts)
   }
 
-  override def loadTable(ident: Identifier): Table = loadAt(ident, None)
+  /** METADATA TABLES ride multipart identifiers: `<cat>.t.files`
+    * arrives as Identifier(namespace=[…, t], name=files). A real
+    * table at that exact path always wins — the meta namespace can
+    * never shadow user data — and only an EXISTING base table grows
+    * the meta suffix, so unknown names still fail with the standard
+    * NoSuchTableException.
+    */
+  override def loadTable(ident: Identifier): Table = {
+    val kind = ident.name().toLowerCase(java.util.Locale.ROOT)
+    if (!tableExists(ident) && ident.namespace().nonEmpty &&
+        LakeMetaTables.Kinds(kind)) {
+      val baseIdent = Identifier.of(
+        ident.namespace().dropRight(1), ident.namespace().last)
+      if (tableExists(baseIdent) &&
+          SnapshotLake.headVersion(rootOf(baseIdent)) >= 0)
+        return new LakeMetaTables.MetaTable(rootOf(baseIdent), kind)
+    }
+    loadAt(ident, None)
+  }
 
   /** `VERSION AS OF v` time travel — a number pins the version
     * directly; any other string resolves as a TAG name (Iceberg's
@@ -1211,6 +1229,61 @@ object LakeCatalogQueries {
         "n_sorts_total", "is_merge_join", "join_sum_c3")
   }
 
+  /** Judged METADATA TABLES — `SELECT * FROM <cat>.t.files /
+    * .partitions / .refs / .history`, the lake's own bookkeeping as
+    * SQL relations (Iceberg's metadata-table surface): file-level
+    * layout facts (rows, stat envelope, partition tags, sort stamps,
+    * row-id bases), partition rollups, named refs, and the commit
+    * history — all answered from manifest headers, zero data files
+    * opened, planned as local scans. The certificate cross-checks
+    * the META view against the DATA itself in one SQL statement
+    * (sum(files.rows) must equal count(*) of the table), so a
+    * manifest that lies about its files goes red. At 100 TB this is
+    * the observability layer operations actually run on: layout
+    * audits, small-file detection, retention planning — without
+    * listing a directory.
+    */
+  def q177MetadataTables(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftcat",
+      "graft.sources.GraftLakeCatalog")
+    s.conf.set("spark.sql.catalog.graftcat.root", catBase)
+    s.sql("DROP TABLE IF EXISTS graftcat.q177")
+    Tables.events(s, d).select(col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("q177_events")
+    s.sql("""
+      CREATE TABLE graftcat.q177 (event_id BIGINT, cents BIGINT)
+      PARTITIONED BY (bucket(8, event_id))
+      TBLPROPERTIES ('statCol' = 'cents', 'sortcol' = 'event_id')""")
+    s.sql("""
+      INSERT INTO graftcat.q177
+      SELECT event_id, cents FROM q177_events""").collect(): Unit
+    val root = s"$catBase/q177"
+    SnapshotLake.createBranch(root, "wip")
+    SnapshotLake.createTag(root, "rel-0", 0)
+    // one SQL statement over THREE meta relations + the data table:
+    // the meta↔data consistency equation rides the hash gate
+    s.sql("""
+      SELECT
+        (SELECT count(*) FROM graftcat.q177.files) AS n_files,
+        (SELECT count(*) FROM graftcat.q177.files
+         WHERE sorted_by = 'event_id') AS n_sorted,
+        (SELECT CAST(sum(rows) AS BIGINT) FROM graftcat.q177.files)
+          AS files_rows,
+        (SELECT count(*) FROM graftcat.q177) AS tbl_rows,
+        (SELECT count(*) FROM graftcat.q177.partitions) AS n_partitions,
+        (SELECT CAST(sum(n_rows) AS BIGINT)
+         FROM graftcat.q177.partitions) AS part_rows,
+        (SELECT count(*) FROM graftcat.q177.refs) AS n_refs,
+        (SELECT count(*) FROM graftcat.q177.refs WHERE type = 'branch')
+          AS n_branches,
+        (SELECT CAST(max(version) AS BIGINT) FROM graftcat.q177.refs
+         WHERE type = 'tag') AS tag_version,
+        (SELECT count(*) FROM graftcat.q177.history) AS n_versions,
+        (SELECT CAST(sum(cents) AS BIGINT) FROM graftcat.q177)
+          AS sum_cents""")
+  }
+
   /** Judged COMPOSED partition spec — `PARTITIONED BY (event_type,
     * bucket(4, event_id))`, the canonical identity+bucket lakehouse
     * layout: the clustered write lands ONE file per (type, bucket)
@@ -1758,6 +1831,21 @@ object LakeCatalogQueries {
              CAST(2 AS BIGINT) AS n_keygrouped_scans,
              (SELECT CAST(sum(3 * cents) AS BIGINT) FROM e)
                AS join_sum_c3""")),
+    Q("q177_metadata_tables", q177MetadataTables, Some("""
+      WITH e AS (SELECT event_id,
+                        CAST(round(value * 100) AS BIGINT) AS cents
+                 FROM events)
+      SELECT CAST(8 AS BIGINT) AS n_files,
+             CAST(8 AS BIGINT) AS n_sorted,
+             (SELECT count(*) FROM e) AS files_rows,
+             (SELECT count(*) FROM e) AS tbl_rows,
+             CAST(8 AS BIGINT) AS n_partitions,
+             (SELECT count(*) FROM e) AS part_rows,
+             CAST(2 AS BIGINT) AS n_refs,
+             CAST(1 AS BIGINT) AS n_branches,
+             CAST(0 AS BIGINT) AS tag_version,
+             CAST(1 AS BIGINT) AS n_versions,
+             (SELECT CAST(sum(cents) AS BIGINT) FROM e) AS sum_cents""")),
     Q("q175_sorted_spj", q175SortedSpj, Some("""
       WITH e AS (SELECT event_id,
                         CAST(round(value * 100) AS BIGINT) AS cents

@@ -3589,6 +3589,21 @@ object SnapshotLake {
     * the txn record if the commit was transactional. KB-scale driver
     * metadata; no data file is ever opened.
     */
+  /** One version's header facts for the metadata tables: (op, live
+    * file count, live row count, txn record, publish millis, is the
+    * manifest a full checkpoint). None if the manifest was vacuumed.
+    */
+  private[sources] def describeVersion(root: String, v: Int)
+      : Option[(String, Long, Long, Option[String], Option[Long], Boolean)] =
+    if (!Files.exists(manifestPath(root, v))) None
+    else {
+      val sn = snapshot(root, Some(v))
+      Some((sn.op.getOrElse("unknown"), sn.files.size.toLong,
+        sn.files.map(_.liveRows).sum,
+        sn.txn.map { case (a, b) => s"$a:$b" },
+        sn.ts, isCheckpoint(root, v)))
+    }
+
   def history(s: SparkSession, root: String): DataFrame = {
     val head = headVersion(root)
     require(head >= 0, s"lake at $root has no committed snapshot")

@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotLake
+
+/** Metadata tables (`cat.t.files` / `.history` / `.snapshots` /
+  * `.partitions` / `.refs`): resolution through multipart
+  * identifiers, precedence of real tables over the meta namespace,
+  * manifest-faithful contents (deletion vectors, sort stamps, rid
+  * bases), and failure on unknown bases.
+  */
+class LakeMetaTablesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val cat = "graft_meta_cat"
+  private lazy val suiteBase: String =
+    Files.createTempDirectory("lake_meta_").toString
+
+  private def withCatalog(body: => Unit): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", suiteBase)
+    body
+  }
+
+  test("files/partitions/history/refs answer from the manifest; " +
+      "live_rows tracks deletion vectors") {
+    withCatalog {
+      spark.sql(s"""
+        CREATE TABLE $cat.m1 (k BIGINT, cents BIGINT)
+        PARTITIONED BY (bucket(4, k))
+        TBLPROPERTIES ('statCol' = 'cents', 'sortcol' = 'k')""")
+      spark.sql(s"INSERT INTO $cat.m1 SELECT id, id * 3 FROM range(400)")
+      val files = spark.sql(s"SELECT * FROM $cat.m1.files")
+      assert(files.count() === 4L)
+      assert(files.where(col("sorted_by") === "k").count() === 4L)
+      assert(files.agg(sum(col("rows"))).head.getLong(0) === 400L)
+      assert(files.where(col("rid_base").isNotNull).count() === 4L)
+      val parts = spark.sql(s"SELECT * FROM $cat.m1.partitions")
+      assert(parts.count() === 4L)
+      assert(parts.agg(sum(col("n_rows"))).head.getLong(0) === 400L)
+      // a DV delete: rows stays physical, live_rows drops
+      SnapshotLake.deleteRows(spark, s"$suiteBase/m1", col("k") < 10)
+      val files2 = spark.sql(s"SELECT * FROM $cat.m1.files")
+      assert(files2.agg(sum(col("rows"))).head.getLong(0) === 400L)
+      assert(files2.agg(sum(col("live_rows"))).head.getLong(0) === 390L)
+      assert(files2.agg(sum(col("dv_count"))).head.getLong(0) === 10L)
+      // history: newest first, v0 is a checkpoint
+      val hist = spark.sql(s"SELECT * FROM $cat.m1.history")
+        .collect()
+      assert(hist.map(_.getLong(0)).toSeq === Seq(1L, 0L))
+      assert(hist.last.getBoolean(6)) // v0 full manifest
+      // refs appear as they are created
+      assert(spark.sql(s"SELECT * FROM $cat.m1.refs").count() === 0L)
+      SnapshotLake.createTag(s"$suiteBase/m1", "r1", 1)
+      val refs = spark.sql(s"SELECT * FROM $cat.m1.refs")
+        .as[(String, String, Long)].collect().toSet
+      assert(refs === Set(("r1", "tag", 1L)))
+      // meta joins like any relation: files ⋈ partitions on the tag
+      val joined = spark.sql(s"""
+        SELECT count(*) FROM $cat.m1.files f
+        JOIN $cat.m1.partitions p
+          ON f.part_col = p.part_col AND f.part_val = p.part_val""")
+      assert(joined.head.getLong(0) === 4L)
+    }
+  }
+
+  test("a real table wins over the meta namespace; unknown bases fail") {
+    withCatalog {
+      // a REAL table whose path collides with the meta suffix
+      spark.sql(s"""
+        CREATE TABLE $cat.m2.files (k BIGINT)
+        TBLPROPERTIES ('statCol' = 'k')""")
+      spark.sql(s"INSERT INTO $cat.m2.files VALUES (7)")
+      assert(spark.sql(s"SELECT k FROM $cat.m2.files").head.getLong(0)
+        === 7L)
+      // no base table 'nope' -> standard analysis failure, not a
+      // phantom empty meta relation
+      intercept[Exception] {
+        spark.sql(s"SELECT * FROM $cat.nope.files").collect()
+      }
+      spark.sql(s"DROP TABLE $cat.m2.files")
+    }
+  }
+}
