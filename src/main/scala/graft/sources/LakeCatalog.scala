@@ -150,13 +150,32 @@ final class GraftLakeCatalog extends TableCatalog
     */
   override def loadTable(ident: Identifier): Table = {
     val kind = ident.name().toLowerCase(java.util.Locale.ROOT)
-    if (!tableExists(ident) && ident.namespace().nonEmpty &&
-        LakeMetaTables.Kinds(kind)) {
+    if (!tableExists(ident) && ident.namespace().nonEmpty) {
       val baseIdent = Identifier.of(
         ident.namespace().dropRight(1), ident.namespace().last)
-      if (tableExists(baseIdent) &&
-          SnapshotLake.headVersion(rootOf(baseIdent)) >= 0)
+      def baseLive: Boolean = tableExists(baseIdent) &&
+        SnapshotLake.headVersion(rootOf(baseIdent)) >= 0
+      if (LakeMetaTables.Kinds(kind) && baseLive)
         return new LakeMetaTables.MetaTable(rootOf(baseIdent), kind)
+      // `t.branch_<name>` / `t.tag_<name>` — ref reads in pure SQL
+      // (Iceberg's branch_/tag_ identifiers): a branch read addresses
+      // the branch's nested chain, a tag read pins its version
+      if (kind.startsWith("branch_") && baseLive) {
+        val br = SnapshotLake.branchRoot(rootOf(baseIdent),
+          ident.name().substring("branch_".length))
+        if (SnapshotLake.headVersion(br) >= 0) {
+          val snap = SnapshotLake.snapshot(br)
+          return new LakeTable(br, None,
+            snap.schema.getOrElse(loadAt(baseIdent, None).schema()),
+            Map("statcol" -> snap.statCol))
+        }
+      }
+      if (kind.startsWith("tag_") && baseLive) {
+        val name = ident.name().substring("tag_".length)
+        val tagged = SnapshotLake.listTags(rootOf(baseIdent))
+          .collectFirst { case (n, v) if n == name => v }
+        tagged.foreach(v => return loadAt(baseIdent, Some(v)))
+      }
     }
     loadAt(ident, None)
   }

@@ -171,7 +171,8 @@ class LakeRefsSpec extends SparkTestBase {
     }
   }
 
-  test("WAP procedures run through the SQL catalog") {
+  test("the WHOLE WAP loop runs in pure SQL: branch_/tag_ reads, " +
+      "branch writes, procedures, tag time travel") {
     val cat = "graft_refs_cat"
     spark.conf.set(s"spark.sql.catalog.$cat",
       "graft.sources.GraftLakeCatalog")
@@ -183,24 +184,46 @@ class LakeRefsSpec extends SparkTestBase {
     val forked = spark.sql(
       s"CALL $cat.create_branch(table => 't', branch => 'wap')").head
     assert(forked.getLong(0) >= 0L)
-    // main advances past the fork point...
-    spark.sql(s"INSERT INTO $cat.t SELECT id, id * 3 FROM range(40, 60)")
-    // ...so the strict ancestor check must refuse the publish
+    // WRITE: stage through the branch_ identifier — SQL only
+    spark.sql(s"INSERT INTO $cat.t.branch_wap " +
+      "SELECT id, id * 3 FROM range(40, 60)")
+    // AUDIT: branch sees the staged rows, main does not
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t.branch_wap")
+      .head.getLong(0) === 60L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) === 40L)
+    // PUBLISH
+    val pub = spark.sql(
+      s"CALL $cat.fast_forward(table => 't', branch => 'wap')").head
+    assert(pub.getLong(0) === 1L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) === 60L)
+    // TAG the release; read it via tag_ identifier AND VERSION AS OF
+    spark.sql(s"CALL $cat.create_tag(table => 't', tag => 'r1', " +
+      "version => 1)").collect()
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t.tag_r1")
+      .head.getLong(0) === 60L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 'r1'")
+      .head.getLong(0) === 60L)
+    // a second branch whose fork main then outruns -> publish refused
+    spark.sql(s"CALL $cat.create_branch(table => 't', branch => 'wap2')")
+      .collect()
+    spark.sql(s"INSERT INTO $cat.t SELECT id, id * 3 FROM range(60, 70)")
     val pubErr = intercept[Exception] {
-      spark.sql(s"CALL $cat.fast_forward(table => 't', branch => 'wap')")
+      spark.sql(s"CALL $cat.fast_forward(table => 't', branch => 'wap2')")
         .collect()
     }
-    // main advanced (the second INSERT) -> strict ancestor check fires
     assert(pubErr.getMessage.contains("fast-forward") ||
       pubErr.getCause != null)
-    spark.sql(s"CALL $cat.create_tag(table => 't', tag => 'r1', " +
-      "version => 0)").collect()
-    // SQL time travel by TAG name rides VERSION AS OF
-    assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 'r1'")
-      .head.getLong(0) === 40L)
-    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) === 60L)
     spark.sql(s"CALL $cat.drop_branch(table => 't', branch => 'wap')")
       .collect()
+    spark.sql(s"CALL $cat.drop_branch(table => 't', branch => 'wap2')")
+      .collect()
+    // unknown refs through the identifier path fail normally
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.t.branch_nope").collect()
+    }
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.t.tag_nope").collect()
+    }
     spark.sql(s"DROP TABLE $cat.t")
   }
 }
