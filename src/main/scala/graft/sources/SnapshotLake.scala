@@ -968,10 +968,28 @@ object SnapshotLake {
       sorted = extras.find(_.startsWith("so=")).map(_.stripPrefix("so=")))
   }
 
+  /** PROTOCOL VERSION (Delta's reader-version idea): every commit
+    * stamps the protocol it was written under, and a reader REFUSES
+    * a manifest stamped by a newer protocol with a clear upgrade
+    * error instead of silently mis-reading features it does not
+    * know. Old manifests without the stamp read as protocol 0 —
+    * every extension so far is an OPTIONAL tagged field, which is
+    * exactly why the version has never needed to move.
+    */
+  private[graft] val ProtocolVersion = 1
+
   private def parseManifest(root: String, v: Int): Manifest = {
     val lines = Files.readAllLines(
       manifestPath(root, v), StandardCharsets.UTF_8).asScala.toSeq
     val header = lines.head.split('\t')
+    header.find(_.startsWith("proto="))
+      .map(_.stripPrefix("proto=").toInt)
+      .filter(_ > ProtocolVersion)
+      .foreach(p => throw new IllegalStateException(
+        s"lake at $root v$v was written under protocol $p; this " +
+          s"reader supports up to $ProtocolVersion — upgrade before " +
+          "reading (refusing is the contract: a silent partial read " +
+          "could drop deletion vectors or misread layout claims)"))
     val statCol = header(1)
     val bloomCol = header.find(_.startsWith("bloom=")).map(_.stripPrefix("bloom="))
     val statCol2 = header.find(_.startsWith("stat2=")).map(_.stripPrefix("stat2="))
@@ -1178,6 +1196,7 @@ object SnapshotLake {
       else { val b = ridHw; ridHw += f.rows; f.copy(rid = Some(b)) }
     }
     val header = s"v=$v\t$statCol\toverwrite=$overwrite" +
+      s"\tproto=$ProtocolVersion" +
       s"\tridhw=$ridHw" +
       s"\tts=${System.currentTimeMillis()}" +
       bloomCol.fold("")(c => s"\tbloom=$c") +

@@ -525,4 +525,24 @@ class SnapshotLakeSpec extends SparkTestBase {
     assert(logNames.exists(_.startsWith("v00016.ckpt-")))
     assert(SnapshotLake.read(spark, root).count() === 180L)
   }
+
+  test("protocol gate: a newer-protocol manifest refuses with an " +
+      "upgrade error; pre-protocol manifests read as legacy") {
+    val root = freshRoot()
+    SnapshotLake.commit(spark, root, tbl(0 until 10), "k")
+    val mf = Paths.get(root, "_log", "v00000.manifest")
+    val body = new String(Files.readAllBytes(mf), StandardCharsets.UTF_8)
+    assert(body.contains("\tproto=1\t"), "commit did not stamp proto=")
+    // legacy chain (no stamp at all) keeps reading
+    Files.write(mf, body.replace("\tproto=1", "")
+      .getBytes(StandardCharsets.UTF_8))
+    assert(SnapshotLake.read(spark, root).count() === 10L)
+    // a FUTURE protocol refuses loudly instead of half-reading
+    Files.write(mf, body.replace("\tproto=1", "\tproto=9")
+      .getBytes(StandardCharsets.UTF_8))
+    val e = intercept[IllegalStateException] {
+      SnapshotLake.read(spark, root).count()
+    }
+    assert(e.getMessage.contains("protocol 9"))
+  }
 }
