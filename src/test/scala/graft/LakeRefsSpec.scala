@@ -126,6 +126,26 @@ class LakeRefsSpec extends SparkTestBase {
     assert(readMain(root).count() === 90L)
   }
 
+  test("schema evolution staged on a branch publishes with the data") {
+    val root = freshRoot()
+    SnapshotLake.commit(spark, root, tbl(0 until 50), "k")
+    SnapshotLake.createBranch(root, "evo")
+    // the branch widens the schema (new column) AND adds rows; main
+    // must see neither until the publish, both after
+    val widened = (50 until 60).map(i =>
+      (i.toLong, i.toLong * 7, s"tag-$i")).toDF("k", "v", "label")
+    SnapshotLake.commit(spark, branchOf(root, "evo"), widened, "k")
+    assert(!readMain(root).columns.contains("label"))
+    val br = readBranch(root, "evo")
+    assert(br.columns.contains("label"))
+    assert(br.where(col("label").isNull).count() === 50L) // null-fill
+    SnapshotLake.fastForward(root, "evo")
+    val m = readMain(root)
+    assert(m.columns.contains("label"))
+    assert(m.count() === 60L)
+    assert(m.where(col("label").isNotNull).count() === 10L)
+  }
+
   test("tags are immutable, readable by name, and pin retention") {
     val root = freshRoot()
     SnapshotLake.commit(spark, root, tbl(0 until 50), "k") // v0
