@@ -1770,18 +1770,10 @@ object LakeCatalogQueries {
       .select(col("event_id"), col("cents"))
     val src = s.table("graftcat.q159")
       .select(col("event_id"), col("cents"))
-    // multiset symmetric difference in ONE shuffle round: group both
-    // sides to (row -> multiplicity), full-outer join on the row, sum
-    // |left - right| — same answer as exceptAll both ways (which
-    // costs two shuffles of each side), a quarter of the data moved
-    def counted(df: DataFrame, n: String) =
-      df.groupBy(col("event_id"), col("cents"))
-        .agg(count(lit(1)).as(n))
-    val nDiff = counted(f, "__fn")
-      .join(counted(src, "__sn"), Seq("event_id", "cents"), "full_outer")
-      .select(sum(abs(coalesce(col("__fn"), lit(0L)) -
-        coalesce(col("__sn"), lit(0L)))).as("d"))
-      .head.getLong(0)
+    // multiset symmetric difference in ONE shuffle round (the shared
+    // replication-certificate helper)
+    val nDiff = SnapshotLake.multisetDiffCount(f, src,
+      Seq("event_id", "cents"))
     f.agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
       .select(lit(nDiff).as("n_diff"),
         lit(batches).cast("long").as("n_batches"),

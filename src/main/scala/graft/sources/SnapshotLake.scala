@@ -4007,20 +4007,40 @@ object SnapshotLake {
     * contract (Delta CDF → MERGE apply) that lets a downstream copy
     * track a mutating 100 TB table by moving only changed rows.
     */
+  /** Multiset symmetric-difference COUNT in one shuffle round: group
+    * both sides to (row → multiplicity), full-outer join on the row,
+    * sum |left − right|. Same answer as exceptAll both ways — which
+    * costs two shuffles of each side — at a quarter of the data
+    * moved; the replication certificates (q118, q159) ride it.
+    */
+  private[sources] def multisetDiffCount(a: DataFrame, b: DataFrame,
+      cols: Seq[String]): Long = {
+    def counted(df: DataFrame, n: String) =
+      df.groupBy(cols.map(col): _*).agg(count(lit(1)).as(n))
+    counted(a, "__an").join(counted(b, "__bn"), cols, "full_outer")
+      .select(sum(abs(coalesce(col("__an"), lit(0L)) -
+        coalesce(col("__bn"), lit(0L)))).as("d"))
+      .head.getLong(0)
+  }
+
   def q118CdfApply(s: SparkSession, d: String): DataFrame = {
     val root = Housekeeping.tempDir("q118")
     val follower = Housekeeping.tempDir("q118_f")
     val (_, res) = mergeFixture(s, d, root)
     commit(s, follower, read(s, root, Some(res.version - 1)), "event_id")
-    val (diff, _, _) = changes(s, root, res.version - 1, res.version)
-    merge(s, follower,
+    // the change set is a computed diff the merge consumes through
+    // several actions — cache it once
+    val (diff0, _, _) = changes(s, root, res.version - 1, res.version)
+    val diff = diff0.persist()
+    try merge(s, follower,
       upserts = diff.where(col("change_type").isin("insert", "update"))
         .select(col("event_id"), col("cents")),
       deleteKeys = diff.where(col("change_type") === "delete")
-        .select(col("event_id")))
+        .select(col("event_id"))): Unit
+    finally diff.unpersist(): Unit
     val f = read(s, follower).select(col("event_id"), col("cents"))
     val src = read(s, root).select(col("event_id"), col("cents"))
-    val nDiff = f.exceptAll(src).unionAll(src.exceptAll(f)).count()
+    val nDiff = multisetDiffCount(f, src, Seq("event_id", "cents"))
     f.agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
       .select(lit(nDiff).as("n_diff"), col("n_rows"), col("sum_cents"))
   }
