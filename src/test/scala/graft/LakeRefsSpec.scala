@@ -126,6 +126,30 @@ class LakeRefsSpec extends SparkTestBase {
     assert(readMain(root).count() === 90L)
   }
 
+  test("a STREAM stages on a branch: exactly-once sink through the " +
+      "branch option, audit isolation, fast-forward publish") {
+    val root = freshRoot()
+    SnapshotLake.commit(spark, root, tbl(0 until 20), "k")
+    SnapshotLake.createBranch(root, "ingest")
+    val src = Files.createTempDirectory("refs_stream_src_").toString
+    tbl(20 until 40).coalesce(1).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(src)
+    val chk = Files.createTempDirectory("refs_stream_chk_").toString
+    val q = spark.readStream.schema(tbl(0 until 1).schema).parquet(src)
+      .writeStream.format("graft.sources.GraftLakeSource")
+      .option("path", root).option("branch", "ingest")
+      .option("checkpointLocation", chk)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    // staged on the branch, invisible on main — streaming WAP
+    assert(readBranch(root, "ingest").count() === 40L)
+    assert(readMain(root).count() === 20L)
+    SnapshotLake.fastForward(root, "ingest")
+    assert(readMain(root).count() === 40L)
+    assert(readMain(root).agg(sum($"v")).head.getLong(0) ===
+      (0L until 40L).map(_ * 7).sum)
+  }
+
   test("schema evolution staged on a branch publishes with the data") {
     val root = freshRoot()
     SnapshotLake.commit(spark, root, tbl(0 until 50), "k")
