@@ -165,9 +165,17 @@ final class GraftLakeCatalog extends TableCatalog
           ident.name().substring("branch_".length))
         if (SnapshotLake.headVersion(br) >= 0) {
           val snap = SnapshotLake.snapshot(br)
+          // the branch INHERITS the base table's declared properties
+          // (partitioning, sortcol, dv, changefeed, constraints…):
+          // a branch write must plan the SAME layout as a main write
+          // or fast-forward would publish untagged/unsorted files
+          // into a partitioned table, and DML must route the same
+          // (delta vs group) path the table declares
+          val baseProps = readProps(baseIdent)
+            .map(_._2).getOrElse(Map.empty)
           return new LakeTable(br, None,
             snap.schema.getOrElse(loadAt(baseIdent, None).schema()),
-            Map("statcol" -> snap.statCol))
+            baseProps ++ Map("statcol" -> snap.statCol))
         }
       }
       if (kind.startsWith("tag_") && baseLive) {

@@ -281,7 +281,13 @@ private[sources] object LakeCommit {
   def publish(root: String, overwrite: Boolean, opts: Map[String, String],
       messages: Array[WriterCommitMessage],
       txn: Option[(String, Long)],
-      schemaJson: Option[String] = None): Unit = {
+      schemaJson: Option[String] = None,
+      // Some(col) ONLY when the committing write actually PLANNED the
+      // within-file sort (the batch path's RequiresDistributionAndOrdering)
+      // — the table property alone must never stamp: the streaming
+      // sink shares this publish and never sorts, and a lying so=
+      // stamp would let the scan's ordering report elide real sorts
+      sortStamp: Option[String] = None): Unit = {
     val staged = messages.toSeq.flatMap {
       case m: LakeStaged => Seq(m)
       case s: LakeStagedSet => s.files
@@ -348,14 +354,9 @@ private[sources] object LakeCommit {
             yield f1.copy(part2 = Some(tn2 -> v2))).getOrElse(f1)
         }
     }
-    // sorted layout: a partitioned write that declared `sortcol` had
-    // Spark plan the within-task sort (RequiresDistributionAndOrdering
-    // above), so every rolled file is physically ordered by it —
-    // stamp the claim the scan's outputOrdering report reads.
-    // Partitioned writes only: an unpartitioned write never requests
-    // an ordering, so stamping there would lie.
-    val stamped = opts.get("sortcol")
-      .filter(_ => opts.contains("partcol")) match {
+    // sorted layout: stamped only when the CALLER proved the sort was
+    // planned (sortStamp) — see the parameter note
+    val stamped = sortStamp match {
       case Some(sc) => tagged.map(_.copy(sorted = Some(sc)))
       case None => tagged
     }
@@ -375,7 +376,8 @@ private[sources] object LakeCommit {
   def publishPartitionReplace(root: String, colName: String,
       values: Set[String], opts: Map[String, String],
       messages: Array[WriterCommitMessage],
-      schemaJson: Option[String]): Unit = {
+      schemaJson: Option[String],
+      sortStamp: Option[String] = None): Unit = {
     val staged = messages.toSeq.flatMap {
       case m: LakeStaged => Seq(m)
       case s: LakeStagedSet => s.files
@@ -423,6 +425,11 @@ private[sources] object LakeCommit {
           (for { tn2 <- tagName2; v2 <- val2Of.get(base).flatten }
             yield f1.copy(part2 = Some(tn2 -> v2))).getOrElse(f1)
         }
+          // partition replace runs the same planned-sort batch write,
+          // so its replacement files keep the sorted-layout stamp —
+          // without this the whole-table ordering claim silently dies
+          // on the first INSERT OVERWRITE PARTITION
+          .map(f => sortStamp.fold(f)(sc => f.copy(sorted = Some(sc))))
       }
     SnapshotLake.commitReplaceFiles(root, replaced, newFiles, "overwrite",
       statCol, bloomCol, statCol2, schemaJson): Unit
@@ -618,13 +625,16 @@ final class LakeBatchWrite(root: String, schema: StructType,
     val txn = for {
       a <- opts.get("txnappid"); v <- opts.get("txnversion")
     } yield (a, v.toLong)
+    // the within-file sort was actually planned iff this is the
+    // partitioned batch write (RequiresDistributionAndOrdering)
+    val sortStamp = opts.get("sortcol").filter(_ => partSpec.isDefined)
     replaceWhere match {
       case None =>
         LakeCommit.publish(root, overwrite, opts, messages, txn,
-          Some(schema.json))
+          Some(schema.json), sortStamp)
       case Some((c, vs)) =>
         LakeCommit.publishPartitionReplace(root, c, vs, opts, messages,
-          Some(schema.json))
+          Some(schema.json), sortStamp)
     }
   }
 

@@ -209,7 +209,10 @@ object SnapshotLake {
       */
     val ExternalizeOverChars = 512
 
-    def fromPositions(positions: Array[Long]): Dv = {
+    /** (sorted distinct count, delta-varint bytes) — the shared
+      * encoder behind both the inline-b64 and raw-sidecar forms.
+      */
+    private def encodeBytes(positions: Array[Long]): (Long, Array[Byte]) = {
       val sorted = positions.distinct.sorted
       require(sorted.isEmpty || sorted.head >= 0,
         "deletion-vector positions must be non-negative")
@@ -223,8 +226,12 @@ object SnapshotLake {
         out.write(gap.toInt)
         prev = p
       }
-      Dv(sorted.length.toLong,
-        java.util.Base64.getEncoder.encodeToString(out.toByteArray))
+      (sorted.length.toLong, out.toByteArray)
+    }
+
+    def fromPositions(positions: Array[Long]): Dv = {
+      val (n, bytes) = encodeBytes(positions)
+      Dv(n, java.util.Base64.getEncoder.encodeToString(bytes))
     }
 
     /** Spec → raw varint bytes: base64-decode inline specs, read the
@@ -279,14 +286,17 @@ object SnapshotLake {
       * [[bytesOf]] reading sidecars from executors.
       */
     def stageSpec(root: String, positions: Array[Long]): (String, Long) = {
-      val d = fromPositions(positions)
-      if (d.b64.length <= ExternalizeOverChars) (d.b64, d.count)
+      val (n, bytes) = encodeBytes(positions)
+      // the ~4/3 base64 expansion decides the route, same bound as
+      // the manifest writer's inline threshold
+      if ((bytes.length + 2) / 3 * 4 <= ExternalizeOverChars)
+        (java.util.Base64.getEncoder.encodeToString(bytes), n)
       else {
         val rel = s"_dv/stage-${UUID.randomUUID().toString}.bin"
         val p = Paths.get(root, rel)
         Files.createDirectories(p.getParent)
-        Files.write(p, java.util.Base64.getDecoder.decode(d.b64))
-        ("@" + p.toAbsolutePath.toString, d.count)
+        Files.write(p, bytes) // raw varints — no b64 round-trip
+        ("@" + p.toAbsolutePath.toString, n)
       }
     }
 
@@ -2829,15 +2839,26 @@ object SnapshotLake {
     // (chars), hi = max length — merged into avgLen/maxLen, the two
     // size stats catalyst keeps for strings — while NDV comes from
     // the same KMV over xxhash64 (which hashes string bytes natively).
-    val csCols: Seq[(String, Boolean)] = df.schema.fields.iterator
-      .filter(f => f.dataType == org.apache.spark.sql.types.LongType ||
-        f.dataType == org.apache.spark.sql.types.IntegerType ||
-        f.dataType == org.apache.spark.sql.types.StringType)
-      .map(f => (f.name,
-        f.dataType == org.apache.spark.sql.types.StringType))
-      .filterNot { case (n, _) => n.startsWith("_") ||
-        lower(n.toLowerCase(java.util.Locale.ROOT)) }
-      .take(4).toSeq
+    // INTEGRALS FIRST, then strings, within the 4-column budget: the
+    // string eligibility arrived after chains had already recorded
+    // integral stats, and the scan-side merge drops a column whenever
+    // ANY kept file lacks it — schema-order mixing would silently
+    // shift previously-covered integral columns out of the window on
+    // existing chains and regress their CBO estimates. Integral-first
+    // keeps old coverage byte-identical; strings fill leftover slots.
+    val csCols: Seq[(String, Boolean)] = {
+      val candidates = df.schema.fields.iterator
+        .filter(f => f.dataType == org.apache.spark.sql.types.LongType ||
+          f.dataType == org.apache.spark.sql.types.IntegerType ||
+          f.dataType == org.apache.spark.sql.types.StringType)
+        .map(f => (f.name,
+          f.dataType == org.apache.spark.sql.types.StringType))
+        .filterNot { case (n, _) => n.startsWith("_") ||
+          lower(n.toLowerCase(java.util.Locale.ROOT)) }
+        .toSeq
+      val (strs, ints) = candidates.partition(_._2)
+      (ints ++ strs).take(4)
+    }
     val minK = udaf(new graft.operators.KmvSketch.MinKDistinct(ColStat.K))
     val csAggs = csCols.zipWithIndex.flatMap { case ((c, isStr), i) =>
       val (loAgg, hiAgg) =
@@ -3151,14 +3172,16 @@ object SnapshotLake {
       .find(v => Files.exists(manifestPath(root, v)) &&
         isCheckpoint(root, v))
       .getOrElse(0)
-    // TAGS ARE RETENTION ROOTS (Iceberg's expire-respects-refs): a
-    // tagged version must stay readable forever, and a tagged DELTA
-    // manifest reconstructs from its nearest checkpoint — so the
-    // cutoff snaps back to the oldest tagged version's checkpoint.
-    // Versions between a tag and the retention window survive as a
-    // consequence; dropping the tag re-exposes them to the next
-    // vacuum.
-    val cutoff = listTags(root).map(_._2).filter(_ < cutoff0)
+    // REFS ARE RETENTION ROOTS (Iceberg's expire-respects-refs): a
+    // tagged version must stay readable forever, and a LIVE BRANCH
+    // borrows its fork version's files by absolute path — deleting
+    // them would break every branch read and let fastForward publish
+    // dangling names. Both kinds pin the cutoff back to their
+    // version's checkpoint (a pinned DELTA manifest reconstructs
+    // from its nearest checkpoint). Dropping the tag/branch
+    // re-exposes those versions to the next vacuum.
+    val pinned = (listTags(root) ++ listBranches(root)).map(_._2)
+    val cutoff = pinned.filter(_ < cutoff0)
       .minOption.fold(cutoff0)(t =>
         (t to 0 by -1)
           .find(v => Files.exists(manifestPath(root, v)) &&
@@ -3321,7 +3344,15 @@ object SnapshotLake {
     val base = asOf.getOrElse(headVersion(root))
     require(base >= 0, s"cannot branch an empty lake at $root")
     writeRef(root, s"branch-$name", base) // also the exists check
-    shallowClone(root, br, Some(base))
+    // the ref is the creation mutex, but a failed clone must not
+    // leave it dangling — that would block re-creating the branch
+    // forever and advertise a branch whose reads fail
+    try shallowClone(root, br, Some(base))
+    catch {
+      case t: Throwable =>
+        Files.deleteIfExists(refsDir(root).resolve(s"branch-$name"))
+        throw t
+    }
   }
 
   /** DROP BRANCH: retire the branch's LOG and ref. Data files the
@@ -4013,11 +4044,19 @@ object SnapshotLake {
     * costs two shuffles of each side — at a quarter of the data
     * moved; the replication certificates (q118, q159) ride it.
     */
-  private[sources] def multisetDiffCount(a: DataFrame, b: DataFrame,
+  private[graft] def multisetDiffCount(a: DataFrame, b: DataFrame,
       cols: Seq[String]): Long = {
     def counted(df: DataFrame, n: String) =
       df.groupBy(cols.map(col): _*).agg(count(lit(1)).as(n))
-    counted(a, "__an").join(counted(b, "__bn"), cols, "full_outer")
+    // NULL-SAFE join keys: groupBy already buckets NULL keys
+    // together, and exceptAll (the semantics this replaces) matches
+    // NULL rows too — a plain equi-join would leave each side's
+    // NULL-keyed group unmatched and report phantom differences
+    val l = counted(a, "__an").alias("__l")
+    val r = counted(b, "__bn").alias("__r")
+    val cond = cols.map(c => col(s"__l.$c") <=> col(s"__r.$c"))
+      .reduce(_ && _)
+    l.join(r, cond, "full_outer")
       .select(sum(abs(coalesce(col("__an"), lit(0L)) -
         coalesce(col("__bn"), lit(0L)))).as("d"))
       .head.getLong(0)

@@ -170,6 +170,68 @@ class LakeRefsSpec extends SparkTestBase {
     assert(m.where(col("label").isNotNull).count() === 10L)
   }
 
+  test("vacuum pins LIVE BRANCHES: main's retention never deletes " +
+      "files a branch still borrows") {
+    val root = freshRoot()
+    SnapshotLake.commit(spark, root, tbl(0 until 100), "k") // v0
+    SnapshotLake.createBranch(root, "keep") // borrows v0's files
+    // main moves on: two overwrites obsolete v0's files on MAIN
+    SnapshotLake.commit(spark, root, tbl(0 until 10), "k",
+      overwrite = true) // v1
+    SnapshotLake.commit(spark, root, tbl(0 until 20), "k",
+      overwrite = true) // v2
+    val (dropped, deleted) = SnapshotLake.vacuum(root, 1)
+    assert(dropped === 0 && deleted === 0) // branch fork pins v0
+    assert(readBranch(root, "keep").count() === 100L) // still readable
+    // dropping the branch re-exposes v0 to the next vacuum
+    SnapshotLake.dropBranch(root, "keep")
+    val (dropped2, _) = SnapshotLake.vacuum(root, 1)
+    assert(dropped2 === 2)
+    assert(readMain(root).count() === 20L)
+  }
+
+  test("branch_ identifier writes plan the BASE TABLE's layout") {
+    val cat = "graft_refs_cat2"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftLakeCatalog")
+    val base = Files.createTempDirectory("refs_wh2_").toString
+    spark.conf.set(s"spark.sql.catalog.$cat.root", base)
+    spark.sql(s"""
+      CREATE TABLE $cat.bt (k BIGINT, cents BIGINT)
+      PARTITIONED BY (bucket(4, k))
+      TBLPROPERTIES ('statCol' = 'cents', 'sortcol' = 'k')""")
+    spark.sql(s"INSERT INTO $cat.bt SELECT id, id FROM range(400)")
+    spark.sql(s"CALL $cat.create_branch(table => 'bt', branch => 'w')")
+      .collect()
+    // a staged write through the identifier must land bucket-tagged
+    // AND sort-stamped, or the publish would silently erode the
+    // layout SPJ and the ordering claim rely on
+    spark.sql(s"INSERT INTO $cat.bt.branch_w " +
+      "SELECT id, id FROM range(400, 800)")
+    val snap = SnapshotLake.snapshot(s"$base/bt/_branch/w")
+    val fresh = snap.files.filterNot(_.name.startsWith("/"))
+    assert(fresh.nonEmpty)
+    assert(fresh.forall(_.part.isDefined), "branch write lost the tags")
+    assert(fresh.forall(_.sorted.contains("k")),
+      "branch write lost the sort stamp")
+    spark.sql(s"CALL $cat.fast_forward(table => 'bt', branch => 'w')")
+      .collect()
+    assert(spark.sql(s"SELECT count(*) FROM $cat.bt").head.getLong(0)
+      === 800L)
+    spark.sql(s"DROP TABLE $cat.bt")
+  }
+
+  test("multisetDiffCount: NULL keys match like exceptAll") {
+    val a = Seq[(java.lang.Long, Long)]((null, 1L), (2L, 2L))
+      .toDF("k", "v")
+    val b = Seq[(java.lang.Long, Long)]((null, 1L), (2L, 2L))
+      .toDF("k", "v")
+    assert(SnapshotLake.multisetDiffCount(a, b, Seq("k", "v")) === 0L)
+    val c = Seq[(java.lang.Long, Long)]((null, 9L), (2L, 2L))
+      .toDF("k", "v")
+    assert(SnapshotLake.multisetDiffCount(a, c, Seq("k", "v")) === 2L)
+  }
+
   test("tags are immutable, readable by name, and pin retention") {
     val root = freshRoot()
     SnapshotLake.commit(spark, root, tbl(0 until 50), "k") // v0

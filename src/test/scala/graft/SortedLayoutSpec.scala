@@ -164,6 +164,66 @@ class SortedLayoutSpec extends SparkTestBase {
     }
   }
 
+  test("a STREAMING write to a sortcol table never stamps so= — the " +
+      "sink plans no sort, so the claim would lie") {
+    withCatalog {
+      spark.sql(s"""
+        CREATE TABLE $cat.st (k BIGINT, cents BIGINT)
+        PARTITIONED BY (bucket(4, k))
+        TBLPROPERTIES ('statCol' = 'cents', 'sortcol' = 'k')""")
+      val src = Files.createTempDirectory("sorted_stream_src_").toString
+      val chk = Files.createTempDirectory("sorted_stream_chk_").toString
+      // adversarially UNSORTED input
+      spark.range(100).selectExpr("(99 - id) AS k", "id AS cents")
+        .coalesce(1).write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(src)
+      // the path-based sink carries the same table opts the catalog
+      // would resolve — including sortcol, which it must IGNORE for
+      // stamping because the streaming write plans no sort
+      val q = spark.readStream
+        .schema(new org.apache.spark.sql.types.StructType()
+          .add("k", "bigint").add("cents", "bigint"))
+        .parquet(src)
+        .writeStream.format("graft.sources.GraftLakeSource")
+        .option("path", rootOf("st"))
+        .option("statCol", "cents").option("sortcol", "k")
+        .option("partcol", "k")
+        .option("checkpointLocation", chk)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val snap = SnapshotLake.snapshot(rootOf("st"))
+      assert(snap.files.nonEmpty)
+      assert(snap.files.forall(_.sorted.isEmpty),
+        "streaming sink stamped a sort it never planned")
+    }
+  }
+
+  test("INSERT OVERWRITE PARTITION keeps the sort stamp on an " +
+      "identity+sortcol table") {
+    withCatalog {
+      spark.sql(s"""
+        CREATE TABLE $cat.po (p BIGINT, k BIGINT, cents BIGINT)
+        PARTITIONED BY (p)
+        TBLPROPERTIES ('statCol' = 'cents', 'sortcol' = 'k')""")
+      spark.sql(s"INSERT INTO $cat.po " +
+        "SELECT id % 4, id, id FROM range(400) ORDER BY id DESC")
+      assert(SnapshotLake.snapshot(rootOf("po")).files
+        .forall(_.sorted.contains("k")))
+      // replace ONE partition: the replacement ran the same planned-
+      // sort write, so the stamp (and the whole-table claim) survives
+      spark.sql(s"INSERT OVERWRITE $cat.po PARTITION (p = 2) " +
+        "SELECT id, id * 5 FROM range(1000, 1100) ORDER BY id DESC")
+      val snap = SnapshotLake.snapshot(rootOf("po"))
+      assert(snap.files.forall(_.sorted.contains("k")),
+        "partition replace dropped the sort stamp")
+      // and the replacement file really is k-sorted
+      val repl = snap.files.find(_.part.exists(_._2 == "2")).get
+      val ks = spark.read.parquet(rootOf("po") + "/" + repl.name)
+        .select("k").collect().map(_.getLong(0)).toSeq
+      assert(ks === ks.sorted)
+    }
+  }
+
   test("sortcol DDL gates: schema membership and partitioned-only") {
     withCatalog {
       intercept[Exception] {
