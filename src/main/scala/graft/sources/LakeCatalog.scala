@@ -495,13 +495,28 @@ final class GraftLakeCatalog extends TableCatalog
       case ren: TableChange.RenameColumn =>
         require(ren.fieldNames().length == 1,
           "nested RENAME COLUMN is not supported")
+        val oldName = ren.fieldNames()(0)
         if (committed)
-          SnapshotLake.renameColumn(root, ren.fieldNames()(0), ren.newName())
+          SnapshotLake.renameColumn(root, oldName, ren.newName())
         else {
           val (sch, props) = readProps(ident).get
           writeProps(ident, StructType(sch.fields.map(f =>
-            if (f.name.equalsIgnoreCase(ren.fieldNames()(0)))
+            if (f.name.equalsIgnoreCase(oldName))
               f.copy(name = ren.newName()) else f)), props)
+        }
+        // sidecar properties that NAME the renamed column follow it —
+        // otherwise future writes would sort/partition by whatever
+        // the old name later resolves to (or fail to resolve at all).
+        // statcol/bloomcol never reach here: SnapshotLake refuses to
+        // rename an index column. (`so=` stamps already on disk are
+        // physical names and need no touch-up.)
+        readProps(ident).foreach { case (sch, props) =>
+          val followed = props.map {
+            case (k, v) if Set("sortcol", "partcol", "partcol2")(k) &&
+                v.equalsIgnoreCase(oldName) => k -> ren.newName()
+            case kv => kv
+          }
+          if (followed != props) writeProps(ident, sch, followed)
         }
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames().length == 1,

@@ -66,8 +66,14 @@ class GraftLakeSource extends TableProvider {
     val raw = p.stripPrefix("file://").stripPrefix("file:")
     // `.option("branch", name)` addresses the branch's nested chain
     // (`<root>/_branch/<name>`) — reads AND writes, so the whole
-    // write-audit-publish staging loop runs through this one hop
-    Option(o.get("branch")).fold(raw)(SnapshotLake.branchRoot(raw, _))
+    // write-audit-publish staging loop runs through this one hop.
+    // The ref must exist: without the check a typo'd branch name on
+    // a WRITE would silently bootstrap a fresh untracked lake there.
+    Option(o.get("branch")).fold(raw) { b =>
+      require(SnapshotLake.branchExists(raw, b),
+        s"no branch '$b' at $raw — createBranch first")
+      SnapshotLake.branchRoot(raw, b)
+    }
   }
   private def asOf(o: CaseInsensitiveStringMap, root: String): Option[Int] = {
     val v = Option(o.get("version")).map(_.toInt)
@@ -1314,13 +1320,31 @@ final case class LakeScan(root: String, version: Int,
     */
   override def outputOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    // `so=` stamps name the PHYSICAL column (the byte order's one
+    // stable identity under column mapping) — translate to the
+    // LOGICAL output name through the required↔physRequired zip.
+    // Matching on logical names would let a stale stamp claim a
+    // LATER column renamed onto the stamped name, eliding real sorts.
+    lazy val logicalByPhys: Seq[(String, String)] = {
+      val dataNames = required.fields.map(_.name).filterNot(n =>
+        n.equalsIgnoreCase(LakeTable.FileColumn) ||
+          n.equalsIgnoreCase(LakeTable.PosColumn) ||
+          n.equalsIgnoreCase(LakeTable.RowIdColumn))
+      val phys0 = Option(physRequired).map(_.fields.map(_.name))
+        .getOrElse(dataNames)
+      // a projected _row_id appends a trailing physical __rid request
+      val phys = if (ridColIdx >= 0 && phys0.nonEmpty) phys0.dropRight(1)
+                 else phys0
+      dataNames.toSeq.zip(phys.toSeq)
+    }
     val claim = for {
       f0 <- files.headOption
       c0 <- f0.sorted
       if !cdf
       if files.forall(_.sorted.exists(_.equalsIgnoreCase(c0)))
       // the ordering expression must resolve against the scan OUTPUT
-      out <- required.fieldNames.find(_.equalsIgnoreCase(c0))
+      out <- logicalByPhys.collectFirst {
+        case (log, ph) if ph.equalsIgnoreCase(c0) => log }
       if spjCol.isEmpty ||
         files.groupBy(f => (f.part.map(_._2), f.part2.map(_._2)))
           .forall(_._2.size <= 1)

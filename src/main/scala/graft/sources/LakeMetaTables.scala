@@ -61,6 +61,11 @@ object LakeMetaTables {
     case "partitions" => StructType(Seq(
       StructField("part_col", StringType, nullable = false),
       StructField("part_val", StringType, nullable = false),
+      // 1 = primary spec level, 2 = composed second level: on a
+      // two-level table every file contributes a row at EACH level,
+      // so sum(n_rows) over the whole relation double-counts —
+      // filter one level (WHERE level = 1) before summing
+      StructField("level", LongType, nullable = false),
       StructField("n_files", LongType, nullable = false),
       StructField("n_rows", LongType, nullable = false)))
     case "refs" => StructType(Seq(
@@ -97,11 +102,12 @@ object LakeMetaTables {
         }
       case "partitions" =>
         SnapshotLake.snapshot(root).files
-          .flatMap(f => f.part.toSeq ++ f.part2.toSeq map (p => (p, f)))
-          .groupBy(_._1)
-          .toSeq.sortBy(_._1)
-          .map { case ((c, v), fs) =>
-            row(s(c), s(v), fs.size.toLong, fs.map(_._2.liveRows).sum)
+          .flatMap(f => f.part.map(p => (p, 1L, f)).toSeq ++
+            f.part2.map(p => (p, 2L, f)).toSeq)
+          .groupBy(t => (t._1, t._2))
+          .toSeq.sortBy { case (((c, v), lvl), _) => (lvl, c, v) }
+          .map { case (((c, v), lvl), fs) =>
+            row(s(c), s(v), lvl, fs.size.toLong, fs.map(_._3.liveRows).sum)
           }
       case "refs" =>
         SnapshotLake.listBranches(root).map { case (n, v) =>

@@ -278,6 +278,26 @@ private[sources] object LakeCommit {
   def discard(root: String, m: LakeStaged): Unit =
     Files.deleteIfExists(Paths.get(LakeWrite.stagingDir(root), m.name)): Unit
 
+  /** `so=` stamps record the PHYSICAL column name (column mapping):
+    * the `sortcol` property names a LOGICAL column, but a logical
+    * name is only a per-snapshot alias — after `RENAME COLUMN a TO b`
+    * followed by renaming another column onto `a`, a logical stamp
+    * `so=a` would match the NEW `a` in the scan output and report an
+    * ordering that does not physically hold, letting a merge join
+    * elide its sorts and emit wrong rows. The physical storage name
+    * is the one identity a data file's byte order actually follows,
+    * fixed at the column's birth. Legacy stamps are unaffected:
+    * physical == logical for every never-renamed column.
+    */
+  private def physSortStamp(sc: String,
+      chain: Option[org.apache.spark.sql.types.StructType],
+      schemaJson: Option[String]): String =
+    chain.orElse(schemaJson.map(j =>
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]))
+      .flatMap(_.fields.find(_.name.equalsIgnoreCase(sc)))
+      .map(SnapshotLake.ColMap.phys).getOrElse(sc)
+
   def publish(root: String, overwrite: Boolean, opts: Map[String, String],
       messages: Array[WriterCommitMessage],
       txn: Option[(String, Long)],
@@ -355,9 +375,12 @@ private[sources] object LakeCommit {
         }
     }
     // sorted layout: stamped only when the CALLER proved the sort was
-    // planned (sortStamp) — see the parameter note
+    // planned (sortStamp) — see the parameter note. Stamps carry the
+    // PHYSICAL column name ([[physSortStamp]]).
     val stamped = sortStamp match {
-      case Some(sc) => tagged.map(_.copy(sorted = Some(sc)))
+      case Some(sc) =>
+        val ph = physSortStamp(sc, head.flatMap(_.schema), schemaJson)
+        tagged.map(_.copy(sorted = Some(ph)))
       case None => tagged
     }
     SnapshotLake.commitFiles(root, stamped, statCol, overwrite, bloomCol,
@@ -428,8 +451,10 @@ private[sources] object LakeCommit {
           // partition replace runs the same planned-sort batch write,
           // so its replacement files keep the sorted-layout stamp —
           // without this the whole-table ordering claim silently dies
-          // on the first INSERT OVERWRITE PARTITION
-          .map(f => sortStamp.fold(f)(sc => f.copy(sorted = Some(sc))))
+          // on the first INSERT OVERWRITE PARTITION. Physical name,
+          // same contract as [[publish]].
+          .map(f => sortStamp.fold(f)(sc => f.copy(sorted =
+            Some(physSortStamp(sc, head.schema, schemaJson)))))
       }
     SnapshotLake.commitReplaceFiles(root, replaced, newFiles, "overwrite",
       statCol, bloomCol, statCol2, schemaJson): Unit

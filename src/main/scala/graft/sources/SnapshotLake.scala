@@ -988,7 +988,14 @@ object SnapshotLake {
     */
   private[graft] val ProtocolVersion = 1
 
+  /** Test hook: cumulative FULL manifest parses (header + file list /
+    * delta actions) — the meta tables' O(versions)-header contract is
+    * pinned by this staying flat across a history query.
+    */
+  private[graft] var manifestParses: Long = 0L
+
   private def parseManifest(root: String, v: Int): Manifest = {
+    manifestParses += 1
     val lines = Files.readAllLines(
       manifestPath(root, v), StandardCharsets.UTF_8).asScala.toSeq
     val header = lines.head.split('\t')
@@ -1208,6 +1215,12 @@ object SnapshotLake {
     val header = s"v=$v\t$statCol\toverwrite=$overwrite" +
       s"\tproto=$ProtocolVersion" +
       s"\tridhw=$ridHw" +
+      // snapshot-level counts, recorded so history/snapshots answers
+      // are ONE header read per version instead of a full snapshot
+      // reconstruction (checkpoint + delta replay) per version — on a
+      // long chain the meta tables were O(versions × chain-depth)
+      s"\tnf=${files1.size}\tnr=${files1.iterator.map(_.rows).sum}" +
+      s"\tnlr=${files1.iterator.map(_.liveRows).sum}" +
       s"\tts=${System.currentTimeMillis()}" +
       bloomCol.fold("")(c => s"\tbloom=$c") +
       statCol2.fold("")(c => s"\tstat2=$c") +
@@ -3314,6 +3327,18 @@ object SnapshotLake {
   def listBranches(root: String): Seq[(String, Int)] =
     listRefs(root, "branch-")
 
+  /** Whether `branch-<name>` exists as a ref at `root` — the guard
+    * every `branch` option hop runs before resolving to the nested
+    * chain, so a typo'd name fails fast instead of silently
+    * bootstrapping an untracked lake under `_branch/<name>` (no ref,
+    * no rid high-water seeded from main, invisible to fastForward
+    * and to vacuum's retention pinning).
+    */
+  def branchExists(root: String, name: String): Boolean = {
+    checkRefName(name)
+    Files.exists(refsDir(root).resolve(s"branch-$name"))
+  }
+
   /** (name, pinned version) per tag. */
   def listTags(root: String): Seq[(String, Int)] = listRefs(root, "tag-")
 
@@ -3355,23 +3380,69 @@ object SnapshotLake {
     }
   }
 
-  /** DROP BRANCH: retire the branch's LOG and ref. Data files the
-    * branch wrote stay on disk — after a fast-forward main references
-    * them (`_branch/<name>/data/…` are main-relative names main OWNS),
-    * and main's vacuum is the one verb that reclaims them once
-    * unreferenced. An unpublished branch's files become unreferenced
-    * immediately and fall to the same vacuum.
+  /** DROP BRANCH: retire the branch's ref, log, AND every file under
+    * `_branch/<name>` that no other chain references. Files a
+    * published (fast-forwarded) branch wrote are main-OWNED names
+    * (`_branch/<name>/data/…`) — those stay, along with deletion-
+    * vector sidecars main points at and anything another live branch
+    * borrowed by absolute path. Everything else — an UNPUBLISHED
+    * branch's data files, its manifests, checkpoints, CDC sidecars —
+    * is unreachable the moment the ref dies and is deleted here
+    * (main's vacuum only reclaims names its own dropped manifests
+    * referenced, so without this sweep an abandoned WAP stage would
+    * leak its staged bytes forever). Cost: one manifest walk of main
+    * and each other live branch — O(metadata), the same class as
+    * vacuum. Nested branches (a branch created ON this branch) are
+    * left untouched.
     */
   def dropBranch(root: String, name: String): Unit = {
-    val br = Paths.get(branchRoot(root, name))
+    val brStr = branchRoot(root, name)
+    val br = Paths.get(brStr)
     Files.deleteIfExists(refsDir(root).resolve(s"branch-$name"))
-    val log = br.resolve("_log")
-    if (Files.isDirectory(log)) {
-      val st = Files.list(log)
-      try st.iterator().asScala.foreach(p => Files.deleteIfExists(p): Unit)
-      finally st.close()
-      Files.deleteIfExists(log): Unit
+    if (!Files.isDirectory(br)) return
+    val brAbs = br.toAbsolutePath.normalize()
+    // every path under brAbs that main or another LIVE branch still
+    // references across any un-vacuumed version: data files by
+    // relative (main-owned post-publish) or absolute (borrowed) name,
+    // plus external deletion-vector sidecar pointers
+    def refsUnder(chainRoot: String): Set[Path] =
+      (0 to headVersion(chainRoot))
+        .filter(v => Files.exists(manifestPath(chainRoot, v)))
+        .flatMap { v =>
+          val fs = snapshot(chainRoot, Some(v)).files
+          fs.map(f =>
+            (if (f.name.startsWith("/")) Paths.get(f.name)
+             else Paths.get(chainRoot, f.name))
+              .toAbsolutePath.normalize()) ++
+            fs.flatMap(_.dv).filter(_.isExternal).map(d =>
+              Paths.get(d.b64.substring(1)).toAbsolutePath.normalize())
+        }
+        .filter(_.startsWith(brAbs)).toSet
+    val kept = refsUnder(root) ++
+      listBranches(root).map(_._1).filterNot(_ == name)
+        .flatMap(n => refsUnder(branchRoot(root, n)))
+    val nested = brAbs.resolve("_branch")
+    // pre-order DFS reversed puts children before parents, so files
+    // delete first and emptied directories fall right after
+    val walk = Files.walk(brAbs)
+    val all = try walk.iterator().asScala.toSeq.reverse
+              finally walk.close()
+    all.foreach { p0 =>
+      val p = p0.toAbsolutePath.normalize()
+      if (!p.startsWith(nested) && p != brAbs) {
+        if (Files.isRegularFile(p)) {
+          if (!kept.contains(p)) Files.deleteIfExists(p): Unit
+        } else if (Files.isDirectory(p)) {
+          // kept files (and untouched nested branches) keep their
+          // ancestor directories alive — the not-empty delete fails
+          // and is swallowed
+          try Files.delete(p)
+          catch { case _: java.io.IOException => () }
+        }
+      }
     }
+    try Files.delete(brAbs)
+    catch { case _: java.io.IOException => () }
   }
 
   /** CREATE TAG: pin `version` under an immutable name. Tagged
@@ -3643,28 +3714,60 @@ object SnapshotLake {
     * file count, live row count, txn record, publish millis, is the
     * manifest a full checkpoint). None if the manifest was vacuumed.
     */
-  private[sources] def describeVersion(root: String, v: Int)
-      : Option[(String, Long, Long, Option[String], Option[Long], Boolean)] =
+  /** Version `v`'s header line as tagged fields — ONE read, no file
+    * list, no chain replay. The commit header records the snapshot-
+    * level counts (`nf`/`nr`/`nlr`) precisely so the history /
+    * snapshots meta tables cost O(versions) header reads instead of
+    * O(versions × chain-depth) manifest parses at planning time.
+    */
+  private def headerFields(root: String, v: Int): Option[Array[String]] =
     if (!Files.exists(manifestPath(root, v))) None
     else {
-      val sn = snapshot(root, Some(v))
-      Some((sn.op.getOrElse("unknown"), sn.files.size.toLong,
-        sn.files.map(_.liveRows).sum,
-        sn.txn.map { case (a, b) => s"$a:$b" },
-        sn.ts, isCheckpoint(root, v)))
+      val in = Files.newBufferedReader(manifestPath(root, v),
+        StandardCharsets.UTF_8)
+      try Some(in.readLine().split('\t')) finally in.close()
+    }
+
+  private def headerLong(h: Array[String], key: String): Option[Long] =
+    h.find(_.startsWith(key + "=")).map(_.stripPrefix(key + "=").toLong)
+
+  private[sources] def describeVersion(root: String, v: Int)
+      : Option[(String, Long, Long, Option[String], Option[Long], Boolean)] =
+    headerFields(root, v).map { h =>
+      val op = h.find(_.startsWith("op=")).map(_.stripPrefix("op="))
+      val txn = h.find(_.startsWith("txn=")).map(_.stripPrefix("txn="))
+      val ts = headerLong(h, "ts")
+      (headerLong(h, "nf"), headerLong(h, "nlr")) match {
+        case (Some(nf), Some(nlr)) =>
+          (op.getOrElse("unknown"), nf, nlr, txn, ts, isCheckpoint(root, v))
+        case _ =>
+          // legacy manifest (pre-count headers): full reconstruction
+          val sn = snapshot(root, Some(v))
+          (sn.op.getOrElse("unknown"), sn.files.size.toLong,
+            sn.files.map(_.liveRows).sum,
+            sn.txn.map { case (a, b) => s"$a:$b" },
+            sn.ts, isCheckpoint(root, v))
+      }
     }
 
   def history(s: SparkSession, root: String): DataFrame = {
     val head = headVersion(root)
     require(head >= 0, s"lake at $root has no committed snapshot")
-    val rows = (0 to head)
-      .filter(v => Files.exists(manifestPath(root, v)))
-      .map { v =>
-        val sn = snapshot(root, Some(v))
-        (v.toLong, sn.op.getOrElse("unknown"), sn.files.size.toLong,
-          sn.files.map(_.rows).sum,
-          sn.txn.map { case (a, b) => s"$a:$b" }.orNull)
+    val rows = (0 to head).flatMap { v =>
+      headerFields(root, v).map { h =>
+        val op = h.find(_.startsWith("op=")).map(_.stripPrefix("op="))
+        val txn = h.find(_.startsWith("txn=")).map(_.stripPrefix("txn="))
+        (headerLong(h, "nf"), headerLong(h, "nr")) match {
+          case (Some(nf), Some(nr)) =>
+            (v.toLong, op.getOrElse("unknown"), nf, nr, txn.orNull)
+          case _ => // legacy manifest: full reconstruction
+            val sn = snapshot(root, Some(v))
+            (v.toLong, sn.op.getOrElse("unknown"), sn.files.size.toLong,
+              sn.files.map(_.rows).sum,
+              sn.txn.map { case (a, b) => s"$a:$b" }.orNull)
+        }
       }
+    }
     s.createDataFrame(rows)
       .toDF("version", "op", "n_files", "n_rows", "txn")
   }

@@ -66,6 +66,69 @@ class LakeMetaTablesSpec extends SparkTestBase {
     }
   }
 
+  test("partitions carries a LEVEL column: a composed-spec table " +
+      "rolls up per level, and one level sums to the table's rows") {
+    withCatalog {
+      spark.sql(s"""
+        CREATE TABLE $cat.m3 (p BIGINT, k BIGINT, cents BIGINT)
+        PARTITIONED BY (p, bucket(4, k))
+        TBLPROPERTIES ('statCol' = 'cents')""")
+      spark.sql(s"INSERT INTO $cat.m3 " +
+        "SELECT id % 2, id, id * 3 FROM range(400)")
+      val parts = spark.sql(s"SELECT * FROM $cat.m3.partitions")
+      // every file contributes a row at EACH level — the consistency
+      // equation holds per level, never across the union
+      assert(parts.where(col("level") === 1)
+        .agg(sum(col("n_rows"))).head.getLong(0) === 400L)
+      assert(parts.where(col("level") === 2)
+        .agg(sum(col("n_rows"))).head.getLong(0) === 400L)
+      assert(parts.where(col("level") === 1).count() === 2L) // p ∈ {0,1}
+      assert(parts.where(col("level") === 2).count() === 4L) // 4 buckets
+      assert(parts.where(col("level") === 1)
+        .select("part_col").distinct().collect().map(_.getString(0))
+        .toSeq === Seq("p"))
+      // a single-level table is all level 1 (the pre-level contract)
+      spark.sql(s"""
+        CREATE TABLE $cat.m4 (k BIGINT, cents BIGINT)
+        PARTITIONED BY (bucket(4, k))
+        TBLPROPERTIES ('statCol' = 'cents')""")
+      spark.sql(s"INSERT INTO $cat.m4 SELECT id, id FROM range(100)")
+      val p4 = spark.sql(s"SELECT * FROM $cat.m4.partitions")
+      assert(p4.where(col("level") =!= 1).count() === 0L)
+      assert(p4.agg(sum(col("n_rows"))).head.getLong(0) === 100L)
+    }
+  }
+
+  test("history/snapshots answer from manifest HEADERS: zero full " +
+      "manifest parses on a long chain") {
+    withCatalog {
+      spark.sql(s"""
+        CREATE TABLE $cat.m5 (k BIGINT, cents BIGINT)
+        TBLPROPERTIES ('statCol' = 'cents')""")
+      // a chain long enough to cross a checkpoint boundary — the old
+      // implementation reconstructed EVERY version (checkpoint +
+      // delta replay each), O(versions × chain-depth) at planning
+      (0 until 20).foreach(i =>
+        spark.sql(s"INSERT INTO $cat.m5 VALUES ($i, ${i * 3})"))
+      val before = SnapshotLake.manifestParses
+      val hist = spark.sql(
+        s"SELECT * FROM $cat.m5.history").collect()
+      assert(hist.length === 20)
+      // allow O(1) incidental parses (base-table schema resolution);
+      // the old path cost ~2 parses PER VERSION on this chain
+      assert(SnapshotLake.manifestParses - before <= 2,
+        s"history cost ${SnapshotLake.manifestParses - before} full " +
+          "manifest parses — headers should serve it")
+      // and the header-served counts match a real reconstruction
+      val headFiles = SnapshotLake.snapshot(s"$suiteBase/m5").files
+      val newest = hist.head
+      assert(newest.getLong(0) === 19L)
+      assert(newest.getLong(2) === headFiles.size.toLong)
+      assert(newest.getLong(3) === headFiles.map(_.liveRows).sum)
+      assert(hist.count(_.getBoolean(6)) >= 2) // v0 + v16 checkpoints
+    }
+  }
+
   test("a real table wins over the meta namespace; unknown bases fail") {
     withCatalog {
       // a REAL table whose path collides with the meta suffix

@@ -190,6 +190,63 @@ class LakeRefsSpec extends SparkTestBase {
     assert(readMain(root).count() === 20L)
   }
 
+  test("dropBranch reclaims an UNPUBLISHED branch's staged files; a " +
+      "published branch's main-owned files survive the drop") {
+    def parquetUnder(p: java.nio.file.Path): Long =
+      if (!Files.isDirectory(p)) 0L
+      else {
+        val st = Files.walk(p)
+        try st.iterator().asScala.count(_.toString.endsWith(".parquet"))
+        finally st.close()
+      }
+    val root = freshRoot()
+    SnapshotLake.commit(spark, root, tbl(0 until 50), "k")
+    // abandoned WAP stage: the staged bytes never enter any main
+    // manifest, so without the drop-time sweep they leak forever
+    // (main's vacuum only reclaims names its own manifests referenced)
+    SnapshotLake.createBranch(root, "aband")
+    tbl(50 until 90).write.format("graft.sources.GraftLakeSource")
+      .option("path", root).option("branch", "aband")
+      .mode(org.apache.spark.sql.SaveMode.Append).save()
+    assert(parquetUnder(Paths.get(root, "_branch", "aband", "data")) > 0)
+    SnapshotLake.dropBranch(root, "aband")
+    assert(!Files.isDirectory(Paths.get(root, "_branch", "aband")),
+      "unpublished branch left orphaned files behind")
+    assert(readMain(root).count() === 50L)
+    // published branch: its data files became main-OWNED names at
+    // fast-forward — the drop must keep every byte main references
+    SnapshotLake.createBranch(root, "pub")
+    tbl(100 until 120).write.format("graft.sources.GraftLakeSource")
+      .option("path", root).option("branch", "pub")
+      .mode(org.apache.spark.sql.SaveMode.Append).save()
+    SnapshotLake.fastForward(root, "pub")
+    SnapshotLake.dropBranch(root, "pub")
+    val m = readMain(root)
+    assert(m.count() === 70L)
+    assert(m.agg(sum($"v")).head.getLong(0) ===
+      ((0L until 50L) ++ (100L until 120L)).map(_ * 7).sum)
+    // the surviving bytes are exactly the main-referenced ones
+    assert(SnapshotLake.snapshot(root).files
+      .exists(_.name.startsWith("_branch/pub/")))
+    assert(parquetUnder(Paths.get(root, "_branch", "pub")) > 0)
+  }
+
+  test("a typo'd branch option fails fast — no untracked lake " +
+      "bootstraps under _branch") {
+    val root = freshRoot()
+    SnapshotLake.commit(spark, root, tbl(0 until 10), "k")
+    val e = intercept[Exception] {
+      tbl(10 until 20).write.format("graft.sources.GraftLakeSource")
+        .option("path", root).option("branch", "nope")
+        .mode(org.apache.spark.sql.SaveMode.Append).save()
+    }
+    assert(e.getMessage.contains("no branch"))
+    assert(!Files.isDirectory(Paths.get(root, "_branch", "nope")),
+      "typo'd branch write bootstrapped an untracked lake")
+    intercept[Exception] { readBranch(root, "nope").count() }
+    assert(readMain(root).count() === 10L)
+  }
+
   test("branch_ identifier writes plan the BASE TABLE's layout") {
     val cat = "graft_refs_cat2"
     spark.conf.set(s"spark.sql.catalog.$cat",

@@ -224,6 +224,58 @@ class SortedLayoutSpec extends SparkTestBase {
     }
   }
 
+  test("RENAME COLUMN cannot falsify the ordering claim: so= stamps " +
+      "are physical names and the claim follows the renamed column") {
+    withCatalog {
+      spark.sql(s"""
+        CREATE TABLE $cat.ren (k BIGINT, c BIGINT, cents BIGINT)
+        PARTITIONED BY (bucket(4, k))
+        TBLPROPERTIES ('statCol' = 'cents', 'sortcol' = 'k')""")
+      spark.sql(s"INSERT INTO $cat.ren " +
+        "SELECT id, id * 7, id AS cents FROM range(2000) ORDER BY id DESC")
+      assert(SnapshotLake.snapshot(rootOf("ren")).files
+        .forall(_.sorted.contains("k"))) // physical == birth name
+      // THE ATTACK: rename the sort column away, then rename another
+      // column onto its old name — a logical-name stamp would now
+      // claim an ordering the bytes do not hold (c values are id*7,
+      // physically ordered only by coincidence of this data — with a
+      // lying claim a merge join would elide real sorts)
+      spark.sql(s"ALTER TABLE $cat.ren RENAME COLUMN k TO kk")
+      spark.sql(s"ALTER TABLE $cat.ren RENAME COLUMN c TO k")
+      def orderingOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        LakeScan.findIn(df.queryExecution.executedPlan).get
+          .outputOrdering().toSeq.map(_.expression()
+            .asInstanceOf[org.apache.spark.sql.connector
+              .expressions.NamedReference].fieldNames()(0))
+      // full projection: the claim follows the RENAMED column (kk is
+      // the field whose physical storage is 'k'), never the new 'k'
+      assert(orderingOf(spark.table(s"$cat.ren")) === Seq("kk"))
+      // projecting only the new 'k' (physical 'c'): no claim at all
+      assert(orderingOf(spark.table(s"$cat.ren")
+        .select(col("k"), col("cents"))) === Seq.empty)
+      // the sortcol PROPERTY followed the rename: a post-rename insert
+      // still sorts by the original column (now kk) and stamps the
+      // same physical name, keeping the whole-table claim uniform
+      val before = SnapshotLake.snapshot(rootOf("ren"))
+        .files.map(_.name).toSet
+      spark.sql(s"INSERT INTO $cat.ren " +
+        "SELECT id * 3, id, id AS cents FROM range(2000, 2500) " +
+        "ORDER BY 1 DESC")
+      val snap = SnapshotLake.snapshot(rootOf("ren"))
+      assert(snap.files.forall(_.sorted.contains("k")),
+        "post-rename insert lost the physical sort stamp")
+      // and the new files really are ordered by kk's bytes — the raw
+      // parquet read surfaces PHYSICAL names, so 'k' here is kk
+      val fresh = snap.files.filterNot(f => before(f.name))
+      assert(fresh.nonEmpty)
+      for (f <- fresh) {
+        val ks = spark.read.parquet(rootOf("ren") + "/" + f.name)
+          .select("k").collect().map(_.getLong(0)).toSeq
+        assert(ks === ks.sorted, s"${f.name} not kk-sorted after rename")
+      }
+    }
+  }
+
   test("sortcol DDL gates: schema membership and partitioned-only") {
     withCatalog {
       intercept[Exception] {
