@@ -644,7 +644,8 @@ final class GraftLakeCatalog extends TableCatalog
   override def listProcedures(namespace: Array[String])
       : Array[Identifier] =
     Array("optimize", "cluster", "vacuum", "restore", "history",
-      "create_branch", "fast_forward", "drop_branch", "create_tag")
+      "create_branch", "fast_forward", "drop_branch", "create_tag",
+      "remove_orphans")
       .map(Identifier.of(namespace, _))
 
   override def loadProcedure(ident: Identifier): UnboundProcedure =
@@ -761,10 +762,26 @@ final class GraftLakeCatalog extends TableCatalog
           in.getUTF8String(1).toString, v.toInt)
         Seq(v)
       }
+      // `CALL cat.remove_orphans(table => 't', grace_ms => N)`:
+      // delete files under data/_dv/_staging that no retained
+      // manifest references — crashed-writer residue vacuum cannot
+      // see. grace_ms spares files younger than the window (in-flight
+      // commits racing toward publish).
+      case "remove_orphans" => proc("remove_orphans",
+        Seq(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("grace_ms", LongType).build()),
+        StructType(Seq(
+          StructField("orphans_removed", LongType),
+          StructField("files_referenced", LongType)))) { in =>
+        val (rm, kept) = SnapshotLake.removeOrphans(
+          tableRoot(in), in.getLong(1))
+        Seq(rm.toLong, kept.toLong)
+      }
       case other => throw new UnsupportedOperationException(
         s"no procedure '$other' in catalog $catalogName " +
           "(have: optimize, cluster, vacuum, restore, history, " +
-          "create_branch, fast_forward, drop_branch, create_tag)")
+          "create_branch, fast_forward, drop_branch, create_tag, " +
+          "remove_orphans)")
     }
 
   // -- catalog-shipped SQL functions ------------------------------------
@@ -1326,6 +1343,78 @@ object LakeCatalogQueries {
           AS sum_cents""")
   }
 
+  /** Judged REMOVE ORPHAN FILES: two commits (the overwrite leaves
+    * v0's files referenced ONLY by time travel), then the three
+    * crashed-writer residues are planted — a staged task file whose
+    * commit never published, an aborted job's data batch, a
+    * deletion-vector stage file. The certificate: a grace-window CALL
+    * removes NOTHING (in-flight-writer safety), the grace-0 CALL
+    * removes exactly the three plants, every manifest-referenced file
+    * is still on disk (counted from the filesystem against the union
+    * of all retained manifests — so v0 stays time-travelable), and
+    * the data answers are untouched. At 100 TB this is the verb that
+    * keeps a crash-prone ingest's storage bounded: vacuum reclaims
+    * only names its own manifests referenced; orphans are invisible
+    * to it by definition.
+    */
+  def q178RemoveOrphans(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    s.conf.set("spark.sql.catalog.graftcat",
+      "graft.sources.GraftLakeCatalog")
+    s.conf.set("spark.sql.catalog.graftcat.root", catBase)
+    s.sql("DROP TABLE IF EXISTS graftcat.q178")
+    Tables.events(s, d).select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("q178_events")
+    s.sql("""
+      CREATE TABLE graftcat.q178 (
+        event_id BIGINT, event_type STRING, cents BIGINT)
+      TBLPROPERTIES ('statCol' = 'cents')""")
+    s.sql("INSERT INTO graftcat.q178 SELECT * FROM q178_events")
+      .collect(): Unit
+    s.sql("""INSERT OVERWRITE graftcat.q178
+      SELECT * FROM q178_events WHERE event_type = 'click'""")
+      .collect(): Unit
+    val root = s"$catBase/q178"
+    // plant the three orphan species
+    val plants = Seq(
+      Paths.get(root, "data", "b-orphan", "part-dead.parquet"),
+      Paths.get(root, "_staging", "stale-task.parquet"),
+      Paths.get(root, "_dv", "stage-dead.bin"))
+    plants.foreach { p =>
+      Files.createDirectories(p.getParent)
+      Files.write(p, "junk-bytes-never-read".getBytes): Unit
+    }
+    // grace window: freshly planted files are presumed in-flight
+    val withGrace = s.sql("CALL graftcat.remove_orphans(" +
+      "table => 'q178', grace_ms => 3600000)").head.getLong(0)
+    val Array(removed, referenced) = s.sql(
+      "CALL graftcat.remove_orphans(table => 'q178', grace_ms => 0)")
+      .head match { case r => Array(r.getLong(0), r.getLong(1)) }
+    // referenced files == the union of BOTH manifests' names, and
+    // every one is still on disk
+    val expected = (0 to SnapshotLake.headVersion(root))
+      .flatMap(v => SnapshotLake.snapshot(root, Some(v)).files.map(_.name))
+      .distinct
+    val allOnDisk = expected.forall(n => Files.exists(Paths.get(root, n)))
+    val plantedGone = plants.forall(p => !Files.exists(p))
+    val v0Rows = s.sql(
+      "SELECT count(*) FROM graftcat.q178 VERSION AS OF 0")
+      .head.getLong(0)
+    s.sql("""
+      SELECT count(*) AS head_rows,
+             CAST(sum(cents) AS BIGINT) AS head_cents
+      FROM graftcat.q178""")
+      .select(
+        lit(withGrace).as("removed_with_grace"),
+        lit(removed).as("orphans_removed"),
+        lit(referenced == expected.size.toLong
+          && allOnDisk).as("referenced_intact"),
+        lit(plantedGone).as("planted_gone"),
+        lit(v0Rows).as("v0_rows"),
+        col("head_rows"), col("head_cents"))
+  }
+
   /** Judged COMPOSED partition spec — `PARTITIONED BY (event_type,
     * bucket(4, event_id))`, the canonical identity+bucket lakehouse
     * layout: the clustered write lands ONE file per (type, bucket)
@@ -1865,6 +1954,19 @@ object LakeCatalogQueries {
              CAST(2 AS BIGINT) AS n_keygrouped_scans,
              (SELECT CAST(sum(3 * cents) AS BIGINT) FROM e)
                AS join_sum_c3""")),
+    Q("q178_remove_orphans", q178RemoveOrphans, Some("""
+      WITH e AS (SELECT event_id, event_type,
+                        CAST(round(value * 100) AS BIGINT) AS cents
+                 FROM events)
+      SELECT CAST(0 AS BIGINT) AS removed_with_grace,
+             CAST(3 AS BIGINT) AS orphans_removed,
+             TRUE AS referenced_intact,
+             TRUE AS planted_gone,
+             (SELECT count(*) FROM e) AS v0_rows,
+             (SELECT count(*) FROM e WHERE event_type = 'click')
+               AS head_rows,
+             (SELECT CAST(sum(cents) AS BIGINT) FROM e
+              WHERE event_type = 'click') AS head_cents""")),
     Q("q177_metadata_tables", q177MetadataTables, Some("""
       WITH e AS (SELECT event_id,
                         CAST(round(value * 100) AS BIGINT) AS cents

@@ -3254,6 +3254,72 @@ object SnapshotLake {
     (dropped.size, owned.size)
   }
 
+  /** REMOVE ORPHAN FILES (Iceberg's `remove_orphan_files`): delete
+    * every file under the lake's data-bearing directories (`data/`,
+    * `_dv/`, `_staging/`) that NO un-vacuumed manifest references —
+    * the residue of crashed writers: staged task files whose commit
+    * never published, batch directories from aborted jobs, deletion-
+    * vector stage files whose finally never ran. [[vacuum]] cannot
+    * reach these — it only reclaims names its own dropped manifests
+    * referenced — so without this verb a crash-prone 100 TB ingest
+    * leaks storage without bound.
+    *
+    * `graceMs` protects IN-FLIGHT writers the way Iceberg's
+    * `older_than` does: files younger than the grace window are
+    * presumed to belong to a commit still racing toward publish and
+    * are kept regardless. Time travel is never harmed: the
+    * referenced set spans EVERY retained version, not just head.
+    * Manifests, checkpoints, CDC sidecars, refs, and nested branch
+    * chains are out of scope by construction (different directories).
+    * Returns (orphans deleted, referenced files on disk).
+    */
+  def removeOrphans(root: String, graceMs: Long = 0L): (Int, Int) = {
+    val head = headVersion(root)
+    require(head >= 0, s"lake at $root has no committed snapshot")
+    val rootAbs = Paths.get(root).toAbsolutePath.normalize()
+    val referenced: Set[Path] = (0 to head)
+      .filter(v => Files.exists(manifestPath(root, v)))
+      .flatMap { v =>
+        val fs = snapshot(root, Some(v)).files
+        fs.map(f =>
+          (if (f.name.startsWith("/")) Paths.get(f.name)
+           else Paths.get(root, f.name)).toAbsolutePath.normalize()) ++
+          fs.flatMap(_.dv).filter(_.isExternal).map(d =>
+            Paths.get(d.b64.substring(1)).toAbsolutePath.normalize())
+      }.toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    var removed = 0
+    var kept = 0
+    for (dir <- Seq("data", "_dv", "_staging")) {
+      val d = rootAbs.resolve(dir)
+      if (Files.isDirectory(d)) {
+        val walk = Files.walk(d)
+        // pre-order reversed: files first, then their emptied dirs
+        val all = try walk.iterator().asScala.toSeq.reverse
+                  finally walk.close()
+        all.foreach { p0 =>
+          val p = p0.toAbsolutePath.normalize()
+          val base = p.getFileName.toString
+          if (Files.isRegularFile(p)) {
+            // Spark's hidden-file convention: '.'/'_'-prefixed names
+            // (_SUCCESS markers, .crc checksums) are writer
+            // bookkeeping, not data — never counted, never deleted
+            if (base.startsWith(".") || base.startsWith("_")) ()
+            else if (referenced.contains(p)) kept += 1
+            else if (Files.getLastModifiedTime(p).toMillis <= cutoff) {
+              Files.deleteIfExists(p): Unit
+              removed += 1
+            }
+          } else if (Files.isDirectory(p) && p != d) {
+            try Files.delete(p)
+            catch { case _: java.io.IOException => () }
+          }
+        }
+      }
+    }
+    (removed, kept)
+  }
+
   /** Restore the lake head to an earlier version's contents — AS A
     * NEW COMMIT referencing that version's files (no data movement,
     * no history rewrite: the bad versions stay readable for audit

@@ -21,6 +21,54 @@ class SnapshotLakeSpec extends SparkTestBase {
   private def tbl(ids: Range) =
     ids.map(i => (i.toLong, i.toLong * 7)).toDF("k", "v")
 
+  test("removeOrphans deletes exactly the unreferenced residue: " +
+      "time-travel files survive, grace spares fresh files, " +
+      "referenced DV sidecars stay") {
+    val root = freshRoot()
+    SnapshotLake.commit(spark, root, tbl(0 until 100), "k") // v0
+    SnapshotLake.commit(spark, root, tbl(0 until 5000), "k",
+      overwrite = true) // v1: v0's files referenced by time travel only
+    // a WIDE scattered delete externalizes a dv- sidecar the head
+    // references (scattered so it stays on the vector path)
+    SnapshotLake.deleteRows(spark, root, col("k") % 3 === 1L,
+      cowThresholdRows = 100000L)
+    val dvDir = Paths.get(root, "_dv")
+    val liveSidecars =
+      if (!Files.isDirectory(dvDir)) Seq.empty[java.nio.file.Path]
+      else {
+        val st = Files.list(dvDir)
+        try st.iterator().asScala.toSeq finally st.close()
+      }
+    // plant the three crashed-writer species
+    val plants = Seq(
+      Paths.get(root, "data", "b-dead", "part-0.parquet"),
+      Paths.get(root, "_staging", "task-lost.parquet"),
+      Paths.get(root, "_dv", "stage-abandoned.bin"))
+    plants.foreach { p =>
+      Files.createDirectories(p.getParent)
+      Files.write(p, "junk".getBytes(StandardCharsets.UTF_8)): Unit
+    }
+    // grace window spares everything fresh
+    val (rm0, _) = SnapshotLake.removeOrphans(root, graceMs = 3600000L)
+    assert(rm0 === 0)
+    assert(plants.forall(Files.exists(_)))
+    val (rm1, kept) = SnapshotLake.removeOrphans(root)
+    assert(rm1 === 3)
+    assert(plants.forall(p => !Files.exists(p)))
+    // every manifest-referenced file across ALL versions is intact
+    val expected = (0 to SnapshotLake.headVersion(root)).flatMap(v =>
+      SnapshotLake.snapshot(root, Some(v)).files.map(_.name)).distinct
+    assert(expected.forall(n => Files.exists(Paths.get(root, n))))
+    assert(kept >= expected.size) // + any referenced dv sidecars
+    // live dv sidecars survived (the head still reads its vector)
+    assert(liveSidecars.nonEmpty && liveSidecars.forall(Files.exists(_)))
+    // data answers untouched, time travel included
+    assert(SnapshotLake.read(spark, root).count() ===
+      (0L until 5000L).count(_ % 3 != 1).toLong)
+    assert(SnapshotLake.read(spark, root, Some(0)).count() === 100L)
+    assert(SnapshotLake.read(spark, root, Some(1)).count() === 5000L)
+  }
+
   test("append commits accumulate; overwrite replaces; every old version stays readable") {
     val root = freshRoot()
     val v1 = SnapshotLake.commit(spark, root, tbl(0 until 10), "k")
