@@ -47,7 +47,7 @@ import org.apache.spark.unsafe.types.UTF8String
 object V2Functions {
 
   val names: Seq[String] =
-    Seq("cosine_sim", "token_count", "sum_cents", "bucket")
+    Seq("cosine_sim", "token_count", "sum_cents", "bucket", "truncate")
 
   def load(name: String): Option[UnboundFunction] =
     name.toLowerCase(java.util.Locale.ROOT) match {
@@ -58,7 +58,10 @@ object V2Functions {
       // Spark itself for bucketed writes and storage-partitioned
       // joins, and callable as SQL for debugging layouts
       case "bucket" => Some(BucketUnbound)
-      case _ => None
+      case "truncate" => Some(TruncateUnbound)
+      // width-named transform faces (trunc4, trunc100, …): the shape
+      // SPJ needs — see TruncateFunction's note
+      case other => GraftTruncate.loadTransformFn(other)
     }
 
   private def require2FloatArrays(inputType: StructType): Unit = {

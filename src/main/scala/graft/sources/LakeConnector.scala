@@ -190,17 +190,20 @@ final class LakeTable(root: String, asOf: Option[Int], tschema: StructType,
   // DESCRIBE shows it, and writes plan the clustered+sorted layout
   // through RequiresDistributionAndOrdering
   override def partitioning(): Array[Transform] = {
-    def one(colKey: String, bucketsKey: String): Option[Transform] =
+    def one(colKey: String, bucketsKey: String,
+        truncKey: String): Option[Transform] =
       opts.get(colKey).map { pc =>
-        opts.get(bucketsKey) match {
-          case Some(n) => org.apache.spark.sql.connector.expressions
+        (opts.get(bucketsKey), opts.get(truncKey)) match {
+          case (Some(n), _) => org.apache.spark.sql.connector.expressions
             .Expressions.bucket(n.toInt, pc)
-          case None => org.apache.spark.sql.connector.expressions
+          case (None, Some(w)) =>
+            graft.functions.GraftTruncate.transformExpr(w.toInt, pc)
+          case _ => org.apache.spark.sql.connector.expressions
             .Expressions.identity(pc)
         }
       }
-    (one("partcol", "partbuckets").toSeq ++
-      one("partcol2", "partbuckets2").toSeq).toArray
+    (one("partcol", "partbuckets", "parttrunc").toSeq ++
+      one("partcol2", "partbuckets2", "parttrunc2").toSeq).toArray
   }
 
   // -- SHOW PARTITIONS / ALTER TABLE DROP PARTITION ---------------------
@@ -214,10 +217,12 @@ final class LakeTable(root: String, asOf: Option[Int], tschema: StructType,
 
   private def partColType: Option[(String,
       org.apache.spark.sql.types.DataType)] =
-    // bucket-partitioned tables opt OUT of value-addressed partition
-    // management: a bucket id is not a column value, so SHOW
-    // PARTITIONS / DROP PARTITION (c = v) have no honest answer there
-    opts.get("partcol").filter(_ => opts.get("partbuckets").isEmpty)
+    // bucket/truncate-partitioned tables opt OUT of value-addressed
+    // partition management: a bucket id or range floor is not a
+    // column value, so SHOW PARTITIONS / DROP PARTITION (c = v) have
+    // no honest answer there
+    opts.get("partcol").filter(_ => opts.get("partbuckets").isEmpty &&
+      opts.get("parttrunc").isEmpty)
       .flatMap(pc =>
         tschema.fields.find(_.name.equalsIgnoreCase(pc))
           .map(f => (f.name, f.dataType)))
@@ -687,7 +692,9 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
   private def anyPartTagOn(c: String): Boolean =
     snap.files.exists(f => (f.part.toSeq ++ f.part2.toSeq).exists(t =>
       t._1.equalsIgnoreCase(c) || graft.functions.GraftBucket
-        .parseTag(t._1).exists(_._2.equalsIgnoreCase(c))))
+        .parseTag(t._1).exists(_._2.equalsIgnoreCase(c)) ||
+        graft.functions.GraftTruncate
+          .parseTag(t._1).exists(_._2.equalsIgnoreCase(c))))
 
   private def recordPart(c: String, vs: Seq[String]): Boolean = {
     // multi-column: a composed spec (p, bucket(N, k)) prunes on BOTH
@@ -1033,6 +1040,22 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
                   graft.functions.GraftBucket.id(v, nb).toString == pv
                 else scala.util.Try(v.toLong).toOption.fold(true)(
                   l => graft.functions.GraftBucket.id(l, nb).toString == pv))
+            case (pc, pv) if graft.functions.GraftTruncate
+                .parseTag(pc).exists(_._2.equalsIgnoreCase(c)) =>
+              // truncate tag: keep the file iff SOME admissible
+              // literal truncates onto its tag value — strings take
+              // the W-char prefix, integrals floor to multiples of W
+              // (an unparseable literal keeps the file: never guess)
+              val w = graft.functions.GraftTruncate.parseTag(pc).get._1
+              val isStr = tschema.fields.exists(fld =>
+                fld.name.equalsIgnoreCase(c) && fld.dataType ==
+                  org.apache.spark.sql.types.StringType)
+              vs.exists(v =>
+                if (isStr)
+                  graft.functions.GraftTruncate.value(v, w) == pv
+                else scala.util.Try(v.toLong).toOption.fold(true)(l =>
+                  graft.functions.GraftTruncate
+                    .value(l, w).toString == pv))
             case _ => true
           } }
     }
@@ -1086,33 +1109,30 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
     // key type the dir-string round-trips exactly (long/int/string).
     // A bucket spec (`bucketN(c)` tags) SPJs too — the reported key
     // is the bucket ID and the partitioning expression is the
-    // catalog's bucket V2 function, so two same-bucketed tables
-    // join shuffle-free on a high-cardinality column.
-    // spjBuckets = Some(n) marks bucket mode.
-    val (spj, spjBuckets): (Option[(String,
-        org.apache.spark.sql.types.DataType)], Option[Int]) = {
+    // catalog's bucket V2 function — and a truncate spec
+    // (`truncW(c)` tags) likewise: the key is the truncated value
+    // (the column's own type) and the expression is the catalog's
+    // truncate V2 function. spjBuckets/spjTrunc mark the modes.
+    val (spj, spjBuckets, spjTrunc): (Option[(String,
+        org.apache.spark.sql.types.DataType)], Option[Int], Option[Int]) = {
       val tags = kept.map(_.part)
       val cols = tags.flatten.map(_._1.toLowerCase(java.util.Locale.ROOT))
         .distinct
+      def eligible(colName: String) = required.fields
+        .find(_.name.toLowerCase(java.util.Locale.ROOT) ==
+          colName.toLowerCase(java.util.Locale.ROOT))
+        .collect { case f if f.dataType == LongType ||
+            f.dataType == org.apache.spark.sql.types.IntegerType ||
+            f.dataType == org.apache.spark.sql.types.StringType =>
+          (f.name, f.dataType) }
       if (kept.nonEmpty && tags.forall(_.isDefined) && cols.length == 1) {
-        graft.functions.GraftBucket.parseTag(cols.head) match {
-          case Some((n, bc)) =>
-            (required.fields
-              .find(_.name.toLowerCase(java.util.Locale.ROOT) ==
-                bc.toLowerCase(java.util.Locale.ROOT))
-              .collect { case f if f.dataType == LongType ||
-                  f.dataType == org.apache.spark.sql.types.IntegerType ||
-                  f.dataType == org.apache.spark.sql.types.StringType =>
-                (f.name, f.dataType) }, Some(n))
-          case None =>
-            (required.fields
-              .find(_.name.toLowerCase(java.util.Locale.ROOT) == cols.head)
-              .collect { case f if f.dataType == LongType ||
-                  f.dataType == org.apache.spark.sql.types.IntegerType ||
-                  f.dataType == org.apache.spark.sql.types.StringType =>
-                (f.name, f.dataType) }, None)
+        (graft.functions.GraftBucket.parseTag(cols.head),
+          graft.functions.GraftTruncate.parseTag(cols.head)) match {
+          case (Some((n, bc)), _) => (eligible(bc), Some(n), None)
+          case (None, Some((w, tc))) => (eligible(tc), None, Some(w))
+          case _ => (eligible(cols.head), None, None)
         }
-      } else (None, None)
+      } else (None, None, None)
     }
     val scan = LakeScan(root, snap.version, kept,
       snap.files.length, required,
@@ -1123,10 +1143,12 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
         bloomIn.fold("")(vs => s" bloomIn(${vs.length})") +
         partIn.values.toSeq.sortBy(_._1)
           .map { case (c, vs) => s" part=$c(${vs.size})" }.mkString +
-        spj.fold("") { case (c, _) => spjBuckets match {
-          case Some(n) =>
+        spj.fold("") { case (c, _) => (spjBuckets, spjTrunc) match {
+          case (Some(n), _) =>
             s" keyGrouped=${graft.functions.GraftBucket.tagCol(n, c)}"
-          case None => s" keyGrouped=$c"
+          case (None, Some(w)) =>
+            s" keyGrouped=${graft.functions.GraftTruncate.tagCol(w, c)}"
+          case _ => s" keyGrouped=$c"
         } } +
         pushedTopN.fold("") { case (asc, k) =>
           s" topk=$k(${if (asc) "asc" else "desc"})" } +
@@ -1134,7 +1156,7 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
       asOf, lo, hi, lo2, hi2, point, snap.statCol, snap.bloomCol,
       physRequired, fileColIdx, spj.map(_._1),
       spj.map(_._2).getOrElse(org.apache.spark.sql.types.NullType),
-      cdf, cdfRange, spjBuckets, posColIdx, ridColIdx)
+      cdf, cdfRange, spjBuckets, posColIdx, ridColIdx, spjTrunc)
     lastScan = Some(scan)
     scan
   }
@@ -1225,7 +1247,13 @@ final case class LakeScan(root: String, version: Int,
     posColIdx: Int = -1,
     /** projected slot of `_row_id`, -1 if absent (when ≥ 0 the
       * parquet request schema carries a trailing `__rid` column). */
-    ridColIdx: Int = -1)
+    ridColIdx: Int = -1,
+    /** Some(w) = the kept files are `truncate(w, spjCol)`-partitioned:
+      * the reported key-grouped expression is the truncate transform
+      * and each split's partition key is its truncated value (the
+      * column's own type).
+      */
+    spjTrunc: Option[Int] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
@@ -1281,14 +1309,19 @@ final case class LakeScan(root: String, version: Int,
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     spjCol match {
       case Some(c) =>
-        val expr = spjBuckets match {
+        val expr = (spjBuckets, spjTrunc) match {
           // bucket mode: the partitioning expression is the catalog's
           // bucket V2 function over the column — Spark resolves it
           // through the FunctionCatalog and SPJ compares both sides
           // by the bound function's canonicalName + bucket count
-          case Some(n) => org.apache.spark.sql.connector.expressions
+          case (Some(n), _) => org.apache.spark.sql.connector.expressions
             .Expressions.bucket(n, c)
-          case None => org.apache.spark.sql.connector.expressions
+          // truncate mode: width-named single-arg transform — same
+          // FunctionCatalog resolution; key = truncated value (the
+          // column's own type)
+          case (None, Some(w)) =>
+            graft.functions.GraftTruncate.transformExpr(w, c)
+          case _ => org.apache.spark.sql.connector.expressions
             .Expressions.identity(c)
         }
         new org.apache.spark.sql.connector.read.partitioning

@@ -115,7 +115,7 @@ final class LakeWriteBuilder(root: String, info: LogicalWriteInfo,
     // shuffle code. (The bucket transform resolves through the
     // catalog's FunctionCatalog face, so bucketed writes are a
     // catalog-table surface — the Iceberg posture.)
-    def specOf(colKey: String, bucketsKey: String,
+    def specOf(colKey: String, bucketsKey: String, truncKey: String,
         sub: Option[LakePartSpec]): Option[LakePartSpec] =
       opts.get(colKey).map { pc =>
         val idx = info.schema().fieldNames
@@ -125,10 +125,11 @@ final class LakeWriteBuilder(root: String, info: LogicalWriteInfo,
             info.schema().fieldNames.mkString("(", ",", ")"))
         LakePartSpec(info.schema().fieldNames(idx), idx,
           info.schema().fields(idx).dataType,
-          opts.get(bucketsKey).map(_.toInt), sub)
+          opts.get(bucketsKey).map(_.toInt), sub,
+          trunc = opts.get(truncKey).map(_.toInt))
       }
     val partSpec: Option[LakePartSpec] = specOf("partcol", "partbuckets",
-      specOf("partcol2", "partbuckets2", None))
+      "parttrunc", specOf("partcol2", "partbuckets2", "parttrunc2", None))
     partSpec match {
       case None => new Write {
         override def toBatch: BatchWrite =
@@ -145,9 +146,14 @@ final class LakeWriteBuilder(root: String, info: LogicalWriteInfo,
         import org.apache.spark.sql.connector.expressions.Expressions
         private def clusterExprOf(sp: LakePartSpec)
             : org.apache.spark.sql.connector.expressions.Expression =
-          sp.buckets match {
-            case Some(n) => Expressions.bucket(n, sp.col)
-            case None => Expressions.identity(sp.col)
+          (sp.buckets, sp.trunc) match {
+            case (Some(n), _) => Expressions.bucket(n, sp.col)
+            // width-named single-arg transform (truncN): resolves
+            // through the catalog FunctionCatalog like bucket, and
+            // keeps SPJ eligible (see TruncateFunction's note)
+            case (None, Some(w)) =>
+              graft.functions.GraftTruncate.transformExpr(w, sp.col)
+            case _ => Expressions.identity(sp.col)
           }
         // a composed spec clusters (and sorts) by BOTH levels, so
         // (p, bucket) runs are contiguous and the task writer rolls
@@ -250,9 +256,14 @@ final case class LakePartSpec(col: String, idx: Int,
       * and the task writer rolls on either value changing, so every
       * data file is single-valued in both dimensions.
       */
-    sub: Option[LakePartSpec] = None) {
-  def tagCol: String =
-    buckets.fold(col)(n => graft.functions.GraftBucket.tagCol(n, col))
+    sub: Option[LakePartSpec] = None,
+    /** `truncate(W, col)` width when the level is range-partitioned. */
+    trunc: Option[Int] = None) {
+  def tagCol: String = buckets match {
+    case Some(n) => graft.functions.GraftBucket.tagCol(n, col)
+    case None => trunc.fold(col)(w =>
+      graft.functions.GraftTruncate.tagCol(w, col))
+  }
 }
 
 /** One acknowledged staged file + its row count (empty writers are
@@ -277,6 +288,18 @@ final case class LakeStagedSet(files: Seq[LakeStaged])
 private[sources] object LakeCommit {
   def discard(root: String, m: LakeStaged): Unit =
     Files.deleteIfExists(Paths.get(LakeWrite.stagingDir(root), m.name)): Unit
+
+  /** The manifest tag column a level's files tag under: bucket and
+    * truncate transforms carry their parameter in the tag name;
+    * identity tags under the bare column.
+    */
+  private def tagNameFor(opts: Map[String, String], pc: String,
+      bucketsKey: String, truncKey: String): String =
+    opts.get(bucketsKey)
+      .map(n => graft.functions.GraftBucket.tagCol(n.toInt, pc))
+      .orElse(opts.get(truncKey)
+        .map(w => graft.functions.GraftTruncate.tagCol(w.toInt, pc)))
+      .getOrElse(pc)
 
   /** `so=` stamps record the PHYSICAL column name (column mapping):
     * the `sortcol` property names a LOGICAL column, but a logical
@@ -357,13 +380,11 @@ private[sources] object LakeCommit {
     val tagged = opts.get("partcol") match {
       case None => files
       case Some(pc) =>
-        val tagName = opts.get("partbuckets").fold(pc)(n =>
-          graft.functions.GraftBucket.tagCol(n.toInt, pc))
+        val tagName = tagNameFor(opts, pc, "partbuckets", "parttrunc")
         // composed spec: the second level tags under p2= with its
-        // own (identity or bucket) tag name
+        // own (identity, bucket, or truncate) tag name
         val tagName2 = opts.get("partcol2").map(pc2 =>
-          opts.get("partbuckets2").fold(pc2)(n =>
-            graft.functions.GraftBucket.tagCol(n.toInt, pc2)))
+          tagNameFor(opts, pc2, "partbuckets2", "parttrunc2"))
         val valOf = live.map(m => m.name -> m.partVal).toMap
         val val2Of = live.map(m => m.name -> m.partVal2).toMap
         files.map { f =>
@@ -439,8 +460,7 @@ private[sources] object LakeCommit {
         val valOf = live.map(m => m.name -> m.partVal).toMap
         val val2Of = live.map(m => m.name -> m.partVal2).toMap
         val tagName2 = opts.get("partcol2").map(pc2 =>
-          opts.get("partbuckets2").fold(pc2)(n =>
-            graft.functions.GraftBucket.tagCol(n.toInt, pc2)))
+          tagNameFor(opts, pc2, "partbuckets2", "parttrunc2"))
         stats.map { f =>
           val base = f.name.substring(f.name.lastIndexOf('/') + 1)
           val f1 = valOf.get(base).flatten
@@ -807,6 +827,22 @@ final class LakeDataWriter(root: String, confKVs: Map[String, String],
               s"bucket partition column '${spec.col}' must be " +
                 s"long/int/string, got $other")
           }).toString
+        case None if spec.trunc.isDefined =>
+          val w = spec.trunc.get
+          spec.dt match {
+            case org.apache.spark.sql.types.LongType =>
+              graft.functions.GraftTruncate
+                .value(row.getLong(spec.idx), w).toString
+            case org.apache.spark.sql.types.IntegerType =>
+              graft.functions.GraftTruncate
+                .value(row.getInt(spec.idx).toLong, w).toString
+            case org.apache.spark.sql.types.StringType =>
+              graft.functions.GraftTruncate
+                .value(row.getUTF8String(spec.idx), w).toString
+            case other => throw new IllegalArgumentException(
+              s"truncate partition column '${spec.col}' must be " +
+                s"long/int/string, got $other")
+          }
         case None => spec.dt match {
           case org.apache.spark.sql.types.LongType =>
             row.getLong(spec.idx).toString

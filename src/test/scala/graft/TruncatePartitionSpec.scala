@@ -1,0 +1,143 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.{LakeScan, SnapshotLake}
+
+/** The `truncate(W, col)` partition transform (Iceberg's range
+  * transform): DDL gates, one single-valued file per truncated group
+  * from the clustered write, `truncW(c)` manifest tags, literal
+  * pruning by truncating with the same function (strings prefix,
+  * integrals floor — negatives included), and the storage-partitioned
+  * join of two same-truncated tables planning with zero join
+  * exchanges.
+  */
+class TruncatePartitionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val cat = "graft_trunc_cat"
+  private lazy val suiteBase: String =
+    Files.createTempDirectory("lake_trunc_").toString
+
+  private def withCatalog(body: => Unit): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", suiteBase)
+    body
+  }
+
+  private def rootOf(t: String): String = s"$suiteBase/$t"
+
+  private def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+    LakeScan.findIn(df.queryExecution.executedPlan)
+      .map(_.files.length).getOrElse(-1)
+
+  test("string truncate: one file per prefix group, tagged " +
+      "trunc3(doc); prefix-point predicates plan one file") {
+    withCatalog {
+      spark.sql(s"""
+        CREATE TABLE $cat.ts (doc STRING, cents BIGINT)
+        PARTITIONED BY (truncate(3, doc))
+        TBLPROPERTIES ('statCol' = 'cents')""")
+      // four prefix groups: aaa*, bbb*, ccc*, ddd*
+      val rows = (0 until 400).map(i =>
+        (s"${Seq("aaa", "bbb", "ccc", "ddd")(i % 4)}-doc-$i",
+          i.toLong))
+      rows.toDF("doc", "cents").createOrReplaceTempView("ts_in")
+      spark.sql(s"INSERT INTO $cat.ts SELECT * FROM ts_in")
+      val snap = SnapshotLake.snapshot(rootOf("ts"))
+      assert(snap.files.size === 4)
+      assert(snap.files.forall(_.part.exists(_._1 === "trunc3(doc)")))
+      assert(snap.files.flatMap(_.part.map(_._2)).sorted ===
+        Seq("aaa", "bbb", "ccc", "ddd"))
+      // each physical file really is single-valued in the prefix
+      for (f <- snap.files) {
+        val prefixes = spark.read.parquet(rootOf("ts") + "/" + f.name)
+          .select(substring(col("doc"), 1, 3)).distinct().collect()
+        assert(prefixes.length === 1)
+      }
+      // equality literal truncates with the same function → 1 file
+      val q = spark.table(s"$cat.ts").where(col("doc") === "bbb-doc-5")
+      assert(plannedFiles(q) === 1)
+      assert(q.count() === 1L)
+      // IN-list across two groups → 2 files
+      val q2 = spark.table(s"$cat.ts")
+        .where(col("doc").isin("aaa-doc-0", "ddd-doc-3"))
+      assert(plannedFiles(q2) === 2)
+      assert(q2.count() === 2L)
+      // aggregate exact
+      assert(spark.table(s"$cat.ts").agg(sum(col("cents")))
+        .head.getLong(0) === (0L until 400L).sum)
+    }
+  }
+
+  test("integral truncate floors to multiples of W — negative keys " +
+      "bin leftward; range locality survives in the layout") {
+    withCatalog {
+      spark.sql(s"""
+        CREATE TABLE $cat.ti (k BIGINT, cents BIGINT)
+        PARTITIONED BY (truncate(100, k))
+        TBLPROPERTIES ('statCol' = 'cents')""")
+      ((-150) until 150).map(i => (i.toLong, i.toLong))
+        .toDF("k", "cents").createOrReplaceTempView("ti_in")
+      spark.sql(s"INSERT INTO $cat.ti SELECT * FROM ti_in")
+      val snap = SnapshotLake.snapshot(rootOf("ti"))
+      // floors: -200 (for -150..-101), -100, 0, 100
+      assert(snap.files.flatMap(_.part.map(_._2)).map(_.toLong).sorted
+        === Seq(-200L, -100L, 0L, 100L))
+      val q = spark.table(s"$cat.ti").where(col("k") === -101L)
+      assert(plannedFiles(q) === 1)
+      assert(q.select("cents").head.getLong(0) === -101L)
+      assert(spark.table(s"$cat.ti").agg(sum(col("cents")))
+        .head.getLong(0) === ((-150L) until 150L).sum)
+    }
+  }
+
+  test("SPJ: two truncate(4, doc) tables join with zero join " +
+      "exchanges; answers exact") {
+    withCatalog {
+      for ((t, m) <- Seq(("ja", 1), ("jb", 2))) {
+        spark.sql(s"""
+          CREATE TABLE $cat.$t (doc STRING, cents BIGINT)
+          PARTITIONED BY (truncate(4, doc))
+          TBLPROPERTIES ('statCol' = 'cents')""")
+        (0 until 300).map(i => (f"g${i % 5}%s-doc-$i%03d",
+            i.toLong * m))
+          .toDF("doc", "cents").createOrReplaceTempView(s"${t}_in")
+        spark.sql(s"INSERT INTO $cat.$t SELECT * FROM ${t}_in")
+      }
+      val j = spark.sql(s"""
+        SELECT /*+ MERGE(x) */ sum(x.cents + y.cents) AS s
+        FROM $cat.ja x JOIN $cat.jb y ON x.doc = y.doc""")
+      assert(j.head.getLong(0) === (0L until 300L).map(_ * 3).sum)
+      val plan = j.queryExecution.executedPlan
+      // the scalar aggregate's single exchange only — no join shuffle
+      assert(LakeScan.countShuffles(plan) === 1)
+      assert(plan.toString.contains("SortMergeJoin"))
+    }
+  }
+
+  test("DDL gates: type and width") {
+    withCatalog {
+      intercept[Exception] {
+        spark.sql(s"""
+          CREATE TABLE $cat.bad1 (v DOUBLE, cents BIGINT)
+          PARTITIONED BY (truncate(3, v))
+          TBLPROPERTIES ('statCol' = 'cents')""")
+      }
+      intercept[Exception] {
+        spark.sql(s"""
+          CREATE TABLE $cat.bad2 (doc STRING, cents BIGINT)
+          PARTITIONED BY (truncate(0, doc))
+          TBLPROPERTIES ('statCol' = 'cents')""")
+      }
+      // composed spec must still lead with identity
+      intercept[Exception] {
+        spark.sql(s"""
+          CREATE TABLE $cat.bad3 (doc STRING, p BIGINT, cents BIGINT)
+          PARTITIONED BY (truncate(3, doc), p)
+          TBLPROPERTIES ('statCol' = 'cents')""")
+      }
+    }
+  }
+}
