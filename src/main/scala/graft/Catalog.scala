@@ -47,6 +47,7 @@ object Catalog {
       graft.operators.BpeTrain.queries ++
       graft.operators.Curation.queries ++
       graft.operators.Dedup.queries ++
+      graft.operators.SemanticDedup.queries ++
       graft.operators.Similarity.queries ++
       graft.multimodal.Multimodal.queries ++
       graft.multimodal.MediaCodecs.queries ++

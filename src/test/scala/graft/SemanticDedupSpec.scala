@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SemanticDedup
+
+/** SemDeDup (d11): exact-integer two-iteration k-means + within-
+  * cluster cosine prune — clustering quality (inertia never rises
+  * across the Lloyd iterations, every doc assigned exactly once),
+  * the keep rule (every dropped doc has a lower-id in-cluster
+  * near-dup; no kept doc does), and determinism across runs.
+  */
+class SemanticDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("every vector is assigned exactly once and the certificate is " +
+      "internally consistent") {
+    val out = SemanticDedup.d11SemanticDedup(spark, d).collect()
+    val n = graft.sources.Tables.embeddings(spark, d).count()
+    assert(out.map(_.getLong(1)).sum === n) // members cover the corpus
+    out.foreach { r =>
+      assert(r.getLong(3) === r.getLong(1) - r.getLong(2)) // kept = m - d
+      assert(r.getLong(2) >= 0 && r.getLong(3) >= 1)
+    }
+    // the prune path is exercised (non-vacuous certificate)
+    assert(out.map(_.getLong(2)).sum > 0)
+  }
+
+  test("two-iteration Lloyd: inertia is non-increasing and " +
+      "assignments are deterministic across runs") {
+    // run twice: byte-identical output (no float nondeterminism,
+    // ordering pinned)
+    val a = SemanticDedup.d11SemanticDedup(spark, d).collect().toSeq
+    val b = SemanticDedup.d11SemanticDedup(spark, d).collect().toSeq
+    assert(a === b)
+    // inertia via the public pieces: recompute both iterations'
+    // total within-cluster squared distance on the quantized corpus
+    val e = graft.sources.Tables.embeddings(spark, d).select(
+      col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 100).cast("long")).as("qv"))
+    def inertiaOf(assignTo: org.apache.spark.sql.DataFrame): Long = {
+      // assignTo: (cid, cv); charge each doc its min distance
+      val d2 = org.apache.spark.sql.functions.aggregate(
+        zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v)
+      e.join(broadcast(assignTo))
+        .select(col("vec_id"), d2.as("d2"))
+        .groupBy(col("vec_id")).agg(min(col("d2")).as("m"))
+        .agg(sum(col("m"))).head.getLong(0)
+    }
+    val anchors = e.orderBy(col("vec_id")).limit(8)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"))
+    val c2 = SemanticDedup.centroidsAfterOneIteration(spark, d)
+    assert(inertiaOf(c2) <= inertiaOf(anchors),
+      "Lloyd update increased inertia")
+  }
+
+  test("keep rule: dropped docs have a lower-id in-cluster near-dup; " +
+      "kept docs have none") {
+    val (assigned, droppedIds) = SemanticDedup.assignmentAndDrops(spark, d)
+    val rows = assigned.select("cluster", "vec_id", "qv")
+      .as[(Long, Long, Seq[Long])].collect()
+    def dot(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def near(a: Seq[Long], b: Seq[Long]): Boolean = {
+      val dp = dot(a, b)
+      dp > 0 && dp * dp * 100 >= dot(a, a) * dot(b, b) * 16
+    }
+    val byCluster = rows.groupBy(_._1)
+    val expectDropped = byCluster.values.flatMap { ms =>
+      ms.filter(m => ms.exists(o => o._2 < m._2 && near(o._3, m._3)))
+        .map(_._2)
+    }.toSet
+    assert(droppedIds === expectDropped)
+    assert(expectDropped.nonEmpty)
+  }
+}
