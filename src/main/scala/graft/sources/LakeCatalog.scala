@@ -318,7 +318,18 @@ final class GraftLakeCatalog extends TableCatalog
     java.util.Set.of(org.apache.spark.sql.connector.catalog
       .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
       org.apache.spark.sql.connector.catalog
-        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      // GENERATED ALWAYS AS (expr): the expression stores as field
+      // metadata (Spark's GENERATION_EXPRESSION key, persisted
+      // through the manifest schema json), the table ENFORCES it on
+      // every batch write via a synthesized CHECK constraint, and
+      // the scan DERIVES partition pruning from it (a predicate on
+      // the source column prunes the generated partition column's
+      // tags) — the Delta generated-partition-column pattern.
+      // Vanilla Spark does not compute generated columns for DSv2
+      // writes, so INSERTs supply the value and the engine proves it.
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
 
   private def constraintProps(
       cs: Array[org.apache.spark.sql.connector.catalog.constraints.Constraint])
@@ -412,9 +423,30 @@ final class GraftLakeCatalog extends TableCatalog
       properties: java.util.Map[String, String]): Table =
     create0(ident, schema, partitions, normProps(properties))
 
+  /** GENERATED ALWAYS AS survives here: `generationExpression` is a
+    * FIRST-CLASS property of the V2 Column, and Spark's deprecated
+    * Column→StructType conversion (info.schema()) silently drops it —
+    * re-attach it as the GENERATION_EXPRESSION field metadata the
+    * rest of the engine (enforcement CHECK, derived partition prune,
+    * rename guard) reads, persisted through the manifest schema json.
+    */
+  private def schemaWithGeneration(
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : StructType =
+    StructType(info.schema().fields.zip(info.columns()).map {
+      case (f, c) =>
+        Option(c.generationExpression()).filter(_.nonEmpty).fold(f) { e =>
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString(org.apache.spark.sql.catalyst.util.GeneratedColumn
+              .GENERATION_EXPRESSION_METADATA_KEY, e)
+            .build())
+        }
+    })
+
   override def createTable(ident: Identifier,
       info: org.apache.spark.sql.connector.catalog.TableInfo): Table =
-    create0(ident, info.schema(), info.partitions(),
+    create0(ident, schemaWithGeneration(info), info.partitions(),
       normProps(info.properties()) ++ constraintProps(info.constraints()))
 
   // -- atomic CTAS / RTAS ----------------------------------------------
@@ -1315,6 +1347,65 @@ object LakeCatalogQueries {
         "n_shuffles_total", "n_keygrouped_scans", "join_sum_c3")
   }
 
+  /** Judged GENERATED PARTITION COLUMN — `day BIGINT GENERATED
+    * ALWAYS AS (floor(ts / 100))`, identity-partitioned on `day`:
+    * the generation expression stores as schema metadata, every
+    * INSERT is ENFORCED against it (synthesized CHECK — a
+    * disagreeing row aborts the write), and the scan DERIVES
+    * partition pruning from it: a range predicate on RAW `ts` (the
+    * query never mentions `day`) plans exactly the covered day
+    * files. This is the Delta generated-partition-column pattern —
+    * at 100 TB it lets every ad-hoc timestamp filter ride the daily
+    * layout without analysts knowing the partition scheme exists.
+    * File counts for the fixed ranges are hash-certified; a broken
+    * derivation (wrong floor algebra, wrong tag match) either plans
+    * the wrong file count or returns wrong rows — both go red.
+    */
+  def q180GeneratedPartition(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftcat",
+      "graft.sources.GraftLakeCatalog")
+    s.conf.set("spark.sql.catalog.graftcat.root", catBase)
+    s.sql("DROP TABLE IF EXISTS graftcat.q180")
+    Tables.events(s, d).select(col("event_id").as("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("q180_events")
+    s.sql("""
+      CREATE TABLE graftcat.q180 (
+        ts BIGINT, cents BIGINT,
+        day BIGINT GENERATED ALWAYS AS (floor(ts / 100)))
+      PARTITIONED BY (day)
+      TBLPROPERTIES ('statCol' = 'cents')""")
+    s.sql("""
+      INSERT INTO graftcat.q180
+      SELECT ts, cents, CAST(floor(ts / 100) AS BIGINT)
+      FROM q180_events""").collect(): Unit
+    def planned(df: DataFrame): Long = LakeScan
+      .findIn(df.queryExecution.executedPlan)
+      .map(_.files.length.toLong).getOrElse(-1L)
+    // range on RAW ts spanning exactly days 2 and 3
+    val range = s.table("graftcat.q180")
+      .where(col("ts") >= 200L && col("ts") <= 399L)
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+    val rrow = range.collect().head
+    val rangePlanned = planned(range)
+    // point predicate: one file
+    val point = s.table("graftcat.q180").where(col("ts") === 250L)
+      .agg(sum(col("cents")).as("c"))
+    val prow = point.collect().head
+    val pointPlanned = planned(point)
+    import s.implicits._
+    s.table("graftcat.q180")
+      .agg(count(lit(1)).as("total_rows"),
+        sum(col("cents")).as("total_cents"))
+      .select(
+        lit(rangePlanned).as("range_files_planned"),
+        lit(rrow.getLong(0)).as("range_rows"),
+        lit(rrow.getLong(1)).as("range_cents"),
+        lit(pointPlanned).as("point_files_planned"),
+        lit(prow.getLong(0)).as("point_cents"),
+        col("total_rows"), col("total_cents"))
+  }
+
   /** Judged SORTED BUCKET LAYOUT — `PARTITIONED BY (bucket(8, k))
     * TBLPROPERTIES('sortcol'='k')`: the clustered write additionally
     * orders rows WITHIN each bucket file by the key, the manifest
@@ -2038,6 +2129,20 @@ object LakeCatalogQueries {
              CAST(2 AS BIGINT) AS n_keygrouped_scans,
              (SELECT CAST(sum(3 * cents) AS BIGINT) FROM e)
                AS join_sum_c3""")),
+    Q("q180_generated_partition", q180GeneratedPartition, Some("""
+      WITH e AS (SELECT event_id AS ts,
+                        CAST(round(value * 100) AS BIGINT) AS cents
+                 FROM events)
+      SELECT CAST(2 AS BIGINT) AS range_files_planned,
+             (SELECT count(*) FROM e
+              WHERE ts BETWEEN 200 AND 399) AS range_rows,
+             (SELECT CAST(sum(cents) AS BIGINT) FROM e
+              WHERE ts BETWEEN 200 AND 399) AS range_cents,
+             CAST(1 AS BIGINT) AS point_files_planned,
+             (SELECT CAST(sum(cents) AS BIGINT) FROM e
+              WHERE ts = 250) AS point_cents,
+             (SELECT count(*) FROM e) AS total_rows,
+             (SELECT CAST(sum(cents) AS BIGINT) FROM e) AS total_cents""")),
     Q("q179_truncate_transform", q179TruncateTransform, Some("""
       WITH e AS (SELECT concat('e', CAST(event_id % 8 AS VARCHAR),
                                '-', CAST(event_id AS VARCHAR)) AS doc,

@@ -327,16 +327,33 @@ final class LakeTable(root: String, asOf: Option[Int], tschema: StructType,
     * stable DESCRIBE output.
     */
   override def constraints()
-      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
-    opts.toSeq
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] = {
+    val declared = opts.toSeq
       .collect { case (k, v) if k.startsWith("constraint.") =>
         (k.stripPrefix("constraint."), v) }
+    // GENERATED ALWAYS AS (expr) enforcement, zero custom eval code:
+    // each generated column synthesizes an enforced null-safe CHECK
+    // `col <=> (expr)` — Spark's analyzer wraps every batch write
+    // with the validation, so a row whose supplied value disagrees
+    // with the generation expression throws before one file stages
+    // (and the derived partition prune below can trust the tags)
+    val generated = tschema.fields.toSeq
+      .filter(org.apache.spark.sql.catalyst.util.GeneratedColumn
+        .isGeneratedColumn)
+      .map { f =>
+        val expr = org.apache.spark.sql.catalyst.util.GeneratedColumn
+          .getGenerationExpression(f).get
+        (s"gen_${f.name.toLowerCase(java.util.Locale.ROOT)}",
+          s"${f.name} <=> ($expr)")
+      }
+    (declared ++ generated)
       .sortBy(_._1)
       .map { case (n, sql) =>
         org.apache.spark.sql.connector.catalog.constraints.Constraint
           .check(n).predicateSql(sql).enforced(true).build()
           : org.apache.spark.sql.connector.catalog.constraints.Constraint }
       .toArray
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
@@ -696,6 +713,79 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
         graft.functions.GraftTruncate
           .parseTag(t._1).exists(_._2.equalsIgnoreCase(c))))
 
+  /** GENERATED-column derivation map: source column (lowercased) →
+    * (generated partition column, divisor K) for the supported
+    * monotone family `floor(src / K)` (K = 1 covers a plain alias).
+    * A predicate on the SOURCE column then derives a tag-value range
+    * on the generated partition column — Delta's generated-partition
+    * pruning: `WHERE ts BETWEEN a AND b` prunes `day` partitions
+    * without the query ever mentioning `day`. Only monotone forms
+    * derive; any other expression simply never prunes (safe).
+    */
+  private val derivedGen: Map[String, (String, Long)] = {
+    val GenFloor =
+      "(?i)\\s*floor\\s*\\(\\s*`?([A-Za-z_][A-Za-z0-9_]*)`?\\s*/\\s*(\\d+)\\s*\\)\\s*".r
+    val GenId = "\\s*`?([A-Za-z_][A-Za-z0-9_]*)`?\\s*".r
+    snap.schema.map(_.fields.toSeq).getOrElse(Seq.empty)
+      .flatMap { f =>
+        org.apache.spark.sql.catalyst.util.GeneratedColumn
+          .getGenerationExpression(f).flatMap {
+            case GenFloor(src, k) if k.toLong >= 1 =>
+              Some(src.toLowerCase(java.util.Locale.ROOT) ->
+                (f.name, k.toLong))
+            case GenId(src) =>
+              Some(src.toLowerCase(java.util.Locale.ROOT) -> (f.name, 1L))
+            case _ => None
+          }
+          // useful only when files actually tag under the generated
+          // column (identity tags — bucket/trunc tags derive nothing)
+          .filter(_ => snap.files.exists(ff =>
+            (ff.part.toSeq ++ ff.part2.toSeq)
+              .exists(_._1.equalsIgnoreCase(f.name))))
+      }.toMap
+  }
+
+  /** Derived tag range per generated partition column (inclusive),
+    * intersected across predicates.
+    */
+  private var genRange: Map[String, (String, Long, Long)] = Map.empty
+
+  private def recordGen(src: String, lo: Long, hi: Long): Unit =
+    derivedGen.get(src.toLowerCase(java.util.Locale.ROOT)).foreach {
+      case (gc, _) =>
+        val key = gc.toLowerCase(java.util.Locale.ROOT)
+        genRange = genRange.updatedWith(key) {
+          case Some((g0, l0, h0)) =>
+            Some((g0, math.max(l0, lo), math.min(h0, hi)))
+          case None => Some((gc, lo, hi))
+        }
+    }
+
+  /** Fold the derivation over one filter on a generated column's
+    * SOURCE: g = floor(src / K) is monotone nondecreasing, so source
+    * bounds map to floor-divided generated bounds.
+    */
+  private def deriveGenBounds(f: Filter): Unit = {
+    def kOf(c: String): Option[Long] =
+      derivedGen.get(c.toLowerCase(java.util.Locale.ROOT)).map(_._2)
+    f match {
+      case GreaterThan(c, v) => for (k <- kOf(c); l <- num(v))
+        if (l < Long.MaxValue)
+          recordGen(c, Math.floorDiv(l + 1, k), Long.MaxValue)
+      case GreaterThanOrEqual(c, v) => for (k <- kOf(c); l <- num(v))
+        recordGen(c, Math.floorDiv(l, k), Long.MaxValue)
+      case LessThan(c, v) => for (k <- kOf(c); l <- num(v))
+        if (l > Long.MinValue)
+          recordGen(c, Long.MinValue, Math.floorDiv(l - 1, k))
+      case LessThanOrEqual(c, v) => for (k <- kOf(c); l <- num(v))
+        recordGen(c, Long.MinValue, Math.floorDiv(l, k))
+      case EqualTo(c, v) => for (k <- kOf(c); l <- num(v)) {
+        val g = Math.floorDiv(l, k); recordGen(c, g, g)
+      }
+      case _ => ()
+    }
+  }
+
   private def recordPart(c: String, vs: Seq[String]): Boolean = {
     // multi-column: a composed spec (p, bucket(N, k)) prunes on BOTH
     // columns; repeated predicates on one column intersect
@@ -708,6 +798,10 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // generated-column derivation runs over EVERY filter, independent
+    // of the accepted-pushdown match below — a source column may also
+    // be the stat column, and both prunes should compose
+    filters.foreach(deriveGenBounds)
     val accepted = filters.filter {
       case EqualTo(c, v) if snap.bloomCol.contains(c) =>
         num(v).exists { l => point = Some(l); true }
@@ -1057,6 +1151,17 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
                   graft.functions.GraftTruncate
                     .value(l, w).toString == pv))
             case _ => true
+          } } &&
+        // derived generated-column prune: the file's identity tag on
+        // the generated column must fall inside the range derived
+        // from the SOURCE-column predicates; untagged / unparseable
+        // tags always survive
+        genRange.values.forall { case (gc, glo, ghi) =>
+          (f.part.toSeq ++ f.part2.toSeq).forall {
+            case (pc, pv) if pc.equalsIgnoreCase(gc) =>
+              scala.util.Try(pv.toLong).toOption
+                .forall(tv => tv >= glo && tv <= ghi)
+            case _ => true
           } }
     }
     // limit/top-k file pruning (filterless scans only — see
@@ -1143,6 +1248,8 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
         bloomIn.fold("")(vs => s" bloomIn(${vs.length})") +
         partIn.values.toSeq.sortBy(_._1)
           .map { case (c, vs) => s" part=$c(${vs.size})" }.mkString +
+        genRange.values.toSeq.sortBy(_._1)
+          .map { case (c, glo, ghi) => s" gen=$c∈[$glo,$ghi]" }.mkString +
         spj.fold("") { case (c, _) => (spjBuckets, spjTrunc) match {
           case (Some(n), _) =>
             s" keyGrouped=${graft.functions.GraftBucket.tagCol(n, c)}"

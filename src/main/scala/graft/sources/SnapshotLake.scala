@@ -3631,6 +3631,21 @@ object SnapshotLake {
       require(!indexCols(head).exists(c => colKey(c) == colKey(oldName)),
         s"cannot rename '$oldName': it is a stat/bloom index column " +
           "(the lake's pruning identity)")
+      // a generation expression references columns BY NAME: renaming
+      // a referenced column would leave the stored expr naming the
+      // old identity — and a later rename ONTO the old name would
+      // silently re-point both the write-time CHECK and the derived
+      // partition prune at a different column (the exact attack the
+      // physical so= stamps close for sort columns). Refuse.
+      schema.fields.foreach { f =>
+        org.apache.spark.sql.catalyst.util.GeneratedColumn
+          .getGenerationExpression(f).foreach { expr =>
+            require(!s"(?i)\\b${java.util.regex.Pattern.quote(oldName)}\\b"
+              .r.findFirstIn(expr).isDefined,
+              s"cannot rename '$oldName': column '${f.name}' is " +
+                s"GENERATED ALWAYS AS ($expr), which references it")
+          }
+      }
       require(schema.fields.exists(f => colKey(f.name) == colKey(oldName)),
         s"no column '$oldName' in ${schema.fieldNames.mkString(", ")}")
       require(!schema.fields.exists(f => colKey(f.name) == colKey(newName)),
