@@ -29,7 +29,8 @@ import org.apache.spark.unsafe.types.UTF8String
 object LakeMetaTables {
 
   val Kinds: Set[String] =
-    Set("files", "history", "snapshots", "partitions", "refs")
+    Set("files", "history", "snapshots", "partitions", "refs",
+      "orphans")
 
   private def s(v: String): AnyRef = UTF8String.fromString(v)
   private def sOpt(v: Option[String]): AnyRef = v.map(s).orNull
@@ -72,6 +73,13 @@ object LakeMetaTables {
       StructField("name", StringType, nullable = false),
       StructField("type", StringType, nullable = false),
       StructField("version", LongType, nullable = false)))
+    // dry-run face of CALL remove_orphans: the files the sweep WOULD
+    // reclaim (no retained manifest references them), so an operator
+    // inspects the set before deleting anything
+    case "orphans" => StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("bytes", LongType, nullable = false),
+      StructField("modified_at", LongType, nullable = false)))
     case other => throw new IllegalArgumentException(
       s"unknown metadata table kind '$other'")
   }
@@ -114,6 +122,9 @@ object LakeMetaTables {
           row(s(n), s("branch"), v.toLong) } ++
           SnapshotLake.listTags(root).map { case (n, v) =>
             row(s(n), s("tag"), v.toLong) }
+      case "orphans" =>
+        SnapshotLake.orphanCandidates(root).sortBy(_._1).map {
+          case (p, bytes, ts) => row(s(p), bytes, ts) }
     }
   }
 

@@ -3274,6 +3274,41 @@ object SnapshotLake {
     * Returns (orphans deleted, referenced files on disk).
     */
   def removeOrphans(root: String, graceMs: Long = 0L): (Int, Int) = {
+    val cutoff = System.currentTimeMillis() - graceMs
+    var removed = 0
+    var kept = 0
+    walkOrphanScope(root) { (p, referenced) =>
+      if (referenced) kept += 1
+      else if (Files.getLastModifiedTime(p).toMillis <= cutoff) {
+        Files.deleteIfExists(p): Unit
+        removed += 1
+      }
+    }
+    (removed, kept)
+  }
+
+  /** Dry-run face of [[removeOrphans]]: the orphan candidates as
+    * (root-relative path, bytes, mtime millis) — what the
+    * `t.orphans` metadata table serves, so an operator SEES the
+    * reclaim set before deleting anything.
+    */
+  def orphanCandidates(root: String): Seq[(String, Long, Long)] = {
+    val rootAbs = Paths.get(root).toAbsolutePath.normalize()
+    val out = Seq.newBuilder[(String, Long, Long)]
+    walkOrphanScope(root) { (p, referenced) =>
+      if (!referenced)
+        out += ((rootAbs.relativize(p).toString, Files.size(p),
+          Files.getLastModifiedTime(p).toMillis))
+    }
+    out.result()
+  }
+
+  /** Shared sweep: visit every non-hidden regular file under the
+    * data-bearing directories with its referenced-by-some-retained-
+    * manifest verdict; empty directories are pruned on the way out.
+    */
+  private def walkOrphanScope(root: String)(
+      visit: (Path, Boolean) => Unit): Unit = {
     val head = headVersion(root)
     require(head >= 0, s"lake at $root has no committed snapshot")
     val rootAbs = Paths.get(root).toAbsolutePath.normalize()
@@ -3287,9 +3322,6 @@ object SnapshotLake {
           fs.flatMap(_.dv).filter(_.isExternal).map(d =>
             Paths.get(d.b64.substring(1)).toAbsolutePath.normalize())
       }.toSet
-    val cutoff = System.currentTimeMillis() - graceMs
-    var removed = 0
-    var kept = 0
     for (dir <- Seq("data", "_dv", "_staging")) {
       val d = rootAbs.resolve(dir)
       if (Files.isDirectory(d)) {
@@ -3303,13 +3335,9 @@ object SnapshotLake {
           if (Files.isRegularFile(p)) {
             // Spark's hidden-file convention: '.'/'_'-prefixed names
             // (_SUCCESS markers, .crc checksums) are writer
-            // bookkeeping, not data — never counted, never deleted
-            if (base.startsWith(".") || base.startsWith("_")) ()
-            else if (referenced.contains(p)) kept += 1
-            else if (Files.getLastModifiedTime(p).toMillis <= cutoff) {
-              Files.deleteIfExists(p): Unit
-              removed += 1
-            }
+            // bookkeeping, not data — never visited
+            if (!base.startsWith(".") && !base.startsWith("_"))
+              visit(p, referenced.contains(p))
           } else if (Files.isDirectory(p) && p != d) {
             try Files.delete(p)
             catch { case _: java.io.IOException => () }
@@ -3317,7 +3345,6 @@ object SnapshotLake {
         }
       }
     }
-    (removed, kept)
   }
 
   /** Restore the lake head to an earlier version's contents — AS A

@@ -129,6 +129,35 @@ class LakeMetaTablesSpec extends SparkTestBase {
     }
   }
 
+  test("t.orphans is the dry-run face of remove_orphans: lists " +
+      "exactly the reclaim set, deletes nothing") {
+    withCatalog {
+      spark.sql(s"""
+        CREATE TABLE $cat.m6 (k BIGINT, cents BIGINT)
+        TBLPROPERTIES ('statCol' = 'cents')""")
+      spark.sql(s"INSERT INTO $cat.m6 SELECT id, id FROM range(100)")
+      assert(spark.sql(s"SELECT * FROM $cat.m6.orphans").count() === 0L)
+      val plant = java.nio.file.Paths.get(
+        suiteBase, "m6", "data", "b-dead", "lost.parquet")
+      java.nio.file.Files.createDirectories(plant.getParent)
+      java.nio.file.Files.write(plant, "junk".getBytes): Unit
+      val rows = spark.sql(s"SELECT * FROM $cat.m6.orphans").collect()
+      assert(rows.length === 1)
+      assert(rows.head.getString(0) === "data/b-dead/lost.parquet")
+      assert(rows.head.getLong(1) === 4L)
+      // the dry run deleted nothing
+      assert(java.nio.file.Files.exists(plant))
+      // the procedure then reclaims exactly what the table listed
+      val removed = spark.sql("CALL " + cat +
+        ".remove_orphans(table => 'm6', grace_ms => 0)")
+        .head.getLong(0)
+      assert(removed === 1L)
+      assert(!java.nio.file.Files.exists(plant))
+      assert(spark.sql(s"SELECT * FROM $cat.m6.orphans").count() === 0L)
+      assert(spark.table(s"$cat.m6").count() === 100L)
+    }
+  }
+
   test("a real table wins over the meta namespace; unknown bases fail") {
     withCatalog {
       // a REAL table whose path collides with the meta suffix
