@@ -29,9 +29,15 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object GraftTruncate {
 
-  def value(v: Long, w: Int): Long = v - java.lang.Math.floorMod(v, w.toLong)
+  def value(v: Long, w: Int): Long = {
+    require(w >= 1, s"truncate width must be >= 1, got $w")
+    v - java.lang.Math.floorMod(v, w.toLong)
+  }
 
-  def value(v: UTF8String, w: Int): UTF8String = v.substring(0, w)
+  def value(v: UTF8String, w: Int): UTF8String = {
+    require(w >= 1, s"truncate width must be >= 1, got $w")
+    v.substring(0, w)
+  }
 
   def value(v: String, w: Int): String =
     value(UTF8String.fromString(v), w).toString
@@ -69,7 +75,12 @@ object GraftTruncate {
     */
   def loadTransformFn(name: String): Option[TruncateTransformUnbound] =
     name match {
-      case FnPattern(w) => Some(new TruncateTransformUnbound(w.toInt))
+      // same width bounds as the DDL gate — a trunc0 or an
+      // over-wide name resolves to nothing (clean unresolved-function
+      // error), never to a function that divides by zero at runtime
+      case FnPattern(w) => scala.util.Try(w.toInt).toOption
+        .filter(n => n >= 1 && n <= (1 << 20))
+        .map(new TruncateTransformUnbound(_))
       case _ => None
     }
 
@@ -101,15 +112,15 @@ object GraftTruncate {
 object TruncateUnbound extends UnboundFunction {
   override def name(): String = "truncate"
   override def description(): String =
-    "truncate(width INT, value BIGINT|INT|STRING) -> same type: the " +
-      "lake's range partition transform"
+    "truncate(width INT, value BIGINT|STRING) -> same type: the " +
+      "lake's range partition transform (INT values are refused: a " +
+      "floor near Int.MinValue is not representable as INT)"
   override def bind(inputType: StructType): BoundFunction = {
     require(inputType.fields.length == 2 &&
       inputType.fields(0).dataType == IntegerType &&
       (inputType.fields(1).dataType == LongType ||
-        inputType.fields(1).dataType == IntegerType ||
         inputType.fields(1).dataType == StringType),
-      s"truncate expects (INT width, BIGINT|INT|STRING value), got " +
+      s"truncate expects (INT width, BIGINT|STRING value), got " +
         inputType.simpleString)
     new TruncateBound(inputType.fields(1).dataType)
   }
@@ -128,17 +139,13 @@ final class TruncateBound(valType: DataType)
 
   // magic-method fast path: codegen plans a direct Invoke
   def invoke(w: Int, v: Long): Long = GraftTruncate.value(v, w)
-  def invoke(w: Int, v: Int): Int =
-    GraftTruncate.value(v.toLong, w).toInt
   def invoke(w: Int, v: UTF8String): UTF8String =
     GraftTruncate.value(v, w)
 
   override def produceResult(input: InternalRow): Any = valType match {
     case LongType => GraftTruncate.value(input.getLong(1), input.getInt(0))
-    case StringType =>
-      GraftTruncate.value(input.getUTF8String(1), input.getInt(0))
     case _ =>
-      GraftTruncate.value(input.getInt(1).toLong, input.getInt(0)).toInt
+      GraftTruncate.value(input.getUTF8String(1), input.getInt(0))
   }
 }
 
@@ -149,14 +156,13 @@ final class TruncateBound(valType: DataType)
 final class TruncateTransformUnbound(w: Int) extends UnboundFunction {
   override def name(): String = s"trunc$w"
   override def description(): String =
-    s"trunc$w(value BIGINT|INT|STRING) -> same type: truncate(" +
+    s"trunc$w(value BIGINT|STRING) -> same type: truncate(" +
       s"$w, value) as a single-argument partition transform"
   override def bind(inputType: StructType): BoundFunction = {
     require(inputType.fields.length == 1 &&
       (inputType.fields(0).dataType == LongType ||
-        inputType.fields(0).dataType == IntegerType ||
         inputType.fields(0).dataType == StringType),
-      s"trunc$w expects one BIGINT|INT|STRING value, got " +
+      s"trunc$w expects one BIGINT|STRING value, got " +
         inputType.simpleString)
     new TruncateTransformBound(inputType.fields(0).dataType, w)
   }
@@ -174,12 +180,10 @@ final class TruncateTransformBound(valType: DataType, w: Int)
   override def isDeterministic: Boolean = true
 
   def invoke(v: Long): Long = GraftTruncate.value(v, w)
-  def invoke(v: Int): Int = GraftTruncate.value(v.toLong, w).toInt
   def invoke(v: UTF8String): UTF8String = GraftTruncate.value(v, w)
 
   override def produceResult(input: InternalRow): Any = valType match {
     case LongType => GraftTruncate.value(input.getLong(0), w)
-    case StringType => GraftTruncate.value(input.getUTF8String(0), w)
-    case _ => GraftTruncate.value(input.getInt(0).toLong, w).toInt
+    case _ => GraftTruncate.value(input.getUTF8String(0), w)
   }
 }

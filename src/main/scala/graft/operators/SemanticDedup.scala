@@ -41,6 +41,9 @@ object SemanticDedup {
 
   private val K = 8
   private val Quant = 100
+  // θ² · 100 for θ = 0.4 — the prune test is
+  // 100·dot² ≥ ThetaSqTimes100 · |a|² · |b|² (integer, no sqrt)
+  private val ThetaSqTimes100 = 16L
 
   private def dotL(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
@@ -83,6 +86,36 @@ object SemanticDedup {
         x => x.getField("m")).as("cv"))
       .select(col("cluster").as("cid"), col("cv"))
 
+  /** Anchors → two Lloyd iterations: the final assignment frame
+    * (vec_id, qv, cluster) every surface shares.
+    */
+  private def finalAssignment(s: SparkSession, d: String): DataFrame = {
+    val docs = quantized(s, d)
+    val anchors = docs.orderBy(col("vec_id")).limit(K)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"))
+    assign(docs, update(assign(docs, anchors)))
+  }
+
+  /** The within-cluster prune: (cluster, b_id) rows for every member
+    * with a lower-id near-dup in its cluster. Each member's squared
+    * norm precomputes ONCE before the self-join — recomputing it per
+    * pair would redo an O(dim) fold m times per member.
+    */
+  private def droppedPairs(it2: DataFrame): DataFrame = {
+    val withN = it2.withColumn("n2", dotL(col("qv"), col("qv")))
+    val a = withN.select(col("cluster"), col("vec_id").as("a_id"),
+      col("qv").as("a_qv"), col("n2").as("a_n2"))
+    val b = withN.select(col("cluster"), col("vec_id").as("b_id"),
+      col("qv").as("b_qv"), col("n2").as("b_n2"))
+    a.join(b, Seq("cluster"))
+      .where(col("a_id") < col("b_id"))
+      .withColumn("dp", dotL(col("a_qv"), col("b_qv")))
+      .where(col("dp") > 0 &&
+        col("dp") * col("dp") * 100 >=
+          col("a_n2") * col("b_n2") * ThetaSqTimes100)
+      .select(col("cluster"), col("b_id")).distinct()
+  }
+
   /** Test hook: the centroid set after one Lloyd update — the
     * inertia-monotonicity pin measures against it.
     */
@@ -99,24 +132,9 @@ object SemanticDedup {
     */
   private[graft] def assignmentAndDrops(
       s: SparkSession, d: String): (DataFrame, Set[Long]) = {
-    val docs = quantized(s, d)
-    val anchors = docs.orderBy(col("vec_id")).limit(K)
-      .select(col("vec_id").as("cid"), col("qv").as("cv"))
-    val it2 = assign(docs, update(assign(docs, anchors)))
-    val a = it2.select(col("cluster"), col("vec_id").as("a_id"),
-      col("qv").as("a_qv"))
-    val b = it2.select(col("cluster"), col("vec_id").as("b_id"),
-      col("qv").as("b_qv"))
-    val dropped = a.join(b, Seq("cluster"))
-      .where(col("a_id") < col("b_id"))
-      .withColumn("dp", dotL(col("a_qv"), col("b_qv")))
-      .where(col("dp") > 0 &&
-        col("dp") * col("dp") * 100 >=
-          dotL(col("a_qv"), col("a_qv")) *
-            dotL(col("b_qv"), col("b_qv")) * 16)
-      .select(col("b_id")).distinct()
-      .collect().map(_.getLong(0)).toSet
-    (it2, dropped)
+    val it2 = finalAssignment(s, d)
+    (it2, droppedPairs(it2).select(col("b_id")).distinct()
+      .collect().map(_.getLong(0)).toSet)
   }
 
   /** Judged SemDeDup: two exact Lloyd iterations from lowest-id
@@ -127,23 +145,8 @@ object SemanticDedup {
     * the keep rule flips a row.
     */
   def d11SemanticDedup(s: SparkSession, d: String): DataFrame = {
-    val docs = quantized(s, d)
-    val anchors = docs.orderBy(col("vec_id")).limit(K)
-      .select(col("vec_id").as("cid"), col("qv").as("cv"))
-    val it1 = assign(docs, anchors)
-    val it2 = assign(docs, update(it1))
-    val a = it2.select(col("cluster"), col("vec_id").as("a_id"),
-      col("qv").as("a_qv"))
-    val b = it2.select(col("cluster"), col("vec_id").as("b_id"),
-      col("qv").as("b_qv"))
-    val dropped = a.join(b, Seq("cluster"))
-      .where(col("a_id") < col("b_id"))
-      .withColumn("dp", dotL(col("a_qv"), col("b_qv")))
-      .where(col("dp") > 0 &&
-        col("dp") * col("dp") * 100 >=
-          dotL(col("a_qv"), col("a_qv")) *
-            dotL(col("b_qv"), col("b_qv")) * 16)
-      .select(col("cluster"), col("b_id")).distinct()
+    val it2 = finalAssignment(s, d)
+    val dropped = droppedPairs(it2)
     val drops = dropped.groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_dropped"),
         sum(col("b_id")).as("dropped_id_sum"))

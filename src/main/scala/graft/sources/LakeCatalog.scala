@@ -383,16 +383,23 @@ final class GraftLakeCatalog extends TableCatalog
               s"PARTITIONED BY column '$pc' not in the table schema"))
           // bucket hashes the column's JVM value: integrals widen to
           // long (XXH64.hashLong), strings hash their UTF-8 bytes —
-          // both with the SQL-twin property (pmod(xxhash64(c), N));
-          // truncate floors integrals / prefixes strings — the same
-          // three types, same SQL-twin discipline
-          if (ps.contains(bucketsKey) || ps.contains(truncKey))
+          // both with the SQL-twin property (pmod(xxhash64(c), N))
+          if (ps.contains(bucketsKey))
             require(field.dataType ==
                 org.apache.spark.sql.types.LongType ||
               field.dataType == org.apache.spark.sql.types.IntegerType ||
               field.dataType == org.apache.spark.sql.types.StringType,
-              s"bucket/truncate on '$pc' requires a BIGINT, INT, or " +
-                s"STRING column, got ${field.dataType.simpleString}")
+              s"bucket(N, $pc) requires a BIGINT, INT, or STRING " +
+                s"column, got ${field.dataType.simpleString}")
+          // truncate floors BIGINTs / prefixes strings; INT is
+          // refused — a floor near Int.MinValue is not representable
+          // as INT, so the tag and the V2 function would disagree
+          if (ps.contains(truncKey))
+            require(field.dataType ==
+                org.apache.spark.sql.types.LongType ||
+              field.dataType == org.apache.spark.sql.types.StringType,
+              s"truncate(W, $pc) requires a BIGINT or STRING " +
+                s"column, got ${field.dataType.simpleString}")
         }
         gate("partcol", "partbuckets", "parttrunc")
         if (ps.contains("partcol2"))
@@ -566,6 +573,12 @@ final class GraftLakeCatalog extends TableCatalog
           val followed = props.map {
             case (k, v) if Set("sortcol", "partcol", "partcol2")(k) &&
                 v.equalsIgnoreCase(oldName) => k -> ren.newName()
+            // CLUSTER BY stores a comma list — follow per element
+            case ("clustercols", v) if v.split(",")
+                .exists(_.equalsIgnoreCase(oldName)) =>
+              "clustercols" -> v.split(",").map(c =>
+                if (c.equalsIgnoreCase(oldName)) ren.newName() else c)
+                .mkString(",")
             case kv => kv
           }
           if (followed != props) writeProps(ident, sch, followed)
@@ -1375,10 +1388,14 @@ object LakeCatalogQueries {
         day BIGINT GENERATED ALWAYS AS (floor(ts / 100)))
       PARTITIONED BY (day)
       TBLPROPERTIES ('statCol' = 'cents')""")
+    // fixed id slice: ids are dense from 0 (TESTDATA.md), so the
+    // fixture is ≤ 20 day files at EVERY sf — the certificate scales
+    // by formula, not by corpus size (a full-corpus insert at sf0.1
+    // would mint ~1000 single-valued day files for no extra proof)
     s.sql("""
       INSERT INTO graftcat.q180
       SELECT ts, cents, CAST(floor(ts / 100) AS BIGINT)
-      FROM q180_events""").collect(): Unit
+      FROM q180_events WHERE ts < 2000""").collect(): Unit
     def planned(df: DataFrame): Long = LakeScan
       .findIn(df.queryExecution.executedPlan)
       .map(_.files.length.toLong).getOrElse(-1L)
@@ -2141,8 +2158,9 @@ object LakeCatalogQueries {
              CAST(1 AS BIGINT) AS point_files_planned,
              (SELECT CAST(sum(cents) AS BIGINT) FROM e
               WHERE ts = 250) AS point_cents,
-             (SELECT count(*) FROM e) AS total_rows,
-             (SELECT CAST(sum(cents) AS BIGINT) FROM e) AS total_cents""")),
+             (SELECT count(*) FROM e WHERE ts < 2000) AS total_rows,
+             (SELECT CAST(sum(cents) AS BIGINT) FROM e
+              WHERE ts < 2000) AS total_cents""")),
     Q("q179_truncate_transform", q179TruncateTransform, Some("""
       WITH e AS (SELECT concat('e', CAST(event_id % 8 AS VARCHAR),
                                '-', CAST(event_id AS VARCHAR)) AS doc,

@@ -766,22 +766,30 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
     * bounds map to floor-divided generated bounds.
     */
   private def deriveGenBounds(f: Filter): Unit = {
+    // Spark evaluates the stored `floor(src / K)` in DOUBLE division,
+    // which agrees with exact Math.floorDiv only while |src| fits a
+    // double's integer range — past 2^53 the enforced tag and the
+    // derived bound could disagree and the prune would drop the
+    // matching file. Decline derivation for such literals (pruning
+    // must never guess).
     def kOf(c: String): Option[Long] =
       derivedGen.get(c.toLowerCase(java.util.Locale.ROOT)).map(_._2)
+    def safe(l: Long): Boolean = math.abs(l) < (1L << 53)
     f match {
       case GreaterThan(c, v) => for (k <- kOf(c); l <- num(v))
-        if (l < Long.MaxValue)
+        if (safe(l) && l < Long.MaxValue)
           recordGen(c, Math.floorDiv(l + 1, k), Long.MaxValue)
       case GreaterThanOrEqual(c, v) => for (k <- kOf(c); l <- num(v))
-        recordGen(c, Math.floorDiv(l, k), Long.MaxValue)
+        if (safe(l)) recordGen(c, Math.floorDiv(l, k), Long.MaxValue)
       case LessThan(c, v) => for (k <- kOf(c); l <- num(v))
-        if (l > Long.MinValue)
+        if (safe(l) && l > Long.MinValue)
           recordGen(c, Long.MinValue, Math.floorDiv(l - 1, k))
       case LessThanOrEqual(c, v) => for (k <- kOf(c); l <- num(v))
-        recordGen(c, Long.MinValue, Math.floorDiv(l, k))
-      case EqualTo(c, v) => for (k <- kOf(c); l <- num(v)) {
-        val g = Math.floorDiv(l, k); recordGen(c, g, g)
-      }
+        if (safe(l)) recordGen(c, Long.MinValue, Math.floorDiv(l, k))
+      case EqualTo(c, v) => for (k <- kOf(c); l <- num(v))
+        if (safe(l)) {
+          val g = Math.floorDiv(l, k); recordGen(c, g, g)
+        }
       case _ => ()
     }
   }

@@ -833,15 +833,12 @@ final class LakeDataWriter(root: String, confKVs: Map[String, String],
             case org.apache.spark.sql.types.LongType =>
               graft.functions.GraftTruncate
                 .value(row.getLong(spec.idx), w).toString
-            case org.apache.spark.sql.types.IntegerType =>
-              graft.functions.GraftTruncate
-                .value(row.getInt(spec.idx).toLong, w).toString
             case org.apache.spark.sql.types.StringType =>
               graft.functions.GraftTruncate
                 .value(row.getUTF8String(spec.idx), w).toString
             case other => throw new IllegalArgumentException(
               s"truncate partition column '${spec.col}' must be " +
-                s"long/int/string, got $other")
+                s"bigint/string, got $other")
           }
         case None => spec.dt match {
           case org.apache.spark.sql.types.LongType =>

@@ -3277,12 +3277,13 @@ object SnapshotLake {
     val cutoff = System.currentTimeMillis() - graceMs
     var removed = 0
     var kept = 0
-    walkOrphanScope(root) { (p, referenced) =>
-      if (referenced) kept += 1
-      else if (Files.getLastModifiedTime(p).toMillis <= cutoff) {
-        Files.deleteIfExists(p): Unit
-        removed += 1
-      }
+    walkOrphanScope(root, pruneDirsOlderThan = Some(cutoff)) {
+      (p, referenced) =>
+        if (referenced) kept += 1
+        else if (Files.getLastModifiedTime(p).toMillis <= cutoff) {
+          Files.deleteIfExists(p): Unit
+          removed += 1
+        }
     }
     (removed, kept)
   }
@@ -3303,25 +3304,44 @@ object SnapshotLake {
     out.result()
   }
 
+  /** Every file path a chain's RETAINED manifests reference, as
+    * absolute normalized paths (data names + external deletion-vector
+    * pointers). Union-of-referenced needs no per-version snapshot
+    * reconstruction: a name is referenced iff it appears in some
+    * checkpoint's full list or some delta's adds — ONE parse per
+    * manifest, O(versions), not O(versions × chain-depth).
+    */
+  private def referencedAbsolute(root: String): Set[Path] = {
+    def abs(name: String): Path =
+      (if (name.startsWith("/")) Paths.get(name)
+       else Paths.get(root, name)).toAbsolutePath.normalize()
+    (0 to headVersion(root))
+      .filter(v => Files.exists(manifestPath(root, v)))
+      .flatMap { v =>
+        val m = parseManifest(root, v)
+        val fs = m.files ++ m.adds
+        fs.map(f => abs(f.name)) ++
+          fs.flatMap(_.dv).filter(_.isExternal).map(d =>
+            Paths.get(d.b64.substring(1)).toAbsolutePath.normalize())
+      }.toSet
+  }
+
   /** Shared sweep: visit every non-hidden regular file under the
     * data-bearing directories with its referenced-by-some-retained-
-    * manifest verdict; empty directories are pruned on the way out.
+    * manifest verdict. Empty directories are pruned only when
+    * `pruneDirsOlderThan` is set AND the directory predates the
+    * cutoff — the dry-run face must not mutate the lake, and a
+    * just-created batch directory belongs to an in-flight commit
+    * racing toward its ATOMIC_MOVE (the same grace contract as
+    * files).
     */
-  private def walkOrphanScope(root: String)(
+  private def walkOrphanScope(root: String,
+      pruneDirsOlderThan: Option[Long] = None)(
       visit: (Path, Boolean) => Unit): Unit = {
     val head = headVersion(root)
     require(head >= 0, s"lake at $root has no committed snapshot")
     val rootAbs = Paths.get(root).toAbsolutePath.normalize()
-    val referenced: Set[Path] = (0 to head)
-      .filter(v => Files.exists(manifestPath(root, v)))
-      .flatMap { v =>
-        val fs = snapshot(root, Some(v)).files
-        fs.map(f =>
-          (if (f.name.startsWith("/")) Paths.get(f.name)
-           else Paths.get(root, f.name)).toAbsolutePath.normalize()) ++
-          fs.flatMap(_.dv).filter(_.isExternal).map(d =>
-            Paths.get(d.b64.substring(1)).toAbsolutePath.normalize())
-      }.toSet
+    val referenced = referencedAbsolute(root)
     for (dir <- Seq("data", "_dv", "_staging")) {
       val d = rootAbs.resolve(dir)
       if (Files.isDirectory(d)) {
@@ -3339,8 +3359,11 @@ object SnapshotLake {
             if (!base.startsWith(".") && !base.startsWith("_"))
               visit(p, referenced.contains(p))
           } else if (Files.isDirectory(p) && p != d) {
-            try Files.delete(p)
-            catch { case _: java.io.IOException => () }
+            pruneDirsOlderThan.foreach { cutoff =>
+              if (Files.getLastModifiedTime(p).toMillis <= cutoff)
+                try Files.delete(p)
+                catch { case _: java.io.IOException => () }
+            }
           }
         }
       }
@@ -3490,6 +3513,14 @@ object SnapshotLake {
     */
   def dropBranch(root: String, name: String): Unit = {
     val brStr = branchRoot(root, name)
+    // NESTED branches (branches created ON this branch) borrow this
+    // chain's files by absolute path and keep their refs under the
+    // branch's own _refs — dropping the parent would orphan them
+    // mid-air. Refuse; drop the children first.
+    require(listBranches(brStr).isEmpty,
+      s"branch '$name' has nested branches (" +
+        listBranches(brStr).map(_._1).mkString(", ") +
+        ") — drop them first")
     val br = Paths.get(brStr)
     Files.deleteIfExists(refsDir(root).resolve(s"branch-$name"))
     if (!Files.isDirectory(br)) return
@@ -3499,36 +3530,27 @@ object SnapshotLake {
     // relative (main-owned post-publish) or absolute (borrowed) name,
     // plus external deletion-vector sidecar pointers
     def refsUnder(chainRoot: String): Set[Path] =
-      (0 to headVersion(chainRoot))
-        .filter(v => Files.exists(manifestPath(chainRoot, v)))
-        .flatMap { v =>
-          val fs = snapshot(chainRoot, Some(v)).files
-          fs.map(f =>
-            (if (f.name.startsWith("/")) Paths.get(f.name)
-             else Paths.get(chainRoot, f.name))
-              .toAbsolutePath.normalize()) ++
-            fs.flatMap(_.dv).filter(_.isExternal).map(d =>
-              Paths.get(d.b64.substring(1)).toAbsolutePath.normalize())
-        }
-        .filter(_.startsWith(brAbs)).toSet
+      referencedAbsolute(chainRoot).filter(_.startsWith(brAbs))
     val kept = refsUnder(root) ++
       listBranches(root).map(_._1).filterNot(_ == name)
         .flatMap(n => refsUnder(branchRoot(root, n)))
-    val nested = brAbs.resolve("_branch")
     // pre-order DFS reversed puts children before parents, so files
-    // delete first and emptied directories fall right after
+    // delete first and emptied directories fall right after. The
+    // whole subtree sweeps — live nested branches were refused
+    // upfront, so anything under <br>/_branch is dropped-child
+    // debris, and main-referenced survivors are in `kept` wherever
+    // they sit.
     val walk = Files.walk(brAbs)
     val all = try walk.iterator().asScala.toSeq.reverse
               finally walk.close()
     all.foreach { p0 =>
       val p = p0.toAbsolutePath.normalize()
-      if (!p.startsWith(nested) && p != brAbs) {
+      if (p != brAbs) {
         if (Files.isRegularFile(p)) {
           if (!kept.contains(p)) Files.deleteIfExists(p): Unit
         } else if (Files.isDirectory(p)) {
-          // kept files (and untouched nested branches) keep their
-          // ancestor directories alive — the not-empty delete fails
-          // and is swallowed
+          // kept files keep their ancestor directories alive — the
+          // not-empty delete fails and is swallowed
           try Files.delete(p)
           catch { case _: java.io.IOException => () }
         }

@@ -33,7 +33,10 @@ class CatalogSpec extends SparkTestBase {
     // CROSS JOIN against a 1-row query-vector subselect — the SQL
     // spelling of e1's broadcast-the-query pattern; the bounded side
     // is one row by construction (vec_id = 0)
-    "q147_sql_scalar_functions")
+    "q147_sql_scalar_functions",
+    // k-means assignment: every doc × the K=8 broadcast centroids —
+    // the bounded side is K rows by construction, both iterations
+    "d11_semantic_dedup")
 
   test("every catalog query executes, returns rows, and plans clean at sf0.001") {
     Catalog.all.foreach { q =>

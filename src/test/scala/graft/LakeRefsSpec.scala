@@ -231,6 +231,31 @@ class LakeRefsSpec extends SparkTestBase {
     assert(parquetUnder(Paths.get(root, "_branch", "pub")) > 0)
   }
 
+  test("dropBranch refuses while nested branches live — their " +
+      "borrowed files and refs would orphan mid-air") {
+    val root = freshRoot()
+    SnapshotLake.commit(spark, root, tbl(0 until 30), "k")
+    SnapshotLake.createBranch(root, "parent")
+    tbl(30 until 40).write.format("graft.sources.GraftLakeSource")
+      .option("path", root).option("branch", "parent")
+      .mode(org.apache.spark.sql.SaveMode.Append).save()
+    SnapshotLake.createBranch(branchOf(root, "parent"), "child")
+    val e = intercept[Exception] {
+      SnapshotLake.dropBranch(root, "parent")
+    }
+    assert(e.getMessage.contains("nested"))
+    // both chains still read
+    assert(readBranch(root, "parent").count() === 40L)
+    assert(spark.read.format("graft.sources.GraftLakeSource")
+      .option("path", branchOf(root, "parent"))
+      .option("branch", "child").load().count() === 40L)
+    // drop bottom-up: child first, then parent — clean reclaim
+    SnapshotLake.dropBranch(branchOf(root, "parent"), "child")
+    SnapshotLake.dropBranch(root, "parent")
+    assert(!Files.isDirectory(Paths.get(root, "_branch", "parent")))
+    assert(readMain(root).count() === 30L)
+  }
+
   test("a typo'd branch option fails fast — no untracked lake " +
       "bootstraps under _branch") {
     val root = freshRoot()

@@ -138,6 +138,15 @@ class TruncatePartitionSpec extends SparkTestBase {
           PARTITIONED BY (truncate(3, doc), p)
           TBLPROPERTIES ('statCol' = 'cents')""")
       }
+      // INT columns are refused: a floor near Int.MinValue is not
+      // representable as INT, so the tag and the V2 function would
+      // disagree
+      intercept[Exception] {
+        spark.sql(s"""
+          CREATE TABLE $cat.bad4 (k INT, cents BIGINT)
+          PARTITIONED BY (truncate(100, k))
+          TBLPROPERTIES ('statCol' = 'cents')""")
+      }
     }
   }
 }
