@@ -750,6 +750,57 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
     */
   private var genRange: Map[String, (String, Long, Long)] = Map.empty
 
+  /** Truncate-partitioned INTEGRAL columns present in the snapshot's
+    * tags: column (lowercased) → width W. Range predicates on the
+    * column then prune by tag-value bounds — the whole point of a
+    * range transform is that range queries ride the layout, not just
+    * point lookups. String truncation declines (prefix-order range
+    * algebra is subtle; never guess).
+    */
+  private lazy val truncCols: Map[String, Int] =
+    snap.files.flatMap(f => (f.part.toSeq ++ f.part2.toSeq).map(_._1))
+      .distinct
+      .flatMap(graft.functions.GraftTruncate.parseTag)
+      .filter { case (_, c) => tschema.fields.exists(fld =>
+        fld.name.equalsIgnoreCase(c) &&
+          (fld.dataType == org.apache.spark.sql.types.LongType ||
+            fld.dataType == org.apache.spark.sql.types.IntegerType)) }
+      .map { case (w, c) =>
+        c.toLowerCase(java.util.Locale.ROOT) -> w }.toMap
+
+  /** Inclusive tag-value range per truncate-partitioned column,
+    * intersected across predicates. tag = W·floorDiv(v, W), monotone
+    * nondecreasing in v, so source bounds floor to tag bounds.
+    */
+  private var truncRange: Map[String, (Long, Long)] = Map.empty
+
+  private def recordTruncRange(c: String, lo: Long, hi: Long): Unit = {
+    val key = c.toLowerCase(java.util.Locale.ROOT)
+    truncRange = truncRange.updatedWith(key) {
+      case Some((l0, h0)) => Some((math.max(l0, lo), math.min(h0, hi)))
+      case None => Some((lo, hi))
+    }
+  }
+
+  private def deriveTruncBounds(f: Filter): Unit = {
+    def wOf(c: String): Option[Long] =
+      truncCols.get(c.toLowerCase(java.util.Locale.ROOT)).map(_.toLong)
+    // stay far from Long extremes: W·floorDiv must not overflow
+    def safe(l: Long): Boolean = math.abs(l) < (Long.MaxValue >> 2)
+    def floorTag(l: Long, w: Long): Long = w * Math.floorDiv(l, w)
+    f match {
+      case GreaterThan(c, v) => for (w <- wOf(c); l <- num(v))
+        if (safe(l)) recordTruncRange(c, floorTag(l + 1, w), Long.MaxValue)
+      case GreaterThanOrEqual(c, v) => for (w <- wOf(c); l <- num(v))
+        if (safe(l)) recordTruncRange(c, floorTag(l, w), Long.MaxValue)
+      case LessThan(c, v) => for (w <- wOf(c); l <- num(v))
+        if (safe(l)) recordTruncRange(c, Long.MinValue, floorTag(l - 1, w))
+      case LessThanOrEqual(c, v) => for (w <- wOf(c); l <- num(v))
+        if (safe(l)) recordTruncRange(c, Long.MinValue, floorTag(l, w))
+      case _ => () // equality/IN already prune through partIn
+    }
+  }
+
   private def recordGen(src: String, lo: Long, hi: Long): Unit =
     derivedGen.get(src.toLowerCase(java.util.Locale.ROOT)).foreach {
       case (gc, _) =>
@@ -806,10 +857,12 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    // generated-column derivation runs over EVERY filter, independent
-    // of the accepted-pushdown match below — a source column may also
-    // be the stat column, and both prunes should compose
+    // generated-column and truncate-range derivations run over EVERY
+    // filter, independent of the accepted-pushdown match below — a
+    // source column may also be the stat column, and the prunes
+    // should compose
     filters.foreach(deriveGenBounds)
+    filters.foreach(deriveTruncBounds)
     val accepted = filters.filter {
       case EqualTo(c, v) if snap.bloomCol.contains(c) =>
         num(v).exists { l => point = Some(l); true }
@@ -1170,6 +1223,17 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
               scala.util.Try(pv.toLong).toOption
                 .forall(tv => tv >= glo && tv <= ghi)
             case _ => true
+          } } &&
+        // truncate-range prune: the file's truncW(c) tag value must
+        // fall inside the floored bounds derived from the range
+        // predicates on c
+        truncRange.forall { case (ck, (tlo, thi)) =>
+          (f.part.toSeq ++ f.part2.toSeq).forall {
+            case (pc, pv) if graft.functions.GraftTruncate.parseTag(pc)
+                .exists(_._2.toLowerCase(java.util.Locale.ROOT) == ck) =>
+              scala.util.Try(pv.toLong).toOption
+                .forall(tv => tv >= tlo && tv <= thi)
+            case _ => true
           } }
     }
     // limit/top-k file pruning (filterless scans only — see
@@ -1258,6 +1322,9 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
           .map { case (c, vs) => s" part=$c(${vs.size})" }.mkString +
         genRange.values.toSeq.sortBy(_._1)
           .map { case (c, glo, ghi) => s" gen=$c∈[$glo,$ghi]" }.mkString +
+        truncRange.toSeq.sortBy(_._1)
+          .map { case (c, (tlo, thi)) => s" trunc=$c∈[$tlo,$thi]" }
+          .mkString +
         spj.fold("") { case (c, _) => (spjBuckets, spjTrunc) match {
           case (Some(n), _) =>
             s" keyGrouped=${graft.functions.GraftBucket.tagCol(n, c)}"

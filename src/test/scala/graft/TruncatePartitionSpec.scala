@@ -90,6 +90,22 @@ class TruncatePartitionSpec extends SparkTestBase {
       assert(q.select("cents").head.getLong(0) === -101L)
       assert(spark.table(s"$cat.ti").agg(sum(col("cents")))
         .head.getLong(0) === ((-150L) until 150L).sum)
+      // RANGE predicates prune by floored tag bounds — the point of a
+      // range transform: [-101, 50) touches bins -200, -100, 0
+      val r = spark.table(s"$cat.ti")
+        .where(col("k") >= -101L && col("k") < 50L)
+      assert(plannedFiles(r) === 3)
+      assert(r.count() === 151L)
+      assert(r.agg(sum(col("cents"))).head.getLong(0) ===
+        ((-101L) until 50L).sum)
+      // open range upward: bins 0 and 100 only
+      val o = spark.table(s"$cat.ti").where(col("k") > 60L)
+      assert(plannedFiles(o) === 2)
+      assert(o.count() === 89L)
+      // the prune is PURE: a range straddling every bin keeps all 4
+      val all4 = spark.table(s"$cat.ti").where(col("k") >= -150L)
+      assert(plannedFiles(all4) === 4)
+      assert(all4.count() === 300L)
     }
   }
 
