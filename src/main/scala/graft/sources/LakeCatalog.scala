@@ -831,16 +831,22 @@ final class GraftLakeCatalog extends TableCatalog
       // delete files under data/_dv/_staging that no retained
       // manifest references — crashed-writer residue vacuum cannot
       // see. grace_ms spares files younger than the window (in-flight
-      // commits racing toward publish).
+      // commits racing toward publish); it defaults to Iceberg's
+      // 3-day older_than, and 0 is only safe with no concurrent
+      // writers. Runs DISTRIBUTED: listing, anti-join, and deletion
+      // are all Spark jobs (driver memory O(1) in file count).
       case "remove_orphans" => proc("remove_orphans",
         Seq(ProcedureParameter.in("table", StringType).build(),
-          ProcedureParameter.in("grace_ms", LongType).build()),
+          ProcedureParameter.in("grace_ms", LongType)
+            .defaultValue(SnapshotLake.DefaultOrphanGraceMs.toString)
+            .build()),
         StructType(Seq(
           StructField("orphans_removed", LongType),
           StructField("files_referenced", LongType)))) { in =>
-        val (rm, kept) = SnapshotLake.removeOrphans(
+        val (rm, kept) = SnapshotLake.removeOrphansDistributed(
+          org.apache.spark.sql.SparkSession.active,
           tableRoot(in), in.getLong(1))
-        Seq(rm.toLong, kept.toLong)
+        Seq(rm, kept)
       }
       case other => throw new UnsupportedOperationException(
         s"no procedure '$other' in catalog $catalogName " +

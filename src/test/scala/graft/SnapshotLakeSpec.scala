@@ -48,11 +48,16 @@ class SnapshotLakeSpec extends SparkTestBase {
       Files.createDirectories(p.getParent)
       Files.write(p, "junk".getBytes(StandardCharsets.UTF_8)): Unit
     }
-    // grace window spares everything fresh
+    // grace window spares everything fresh — including the DEFAULT
+    // window (Iceberg's 3-day older_than): a no-args sweep must never
+    // race an in-flight writer's just-moved files
+    val (rmDefault, _) = SnapshotLake.removeOrphans(root)
+    assert(rmDefault === 0)
     val (rm0, _) = SnapshotLake.removeOrphans(root, graceMs = 3600000L)
     assert(rm0 === 0)
     assert(plants.forall(Files.exists(_)))
-    val (rm1, kept) = SnapshotLake.removeOrphans(root)
+    // grace 0: only safe with no concurrent writers — true here
+    val (rm1, kept) = SnapshotLake.removeOrphans(root, graceMs = 0L)
     assert(rm1 === 3)
     assert(plants.forall(p => !Files.exists(p)))
     // every manifest-referenced file across ALL versions is intact

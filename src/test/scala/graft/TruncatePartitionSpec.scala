@@ -133,6 +133,112 @@ class TruncatePartitionSpec extends SparkTestBase {
     }
   }
 
+  test("MIXED widths on one column (parttrunc edited between " +
+      "writes): range pruning floors each file with its OWN tag " +
+      "width — never a silently-missing row") {
+    withCatalog {
+      spark.sql(s"""
+        CREATE TABLE $cat.mx (k BIGINT, cents BIGINT)
+        PARTITIONED BY (truncate(100, k))
+        TBLPROPERTIES ('statCol' = 'cents')""")
+      (0 until 200).map(i => (i.toLong, i.toLong))
+        .toDF("k", "cents").createOrReplaceTempView("mx_in1")
+      spark.sql(s"INSERT INTO $cat.mx SELECT * FROM mx_in1")
+      spark.sql(
+        s"ALTER TABLE $cat.mx SET TBLPROPERTIES ('parttrunc' = '50')")
+      (200 until 300).map(i => (i.toLong, i.toLong))
+        .toDF("k", "cents").createOrReplaceTempView("mx_in2")
+      spark.sql(s"INSERT INTO $cat.mx SELECT * FROM mx_in2")
+      val snap = SnapshotLake.snapshot(rootOf("mx"))
+      // the snapshot really mixes widths: trunc100 tags 0/100,
+      // trunc50 tags 200/250
+      assert(snap.files.flatMap(_.part.map(_._1)).distinct.sorted ===
+        Seq("trunc100(k)", "trunc50(k)"))
+      // k >= 150: the trunc100 file tagged 100 holds 150..199 and
+      // MUST survive (a single derived width w=50 would floor 150 to
+      // 150 and wrongly prune it); both trunc50 files survive
+      val r = spark.table(s"$cat.mx").where(col("k") >= 150L)
+      assert(plannedFiles(r) === 3)
+      assert(r.count() === 150L)
+      assert(r.agg(sum(col("cents"))).head.getLong(0) ===
+        (150L until 300L).sum)
+      // a two-sided range crossing the width seam: bins 100..199
+      // (w=100) and 200..249 (w=50) intersect; 250..299 does not
+      val r2 = spark.table(s"$cat.mx")
+        .where(col("k") >= 150L && col("k") < 220L)
+      assert(plannedFiles(r2) === 2)
+      assert(r2.count() === 70L)
+      // equality still prunes per-file: k = 160 lives in the
+      // trunc100 bin only
+      val e = spark.table(s"$cat.mx").where(col("k") === 160L)
+      assert(plannedFiles(e) === 1)
+      assert(e.head.getLong(1) === 160L)
+    }
+  }
+
+  test("Long.MinValue literal declines range derivation instead of " +
+      "overflowing the floor into a prune-everything bound") {
+    withCatalog {
+      spark.sql(s"""
+        CREATE TABLE $cat.mn (k BIGINT, cents BIGINT)
+        PARTITIONED BY (truncate(100, k))
+        TBLPROPERTIES ('statCol' = 'cents')""")
+      (0 until 200).map(i => (i.toLong, i.toLong))
+        .toDF("k", "cents").createOrReplaceTempView("mn_in")
+      spark.sql(s"INSERT INTO $cat.mn SELECT * FROM mn_in")
+      // k > Long.MinValue matches every row; an abs()-style guard
+      // lets the literal through (abs(MinValue) is negative) and the
+      // wrapped floor would prune every file
+      val q = spark.table(s"$cat.mn").where(col("k") > Long.MinValue)
+      assert(plannedFiles(q) === 2)
+      assert(q.count() === 200L)
+      val q2 = spark.table(s"$cat.mn")
+        .where(col("k") > Long.MinValue && col("k") < 100L)
+      assert(plannedFiles(q2) === 1)
+      assert(q2.count() === 100L)
+    }
+  }
+
+  test("STRING range predicates prune by prefix order: URL-style " +
+      "bounds ride the truncate layout; strict upper bounds at the " +
+      "prefix boundary exclude the tag; non-ASCII declines") {
+    withCatalog {
+      spark.sql(s"""
+        CREATE TABLE $cat.sr (doc STRING, cents BIGINT)
+        PARTITIONED BY (truncate(3, doc))
+        TBLPROPERTIES ('statCol' = 'cents')""")
+      val rows = (0 until 400).map(i =>
+        (s"${Seq("aaa", "bbb", "ccc", "ddd")(i % 4)}-doc-$i", i.toLong))
+      rows.toDF("doc", "cents").createOrReplaceTempView("sr_in")
+      spark.sql(s"INSERT INTO $cat.sr SELECT * FROM sr_in")
+      // [bbb, ddd): strict hi fits the width ⇒ the 'ddd' tag itself
+      // is excluded — files bbb + ccc only
+      val r = spark.table(s"$cat.sr")
+        .where(col("doc") >= "bbb" && col("doc") < "ddd")
+      assert(plannedFiles(r) === 2)
+      assert(r.count() === 200L)
+      // a lower bound SHORTER than the width prunes by its own
+      // prefix: doc >= 'bb' keeps bbb/ccc/ddd
+      val r2 = spark.table(s"$cat.sr").where(col("doc") >= "bb")
+      assert(plannedFiles(r2) === 3)
+      assert(r2.count() === 300L)
+      // strict '<' with a 1-char bound: only the 'aaa' tag < 'b'
+      val r3 = spark.table(s"$cat.sr").where(col("doc") < "b")
+      assert(plannedFiles(r3) === 1)
+      assert(r3.count() === 100L)
+      // an upper bound LONGER than the width compares by prefix and
+      // keeps the boundary tag (rows under it may still qualify)
+      val r4 = spark.table(s"$cat.sr").where(col("doc") <= "bbb-doc-1")
+      assert(plannedFiles(r4) === 2)
+      assert(r4.count() === 101L)
+      // non-ASCII bound declines derivation — keep all files, stay
+      // correct (never guess at surrogate order)
+      val r5 = spark.table(s"$cat.sr").where(col("doc") >= "bbé")
+      assert(plannedFiles(r5) === 4)
+      assert(r5.count() === 200L)
+    }
+  }
+
   test("DDL gates: type and width") {
     withCatalog {
       intercept[Exception] {
