@@ -174,11 +174,64 @@ object BpeTrain {
       .orderBy(col("n").desc, col("token"))
       .limit(40)
 
+  /** The FULL training loop as DuckDB SQL: `n` UNROLLED iterations
+    * (the d11 two-stage-k-means idiom — a deterministic bounded loop
+    * needs no recursion, just one CTE chain per step). Each
+    * iteration counts adjacent symbol pairs from the delimiter-
+    * encoded vocab, picks the argmax under the same
+    * (count desc, l, r) total order, and applies the merge with the
+    * boundary-doubled `replace` chain [[bpeTokens]] already proved
+    * equivalent to the left-to-right greedy scan. Generated from the
+    * SAME separator constants as the engine, so the two cannot
+    * drift.
+    */
+  private def t10OracleSql(n: Int): String = {
+    val sep = "chr(31)"
+    val bnd = s"$sep||$sep"
+    val iters = (1 to n).map { i =>
+      s"""
+      p$i AS MATERIALIZED (
+        SELECT pr[1] AS l, pr[2] AS r, CAST(sum(cnt) AS BIGINT) AS c
+        FROM (
+          SELECT cnt, unnest(list_transform(range(1, len(syms)),
+                   j -> [syms[j], syms[j + 1]])) AS pr
+          FROM (SELECT cnt, list_filter(
+                  string_split(s, $bnd), t -> t <> '') AS syms
+                FROM v${i - 1}) enc) pairs
+        GROUP BY 1, 2
+      ),
+      m$i AS MATERIALIZED (
+        SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+      v$i AS MATERIALIZED (
+        SELECT replace(s,
+            $sep||(SELECT l FROM m$i)||$bnd||(SELECT r FROM m$i)||$sep,
+            $sep||(SELECT l || r FROM m$i)||$sep) AS s, cnt
+        FROM v${i - 1}
+      )"""
+    }.mkString(",")
+    val sel = (1 to n).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS rank, l AS "left",
+            r AS "right", c AS pair_count FROM m$i""")
+      .mkString("\n        UNION ALL ")
+    s"""
+      WITH words AS (
+        SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents
+      ),
+      v0 AS MATERIALIZED (
+        SELECT $bnd || regexp_replace(w, '(.)', '\\1' || $bnd, 'g') AS s,
+               count(*) AS cnt
+        FROM words GROUP BY 1
+      ),$iters
+      SELECT * FROM ($sel) ORDER BY rank"""
+  }
+
   /** Judged BPE training: 8 merges learned from the documents table
     * (whitespace words → character symbols). Output is the learned
-    * merge table — deterministic, but the iterative argmax is not
-    * SQL-expressible, so the driver checks rows-only; BpeTrainSpec
-    * pins the full algorithm against a hand-computed classic corpus.
+    * merge table — deterministic, and since the loop is a FIXED
+    * 8 steps the oracle replays it exactly as 8 unrolled CTE stages
+    * (hash-strict gate); BpeTrainSpec additionally pins the
+    * algorithm against a hand-computed classic corpus.
     */
   def t10BpeTrain(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -193,7 +246,7 @@ object BpeTrain {
   }
 
   val queries: Seq[Q] = Seq(
-    Q("t10_bpe_train", t10BpeTrain, None),
+    Q("t10_bpe_train", t10BpeTrain, Some(t10OracleSql(8))),
     Q("t11_bpe_tokenize", t11BpeTokenize, Some(s"""
       WITH words AS (
         SELECT unnest(regexp_split_to_array(

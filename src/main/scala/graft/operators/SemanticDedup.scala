@@ -32,10 +32,12 @@ import graft.Catalog.Q
   * Scale shape: K centroids broadcast (KB-scale); assignment is one
   * map-side pass per iteration; the centroid update is one shuffle
   * keyed (cluster, dim) with map-side partial sums; the pairwise
-  * prune shuffles once on the cluster id and is quadratic only
-  * WITHIN a cluster (the SemDeDup contract — K scales with corpus so
-  * cluster sizes stay bounded). No driver-side loops: two unrolled
-  * iterations are two plan stages, not a collect-and-resubmit.
+  * prune shuffles once on (cluster, shard) and is quadratic only
+  * WITHIN a block — bounded UNCONDITIONALLY by [[ClusterCap]], not
+  * just by the SemDeDup hope that K scales with the corpus (a
+  * one-mode corpus collapses into one cluster; the cap shards it).
+  * No driver-side loops: two unrolled iterations are two plan
+  * stages, not a collect-and-resubmit.
   */
 object SemanticDedup {
 
@@ -44,6 +46,19 @@ object SemanticDedup {
   // θ² · 100 for θ = 0.4 — the prune test is
   // 100·dot² ≥ ThetaSqTimes100 · |a|² · |b|² (integer, no sqrt)
   private val ThetaSqTimes100 = 16L
+  // Within-cluster pairwise work is quadratic in cluster size. The
+  // SemDeDup contract assumes K scales so clusters stay bounded —
+  // but nothing guarantees it: a skewed corpus (one dominant mode,
+  // common in crawl data) can collapse into one cluster and
+  // re-quadratize the prune. Clusters over the cap shard
+  // deterministically (pmod of the id) and the prune runs within
+  // (cluster, shard): ≤ ~cap² candidates per shard, always. At or
+  // under the cap every row lands in shard 0, so the judged result
+  // is bit-identical to the uncapped prune on any well-clustered
+  // corpus; missed cross-shard pairs in a degenerate cluster are the
+  // documented approximation — the same blocking trade d2's bands
+  // and e3's hyperplane buckets make.
+  private val ClusterCap = 4096L
 
   private def dotL(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
@@ -96,25 +111,44 @@ object SemanticDedup {
     assign(docs, update(assign(docs, anchors)))
   }
 
-  /** The within-cluster prune: (cluster, b_id) rows for every member
-    * with a lower-id near-dup in its cluster. Each member's squared
-    * norm precomputes ONCE before the self-join — recomputing it per
-    * pair would redo an O(dim) fold m times per member.
+  /** The size-capped candidate pair set (pre-threshold): members
+    * join within (cluster, shard), where clusters over `cap` shard
+    * by `pmod(vec_id, ceil(size/cap))`. Cluster sizes are a K-row
+    * aggregate — broadcast, never shuffled onto the corpus. Each
+    * member's squared norm precomputes ONCE before the self-join —
+    * recomputing it per pair would redo an O(dim) fold m times per
+    * member. Test-visible so the cap's cost ceiling pins exactly.
     */
-  private def droppedPairs(it2: DataFrame): DataFrame = {
-    val withN = it2.withColumn("n2", dotL(col("qv"), col("qv")))
-    val a = withN.select(col("cluster"), col("vec_id").as("a_id"),
-      col("qv").as("a_qv"), col("n2").as("a_n2"))
-    val b = withN.select(col("cluster"), col("vec_id").as("b_id"),
-      col("qv").as("b_qv"), col("n2").as("b_n2"))
-    a.join(b, Seq("cluster"))
+  private[graft] def candidatePairs(it2: DataFrame,
+      cap: Long): DataFrame = {
+    val shards = it2.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("cluster"),
+        expr(s"(n + ${cap - 1}) DIV $cap").as("n_shards"))
+    val withN = it2.join(broadcast(shards), Seq("cluster"))
+      .withColumn("shard", pmod(col("vec_id"), col("n_shards")))
+      .withColumn("n2", dotL(col("qv"), col("qv")))
+    val a = withN.select(col("cluster"), col("shard"),
+      col("vec_id").as("a_id"), col("qv").as("a_qv"),
+      col("n2").as("a_n2"))
+    val b = withN.select(col("cluster"), col("shard"),
+      col("vec_id").as("b_id"), col("qv").as("b_qv"),
+      col("n2").as("b_n2"))
+    a.join(b, Seq("cluster", "shard"))
       .where(col("a_id") < col("b_id"))
       .withColumn("dp", dotL(col("a_qv"), col("b_qv")))
+  }
+
+  /** The within-cluster prune: (cluster, b_id) rows for every member
+    * with a lower-id near-dup in its (cluster, shard) block.
+    */
+  private def droppedPairs(it2: DataFrame,
+      cap: Long = ClusterCap): DataFrame =
+    candidatePairs(it2, cap)
       .where(col("dp") > 0 &&
         col("dp") * col("dp") * 100 >=
           col("a_n2") * col("b_n2") * ThetaSqTimes100)
       .select(col("cluster"), col("b_id")).distinct()
-  }
 
   /** Test hook: the centroid set after one Lloyd update — the
     * inertia-monotonicity pin measures against it.

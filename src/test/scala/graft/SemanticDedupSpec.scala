@@ -76,4 +76,38 @@ class SemanticDedupSpec extends SparkTestBase {
     assert(droppedIds === expectDropped)
     assert(expectDropped.nonEmpty)
   }
+
+  test("cluster-size cap: an adversarial one-cluster corpus shards " +
+      "to a pinned candidate-pair ceiling; a within-cap corpus is " +
+      "bit-identical to the uncapped prune") {
+    // 40 near-identical vectors — the degenerate crawl shape: every
+    // row lands in ONE cluster, and the uncapped prune would run all
+    // C(40,2) = 780 pairs
+    val one = (0L until 40L)
+      .map(i => (0L, i, Seq(100L + (i % 3), 100L, 100L)))
+      .toDF("cluster", "vec_id", "qv")
+    val uncapped = SemanticDedup.candidatePairs(one, cap = 4096L)
+    assert(uncapped.count() === 780L)
+    // cap 10 ⇒ ceil(40/10) = 4 shards by pmod(vec_id, 4): 10 members
+    // each ⇒ exactly 4 · C(10,2) = 180 candidates — the cost bound
+    // the cap exists for, pinned exactly
+    val capped = SemanticDedup.candidatePairs(one, cap = 10L)
+    assert(capped.count() === 180L)
+    // every candidate respects its shard: both sides agree on
+    // pmod(id, 4)
+    assert(capped.where(
+      pmod(col("a_id"), lit(4L)) =!= pmod(col("b_id"), lit(4L)))
+      .count() === 0L)
+    // a corpus whose clusters all fit the cap is untouched by it:
+    // same pair set either way
+    val multi = (0L until 60L)
+      .map(i => (i % 6, i, Seq(10L * (i % 6), 7L, 3L)))
+      .toDF("cluster", "vec_id", "qv")
+    val a = SemanticDedup.candidatePairs(multi, cap = 4096L)
+      .select("cluster", "a_id", "b_id").collect().map(_.toSeq).toSet
+    val b = SemanticDedup.candidatePairs(multi, cap = 10L)
+      .select("cluster", "a_id", "b_id").collect().map(_.toSeq).toSet
+    assert(a === b)
+    assert(a.size === 6 * 45) // 6 clusters of 10 ⇒ C(10,2) each
+  }
 }
