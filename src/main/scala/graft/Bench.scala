@@ -79,8 +79,27 @@ object Bench {
     val st = setups.toSeq.sorted.map { case (k, t) => f"${jq(k)}:$t%.3f" }
       .mkString("{", ",", "}")
     val setupTotal = setups.values.sum
+    // ISOLATED medians for the 10 slowest queries: the full-catalog
+    // window reads 1.3-1.5x hot across unrelated queries (GC +
+    // neighbor contention), and three rounds running the record's
+    // top deltas were all exonerated by hand re-measures. Re-running
+    // the slowest tail back-to-back at the END of the run — warm JVM,
+    // no interleaved fixture churn — bakes that re-measure into the
+    // artifact so round-over-round diffs read without a manual
+    // SPARK_GRAFT_ONLY session.
+    val slowest = results.collect { case (k, Right(t)) => (k, t) }
+      .sortBy(-_._2).take(10).map(_._1)
+    val isolated: Seq[(String, Double)] = slowest.flatMap { name =>
+      val fn = selected(name)
+      val ts = (1 to 3).flatMap(_ => timeOnce(fn).toOption).sorted
+      if (ts.isEmpty) None
+      else Some(name -> (if (ts.length % 2 == 1) ts(ts.length / 2)
+                         else (ts(ts.length / 2 - 1) + ts(ts.length / 2)) / 2))
+    }
+    val iso = isolated.sortBy(_._1).map { case (k, t) => f"${jq(k)}:$t%.3f" }
+      .mkString("{", ",", "}")
     val full = line.dropRight(1) +
-      f""","setup":$st,"setup_total":$setupTotal%.3f}"""
+      f""","setup":$st,"setup_total":$setupTotal%.3f,"isolated":$iso}"""
     if (only.isEmpty)
       java.nio.file.Files.write(
         java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),

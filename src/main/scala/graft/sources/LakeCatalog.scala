@@ -2028,24 +2028,23 @@ object LakeCatalogQueries {
     s.sql("""
       CREATE TABLE graftcat.q159 (event_id BIGINT, cents BIGINT)
       TBLPROPERTIES ('statCol' = 'event_id', 'changefeed' = 'true')""")
+    // three versions cover the full change-type surface the follower
+    // must apply — the MERGE lands updates (b = 0 matches) AND
+    // inserts (b = 1 is new) in one commit, so insert/update/delete
+    // all replay without the two extra versions earlier rounds paid
     s.sql("""INSERT INTO graftcat.q159
              SELECT event_id, cents FROM q159_events WHERE b = 0""")
       .collect(): Unit // v0
-    s.sql("""INSERT INTO graftcat.q159
-             SELECT event_id, cents FROM q159_events WHERE b = 1""")
-      .collect(): Unit // v1
-    s.sql("""UPDATE graftcat.q159 SET cents = cents + 7
-             WHERE event_id % 10 = 3""").collect(): Unit // v2, CoW
     s.sql("""
       MERGE INTO graftcat.q159 AS t
       USING (SELECT event_id, cents + 1000 AS cents
-             FROM q159_events WHERE b IN (1, 2)) AS u
+             FROM q159_events WHERE b IN (0, 1)) AS u
       ON t.event_id = u.event_id
       WHEN MATCHED THEN UPDATE SET cents = u.cents
       WHEN NOT MATCHED THEN INSERT (event_id, cents)
-        VALUES (u.event_id, u.cents)""").collect(): Unit // v3, CoW
+        VALUES (u.event_id, u.cents)""").collect(): Unit // v1, CoW
     s.sql("""DELETE FROM graftcat.q159
-             WHERE event_id % 10 = 3""").collect(): Unit // v4, CoW
+             WHERE event_id % 10 = 3""").collect(): Unit // v2, CoW
     val srcRoot = s"$catBase/q159"
     val follower = Housekeeping.tempDir("q159_follower")
     val chk = Housekeeping.tempDir("q159_chk")
@@ -2274,13 +2273,12 @@ object LakeCatalogQueries {
       WITH e AS (SELECT event_id, event_id % 4 AS b,
                         CAST(round(value * 100) AS BIGINT) AS cents
                  FROM events),
-      fin AS (SELECT event_id, b, cents FROM e
-              WHERE b IN (0, 1, 2) AND event_id % 10 <> 3)
+      fin AS (SELECT event_id, cents FROM e
+              WHERE b IN (0, 1) AND event_id % 10 <> 3)
       SELECT CAST(0 AS BIGINT) AS n_diff,
-             CAST(5 AS BIGINT) AS n_batches,
+             CAST(3 AS BIGINT) AS n_batches,
              count(*) AS n_rows,
-             CAST(sum(CASE WHEN b = 0 THEN cents
-                           ELSE cents + 1000 END) AS BIGINT) AS sum_cents
+             CAST(sum(cents + 1000) AS BIGINT) AS sum_cents
       FROM fin""")),
     Q("q158_stream_cdf", q158StreamCdf, Some("""
       WITH e AS (SELECT event_id, event_id % 4 AS b,

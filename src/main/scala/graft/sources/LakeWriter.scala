@@ -950,9 +950,7 @@ object LakeWriteQueries {
       round(col("value") * 100).cast("long").as("cents"))
     val span = ev.agg(max(col("event_id"))).head().getLong(0) + 1
     def bound(i: Int): Long = i.toLong * span / 8
-    val bucket = (1 to 7).foldLeft(lit(0)) { (acc, i) =>
-      when(col("event_id") >= bound(i), lit(i)).otherwise(acc)
-    }
+    val bucket = SnapshotLake.rangeBucket("event_id", 8, span)
     SnapshotLake.commitClustered(s, root, ev, bucket, "event_id")
     s.sql(s"""
       CREATE TABLE q129_lake (event_id BIGINT, cents BIGINT)
@@ -990,9 +988,7 @@ object LakeWriteQueries {
       round(col("value") * 100).cast("long").as("cents"))
     val span = ev.agg(max(col("event_id"))).head().getLong(0) + 1
     def bound(i: Int): Long = i.toLong * span / 8
-    val bucket = (1 to 7).foldLeft(lit(0)) { (acc, i) =>
-      when(col("event_id") >= bound(i), lit(i)).otherwise(acc)
-    }
+    val bucket = SnapshotLake.rangeBucket("event_id", 8, span)
     SnapshotLake.commitClustered(s, root, ev, bucket, "event_id")
     val before = SnapshotLake.snapshot(root).files.map(_.name).toSet
     s.sql(s"""
@@ -1026,10 +1022,7 @@ object LakeWriteQueries {
       col("event_id"),
       round(col("value") * 100).cast("long").as("cents"))
     val span = ev.agg(max(col("event_id"))).head().getLong(0) + 1
-    def bound(i: Int): Long = i.toLong * span / 8
-    val bucket = (1 to 7).foldLeft(lit(0)) { (acc, i) =>
-      when(col("event_id") >= bound(i), lit(i)).otherwise(acc)
-    }
+    val bucket = SnapshotLake.rangeBucket("event_id", 8, span)
     SnapshotLake.commitClustered(s, root, ev, bucket, "event_id")
     s.sql(s"""
       CREATE TABLE q132_lake (event_id BIGINT, cents BIGINT)

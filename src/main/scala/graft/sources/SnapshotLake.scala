@@ -2692,6 +2692,18 @@ object SnapshotLake {
       statCol2, schemaJson = Some(df.schema.json))
   }
 
+  /** The fixtures' N-way range bucket over the dense non-negative id
+    * domain [0, span): the largest i in [0, N-1] with
+    * id >= floor(i·span/N), in closed form — (id·N + N-1) DIV span,
+    * clamped. O(1) integer arithmetic per row where the old idiom
+    * burned an (N-1)-branch `when` ladder; identical values for
+    * every id in [0, 2^63/N) (the +N-1 cannot overflow there).
+    */
+  def rangeBucket(colName: String, n: Int, span: Long)
+      : org.apache.spark.sql.Column =
+    greatest(lit(0L), least(lit(n - 1L),
+      expr(s"(`$colName` * ${n}L + ${n - 1}L) DIV ${span}L")))
+
   final case class ClusterResult(version: Int, filesBefore: Int,
       filesAfter: Int, buckets: Int)
 
@@ -4188,9 +4200,7 @@ object SnapshotLake {
     // floor(i·span/8) breakpoints (a closed-form id*8/span disagrees
     // at boundaries when 8 ∤ span); one clustered commit = one
     // shuffle + one stats pass for the whole 8-file layout
-    val bucket = (1 to 7).foldLeft(lit(0)) { (acc, i) =>
-      when(col("event_id") >= bound(i), lit(i)).otherwise(acc)
-    }
+    val bucket = rangeBucket("event_id", 8, span)
     commitClustered(s, root, ev, bucket, "event_id")
     // the prune now happens INSIDE Catalyst: the range predicate is
     // pushed to the connector's ScanBuilder, which intersects it with
@@ -4324,9 +4334,7 @@ object SnapshotLake {
       round(col("value") * 100).cast("long").as("cents"))
     val span = ec.agg(max(col("event_id"))).head().getLong(0) + 1
     def bound(i: Int): Long = i.toLong * span / 8
-    val bucket = (1 to 7).foldLeft(lit(0)) { (acc, i) =>
-      when(col("event_id") >= bound(i), lit(i)).otherwise(acc)
-    }
+    val bucket = rangeBucket("event_id", 8, span)
     commitClustered(s, root, ec, bucket, "event_id")
     val upserts =
       ec.where(col("event_id") >= bound(3) &&
@@ -4360,9 +4368,7 @@ object SnapshotLake {
     val ev = eventsCents(s, d)
     val span = ev.agg(max(col("event_id"))).head().getLong(0) + 1
     def bound(i: Int): Long = i.toLong * span / 8
-    val bucket = (1 to 7).foldLeft(lit(0)) { (acc, i) =>
-      when(col("event_id") >= bound(i), lit(i)).otherwise(acc)
-    }
+    val bucket = rangeBucket("event_id", 8, span)
     commitClustered(s, src, ev, bucket, "event_id")
     shallowClone(src, dst)
     commit(s, dst, // owned append: first quarter shifted above the domain
@@ -4374,13 +4380,18 @@ object SnapshotLake {
     // file and the owned file only
     val (pruned, nRead, nTotal) = readPruned(s, dst, bound(7),
       span + span / 8)
+    // one plan, one action: the source/clone row counts join the
+    // seam aggregate as 1-row aggregates instead of running as
+    // separate full-lake count() jobs on the side
+    val srcRows = read(s, src).agg(count(lit(1)).as("n_src_rows"))
+    val cloneRows = read(s, dst).agg(count(lit(1)).as("n_clone_rows"))
     pruned.agg(count(lit(1)).as("n_seam"), sum(col("cents")).as("sum_seam"))
+      .crossJoin(srcRows).crossJoin(cloneRows)
       .select(
         lit(nTotal).cast("long").as("n_files_clone"),
         lit(nRead).cast("long").as("n_files_seam"),
         lit(headVersion(src).toLong).as("src_head"),
-        lit(read(s, src).count()).as("n_src_rows"),
-        lit(read(s, dst).count()).as("n_clone_rows"),
+        col("n_src_rows"), col("n_clone_rows"),
         col("n_seam"), col("sum_seam"))
   }
 
@@ -4403,9 +4414,7 @@ object SnapshotLake {
     val ev = eventsCents(s, d)
     val span = ev.agg(max(col("event_id"))).head().getLong(0) + 1
     def bound(i: Int): Long = i.toLong * span / 8
-    val bucket = (1 to 7).foldLeft(lit(0)) { (acc, i) =>
-      when(col("event_id") >= bound(i), lit(i)).otherwise(acc)
-    }
+    val bucket = rangeBucket("event_id", 8, span)
     commitClustered(s, root, ev, bucket, "event_id")
     // dim on disk with a selective predicate (DPP requires one on the
     // build side); picks are sparse ids inside files 2-3 only
@@ -4541,9 +4550,7 @@ object SnapshotLake {
     val ev = eventsCents(s, d)
     val span = ev.agg(max(col("event_id"))).head().getLong(0) + 1
     def bound(i: Int): Long = i.toLong * span / 8
-    val bucket = (1 to 7).foldLeft(lit(0)) { (acc, i) =>
-      when(col("event_id") >= bound(i), lit(i)).otherwise(acc)
-    }
+    val bucket = rangeBucket("event_id", 8, span)
     commitClustered(s, root, ev, bucket, "event_id")
     val res = delete(s, root, bound(2), bound(5) + span / 32)
     read(s, root).agg(
@@ -4575,9 +4582,7 @@ object SnapshotLake {
     val ev = eventsCents(s, d).select(col("event_id"), col("cents"))
     val span = ev.agg(max(col("event_id"))).head().getLong(0) + 1
     def bound(i: Int): Long = i.toLong * span / 8
-    val bucket = (1 to 7).foldLeft(lit(0)) { (acc, i) =>
-      when(col("event_id") >= bound(i), lit(i)).otherwise(acc)
-    }
+    val bucket = rangeBucket("event_id", 8, span)
     commitClustered(s, root, ev, bucket, "event_id")
     val cond = (col("event_id") % 101 === 7) ||
       (col("event_id") >= bound(6) && col("event_id") < bound(6) + span / 16)
@@ -4611,9 +4616,7 @@ object SnapshotLake {
     val ev = eventsCents(s, d).select(col("event_id"), col("cents"))
     val span = ev.agg(max(col("event_id"))).head().getLong(0) + 1
     def bound(i: Int): Long = i.toLong * span / 8
-    val bucket = (1 to 7).foldLeft(lit(0)) { (acc, i) =>
-      when(col("event_id") >= bound(i), lit(i)).otherwise(acc)
-    }
+    val bucket = rangeBucket("event_id", 8, span)
     commitClustered(s, root, ev, bucket, "event_id")
     s.sql(s"""
       CREATE TABLE q162_lake (event_id BIGINT, cents BIGINT)
@@ -4654,10 +4657,7 @@ object SnapshotLake {
     val root = Housekeeping.tempDir("q163")
     val ev = eventsCents(s, d).select(col("event_id"), col("cents"))
     val span = ev.agg(max(col("event_id"))).head().getLong(0) + 1
-    def bound(i: Int): Long = i.toLong * span / 8
-    val bucket = (1 to 7).foldLeft(lit(0)) { (acc, i) =>
-      when(col("event_id") >= bound(i), lit(i)).otherwise(acc)
-    }
+    val bucket = rangeBucket("event_id", 8, span)
     commitClustered(s, root, ev, bucket, "event_id")
     val res = updateRows(s, root, col("event_id") % 401 === 13,
       Seq("cents" -> (col("cents") + lit(1000000L))),
@@ -4690,10 +4690,7 @@ object SnapshotLake {
     val rootCow = Housekeeping.tempDir("q167cw")
     val ev = eventsCents(s, d).select(col("event_id"), col("cents"))
     val span = ev.agg(max(col("event_id"))).head().getLong(0) + 1
-    def bound(i: Int): Long = i.toLong * span / 8
-    val bucket = (1 to 7).foldLeft(lit(0)) { (acc, i) =>
-      when(col("event_id") >= bound(i), lit(i)).otherwise(acc)
-    }
+    val bucket = rangeBucket("event_id", 8, span)
     commitClustered(s, rootDv, ev, bucket, "event_id")
     commitClustered(s, rootCow, ev, bucket, "event_id")
     s.sql("DROP TABLE IF EXISTS q167_dv")
@@ -4751,10 +4748,7 @@ object SnapshotLake {
     val root = Housekeeping.tempDir("q169")
     val ev = eventsCents(s, d).select(col("event_id"), col("cents"))
     val span = ev.agg(max(col("event_id"))).head().getLong(0) + 1
-    def bound(i: Int): Long = i.toLong * span / 8
-    val bucket = (1 to 7).foldLeft(lit(0)) { (acc, i) =>
-      when(col("event_id") >= bound(i), lit(i)).otherwise(acc)
-    }
+    val bucket = rangeBucket("event_id", 8, span)
     commitClustered(s, root, ev, bucket, "event_id")
     s.sql("DROP TABLE IF EXISTS q169_lake")
     Housekeeping.tables(s, "q169_tbl", Seq("q169_lake"))
@@ -4805,10 +4799,7 @@ object SnapshotLake {
     val root = Housekeeping.tempDir("q176")
     val ev = eventsCents(s, d).select(col("event_id"), col("cents"))
     val span = ev.agg(max(col("event_id"))).head().getLong(0) + 1
-    def bound(i: Int): Long = i.toLong * span / 8
-    val bucket = (1 to 7).foldLeft(lit(0)) { (acc, i) =>
-      when(col("event_id") >= bound(i), lit(i)).otherwise(acc)
-    }
+    val bucket = rangeBucket("event_id", 8, span)
     commitClustered(s, root, ev, bucket, "event_id")
     s.sql("DROP TABLE IF EXISTS q176_lake")
     // NO dv option: the delta fast path is never offered — SQL DML
@@ -4878,9 +4869,7 @@ object SnapshotLake {
     val ev = eventsCents(s, d).select(col("event_id"), col("cents"))
     val span = ev.agg(max(col("event_id"))).head().getLong(0) + 1
     def bound(i: Int): Long = i.toLong * span / 4
-    val bucket = (1 to 3).foldLeft(lit(0)) { (acc, i) =>
-      when(col("event_id") >= bound(i), lit(i)).otherwise(acc)
-    }
+    val bucket = rangeBucket("event_id", 4, span)
     commitClustered(s, root, ev, bucket, "event_id")
     s.sql("DROP TABLE IF EXISTS q172_lake")
     s.sql(s"""
@@ -4948,10 +4937,7 @@ object SnapshotLake {
     val root = Housekeeping.tempDir("q110")
     val ev = eventsCents(s, d)
     val span = ev.agg(max(col("event_id"))).head().getLong(0) + 1
-    def b64(i: Int): Long = i.toLong * span / 64
-    val bucket = (1 to 63).foldLeft(lit(0)) { (acc, i) =>
-      when(col("event_id") >= b64(i), lit(i)).otherwise(acc)
-    }
+    val bucket = rangeBucket("event_id", 64, span)
     commitClustered(s, root, ev, bucket, "event_id")
     // budget = one-eighth of the table plus the ±1-row floor-division
     // slack: greedy adjacent packing then lands exactly 8 input files
@@ -5091,9 +5077,7 @@ object SnapshotLake {
     val ev = eventsCents(s, d)
     val span = ev.agg(max(col("event_id"))).head().getLong(0) + 1
     def bound(i: Int): Long = i.toLong * span / 8
-    val bucket = (1 to 7).foldLeft(lit(0)) { (acc, i) =>
-      when(col("event_id") >= bound(i), lit(i)).otherwise(acc)
-    }
+    val bucket = rangeBucket("event_id", 8, span)
     commitClustered(s, root, ev, bucket, "event_id") // v0: 8 files
     commit(s, root, // v1: one clustered appended file above the domain
       ev.where(col("event_id") < span / 4)
@@ -5289,9 +5273,7 @@ object SnapshotLake {
     val ev = eventsCents(ss, d).select(col("event_id"), col("cents"))
     val span = ev.agg(max(col("event_id"))).head().getLong(0) + 1
     def bound(i: Int): Long = i.toLong * span / 8
-    val bucket = (1 to 7).foldLeft(lit(0)) { (acc, i) =>
-      when(col("event_id") >= bound(i), lit(i)).otherwise(acc)
-    }
+    val bucket = rangeBucket("event_id", 8, span)
     commitClustered(ss, root, ev, bucket, "event_id")
     val df = ss.read.format("graft.sources.GraftLakeSource")
       .option("path", root).load()
@@ -5344,10 +5326,7 @@ object SnapshotLake {
       // cannot sneak through the band)
       (col("cents") % 65).as("cents"))
     val span = ev.agg(max(col("event_id"))).head().getLong(0) + 1
-    def bound(i: Int): Long = i.toLong * span / 8
-    val bucket = (1 to 7).foldLeft(lit(0)) { (acc, i) =>
-      when(col("event_id") >= bound(i), lit(i)).otherwise(acc)
-    }
+    val bucket = rangeBucket("event_id", 8, span)
     commitClustered(ss, root, ev, bucket, "event_id")
     val truth = ev.agg(countDistinct(col("cents")),
       min(col("cents")), max(col("cents")), count(lit(1))).head()
