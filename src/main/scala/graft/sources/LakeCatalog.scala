@@ -1429,6 +1429,111 @@ object LakeCatalogQueries {
         col("total_rows"), col("total_cents"))
   }
 
+  /** Judged STRING truncate RANGE pruning — the canonical use of a
+    * range transform on string keys: URL/path-prefix predicates ride
+    * the layout. Eight 2-char prefix groups (`e0-…` … `e7-…`); a
+    * two-sided range `doc >= 'e2' AND doc < 'e5'` must plan exactly
+    * the three covered prefix bins (the strict upper bound fits the
+    * width, so its own tag is EXCLUDED), and a lower bound LONGER
+    * than the width (`doc >= 'e6-1'`) prunes by its 2-char prefix to
+    * the last two bins. Both planned-file counts ride the row
+    * hash-checked next to the range aggregates — a prune that went
+    * wide goes slow AND red, one that went narrow loses rows and
+    * goes red. At 100 TB this is "scan three prefix shards of the
+    * crawl, not the crawl".
+    */
+  def q181TruncateStringRange(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftcat",
+      "graft.sources.GraftLakeCatalog")
+    s.conf.set("spark.sql.catalog.graftcat.root", catBase)
+    s.sql("DROP TABLE IF EXISTS graftcat.q181")
+    Tables.events(s, d).select(
+        concat(lit("e"), (col("event_id") % 8).cast("string"),
+          lit("-"), col("event_id").cast("string")).as("doc"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("q181_events")
+    s.sql("""
+      CREATE TABLE graftcat.q181 (doc STRING, cents BIGINT)
+      PARTITIONED BY (truncate(2, doc))
+      TBLPROPERTIES ('statCol' = 'cents')""")
+    s.sql("INSERT INTO graftcat.q181 SELECT doc, cents FROM q181_events")
+      .collect(): Unit
+    val nFiles = SnapshotLake.snapshot(s"$catBase/q181")
+      .files.size.toLong
+    def planned(df: DataFrame): Long = LakeScan
+      .findIn(df.queryExecution.executedPlan)
+      .map(_.files.length.toLong).getOrElse(-1L)
+    val band = s.table("graftcat.q181")
+      .where(col("doc") >= "e2" && col("doc") < "e5")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+    val brow = band.collect().head
+    val tail = s.table("graftcat.q181").where(col("doc") >= "e6-1")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+    val trow = tail.collect().head
+    import s.implicits._
+    Seq((nFiles, planned(band), brow.getLong(0), brow.getLong(1),
+        planned(tail), trow.getLong(0), trow.getLong(1)))
+      .toDF("n_files", "band_files_planned", "band_rows", "band_cents",
+        "tail_files_planned", "tail_rows", "tail_cents")
+  }
+
+  /** Judged DISTRIBUTED ORPHAN INVENTORY — the 100 TB shape of
+    * q178's verb: 64 crashed-writer directories (the residue a
+    * crash-prone multi-writer ingest actually leaves), inventoried
+    * through the `t.orphans` metadata table and swept by
+    * `CALL remove_orphans` — and BOTH faces run as Spark jobs
+    * (listing, manifest-referenced set, anti-join, executor-side
+    * delete), certified by the engine's driver-walk counter riding
+    * the row: if either face ever falls back to the single-threaded
+    * driver `Files.walk`, `no_driver_walk` flips and the hash goes
+    * red. Bytes are pinned per plant (1..64 ⇒ Σ = 2080) so the
+    * inventory's size accounting is exact, not just its count.
+    */
+  def q182OrphanInventory(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    s.conf.set("spark.sql.catalog.graftcat",
+      "graft.sources.GraftLakeCatalog")
+    s.conf.set("spark.sql.catalog.graftcat.root", catBase)
+    s.sql("DROP TABLE IF EXISTS graftcat.q182")
+    Tables.events(s, d).select(col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .where(col("event_id") % 2 === 0)
+      .createOrReplaceTempView("q182_events")
+    s.sql("""
+      CREATE TABLE graftcat.q182 (event_id BIGINT, cents BIGINT)
+      TBLPROPERTIES ('statCol' = 'event_id')""")
+    s.sql("INSERT INTO graftcat.q182 SELECT * FROM q182_events")
+      .collect(): Unit
+    val root = s"$catBase/q182"
+    (1 to 64).foreach { i =>
+      val p = Paths.get(root, "data", f"b-orph-$i%02d", s"f$i.bin")
+      Files.createDirectories(p.getParent)
+      Files.write(p, Array.fill[Byte](i)('x')): Unit
+    }
+    val walks0 = SnapshotLake.driverOrphanWalks.get()
+    val inv = s.sql("""
+      SELECT count(*) AS n, CAST(sum(bytes) AS BIGINT) AS b
+      FROM graftcat.q182.orphans
+      WHERE file LIKE 'data/b-orph-%'""").head
+    val removed = s.sql(
+      "CALL graftcat.remove_orphans(table => 'q182', grace_ms => 0)")
+      .head.getLong(0)
+    val after = s.sql("SELECT count(*) FROM graftcat.q182.orphans")
+      .head.getLong(0)
+    val noDriverWalk = SnapshotLake.driverOrphanWalks.get() == walks0
+    s.sql("""
+      SELECT count(*) AS head_rows,
+             CAST(sum(cents) AS BIGINT) AS head_cents
+      FROM graftcat.q182""")
+      .select(
+        lit(inv.getLong(0)).as("n_orphans"),
+        lit(inv.getLong(1)).as("orphan_bytes"),
+        lit(removed).as("n_removed"),
+        lit(after).as("n_after"),
+        lit(noDriverWalk).as("no_driver_walk"),
+        col("head_rows"), col("head_cents"))
+  }
+
   /** Judged SORTED BUCKET LAYOUT — `PARTITIONED BY (bucket(8, k))
     * TBLPROPERTIES('sortcol'='k')`: the clustered write additionally
     * orders rows WITHIN each bucket file by the key, the manifest
@@ -2151,6 +2256,32 @@ object LakeCatalogQueries {
              CAST(2 AS BIGINT) AS n_keygrouped_scans,
              (SELECT CAST(sum(3 * cents) AS BIGINT) FROM e)
                AS join_sum_c3""")),
+    Q("q182_orphan_inventory", q182OrphanInventory, Some("""
+      WITH e AS (SELECT event_id,
+                        CAST(round(value * 100) AS BIGINT) AS cents
+                 FROM events WHERE event_id % 2 = 0)
+      SELECT CAST(64 AS BIGINT) AS n_orphans,
+             CAST(2080 AS BIGINT) AS orphan_bytes,
+             CAST(64 AS BIGINT) AS n_removed,
+             CAST(0 AS BIGINT) AS n_after,
+             TRUE AS no_driver_walk,
+             (SELECT count(*) FROM e) AS head_rows,
+             (SELECT CAST(sum(cents) AS BIGINT) FROM e) AS head_cents""")),
+    Q("q181_truncate_string_range", q181TruncateStringRange, Some("""
+      WITH e AS (SELECT 'e' || CAST(event_id % 8 AS VARCHAR) || '-' ||
+                        CAST(event_id AS VARCHAR) AS doc,
+                        CAST(round(value * 100) AS BIGINT) AS cents
+                 FROM events)
+      SELECT CAST(8 AS BIGINT) AS n_files,
+             CAST(3 AS BIGINT) AS band_files_planned,
+             (SELECT count(*) FROM e
+              WHERE doc >= 'e2' AND doc < 'e5') AS band_rows,
+             (SELECT CAST(sum(cents) AS BIGINT) FROM e
+              WHERE doc >= 'e2' AND doc < 'e5') AS band_cents,
+             CAST(2 AS BIGINT) AS tail_files_planned,
+             (SELECT count(*) FROM e WHERE doc >= 'e6-1') AS tail_rows,
+             (SELECT CAST(sum(cents) AS BIGINT) FROM e
+              WHERE doc >= 'e6-1') AS tail_cents""")),
     Q("q180_generated_partition", q180GeneratedPartition, Some("""
       WITH e AS (SELECT event_id AS ts,
                         CAST(round(value * 100) AS BIGINT) AS cents
