@@ -1477,6 +1477,63 @@ object LakeCatalogQueries {
         "tail_files_planned", "tail_rows", "tail_cents")
   }
 
+  /** Judged PARTITION-SPEC EVOLUTION (Iceberg's signature property:
+    * specs evolve, old files keep their old layout): a table starts
+    * at `truncate(100, k)`, re-layouts to width 50 via
+    * `ALTER TABLE … SET TBLPROPERTIES`, and appends — so the
+    * snapshot MIXES trunc100 and trunc50 tags on one column. The
+    * certificate is the part that used to be silently wrong: a range
+    * crossing the width seam must floor its bounds with each file's
+    * OWN tag width (a single derived width would prune the coarser
+    * bins' tails and lose rows), and an equality prunes to exactly
+    * one file on either side of the seam. File counts per width ride
+    * the row as distinct-bin counts the oracle recomputes from the
+    * same algebra.
+    */
+  def q183PartitionEvolution(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftcat",
+      "graft.sources.GraftLakeCatalog")
+    s.conf.set("spark.sql.catalog.graftcat.root", catBase)
+    s.sql("DROP TABLE IF EXISTS graftcat.q183")
+    val ev = Tables.events(s, d).select(col("event_id").as("k"),
+      round(col("value") * 100).cast("long").as("cents"))
+    ev.createOrReplaceTempView("q183_events")
+    val mid = (ev.agg(max(col("k"))).head.getLong(0) + 1) / 2
+    s.sql("""
+      CREATE TABLE graftcat.q183 (k BIGINT, cents BIGINT)
+      PARTITIONED BY (truncate(100, k))
+      TBLPROPERTIES ('statCol' = 'cents')""")
+    s.sql(s"""INSERT INTO graftcat.q183
+              SELECT k, cents FROM q183_events WHERE k < $mid""")
+      .collect(): Unit
+    s.sql(
+      "ALTER TABLE graftcat.q183 SET TBLPROPERTIES ('parttrunc' = '50')")
+    s.sql(s"""INSERT INTO graftcat.q183
+              SELECT k, cents FROM q183_events WHERE k >= $mid""")
+      .collect(): Unit
+    val snap = SnapshotLake.snapshot(s"$catBase/q183")
+    def taggedWith(w: Int): Long = snap.files.count(_.part.exists(
+      _._1 == graft.functions.GraftTruncate.tagCol(w, "k"))).toLong
+    def planned(df: DataFrame): Long = LakeScan
+      .findIn(df.queryExecution.executedPlan)
+      .map(_.files.length.toLong).getOrElse(-1L)
+    // the seam read: two w=100 bins behind the seam, two w=50 bins
+    // past it — 4 files at every SF
+    val seam = s.table("graftcat.q183")
+      .where(col("k") >= mid - 150 && col("k") < mid + 70)
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+    val srow = seam.collect().head
+    val point = s.table("graftcat.q183").where(col("k") === mid - 50)
+      .agg(sum(col("cents")).as("c"))
+    val prow = point.collect().head
+    import s.implicits._
+    Seq((taggedWith(100), taggedWith(50), planned(seam),
+        srow.getLong(0), srow.getLong(1), planned(point),
+        prow.getLong(0)))
+      .toDF("n_files_w100", "n_files_w50", "seam_files_planned",
+        "seam_rows", "seam_cents", "point_files_planned", "point_cents")
+  }
+
   /** Judged DISTRIBUTED ORPHAN INVENTORY — the 100 TB shape of
     * q178's verb: 64 crashed-writer directories (the residue a
     * crash-prone multi-writer ingest actually leaves), inventoried
@@ -2256,6 +2313,25 @@ object LakeCatalogQueries {
              CAST(2 AS BIGINT) AS n_keygrouped_scans,
              (SELECT CAST(sum(3 * cents) AS BIGINT) FROM e)
                AS join_sum_c3""")),
+    Q("q183_partition_evolution", q183PartitionEvolution, Some("""
+      WITH b AS (SELECT max(event_id) + 1 AS span FROM events),
+      m AS (SELECT span // 2 AS mid FROM b),
+      e AS (SELECT event_id AS k,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events)
+      SELECT
+        (SELECT count(DISTINCT k - k % 100) FROM e, m WHERE k < mid)
+          AS n_files_w100,
+        (SELECT count(DISTINCT k - k % 50) FROM e, m WHERE k >= mid)
+          AS n_files_w50,
+        CAST(4 AS BIGINT) AS seam_files_planned,
+        (SELECT count(*) FROM e, m
+         WHERE k >= mid - 150 AND k < mid + 70) AS seam_rows,
+        (SELECT CAST(sum(cents) AS BIGINT) FROM e, m
+         WHERE k >= mid - 150 AND k < mid + 70) AS seam_cents,
+        CAST(1 AS BIGINT) AS point_files_planned,
+        (SELECT CAST(sum(cents) AS BIGINT) FROM e, m
+         WHERE k = mid - 50) AS point_cents""")),
     Q("q182_orphan_inventory", q182OrphanInventory, Some("""
       WITH e AS (SELECT event_id,
                         CAST(round(value * 100) AS BIGINT) AS cents
