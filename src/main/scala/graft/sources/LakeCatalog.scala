@@ -813,8 +813,11 @@ final class GraftLakeCatalog extends TableCatalog
         Seq(ProcedureParameter.in("table", StringType).build(),
           ProcedureParameter.in("branch", StringType).build()),
         StructType(Seq(StructField("dropped", LongType)))) { in =>
+        // distributed sweep: an unpublished branch's staged tree is
+        // data-scale — list/anti-join/delete as Spark jobs
         SnapshotLake.dropBranch(tableRoot(in),
-          in.getUTF8String(1).toString)
+          in.getUTF8String(1).toString,
+          Some(org.apache.spark.sql.SparkSession.active))
         Seq(1L)
       }
       case "create_tag" => proc("create_tag",

@@ -3324,20 +3324,21 @@ object SnapshotLake {
   private[graft] val driverOrphanWalks =
     new java.util.concurrent.atomic.AtomicLong
 
-  /** One chain's data-bearing tree as a DataFrame
+  /** A directory forest as a DataFrame
     * `(path STRING abs, bytes, mtime, is_dir)` — listed by a SPARK
     * JOB: the driver sees only the scope dirs and their immediate
     * children (the walk seeds); each executor task walks one
-    * subtree. Hidden names (`.`/`_` prefixes — writer bookkeeping)
-    * are dropped at the source. Driver memory is O(seed dirs), never
-    * O(files).
+    * subtree. With `skipHidden`, `.`/`_`-prefixed FILE names (writer
+    * bookkeeping) are dropped at the source — the orphan contract;
+    * the branch-drop sweep lists everything. Driver memory is
+    * O(seed dirs), never O(files).
     */
-  private def listingDF(s: SparkSession, root: String): DataFrame = {
+  private def treeListingDF(s: SparkSession, roots: Seq[Path],
+      skipHidden: Boolean): DataFrame = {
     import s.implicits._
-    val rootAbs = Paths.get(root).toAbsolutePath.normalize()
     def hidden(p: Path): Boolean = {
       val b = p.getFileName.toString
-      b.startsWith(".") || b.startsWith("_")
+      skipHidden && (b.startsWith(".") || b.startsWith("_"))
     }
     def statRow(p: Path): (String, Long, Long, Boolean) = {
       val dir = Files.isDirectory(p)
@@ -3349,14 +3350,13 @@ object SnapshotLake {
     val (seedDirs, directRows) = {
       val dirs = Seq.newBuilder[String]
       val rows = Seq.newBuilder[(String, Long, Long, Boolean)]
-      for (dir <- Seq("data", "_dv", "_staging")) {
-        val d = rootAbs.resolve(dir)
+      for (d <- roots) {
         if (Files.isDirectory(d)) {
           val ls = Files.list(d)
           try ls.iterator().asScala
             .map(_.toAbsolutePath.normalize()).foreach { p =>
-              if (Files.isDirectory(p)) dirs += p.toString
-              else if (!hidden(p)) rows += statRow(p)
+              if (Files.isDirectory(p)) { dirs += p.toString; () }
+              else if (!hidden(p)) { rows += statRow(p); () }
             }
           finally ls.close()
         }
@@ -3377,6 +3377,16 @@ object SnapshotLake {
       }
     walked.union(s.createDataset(directRows))
       .toDF("path", "bytes", "mtime", "is_dir")
+  }
+
+  /** The orphan scope (`data/`, `_dv/`, `_staging/`) of one chain as
+    * a listing DataFrame — see [[treeListingDF]].
+    */
+  private def listingDF(s: SparkSession, root: String): DataFrame = {
+    val rootAbs = Paths.get(root).toAbsolutePath.normalize()
+    treeListingDF(s,
+      Seq("data", "_dv", "_staging").map(rootAbs.resolve),
+      skipHidden = true)
   }
 
   /** Every retained-manifest-referenced absolute path as a DataFrame
@@ -3689,7 +3699,8 @@ object SnapshotLake {
     * vacuum. Nested branches (a branch created ON this branch) are
     * left untouched.
     */
-  def dropBranch(root: String, name: String): Unit = {
+  def dropBranch(root: String, name: String,
+      spark: Option[SparkSession] = None): Unit = {
     val brStr = branchRoot(root, name)
     // NESTED branches (branches created ON this branch) borrow this
     // chain's files by absolute path and keep their refs under the
@@ -3710,34 +3721,66 @@ object SnapshotLake {
     // enumerate RECURSIVELY — a sibling's nested branch borrows by
     // absolute path too, and can keep holding a name its own parent
     // chain already dropped.
-    def refsUnder(chainRoot: String): Set[Path] =
-      referencedAbsolute(chainRoot).filter(_.startsWith(brAbs))
     def liveChains(chainRoot: String): Seq[String] =
       chainRoot +: listBranches(chainRoot).map(_._1)
         .flatMap(n => liveChains(branchRoot(chainRoot, n)))
-    val kept = liveChains(root).filterNot(_ == brStr)
-      .flatMap(refsUnder).toSet
-    // pre-order DFS reversed puts children before parents, so files
-    // delete first and emptied directories fall right after. The
-    // whole subtree sweeps — live nested branches were refused
-    // upfront, so anything under <br>/_branch is dropped-child
-    // debris, and main-referenced survivors are in `kept` wherever
-    // they sit.
-    val walk = Files.walk(brAbs)
-    val all = try walk.iterator().asScala.toSeq.reverse
-              finally walk.close()
-    all.foreach { p0 =>
-      val p = p0.toAbsolutePath.normalize()
-      if (p != brAbs) {
-        if (Files.isRegularFile(p)) {
-          if (!kept.contains(p)) Files.deleteIfExists(p): Unit
-        } else if (Files.isDirectory(p)) {
+    val chains = liveChains(root).filterNot(_ == brStr)
+    spark match {
+      case Some(s) =>
+        // DISTRIBUTED sweep — the remove_orphans shape: an
+        // unpublished branch at 100 TB holds millions of staged
+        // names, so the listing (every file, hidden included — the
+        // whole tree dies) anti-joins the live chains' referenced
+        // sets as Spark jobs and deletes on executors; the driver
+        // holds only directory paths for the bottom-up empty prune.
+        import s.implicits._
+        val prefix = brAbs.toString + "/"
+        val keptDF = chains.map(cr => referencedDF(s, cr))
+          .reduce(_ union _)
+          .where(col("path").startsWith(prefix)).distinct()
+        val listing = treeListingDF(s, Seq(brAbs),
+          skipHidden = false).persist()
+        try {
+          listing.where(!col("is_dir"))
+            .join(keptDF, Seq("path"), "left_anti")
+            .select(col("path")).as[String]
+            .foreachPartition((it: Iterator[String]) =>
+              it.foreach(p => Files.deleteIfExists(Paths.get(p)): Unit))
           // kept files keep their ancestor directories alive — the
           // not-empty delete fails and is swallowed
-          try Files.delete(p)
-          catch { case _: java.io.IOException => () }
+          listing.where(col("is_dir"))
+            .select(col("path")).as[String].collect()
+            .sortBy(-_.length)
+            .foreach(dp =>
+              try Files.delete(Paths.get(dp))
+              catch { case _: java.io.IOException => () })
+        } finally { listing.unpersist(); () }
+      case None =>
+        val kept = chains
+          .flatMap(cr => referencedAbsolute(cr).filter(_.startsWith(brAbs)))
+          .toSet
+        // pre-order DFS reversed puts children before parents, so
+        // files delete first and emptied directories fall right
+        // after. The whole subtree sweeps — live nested branches
+        // were refused upfront, so anything under <br>/_branch is
+        // dropped-child debris, and main-referenced survivors are in
+        // `kept` wherever they sit.
+        val walk = Files.walk(brAbs)
+        val all = try walk.iterator().asScala.toSeq.reverse
+                  finally walk.close()
+        all.foreach { p0 =>
+          val p = p0.toAbsolutePath.normalize()
+          if (p != brAbs) {
+            if (Files.isRegularFile(p)) {
+              if (!kept.contains(p)) Files.deleteIfExists(p): Unit
+            } else if (Files.isDirectory(p)) {
+              // kept files keep their ancestor directories alive —
+              // the not-empty delete fails and is swallowed
+              try Files.delete(p)
+              catch { case _: java.io.IOException => () }
+            }
+          }
         }
-      }
     }
     try Files.delete(brAbs)
     catch { case _: java.io.IOException => () }
