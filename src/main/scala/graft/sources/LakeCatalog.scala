@@ -1498,10 +1498,16 @@ object LakeCatalogQueries {
       "graft.sources.GraftLakeCatalog")
     s.conf.set("spark.sql.catalog.graftcat.root", catBase)
     s.sql("DROP TABLE IF EXISTS graftcat.q183")
+    // FIXED dense-id slice [0, 1000) — the q180 lesson: a
+    // span-proportional fixture mints one file per bin (1,500 at
+    // sf0.1) and the certificate pays file-count I/O instead of
+    // proving the seam. 1,000 ids exist at every SF; 5 + 10 files
+    // always.
     val ev = Tables.events(s, d).select(col("event_id").as("k"),
-      round(col("value") * 100).cast("long").as("cents"))
+        round(col("value") * 100).cast("long").as("cents"))
+      .where(col("k") < 1000)
     ev.createOrReplaceTempView("q183_events")
-    val mid = (ev.agg(max(col("k"))).head.getLong(0) + 1) / 2
+    val mid = 500L
     s.sql("""
       CREATE TABLE graftcat.q183 (k BIGINT, cents BIGINT)
       PARTITIONED BY (truncate(100, k))
@@ -2317,24 +2323,22 @@ object LakeCatalogQueries {
              (SELECT CAST(sum(3 * cents) AS BIGINT) FROM e)
                AS join_sum_c3""")),
     Q("q183_partition_evolution", q183PartitionEvolution, Some("""
-      WITH b AS (SELECT max(event_id) + 1 AS span FROM events),
-      m AS (SELECT span // 2 AS mid FROM b),
-      e AS (SELECT event_id AS k,
-                   CAST(round(value * 100) AS BIGINT) AS cents
-            FROM events)
+      WITH e AS (SELECT event_id AS k,
+                        CAST(round(value * 100) AS BIGINT) AS cents
+                 FROM events WHERE event_id < 1000)
       SELECT
-        (SELECT count(DISTINCT k - k % 100) FROM e, m WHERE k < mid)
+        (SELECT count(DISTINCT k - k % 100) FROM e WHERE k < 500)
           AS n_files_w100,
-        (SELECT count(DISTINCT k - k % 50) FROM e, m WHERE k >= mid)
+        (SELECT count(DISTINCT k - k % 50) FROM e WHERE k >= 500)
           AS n_files_w50,
         CAST(4 AS BIGINT) AS seam_files_planned,
-        (SELECT count(*) FROM e, m
-         WHERE k >= mid - 150 AND k < mid + 70) AS seam_rows,
-        (SELECT CAST(sum(cents) AS BIGINT) FROM e, m
-         WHERE k >= mid - 150 AND k < mid + 70) AS seam_cents,
+        (SELECT count(*) FROM e
+         WHERE k >= 350 AND k < 570) AS seam_rows,
+        (SELECT CAST(sum(cents) AS BIGINT) FROM e
+         WHERE k >= 350 AND k < 570) AS seam_cents,
         CAST(1 AS BIGINT) AS point_files_planned,
-        (SELECT CAST(sum(cents) AS BIGINT) FROM e, m
-         WHERE k = mid - 50) AS point_cents""")),
+        (SELECT CAST(sum(cents) AS BIGINT) FROM e
+         WHERE k = 450) AS point_cents""")),
     Q("q182_orphan_inventory", q182OrphanInventory, Some("""
       WITH e AS (SELECT event_id,
                         CAST(round(value * 100) AS BIGINT) AS cents

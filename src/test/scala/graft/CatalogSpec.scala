@@ -36,7 +36,12 @@ class CatalogSpec extends SparkTestBase {
     "q147_sql_scalar_functions",
     // k-means assignment: every doc × the K=8 broadcast centroids —
     // the bounded side is K rows by construction, both iterations
-    "d11_semantic_dedup")
+    "d11_semantic_dedup",
+    // the certificate select crossJoins the seam aggregate with two
+    // 1-row full-table count aggregates (the q93 1-row × 1-row
+    // shape) — folding the old side-channel count() actions into ONE
+    // plan
+    "q124_lake_clone")
 
   test("every catalog query executes, returns rows, and plans clean at sf0.001") {
     Catalog.all.foreach { q =>
