@@ -40,15 +40,15 @@ object Bench {
     val setups: Map[String, Double] = selected.toSeq.sortBy(_._1).flatMap {
       case (name, fn) => timeOnce(fn).toOption.map(name -> _)
     }.toMap
+    // true median for even lengths too: with only 2 of 3 runs
+    // succeeding, times(len/2) would report the MAX of the pair
+    def median(ts: Seq[Double]): Double =
+      if (ts.length % 2 == 1) ts(ts.length / 2)
+      else (ts(ts.length / 2 - 1) + ts(ts.length / 2)) / 2
     val results: Seq[(String, Either[String, Double])] =
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         val runs = (1 to 3).map(_ => timeOnce(fn))
         val times = runs.collect { case Right(t) => t }.sorted
-        // true median for even lengths too: with only 2 of 3 runs
-        // succeeding, times(len/2) would report the MAX of the pair
-        def median(ts: Seq[Double]): Double =
-          if (ts.length % 2 == 1) ts(ts.length / 2)
-          else (ts(ts.length / 2 - 1) + ts(ts.length / 2)) / 2
         name -> (if (times.nonEmpty) Right(median(times))
                  else runs.head)
       }
@@ -86,24 +86,26 @@ object Bench {
     // the slowest tail back-to-back at the END of the run — warm JVM,
     // no interleaved fixture churn — bakes that re-measure into the
     // artifact so round-over-round diffs read without a manual
-    // SPARK_GRAFT_ONLY session.
-    val slowest = results.collect { case (k, Right(t)) => (k, t) }
-      .sortBy(-_._2).take(10).map(_._1)
-    val isolated: Seq[(String, Double)] = slowest.flatMap { name =>
-      val fn = selected(name)
-      val ts = (1 to 3).flatMap(_ => timeOnce(fn).toOption).sorted
-      if (ts.isEmpty) None
-      else Some(name -> (if (ts.length % 2 == 1) ts(ts.length / 2)
-                         else (ts(ts.length / 2 - 1) + ts(ts.length / 2)) / 2))
-    }
-    val iso = isolated.sortBy(_._1).map { case (k, t) => f"${jq(k)}:$t%.3f" }
-      .mkString("{", ",", "}")
-    val full = line.dropRight(1) +
-      f""","setup":$st,"setup_total":$setupTotal%.3f,"isolated":$iso}"""
-    if (only.isEmpty)
+    // SPARK_GRAFT_ONLY session. Record runs only: a subset iteration
+    // run discards the artifact, so paying 30 extra executions for
+    // it would just slow the loop the env var exists to speed up.
+    if (only.isEmpty) {
+      val slowest = results.collect { case (k, Right(t)) => (k, t) }
+        .sortBy(-_._2).take(10).map(_._1)
+      val isolated: Seq[(String, Double)] = slowest.flatMap { name =>
+        val fn = selected(name)
+        val ts = (1 to 3).flatMap(_ => timeOnce(fn).toOption).sorted
+        if (ts.isEmpty) None else Some(name -> median(ts))
+      }
+      val iso = isolated.sortBy(_._1)
+        .map { case (k, t) => f"${jq(k)}:$t%.3f" }
+        .mkString("{", ",", "}")
+      val full = line.dropRight(1) +
+        f""","setup":$st,"setup_total":$setupTotal%.3f,"isolated":$iso}"""
       java.nio.file.Files.write(
         java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     spark.stop()
   }
 }

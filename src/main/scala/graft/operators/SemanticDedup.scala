@@ -125,8 +125,13 @@ object SemanticDedup {
       .agg(count(lit(1)).as("n"))
       .select(col("cluster"),
         expr(s"(n + ${cap - 1}) DIV $cap").as("n_shards"))
+    // shard on a HASH of the id, not the id itself: crawl ids
+    // correlate with residues (every k-th row a re-fetch), and
+    // pmod(vec_id, n) would pile a strided cluster into one shard,
+    // silently defeating the cap. xxhash64 is deterministic, so the
+    // shard assignment still replays bit-identically.
     val withN = it2.join(broadcast(shards), Seq("cluster"))
-      .withColumn("shard", pmod(col("vec_id"), col("n_shards")))
+      .withColumn("shard", pmod(xxhash64(col("vec_id")), col("n_shards")))
       .withColumn("n2", dotL(col("qv"), col("qv")))
     val a = withN.select(col("cluster"), col("shard"),
       col("vec_id").as("a_id"), col("qv").as("a_qv"),

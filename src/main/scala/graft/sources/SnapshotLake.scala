@@ -3336,47 +3336,121 @@ object SnapshotLake {
   private def treeListingDF(s: SparkSession, roots: Seq[Path],
       skipHidden: Boolean): DataFrame = {
     import s.implicits._
-    def hidden(p: Path): Boolean = {
-      val b = p.getFileName.toString
-      skipHidden && (b.startsWith(".") || b.startsWith("_"))
-    }
-    def statRow(p: Path): (String, Long, Long, Boolean) = {
-      val dir = Files.isDirectory(p)
-      (p.toString, if (dir) 0L else Files.size(p),
-        Files.getLastModifiedTime(p).toMillis, dir)
-    }
-    // seed pass: scope dirs' direct children — files emit here,
-    // directories become executor walk seeds
-    val (seedDirs, directRows) = {
-      val dirs = Seq.newBuilder[String]
-      val rows = Seq.newBuilder[(String, Long, Long, Boolean)]
-      for (d <- roots) {
-        if (Files.isDirectory(d)) {
-          val ls = Files.list(d)
-          try ls.iterator().asScala
-            .map(_.toAbsolutePath.normalize()).foreach { p =>
-              if (Files.isDirectory(p)) { dirs += p.toString; () }
-              else if (!hidden(p)) { rows += statRow(p); () }
-            }
-          finally ls.close()
+    // Vanishing entries are EXPECTED under the concurrent writers the
+    // grace window exists for (ATOMIC_MOVE out of _staging, a racing
+    // maintenance delete): a name that disappears between walk and
+    // stat is skipped, never a task failure — Iceberg's
+    // remove_orphan_files ignores missing files the same way.
+    // Skipping is conservative on every consumer: an unlisted file is
+    // one the sweep won't delete.
+    def statRow(p: Path): Option[(String, Long, Long, Boolean)] =
+      try {
+        val dir = Files.isDirectory(p)
+        Some((p.toString, if (dir) 0L else Files.size(p),
+          Files.getLastModifiedTime(p).toMillis, dir))
+      } catch { case _: java.io.IOException => None }
+    // Seed pass: expand directories breadth-first on the driver until
+    // there are enough walk seeds to spread across the executors —
+    // one bulk-ingest commit can put the whole table under a single
+    // batch directory, and a 3-seed listing would serialize into one
+    // task. Expansion emits the files it passes directly (capped per
+    // directory, so a flat million-file dir stays a SEED and streams
+    // on an executor instead of buffering on the driver).
+    val targetSeeds = math.max(4 * s.sparkContext.defaultParallelism, 16)
+    val expandFileCap = 1024
+    val directRows = Seq.newBuilder[(String, Long, Long, Boolean)]
+    val rootStrs = roots.map(_.toAbsolutePath.normalize().toString)
+    var seedDirs: Vector[Path] = roots.filter(Files.isDirectory(_))
+      .map(_.toAbsolutePath.normalize()).toVector
+    val leafSeeds = scala.collection.mutable.ArrayBuffer.empty[Path]
+    var rounds = 0
+    // roots themselves are never rows (scope/branch roots are handled
+    // by their callers); expanded INNER dirs emit their own dir row
+    var emitSelf = false
+    while (seedDirs.nonEmpty && rounds < 6 &&
+        (seedDirs.size + leafSeeds.size) < targetSeeds) {
+      val next = Vector.newBuilder[Path]
+      for (d <- seedDirs) {
+        val children =
+          try {
+            val ls = Files.list(d)
+            try ls.iterator().asScala
+              .map(_.toAbsolutePath.normalize()).toVector
+            finally ls.close()
+          } catch { case _: java.io.IOException => Vector.empty[Path] }
+        val (subdirs, files) = children.partition(Files.isDirectory(_))
+        if (files.length > expandFileCap)
+          // too many direct files to buffer driver-side: stay a seed
+          leafSeeds += d
+        else {
+          if (emitSelf) statRow(d).foreach { r => directRows += r; () }
+          files.foreach(f => statRow(f).foreach { r =>
+            if (!r._4 && !(skipHidden &&
+                (Paths.get(r._1).getFileName.toString.startsWith(".") ||
+                  Paths.get(r._1).getFileName.toString.startsWith("_"))))
+              { directRows += r; () }
+          })
+          if (subdirs.isEmpty) () // fully emitted
+          else next ++= subdirs
         }
       }
-      (dirs.result(), rows.result())
+      seedDirs = next.result()
+      emitSelf = true
+      rounds += 1
     }
-    val walked = s.createDataset(seedDirs)
-      .repartition(math.max(1, math.min(seedDirs.size,
+    val seeds = (seedDirs ++ leafSeeds).map(_.toString)
+    val walked = s.createDataset(seeds)
+      .repartition(math.max(1, math.min(seeds.size,
         s.sparkContext.defaultParallelism)))
       .flatMap { d =>
         val base = Paths.get(d)
-        val w = Files.walk(base)
-        try w.iterator().asScala
-          .map(_.toAbsolutePath.normalize())
-          .filter(p => Files.isDirectory(p) || !hidden(p))
-          .map(statRow).toVector
-        finally w.close()
+        if (!Files.isDirectory(base))
+          Iterator.empty[(String, Long, Long, Boolean)]
+        else {
+          // STREAMING walk: rows emit as the iterator drains (a flat
+          // directory of millions of names never buffers in one
+          // task's heap); the stream closes on exhaustion or on the
+          // first vanished-subtree error
+          val w = Files.walk(base)
+          val underlying = w.iterator()
+          new scala.collection.AbstractIterator[
+              (String, Long, Long, Boolean)] {
+            private var nextRow: (String, Long, Long, Boolean) = _
+            private var closed = false
+            private def stop(): Unit =
+              if (!closed) { closed = true; w.close() }
+            private def advance(): Unit = {
+              nextRow = null
+              while (nextRow == null && !closed) {
+                val p =
+                  try { if (underlying.hasNext) underlying.next() else null }
+                  catch { case _: java.io.UncheckedIOException => null }
+                if (p == null) stop()
+                else {
+                  val q = p.toAbsolutePath.normalize()
+                  val b = q.getFileName.toString
+                  val isHidden = skipHidden &&
+                    (b.startsWith(".") || b.startsWith("_"))
+                  statRow(q).foreach { r =>
+                    if (r._4 || !isHidden) nextRow = r
+                  }
+                }
+              }
+            }
+            advance()
+            override def hasNext: Boolean = nextRow != null
+            override def next(): (String, Long, Long, Boolean) = {
+              val r = nextRow; advance(); r
+            }
+          }
+        }
       }
-    walked.union(s.createDataset(directRows))
+    walked.union(s.createDataset(directRows.result()))
       .toDF("path", "bytes", "mtime", "is_dir")
+      // scope/branch roots are never rows — an executor walk of an
+      // unexpanded root would otherwise emit it (and the dir prune
+      // must not delete an emptied-but-live scope dir)
+      .where(!col("path").isin(rootStrs: _*))
   }
 
   /** The orphan scope (`data/`, `_dv/`, `_staging/`) of one chain as
@@ -3537,6 +3611,19 @@ object SnapshotLake {
         // pre-order reversed: files first, then their emptied dirs
         val all = try walk.iterator().asScala.toSeq.reverse
                   finally walk.close()
+        // directory ages are judged against PRE-sweep mtimes:
+        // deleting a child bumps the parent's mtime to now, and a
+        // live read would spare every directory the sweep itself just
+        // emptied (and diverge from the distributed path, whose
+        // listing statted before any delete)
+        val dirMtime: Map[Path, Long] =
+          if (pruneDirsOlderThan.isEmpty) Map.empty
+          else all.map(_.toAbsolutePath.normalize())
+            .filter(p => Files.isDirectory(p) && p != d)
+            .flatMap(p =>
+              (try Some(Files.getLastModifiedTime(p).toMillis)
+               catch { case _: java.io.IOException => None })
+                .map(p -> _)).toMap
         all.foreach { p0 =>
           val p = p0.toAbsolutePath.normalize()
           val base = p.getFileName.toString
@@ -3548,7 +3635,7 @@ object SnapshotLake {
               visit(p, referenced.contains(p))
           } else if (Files.isDirectory(p) && p != d) {
             pruneDirsOlderThan.foreach { cutoff =>
-              if (Files.getLastModifiedTime(p).toMillis <= cutoff)
+              if (dirMtime.get(p).exists(_ <= cutoff))
                 try Files.delete(p)
                 catch { case _: java.io.IOException => () }
             }

@@ -88,16 +88,36 @@ class SemanticDedupSpec extends SparkTestBase {
       .toDF("cluster", "vec_id", "qv")
     val uncapped = SemanticDedup.candidatePairs(one, cap = 4096L)
     assert(uncapped.count() === 780L)
-    // cap 10 ⇒ ceil(40/10) = 4 shards by pmod(vec_id, 4): 10 members
-    // each ⇒ exactly 4 · C(10,2) = 180 candidates — the cost bound
-    // the cap exists for, pinned exactly
+    // cap 10 ⇒ ceil(40/10) = 4 shards by pmod(xxhash64(id), 4) — a
+    // HASH, deliberately: ids 0,2,4,… (a strided re-fetch pattern)
+    // under pmod(id, 2) would all share one shard and re-quadratize.
+    // The exact ceiling is Σ C(size_s, 2) over the hash's shard
+    // sizes, recomputed here with the same function
+    val sizes = one.select(
+      pmod(xxhash64(col("vec_id")), lit(4L)).as("s"))
+      .groupBy(col("s")).count().collect().map(_.getLong(1))
+    val expected = sizes.map(n => n * (n - 1) / 2).sum
     val capped = SemanticDedup.candidatePairs(one, cap = 10L)
-    assert(capped.count() === 180L)
+    assert(capped.count() === expected)
+    assert(expected < 780L) // the cap really cut the pair space
     // every candidate respects its shard: both sides agree on
-    // pmod(id, 4)
+    // pmod(xxhash64(id), 4)
     assert(capped.where(
-      pmod(col("a_id"), lit(4L)) =!= pmod(col("b_id"), lit(4L)))
+      pmod(xxhash64(col("a_id")), lit(4L)) =!=
+        pmod(xxhash64(col("b_id")), lit(4L)))
       .count() === 0L)
+    // the strided adversary itself: 40 EVEN ids, cap 20 ⇒ 2 shards —
+    // id-residue sharding would put all 780 pairs in shard 0
+    val strided = (0L until 80L by 2)
+      .map(i => (0L, i, Seq(100L, 100L, 100L)))
+      .toDF("cluster", "vec_id", "qv")
+    val ssizes = strided.select(
+      pmod(xxhash64(col("vec_id")), lit(2L)).as("s"))
+      .groupBy(col("s")).count().collect().map(_.getLong(1))
+    assert(ssizes.length === 2 && ssizes.forall(_ < 40L),
+      s"hash sharding left a strided cluster unsplit: ${ssizes.toSeq}")
+    assert(SemanticDedup.candidatePairs(strided, cap = 20L).count() ===
+      ssizes.map(n => n * (n - 1) / 2).sum)
     // a corpus whose clusters all fit the cap is untouched by it:
     // same pair set either way
     val multi = (0L until 60L)
