@@ -708,7 +708,8 @@ final class GraftLakeCatalog extends TableCatalog
 
   override def listProcedures(namespace: Array[String])
       : Array[Identifier] =
-    Array("optimize", "cluster", "vacuum", "restore", "history",
+    Array("optimize", "cluster", "vacuum", "vacuum_older_than",
+      "restore", "history",
       "create_branch", "fast_forward", "drop_branch", "create_tag",
       "remove_orphans")
       .map(Identifier.of(namespace, _))
@@ -758,6 +759,20 @@ final class GraftLakeCatalog extends TableCatalog
           StructField("manifests_dropped", LongType),
           StructField("files_deleted", LongType)))) { in =>
         val (m, f) = SnapshotLake.vacuum(tableRoot(in), in.getLong(1).toInt)
+        Seq(m.toLong, f.toLong)
+      }
+      // `CALL cat.vacuum_older_than(table => 't', older_than_ms =>
+      // ts)`: time-based retention — Delta's RETAIN n HOURS /
+      // Iceberg's expire_snapshots(older_than). Same checkpoint and
+      // retention-root envelope as count-based vacuum.
+      case "vacuum_older_than" => proc("vacuum_older_than",
+        Seq(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("older_than_ms", LongType).build()),
+        StructType(Seq(
+          StructField("manifests_dropped", LongType),
+          StructField("files_deleted", LongType)))) { in =>
+        val (m, f) = SnapshotLake.vacuumOlderThan(
+          tableRoot(in), in.getLong(1))
         Seq(m.toLong, f.toLong)
       }
       case "restore" => proc("restore",
@@ -853,7 +868,8 @@ final class GraftLakeCatalog extends TableCatalog
       }
       case other => throw new UnsupportedOperationException(
         s"no procedure '$other' in catalog $catalogName " +
-          "(have: optimize, cluster, vacuum, restore, history, " +
+          "(have: optimize, cluster, vacuum, vacuum_older_than, " +
+          "restore, history, " +
           "create_branch, fast_forward, drop_branch, create_tag, " +
           "remove_orphans)")
     }
@@ -1541,6 +1557,66 @@ object LakeCatalogQueries {
         prow.getLong(0)))
       .toDF("n_files_w100", "n_files_w50", "seam_files_planned",
         "seam_rows", "seam_cents", "point_files_planned", "point_cents")
+  }
+
+  /** Judged TIME-BASED RETENTION (`vacuum_older_than` — Delta's
+    * RETAIN n HOURS, Iceberg's expire_snapshots(older_than)): a
+    * 4-version timeline (append, append, OVERWRITE — a checkpoint —
+    * append) expires everything at or before v1's publish timestamp.
+    * The head is kept unconditionally and the cutoff snaps BACK to
+    * the overwrite's checkpoint, so exactly v0 and v1 drop at every
+    * SF and under every commit-timing coincidence (equal-millisecond
+    * publishes included — the derivation only moves the keep-from
+    * point between versions the checkpoint snap re-pins anyway).
+    * Certificate: dropped count, v2 still time-travelable (the
+    * surviving checkpoint), v1/v0 gone, head aggregates exact.
+    */
+  def q184TimeRetention(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftcat",
+      "graft.sources.GraftLakeCatalog")
+    s.conf.set("spark.sql.catalog.graftcat.root", catBase)
+    s.sql("DROP TABLE IF EXISTS graftcat.q184")
+    Tables.events(s, d).select(col("event_id"),
+        (col("event_id") % 4).as("b"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("q184_events")
+    s.sql("""
+      CREATE TABLE graftcat.q184 (event_id BIGINT, cents BIGINT)
+      TBLPROPERTIES ('statCol' = 'event_id')""")
+    s.sql("""INSERT INTO graftcat.q184
+             SELECT event_id, cents FROM q184_events WHERE b = 0""")
+      .collect(): Unit // v0 (checkpoint: version 0)
+    s.sql("""INSERT INTO graftcat.q184
+             SELECT event_id, cents FROM q184_events WHERE b = 1""")
+      .collect(): Unit // v1 (delta)
+    s.sql("""INSERT OVERWRITE graftcat.q184
+             SELECT event_id, cents FROM q184_events WHERE b = 2""")
+      .collect(): Unit // v2 (overwrite ⇒ checkpoint)
+    s.sql("""INSERT INTO graftcat.q184
+             SELECT event_id, cents FROM q184_events WHERE b = 3""")
+      .collect(): Unit // v3 (delta)
+    val root = s"$catBase/q184"
+    val tsV1 = SnapshotLake.describeVersion(root, 1).flatMap(_._5)
+      .getOrElse(throw new IllegalStateException("v1 records no ts"))
+    val dropped = s.sql("CALL graftcat.vacuum_older_than(" +
+      s"table => 'q184', older_than_ms => $tsV1)").head.getLong(0)
+    val v2Rows = s.sql(
+      "SELECT count(*) FROM graftcat.q184 VERSION AS OF 2")
+      .head.getLong(0)
+    def gone(v: Int): Boolean =
+      scala.util.Try(s.sql(
+        s"SELECT count(*) FROM graftcat.q184 VERSION AS OF $v")
+        .head.getLong(0)).isFailure
+    s.sql("""
+      SELECT count(*) AS head_rows,
+             CAST(sum(cents) AS BIGINT) AS head_cents
+      FROM graftcat.q184""")
+      .select(
+        lit(dropped).as("n_dropped"),
+        lit(v2Rows).as("v2_rows"),
+        lit(gone(1)).as("v1_gone"),
+        lit(gone(0)).as("v0_gone"),
+        col("head_rows"), col("head_cents"))
   }
 
   /** Judged DISTRIBUTED ORPHAN INVENTORY — the 100 TB shape of
@@ -2322,6 +2398,17 @@ object LakeCatalogQueries {
              CAST(2 AS BIGINT) AS n_keygrouped_scans,
              (SELECT CAST(sum(3 * cents) AS BIGINT) FROM e)
                AS join_sum_c3""")),
+    Q("q184_time_retention", q184TimeRetention, Some("""
+      WITH e AS (SELECT event_id, event_id % 4 AS b,
+                        CAST(round(value * 100) AS BIGINT) AS cents
+                 FROM events)
+      SELECT CAST(2 AS BIGINT) AS n_dropped,
+             (SELECT count(*) FROM e WHERE b = 2) AS v2_rows,
+             TRUE AS v1_gone,
+             TRUE AS v0_gone,
+             (SELECT count(*) FROM e WHERE b IN (2, 3)) AS head_rows,
+             (SELECT CAST(sum(cents) AS BIGINT) FROM e
+              WHERE b IN (2, 3)) AS head_cents""")),
     Q("q183_partition_evolution", q183PartitionEvolution, Some("""
       WITH e AS (SELECT event_id AS k,
                         CAST(round(value * 100) AS BIGINT) AS cents

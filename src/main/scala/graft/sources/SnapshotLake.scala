@@ -3182,6 +3182,28 @@ object SnapshotLake {
     finally in.close()
   }
 
+  /** TIME-BASED retention (Delta's `VACUUM … RETAIN n HOURS`,
+    * Iceberg's `expire_snapshots(older_than)`): drop every version
+    * whose manifest published at or before `cutoffMs`, keeping the
+    * head unconditionally (a table must always be readable, even if
+    * every commit predates the horizon). Delegates to [[vacuum]], so
+    * the checkpoint-snapping and tag/branch retention-root rules
+    * apply identically — an operator expiring by wall clock gets the
+    * same safety envelope as one expiring by count.
+    */
+  def vacuumOlderThan(root: String, cutoffMs: Long): (Int, Int) = {
+    val head = headVersion(root)
+    require(head >= 0, s"lake at $root has no committed snapshot")
+    // the first version younger than the horizon; every retained
+    // manifest records its publish ts in the header, one header read
+    // per version (no file list parsed)
+    val keepFrom = (0 to head).find(v =>
+      Files.exists(manifestPath(root, v)) &&
+        describeVersion(root, v).flatMap(_._5).exists(_ > cutoffMs))
+      .getOrElse(head)
+    vacuum(root, head - keepFrom + 1)
+  }
+
   def vacuum(root: String, keepVersions: Int): (Int, Int) = {
     require(keepVersions >= 1, "must keep at least the head version")
     val head = headVersion(root)

@@ -351,6 +351,33 @@ class SnapshotLakeSpec extends SparkTestBase {
     assert(SnapshotLake.read(spark, root, Some(0)).count() === 400L)
   }
 
+  test("vacuumOlderThan keeps the head unconditionally, snaps to a " +
+      "checkpoint, and respects tag retention roots") {
+    val root = freshRoot()
+    SnapshotLake.commit(spark, root, tbl(0 until 10), "k") // v0 ckpt
+    SnapshotLake.commit(spark, root, tbl(10 until 20), "k") // v1 delta
+    SnapshotLake.commit(spark, root, tbl(0 until 5), "k",
+      overwrite = true) // v2 ckpt
+    SnapshotLake.commit(spark, root, tbl(20 until 30), "k") // v3 delta
+    // a far-future horizon must still keep the head (and its
+    // checkpoint ancestry): exactly v0+v1 drop
+    val (m, _) = SnapshotLake.vacuumOlderThan(root, Long.MaxValue)
+    assert(m === 2)
+    assert(SnapshotLake.read(spark, root, Some(2)).count() === 5L)
+    assert(SnapshotLake.read(spark, root).count() === 15L)
+    intercept[Exception] { SnapshotLake.read(spark, root, Some(1)).count() }
+    // tags stay retention roots under the time horizon too
+    val root2 = freshRoot()
+    SnapshotLake.commit(spark, root2, tbl(0 until 10), "k") // v0 ckpt
+    SnapshotLake.commit(spark, root2, tbl(10 until 20), "k") // v1
+    SnapshotLake.commit(spark, root2, tbl(0 until 5), "k",
+      overwrite = true) // v2 ckpt
+    SnapshotLake.createTag(root2, "audit", 1)
+    val (m2, _) = SnapshotLake.vacuumOlderThan(root2, Long.MaxValue)
+    assert(m2 === 0) // the tag pins v1, whose checkpoint is v0
+    assert(SnapshotLake.read(spark, root2, Some(1)).count() === 20L)
+  }
+
   test("vacuum reclaims only unreachable files; retained versions read byte-stable") {
     val root = freshRoot()
     SnapshotLake.commit(spark, root, tbl(0 until 10).coalesce(1), "k")       // v0
