@@ -113,8 +113,8 @@ object SemanticDedup {
 
   /** The size-capped candidate pair set (pre-threshold): members
     * join within (cluster, shard), where clusters over `cap` shard
-    * by `pmod(vec_id, ceil(size/cap))`. Cluster sizes are a K-row
-    * aggregate — broadcast, never shuffled onto the corpus. Each
+    * by `pmod(xxhash64(vec_id), ceil(size/cap))`. Cluster sizes are
+    * a K-row aggregate — broadcast, never shuffled onto the corpus. Each
     * member's squared norm precomputes ONCE before the self-join —
     * recomputing it per pair would redo an O(dim) fold m times per
     * member. Test-visible so the cap's cost ceiling pins exactly.

@@ -58,6 +58,9 @@ import graft.Catalog.Q
   */
 object SnapshotLake {
 
+  @transient private lazy val log =
+    org.slf4j.LoggerFactory.getLogger("graft.sources.SnapshotLake")
+
   /** One live data file: path relative to the lake root, inclusive
     * min/max of the stat column, its row count, an optional second
     * [min, max] on the declared second stat dimension (what makes a
@@ -3196,10 +3199,12 @@ object SnapshotLake {
     require(head >= 0, s"lake at $root has no committed snapshot")
     // the first version younger than the horizon; every retained
     // manifest records its publish ts in the header, one header read
-    // per version (no file list parsed)
+    // per version (no file list parsed). A manifest WITHOUT a ts
+    // (legacy, pre-ts format) counts as YOUNG: deleting on an
+    // unknown age is the one wrong default for a destructive verb
     val keepFrom = (0 to head).find(v =>
       Files.exists(manifestPath(root, v)) &&
-        describeVersion(root, v).flatMap(_._5).exists(_ > cutoffMs))
+        describeVersion(root, v).flatMap(_._5).forall(_ > cutoffMs))
       .getOrElse(head)
     vacuum(root, head - keepFrom + 1)
   }
@@ -3348,12 +3353,13 @@ object SnapshotLake {
 
   /** A directory forest as a DataFrame
     * `(path STRING abs, bytes, mtime, is_dir)` — listed by a SPARK
-    * JOB: the driver sees only the scope dirs and their immediate
-    * children (the walk seeds); each executor task walks one
-    * subtree. With `skipHidden`, `.`/`_`-prefixed FILE names (writer
-    * bookkeeping) are dropped at the source — the orphan contract;
-    * the branch-drop sweep lists everything. Driver memory is
-    * O(seed dirs), never O(files).
+    * JOB: the driver expands walk seeds breadth-first (emitting the
+    * small directories it passes), then each executor task STREAMS
+    * one subtree. With `skipHidden`, `.`/`_`-prefixed FILE names
+    * (writer bookkeeping) are dropped at the source — the orphan
+    * contract; the branch-drop sweep lists everything. Driver memory
+    * is O(expanded dirs × the per-directory file cap) — bounded by
+    * the expansion budget, never by the table's file count.
     */
   private def treeListingDF(s: SparkSession, roots: Seq[Path],
       skipHidden: Boolean): DataFrame = {
@@ -3396,24 +3402,33 @@ object SnapshotLake {
         val children =
           try {
             val ls = Files.list(d)
-            try ls.iterator().asScala
-              .map(_.toAbsolutePath.normalize()).toVector
+            try Some(ls.iterator().asScala
+              .map(_.toAbsolutePath.normalize()).toVector)
             finally ls.close()
-          } catch { case _: java.io.IOException => Vector.empty[Path] }
-        val (subdirs, files) = children.partition(Files.isDirectory(_))
-        if (files.length > expandFileCap)
-          // too many direct files to buffer driver-side: stay a seed
-          leafSeeds += d
-        else {
-          if (emitSelf) statRow(d).foreach { r => directRows += r; () }
-          files.foreach(f => statRow(f).foreach { r =>
-            if (!r._4 && !(skipHidden &&
-                (Paths.get(r._1).getFileName.toString.startsWith(".") ||
-                  Paths.get(r._1).getFileName.toString.startsWith("_"))))
-              { directRows += r; () }
-          })
-          if (subdirs.isEmpty) () // fully emitted
-          else next ++= subdirs
+          } catch { case e: java.io.IOException =>
+            log.warn(s"listing: cannot expand $d (${e.getMessage}) — " +
+              "leaving it as an executor walk seed")
+            None
+          }
+        children match {
+          case None => leafSeeds += d // let the executor walk retry it
+          case Some(cs) =>
+            val (subdirs, files) = cs.partition(Files.isDirectory(_))
+            if (files.length > expandFileCap)
+              // too many direct files to buffer driver-side: seed
+              leafSeeds += d
+            else {
+              if (emitSelf) statRow(d).foreach { r => directRows += r; () }
+              files.foreach { f =>
+                val b = f.getFileName.toString
+                if (!(skipHidden && (b.startsWith(".") || b.startsWith("_"))))
+                  statRow(f).foreach { r =>
+                    if (!r._4) { directRows += r; () }
+                  }
+              }
+              if (subdirs.isEmpty) () // fully emitted
+              else next ++= subdirs
+            }
         }
       }
       seedDirs = next.result()
@@ -3431,22 +3446,37 @@ object SnapshotLake {
         else {
           // STREAMING walk: rows emit as the iterator drains (a flat
           // directory of millions of names never buffers in one
-          // task's heap); the stream closes on exhaustion or on the
-          // first vanished-subtree error
+          // task's heap); the stream closes on exhaustion, on a
+          // walk error, or — for partially-drained iterators (limits,
+          // cancelled tasks) — at task completion
           val w = Files.walk(base)
           val underlying = w.iterator()
-          new scala.collection.AbstractIterator[
+          val it = new scala.collection.AbstractIterator[
               (String, Long, Long, Boolean)] {
             private var nextRow: (String, Long, Long, Boolean) = _
             private var closed = false
-            private def stop(): Unit =
+            def stop(): Unit =
               if (!closed) { closed = true; w.close() }
             private def advance(): Unit = {
               nextRow = null
               while (nextRow == null && !closed) {
                 val p =
                   try { if (underlying.hasNext) underlying.next() else null }
-                  catch { case _: java.io.UncheckedIOException => null }
+                  catch {
+                    case e: java.io.UncheckedIOException =>
+                      // a subtree vanishing mid-walk is the expected
+                      // concurrent-writer race (skip-and-stop is
+                      // conservative: unlisted files are never
+                      // deleted); anything else still truncates the
+                      // seed's remainder but says so — a silent
+                      // partial listing would read as a clean one
+                      if (!e.getCause.isInstanceOf[
+                          java.nio.file.NoSuchFileException])
+                        log.warn(s"listing: walk of $base truncated " +
+                          s"(${e.getCause}) — unlisted files are " +
+                          "skipped, not deleted")
+                      null
+                  }
                 if (p == null) stop()
                 else {
                   val q = p.toAbsolutePath.normalize()
@@ -3465,6 +3495,11 @@ object SnapshotLake {
               val r = nextRow; advance(); r
             }
           }
+          // a partially-drained iterator (limit, cancelled task)
+          // would leak the directory stream — close at task end
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ => it.stop()))
+          it
         }
       }
     walked.union(s.createDataset(directRows.result()))
