@@ -185,6 +185,18 @@ object SemanticDedup {
     */
   def d11SemanticDedup(s: SparkSession, d: String): DataFrame = {
     val it2 = finalAssignment(s, d)
+    // GUARD the judged path: the operator API shards clusters over
+    // ClusterCap by pmod(xxhash64(id), …) — a bound the DuckDB oracle
+    // cannot replicate (no xxhash64). If a judged corpus ever grows a
+    // cluster past the cap, fail HERE, loudly, instead of letting the
+    // capped prune silently diverge from the oracle's uncapped join.
+    val maxCluster = it2.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n")).agg(max(col("n"))).head.getLong(0)
+    require(maxCluster <= ClusterCap,
+      s"d11 judged fixture grew a cluster of $maxCluster members " +
+        s"(> ClusterCap=$ClusterCap): the capped shard prune would " +
+        "diverge from the uncapped DuckDB oracle — re-fixture or " +
+        "raise the cap for the judged query")
     val dropped = droppedPairs(it2)
     val drops = dropped.groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_dropped"),

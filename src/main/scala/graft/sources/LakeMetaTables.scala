@@ -125,10 +125,20 @@ object LakeMetaTables {
       case "orphans" =>
         // distributed when a session is live (the judged path — the
         // listing job runs on executors, the driver holds only the
-        // orphan OUTPUT); the driver walk is the no-session fallback
+        // orphan OUTPUT). getActiveSession is THREAD-LOCAL — a scan
+        // planned from a helper thread would miss it and silently
+        // take the O(files) driver walk, so fall through to the
+        // process-wide default session first and only then (loudly)
+        // to the driver walk.
         org.apache.spark.sql.SparkSession.getActiveSession
+          .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
           .map(ss => SnapshotLake.orphanCandidatesDistributed(ss, root))
-          .getOrElse(SnapshotLake.orphanCandidates(root).sortBy(_._1))
+          .getOrElse {
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"orphans meta table: no active or default SparkSession — " +
+                s"falling back to the single-threaded driver walk of $root")
+            SnapshotLake.orphanCandidates(root).sortBy(_._1)
+          }
           .map { case (p, bytes, ts) => row(s(p), bytes, ts) }
     }
   }

@@ -3199,12 +3199,16 @@ object SnapshotLake {
     require(head >= 0, s"lake at $root has no committed snapshot")
     // the first version younger than the horizon; every retained
     // manifest records its publish ts in the header, one header read
-    // per version (no file list parsed). A manifest WITHOUT a ts
-    // (legacy, pre-ts format) counts as YOUNG: deleting on an
-    // unknown age is the one wrong default for a destructive verb
+    // per version — the probe reads ONLY the header's ts field (not
+    // describeVersion, whose legacy-manifest fallback reconstructs
+    // the full snapshot and would turn this loop quadratic-ish on a
+    // long pre-count history). A manifest WITHOUT a ts (legacy,
+    // pre-ts format) counts as YOUNG: deleting on an unknown age is
+    // the one wrong default for a destructive verb
     val keepFrom = (0 to head).find(v =>
       Files.exists(manifestPath(root, v)) &&
-        describeVersion(root, v).flatMap(_._5).forall(_ > cutoffMs))
+        headerFields(root, v)
+          .flatMap(headerLong(_, "ts")).forall(_ > cutoffMs))
       .getOrElse(head)
     vacuum(root, head - keepFrom + 1)
   }
@@ -3360,9 +3364,18 @@ object SnapshotLake {
     * contract; the branch-drop sweep lists everything. Driver memory
     * is O(expanded dirs × the per-directory file cap) — bounded by
     * the expansion budget, never by the table's file count.
+    *
+    * `strictWalk` governs what a NON-vanishing walk error does: the
+    * orphan scan truncates the seed's remainder with a warning
+    * (conservative — unlisted files are never deleted), but a
+    * consumer that must see the WHOLE tree (dropBranch, where an
+    * unlisted file becomes silent debris after a "successful" drop)
+    * rethrows so the job fails loudly instead. Vanishing entries
+    * (NoSuchFileException) stay tolerated in both modes — for a
+    * delete sweep, already-gone is the goal state.
     */
   private def treeListingDF(s: SparkSession, roots: Seq[Path],
-      skipHidden: Boolean): DataFrame = {
+      skipHidden: Boolean, strictWalk: Boolean = false): DataFrame = {
     import s.implicits._
     // Vanishing entries are EXPECTED under the concurrent writers the
     // grace window exists for (ATOMIC_MOVE out of _staging, a racing
@@ -3467,14 +3480,18 @@ object SnapshotLake {
                       // a subtree vanishing mid-walk is the expected
                       // concurrent-writer race (skip-and-stop is
                       // conservative: unlisted files are never
-                      // deleted); anything else still truncates the
-                      // seed's remainder but says so — a silent
-                      // partial listing would read as a clean one
+                      // deleted); anything else either fails the
+                      // task (strict consumers — dropBranch — where
+                      // an unlisted file becomes silent debris) or
+                      // truncates the seed's remainder but says so —
+                      // a silent partial listing would read as clean
                       if (!e.getCause.isInstanceOf[
-                          java.nio.file.NoSuchFileException])
+                          java.nio.file.NoSuchFileException]) {
+                        if (strictWalk) { stop(); throw e }
                         log.warn(s"listing: walk of $base truncated " +
                           s"(${e.getCause}) — unlisted files are " +
                           "skipped, not deleted")
+                      }
                       null
                   }
                 if (p == null) stop()
@@ -3572,8 +3589,9 @@ object SnapshotLake {
     * materializes a file-name list. Semantics are byte-identical to
     * the driver walk: same grace window on files AND emptied batch
     * directories, same hidden-name scope, same (removed, referenced
-    * on disk) return. Directory cleanup collects only DIRECTORY
-    * paths (O(dirs), orders of magnitude below O(files)).
+    * on disk) return. Directory cleanup runs on executors too
+    * ([[pruneEmptyDirsDistributed]]) — the driver collects nothing
+    * but counters.
     */
   def removeOrphansDistributed(s: SparkSession, root: String,
       graceMs: Long = DefaultOrphanGraceMs): (Long, Long) = {
@@ -3596,14 +3614,56 @@ object SnapshotLake {
           it.foreach(p =>
             if (Files.deleteIfExists(Paths.get(p))) removed.add(1L))
         }
-      listing.where(col("is_dir") && col("mtime") <= cutoff)
-        .select(col("path")).as[String].collect()
-        .sortBy(-_.length)
-        .foreach(d =>
-          try Files.delete(Paths.get(d))
-          catch { case _: java.io.IOException => () })
+      pruneEmptyDirsDistributed(s,
+        listing.where(col("is_dir") && col("mtime") <= cutoff)): Unit
       (removed.value, kept)
     } finally { listing.unpersist(); () }
+  }
+
+  /** Executor-side bottom-up empty-directory prune — the last piece
+    * of the maintenance tier that used to collect paths driver-side.
+    * Candidate dirs range-partition descending and sort descending
+    * WITHIN each partition, so a child (whose path strictly extends
+    * its parent's) is always attempted before its parent in the same
+    * partition; non-empty deletes fail and are swallowed (kept files
+    * keep their ancestors alive — that is the contract, not an
+    * error). A parent split into a different partition from its
+    * children can't empty until they go, so rounds repeat while
+    * progress is made — the driver sees only the per-round success
+    * COUNT, never a directory list. Already-gone dirs re-attempted on
+    * a later round (or a task retry) fail with NoSuchFileException
+    * and count zero, so the total stays exact.
+    */
+  private def pruneEmptyDirsDistributed(s: SparkSession,
+      dirs: DataFrame): Long = {
+    import s.implicits._
+    val ds = dirs.select(col("path")).as[String]
+      .repartitionByRange(
+        math.max(1, s.sparkContext.defaultParallelism), col("path").desc)
+      .sortWithinPartitions(col("path").desc)
+      .persist()
+    var total = 0L
+    try {
+      var progress = true
+      var rounds = 0
+      while (progress && rounds < 64) {
+        // agg, not reduce: AQE can coalesce an empty candidate set to
+        // ZERO partitions, and reduce throws on an empty collection
+        val n = ds.mapPartitions { it =>
+          var c = 0L
+          it.foreach { d =>
+            try { Files.delete(Paths.get(d)); c += 1 }
+            catch { case _: java.io.IOException => () }
+          }
+          Iterator.single(c)
+        }.toDF("n").agg(coalesce(sum(col("n")), lit(0L)))
+          .head.getLong(0)
+        total += n
+        progress = n > 0
+        rounds += 1
+      }
+    } finally { ds.unpersist(); () }
+    total
   }
 
   /** Dry-run face of [[removeOrphans]]: the orphan candidates as
@@ -3874,31 +3934,44 @@ object SnapshotLake {
         // DISTRIBUTED sweep — the remove_orphans shape: an
         // unpublished branch at 100 TB holds millions of staged
         // names, so the listing (every file, hidden included — the
-        // whole tree dies) anti-joins the live chains' referenced
-        // sets as Spark jobs and deletes on executors; the driver
-        // holds only directory paths for the bottom-up empty prune.
+        // whole tree dies, and strictWalk makes a partial listing a
+        // loud job failure rather than silent debris) anti-joins the
+        // live chains' referenced sets as Spark jobs and deletes on
+        // executors; the empty-dir prune is executor-side too — the
+        // driver holds only counters.
         import s.implicits._
         val prefix = brAbs.toString + "/"
         val keptDF = chains.map(cr => referencedDF(s, cr))
           .reduce(_ union _)
           .where(col("path").startsWith(prefix)).distinct()
         val listing = treeListingDF(s, Seq(brAbs),
-          skipHidden = false).persist()
-        try {
-          listing.where(!col("is_dir"))
-            .join(keptDF, Seq("path"), "left_anti")
-            .select(col("path")).as[String]
-            .foreachPartition((it: Iterator[String]) =>
-              it.foreach(p => Files.deleteIfExists(Paths.get(p)): Unit))
-          // kept files keep their ancestor directories alive — the
-          // not-empty delete fails and is swallowed
-          listing.where(col("is_dir"))
-            .select(col("path")).as[String].collect()
-            .sortBy(-_.length)
-            .foreach(dp =>
-              try Files.delete(Paths.get(dp))
-              catch { case _: java.io.IOException => () })
-        } finally { listing.unpersist(); () }
+          skipHidden = false, strictWalk = true).persist()
+        val keptSurvivors =
+          try {
+            val files = listing.where(!col("is_dir"))
+            val survivors = files.join(keptDF, Seq("path"), "left_semi")
+              .count()
+            files.join(keptDF, Seq("path"), "left_anti")
+              .select(col("path")).as[String]
+              .foreachPartition((it: Iterator[String]) =>
+                it.foreach(p => Files.deleteIfExists(Paths.get(p)): Unit))
+            // kept files keep their ancestor directories alive — the
+            // not-empty delete fails and is swallowed
+            pruneEmptyDirsDistributed(s, listing.where(col("is_dir"))): Unit
+            survivors
+          } finally { listing.unpersist(); () }
+        try Files.delete(brAbs)
+        catch { case _: java.io.IOException => () }
+        // verify-at-end: with zero main-referenced survivors the
+        // whole tree must be gone — remaining debris after a
+        // "successful" drop would silently diverge from the
+        // driver-walk path's failure semantics
+        if (keptSurvivors == 0 && Files.exists(brAbs))
+          throw new IllegalStateException(
+            s"dropBranch('$name'): branch directory $brAbs still has " +
+              "entries after the sweep (no live-chain survivors " +
+              "explain them) — debris remains, drop did not complete")
+        return
       case None =>
         val kept = chains
           .flatMap(cr => referencedAbsolute(cr).filter(_.startsWith(brAbs)))

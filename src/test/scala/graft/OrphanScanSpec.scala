@@ -66,6 +66,65 @@ class OrphanScanSpec extends SparkTestBase {
     assert(SnapshotLake.driverOrphanWalks.get() === walks0)
   }
 
+  test("deep-forest prune: a 6-level orphan tree empties bottom-up " +
+      "on executors across partition boundaries; a kept file's " +
+      "ancestor chain survives intact") {
+    val root = Files.createTempDirectory("lake_orphdeep_").toString
+    SnapshotLake.commit(spark, root,
+      (0 until 100).map(i => (i.toLong, i.toLong)).toDF("k", "v"), "k")
+    // a deep forest: 8 top-level trees × 6 nested levels, one orphan
+    // file at every level — ancestors can only empty after all their
+    // descendants, and with range partitioning a parent regularly
+    // lands in a different partition from its children, so this
+    // exercises the multi-round convergence of the executor-side
+    // prune (the driver-side sort never had this problem; the
+    // distributed prune must settle identically)
+    val planted = for (t <- 0 until 8; lvl <- 1 to 6) yield {
+      val dir = Paths.get(root,
+        ("data" +: "t%02d".format(t) +:
+          (1 to lvl).map(l => s"lvl$l")): _*)
+      Files.createDirectories(dir)
+      val f = dir.resolve(s"orphan-$t-$lvl.bin")
+      Files.write(f, s"junk-$t-$lvl".getBytes)
+      f
+    }
+    // one file deep inside tree 0 that the GRACE WINDOW spares (an
+    // in-flight writer's fresh output): its whole ancestor chain must
+    // survive the sweep even though every backdated sibling dies
+    val keptDir = Paths.get(root, "data", "t00",
+      "lvl1", "lvl2", "lvl3", "lvl4", "lvl5", "lvl6")
+    val keptFile = keptDir.resolve("inflight.bin")
+    Files.write(keptFile, "fresh".getBytes): Unit
+    // backdate every planted orphan and every dir under data/ past
+    // the horizon; only the in-flight file stays young
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 48L * 3600 * 1000)
+    val w = Files.walk(Paths.get(root, "data"))
+    try w.iterator().forEachRemaining { p =>
+      if (p != keptFile) Files.setLastModifiedTime(p, old): Unit
+    } finally w.close()
+    val walks0 = SnapshotLake.driverOrphanWalks.get()
+    val (rm, _) = SnapshotLake.removeOrphansDistributed(
+      spark, root, graceMs = 3600L * 1000)
+    assert(rm === 48L) // 8 trees × 6 levels
+    assert(planted.forall(p => !Files.exists(p)))
+    // every fully-orphaned subtree is gone to its top-level dir …
+    for (t <- 1 until 8)
+      assert(!Files.exists(Paths.get(root, "data", "t%02d".format(t))),
+        s"tree $t should have pruned to the root")
+    // … while the in-flight file and its entire ancestor chain
+    // survive (a non-empty dir's delete fails and is swallowed —
+    // the contract, exercised 6 levels deep)
+    assert(Files.exists(keptFile))
+    var d = keptDir
+    while (d.toString != Paths.get(root, "data").toString) {
+      assert(Files.isDirectory(d), s"$d must survive (kept ancestor)")
+      d = d.getParent
+    }
+    assert(SnapshotLake.read(spark, root).count() === 100L)
+    assert(SnapshotLake.driverOrphanWalks.get() === walks0)
+  }
+
   test("the judged SQL faces — t.orphans and CALL remove_orphans — " +
       "ride the distributed scan, not the driver walk") {
     withCatalog {
