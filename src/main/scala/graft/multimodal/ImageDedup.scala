@@ -147,6 +147,106 @@ object ImageDedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** The DuckDB twin of the whole pixel pipeline — synthPpm's
+    * splitmix64 raster, the +1 noise, the 8×8 block aHash and the
+    * Hamming pairs, re-derived in pure SQL so m8 rides the
+    * rows+schema+hash gate like every text query. 64-bit wrapping
+    * arithmetic runs on HUGEINT mod 2^64 with xor/mul done in 32-bit
+    * limbs (DuckDB errors on BIGINT overflow and `**` is float);
+    * `4294967296 = 2^32`, `18446744073709551616 = 2^64`, and the
+    * three decimal constants are splitmix64's 0x9e3779b97f4a7c15,
+    * 0xbf58476d1ce4e5b9, 0x94d049bb133111eb. The oracle emits ALL
+    * distinct pairs at Hamming ≤ 6 from an open self-join — exactly
+    * the Spark side's output, whose chunk blocking is lossless below
+    * Hamming 8 by pigeonhole (first-match emission makes pairs
+    * unique, so the sets coincide). MATERIALIZED keeps DuckDB from
+    * re-expanding the stage chain exponentially.
+    */
+  private val m8Oracle: String = """
+    WITH px0 AS MATERIALIZED (
+      SELECT doc_id, (doc_id // 2) AS g, (doc_id % 2 = 1) AS noisy, i
+      FROM documents
+      CROSS JOIN (SELECT unnest(generate_series(0, 767)) AS i)
+    ),
+    st1 AS MATERIALIZED (
+      SELECT doc_id, noisy, i,
+        (CAST(g AS HUGEINT) * 1000003 + i + 11400714819323198485)
+          % 18446744073709551616 AS s1
+      FROM px0
+    ),
+    st2 AS MATERIALIZED ( -- s1 xor (s1 >> 30)
+      SELECT doc_id, noisy, i,
+        (CAST(xor(CAST(s1 // 4294967296 AS BIGINT),
+                  CAST((s1 // 1073741824) // 4294967296 AS BIGINT))
+              AS HUGEINT) * 4294967296
+         + xor(CAST(s1 % 4294967296 AS BIGINT),
+               CAST((s1 // 1073741824) % 4294967296 AS BIGINT))) AS a
+      FROM st1
+    ),
+    st3 AS MATERIALIZED ( -- (a * C2) mod 2^64, 32-bit limb product
+      SELECT doc_id, noisy, i,
+        ((a % 4294967296) * 13787848793156543929
+         + (((a // 4294967296) * 13787848793156543929) % 4294967296)
+           * 4294967296) % 18446744073709551616 AS s2
+      FROM st2
+    ),
+    st4 AS MATERIALIZED ( -- s2 xor (s2 >> 27)
+      SELECT doc_id, noisy, i,
+        (CAST(xor(CAST(s2 // 4294967296 AS BIGINT),
+                  CAST((s2 // 134217728) // 4294967296 AS BIGINT))
+              AS HUGEINT) * 4294967296
+         + xor(CAST(s2 % 4294967296 AS BIGINT),
+               CAST((s2 // 134217728) % 4294967296 AS BIGINT))) AS b
+      FROM st3
+    ),
+    st5 AS MATERIALIZED ( -- (b * C3) mod 2^64
+      SELECT doc_id, noisy, i,
+        ((b % 4294967296) * 10723151780598845931
+         + (((b // 4294967296) * 10723151780598845931) % 4294967296)
+           * 4294967296) % 18446744073709551616 AS s3
+      FROM st4
+    ),
+    vals AS MATERIALIZED ( -- v = (s3 xor (s3>>31)) & 0xff, +1 noise
+      SELECT doc_id, i,
+        CASE WHEN noisy AND i % 37 = 0
+             THEN least(255, CAST(xor(CAST(s3 % 4294967296 AS BIGINT),
+                    CAST((s3 // 2147483648) % 4294967296 AS BIGINT))
+                    % 256 AS BIGINT) + 1)
+             ELSE CAST(xor(CAST(s3 % 4294967296 AS BIGINT),
+                    CAST((s3 // 2147483648) % 4294967296 AS BIGINT))
+                    % 256 AS BIGINT)
+        END AS v
+      FROM st5
+    ),
+    blocks AS MATERIALIZED ( -- 8x8 block sums over r+g+b, pixel=i//3
+      SELECT doc_id,
+             ((i // 3) // 16 // 2) * 8 + ((i // 3) % 16 // 2) AS blk,
+             sum(v) AS s
+      FROM vals GROUP BY 1, 2
+    ),
+    sigs AS MATERIALIZED ( -- pack bit k = s*64 > total, two halves
+      SELECT doc_id,
+        CAST(raw - CASE WHEN raw >= 9223372036854775808
+                        THEN 18446744073709551616 ELSE 0 END
+             AS BIGINT) AS sig
+      FROM (
+        SELECT doc_id,
+          CAST(sum(CASE WHEN s * 64 > total AND blk >= 32
+                        THEN (CAST(1 AS BIGINT) << (blk - 32))
+                        ELSE 0 END) AS HUGEINT) * 4294967296
+          + sum(CASE WHEN s * 64 > total AND blk < 32
+                     THEN (CAST(1 AS BIGINT) << blk) ELSE 0 END) AS raw
+        FROM (
+          SELECT doc_id, blk, s,
+                 sum(s) OVER (PARTITION BY doc_id) AS total
+          FROM blocks)
+        GROUP BY doc_id)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 6"""
+
   val queries: Seq[Q] = Seq(
-    Q("m8_image_phash_dedup", m8ImagePhashDedup, None))
+    Q("m8_image_phash_dedup", m8ImagePhashDedup, Some(m8Oracle)))
 }

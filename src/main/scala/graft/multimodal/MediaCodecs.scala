@@ -629,6 +629,23 @@ object MediaCodecs {
     "(substr(h, 1, 32) = '89504E470D0A1A0A0000000D49484452'" +
       " AND substr(h, 49, 10) = '0802000000')"
 
+  /** m7's oracle: an identity read of the COMMITTED golden table.
+    * A JPEG entropy decode has no DuckDB twin (no Huffman/IDCT in
+    * SQL), so the expected per-channel sums are minted by a second,
+    * fully independent decoder — `tools/jpeg_decode.py`, a
+    * from-scratch Python implementation of the published libjpeg-6b
+    * algorithms (baseline Huffman, islow integer IDCT, h2v2 fancy
+    * upsampling, table-based YCbCr→RGB) — which agrees with the
+    * JDK's ImageIO codec bit-exactly on every committed fixture.
+    * The golden parquet is the committed artifact of that agreement;
+    * the gate then hash-compares Spark's live decode against it, so
+    * a codec regression on either side goes loudly red.
+    */
+  private val GoldenM7 = graft.sources.Fixtures.path(
+    "fixtures/golden/m7_expected.parquet")
+  private val m7Oracle: String =
+    s"SELECT * FROM read_parquet('$GoldenM7')"
+
   private val m2Oracle: String = {
     val ppmHdr = """P6\n(\d+) (\d+)\n255\n"""
     s"""
@@ -897,5 +914,5 @@ object MediaCodecs {
     Q("m4_audio_windows", m4AudioWindows, Some(m4Oracle)),
     Q("m5_frame_sample", m5FrameSample, Some(m5Oracle)),
     Q("m6_png_decode", m6PngDecode, Some(m6Oracle)),
-    Q("m7_jpeg_decode", m7JpegDecode, None))
+    Q("m7_jpeg_decode", m7JpegDecode, Some(m7Oracle)))
 }
