@@ -1496,6 +1496,72 @@ object LakeCatalogQueries {
         "tail_files_planned", "tail_rows", "tail_cents")
   }
 
+  /** Judged UTF-8 STRING range pruning at the surrogate seam — the
+    * adversary q181's ASCII corpus can't reach: a crawl whose path
+    * prefixes span the full code-point range (Latin-1 'é', CJK '中',
+    * high-BMP U+FFE9, supplementary U+1F600). Java's UTF-16
+    * code-unit order INVERTS the last two (U+FFE9 > a surrogate
+    * pair), the engine's UTF-8 byte order does not — so a prune that
+    * consults Java order drops the U+FFE9 shard from the band and
+    * goes red on rows AND on the planned-file count. The exact
+    * one-code-point docs additionally pin '>' successor tightening
+    * (width counted in CODE POINTS — `"😀".length` is 2): `doc >
+    * '😀'` plans ONE file where `>=` plans two. DuckDB compares
+    * strings as UTF-8 bytes, so the oracle recomputes every
+    * aggregate under the identical order from `chr()` literals.
+    */
+  def q185Utf8RangePrune(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftcat",
+      "graft.sources.GraftLakeCatalog")
+    s.conf.set("spark.sql.catalog.graftcat.root", catBase)
+    s.sql("DROP TABLE IF EXISTS graftcat.q185")
+    val pfx = Seq("é", "中", "￩", "😀") // byte order
+    val pfxCol = element_at(
+      array(pfx.map(lit): _*), (col("event_id") % 4 + 1).cast("int"))
+    // fixed dense-id slice [0, 1000) — SF-invariant file counts —
+    // plus one EXACT one-code-point doc per prefix (its own bin
+    // under truncate(2): the successor-tightening boundary)
+    val docs = Tables.events(s, d).where(col("event_id") < 1000)
+      .select(concat(pfxCol, lit("-"),
+          col("event_id").cast("string")).as("doc"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .union(s.range(4).select(
+        element_at(array(pfx.map(lit): _*), (col("id") + 1).cast("int"))
+          .as("doc"),
+        (col("id") + 1001).as("cents")))
+    docs.createOrReplaceTempView("q185_docs")
+    s.sql("""
+      CREATE TABLE graftcat.q185 (doc STRING, cents BIGINT)
+      PARTITIONED BY (truncate(2, doc))
+      TBLPROPERTIES ('statCol' = 'cents')""")
+    s.sql("INSERT INTO graftcat.q185 SELECT doc, cents FROM q185_docs")
+      .collect(): Unit
+    val nFiles = SnapshotLake.snapshot(s"$catBase/q185")
+      .files.size.toLong
+    def planned(df: DataFrame): Long = LakeScan
+      .findIn(df.queryExecution.executedPlan)
+      .map(_.files.length.toLong).getOrElse(-1L)
+    val band = s.table("graftcat.q185")
+      .where(col("doc") >= "中" && col("doc") < "😀")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+    val brow = band.collect().head
+    val gt = s.table("graftcat.q185")
+      .where(col("doc") > "😀")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+    val grow = gt.collect().head
+    val ge = s.table("graftcat.q185")
+      .where(col("doc") >= "😀")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+    val gerow = ge.collect().head
+    import s.implicits._
+    Seq((nFiles, planned(band), brow.getLong(0), brow.getLong(1),
+        planned(gt), grow.getLong(0), grow.getLong(1),
+        planned(ge), gerow.getLong(0), gerow.getLong(1)))
+      .toDF("n_files", "band_files_planned", "band_rows", "band_cents",
+        "gt_files_planned", "gt_rows", "gt_cents",
+        "ge_files_planned", "ge_rows", "ge_cents")
+  }
+
   /** Judged PARTITION-SPEC EVOLUTION (Iceberg's signature property:
     * specs evolve, old files keep their old layout): a table starts
     * at `truncate(100, k)`, re-layouts to width 50 via
@@ -2437,6 +2503,32 @@ object LakeCatalogQueries {
              TRUE AS no_driver_walk,
              (SELECT count(*) FROM e) AS head_rows,
              (SELECT CAST(sum(cents) AS BIGINT) FROM e) AS head_cents""")),
+    Q("q185_utf8_range_prune", q185Utf8RangePrune, Some("""
+      WITH p AS (SELECT * FROM (VALUES
+             (0, chr(233)), (1, chr(20013)),
+             (2, chr(65513)), (3, chr(128512))) AS t(j, pfx)),
+      e AS MATERIALIZED (
+        SELECT pfx || '-' || CAST(event_id AS VARCHAR) AS doc,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events JOIN p ON CAST(event_id % 4 AS INTEGER) = j
+        WHERE event_id < 1000
+        UNION ALL
+        SELECT pfx AS doc, CAST(1001 + j AS BIGINT) AS cents FROM p
+      )
+      SELECT CAST(8 AS BIGINT) AS n_files,
+             CAST(4 AS BIGINT) AS band_files_planned,
+             (SELECT count(*) FROM e
+              WHERE doc >= chr(20013) AND doc < chr(128512)) AS band_rows,
+             (SELECT CAST(sum(cents) AS BIGINT) FROM e
+              WHERE doc >= chr(20013) AND doc < chr(128512)) AS band_cents,
+             CAST(1 AS BIGINT) AS gt_files_planned,
+             (SELECT count(*) FROM e WHERE doc > chr(128512)) AS gt_rows,
+             (SELECT CAST(sum(cents) AS BIGINT) FROM e
+              WHERE doc > chr(128512)) AS gt_cents,
+             CAST(2 AS BIGINT) AS ge_files_planned,
+             (SELECT count(*) FROM e WHERE doc >= chr(128512)) AS ge_rows,
+             (SELECT CAST(sum(cents) AS BIGINT) FROM e
+              WHERE doc >= chr(128512)) AS ge_cents""")),
     Q("q181_truncate_string_range", q181TruncateStringRange, Some("""
       WITH e AS (SELECT 'e' || CAST(event_id % 8 AS VARCHAR) || '-' ||
                         CAST(event_id AS VARCHAR) AS doc,

@@ -782,11 +782,12 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
   private var truncRange: Map[String, (Long, Long)] = Map.empty
 
   /** RAW string bounds per truncate-partitioned STRING column: the
-    * greatest lower bound and the least upper bound (with a flag for
-    * a strict '<' at the boundary). ASCII literals only — see
-    * [[deriveTruncBounds]].
+    * greatest lower bound and the least upper bound, each with a
+    * strictness flag ('>' / '<' at the boundary). Bounds merge and
+    * prune in the ENGINE's UTF-8 byte order ([[utf8Cmp]]) — any
+    * literal is admissible, ASCII or not.
     */
-  private var truncStrLo: Map[String, String] = Map.empty
+  private var truncStrLo: Map[String, (String, Boolean)] = Map.empty
   private var truncStrHi: Map[String, (String, Boolean)] = Map.empty
 
   private def recordTruncRange(c: String, lo: Long, hi: Long): Unit = {
@@ -797,11 +798,39 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
     }
   }
 
-  private def recordTruncStrLo(c: String, v: String): Unit = {
+  /** The ENGINE's string order: UTF8String compares UTF-8 bytes
+    * unsigned, which is code-point order — NOT Java's UTF-16
+    * code-unit order (a BMP char in [U+E000,U+FFFF] sorts ABOVE a
+    * supplementary character in Java but BELOW it in bytes). Every
+    * comparison on the string prune surface must use this order, or
+    * a bound near the surrogate seam prunes the wrong files.
+    * Pushed-down literals round-trip through the same
+    * `String.getBytes(UTF_8)` conversion UTF8String.fromString uses,
+    * so these bytes ARE the bytes the predicate was evaluated on.
+    */
+  private def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  private def recordTruncStrLo(c: String, v: String,
+      strict: Boolean): Unit = {
     val key = c.toLowerCase(java.util.Locale.ROOT)
     truncStrLo = truncStrLo.updatedWith(key) {
-      case Some(l0) => Some(if (v.compareTo(l0) > 0) v else l0)
-      case None => Some(v)
+      case Some((l0, s0)) =>
+        val cmp = utf8Cmp(v, l0)
+        if (cmp > 0) Some((v, strict))
+        else if (cmp < 0) Some((l0, s0))
+        else Some((l0, s0 || strict))
+      case None => Some((v, strict))
     }
   }
 
@@ -810,7 +839,7 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
     val key = c.toLowerCase(java.util.Locale.ROOT)
     truncStrHi = truncStrHi.updatedWith(key) {
       case Some((h0, s0)) =>
-        val cmp = v.compareTo(h0)
+        val cmp = utf8Cmp(v, h0)
         if (cmp < 0) Some((v, strict))
         else if (cmp > 0) Some((h0, s0))
         else Some((h0, s0 || strict))
@@ -827,31 +856,35 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
     // through whose floor wraps positive and prunes everything.
     def safe(l: Long): Boolean =
       l > -(Long.MaxValue >> 2) && l < (Long.MaxValue >> 2)
-    // String bounds: ASCII literals only. An all-ASCII bound compares
-    // identically under Java's UTF-16 order and the engine's UTF-8
-    // binary order against ANY string, so the per-file prefix
-    // comparison cannot disagree with the ordering the predicate was
-    // evaluated under. Non-ASCII literals decline (surrogate-order
-    // subtleties — never guess).
+    // String bounds: ANY literal. Truncation counts CODE POINTS
+    // (UTF8String.substring), so a tag is always a byte-prefix of
+    // its value, and both merge and prune compare in the engine's
+    // UTF-8 byte order (utf8Cmp) — the ordering the predicate was
+    // evaluated under. Java's UTF-16 order is never consulted, so
+    // surrogate-seam literals (a bound in [U+E000,U+FFFF] vs data
+    // beyond U+FFFF) prune correctly instead of declining.
     def strLit(c: String, v: Any): Option[String] =
       if (!truncStrCols.contains(c.toLowerCase(java.util.Locale.ROOT)))
         None
       else v match {
-        case s: String if s.forall(_ < 0x80) => Some(s)
+        case s: String => Some(s)
         case _ => None
       }
     f match {
       case GreaterThan(c, v) =>
-        // v > l ⇒ v ≥ l + 1 for integrals; for strings prefix
-        // monotonicity only gives prefix(v) ≥ prefix(l) — same bound
-        // as ≥ (exact tightening needs a successor function)
+        // v > l ⇒ v ≥ l + 1 for integrals; for strings the strict
+        // flag tightens at the prune site WHEN the per-file width
+        // allows (codePointCount(l) < W: every x > l then has
+        // trunc(x) > l, because trunc keeps more points than l has —
+        // see the prune-site proof; at codePointCount(l) == W the
+        // boundary tag must stay, x = l+"z" shares it)
         for (l <- num(v) if isInt(c) && safe(l))
           recordTruncRange(c, l + 1, Long.MaxValue)
-        strLit(c, v).foreach(recordTruncStrLo(c, _))
+        strLit(c, v).foreach(recordTruncStrLo(c, _, strict = true))
       case GreaterThanOrEqual(c, v) =>
         for (l <- num(v) if isInt(c) && safe(l))
           recordTruncRange(c, l, Long.MaxValue)
-        strLit(c, v).foreach(recordTruncStrLo(c, _))
+        strLit(c, v).foreach(recordTruncStrLo(c, _, strict = false))
       case LessThan(c, v) =>
         for (l <- num(v) if isInt(c) && safe(l))
           recordTruncRange(c, Long.MinValue, l - 1)
@@ -1313,23 +1346,36 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
               }
             case _ => true
           } } &&
-        // string truncate-range prune: prefix truncation is monotone
-        // (v ≥ lo ⇒ prefix(v) ≥ prefix(lo)), so the file's tag must
-        // sit between the bounds' own per-file-width prefixes. A
-        // strict '<' whose bound fits in W chars additionally
-        // excludes the boundary tag: hi equals its own prefix, and
-        // every string carrying that prefix is ≥ hi.
+        // string truncate-range prune, all comparisons in UTF-8 byte
+        // order: prefix truncation is monotone in byte order (a tag
+        // is a byte-prefix of its value — truncation counts code
+        // points, so no encoding is ever split), so the file's tag
+        // must sit between the bounds' own per-file-width prefixes.
+        // Strict tightening, with WIDTH IN CODE POINTS (Java .length
+        // counts UTF-16 units and overcounts supplementary chars):
+        //  '<' with cp(hi) ≤ W excludes the boundary tag — hi equals
+        //    its own prefix and every string carrying that prefix is
+        //    ≥ hi;
+        //  '>' with cp(lo) < W (strictly — at cp(lo) == W the string
+        //    lo+"z" is > lo yet shares lo's tag) excludes it too:
+        //    any x > lo either extends lo (trunc keeps > cp(lo)
+        //    points, so trunc(x) properly extends lo ⇒ > lo) or
+        //    first differs at a point < cp(lo) ≤ W that trunc
+        //    preserves ⇒ trunc(x) > lo.
         (truncStrLo.keySet ++ truncStrHi.keySet).forall { ck =>
           (f.part.toSeq ++ f.part2.toSeq).forall {
             case (pc, pv) if graft.functions.GraftTruncate.parseTag(pc)
                 .exists(_._2.toLowerCase(java.util.Locale.ROOT) == ck) =>
               val w = graft.functions.GraftTruncate.parseTag(pc).get._1
-              truncStrLo.get(ck).forall(lo =>
-                pv.compareTo(
-                  graft.functions.GraftTruncate.value(lo, w)) >= 0) &&
+              def cp(s: String): Int = s.codePointCount(0, s.length)
+              truncStrLo.get(ck).forall { case (lo, strict) =>
+                if (strict && cp(lo) < w) utf8Cmp(pv, lo) > 0
+                else utf8Cmp(pv,
+                  graft.functions.GraftTruncate.value(lo, w)) >= 0
+              } &&
                 truncStrHi.get(ck).forall { case (hi, strict) =>
-                  if (strict && hi.length <= w) pv.compareTo(hi) < 0
-                  else pv.compareTo(
+                  if (strict && cp(hi) <= w) utf8Cmp(pv, hi) < 0
+                  else utf8Cmp(pv,
                     graft.functions.GraftTruncate.value(hi, w)) <= 0
                 }
             case _ => true
@@ -1425,9 +1471,10 @@ final class LakeScanBuilder(root: String, asOf: Option[Int],
           .map { case (c, (tlo, thi)) => s" trunc=$c∈[$tlo,$thi]" }
           .mkString +
         (truncStrLo.keySet ++ truncStrHi.keySet).toSeq.sorted.map { c =>
-          val lo = truncStrLo.getOrElse(c, "")
+          val (lo, loStrict) = truncStrLo.getOrElse(c, ("", false))
           val (hi, strict) = truncStrHi.getOrElse(c, ("…", false))
-          s" strunc=$c∈[$lo,$hi${if (strict) ")" else "]"}"
+          s" strunc=$c∈${if (loStrict) "(" else "["}$lo,$hi" +
+            (if (strict) ")" else "]")
         }.mkString +
         spj.fold("") { case (c, _) => (spjBuckets, spjTrunc) match {
           case (Some(n), _) =>

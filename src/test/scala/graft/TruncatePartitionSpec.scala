@@ -201,7 +201,7 @@ class TruncatePartitionSpec extends SparkTestBase {
 
   test("STRING range predicates prune by prefix order: URL-style " +
       "bounds ride the truncate layout; strict upper bounds at the " +
-      "prefix boundary exclude the tag; non-ASCII declines") {
+      "prefix boundary exclude the tag; non-ASCII bounds derive") {
     withCatalog {
       spark.sql(s"""
         CREATE TABLE $cat.sr (doc STRING, cents BIGINT)
@@ -231,11 +231,62 @@ class TruncatePartitionSpec extends SparkTestBase {
       val r4 = spark.table(s"$cat.sr").where(col("doc") <= "bbb-doc-1")
       assert(plannedFiles(r4) === 2)
       assert(r4.count() === 101L)
-      // non-ASCII bound declines derivation — keep all files, stay
-      // correct (never guess at surrogate order)
+      // non-ASCII bound derives too (UTF-8 byte order): 'bbé' sits
+      // between 'bbb' and 'ccc', so only ccc/ddd survive the prune
       val r5 = spark.table(s"$cat.sr").where(col("doc") >= "bbé")
-      assert(plannedFiles(r5) === 4)
+      assert(plannedFiles(r5) === 2)
       assert(r5.count() === 200L)
+    }
+  }
+
+  test("UTF-8 byte-order pruning at the surrogate seam: a BMP bound " +
+      "in [U+E000,U+FFFF] vs supplementary data, code-point widths, " +
+      "and '>' successor tightening") {
+    withCatalog {
+      spark.sql(s"""
+        CREATE TABLE $cat.u8 (doc STRING, cents BIGINT)
+        PARTITIONED BY (truncate(2, doc))
+        TBLPROPERTIES ('statCol' = 'cents')""")
+      // four prefixes in ENGINE (UTF-8/code-point) order; the last
+      // two INVERT under Java's UTF-16 order (U+FFE9 = EF BF A9 <
+      // U+1F600 = F0 9F 98 80 in bytes, but ￩ > \uD83D in
+      // chars) — a Java-order prune drops the wrong files here
+      val pfx = Seq("é", "中", "￩", "😀")
+      val rows = (0 until 400).map(i => (s"${pfx(i % 4)}-$i", i.toLong)) ++
+        pfx.zipWithIndex.map { case (p, j) => (p, 1000L + j) } // exact
+      rows.toDF("doc", "cents").createOrReplaceTempView("u8_in")
+      spark.sql(s"INSERT INTO $cat.u8 SELECT * FROM u8_in")
+      // 8 bins: each prefix alone (1 code point) and prefix + '-'
+      assert(spark.table(s"$cat.u8").count() === 404L)
+      // band [中, 😀): strict hi, cp(hi)=1 <= 2 excludes the 😀 tags;
+      // Java order would ALSO exclude the ￩ tags (wrongly)
+      val band = spark.table(s"$cat.u8")
+        .where(col("doc") >= "中" && col("doc") < "😀")
+      assert(plannedFiles(band) === 4) // 中, 中-, ￩, ￩-
+      assert(band.count() === 202L)
+      // '>' successor tightening needs cp(lo) < W — and cp must count
+      // CODE POINTS ("😀".length == 2 == W would wrongly skip it):
+      // doc > '😀' keeps only the '😀-' bin, excluding the exact tag
+      val gt = spark.table(s"$cat.u8")
+        .where(col("doc") > "😀")
+      assert(plannedFiles(gt) === 1)
+      assert(gt.count() === 100L)
+      // … while >= keeps both 😀 bins (the exact doc re-enters)
+      val ge = spark.table(s"$cat.u8")
+        .where(col("doc") >= "😀")
+      assert(plannedFiles(ge) === 2)
+      assert(ge.count() === 101L)
+      // at cp(lo) == W the boundary tag must STAY strict or not:
+      // doc > '中-' (cp 2): the string '中-z' shares the '中-' tag
+      val gtw = spark.table(s"$cat.u8").where(col("doc") > "中-")
+      assert(plannedFiles(gtw) === 5) // 中- stays; ￩, ￩-, 😀, 😀-
+      assert(gtw.count() === 302L)
+      // correctness of every kept row — expected set derived by
+      // PREFIX membership (order-free: Scala's String '<' is Java
+      // UTF-16 order and would mis-state the engine's own answer)
+      assert(band.agg(sum("cents")).head.getLong(0) ===
+        rows.filter(r => r._1.startsWith("中") || r._1.startsWith("￩"))
+          .map(_._2).sum)
     }
   }
 
