@@ -2256,8 +2256,10 @@ object LakeCatalogQueries {
   }
 
   /** Judged streaming CHANGE DATA FEED: a `changefeed=true` table
-    * mutates through SQL (two INSERTs, a CoW UPDATE, a MERGE, a CoW
-    * DELETE) and an AvailableNow stream with `readChangeFeed=true`
+    * mutates through SQL (an INSERT, a MERGE emitting updates AND
+    * inserts in one CoW commit, a CoW DELETE — every change class
+    * the feed classifies, in three versions) and an AvailableNow
+    * stream with `readChangeFeed=true`
     * drains the classified per-version change sets — inserts derived
     * from the manifest diff, rewrites replayed from the `_changes`
     * sidecars the mutations materialized. The (version, change_type)
@@ -2280,24 +2282,25 @@ object LakeCatalogQueries {
     s.sql("""
       CREATE TABLE graftcat.q158 (event_id BIGINT, cents BIGINT)
       TBLPROPERTIES ('statCol' = 'event_id', 'changefeed' = 'true')""")
+    // THREE versions cover every change class the feed classifies
+    // (the q159 trim, applied here): v0 manifest-diff inserts, v1 a
+    // MERGE whose one CoW commit emits BOTH sidecar updates (matched
+    // b=0) and inserts (unmatched b=1), v2 CoW deletes. Same
+    // classification contract as the old 5-version timeline, two
+    // fewer fixture DMLs per bench run.
     s.sql("""INSERT INTO graftcat.q158
              SELECT event_id, cents FROM q158_events WHERE b = 0""")
       .collect(): Unit // v0
-    s.sql("""INSERT INTO graftcat.q158
-             SELECT event_id, cents FROM q158_events WHERE b = 1""")
-      .collect(): Unit // v1
-    s.sql("""UPDATE graftcat.q158 SET cents = cents + 7
-             WHERE event_id % 10 = 3""").collect(): Unit // v2, CoW
     s.sql("""
       MERGE INTO graftcat.q158 AS t
       USING (SELECT event_id, cents + 1000 AS cents
-             FROM q158_events WHERE b IN (1, 2)) AS u
+             FROM q158_events WHERE b IN (0, 1)) AS u
       ON t.event_id = u.event_id
       WHEN MATCHED THEN UPDATE SET cents = u.cents
       WHEN NOT MATCHED THEN INSERT (event_id, cents)
-        VALUES (u.event_id, u.cents)""").collect(): Unit // v3, CoW
+        VALUES (u.event_id, u.cents)""").collect(): Unit // v1, CoW
     s.sql("""DELETE FROM graftcat.q158
-             WHERE event_id % 10 = 3""").collect(): Unit // v4, CoW
+             WHERE event_id % 10 = 3""").collect(): Unit // v2, CoW
     val outRoot = Housekeeping.tempDir("q158_out")
     val (sink, chk) = (s"$outRoot/data", s"$outRoot/chk")
     val ss = s.newSession()
@@ -2681,22 +2684,14 @@ object LakeCatalogQueries {
              count(*) AS n, CAST(sum(cents) AS BIGINT) AS c
       FROM e WHERE b = 0
       UNION ALL
-      SELECT 1, 'insert', count(*), CAST(sum(cents) AS BIGINT)
+      SELECT 1, 'insert', count(*), CAST(sum(cents + 1000) AS BIGINT)
       FROM e WHERE b = 1
       UNION ALL
-      SELECT 2, 'update', count(*), CAST(sum(cents + 7) AS BIGINT)
+      SELECT 1, 'update', count(*), CAST(sum(cents + 1000) AS BIGINT)
+      FROM e WHERE b = 0
+      UNION ALL
+      SELECT 2, 'delete', count(*), CAST(sum(cents + 1000) AS BIGINT)
       FROM e WHERE b IN (0, 1) AND event_id % 10 = 3
-      UNION ALL
-      SELECT 3, 'insert', count(*), CAST(sum(cents + 1000) AS BIGINT)
-      FROM e WHERE b = 2
-      UNION ALL
-      SELECT 3, 'update', count(*), CAST(sum(cents + 1000) AS BIGINT)
-      FROM e WHERE b = 1
-      UNION ALL
-      SELECT 4, 'delete', count(*),
-             CAST(sum(CASE WHEN b = 0 THEN cents + 7
-                           ELSE cents + 1000 END) AS BIGINT)
-      FROM e WHERE b IN (0, 1, 2) AND event_id % 10 = 3
       ORDER BY 1, 2""")),
     Q("q157_cluster_by", q157ClusterBy, Some("""
       WITH ev AS (SELECT user_id,

@@ -5408,18 +5408,34 @@ object SnapshotLake {
     // the certificate is about the CHAIN (17 versions: 15 deltas +
     // the v16 checkpoint externalizing the file list), not about how
     // much data each version carries — so v0 lands one slice and 16
-    // single-row appends drive the log shape. One filtered events
-    // scan instead of seventeen: same contract, a fraction of the
-    // old fixture cost.
+    // single-row tick appends drive the log shape.
     val span = ev.agg(max(col("event_id"))).head().getLong(0) + 1
     commit(s, root, ev.where(col("event_id") % 17 === 0).coalesce(1),
       "event_id")
     import s.implicits._
-    (0 until 16).foreach(i =>
-      commit(s, root,
-        Seq((span + i, "tick", 0L))
-          .toDF("event_id", "event_type", "cents").coalesce(1),
-        "event_id"))
+    // v1: ONE real Spark-written tick row. v2..v16: the certificate
+    // needs 15 more VERSIONS, not 15 more Spark write jobs — each
+    // tick byte-copies v1's file under a fresh batch name and
+    // commits at the file level with the same (true) stats, so the
+    // log grows exactly as before at a fraction of the fixture cost
+    // (this was the round-14 streaming-floor trim ask; the checkpoint
+    // interval is an engine constant, the 17 versions are the point).
+    commit(s, root,
+      Seq((span, "tick", 0L))
+        .toDF("event_id", "event_type", "cents").coalesce(1),
+      "event_id")
+    val tickStat = snapshot(root).files
+      .find(f => f.rows == 1L && f.lo == span)
+      .getOrElse(throw new IllegalStateException(
+        s"v1 tick file not found in $root"))
+    (2 to 16).foreach { i =>
+      val newName = s"data/b-tick$i/part-0.parquet"
+      Files.createDirectories(Paths.get(root, s"data/b-tick$i"))
+      Files.copy(Paths.get(root, tickStat.name),
+        Paths.get(root, newName)): Unit
+      commitFiles(root, Seq(tickStat.copy(name = newName)),
+        "event_id", overwrite = false, bloomCol = None): Unit
+    }
     val textBytes = Files.size(manifestPath(root, 16))
     // resolve the checkpoint sidecar by listing (a glob path makes
     // Spark's FileStreamSink metadata probe log a harmless-but-noisy
@@ -5895,7 +5911,7 @@ object SnapshotLake {
              CAST(17 AS BIGINT) AS n_files,
              count(*) FILTER (WHERE event_id % 17 = 0) + 16 AS n_rows,
              min(event_id) FILTER (WHERE event_id % 17 = 0) AS min_lo,
-             (SELECT mx FROM sp) + 16 AS max_hi
+             (SELECT mx FROM sp) + 1 AS max_hi
       FROM events""")),
     Q("q130_column_mapping", q130ColumnMapping, Some("""
       SELECT CAST(2 AS BIGINT) AS n_cols,

@@ -442,15 +442,21 @@ object StreamingGate {
     //  1. The query watermark is the MIN across BOTH withWatermark
     //     sides, so a purchase-only sentinel leaves the click side's
     //     event-time clock — and therefore the global watermark —
-    //     stalled at the last real click. Batch 3 carries a sentinel
-    //     on EACH side at max + 4h.
+    //     stalled at the last real click. A sentinel rides on EACH
+    //     side at max + 4h.
     //  2. Eviction executes DURING a batch, using the watermark
-    //     committed at the end of the batch before it — so batch 4
-    //     (right-side-only, max + 8h) exists purely to run the final
-    //     eviction wave under batch 3's already-sufficient watermark
+    //     committed at the end of the batch before it — so the final
+    //     batch (right-side-only, max + 8h) exists purely to run the
+    //     eviction wave under the already-sufficient watermark
     //     (min(4h, 4h) − 1h lag = max + 3h; left rows evict once
     //     imp_ts < WM − 2h horizon = max + 1h, which covers every
     //     real click).
+    // THREE batches, not four (the round-14 floor-trim ask): the
+    // dual sentinel rides WITH the second data half — watermark
+    // advancement happens at end-of-batch either way, cross-batch
+    // buffering (batch-2 purchases vs batch-1 clicks in state) is
+    // untouched, and the final eviction wave still runs one batch
+    // later. Same judged frame; one fewer drain cycle per run.
     // Neither sentinel can surface: the click sentinel at max + 4h
     // needs WM > max + 6h to evict (never happens — WM peaks at
     // max + 3h, capped by the click side), purchase sentinels are
@@ -464,8 +470,9 @@ object StreamingGate {
       lit(side).as("event_type"), lit(0.0).as("value"))
     runBatches(s, "q97_stream", "graft_q97_outer",
       Seq(base.where(col("ts") < lit(mid)),
-        base.where(col("ts") >= lit(mid)),
-        sentinel("click", -2L, 4).unionAll(sentinel("purchase", -1L, 4)),
+        base.where(col("ts") >= lit(mid))
+          .unionAll(sentinel("click", -2L, 4))
+          .unionAll(sentinel("purchase", -1L, 4)),
         sentinel("purchase", -1L, 8)),
       // 1 state partition, not 8: a symmetric stream-stream join
       // carries 4 state stores per partition per side, and each of
