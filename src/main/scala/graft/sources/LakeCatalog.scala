@@ -711,7 +711,7 @@ final class GraftLakeCatalog extends TableCatalog
     Array("optimize", "cluster", "vacuum", "vacuum_older_than",
       "restore", "history",
       "create_branch", "fast_forward", "drop_branch", "create_tag",
-      "remove_orphans")
+      "remove_orphans", "add_files")
       .map(Identifier.of(namespace, _))
 
   override def loadProcedure(ident: Identifier): UnboundProcedure =
@@ -866,12 +866,30 @@ final class GraftLakeCatalog extends TableCatalog
           tableRoot(in), in.getLong(1))
         Seq(rm, kept)
       }
+      // `CALL cat.add_files(table => 't', source_dir => '/path')`:
+      // Iceberg's import-by-reference — register external parquet
+      // into the manifest by absolute path, zero bytes moved; one
+      // Spark job computes the full per-file stat envelope so every
+      // prune works on imported files. Borrowed ownership: vacuum
+      // never deletes them, DML rewrites copy-on-write.
+      case "add_files" => proc("add_files",
+        Seq(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("source_dir", StringType).build()),
+        StructType(Seq(
+          StructField("version", LongType),
+          StructField("files_added", LongType),
+          StructField("rows_added", LongType)))) { in =>
+        val (v, nf, nr) = SnapshotLake.addFiles(
+          org.apache.spark.sql.SparkSession.active,
+          tableRoot(in), in.getUTF8String(1).toString)
+        Seq(v.toLong, nf, nr)
+      }
       case other => throw new UnsupportedOperationException(
         s"no procedure '$other' in catalog $catalogName " +
           "(have: optimize, cluster, vacuum, vacuum_older_than, " +
           "restore, history, " +
           "create_branch, fast_forward, drop_branch, create_tag, " +
-          "remove_orphans)")
+          "remove_orphans, add_files)")
     }
 
   // -- catalog-shipped SQL functions ------------------------------------
@@ -1494,6 +1512,92 @@ object LakeCatalogQueries {
         planned(tail), trow.getLong(0), trow.getLong(1)))
       .toDF("n_files", "band_files_planned", "band_rows", "band_cents",
         "tail_files_planned", "tail_rows", "tail_cents")
+  }
+
+  /** Judged IMPORT BY REFERENCE (`CALL add_files`): two external
+    * parquet directories — disjoint event_id range slices — register
+    * into a table that already owns a third slice; zero bytes move.
+    * The certificates are the three contracts that make the verb
+    * usable at 100 TB: (1) the import is metadata-only — the
+    * manifest gains exactly two ABSOLUTE (borrowed) references and
+    * the lake's own data/ directory stays at its pre-import file
+    * count; (2) imported files join the stat envelope — a range
+    * predicate covering only the first external slice PLANS exactly
+    * one file, and its aggregate is row-exact; (3) borrowed
+    * ownership survives DML — a CoW DELETE that touches only the
+    * second external slice rewrites that reference into an owned
+    * file (borrowed count drops to 1) while the external directory's
+    * bytes stay intact on disk, and the post-delete totals are
+    * exact. DuckDB replays every aggregate closed-form from events.
+    */
+  def q186AddFiles(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftcat",
+      "graft.sources.GraftLakeCatalog")
+    s.conf.set("spark.sql.catalog.graftcat.root", catBase)
+    s.sql("DROP TABLE IF EXISTS graftcat.q186")
+    val ev = Tables.events(s, d).select(col("event_id"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val span = ev.agg(max(col("event_id"))).head.getLong(0) + 1
+    val (s1, s2) = (span / 3, 2 * span / 3)
+    val ext1 = graft.sources.Housekeeping.tempDir("q186_ext1")
+    val ext2 = graft.sources.Housekeeping.tempDir("q186_ext2")
+    ev.where(col("event_id") < s1).coalesce(1)
+      .write.mode("overwrite").parquet(ext1)
+    ev.where(col("event_id") >= s1 && col("event_id") < s2).coalesce(1)
+      .write.mode("overwrite").parquet(ext2)
+    ev.where(col("event_id") >= s2)
+      .createOrReplaceTempView("q186_owned")
+    s.sql("""
+      CREATE TABLE graftcat.q186 (event_id BIGINT, cents BIGINT)
+      TBLPROPERTIES ('statCol' = 'event_id')""")
+    s.sql("INSERT INTO graftcat.q186 SELECT * FROM q186_owned")
+      .collect(): Unit // v0, owned
+    def ownedDataFiles(): Long = {
+      val w = Files.walk(Paths.get(catBase, "q186", "data"))
+      try w.iterator().asScala.count(p =>
+        p.toString.endsWith(".parquet")).toLong
+      finally w.close()
+    }
+    val ownedBefore = ownedDataFiles()
+    s.sql(s"CALL graftcat.add_files(table => 'q186', " +
+      s"source_dir => '$ext1')").collect(): Unit // v1
+    s.sql(s"CALL graftcat.add_files(table => 'q186', " +
+      s"source_dir => '$ext2')").collect(): Unit // v2
+    val root = s"$catBase/q186"
+    def borrowed(): Long =
+      SnapshotLake.snapshot(root).files.count(_.name.startsWith("/"))
+      .toLong
+    val borrowedAfterAdds = borrowed()
+    val importMetadataOnly = ownedDataFiles() == ownedBefore
+    def planned(df: DataFrame): Long = LakeScan
+      .findIn(df.queryExecution.executedPlan)
+      .map(_.files.length.toLong).getOrElse(-1L)
+    val lo = s.table("graftcat.q186").where(col("event_id") < s1)
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+    val lrow = lo.collect().head
+    // CoW DELETE confined to ext2's slice: rewrites the borrowed
+    // reference into an owned file; the external bytes must survive
+    val extBytes = Files.list(Paths.get(ext2)).iterator().asScala
+      .filter(_.toString.endsWith(".parquet"))
+      .map(p => (p.toString, Files.size(p))).toMap
+    s.sql(s"""DELETE FROM graftcat.q186
+              WHERE event_id >= $s1 AND event_id < $s2
+                AND event_id % 10 = 7""").collect(): Unit // v3, CoW
+    val externalsIntact = extBytes.forall { case (p, sz) =>
+      Files.exists(Paths.get(p)) && Files.size(Paths.get(p)) == sz
+    }
+    val tot = s.table("graftcat.q186")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+    val trow = tot.collect().head
+    import s.implicits._
+    Seq((SnapshotLake.headVersion(root).toLong, borrowedAfterAdds,
+        importMetadataOnly, planned(lo), lrow.getLong(0),
+        lrow.getLong(1), borrowed(), externalsIntact,
+        trow.getLong(0), trow.getLong(1)))
+      .toDF("head_version", "n_borrowed", "import_metadata_only",
+        "lo_files_planned", "lo_rows", "lo_cents",
+        "borrowed_after_delete", "externals_intact",
+        "total_rows", "total_cents")
   }
 
   /** Judged UTF-8 STRING range pruning at the surrogate seam — the
@@ -2506,6 +2610,29 @@ object LakeCatalogQueries {
              TRUE AS no_driver_walk,
              (SELECT count(*) FROM e) AS head_rows,
              (SELECT CAST(sum(cents) AS BIGINT) FROM e) AS head_cents""")),
+    Q("q186_add_files", q186AddFiles, Some("""
+      WITH e AS (SELECT event_id,
+                        CAST(round(value * 100) AS BIGINT) AS cents
+                 FROM events),
+      sp AS (SELECT max(event_id) + 1 AS span FROM e)
+      SELECT CAST(3 AS BIGINT) AS head_version,
+             CAST(2 AS BIGINT) AS n_borrowed,
+             TRUE AS import_metadata_only,
+             CAST(1 AS BIGINT) AS lo_files_planned,
+             (SELECT count(*) FROM e, sp
+              WHERE event_id < span // 3) AS lo_rows,
+             (SELECT CAST(sum(cents) AS BIGINT) FROM e, sp
+              WHERE event_id < span // 3) AS lo_cents,
+             CAST(1 AS BIGINT) AS borrowed_after_delete,
+             TRUE AS externals_intact,
+             (SELECT count(*) FROM e, sp
+              WHERE NOT (event_id >= span // 3
+                         AND event_id < 2 * span // 3
+                         AND event_id % 10 = 7)) AS total_rows,
+             (SELECT CAST(sum(cents) AS BIGINT) FROM e, sp
+              WHERE NOT (event_id >= span // 3
+                         AND event_id < 2 * span // 3
+                         AND event_id % 10 = 7)) AS total_cents""")),
     Q("q185_utf8_range_prune", q185Utf8RangePrune, Some("""
       WITH p AS (SELECT * FROM (VALUES
              (0, chr(233)), (1, chr(20013)),

@@ -2832,9 +2832,15 @@ object SnapshotLake {
     * the physical file each row came from; the optional bloom rides
     * the same aggregate (write-time index build, never a second scan).
     */
+  /** `externalDir`: compute the same stats over a directory OUTSIDE
+    * the lake (the add_files import path) — files record under their
+    * ABSOLUTE normalized paths (the shallow-clone borrowed-ref
+    * idiom: vacuum never deletes them, reads resolve them as-is).
+    */
   private[sources] def statsFor(s: SparkSession, root: String, batch: String,
       statCol: String, bloomCol: Option[String],
-      bloomBytes: Int, statCol2: Option[String] = None): Seq[FileStat] = {
+      bloomBytes: Int, statCol2: Option[String] = None,
+      externalDir: Option[String] = None): Seq[FileStat] = {
     val baseAggs = Seq(
       min(col(statCol)).cast("long").as("lo"),
       max(col(statCol)).cast("long").as("hi"),
@@ -2852,7 +2858,7 @@ object SnapshotLake {
       bloomUdaf(col(c).cast("long")).as("bloom")
     }
     val bloomIdx = 5 + d2Aggs.size
-    val df = s.read.parquet(s"$root/$batch")
+    val df = s.read.parquet(externalDir.getOrElse(s"$root/$batch"))
     // per-column CBO statistics for the integral columns the stat
     // envelope does NOT cover: exact [min, max] plus a bounded KMV
     // sketch of the hashed values (capped at 4 columns so manifest
@@ -2904,7 +2910,11 @@ object SnapshotLake {
       .collect()
       .map { r =>
         val uri = r.getString(0)
-        val rel = uri.substring(uri.indexOf("/data/") + 1)
+        val rel =
+          if (externalDir.isDefined)
+            Paths.get(java.net.URI.create(uri).getPath)
+              .toAbsolutePath.normalize.toString
+          else uri.substring(uri.indexOf("/data/") + 1)
         val cstats = csCols.zipWithIndex.flatMap { case ((c, _), i) =>
           val loI = r.fieldIndex(s"__cs_lo_$i")
           // an all-null file records no entry for the column — the
@@ -2925,7 +2935,8 @@ object SnapshotLake {
           else None,
           if (statCol2.isDefined) Some((r.getLong(5), r.getLong(6)))
           else None,
-          Some(Files.size(Paths.get(root, rel))),
+          Some(Files.size(if (rel.startsWith("/")) Paths.get(rel)
+            else Paths.get(root, rel))),
           sum = if (r.isNullAt(4)) None else Some(r.getLong(4)),
           cstats = cstats)
       }
@@ -4229,6 +4240,58 @@ object SnapshotLake {
         annotated.fields.filterNot(_ eq victim)),
         head.retired + colKey(ColMap.phys(victim)))
     })
+
+  /** IMPORT BY REFERENCE (Iceberg's `add_files`, the register half
+    * of Delta's `CONVERT TO DELTA`): commit pre-existing parquet
+    * files into the chain by ABSOLUTE path — zero bytes moved or
+    * rewritten, the verb that onboards a 100 TB directory in
+    * O(manifest). One Spark job computes the full per-file stat
+    * envelope (rows, statCol lo/hi, write-time sum, dim2 box,
+    * CBO column stats) grouped by file, so every stat/range/agg
+    * prune and manifest-answered aggregate works on imported files
+    * exactly as on owned ones. Imported files follow the
+    * shallow-clone ownership contract: borrowed, never owned —
+    * vacuum never deletes them, and row-level DML rewrites them into
+    * owned files copy-on-write (dropping the reference, not the
+    * source bytes). Schema runs through the same evolution guard as
+    * a write; chains with renamed/mapped columns refuse (an external
+    * file carries logical names — resolving it through a mapped
+    * schema would read the wrong storage names).
+    *
+    * Returns (version, files_added, rows_added).
+    */
+  def addFiles(s: SparkSession, root: String,
+      sourceDir: String): (Int, Long, Long) = {
+    require(headVersion(root) >= 0,
+      s"add_files needs an existing committed table at $root " +
+        "(the chain's schema and stat column govern the import)")
+    val head = snapshot(root)
+    val src = Paths.get(sourceDir).toAbsolutePath.normalize.toString
+    val rootAbs = Paths.get(root).toAbsolutePath.normalize.toString
+    require(!src.startsWith(rootAbs + "/") && src != rootAbs,
+      s"add_files source $src lies inside the lake root $rootAbs — " +
+        "files there are already subject to this chain's ownership " +
+        "rules (orphan scan, vacuum); import only external paths")
+    head.schema.foreach { ps =>
+      ps.fields.foreach(f => require(ColMap.phys(f) == f.name,
+        s"add_files refuses on a column-mapped chain: '${f.name}' is " +
+          s"stored as '${ColMap.phys(f)}', and an external file " +
+          "carries logical names"))
+    }
+    val df = s.read.parquet(src)
+    // same evolution guard as commit(): a missing/narrowed column
+    // surfaces as the guard's clear refusal before anything commits
+    head.schema.foreach(ps =>
+      evolveSchema(ps, df.schema, head.retired): Unit)
+    val stats = statsFor(s, root, batch = "", head.statCol,
+      bloomCol = None, bloomBytes = 1024, head.statCol2,
+      externalDir = Some(src))
+    require(stats.nonEmpty, s"no parquet data files under $src")
+    val v = commitFiles(root, stats, head.statCol, overwrite = false,
+      bloomCol = None, head.statCol2,
+      schemaJson = head.schemaJson.orElse(Some(df.schema.json)))
+    (v, stats.size.toLong, stats.map(_.rows).sum)
+  }
 
   /** SHALLOW CLONE (Delta's zero-copy clone): publish a manifest at
     * `dstRoot` that references the source snapshot's data files by
