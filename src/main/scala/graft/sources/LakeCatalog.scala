@@ -711,7 +711,7 @@ final class GraftLakeCatalog extends TableCatalog
     Array("optimize", "cluster", "vacuum", "vacuum_older_than",
       "restore", "history",
       "create_branch", "fast_forward", "drop_branch", "create_tag",
-      "remove_orphans", "add_files")
+      "remove_orphans", "add_files", "restore_to_timestamp")
       .map(Identifier.of(namespace, _))
 
   override def loadProcedure(ident: Identifier): UnboundProcedure =
@@ -780,6 +780,20 @@ final class GraftLakeCatalog extends TableCatalog
           ProcedureParameter.in("version", LongType).build()),
         StructType(Seq(StructField("new_version", LongType)))) { in =>
         Seq(SnapshotLake.restore(tableRoot(in), in.getLong(1).toInt).toLong)
+      }
+      // `CALL cat.restore_to_timestamp(table => 't', ts_ms => …)` —
+      // Delta's RESTORE … TO TIMESTAMP: resolve the greatest version
+      // published at or before the instant (the TIMESTAMP AS OF
+      // rule), then roll data back to it as a new head commit.
+      case "restore_to_timestamp" => proc("restore_to_timestamp",
+        Seq(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("ts_ms", LongType).build()),
+        StructType(Seq(
+          StructField("restored_version", LongType),
+          StructField("new_version", LongType)))) { in =>
+        val root = tableRoot(in)
+        val v = SnapshotLake.versionAt(root, in.getLong(1))
+        Seq(v.toLong, SnapshotLake.restore(root, v).toLong)
       }
       // DESCRIBE HISTORY as a procedure: one row per un-vacuumed
       // version — the verb that produced it, live file/row counts,
@@ -887,7 +901,7 @@ final class GraftLakeCatalog extends TableCatalog
       case other => throw new UnsupportedOperationException(
         s"no procedure '$other' in catalog $catalogName " +
           "(have: optimize, cluster, vacuum, vacuum_older_than, " +
-          "restore, history, " +
+          "restore, restore_to_timestamp, history, " +
           "create_branch, fast_forward, drop_branch, create_tag, " +
           "remove_orphans, add_files)")
     }
@@ -1512,6 +1526,48 @@ object LakeCatalogQueries {
         planned(tail), trow.getLong(0), trow.getLong(1)))
       .toDF("n_files", "band_files_planned", "band_rows", "band_cents",
         "tail_files_planned", "tail_rows", "tail_cents")
+  }
+
+  /** Judged MERGE … WHEN NOT MATCHED BY SOURCE (Delta's table-sync
+    * idiom): ONE statement reconciles the target to a source
+    * snapshot — matched rows update, source-only rows insert, and
+    * target rows ABSENT from the source delete. The third clause is
+    * the one plain MERGE cannot express (it never touches rows the
+    * source doesn't name); at 100 TB it's how a follower table syncs
+    * to an upstream extract without a full truncate-and-reload. The
+    * certificate groups the post-merge table by the id bucket, so a
+    * leaked target-only row (b=0 not deleted), a missed insert
+    * (b=2), or an unapplied update (b=1 without +500) each flip a
+    * hash-checked row.
+    */
+  def q187MergeBySource(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftcat",
+      "graft.sources.GraftLakeCatalog")
+    s.conf.set("spark.sql.catalog.graftcat.root", catBase)
+    s.sql("DROP TABLE IF EXISTS graftcat.q187")
+    Tables.events(s, d).select(col("event_id"),
+        (col("event_id") % 4).as("b"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("q187_events")
+    s.sql("""
+      CREATE TABLE graftcat.q187 (event_id BIGINT, cents BIGINT)
+      TBLPROPERTIES ('statCol' = 'event_id')""")
+    s.sql("""INSERT INTO graftcat.q187
+             SELECT event_id, cents FROM q187_events WHERE b IN (0, 1)""")
+      .collect(): Unit
+    s.sql("""
+      MERGE INTO graftcat.q187 AS t
+      USING (SELECT event_id, cents + 500 AS cents
+             FROM q187_events WHERE b IN (1, 2)) AS u
+      ON t.event_id = u.event_id
+      WHEN MATCHED THEN UPDATE SET cents = u.cents
+      WHEN NOT MATCHED THEN INSERT (event_id, cents)
+        VALUES (u.event_id, u.cents)
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""").collect(): Unit
+    s.table("graftcat.q187")
+      .groupBy((col("event_id") % 4).as("b"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+      .orderBy(col("b"))
   }
 
   /** Judged IMPORT BY REFERENCE (`CALL add_files`): two external
@@ -2610,6 +2666,14 @@ object LakeCatalogQueries {
              TRUE AS no_driver_walk,
              (SELECT count(*) FROM e) AS head_rows,
              (SELECT CAST(sum(cents) AS BIGINT) FROM e) AS head_cents""")),
+    Q("q187_merge_by_source", q187MergeBySource, Some("""
+      WITH e AS (SELECT event_id, event_id % 4 AS b,
+                        CAST(round(value * 100) AS BIGINT) AS cents
+                 FROM events)
+      SELECT b, count(*) AS n,
+             CAST(sum(cents + 500) AS BIGINT) AS c
+      FROM e WHERE b IN (1, 2)
+      GROUP BY b ORDER BY b""")),
     Q("q186_add_files", q186AddFiles, Some("""
       WITH e AS (SELECT event_id,
                         CAST(round(value * 100) AS BIGINT) AS cents

@@ -428,7 +428,28 @@ object StreamingGate {
     * is the inner join's O(horizon × rate) on both sides; no
     * unbounded "wait for a match" buffering.
     */
-  def q97StreamOuterJoin(s: SparkSession, d: String): DataFrame = {
+  def q97StreamOuterJoin(s: SparkSession, d: String): DataFrame =
+    outerJoinGate(s, d, "left_outer", "q97_stream", "graft_q97_outer")
+
+  /** FULL-OUTER stream-stream join gate — the last cell of the join
+    * matrix (q65 inner, q87 stream-static, q97 left-outer): every
+    * click AND every purchase surfaces exactly once — matched pairs
+    * on match, unconverted clicks and ORPHAN PURCHASES as
+    * null-extended rows once the watermark proves no partner can
+    * still land inside the horizon. Same harness as q97 (dual-side
+    * watermark sentinels + a final right-only eviction batch); the
+    * sentinel arithmetic still keeps them un-emittable even under
+    * full-outer (the click sentinel needs WM > max+6h, which never
+    * happens; the purchase sentinels sit above the final WM forever,
+    * so their deferred null rows never flush) — but the judged frame
+    * filters negative sentinel ids anyway rather than lean on that
+    * subtlety. Oracle = the batch FULL JOIN.
+    */
+  def q188StreamFullOuterJoin(s: SparkSession, d: String): DataFrame =
+    outerJoinGate(s, d, "full_outer", "q188_stream", "graft_q188_full")
+
+  private def outerJoinGate(s: SparkSession, d: String,
+      joinType: String, tag: String, queryName: String): DataFrame = {
     val base = Tables.events(s, d)
       .where(col("event_type").isin("click", "purchase"))
       .select(col("event_id"), col("user_id"), col("ts"),
@@ -468,7 +489,7 @@ object StreamingGate {
       lit(new Timestamp(mm.getTimestamp(1).getTime + hours * 3600 * 1000))
         .as("ts"),
       lit(side).as("event_type"), lit(0.0).as("value"))
-    runBatches(s, "q97_stream", "graft_q97_outer",
+    runBatches(s, tag, queryName,
       Seq(base.where(col("ts") < lit(mid)),
         base.where(col("ts") >= lit(mid))
           .unionAll(sentinel("click", -2L, 4))
@@ -483,8 +504,13 @@ object StreamingGate {
       StreamingJoin.attribute(
         df.where(col("event_type") === "click"),
         df.where(col("event_type") === "purchase"),
-        "2 hours", joinType = "left_outer")
+        "2 hours", joinType = joinType)
     }
+      // a full-outer can in principle surface harness rows — drop any
+      // row carrying a sentinel id rather than lean on the watermark
+      // arithmetic that (currently) keeps them buffered forever
+      .where(coalesce(col("imp_id"), lit(0L)) >= 0 &&
+        coalesce(col("conv_id"), lit(0L)) >= 0)
       .orderBy(col("imp_id"), col("conv_id"))
   }
 
@@ -635,6 +661,22 @@ object StreamingGate {
              COALESCE(CAST(round(value * 100) AS BIGINT), 0) AS cents
       FROM events
       ORDER BY event_id""")),
+    Q("q188_stream_full_outer", q188StreamFullOuterJoin, Some("""
+      WITH e AS (SELECT event_id, user_id,
+                        date_trunc('microsecond', ts) AS ts,
+                        event_type, value
+                 FROM events)
+      SELECT c.user_id AS user_id,
+             c.event_id AS imp_id,
+             p.event_id AS conv_id,
+             c.ts AS imp_ts,
+             p.ts AS conv_ts,
+             p.value AS value
+      FROM (SELECT * FROM e WHERE event_type = 'click') c
+      FULL JOIN (SELECT * FROM e WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+      ORDER BY imp_id, conv_id""")),
     Q("q97_stream_outer_join", q97StreamOuterJoin, Some("""
       WITH e AS (SELECT event_id, user_id,
                         date_trunc('microsecond', ts) AS ts,

@@ -146,6 +146,36 @@ class LakeCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("CALL restore_to_timestamp rolls data back to the version " +
+      "live at the instant (the TIMESTAMP AS OF rule), as a new " +
+      "head commit") {
+    withCatalog { base =>
+      spark.sql(s"""
+        CREATE TABLE $cat.rts (k BIGINT, v BIGINT)
+        TBLPROPERTIES ('statCol' = 'k')""")
+      spark.sql(s"INSERT INTO $cat.rts SELECT id, id FROM range(10)")
+      val root = s"$base/rts"
+      // publish ts resolution is millisecond-grained: stamp BETWEEN
+      // the commits so the instant is unambiguous
+      Thread.sleep(5)
+      val between = System.currentTimeMillis()
+      Thread.sleep(5)
+      spark.sql(s"INSERT INTO $cat.rts SELECT id, id FROM range(10, 30)")
+      assert(spark.table(s"$cat.rts").count() === 30L)
+      val r = spark.sql(s"CALL $cat.restore_to_timestamp(" +
+        s"table => 'rts', ts_ms => $between)").head
+      assert(r.getLong(0) === 0L) // resolved: the v0-at-instant
+      assert(r.getLong(1) === SnapshotLake.headVersion(root).toLong)
+      assert(spark.table(s"$cat.rts").count() === 10L)
+      // a pre-history instant refuses with a clear error
+      val e = intercept[Exception](spark.sql(
+        s"CALL $cat.restore_to_timestamp(table => 'rts', ts_ms => 1)")
+        .collect())
+      assert(e.getMessage != null)
+      spark.sql(s"DROP TABLE $cat.rts")
+    }
+  }
+
   test("TIMESTAMP AS OF resolves to the version live at that instant") {
     withCatalog { base =>
       spark.sql(s"""

@@ -127,6 +127,35 @@ class StreamingGateSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("q188 full-outer stream-stream join == batch full join: " +
+      "matches, unconverted clicks, AND orphan purchases all emit; " +
+      "sentinels never surface") {
+    import org.apache.spark.sql.functions._
+    val streamed = StreamingGate.q188StreamFullOuterJoin(spark, sf("sf0.001"))
+    val d = sf("sf0.001")
+    val e = graft.sources.Tables.events(spark, d)
+      .where(col("event_type").isin("click", "purchase"))
+    val batch = StreamingJoin.attribute(
+      e.where(col("event_type") === "click"),
+      e.where(col("event_type") === "purchase"),
+      "2 hours", joinType = "full_outer")
+      .orderBy(col("imp_id"), col("conv_id"))
+    assert(streamed.schema.fieldNames.toSeq === batch.schema.fieldNames.toSeq)
+    val a = streamed.collect().toSeq
+    val b = batch.collect().toSeq
+    // the fixture must exercise ALL THREE emission paths
+    assert(a.exists(r => !r.isNullAt(1) && !r.isNullAt(2)),
+      "no matched rows — fixture degenerate")
+    assert(a.exists(_.isNullAt(2)),
+      "no unconverted clicks — the left-outer half never ran")
+    assert(a.exists(_.isNullAt(1)),
+      "no orphan purchases — the right-outer half never ran")
+    // no sentinel id (left or right) may survive the judged filter
+    assert(a.forall(r => (r.isNullAt(1) || r.getLong(1) >= 0L) &&
+      (r.isNullAt(2) || r.getLong(2) >= 0L)), "sentinel leaked")
+    assert(a === b)
+  }
+
   test("q89 restart recovery: no loss, no duplicates, and a third restart emits nothing") {
     import org.apache.spark.sql.functions._
     val got = StreamingGate.q89StreamRestart(spark, sf("sf0.001"))
