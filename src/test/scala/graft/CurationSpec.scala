@@ -150,6 +150,31 @@ class CurationSpec extends SparkTestBase {
     assert(!got(2L), "60 distinct tokens must not flag")
   }
 
+  test("t12 bigram perplexity: hand-computed NLL on a 3-doc corpus; " +
+      "a repeated phrase scores more likely than a novel one") {
+    val dir2 = writeDocs(Seq(
+      (1L, "a b a b", "en", "w", 7L),
+      (2L, "a b a b", "en", "w", 7L),
+      (3L, "a c", "en", "w", 3L)))
+    val got = TextAnalysis.t12LmPerplexity(spark, dir2).collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    // corpus: unigrams a=5, b=4, c=1 -> V=3; positional bigrams:
+    // (a,b)x4, (b,a)x2, (a,c)x1
+    // doc1 positions: ab, ba, ab ->
+    //   -ln(5/8) - ln(3/7) - ln(5/8), mean over 3
+    val nllAb = -math.log((4 + 1.0) / (5 + 3))
+    val nllBa = -math.log((2 + 1.0) / (4 + 3))
+    val nllAc = -math.log((1 + 1.0) / (5 + 3))
+    val d1 = got(0)
+    assert(d1.getLong(1) === 3L)
+    assert(math.abs(d1.getDouble(2) - (nllAb * 2 + nllBa) / 3) < 1e-12)
+    val d3 = got(2)
+    assert(d3.getLong(1) === 1L)
+    assert(math.abs(d3.getDouble(2) - nllAc) < 1e-12)
+    // the phrase the corpus repeats is more likely than the novel one
+    assert(d1.getDouble(2) < d3.getDouble(2))
+  }
+
   test("q43 closed form agrees with Spark's builtin corr/regr aggregates") {
     import spark.implicits._
     val ours = Aggregates.q43CorrRegression(spark, dir)
