@@ -329,7 +329,17 @@ final class GraftLakeCatalog extends TableCatalog
       // Vanilla Spark does not compute generated columns for DSv2
       // writes, so INSERTs supply the value and the engine proves it.
       org.apache.spark.sql.connector.catalog
-        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      // GENERATED ALWAYS AS IDENTITY (Delta's identity columns): the
+      // spec (start/step/allowExplicitInsert) stores as the field
+      // metadata keys Spark's own IdentityColumn util reads,
+      // persisted through the manifest schema json; the WRITE path
+      // assigns values (vanilla Spark plumbs the metadata but leaves
+      // generation to the connector) — see LakeWriter's identity
+      // fill: block allocation off the chain's identity high-water,
+      // unique across partitions, gaps allowed (the Delta contract).
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   private def constraintProps(
       cs: Array[org.apache.spark.sql.connector.catalog.constraints.Constraint])
@@ -442,12 +452,35 @@ final class GraftLakeCatalog extends TableCatalog
       : StructType =
     StructType(info.schema().fields.zip(info.columns()).map {
       case (f, c) =>
-        Option(c.generationExpression()).filter(_.nonEmpty).fold(f) { e =>
-          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
-            .withMetadata(f.metadata)
-            .putString(org.apache.spark.sql.catalyst.util.GeneratedColumn
-              .GENERATION_EXPRESSION_METADATA_KEY, e)
-            .build())
+        val gen = Option(c.generationExpression()).filter(_.nonEmpty)
+          .fold(f) { e =>
+            f.copy(metadata =
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata)
+                .putString(org.apache.spark.sql.catalyst.util
+                  .GeneratedColumn.GENERATION_EXPRESSION_METADATA_KEY, e)
+                .build())
+          }
+        // identity spec persists under the same metadata keys
+        // Spark's IdentityColumn util defines, so isIdentityColumn/
+        // getIdentityInfo read our schema natively. BIGINT only —
+        // refused at DDL, not at first write (the generator's
+        // arithmetic is 64-bit)
+        Option(c.identityColumnSpec()).fold(gen) { spec =>
+          require(f.dataType == org.apache.spark.sql.types.LongType,
+            s"identity column '${f.name}' must be BIGINT, got " +
+              f.dataType.simpleString)
+          gen.copy(metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(gen.metadata)
+              .putLong(org.apache.spark.sql.catalyst.util
+                .IdentityColumn.IDENTITY_INFO_START, spec.getStart)
+              .putLong(org.apache.spark.sql.catalyst.util
+                .IdentityColumn.IDENTITY_INFO_STEP, spec.getStep)
+              .putBoolean(org.apache.spark.sql.catalyst.util
+                .IdentityColumn.IDENTITY_INFO_ALLOW_EXPLICIT_INSERT,
+                spec.isAllowExplicitInsert)
+              .build())
         }
     })
 
@@ -1526,6 +1559,52 @@ object LakeCatalogQueries {
         planned(tail), trow.getLong(0), trow.getLong(1)))
       .toDF("n_files", "band_files_planned", "band_rows", "band_cents",
         "tail_files_planned", "tail_rows", "tail_cents")
+  }
+
+  /** Judged IDENTITY COLUMNS (Delta's GENERATED … AS IDENTITY): the
+    * table generates its own surrogate keys at write time — start +
+    * step × a sparsely-allocated unit, unique without any task
+    * coordination, direction-monotonic across commits (the second
+    * INSERT's every id exceeds the first's), gaps allowed — exactly
+    * the Delta contract, with the allocation high-water riding the
+    * manifest header under a publish-time CAS. The certificate
+    * derives every property from the ACTUAL table contents
+    * (uniqueness, the (start, step) grid, cross-commit monotonicity,
+    * exact payload aggregates); the oracle replays the payload from
+    * events and pins the properties as literal TRUEs — any collision
+    * or off-grid value flips a hashed boolean.
+    */
+  def q189IdentityColumn(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftcat",
+      "graft.sources.GraftLakeCatalog")
+    s.conf.set("spark.sql.catalog.graftcat.root", catBase)
+    s.sql("DROP TABLE IF EXISTS graftcat.q189")
+    Tables.events(s, d).select(col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("q189_events")
+    s.sql("""
+      CREATE TABLE graftcat.q189 (
+        id BIGINT GENERATED ALWAYS AS IDENTITY
+          (START WITH 100 INCREMENT BY 3),
+        k BIGINT, cents BIGINT)
+      TBLPROPERTIES ('statCol' = 'k')""")
+    s.sql("""INSERT INTO graftcat.q189 (k, cents)
+             SELECT event_id, cents FROM q189_events
+             WHERE event_id % 2 = 0""").collect(): Unit
+    s.sql("""INSERT INTO graftcat.q189 (k, cents)
+             SELECT event_id, cents FROM q189_events
+             WHERE event_id % 2 = 1""").collect(): Unit
+    s.table("graftcat.q189")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        (countDistinct(col("id")) === count(lit(1))).as("ids_unique"),
+        (sum(when(col("id") < 100 ||
+          pmod(col("id") - 100, lit(3)) =!= 0, 1).otherwise(0)) === 0)
+          .as("on_grid"),
+        (max(when(col("k") % 2 === 0, col("id"))) <
+          min(when(col("k") % 2 === 1, col("id"))))
+          .as("commits_monotonic"),
+        sum(col("cents")).as("sum_cents"))
   }
 
   /** Judged MERGE … WHEN NOT MATCHED BY SOURCE (Delta's table-sync
@@ -2666,6 +2745,14 @@ object LakeCatalogQueries {
              TRUE AS no_driver_walk,
              (SELECT count(*) FROM e) AS head_rows,
              (SELECT CAST(sum(cents) AS BIGINT) FROM e) AS head_cents""")),
+    Q("q189_identity_column", q189IdentityColumn, Some("""
+      SELECT count(*) AS n_rows,
+             TRUE AS ids_unique,
+             TRUE AS on_grid,
+             TRUE AS commits_monotonic,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+      FROM events""")),
     Q("q187_merge_by_source", q187MergeBySource, Some("""
       WITH e AS (SELECT event_id, event_id % 4 AS b,
                         CAST(round(value * 100) AS BIGINT) AS cents

@@ -385,7 +385,25 @@ final class LakeTable(root: String, asOf: Option[Int], tschema: StructType,
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     require(asOf.isEmpty,
       s"cannot write to time-travel snapshot v${asOf.get} of $root")
-    new LakeWriteBuilder(root, info, opts)
+    // identity columns (GENERATED … AS IDENTITY): the spec lives in
+    // the TABLE schema's field metadata (Spark's IdentityColumn
+    // keys); the write path fills values — vanilla Spark only plumbs
+    // the metadata. One identity column per table (the common case;
+    // multiple would need independent high-waters).
+    val idFields = tschema.fields.zipWithIndex.collect {
+      case (f, _) if org.apache.spark.sql.catalyst.util.IdentityColumn
+          .isIdentityColumn(f) =>
+        require(f.dataType == org.apache.spark.sql.types.LongType,
+          s"identity column '${f.name}' must be BIGINT, got " +
+            f.dataType.simpleString)
+        val spec = org.apache.spark.sql.catalyst.util.IdentityColumn
+          .getIdentityInfo(f).get
+        (f.name, spec.getStart, spec.getStep, spec.isAllowExplicitInsert)
+    }
+    require(idFields.length <= 1,
+      s"table at $root declares ${idFields.length} identity columns " +
+        "— the graft lake supports at most one")
+    new LakeWriteBuilder(root, info, opts, idFields.headOption)
   }
 
   // -- SQL UPDATE / MERGE / general DELETE (copy-on-write) -------------

@@ -58,8 +58,27 @@ import org.apache.spark.sql.types.StructType
   * protocol itself unchanged.
   */
 final class LakeWriteBuilder(root: String, info: LogicalWriteInfo,
-    tableOpts: Map[String, String]) extends WriteBuilder
+    tableOpts: Map[String, String],
+    /** (name, start, step, allowExplicitInsert) when the TABLE
+      * schema declares an identity column — the write fills it.
+      */
+    identitySpec: Option[(String, Long, Long, Boolean)] = None)
+    extends WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsOverwriteV2 {
+
+  /** The fill config, resolved against THIS write's schema (absent
+    * when the query schema lacks the column — e.g. a CTAS frame).
+    * The allocation base reads the chain's high-water ONCE, on the
+    * driver, at build time.
+    */
+  private def identityFill: Option[IdentityFill] =
+    identitySpec.flatMap { case (c, start, step, allow) =>
+      val idx = info.schema().fieldNames.indexWhere(_.equalsIgnoreCase(c))
+      if (idx < 0) None
+      else Some(IdentityFill(c, idx, start, step, allow,
+        if (SnapshotLake.headVersion(root) < 0) 0L
+        else SnapshotLake.identityHighWater(root)))
+    }
   private var overwrite = false
   private var replaceWhere: Option[(String, Set[String])] = None
   override def truncate(): WriteBuilder = { overwrite = true; this }
@@ -130,15 +149,22 @@ final class LakeWriteBuilder(root: String, info: LogicalWriteInfo,
       }
     val partSpec: Option[LakePartSpec] = specOf("partcol", "partbuckets",
       "parttrunc", specOf("partcol2", "partbuckets2", "parttrunc2", None))
+    val idFill = identityFill
+    def noStreamingIdentity(): Unit = require(idFill.isEmpty,
+      s"streaming writes to $root cannot generate identity values " +
+        "(allocation is reserved per batch write) — drop the " +
+        "identity column or use a batch write")
     partSpec match {
       case None => new Write {
         override def toBatch: BatchWrite =
           new LakeBatchWrite(root, info.schema(), overwrite, opts,
-            None, replaceWhere)
+            None, replaceWhere, idFill)
         override def toStreaming
-            : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+          noStreamingIdentity()
           new LakeStreamingWrite(root, info.schema(), overwrite, opts,
             info.queryId())
+        }
       }
       case Some(spec) => new Write
           with org.apache.spark.sql.connector.write
@@ -187,13 +213,15 @@ final class LakeWriteBuilder(root: String, info: LogicalWriteInfo,
         }
         override def toBatch: BatchWrite =
           new LakeBatchWrite(root, info.schema(), overwrite, opts,
-            Some(spec), replaceWhere)
+            Some(spec), replaceWhere, idFill)
         // streaming writes stay untagged (mixed tags are legal; an
         // untagged file is simply never partition-pruned)
         override def toStreaming
-            : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+          noStreamingIdentity()
           new LakeStreamingWrite(root, info.schema(), overwrite, opts,
             info.queryId())
+        }
       }
     }
   }
@@ -272,14 +300,31 @@ final case class LakePartSpec(col: String, idx: Int,
   */
 final case class LakeStaged(name: String, rows: Long,
     partVal: Option[String] = None,
-    partVal2: Option[String] = None)
+    partVal2: Option[String] = None,
+    /** Highest identity allocation unit this task consumed,
+      * EXCLUSIVE (-1: none generated) — the driver folds the max
+      * into the commit's new high-water.
+      */
+    idMaxUnit: Long = -1L)
     extends WriterCommitMessage
 
 /** A partitioned task's acknowledged files — one per partition-value
   * run (clustered+sorted input makes runs contiguous).
   */
-final case class LakeStagedSet(files: Seq[LakeStaged])
+final case class LakeStagedSet(files: Seq[LakeStaged],
+    idMaxUnit: Long = -1L)
     extends WriterCommitMessage
+
+/** Write-side identity generation (Delta's GENERATED … AS IDENTITY):
+  * value = start + step × unit, with units allocated sparsely —
+  * `baseUnits` (the chain's high-water, read once at write build) +
+  * partitionId·2^33 + a per-task counter — so tasks never coordinate
+  * and values stay unique with gaps allowed (the Delta contract).
+  * `allowExplicit` distinguishes BY DEFAULT (non-null input passes
+  * through, nulls fill) from ALWAYS (any non-null input refuses).
+  */
+final case class IdentityFill(col: String, idx: Int, start: Long,
+    step: Long, allowExplicit: Boolean, baseUnits: Long)
 
 /** The driver-side publish shared by the batch and streaming commit
   * paths: acknowledged staged files → batch dir → stats pass →
@@ -330,11 +375,23 @@ private[sources] object LakeCommit {
       // — the table property alone must never stamp: the streaming
       // sink shares this publish and never sorts, and a lying so=
       // stamp would let the scan's ordering report elide real sorts
-      sortStamp: Option[String] = None): Unit = {
+      sortStamp: Option[String] = None,
+      // the identity allocation base the write generated against —
+      // publish folds the tasks' consumed maxima into the chain's
+      // new high-water, CAS-guarded in commitFiles
+      idBase: Option[Long] = None): Unit = {
     val staged = messages.toSeq.flatMap {
       case m: LakeStaged => Seq(m)
       case s: LakeStagedSet => s.files
       case _ => Seq.empty
+    }
+    val idReserve: Option[(Long, Long)] = idBase.flatMap { base =>
+      val mx = messages.iterator.map {
+        case m: LakeStaged => m.idMaxUnit
+        case st: LakeStagedSet => st.idMaxUnit
+        case _ => -1L
+      }.foldLeft(-1L)(math.max)
+      if (mx < 0) None else Some((base, mx))
     }
     val (live, empty) = staged.partition(_.rows > 0)
     empty.foreach(discard(root, _))
@@ -405,7 +462,7 @@ private[sources] object LakeCommit {
       case None => tagged
     }
     SnapshotLake.commitFiles(root, stamped, statCol, overwrite, bloomCol,
-      statCol2, txn, schemaJson): Unit
+      statCol2, txn, schemaJson, idReserve): Unit
   }
 
   /** Partition-scoped INSERT OVERWRITE: the files tagged with the
@@ -655,7 +712,8 @@ final class LakeReplaceRidWriter(root: String,
 final class LakeBatchWrite(root: String, schema: StructType,
     overwrite: Boolean, opts: Map[String, String],
     partSpec: Option[LakePartSpec] = None,
-    replaceWhere: Option[(String, Set[String])] = None)
+    replaceWhere: Option[(String, Set[String])] = None,
+    identity: Option[IdentityFill] = None)
     extends BatchWrite {
 
   override def createBatchWriterFactory(
@@ -663,7 +721,7 @@ final class LakeBatchWrite(root: String, schema: StructType,
     Files.createDirectories(Paths.get(LakeWrite.stagingDir(root)))
     new LakeWriterFactory(root,
       LakeWrite.writeConf(LakeWrite.physicalFor(root, schema, overwrite)),
-      partSpec)
+      partSpec, identity)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -676,8 +734,16 @@ final class LakeBatchWrite(root: String, schema: StructType,
     replaceWhere match {
       case None =>
         LakeCommit.publish(root, overwrite, opts, messages, txn,
-          Some(schema.json), sortStamp)
+          Some(schema.json), sortStamp, identity.map(_.baseUnits))
       case Some((c, vs)) =>
+        require(identity.isEmpty ||
+          messages.forall {
+            case m: LakeStaged => m.idMaxUnit < 0
+            case s: LakeStagedSet => s.idMaxUnit < 0
+            case _ => true
+          },
+          "partition-scoped INSERT OVERWRITE cannot generate " +
+            "identity values yet — supply them explicitly")
         LakeCommit.publishPartitionReplace(root, c, vs, opts, messages,
           Some(schema.json), sortStamp)
     }
@@ -736,10 +802,12 @@ final class LakeStreamingWrite(root: String, schema: StructType,
 
 final class LakeWriterFactory(root: String,
     confKVs: Map[String, String],
-    partSpec: Option[LakePartSpec] = None) extends DataWriterFactory {
+    partSpec: Option[LakePartSpec] = None,
+    identity: Option[IdentityFill] = None) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new LakeDataWriter(root, confKVs, partitionId, taskId, partSpec)
+    new LakeDataWriter(root, confKVs, partitionId, taskId, partSpec,
+      identity)
 }
 
 /** Task-side parquet writer: Spark's `ParquetWriteSupport` (the
@@ -749,7 +817,38 @@ final class LakeWriterFactory(root: String,
   */
 final class LakeDataWriter(root: String, confKVs: Map[String, String],
     partitionId: Int, taskId: Long,
-    partSpec: Option[LakePartSpec] = None) extends DataWriter[InternalRow] {
+    partSpec: Option[LakePartSpec] = None,
+    identity: Option[IdentityFill] = None)
+    extends DataWriter[InternalRow] {
+
+  // identity generation state: units consumed by THIS task
+  private var idLocal = 0L
+  private def idUnitBase: Long =
+    identity.fold(0L)(_.baseUnits) + (partitionId.toLong << 33)
+
+  /** Fill (or validate) the identity column in place. Rows arriving
+    * from a batch write are UnsafeRows — setNotNullAt + setLong is
+    * the in-place fast path; other mutable rows take update().
+    */
+  private def fillIdentity(row: InternalRow): InternalRow =
+    identity.fold(row) { id =>
+      if (!row.isNullAt(id.idx)) {
+        if (!id.allowExplicit) throw new IllegalArgumentException(
+          s"column '${id.col}' is GENERATED ALWAYS AS IDENTITY — " +
+            "explicit values are not accepted (declare GENERATED BY " +
+            "DEFAULT AS IDENTITY to allow them)")
+        row
+      } else {
+        val unit = idUnitBase + idLocal
+        idLocal += 1
+        val v = Math.addExact(id.start, Math.multiplyExact(id.step, unit))
+        row match {
+          case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
+            u.setNotNullAt(id.idx); u.setLong(id.idx, v); u
+          case m => m.update(id.idx, v); m
+        }
+      }
+    }
 
   private final class SupportBuilder(
       file: org.apache.parquet.io.OutputFile,
@@ -858,7 +957,8 @@ final class LakeDataWriter(root: String, confKVs: Map[String, String],
       }
     }
 
-  override def write(row: InternalRow): Unit = {
+  override def write(row0: InternalRow): Unit = {
+    val row = fillIdentity(row0)
     val v = partValOf(row)
     val v2 = partVal2Of(row)
     // roll on EITHER level changing — composed-spec files stay
@@ -873,13 +973,17 @@ final class LakeDataWriter(root: String, confKVs: Map[String, String],
 
   override def commit(): WriterCommitMessage = {
     closeSeg()
+    // the high-water this task consumed to, EXCLUSIVE (-1: nothing
+    // generated — an all-explicit or identity-free write)
+    val idMax = if (idLocal > 0) idUnitBase + idLocal else -1L
     if (partSpec.isEmpty)
-      finished.headOption.getOrElse(LakeStaged(
-        // an empty unpartitioned task still acknowledges a zero-row
-        // marker (publish drops it), preserving the old protocol
-        s"part-$partitionId-$taskId-" +
-          s"${UUID.randomUUID().toString.take(8)}.parquet", 0L))
-    else LakeStagedSet(finished.toSeq)
+      finished.headOption.map(_.copy(idMaxUnit = idMax))
+        .getOrElse(LakeStaged(
+          // an empty unpartitioned task still acknowledges a zero-row
+          // marker (publish drops it), preserving the old protocol
+          s"part-$partitionId-$taskId-" +
+            s"${UUID.randomUUID().toString.take(8)}.parquet", 0L))
+    else LakeStagedSet(finished.toSeq, idMax)
   }
   override def abort(): Unit = {
     if (writer != null) { writer.close(); writer = null }

@@ -1176,6 +1176,28 @@ object SnapshotLake {
     finally in.close()
   }
 
+  /** IDENTITY-column allocation high-water recorded by version `v`'s
+    * header — the number of allocation UNITS consumed so far (a
+    * value is `start + step × unit`; units are sparse across tasks,
+    * the Delta identity contract: unique, direction-monotonic across
+    * commits, gaps allowed). 0 for chains that never generated.
+    */
+  private def idhwOf(root: String, v: Int): Long = {
+    if (v < 0 || !Files.exists(manifestPath(root, v))) return 0L
+    val in = Files.newBufferedReader(manifestPath(root, v),
+      StandardCharsets.UTF_8)
+    try in.readLine().split('\t')
+      .find(_.startsWith("idhw=")).map(_.stripPrefix("idhw=").toLong)
+      .getOrElse(0L)
+    finally in.close()
+  }
+
+  /** The chain's identity high-water (consumed allocation units) —
+    * what the next generating write reserves its block above.
+    */
+  def identityHighWater(root: String): Long =
+    idhwOf(root, headVersion(root))
+
   private def tryPublish(root: String, v: Int, statCol: String,
       bloomCol: Option[String], overwrite: Boolean,
       files: Seq[FileStat], statCol2: Option[String] = None,
@@ -1185,7 +1207,8 @@ object SnapshotLake {
       op: Option[String] = None,
       parentFiles: Option[Seq[FileStat]] = None,
       retired: Set[String] = Set.empty,
-      ridFloor: Long = 0L): Boolean = {
+      ridFloor: Long = 0L,
+      idHw: Option[Long] = None): Boolean = {
     txns.keys.foreach(a => require(!a.exists(c => c == ',' || c == '\t' ||
       c == '\n'), s"txn appId '$a' may not contain ',', tab, or newline"))
     retired.foreach(n => require(!n.exists(c => c == ',' || c == '\t' ||
@@ -1215,9 +1238,16 @@ object SnapshotLake {
       if (f.rid.isDefined || f.ridMat || inheritedNames(f.name)) f
       else { val b = ridHw; ridHw += f.rows; f.copy(rid = Some(b)) }
     }
+    // identity high-water carries forward on EVERY commit like ridhw
+    // (monotonic: a restore/vacuum must never re-open consumed
+    // allocation units); written only once non-zero so pre-identity
+    // chains keep byte-stable headers
+    val idUnits = math.max(
+      if (v == 0) 0L else idhwOf(root, v - 1), idHw.getOrElse(0L))
     val header = s"v=$v\t$statCol\toverwrite=$overwrite" +
       s"\tproto=$ProtocolVersion" +
       s"\tridhw=$ridHw" +
+      (if (idUnits > 0) s"\tidhw=$idUnits" else "") +
       // snapshot-level counts, recorded so history/snapshots answers
       // are ONE header read per version instead of a full snapshot
       // reconstruction (checkpoint + delta replay) per version — on a
@@ -2963,7 +2993,14 @@ object SnapshotLake {
       statCol: String, overwrite: Boolean, bloomCol: Option[String],
       statCol2: Option[String] = None,
       txn: Option[(String, Long)] = None,
-      schemaJson: Option[String] = None): Int = {
+      schemaJson: Option[String] = None,
+      /** identity allocation `(reservedBase, newHighWater)` in
+        * units: the write generated values against `reservedBase`,
+        * so publish REQUIRES the head's high-water still equals it —
+        * a concurrent generating writer moved it, and committing
+        * would publish duplicate identity values baked into files.
+        */
+      idReserve: Option[(Long, Long)] = None): Int = {
     // optimistic-concurrency loop: stage the manifest, try to take
     // the next version slot; on a lost race, rebase on the new head
     // and try again (new data files are already safe on disk)
@@ -2994,6 +3031,19 @@ object SnapshotLake {
           s"append declares statCol2=$c but the chain carries $pc")))
       }
       val v = head + 1
+      // identity-allocation CAS: the generated values in the staged
+      // files were derived from the reserved base — if a concurrent
+      // generating writer moved the high-water, committing would
+      // publish DUPLICATE identity values, so conflict loudly (the
+      // writer re-runs; its data files are re-generated, not rebased)
+      idReserve.foreach { case (base, _) =>
+        val cur = idhwOf(root, head)
+        if (cur != base) throw new IllegalStateException(
+          s"identity allocation conflict at $root: this write " +
+            s"reserved units at $base but the chain's high-water is " +
+            s"now $cur (a concurrent write generated identity " +
+            "values) — re-run the write")
+      }
       // an append without an explicit bloomCol inherits the parent's,
       // so carried-over per-file blooms keep their column identity
       // (files from THIS commit then simply have no bloom — readPoint
@@ -3050,7 +3100,8 @@ object SnapshotLake {
           // append commits cost O(new files) manifest bytes; an
           // overwrite redeclares the list and checkpoints
           parentFiles = parent.map(_.files),
-          retired = headRetired))
+          retired = headRetired,
+          idHw = idReserve.map(_._2)))
         committed = v
     }
     committed
