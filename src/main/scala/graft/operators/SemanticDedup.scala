@@ -190,8 +190,13 @@ object SemanticDedup {
     // cannot replicate (no xxhash64). If a judged corpus ever grows a
     // cluster past the cap, fail HERE, loudly, instead of letting the
     // capped prune silently diverge from the oracle's uncapped join.
+    // coalesce: max over zero groups is NULL (empty corpus), and the
+    // guard must degrade to "within cap", not NPE. (This aggregate
+    // re-executes the assignment pipeline once — the same cost shape
+    // as the two consumers below, which also each recompute it2.)
     val maxCluster = it2.groupBy(col("cluster"))
-      .agg(count(lit(1)).as("n")).agg(max(col("n"))).head.getLong(0)
+      .agg(count(lit(1)).as("n"))
+      .agg(coalesce(max(col("n")), lit(0L))).head.getLong(0)
     require(maxCluster <= ClusterCap,
       s"d11 judged fixture grew a cluster of $maxCluster members " +
         s"(> ClusterCap=$ClusterCap): the capped shard prune would " +

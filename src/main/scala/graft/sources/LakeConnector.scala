@@ -417,6 +417,25 @@ final class LakeTable(root: String, asOf: Option[Int], tschema: StructType,
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(asOf.isEmpty,
       s"cannot ${info.command()} a time-travel snapshot v${asOf.get} of $root")
+    // GENERATED ALWAYS AS IDENTITY: the CoW/delta rewrite paths
+    // cannot distinguish a carried pre-existing id from an assigned
+    // one (`UPDATE SET id = …` / a MERGE clause writing it), so
+    // UPDATE and MERGE would silently break the uniqueness contract
+    // the INSERT path enforces — refuse them (Delta's historical
+    // posture). DELETE writes no new values and stays allowed; BY
+    // DEFAULT tables accept explicit values everywhere, so their DML
+    // is unrestricted.
+    val strictIdentity = tschema.fields.exists(f =>
+      org.apache.spark.sql.catalyst.util.IdentityColumn
+        .isIdentityColumn(f) &&
+        !org.apache.spark.sql.catalyst.util.IdentityColumn
+          .getIdentityInfo(f).get.isAllowExplicitInsert)
+    require(!strictIdentity ||
+        info.command().toString.equalsIgnoreCase("delete"),
+      s"${info.command()} on a GENERATED ALWAYS AS IDENTITY table is " +
+        "not supported (the rewrite cannot police assignments to the " +
+        "identity column) — declare GENERATED BY DEFAULT AS IDENTITY " +
+        "for DML-heavy tables")
     // dv=true tables take the DELTA protocol ([[SupportsDelta]]):
     // matched rows become deletion-vector positions + appended
     // post-images — zero files rewritten. Others keep the group CoW

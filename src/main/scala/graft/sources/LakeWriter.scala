@@ -150,6 +150,12 @@ final class LakeWriteBuilder(root: String, info: LogicalWriteInfo,
     val partSpec: Option[LakePartSpec] = specOf("partcol", "partbuckets",
       "parttrunc", specOf("partcol2", "partbuckets2", "parttrunc2", None))
     val idFill = identityFill
+    // partition-scoped overwrite + identity generation is refused at
+    // BUILD time — a commit-time check would run the whole write job,
+    // stage generated files, then leak them as orphans on the throw
+    require(idFill.isEmpty || replaceWhere.isEmpty,
+      "partition-scoped INSERT OVERWRITE of an identity table is " +
+        "not supported — overwrite the whole table or insert-append")
     def noStreamingIdentity(): Unit = require(idFill.isEmpty,
       s"streaming writes to $root cannot generate identity values " +
         "(allocation is reserved per batch write) — drop the " +
@@ -736,14 +742,7 @@ final class LakeBatchWrite(root: String, schema: StructType,
         LakeCommit.publish(root, overwrite, opts, messages, txn,
           Some(schema.json), sortStamp, identity.map(_.baseUnits))
       case Some((c, vs)) =>
-        require(identity.isEmpty ||
-          messages.forall {
-            case m: LakeStaged => m.idMaxUnit < 0
-            case s: LakeStagedSet => s.idMaxUnit < 0
-            case _ => true
-          },
-          "partition-scoped INSERT OVERWRITE cannot generate " +
-            "identity values yet — supply them explicitly")
+        // identity + replaceWhere was refused at build time
         LakeCommit.publishPartitionReplace(root, c, vs, opts, messages,
           Some(schema.json), sortStamp)
     }

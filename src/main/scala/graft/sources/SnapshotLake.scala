@@ -4338,9 +4338,23 @@ object SnapshotLake {
       bloomCol = None, bloomBytes = 1024, head.statCol2,
       externalDir = Some(src))
     require(stats.nonEmpty, s"no parquet data files under $src")
+    // duplicate-registration guard (Iceberg add_files refuses dupes):
+    // a re-run after an ambiguous failure must not double-count rows,
+    // and name-keyed machinery (CoW replace sets, retirement) assumes
+    // manifest names are unique
+    val already = head.files.map(_.name).toSet
+    val dupes = stats.map(_.name).filter(already)
+    require(dupes.isEmpty,
+      s"add_files: ${dupes.size} file(s) already referenced by the " +
+        s"chain (e.g. ${dupes.head}) — the import would double-count " +
+        "their rows; remove them from the source or skip the re-run")
+    // commit the WRITE frame's schema, not the head's: commitFiles
+    // evolves the chain schema against it exactly like a normal
+    // append, so a guard-permitted widening (an extra column in the
+    // external files) becomes readable instead of silently invisible
     val v = commitFiles(root, stats, head.statCol, overwrite = false,
       bloomCol = None, head.statCol2,
-      schemaJson = head.schemaJson.orElse(Some(df.schema.json)))
+      schemaJson = Some(df.schema.json))
     (v, stats.size.toLong, stats.map(_.rows).sum)
   }
 
@@ -5547,7 +5561,10 @@ object SnapshotLake {
       Files.createDirectories(Paths.get(root, s"data/b-tick$i"))
       Files.copy(Paths.get(root, tickStat.name),
         Paths.get(root, newName)): Unit
-      commitFiles(root, Seq(tickStat.copy(name = newName)),
+      // rid = None: each copy must get FRESH stable row ids from the
+      // publish high-water — carrying v1's base would give 15 files
+      // the same row-id range
+      commitFiles(root, Seq(tickStat.copy(name = newName, rid = None)),
         "event_id", overwrite = false, bloomCol = None): Unit
     }
     val textBytes = Files.size(manifestPath(root, 16))

@@ -83,6 +83,40 @@ class AddFilesSpec extends SparkTestBase {
     }
   }
 
+  test("re-importing the same directory refuses (duplicate names " +
+      "would double-count); a widened external schema imports AND " +
+      "its extra column is readable") {
+    withCatalog {
+      spark.sql(s"""
+        CREATE TABLE $cat.dg (k BIGINT, cents BIGINT)
+        TBLPROPERTIES ('statCol' = 'k')""")
+      spark.sql(s"INSERT INTO $cat.dg SELECT id, id FROM range(10)")
+      val ext = extDir((10L until 20L).map(i => (i, i)))
+      spark.sql(s"CALL $cat.add_files(table => 'dg', " +
+        s"source_dir => '$ext')").collect(): Unit
+      val e = intercept[Exception](spark.sql(
+        s"CALL $cat.add_files(table => 'dg', source_dir => '$ext')")
+        .collect())
+      assert(e.getMessage.contains("already referenced"))
+      assert(spark.table(s"$cat.dg").count() === 20L)
+      // widening import: external files carry an EXTRA column — the
+      // evolution guard permits it and the commit must make the
+      // column visible, exactly like a widening append
+      val wide = Files.createTempDirectory("addf_wide_").toString
+      (20L until 25L).map(i => (i, i, s"src-$i"))
+        .toDF("k", "cents", "origin").coalesce(1)
+        .write.mode("overwrite").parquet(wide)
+      spark.sql(s"CALL $cat.add_files(table => 'dg', " +
+        s"source_dir => '$wide')").collect(): Unit
+      val cols = spark.table(s"$cat.dg").schema.fieldNames.toSeq
+      assert(cols.contains("origin"),
+        s"widened column invisible after import: $cols")
+      assert(spark.table(s"$cat.dg")
+        .where(col("origin").isNotNull).count() === 5L)
+      assert(spark.table(s"$cat.dg").count() === 25L)
+    }
+  }
+
   test("ownership under vacuum: an OVERWRITE drops the borrowed " +
       "refs from the head, and vacuum reclaims owned dead files " +
       "while never touching the external bytes") {
