@@ -27,7 +27,8 @@ class EventsDriftSpec extends SparkTestBase {
     "q65_stream_join", "q73_session_window", "q74_stream_to_lake",
     "q75_session_window_overlap", "q87_stream_static_join",
     "q89_stream_restart", "q95_transform_with_state",
-    "q96_zorder_skipping", "q97_stream_outer_join")
+    "q96_zorder_skipping", "q97_stream_outer_join",
+    "q188_stream_full_outer")
 
   test("events consumers survive the legacy nanos-long events shape") {
     val dir = Files.createTempDirectory("graft_drift").toString
