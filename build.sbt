@@ -26,5 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[N] packs driver + all executors + every fixture/memory-sink
+  // into ONE heap: at 8g the 234-query bench pass ran GC-bound by its
+  // measured phase (fresh-session probes read 2-2.5x faster than the
+  // same queries' in-catalog medians). 24g of the sandbox's 128 GiB
+  // keeps the measured passes out of old-gen churn; the env var still
+  // overrides for constrained machines.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // GC visibility for bench-window forensics (cheap, file-scoped)
+  "-Xlog:gc:file=/tmp/graft_gc.log:time,uptime:filecount=2,filesize=10m",
 )

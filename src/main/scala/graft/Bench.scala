@@ -27,21 +27,26 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (n, _) =>
       only.forall(_.contains(n))
     }
-    def timeWith(s: SparkSession)(
+    def timeWith(s: SparkSession, label: String = "")(
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Either[String, Double] = {
+      // §1.5 of the optimization guide: label the jobs so UI/event-log
+      // forensics can attribute time per query. Thread-local, free.
+      if (label.nonEmpty) s.sparkContext.setJobDescription(label)
       val t0 = System.nanoTime()
       try { fn(s, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
       catch { case e: Throwable =>
         Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
+      finally if (label.nonEmpty) s.sparkContext.setJobDescription(null)
     }
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : Either[String, Double] = timeWith(spark)(fn)
+    def timeOnce(label: String)(
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Either[String, Double] = timeWith(spark, label)(fn)
     // setup pass: per-query first-touch cost, measured and reported
     // separately rather than folded into (or silently excluded from)
     // the medians
     val setups: Map[String, Double] = selected.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) => timeOnce(fn).toOption.map(name -> _)
+      case (name, fn) => timeOnce(s"setup:$name")(fn).toOption.map(name -> _)
     }.toMap
     // true median for even lengths too: with only 2 of 3 runs
     // succeeding, times(len/2) would report the MAX of the pair
@@ -50,7 +55,7 @@ object Bench {
       else (ts(ts.length / 2 - 1) + ts(ts.length / 2)) / 2
     val results: Seq[(String, Either[String, Double])] =
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val runs = (1 to 3).map(_ => timeOnce(fn))
+        val runs = (1 to 3).map(i => timeOnce(s"bench:$name:run$i")(fn))
         val times = runs.collect { case Right(t) => t }.sorted
         name -> (if (times.nonEmpty) Right(median(times))
                  else runs.head)
@@ -107,8 +112,9 @@ object Bench {
       val fresh = GraftSession.get()
       val isolated: Seq[(String, Double)] = slowest.flatMap { name =>
         val fn = selected(name)
-        timeWith(fresh)(fn): Unit // setup: first-touch I/O + codegen
-        val ts = (1 to 3).flatMap(_ => timeWith(fresh)(fn).toOption).sorted
+        timeWith(fresh, s"iso-setup:$name")(fn): Unit // first-touch I/O + codegen
+        val ts = (1 to 3).flatMap(i =>
+          timeWith(fresh, s"iso:$name:run$i")(fn).toOption).sorted
         if (ts.isEmpty) None else Some(name -> median(ts))
       }
       fresh.stop()

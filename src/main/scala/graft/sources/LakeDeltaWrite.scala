@@ -114,10 +114,20 @@ final class LakeDeltaBatchWrite(root: String, schema: StructType,
       info: PhysicalWriteInfo): DeltaWriterFactory = {
     Files.createDirectories(Paths.get(LakeWrite.stagingDir(root)))
     val phys = LakeWrite.physicalFor(root, schema, overwrite = false)
+    // commit resolves the stat envelope from the PINNED scanned
+    // version — mirror it exactly so the task-side specKey matches
+    val spec =
+      if (scannedVersion < 0) None
+      else {
+        val base = SnapshotLake.snapshot(root, Some(scannedVersion))
+        Some(StatsSpec(base.statCol, base.bloomCol,
+          SnapshotLake.inheritedBloomBytes(base), base.statCol2))
+      }
     new LakeDeltaWriterFactory(root, LakeWrite.writeConf(phys),
       LakeWrite.writeConf(StructType(phys.fields :+
         org.apache.spark.sql.types.StructField(LakeTable.RidPhysColumn,
-          org.apache.spark.sql.types.LongType, nullable = false))))
+          org.apache.spark.sql.types.LongType, nullable = false))),
+      spec)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -133,7 +143,9 @@ final class LakeDeltaBatchWrite(root: String, schema: StructType,
     val res = SnapshotLake.commitDeltaOps(SparkSession.active, root,
       deletes, staged.flatMap(_.inserted).map(m => (m.name, m.rows)), op,
       matStaged = staged.flatMap(_.updated).map(m => (m.name, m.rows)),
-      scannedVersion = Some(scannedVersion))
+      scannedVersion = Some(scannedVersion),
+      taskStats = staged.flatMap(m => m.inserted ++ m.updated)
+        .flatMap(s => s.stats.map(s.name -> _)).toMap)
     // a delta UPDATE/MERGE version mixes vector growth with added
     // post-image files — not derivable from the manifest diff alone,
     // so change-feed tables materialize the CDC sidecar (pure-delete
@@ -154,11 +166,13 @@ final class LakeDeltaBatchWrite(root: String, schema: StructType,
 }
 
 final class LakeDeltaWriterFactory(root: String,
-    confKVs: Map[String, String], matConfKVs: Map[String, String])
+    confKVs: Map[String, String], matConfKVs: Map[String, String],
+    statsSpec: Option[StatsSpec] = None)
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DeltaWriter[InternalRow] =
-    new LakeDeltaDataWriter(root, confKVs, matConfKVs, partitionId, taskId)
+    new LakeDeltaDataWriter(root, confKVs, matConfKVs, partitionId, taskId,
+      statsSpec)
 }
 
 /** Task-side delta writer: inserts stream through the ordinary
@@ -172,10 +186,12 @@ final class LakeDeltaWriterFactory(root: String,
   */
 final class LakeDeltaDataWriter(root: String,
     confKVs: Map[String, String], matConfKVs: Map[String, String],
-    partitionId: Int, taskId: Long)
+    partitionId: Int, taskId: Long,
+    statsSpec: Option[StatsSpec] = None)
     extends DeltaWriter[InternalRow] {
 
-  private val inner = new LakeDataWriter(root, confKVs, partitionId, taskId)
+  private val inner = new LakeDataWriter(root, confKVs, partitionId, taskId,
+    statsSpec = statsSpec)
   // lazily opened: pure DELETEs and inserts never pay for it
   private var matInner: LakeDataWriter = null
   private val deletes =
@@ -195,7 +211,7 @@ final class LakeDeltaDataWriter(root: String,
     else {
       if (matInner == null)
         matInner = new LakeDataWriter(root, matConfKVs,
-          partitionId, taskId)
+          partitionId, taskId, statsSpec = statsSpec)
       matInner.write(new org.apache.spark.sql.catalyst.expressions
         .JoinedRow(row,
           new org.apache.spark.sql.catalyst.expressions

@@ -311,8 +311,198 @@ final case class LakeStaged(name: String, rows: Long,
       * EXCLUSIVE (-1: none generated) — the driver folds the max
       * into the commit's new high-water.
       */
-    idMaxUnit: Long = -1L)
+    idMaxUnit: Long = -1L,
+    /** Per-file stats accumulated WHILE WRITING (optimization r15,
+      * guide §1.2 — remove the write-then-re-read pass): when every
+      * acknowledged file carries a [[SegStats]] whose spec matches
+      * the publish-time resolution, the driver builds the manifest
+      * entries directly and the [[SnapshotLake.statsFor]] read-back
+      * job is skipped. `None` (disabled column shapes, older
+      * messages) falls back to the read-back pass — same values
+      * either way, certified by TaskSideStatsSpec.
+      */
+    stats: Option[SegStats] = None)
     extends WriterCommitMessage
+
+/** The stat-envelope configuration a writer accumulated against —
+  * compared (as [[key]]) with the publish-time resolution so a spec
+  * drift (e.g. a concurrent first-commit changing statCol) can never
+  * publish stats computed under different rules.
+  */
+final case class StatsSpec(statCol: String, bloomCol: Option[String],
+    bloomBytes: Int, statCol2: Option[String]) {
+  def key: String = Seq(statCol.toLowerCase(java.util.Locale.ROOT),
+    bloomCol.map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse(""),
+    bloomBytes.toString,
+    statCol2.map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse(""))
+    .mkString("|")
+}
+
+/** Task-side per-file statistics, value-identical to one row of
+  * [[SnapshotLake.statsFor]]'s aggregate (same null/overflow
+  * conventions — see [[SegStatsAcc]]).
+  */
+final case class SegStats(specKey: String, lo: Long, hi: Long,
+    su: Option[Long], bloom: Option[Array[Byte]],
+    dim2: Option[(Long, Long)],
+    cstats: Map[String, SnapshotLake.ColStat])
+
+/** Streaming replication of the read-back stats aggregate, fed one
+  * InternalRow at a time as the parquet writer consumes it. Exact
+  * equivalences replicated (TaskSideStatsSpec pins each against a
+  * statsFor read-back of the same files):
+  *
+  *  - `lo`/`hi` = min/max(statCol) cast long; all-null → 0 (the
+  *    Row.getLong-on-null convention the read-back path lands on);
+  *  - `su` = try_sum(statCol): None on overflow or all-null;
+  *  - bloom = [[SnapshotLake.Bloom.set]] per non-null value — a NULL
+  *    bloom-column value disables the accumulator (the UDAF path's
+  *    null handling is its own; fall back rather than guess);
+  *  - cstats per [[SnapshotLake.csColsFor]] column: min/max (ints)
+  *    or length-sum/length-max (strings, in CHARACTERS — Spark's
+  *    `length`), null count, and the K-smallest-distinct KMV over
+  *    `xxhash64(col) & Long.MaxValue` — the hash evaluated by the
+  *    REAL catalyst XxHash64 expression bound to the row, so the
+  *    task-side hash cannot diverge from the SQL one (nulls hash to
+  *    the seed, exactly as in the aggregate);
+  *  - a column with zero non-null values records no entry.
+  *
+  * Column shapes outside the replicated set (non-integral stat
+  * columns, castable bloom columns) mark the accumulator unsupported
+  * and the publish path falls back to the read-back pass.
+  */
+final class SegStatsAcc(schema: StructType, spec: StatsSpec) {
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+  import org.apache.spark.sql.catalyst.expressions.{BoundReference, XxHash64}
+
+  private def idxOf(name: String): Int =
+    schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+  private def longReader(name: String): Option[Int => InternalRow => Long] =
+    Some(idxOf(name)).filter(_ >= 0).flatMap { i =>
+      schema.fields(i).dataType match {
+        case LongType => Some((j: Int) => (r: InternalRow) => r.getLong(j))
+        case IntegerType =>
+          Some((j: Int) => (r: InternalRow) => r.getInt(j).toLong)
+        case _ => None
+      }
+    }
+
+  private val statIdx = idxOf(spec.statCol)
+  private val statGet = longReader(spec.statCol).map(_(statIdx))
+  private val stat2Idx = spec.statCol2.map(idxOf).getOrElse(-1)
+  private val stat2Get =
+    spec.statCol2.flatMap(longReader).map(_(stat2Idx))
+  private val bloomIdx = spec.bloomCol.map(idxOf).getOrElse(-1)
+  private val bloomGet =
+    spec.bloomCol.flatMap(longReader).map(_(bloomIdx))
+
+  /** Disabled when a declared column is missing or outside the
+    * replicated long/int shapes — publish falls back to statsFor.
+    */
+  var supported: Boolean = statGet.isDefined &&
+    (spec.statCol2.isEmpty || stat2Get.isDefined) &&
+    (spec.bloomCol.isEmpty || bloomGet.isDefined)
+
+  private val cs: Array[(String, Boolean, Int)] =
+    SnapshotLake.csColsFor(schema, spec.statCol, spec.statCol2)
+      .map { case (n, isStr) => (n, isStr, idxOf(n)) }.toArray
+  // the real catalyst hash, bound per column: null → seed, string →
+  // UTF8 bytes, int → int-width hash — whatever xxhash64 does, we do
+  private val csHash: Array[XxHash64] = cs.map { case (_, _, i) =>
+    new XxHash64(Seq(BoundReference(i, schema.fields(i).dataType,
+      schema.fields(i).nullable)))
+  }
+
+  private var rows = 0L
+  private var lo = Long.MaxValue; private var hi = Long.MinValue
+  private var seenStat = false
+  private var sum = 0L; private var sumOverflow = false
+  private var lo2 = Long.MaxValue; private var hi2 = Long.MinValue
+  private var seen2 = false
+  private val bloomBits: Array[Byte] =
+    if (spec.bloomCol.isDefined) new Array[Byte](spec.bloomBytes) else null
+  private val csLo = Array.fill(cs.length)(Long.MaxValue)
+  private val csHi = Array.fill(cs.length)(Long.MinValue)
+  private val csSeen = Array.fill(cs.length)(false)
+  private val csNulls = new Array[Long](cs.length)
+  private val csKmv = Array.fill(cs.length)(
+    new java.util.TreeSet[java.lang.Long]())
+
+  def update(row: InternalRow): Unit = {
+    if (!supported) return
+    rows += 1
+    statGet.foreach { g =>
+      if (!row.isNullAt(statIdx)) {
+        val v = g(row); seenStat = true
+        if (v < lo) lo = v
+        if (v > hi) hi = v
+        if (!sumOverflow)
+          try sum = Math.addExact(sum, v)
+          catch { case _: ArithmeticException => sumOverflow = true }
+      }
+    }
+    stat2Get.foreach { g =>
+      if (!row.isNullAt(stat2Idx)) {
+        val v = g(row); seen2 = true
+        if (v < lo2) lo2 = v
+        if (v > hi2) hi2 = v
+      }
+    }
+    bloomGet.foreach { g =>
+      if (row.isNullAt(bloomIdx)) { supported = false; return }
+      SnapshotLake.Bloom.set(bloomBits, g(row))
+    }
+    var i = 0
+    while (i < cs.length) {
+      val (_, isStr, idx) = cs(i)
+      if (row.isNullAt(idx)) csNulls(i) += 1
+      else {
+        csSeen(i) = true
+        val (a, b) =
+          if (isStr) {
+            val n = row.getUTF8String(idx).numChars().toLong
+            (csLo(i) match { case Long.MaxValue => n; case c => c + n }, n)
+          } else {
+            val v = schema.fields(idx).dataType match {
+              case LongType => row.getLong(idx)
+              case _ => row.getInt(idx).toLong
+            }
+            (math.min(csLo(i), v), v)
+          }
+        csLo(i) = a
+        if (b > csHi(i)) csHi(i) = b
+      }
+      // every row hashes — nulls included (the aggregate hashes the
+      // column expression per row; xxhash64(null) = the seed)
+      val h = csHash(i).eval(row).asInstanceOf[Long] & Long.MaxValue
+      val set = csKmv(i)
+      if (set.size < SnapshotLake.ColStat.K) { set.add(h): Unit }
+      else if (h < set.last()) {
+        if (set.add(h)) { set.remove(set.last()): Unit }
+      }
+      i += 1
+    }
+  }
+
+  /** The finished per-file stats (None when a row disabled the
+    * accumulator mid-stream).
+    */
+  def finish: Option[SegStats] =
+    if (!supported) None
+    else Some(SegStats(spec.key,
+      lo = if (seenStat) lo else 0L,
+      hi = if (seenStat) hi else 0L,
+      su = if (seenStat && !sumOverflow) Some(sum) else None,
+      bloom = Option(bloomBits),
+      dim2 = spec.statCol2.map(_ =>
+        (if (seen2) lo2 else 0L, if (seen2) hi2 else 0L)),
+      cstats = cs.iterator.zipWithIndex.collect {
+        case ((n, _, _), i) if csSeen(i) =>
+          n.toLowerCase(java.util.Locale.ROOT) -> SnapshotLake.ColStat(
+            csLo(i), csHi(i), csNulls(i),
+            csKmv(i).iterator().asScala.map(_.longValue()).toVector)
+      }.toMap))
+}
 
 /** A partitioned task's acknowledged files — one per partition-value
   * run (clustered+sorted input makes runs contiguous).
@@ -339,6 +529,67 @@ final case class IdentityFill(col: String, idx: Int, start: Long,
 private[sources] object LakeCommit {
   def discard(root: String, m: LakeStaged): Unit =
     Files.deleteIfExists(Paths.get(LakeWrite.stagingDir(root), m.name)): Unit
+
+  /** Build the manifest entries from TASK-SIDE stats when every live
+    * staged file carries a [[SegStats]] accumulated under exactly the
+    * publish-time stat envelope (specKey match) — skipping the
+    * write-then-re-read [[SnapshotLake.statsFor]] pass, which re-reads
+    * every byte just written as a second Spark job (optimization r15,
+    * guide §1.2/§6). Any miss — an older message shape, a column
+    * outside the accumulator's replicated set, spec drift from a
+    * concurrent first-commit — returns None and the caller falls back
+    * to the read-back pass; the two paths are value-identical
+    * (TaskSideStatsSpec pins FileStat equality on shared fixtures).
+    */
+  private[sources] def taskStatFiles(root: String, batch: String,
+      live: Seq[LakeStaged], spec: StatsSpec)
+      : Option[Seq[SnapshotLake.FileStat]] =
+    if (live.isEmpty || !live.forall(_.stats.exists(_.specKey == spec.key)))
+      None
+    else Some(live.map { m =>
+      val st = m.stats.get
+      val rel = s"$batch/${m.name}"
+      SnapshotLake.FileStat(rel, st.lo, st.hi, m.rows,
+        bloom = st.bloom, dim2 = st.dim2,
+        // same driver-side stat(2) the read-back pass records
+        bytes = Some(Files.size(Paths.get(root, rel))),
+        sum = st.su, cstats = st.cstats)
+    }.sortBy(_.name))
+
+  /** The stat envelope the batch-append/streaming publish resolves —
+    * factory-time mirror of [[publish]]'s own resolution, so the
+    * task-side specKey can only match when publish would compute
+    * stats under the same rules. None (unresolvable statCol: first
+    * commit without the option) simply disables task-side stats.
+    */
+  private[sources] def publishSpec(root: String,
+      opts: Map[String, String]): Option[StatsSpec] = {
+    val head =
+      if (SnapshotLake.headVersion(root) >= 0)
+        Some(SnapshotLake.snapshot(root))
+      else None
+    opts.get("statcol").orElse(head.map(_.statCol)).map { sc =>
+      StatsSpec(sc, opts.get("bloomcol"),
+        opts.get("bloombytes").map(_.toInt).getOrElse(1024),
+        opts.get("statcol2"))
+    }
+  }
+
+  /** Factory-time mirror of [[publishPartitionReplace]]'s envelope
+    * resolution (bloom/statCol2 inherit from the head there).
+    */
+  private[sources] def replaceSpec(root: String,
+      opts: Map[String, String]): Option[StatsSpec] = {
+    val head =
+      if (SnapshotLake.headVersion(root) >= 0)
+        Some(SnapshotLake.snapshot(root))
+      else None
+    opts.get("statcol").orElse(head.map(_.statCol)).map { sc =>
+      StatsSpec(sc, opts.get("bloomcol").orElse(head.flatMap(_.bloomCol)),
+        opts.get("bloombytes").map(_.toInt).getOrElse(1024),
+        opts.get("statcol2").orElse(head.flatMap(_.statCol2)))
+    }
+  }
 
   /** The manifest tag column a level's files tag under: bucket and
     * truncate transforms carry their parameter in the tag name;
@@ -434,8 +685,10 @@ private[sources] object LakeCommit {
         Paths.get(root, batch, m.name),
         StandardCopyOption.ATOMIC_MOVE)
     }
-    val files = SnapshotLake.statsFor(SparkSession.active, root, batch,
-      statCol, bloomCol, bloomBytes, statCol2)
+    val files = LakeCommit.taskStatFiles(root, batch, live,
+      StatsSpec(statCol, bloomCol, bloomBytes, statCol2)).getOrElse(
+      SnapshotLake.statsFor(SparkSession.active, root, batch,
+        statCol, bloomCol, bloomBytes, statCol2))
     // partitioned write: each staged file declared its single value —
     // carry it into the manifest tag the prune/SPJ machinery reads.
     // Bucketed tables tag under `bucketN(c)` (the value is a bucket
@@ -518,8 +771,10 @@ private[sources] object LakeCommit {
             Paths.get(root, batch, m.name),
             StandardCopyOption.ATOMIC_MOVE)
         }
-        val stats = SnapshotLake.statsFor(SparkSession.active, root, batch,
-          statCol, bloomCol, bloomBytes, statCol2)
+        val stats = LakeCommit.taskStatFiles(root, batch, live,
+          StatsSpec(statCol, bloomCol, bloomBytes, statCol2)).getOrElse(
+          SnapshotLake.statsFor(SparkSession.active, root, batch,
+            statCol, bloomCol, bloomBytes, statCol2))
         val valOf = live.map(m => m.name -> m.partVal).toMap
         val val2Of = live.map(m => m.name -> m.partVal2).toMap
         val tagName2 = opts.get("partcol2").map(pc2 =>
@@ -594,6 +849,7 @@ final class LakeReplaceBatchWrite(root: String, schema: StructType,
       info: PhysicalWriteInfo): DataWriterFactory = {
     Files.createDirectories(Paths.get(LakeWrite.stagingDir(root)))
     val phys = LakeWrite.physicalFor(root, schema, overwrite = false)
+    val spec = LakeCommit.replaceSpec(root, opts)
     ridIdx match {
       case Some(idx) =>
         // rid-materializing rewrite: output schema appends a NULLABLE
@@ -604,9 +860,10 @@ final class LakeReplaceBatchWrite(root: String, schema: StructType,
             org.apache.spark.sql.types.StructField(
               LakeTable.RidPhysColumn,
               org.apache.spark.sql.types.LongType, nullable = true))),
-          idx)
+          idx, spec)
       case None =>
-        new LakeWriterFactory(root, LakeWrite.writeConf(phys))
+        new LakeWriterFactory(root, LakeWrite.writeConf(phys),
+          statsSpec = spec)
     }
   }
 
@@ -647,8 +904,10 @@ final class LakeReplaceBatchWrite(root: String, schema: StructType,
             Paths.get(root, batch, m.name),
             StandardCopyOption.ATOMIC_MOVE)
         }
-        SnapshotLake.statsFor(SparkSession.active, root, batch,
-          statCol, bloomCol, bloomBytes, statCol2)
+        LakeCommit.taskStatFiles(root, batch, live,
+          StatsSpec(statCol, bloomCol, bloomBytes, statCol2)).getOrElse(
+          SnapshotLake.statsFor(SparkSession.active, root, batch,
+            statCol, bloomCol, bloomBytes, statCol2))
           .map { f =>
             val base = f.name.substring(f.name.lastIndexOf('/') + 1)
             if (matNames(base)) f.copy(ridMat = true) else f
@@ -672,10 +931,12 @@ final class LakeReplaceBatchWrite(root: String, schema: StructType,
 }
 
 final class LakeReplaceRidWriterFactory(root: String,
-    confKVs: Map[String, String], ridIdx: Int) extends DataWriterFactory {
+    confKVs: Map[String, String], ridIdx: Int,
+    statsSpec: Option[StatsSpec] = None) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new LakeReplaceRidWriter(root, confKVs, ridIdx, partitionId, taskId)
+    new LakeReplaceRidWriter(root, confKVs, ridIdx, partitionId, taskId,
+      statsSpec)
 }
 
 /** Task-side rid-materializing CoW writer: every replacement row
@@ -689,9 +950,11 @@ final class LakeReplaceRidWriterFactory(root: String,
   */
 final class LakeReplaceRidWriter(root: String,
     confKVs: Map[String, String], ridIdx: Int,
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    partitionId: Int, taskId: Long,
+    statsSpec: Option[StatsSpec] = None) extends DataWriter[InternalRow] {
 
-  private val inner = new LakeDataWriter(root, confKVs, partitionId, taskId)
+  private val inner = new LakeDataWriter(root, confKVs, partitionId, taskId,
+    statsSpec = statsSpec)
   private var ridNulls = 0L
 
   override def write(meta: InternalRow, row: InternalRow): Unit = {
@@ -727,7 +990,11 @@ final class LakeBatchWrite(root: String, schema: StructType,
     Files.createDirectories(Paths.get(LakeWrite.stagingDir(root)))
     new LakeWriterFactory(root,
       LakeWrite.writeConf(LakeWrite.physicalFor(root, schema, overwrite)),
-      partSpec, identity)
+      partSpec, identity,
+      // resolve the stat envelope the COMMIT path will publish under
+      // (replaceWhere routes to the partition-replace resolution)
+      if (replaceWhere.isDefined) LakeCommit.replaceSpec(root, opts)
+      else LakeCommit.publishSpec(root, opts))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -776,7 +1043,8 @@ final class LakeStreamingWrite(root: String, schema: StructType,
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     Files.createDirectories(Paths.get(LakeWrite.stagingDir(root)))
     val inner = new LakeWriterFactory(root,
-      LakeWrite.writeConf(LakeWrite.physicalFor(root, schema, overwrite)))
+      LakeWrite.writeConf(LakeWrite.physicalFor(root, schema, overwrite)),
+      statsSpec = LakeCommit.publishSpec(root, opts))
     new StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long,
           epochId: Long): DataWriter[InternalRow] =
@@ -802,11 +1070,12 @@ final class LakeStreamingWrite(root: String, schema: StructType,
 final class LakeWriterFactory(root: String,
     confKVs: Map[String, String],
     partSpec: Option[LakePartSpec] = None,
-    identity: Option[IdentityFill] = None) extends DataWriterFactory {
+    identity: Option[IdentityFill] = None,
+    statsSpec: Option[StatsSpec] = None) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new LakeDataWriter(root, confKVs, partitionId, taskId, partSpec,
-      identity)
+      identity, statsSpec)
 }
 
 /** Task-side parquet writer: Spark's `ParquetWriteSupport` (the
@@ -817,8 +1086,17 @@ final class LakeWriterFactory(root: String,
 final class LakeDataWriter(root: String, confKVs: Map[String, String],
     partitionId: Int, taskId: Long,
     partSpec: Option[LakePartSpec] = None,
-    identity: Option[IdentityFill] = None)
+    identity: Option[IdentityFill] = None,
+    statsSpec: Option[StatsSpec] = None)
     extends DataWriter[InternalRow] {
+
+  // the physical write schema rides in the parquet write conf the
+  // factory already ships — the stats accumulator binds to it
+  private lazy val writeSchema: StructType =
+    org.apache.spark.sql.types.DataType
+      .fromJson(confKVs(ParquetWriteSupport.SPARK_ROW_SCHEMA))
+      .asInstanceOf[StructType]
+  private var acc: SegStatsAcc = null
 
   // identity generation state: units consumed by THIS task
   private var idLocal = 0L
@@ -874,6 +1152,7 @@ final class LakeDataWriter(root: String, confKVs: Map[String, String],
       s"${UUID.randomUUID().toString.take(8)}.parquet"
     segPath = Paths.get(LakeWrite.stagingDir(root), segName)
     rows = 0L
+    acc = statsSpec.map(new SegStatsAcc(writeSchema, _)).orNull
     val conf = new Configuration()
     confKVs.foreach { case (k, v) => conf.set(k, v) }
     // LocalOutputFile = pure NIO: no Hadoop ChecksumFileSystem, so no
@@ -889,7 +1168,8 @@ final class LakeDataWriter(root: String, confKVs: Map[String, String],
 
   private def closeSeg(): Unit = if (writer != null) {
     writer.close()
-    finished += LakeStaged(segName, rows, curVal, curVal2)
+    finished += LakeStaged(segName, rows, curVal, curVal2,
+      stats = Option(acc).flatMap(_.finish))
     writer = null
   }
 
@@ -967,6 +1247,7 @@ final class LakeDataWriter(root: String, confKVs: Map[String, String],
       closeSeg(); curVal = v; curVal2 = v2; openSeg()
     }
     writer.write(row)
+    if (acc != null) acc.update(row)
     rows += 1
   }
 

@@ -1489,7 +1489,7 @@ object SnapshotLake {
     * rewrite never silently degrades point-lookup FPR to the 1 KB
     * default.
     */
-  private def inheritedBloomBytes(snap: Snapshot): Int =
+  private[sources] def inheritedBloomBytes(snap: Snapshot): Int =
     snap.files.flatMap(_.bloom).map(_.length)
       .reduceOption(math.max).getOrElse(1024)
 
@@ -2098,7 +2098,12 @@ object SnapshotLake {
       deletes: Map[String, Seq[String]],
       staged: Seq[(String, Long)], op: String,
       matStaged: Seq[(String, Long)] = Seq.empty,
-      scannedVersion: Option[Int] = None): DeltaDmlResult = {
+      scannedVersion: Option[Int] = None,
+      // task-side per-file stats (name → SegStats) from the DSv2
+      // delta writers: when every live file carries one under the
+      // base's stat envelope, the read-back stats pass is skipped
+      // (optimization r15, guide §1.2) — else statsFor as before
+      taskStats: Map[String, SegStats] = Map.empty): DeltaDmlResult = {
     // the conflict baseline is the version the row-level scan was
     // PLANNED against, not the head at commit time: a concurrent
     // vector change landing between scan and commit would otherwise
@@ -2131,8 +2136,13 @@ object SnapshotLake {
         // plain insert legs are GENUINE inserts (fresh base, zero
         // pre-existing rows) — tagged so the CDF's row-id diff may
         // include them instead of falling back to the key diff
-        statsFor(s, root, batch, key, base.bloomCol,
-            inheritedBloomBytes(base), base.statCol2)
+        LakeCommit.taskStatFiles(root, batch,
+            live.map { case (n, r) =>
+              LakeStaged(n, r, stats = taskStats.get(n)) },
+            StatsSpec(key, base.bloomCol, inheritedBloomBytes(base),
+              base.statCol2))
+          .getOrElse(statsFor(s, root, batch, key, base.bloomCol,
+            inheritedBloomBytes(base), base.statCol2))
           .map(f => if (matNames(
               f.name.substring(f.name.lastIndexOf('/') + 1)))
             f.copy(ridMat = true) else f.copy(ridNew = true))
@@ -2682,7 +2692,7 @@ object SnapshotLake {
     * tiny race sees a loud no-sidecar refusal, never wrong data, and
     * its restart/retry finds the sidecar in place.
     */
-  def materializeChanges(s: SparkSession, root: String, v: Int): Long = {
+  def materializeChanges(s: SparkSession, root: String, v: Int): Unit = {
     require(v >= 1, s"version $v has no predecessor to diff against")
     val snap = snapshot(root, Some(v))
     val logical = snap.schema.getOrElse(throw new IllegalStateException(
@@ -2694,7 +2704,9 @@ object SnapshotLake {
     val dir = changesDir(root, v).toString
     diff.select(cols :+ col("change_type").as("_change_type"): _*)
       .write.mode("overwrite").parquet(dir)
-    s.read.parquet(dir).count()
+    // no read-back: the parquet write is the action; the old
+    // `read.count()` return was one extra Spark job per change-feed
+    // DML that every caller discarded (optimization r15, guide §1.2)
   }
 
   /** Clustered bulk commit: route rows to buckets with ONE shuffle
@@ -2867,7 +2879,55 @@ object SnapshotLake {
     * ABSOLUTE normalized paths (the shallow-clone borrowed-ref
     * idiom: vacuum never deletes them, reads resolve them as-is).
     */
+  /** Column-stat eligibility, shared by the read-back stats pass
+    * ([[statsFor]]) and the DSv2 writers' task-side accumulation
+    * ([[LakeWriter]]): long/int/string columns, engine columns
+    * (`_`-prefixed) and the stat envelope's own columns excluded,
+    * INTEGRALS FIRST within the 4-column budget (see the ordering
+    * note in statsFor). One definition so the two paths cannot
+    * drift — drift would mean a task-side manifest differs from a
+    * read-back one on identical data.
+    */
+  private[sources] def csColsFor(schema: org.apache.spark.sql.types.StructType,
+      statCol: String, statCol2: Option[String]): Seq[(String, Boolean)] = {
+    val lower = (statCol +: statCol2.toSeq)
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val candidates = schema.fields.iterator
+      .filter(f => f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType ||
+        f.dataType == org.apache.spark.sql.types.StringType)
+      .map(f => (f.name,
+        f.dataType == org.apache.spark.sql.types.StringType))
+      .filterNot { case (n, _) => n.startsWith("_") ||
+        lower(n.toLowerCase(java.util.Locale.ROOT)) }
+      .toSeq
+    val (strs, ints) = candidates.partition(_._2)
+    (ints ++ strs).take(4)
+  }
+
+  /** Wall-clock + call-count accounting for the write-then-re-read
+    * stats pass — measurement hooks for the optimization rounds
+    * (read via [[statsAccounting]]; negligible overhead).
+    */
+  private val statsPassNanos = new java.util.concurrent.atomic.AtomicLong
+  private val statsPassCalls = new java.util.concurrent.atomic.AtomicLong
+  def statsAccounting: (Long, Double) =
+    (statsPassCalls.get(), statsPassNanos.get() / 1e9)
+
   private[sources] def statsFor(s: SparkSession, root: String, batch: String,
+      statCol: String, bloomCol: Option[String],
+      bloomBytes: Int, statCol2: Option[String] = None,
+      externalDir: Option[String] = None): Seq[FileStat] = {
+    val __t0 = System.nanoTime()
+    try statsForImpl(s, root, batch, statCol, bloomCol, bloomBytes,
+      statCol2, externalDir)
+    finally {
+      statsPassNanos.addAndGet(System.nanoTime() - __t0)
+      statsPassCalls.incrementAndGet(): Unit
+    }
+  }
+
+  private def statsForImpl(s: SparkSession, root: String, batch: String,
       statCol: String, bloomCol: Option[String],
       bloomBytes: Int, statCol2: Option[String] = None,
       externalDir: Option[String] = None): Seq[FileStat] = {
@@ -2888,13 +2948,12 @@ object SnapshotLake {
       bloomUdaf(col(c).cast("long")).as("bloom")
     }
     val bloomIdx = 5 + d2Aggs.size
+    val __planT0 = System.nanoTime()
     val df = s.read.parquet(externalDir.getOrElse(s"$root/$batch"))
     // per-column CBO statistics for the integral columns the stat
     // envelope does NOT cover: exact [min, max] plus a bounded KMV
     // sketch of the hashed values (capped at 4 columns so manifest
     // lines stay bounded; engine columns and routing dirs excluded)
-    val lower = (statCol +: statCol2.toSeq)
-      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
     // STRING columns record stats too — they are what TPC-H-style
     // dims and dedup digests JOIN on, so leaving them out makes CBO
     // guess exactly where reorder matters most. The record reuses
@@ -2910,19 +2969,7 @@ object SnapshotLake {
     // shift previously-covered integral columns out of the window on
     // existing chains and regress their CBO estimates. Integral-first
     // keeps old coverage byte-identical; strings fill leftover slots.
-    val csCols: Seq[(String, Boolean)] = {
-      val candidates = df.schema.fields.iterator
-        .filter(f => f.dataType == org.apache.spark.sql.types.LongType ||
-          f.dataType == org.apache.spark.sql.types.IntegerType ||
-          f.dataType == org.apache.spark.sql.types.StringType)
-        .map(f => (f.name,
-          f.dataType == org.apache.spark.sql.types.StringType))
-        .filterNot { case (n, _) => n.startsWith("_") ||
-          lower(n.toLowerCase(java.util.Locale.ROOT)) }
-        .toSeq
-      val (strs, ints) = candidates.partition(_._2)
-      (ints ++ strs).take(4)
-    }
+    val csCols: Seq[(String, Boolean)] = csColsFor(df.schema, statCol, statCol2)
     val minK = udaf(new graft.operators.KmvSketch.MinKDistinct(ColStat.K))
     val csAggs = csCols.zipWithIndex.flatMap { case ((c, isStr), i) =>
       val (loAgg, hiAgg) =
@@ -2935,9 +2982,15 @@ object SnapshotLake {
           .as(s"__cs_kmv_$i"))
     }
     val all = aggs ++ csAggs
-    df.groupBy(input_file_name().as("f"))
+    val __t1 = System.nanoTime()
+    val __rows = df.groupBy(input_file_name().as("f"))
       .agg(all.head, all.tail: _*)
       .collect()
+    if (sys.env.contains("GRAFT_STATS_DEBUG"))
+      println(f"[statsFor] plan=${(__t1 - __planT0) / 1e9}%.3f s " +
+        f"agg=${(System.nanoTime() - __t1) / 1e9}%.3f s " +
+        s"files=${__rows.length}")
+    __rows
       .map { r =>
         val uri = r.getString(0)
         val rel =

@@ -466,18 +466,24 @@ object StreamingGate {
     //     stalled at the last real click. A sentinel rides on EACH
     //     side at max + 4h.
     //  2. Eviction executes DURING a batch, using the watermark
-    //     committed at the end of the batch before it — so the final
-    //     batch (right-side-only, max + 8h) exists purely to run the
-    //     eviction wave under the already-sufficient watermark
-    //     (min(4h, 4h) − 1h lag = max + 3h; left rows evict once
-    //     imp_ts < WM − 2h horizon = max + 1h, which covers every
-    //     real click).
-    // THREE batches, not four (the round-14 floor-trim ask): the
-    // dual sentinel rides WITH the second data half — watermark
-    // advancement happens at end-of-batch either way, cross-batch
-    // buffering (batch-2 purchases vs batch-1 clicks in state) is
-    // untouched, and the final eviction wave still runs one batch
-    // later. Same judged frame; one fewer drain cycle per run.
+    //     committed at the end of the batch before it — and the
+    //     drain after the second arrival includes Spark's NO-DATA
+    //     micro-batch (noDataMicroBatches, on by default; the same
+    //     mechanism every other gate's drain already leans on),
+    //     which runs the eviction wave under the already-sufficient
+    //     watermark (min(4h, 4h) − 1h lag = max + 3h; left rows
+    //     evict once imp_ts < WM − 2h horizon = max + 1h, which
+    //     covers every real click).
+    // TWO arrivals, not three (optimization r15, the round-14
+    // floor-trim ask continued): the dual sentinel rides WITH the
+    // second data half, and the former right-side-only third batch
+    // (max + 8h) is gone — probe-measured, it ran AFTER the no-data
+    // batch had already evicted and emitted every deferred row
+    // (state drops to exactly the 2 buffered sentinels at the
+    // no-data batch; the third arrival added 1 input row and 0
+    // output rows). Cross-batch buffering (arrival-2 purchases vs
+    // arrival-1 clicks in state) is untouched. Same judged frame;
+    // one fewer micro-batch + one fewer fixture write per run.
     // Neither sentinel can surface: the click sentinel at max + 4h
     // needs WM > max + 6h to evict (never happens — WM peaks at
     // max + 3h, capped by the click side), purchase sentinels are
@@ -493,8 +499,7 @@ object StreamingGate {
       Seq(base.where(col("ts") < lit(mid)),
         base.where(col("ts") >= lit(mid))
           .unionAll(sentinel("click", -2L, 4))
-          .unionAll(sentinel("purchase", -1L, 4)),
-        sentinel("purchase", -1L, 8)),
+          .unionAll(sentinel("purchase", -1L, 4))),
       // 1 state partition, not 8: a symmetric stream-stream join
       // carries 4 state stores per partition per side, and each of
       // the 4 micro-batches pays a commit per store — at local test
