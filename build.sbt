@@ -35,4 +35,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   // GC visibility for bench-window forensics (cheap, file-scoped)
   "-Xlog:gc:file=/tmp/graft_gc.log:time,uptime:filecount=2,filesize=10m",
+  // The 234-query catalog pass JIT-compiles thousands of generated
+  // (janino/codegen) methods; at the JDK-17 default 240m the code
+  // cache fills mid-pass, the sweeper starts flushing hot methods and
+  // late-pass queries re-run partly interpreted — measured as
+  // end-of-pass sessions reading 2-4x over an identical fresh JVM.
+  // 1g keeps the whole pass compiled (simply reserved address space;
+  // committed only as used).
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -412,6 +412,9 @@ final class SegStatsAcc(schema: StructType, spec: StatsSpec) {
     new XxHash64(Seq(BoundReference(i, schema.fields(i).dataType,
       schema.fields(i).nullable)))
   }
+  // per-row type dispatch hoisted to a flag (write hot loop)
+  private val csIsLong: Array[Boolean] =
+    cs.map { case (_, _, i) => schema.fields(i).dataType == LongType }
 
   private var rows = 0L
   private var lo = Long.MaxValue; private var hi = Long.MinValue
@@ -428,49 +431,50 @@ final class SegStatsAcc(schema: StructType, spec: StatsSpec) {
   private val csKmv = Array.fill(cs.length)(
     new java.util.TreeSet[java.lang.Long]())
 
+  // hoisted out of Option so the per-row path allocates nothing
+  // (this runs once per written row — the write hot loop)
+  private val statFn = statGet.orNull
+  private val stat2Fn = stat2Get.orNull
+  private val bloomFn = bloomGet.orNull
+
   def update(row: InternalRow): Unit = {
     if (!supported) return
     rows += 1
-    statGet.foreach { g =>
-      if (!row.isNullAt(statIdx)) {
-        val v = g(row); seenStat = true
-        if (v < lo) lo = v
-        if (v > hi) hi = v
-        if (!sumOverflow)
-          try sum = Math.addExact(sum, v)
-          catch { case _: ArithmeticException => sumOverflow = true }
-      }
+    if (statFn != null && !row.isNullAt(statIdx)) {
+      val v = statFn(row); seenStat = true
+      if (v < lo) lo = v
+      if (v > hi) hi = v
+      if (!sumOverflow)
+        try sum = Math.addExact(sum, v)
+        catch { case _: ArithmeticException => sumOverflow = true }
     }
-    stat2Get.foreach { g =>
-      if (!row.isNullAt(stat2Idx)) {
-        val v = g(row); seen2 = true
-        if (v < lo2) lo2 = v
-        if (v > hi2) hi2 = v
-      }
+    if (stat2Fn != null && !row.isNullAt(stat2Idx)) {
+      val v = stat2Fn(row); seen2 = true
+      if (v < lo2) lo2 = v
+      if (v > hi2) hi2 = v
     }
-    bloomGet.foreach { g =>
+    if (bloomFn != null) {
       if (row.isNullAt(bloomIdx)) { supported = false; return }
-      SnapshotLake.Bloom.set(bloomBits, g(row))
+      SnapshotLake.Bloom.set(bloomBits, bloomFn(row))
     }
     var i = 0
     while (i < cs.length) {
-      val (_, isStr, idx) = cs(i)
+      val isStr = cs(i)._2
+      val idx = cs(i)._3
       if (row.isNullAt(idx)) csNulls(i) += 1
       else {
+        if (isStr) {
+          // strings: lo = running char-length SUM, hi = max length
+          val n = row.getUTF8String(idx).numChars().toLong
+          csLo(i) = if (csSeen(i)) csLo(i) + n else n
+          if (n > csHi(i)) csHi(i) = n
+        } else {
+          val v = if (csIsLong(i)) row.getLong(idx)
+                  else row.getInt(idx).toLong
+          if (v < csLo(i)) csLo(i) = v
+          if (v > csHi(i)) csHi(i) = v
+        }
         csSeen(i) = true
-        val (a, b) =
-          if (isStr) {
-            val n = row.getUTF8String(idx).numChars().toLong
-            (csLo(i) match { case Long.MaxValue => n; case c => c + n }, n)
-          } else {
-            val v = schema.fields(idx).dataType match {
-              case LongType => row.getLong(idx)
-              case _ => row.getInt(idx).toLong
-            }
-            (math.min(csLo(i), v), v)
-          }
-        csLo(i) = a
-        if (b > csHi(i)) csHi(i) = b
       }
       // every row hashes — nulls included (the aggregate hashes the
       // column expression per row; xxhash64(null) = the seed)
