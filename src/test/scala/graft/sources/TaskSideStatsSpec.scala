@@ -116,6 +116,44 @@ class TaskSideStatsSpec extends SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS taskstats_cow")
   }
 
+  test("column-mapped chains (post-rename) still take task-side stats, value-identically") {
+    val root = Housekeeping.tempDir("taskstats_map")
+    spark.range(0, 500)
+      .selectExpr("id AS event_id", "id * 7 AS cents",
+        "concat('u', id % 13) AS tag")
+      .write.format(Fmt).option("path", root).option("statCol", "event_id")
+      .mode("append").save()
+    spark.sql("DROP TABLE IF EXISTS taskstats_map")
+    spark.sql(s"""CREATE TABLE taskstats_map (event_id BIGINT, cents BIGINT,
+      tag STRING) USING graft.sources.GraftLakeSource
+      OPTIONS (path '$root', statCol 'event_id')""")
+    // rename a cs-eligible column: appends now write under a mapped
+    // PHYSICAL name — the accumulator must resolve the same physical
+    // columns the read-back pass would, or decline
+    spark.sql("ALTER TABLE taskstats_map RENAME COLUMN cents TO amount")
+    val (c0, _) = SnapshotLake.statsAccounting
+    spark.sql("""INSERT INTO taskstats_map
+      SELECT id + 1000 AS event_id, id * 9 AS amount,
+        concat('v', id % 7) AS tag FROM range(0, 400)""")
+    val (c1, _) = SnapshotLake.statsAccounting
+    assert(c1 === c0,
+      "mapped-chain DSv2 append ran the read-back stats pass")
+    val snap = SnapshotLake.snapshot(root)
+    // the appended files' stats must equal a read-back of the same
+    // batch (physical column names, lowercased — same key space)
+    val newest = snap.files.filter(_.lo >= 1000)
+    assert(newest.nonEmpty)
+    val batch = newest.head.name.substring(0, newest.head.name.lastIndexOf('/'))
+    val readBack = SnapshotLake.statsFor(spark, root, batch,
+      "event_id", None, 1024, None)
+    assert(newest.map(statFields).sortBy(_._1)
+      === readBack.map(statFields).sortBy(_._1))
+    assert(spark.sql(
+      "SELECT sum(amount) FROM taskstats_map WHERE event_id >= 1000")
+      .head().getLong(0) === (0 until 400).map(_ * 9L).sum)
+    spark.sql("DROP TABLE IF EXISTS taskstats_map")
+  }
+
   test("partitioned (multi-segment task) writes carry per-file task-side stats") {
     val root = Housekeeping.tempDir("taskstats_part")
     val (calls0, _) = SnapshotLake.statsAccounting
