@@ -23,18 +23,27 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Default heap: a quarter of physical RAM, clamped to [2g, 24g] — on
+// the 128 GiB bench sandbox this is the same 24g as before (driver
+// comparability preserved), while a constrained machine no longer gets
+// a JVM that cannot start. SPARK_DRIVER_MEM stays authoritative.
+// Rationale for the 24g ceiling: local[N] packs driver + all executors
+// + every fixture/memory-sink into ONE heap; at 8g the 234-query bench
+// pass ran GC-bound by its measured phase.
+val defaultHeap: String = {
+  val gb = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    .getTotalMemorySize / (1L << 30)
+  s"${math.max(2L, math.min(24L, gb / 4))}g"
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local[N] packs driver + all executors + every fixture/memory-sink
-  // into ONE heap: at 8g the 234-query bench pass ran GC-bound by its
-  // measured phase (fresh-session probes read 2-2.5x faster than the
-  // same queries' in-catalog medians). 24g of the sandbox's 128 GiB
-  // keeps the measured passes out of old-gen churn; the env var still
-  // overrides for constrained machines.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-  // GC visibility for bench-window forensics (cheap, file-scoped)
-  "-Xlog:gc:file=/tmp/graft_gc.log:time,uptime:filecount=2,filesize=10m",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}",
+  // GC visibility for bench-window forensics (cheap, file-scoped);
+  // %p = one log per JVM, so concurrent forked runs (tests, bench,
+  // probe mains) stop clobbering each other's rotation set
+  "-Xlog:gc:file=/tmp/graft_gc_%p.log:time,uptime:filecount=2,filesize=10m",
   // The 234-query catalog pass JIT-compiles thousands of generated
   // (janino/codegen) methods; at the JDK-17 default 240m the code
   // cache fills mid-pass, the sweeper starts flushing hot methods and

@@ -236,6 +236,41 @@ final class LakeWriteBuilder(root: String, info: LogicalWriteInfo,
 object LakeWrite {
   def stagingDir(root: String): String = s"$root/_staging"
 
+  private final class SupportBuilder(
+      file: org.apache.parquet.io.OutputFile,
+      support: WriteSupport[InternalRow])
+      extends ParquetWriter.Builder[InternalRow, SupportBuilder](file) {
+    override def self(): SupportBuilder = this
+    override def getWriteSupport(
+        conf: Configuration): WriteSupport[InternalRow] = support
+  }
+
+  /** Spark's own `InternalRow` → parquet encoder
+    * ([[ParquetWriteSupport]], the exact one `df.write.parquet` runs)
+    * behind parquet-mr's writer, streaming to `path` — the ONE writer
+    * construction every lake write path shares (the DSv2 task writers
+    * and the API verbs' write job). LocalOutputFile = pure NIO: no
+    * Hadoop ChecksumFileSystem, so no .crc sidecars to orphan in
+    * staging (the protocol's single-filesystem assumption).
+    * `blockSize`/`pageSize` carry the caller's `parquet.block.size` /
+    * `parquet.page.size` writer tuning (row-group granularity for the
+    * connector's splits).
+    */
+  private[sources] def openParquet(path: java.nio.file.Path,
+      confKVs: Map[String, String], blockSize: Option[Long] = None,
+      pageSize: Option[Int] = None): ParquetWriter[InternalRow] = {
+    val conf = new Configuration()
+    confKVs.foreach { case (k, v) => conf.set(k, v) }
+    val b = new SupportBuilder(
+      new org.apache.parquet.io.LocalOutputFile(path),
+      new ParquetWriteSupport)
+      .withConf(conf)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+    blockSize.foreach(n => b.withRowGroupSize(n): Unit)
+    pageSize.foreach(n => b.withPageSize(n): Unit)
+    b.build()
+  }
+
   /** Data files carry PHYSICAL column names (column mapping): an
     * append's write schema renames any chain-mapped logical columns
     * back to their storage names; an overwrite declares a fresh
@@ -321,7 +356,14 @@ final case class LakeStaged(name: String, rows: Long,
       * messages) falls back to the read-back pass — same values
       * either way, certified by TaskSideStatsSpec.
       */
-    stats: Option[SegStats] = None)
+    stats: Option[SegStats] = None,
+    /** On-disk byte size, stat(2)'d by the TASK at segment close —
+      * the writer is the one party that already has the file local,
+      * so the publish path never re-stats it driver-side (O(files)
+      * metadata round-trips per commit on an object store). `None`
+      * (older messages) falls back to a driver-side `Files.size`.
+      */
+    bytes: Option[Long] = None)
     extends WriterCommitMessage
 
 /** The stat-envelope configuration a writer accumulated against —
@@ -354,7 +396,16 @@ final case class SegStats(specKey: String, lo: Long, hi: Long,
   *
   *  - `lo`/`hi` = min/max(statCol) cast long; all-null → 0 (the
   *    Row.getLong-on-null convention the read-back path lands on);
-  *  - `su` = try_sum(statCol): None on overflow or all-null;
+  *  - `su` = try_sum(statCol): None on overflow or all-null. Known
+  *    corner (deliberately accepted): overflow detection is
+  *    order-dependent — the sequential Math.addExact can overflow at
+  *    an intermediate prefix where the read-back aggregate's split
+  *    ordering would not (or vice versa), so on overflow-EDGE data
+  *    the two paths may disagree about recording the sum. Results
+  *    stay correct either way: an absent sum only makes the manifest
+  *    SUM pushdown refuse and fall back to scanning. A strict
+  *    equality check on such data should expect this, not flag it;
+  *
   *  - bloom = [[SnapshotLake.Bloom.set]] per non-null value — a NULL
   *    bloom-column value disables the accumulator (the UDAF path's
   *    null handling is its own; fall back rather than guess);
@@ -555,8 +606,11 @@ private[sources] object LakeCommit {
       val rel = s"$batch/${m.name}"
       SnapshotLake.FileStat(rel, st.lo, st.hi, m.rows,
         bloom = st.bloom, dim2 = st.dim2,
-        // same driver-side stat(2) the read-back pass records
-        bytes = Some(Files.size(Paths.get(root, rel))),
+        // byte size stat(2)'d by the writing task at segment close
+        // (invariant under the staging→batch ATOMIC_MOVE); only a
+        // legacy message without it costs a driver-side stat
+        bytes = m.bytes.orElse(
+          Some(Files.size(Paths.get(root, rel)))),
         sum = st.su, cstats = st.cstats)
     }.sortBy(_.name))
 
@@ -1131,15 +1185,6 @@ final class LakeDataWriter(root: String, confKVs: Map[String, String],
       }
     }
 
-  private final class SupportBuilder(
-      file: org.apache.parquet.io.OutputFile,
-      support: WriteSupport[InternalRow])
-      extends ParquetWriter.Builder[InternalRow, SupportBuilder](file) {
-    override def self(): SupportBuilder = this
-    override def getWriteSupport(
-        conf: Configuration): WriteSupport[InternalRow] = support
-  }
-
   // one OPEN segment at a time; a partitioned write rolls to a new
   // segment whenever the (clustered + sorted) partition value changes
   private var segName: String = _
@@ -1157,23 +1202,14 @@ final class LakeDataWriter(root: String, confKVs: Map[String, String],
     segPath = Paths.get(LakeWrite.stagingDir(root), segName)
     rows = 0L
     acc = statsSpec.map(new SegStatsAcc(writeSchema, _)).orNull
-    val conf = new Configuration()
-    confKVs.foreach { case (k, v) => conf.set(k, v) }
-    // LocalOutputFile = pure NIO: no Hadoop ChecksumFileSystem, so no
-    // .crc sidecars to orphan in staging (same single-filesystem
-    // assumption the protocol already makes)
-    writer = new SupportBuilder(
-      new org.apache.parquet.io.LocalOutputFile(segPath),
-      new ParquetWriteSupport)
-      .withConf(conf)
-      .withCompressionCodec(CompressionCodecName.SNAPPY)
-      .build()
+    writer = LakeWrite.openParquet(segPath, confKVs)
   }
 
   private def closeSeg(): Unit = if (writer != null) {
     writer.close()
     finished += LakeStaged(segName, rows, curVal, curVal2,
-      stats = Option(acc).flatMap(_.finish))
+      stats = Option(acc).flatMap(_.finish),
+      bytes = Some(Files.size(segPath)))
     writer = null
   }
 

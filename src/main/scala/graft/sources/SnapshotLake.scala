@@ -1384,17 +1384,20 @@ object SnapshotLake {
     // collision (dropped or renamed-away column) must surface as the
     // guard's clear refusal, not as toPhysical mapping two logical
     // columns onto one storage name and the parquet writer failing
-    // with a bare duplicate-column error. commitBatch re-evolves
+    // with a bare duplicate-column error. commitFiles re-evolves
     // against the final head inside the optimistic loop — this is the
     // fast, user-facing copy of the same check.
     chainSchema.foreach(ps => evolveSchema(ps, df.schema,
       chainSnap.map(_.retired).getOrElse(Set.empty)): Unit)
     // writeOptions = parquet writer tuning (e.g. parquet.block.size
-    // to shape row-group granularity for the connector's splits)
-    ColMap.toPhysical(df, chainSchema)
-      .write.options(writeOptions).parquet(s"$root/$batch")
-    commitBatch(s, root, batch, statCol, overwrite, bloomCol, bloomBytes,
-      statCol2, txn, Some(df.schema.json))
+    // to shape row-group granularity for the connector's splits).
+    // One write job with task-side stats (optimization r16): the
+    // write-then-re-read statsFor pass is gone from the commit verb.
+    val newFiles = LakeApiWrite.writeBatchWithStats(s, root, batch,
+      ColMap.toPhysical(df, chainSchema), statCol, bloomCol, bloomBytes,
+      statCol2, bucketCol = None, writeOptions = writeOptions)
+    commitFiles(root, newFiles, statCol, overwrite, bloomCol, statCol2,
+      txn, Some(df.schema.json))
   }
 
   /** Conflict raised when a MERGE's optimistic rebase finds the table
@@ -1590,14 +1593,17 @@ object SnapshotLake {
     // route rewritten rows back to one file per source file; inserts
     // (the `__insert__` sentinel) to one fresh file
     val batch = s"data/b-${UUID.randomUUID().toString.take(8)}"
-    ColMap.toPhysical(routeToSourceBuckets(s, newData,
-      touchedFiles.map(_.name).zipWithIndex.map { case (n, i) => n -> s"f$i" },
-      default = "ins"), base.schema)
-      .repartition(col("__bucket"))
-      .write.partitionBy("__bucket").parquet(s"$root/$batch")
     val insName = "__bucket=ins/".r
-    val newFiles = statsFor(s, root, batch, key, base.bloomCol,
-        inheritedBloomBytes(base), base.statCol2)
+    // one write job with task-side stats (optimization r16, guide
+    // §1.2/§6): the statsFor re-read of every written byte is gone
+    val newFiles = LakeApiWrite.writeBatchWithStats(s, root, batch,
+        ColMap.toPhysical(routeToSourceBuckets(s, newData,
+          touchedFiles.map(_.name).zipWithIndex
+            .map { case (n, i) => n -> s"f$i" },
+          default = "ins"), base.schema)
+          .repartition(col("__bucket")),
+        key, base.bloomCol, inheritedBloomBytes(base), base.statCol2,
+        bucketCol = Some("__bucket"))
       .map { f =>
         val isIns = insName.findFirstIn(f.name).isDefined
         if (isIns) f.copy(ridNew = true)
@@ -1688,14 +1694,14 @@ object SnapshotLake {
           .withColumn("__src", input_file_name())
           .where(!(col(key) >= lo && col(key) < hi))
         val batch = s"data/b-${UUID.randomUUID().toString.take(8)}"
-        ColMap.toPhysical(routeToSourceBuckets(s, cur,
-          straddling.map(_.name).zipWithIndex
-            .map { case (n, i) => n -> s"f$i" },
-          default = "x"), base.schema)
-          .repartition(col("__bucket"))
-          .write.partitionBy("__bucket").parquet(s"$root/$batch")
-        statsFor(s, root, batch, key, base.bloomCol,
-            inheritedBloomBytes(base), base.statCol2)
+        LakeApiWrite.writeBatchWithStats(s, root, batch,
+            ColMap.toPhysical(routeToSourceBuckets(s, cur,
+              straddling.map(_.name).zipWithIndex
+                .map { case (n, i) => n -> s"f$i" },
+              default = "x"), base.schema)
+              .repartition(col("__bucket")),
+            key, base.bloomCol, inheritedBloomBytes(base), base.statCol2,
+            bucketCol = Some("__bucket"))
           .map(f => if (ridKept) f.copy(ridMat = true) else f)
       }
     val rowsDeleted = dropped.map(_.liveRows).sum +
@@ -1872,18 +1878,18 @@ object SnapshotLake {
           .withColumn("__src", input_file_name())
           .where(!coalesce(cond, lit(false)))
         val batch = s"data/b-${UUID.randomUUID().toString.take(8)}"
-        ColMap.toPhysical(routeToSourceBuckets(s, cur,
-          cowFiles.map(_.name).zipWithIndex
-            .map { case (n, i) => n -> s"f$i" },
-          default = "x"), base.schema)
-          .repartition(col("__bucket"))
-          .write.partitionBy("__bucket").parquet(s"$root/$batch")
         // one output per source file: each rewrite inherits its
         // source's partition identity, so a merge-on-read delete on a
         // partitioned lake never degrades partition pruning
         val fTag = "__bucket=f(\\d+)/".r
-        statsFor(s, root, batch, key, base.bloomCol,
-            inheritedBloomBytes(base), base.statCol2)
+        LakeApiWrite.writeBatchWithStats(s, root, batch,
+            ColMap.toPhysical(routeToSourceBuckets(s, cur,
+              cowFiles.map(_.name).zipWithIndex
+                .map { case (n, i) => n -> s"f$i" },
+              default = "x"), base.schema)
+              .repartition(col("__bucket")),
+            key, base.bloomCol, inheritedBloomBytes(base), base.statCol2,
+            bucketCol = Some("__bucket"))
           .map(f => if (ridKept) f.copy(ridMat = true) else f)
           .map(f => fTag.findFirstMatchIn(f.name)
             .fold(f)(m => f.copy(part = cowFiles(m.group(1).toInt).part,
@@ -2014,16 +2020,17 @@ object SnapshotLake {
       }).flatten
     val newData = legs.reduce(_ unionByName _)
     val batch = s"data/b-${UUID.randomUUID().toString.take(8)}"
-    ColMap.toPhysical(routeToSourceBuckets(s, newData,
-      cowFiles.map(_.name).zipWithIndex.map { case (n, i) => n -> s"f$i" },
-      default = "ins"), base.schema)
-      .repartition(col("__bucket"))
-      .write.partitionBy("__bucket").parquet(s"$root/$batch")
     // in-place rewrites inherit their source's partition identity
     // (the "ins" post-image file spans partitions and stays untagged)
     val fTag = "__bucket=f(\\d+)/".r
-    val newFiles = statsFor(s, root, batch, key, base.bloomCol,
-        inheritedBloomBytes(base), base.statCol2)
+    val newFiles = LakeApiWrite.writeBatchWithStats(s, root, batch,
+        ColMap.toPhysical(routeToSourceBuckets(s, newData,
+          cowFiles.map(_.name).zipWithIndex
+            .map { case (n, i) => n -> s"f$i" },
+          default = "ins"), base.schema)
+          .repartition(col("__bucket")),
+        key, base.bloomCol, inheritedBloomBytes(base), base.statCol2,
+        bucketCol = Some("__bucket"))
       .map(f => if (ridKept) f.copy(ridMat = true) else f)
       .map(f => fTag.findFirstMatchIn(f.name)
         .fold(f)(m => f.copy(part = cowFiles(m.group(1).toInt).part,
@@ -2229,15 +2236,16 @@ object SnapshotLake {
     // surviving rows keep their stable ids (__rid) so row tracking
     // survives the maintenance verb
     val (purgeSrc, ridKept) = readFilesForRewrite(s, root, base, purge)
-    ColMap.toPhysical(routeToSourceBuckets(s,
-      purgeSrc.withColumn("__src", input_file_name()),
-      purge.map(_.name).zipWithIndex.map { case (n, i) => n -> s"f$i" },
-      default = "x"), base.schema)
-      .repartition(col("__bucket"))
-      .sortWithinPartitions(col(key))
-      .write.partitionBy("__bucket").parquet(s"$root/$batch")
-    val newFiles = statsFor(s, root, batch, key, base.bloomCol,
-        inheritedBloomBytes(base), base.statCol2)
+    val newFiles = LakeApiWrite.writeBatchWithStats(s, root, batch,
+        ColMap.toPhysical(routeToSourceBuckets(s,
+          purgeSrc.withColumn("__src", input_file_name()),
+          purge.map(_.name).zipWithIndex
+            .map { case (n, i) => n -> s"f$i" },
+          default = "x"), base.schema)
+          .repartition(col("__bucket"))
+          .sortWithinPartitions(col(key)),
+        key, base.bloomCol, inheritedBloomBytes(base), base.statCol2,
+        bucketCol = Some("__bucket"))
       .map(f => if (ridKept) f.copy(ridMat = true) else f)
     val purgedNames = purge.map(_.name).toSet
     var committed = -1
@@ -2339,23 +2347,24 @@ object SnapshotLake {
         // survive the re-route" degradation is gone for tracked
         // chains
         val (reread, rbRid) = readFilesForRewrite(s, root, base, rebucket)
-        ColMap.toPhysical(
-          reread.withColumn("__bucket",
-            graft.functions.GraftBucket.idColumnFor(col(c), n,
-              reread.schema.fields.find(_.name.equalsIgnoreCase(c))
-                .map(_.dataType).getOrElse(
-                  org.apache.spark.sql.types.LongType))),
-          base.schema)
-          .repartition(col("__bucket"))
-          // __bucket leads the sort: FileFormatWriter requires its
-          // input ordered by the partitionBy columns and ADDS ITS OWN
-          // sort by them alone when the actual ordering doesn't lead
-          // with them — which would silently discard the data order
-          .sortWithinPartitions(col("__bucket"), col(rbSo.getOrElse(key)))
-          .write.partitionBy("__bucket").parquet(s"$root/$batch")
         val bTag = "__bucket=(\\d+)/".r
-        statsFor(s, root, batch, key, base.bloomCol,
-            inheritedBloomBytes(base), base.statCol2)
+        LakeApiWrite.writeBatchWithStats(s, root, batch,
+            ColMap.toPhysical(
+              reread.withColumn("__bucket",
+                graft.functions.GraftBucket.idColumnFor(col(c), n,
+                  reread.schema.fields.find(_.name.equalsIgnoreCase(c))
+                    .map(_.dataType).getOrElse(
+                      org.apache.spark.sql.types.LongType))),
+              base.schema)
+              .repartition(col("__bucket"))
+              // __bucket leads the sort so the per-bucket data order
+              // is the one the sort declares (the old FileFormatWriter
+              // required-ordering note survives as: keep the routing
+              // column first, data order second)
+              .sortWithinPartitions(col("__bucket"),
+                col(rbSo.getOrElse(key))),
+            key, base.bloomCol, inheritedBloomBytes(base), base.statCol2,
+            bucketCol = Some("__bucket"))
           .map(f => if (rbRid) f.copy(ridMat = true) else f)
           .map(f => rbSo.fold(f)(c2 => f.copy(sorted = Some(c2))))
           .map { f =>
@@ -2401,18 +2410,19 @@ object SnapshotLake {
         val (packSrc, packRid) =
           readFilesForRewrite(s, root, base, packed.flatten)
         val packSo = commonSo(packed.flatten)
-        ColMap.toPhysical(routeToSourceBuckets(s,
-          packSrc.withColumn("__src", input_file_name()),
-          packed.zipWithIndex.flatMap { case (g, gi) =>
-            g.map(f => f.name -> s"g$gi") },
-          default = "x"), base.schema)
-          .repartition(col("__bucket"))
-          // __bucket leads (see the re-bucket branch note)
-          .sortWithinPartitions(col("__bucket"), col(packSo.getOrElse(key)))
-          .write.partitionBy("__bucket").parquet(s"$root/$batch")
         val gTag = "__bucket=g(\\d+)/".r
-        statsFor(s, root, batch, key, base.bloomCol,
-            inheritedBloomBytes(base), base.statCol2)
+        LakeApiWrite.writeBatchWithStats(s, root, batch,
+            ColMap.toPhysical(routeToSourceBuckets(s,
+              packSrc.withColumn("__src", input_file_name()),
+              packed.zipWithIndex.flatMap { case (g, gi) =>
+                g.map(f => f.name -> s"g$gi") },
+              default = "x"), base.schema)
+              .repartition(col("__bucket"))
+              // __bucket leads (see the re-bucket branch note)
+              .sortWithinPartitions(col("__bucket"),
+                col(packSo.getOrElse(key))),
+            key, base.bloomCol, inheritedBloomBytes(base), base.statCol2,
+            bucketCol = Some("__bucket"))
           .map(f => if (packRid) f.copy(ridMat = true) else f)
           .map(f => packSo.fold(f)(c2 => f.copy(sorted = Some(c2))))
           // a packed output inherits its group's partition identity
@@ -2728,13 +2738,15 @@ object SnapshotLake {
     val chainSchema =
       if (!overwrite && headVersion(root) >= 0) snapshot(root).schema
       else None
-    ColMap.toPhysical(df, chainSchema).withColumn("__bucket", bucket)
-      .repartition(col("__bucket"))
-      .write.partitionBy("__bucket").parquet(s"$root/$batch")
+    val newFiles = LakeApiWrite.writeBatchWithStats(s, root, batch,
+      ColMap.toPhysical(df, chainSchema).withColumn("__bucket", bucket)
+        .repartition(col("__bucket")),
+      statCol, bloomCol, bloomBytes, statCol2,
+      bucketCol = Some("__bucket"))
     // recorded schema = df's own (pre-__bucket): the bucket is a
     // partition directory, invisible to explicit-file-list reads
-    commitBatch(s, root, batch, statCol, overwrite, bloomCol, bloomBytes,
-      statCol2, schemaJson = Some(df.schema.json))
+    commitFiles(root, newFiles, statCol, overwrite, bloomCol, statCol2,
+      txn = None, schemaJson = Some(df.schema.json))
   }
 
   /** The fixtures' N-way range bucket over the dense non-negative id
@@ -2786,12 +2798,12 @@ object SnapshotLake {
         math.max(1L, (rows + targetRows - 1) / targetRows) * 2 - 1)).toInt
     val bucket = zOrderBucket(xCol, xLo, xHi, yCol, yLo, yHi, buckets)
     val batch = s"data/b-${UUID.randomUUID().toString.take(8)}"
-    ColMap.toPhysical(df, base.schema).withColumn("__bucket", bucket)
-      .repartition(col("__bucket"))
-      .sortWithinPartitions(col(base.statCol))
-      .write.partitionBy("__bucket").parquet(s"$root/$batch")
-    val newFiles = statsFor(s, root, batch, base.statCol, base.bloomCol,
-      inheritedBloomBytes(base), Some(yCol))
+    val newFiles = LakeApiWrite.writeBatchWithStats(s, root, batch,
+      ColMap.toPhysical(df, base.schema).withColumn("__bucket", bucket)
+        .repartition(col("__bucket"))
+        .sortWithinPartitions(col(base.statCol)),
+      base.statCol, base.bloomCol, inheritedBloomBytes(base), Some(yCol),
+      bucketCol = Some("__bucket"))
     var committed = -1
     while (committed < 0) {
       val head = snapshot(root)
@@ -2833,13 +2845,13 @@ object SnapshotLake {
     val chainSchema =
       if (!overwrite && headVersion(root) >= 0) snapshot(root).schema
       else None
-    ColMap.toPhysical(df, chainSchema)
-      .withColumn("__bucket", col(partCol).cast("string"))
-      .repartition(col("__bucket"))
-      .write.partitionBy("__bucket").parquet(s"$root/$batch")
     val dirTag = "__bucket=([^/]+)/".r
-    val tagged = statsFor(s, root, batch, statCol, bloomCol, bloomBytes,
-        statCol2)
+    val tagged = LakeApiWrite.writeBatchWithStats(s, root, batch,
+        ColMap.toPhysical(df, chainSchema)
+          .withColumn("__bucket", col(partCol).cast("string"))
+          .repartition(col("__bucket")),
+        statCol, bloomCol, bloomBytes, statCol2,
+        bucketCol = Some("__bucket"))
       .map { f =>
         val m = dirTag.findFirstMatchIn(f.name).getOrElse(
           throw new IllegalStateException(
@@ -2870,15 +2882,6 @@ object SnapshotLake {
       .where(col(partCol).cast("string") === value)
   }
 
-  /** One pass over the batch's files only: per-file stats keyed by
-    * the physical file each row came from; the optional bloom rides
-    * the same aggregate (write-time index build, never a second scan).
-    */
-  /** `externalDir`: compute the same stats over a directory OUTSIDE
-    * the lake (the add_files import path) — files record under their
-    * ABSOLUTE normalized paths (the shallow-clone borrowed-ref
-    * idiom: vacuum never deletes them, reads resolve them as-is).
-    */
   /** Column-stat eligibility, shared by the read-back stats pass
     * ([[statsFor]]) and the DSv2 writers' task-side accumulation
     * ([[LakeWriter]]): long/int/string columns, engine columns
@@ -2914,6 +2917,20 @@ object SnapshotLake {
   def statsAccounting: (Long, Double) =
     (statsPassCalls.get(), statsPassNanos.get() / 1e9)
 
+  /** One pass over the batch's files only: per-file stats keyed by
+    * the physical file each row came from; the optional bloom rides
+    * the same aggregate (write-time index build, never a second scan).
+    * Since r16 this is the FALLBACK face of write-time stats — the
+    * API verbs and DSv2 writers accumulate the identical stats while
+    * writing ([[SegStatsAcc]]) and only land here on a column shape
+    * the accumulator doesn't replicate, an older commit message, or
+    * the add_files import (external bytes really do need reading).
+    *
+    * `externalDir`: compute the same stats over a directory OUTSIDE
+    * the lake (the add_files import path) — files record under their
+    * ABSOLUTE normalized paths (the shallow-clone borrowed-ref
+    * idiom: vacuum never deletes them, reads resolve them as-is).
+    */
   private[sources] def statsFor(s: SparkSession, root: String, batch: String,
       statCol: String, bloomCol: Option[String],
       bloomBytes: Int, statCol2: Option[String] = None,
@@ -3026,21 +3043,11 @@ object SnapshotLake {
       .sortBy(_.name).toSeq
   }
 
-  private def commitBatch(s: SparkSession, root: String, batch: String,
-      statCol: String, overwrite: Boolean, bloomCol: Option[String],
-      bloomBytes: Int, statCol2: Option[String] = None,
-      txn: Option[(String, Long)] = None,
-      schemaJson: Option[String] = None): Int = {
-    val newFiles =
-      statsFor(s, root, batch, statCol, bloomCol, bloomBytes, statCol2)
-    commitFiles(root, newFiles, statCol, overwrite, bloomCol, statCol2, txn,
-      schemaJson)
-  }
-
   /** Publish `newFiles` (stats already computed) as the next version
-    * — the stats-free half of [[commitBatch]], shared with the DSv2
-    * write path whose BatchWrite.commit stages its own acknowledged
-    * file set before running the stats pass.
+    * — shared by the Scala verbs (whose write job accumulates stats
+    * task-side, [[LakeApiWrite.writeBatchWithStats]]) and the DSv2
+    * write path (whose BatchWrite.commit stages its own acknowledged
+    * file set the same way).
     */
   private[graft] def commitFiles(root: String, newFiles: Seq[FileStat],
       statCol: String, overwrite: Boolean, bloomCol: Option[String],

@@ -110,6 +110,11 @@ object StreamingGate {
     batches.head.coalesce(1).write.mode(SaveMode.Overwrite).parquet(src)
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "2")
+    // the drains LEAN on Spark's no-data micro-batch to run the final
+    // eviction wave (q97/q188 emit their deferred outer rows there) —
+    // pin the conf instead of inheriting the default, so a session-
+    // wide flip can never silently drop deferred rows
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     extraConf.foreach { case (k, v) => ss.conf.set(k, v) }
     val stream = ss.readStream.schema(batches.head.schema).parquet(src)
     val query = transform(stream)

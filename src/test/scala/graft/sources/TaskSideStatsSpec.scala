@@ -154,6 +154,98 @@ class TaskSideStatsSpec extends SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS taskstats_map")
   }
 
+  /** r16: the Scala API verbs route through
+    * [[LakeApiWrite.writeBatchWithStats]] — one write job, stats
+    * accumulated task-side, no read-back pass. Value-identity is
+    * pinned the same way as the DSv2 writers: each batch's manifest
+    * entries must equal a statsFor read-back of the same files.
+    */
+  test("the Scala API verbs publish with task-side stats — no read-back pass") {
+    val ev = spark.range(0, 4000)
+      .selectExpr("id AS event_id", "id * 31 % 1000 AS cents")
+    val root = Housekeeping.tempDir("taskstats_api")
+    val root2 = Housekeeping.tempDir("taskstats_api2")
+    val (c0, _) = SnapshotLake.statsAccounting
+    // plain commit (bloom + repartitioned input = several files)
+    SnapshotLake.commit(spark, root, ev.repartition(3), "event_id",
+      bloomCol = Some("cents"), bloomBytes = 512)
+    // clustered bulk commit, then the mutating verbs on its chain
+    val bucket = SnapshotLake.rangeBucket("event_id", 8, 4000)
+    SnapshotLake.commitClustered(spark, root2, ev, bucket, "event_id")
+    val up = spark.range(0, 50)
+      .selectExpr("id * 16 AS event_id", "id AS cents")
+    val del = spark.range(0, 10).selectExpr("id * 40 + 1 AS event_id")
+    SnapshotLake.merge(spark, root2, up, del)
+    SnapshotLake.delete(spark, root2, 100, 300)
+    SnapshotLake.compactLake(spark, root2, targetRows = 10000)
+    // 2-D re-cluster on its own chain (dim2 under yCol)
+    val root3 = Housekeeping.tempDir("taskstats_api3")
+    SnapshotLake.commit(spark, root3, spark.range(0, 2000)
+      .selectExpr("id AS x", "(id * 37) % 1000 AS y"), "x")
+    SnapshotLake.clusterLake(spark, root3, "x", "y", targetRows = 500)
+    // partition-tagged commit
+    val root4 = Housekeeping.tempDir("taskstats_api4")
+    SnapshotLake.commitPartitioned(spark, root4,
+      ev.selectExpr("event_id", "cents",
+        "concat('r', event_id % 3) AS region"), "region", "event_id")
+    val (c1, _) = SnapshotLake.statsAccounting
+    assert(c1 === c0,
+      s"an API verb ran the read-back stats pass (${c1 - c0} calls)")
+    // value-identity per batch: manifest entries == read-back of the
+    // same files, field by field (incl. bytes, blooms, cstats)
+    def certify(r: String, bloomCol: Option[String], bloomBytes: Int,
+        statCol2: Option[String]): Unit = {
+      val snap = SnapshotLake.snapshot(r)
+      snap.files.groupBy(f => f.name.substring(0, f.name.indexOf('/',
+          f.name.indexOf('/') + 1))).foreach { case (batch, fs) =>
+        // compare by name: a batch dir can hold files an overwrite
+        // stopped referencing (time travel keeps them on disk)
+        val byName = SnapshotLake.statsFor(spark, r, batch,
+          snap.statCol, bloomCol, bloomBytes, statCol2)
+          .map(f => f.name -> f).toMap
+        fs.foreach { f =>
+          assert(byName.contains(f.name),
+            s"${f.name} of $r not found by the read-back pass")
+          assert(statFields(f) === statFields(byName(f.name)),
+            s"${f.name} of $r diverges from the read-back pass")
+        }
+      }
+    }
+    certify(root, Some("cents"), 512, None)
+    certify(root2, None, 1024, None)
+    certify(root3, None, 1024, Some("y"))
+    certify(root4, None, 1024, None)
+    // the verbs' judged surfaces still hold: tags, aggregates
+    val p = SnapshotLake.snapshot(root4)
+    assert(p.files.forall(_.part.exists(_._1 == "region")))
+    assert(SnapshotLake.read(spark, root2)
+      .agg(count(lit(1))).head.getLong(0) > 0)
+  }
+
+  test("an API-verb column shape outside the accumulator falls back to read-back") {
+    val root = Housekeeping.tempDir("taskstats_api_fb")
+    val (c0, _) = SnapshotLake.statsAccounting
+    SnapshotLake.commit(spark, root, spark.range(0, 300)
+      .selectExpr("cast(id AS smallint) AS event_id",
+        "concat('v', id) AS label"), "event_id")
+    val (c1, _) = SnapshotLake.statsAccounting
+    assert(c1 === c0 + 1,
+      "API-verb fallback did not run the read-back pass exactly once")
+    assert(SnapshotLake.read(spark, root).count() === 300)
+  }
+
+  test("partition-dir value escaping matches the replaced writer's contract") {
+    assert(LakeApiWrite.escapeDirValue("f0") === "f0")
+    assert(LakeApiWrite.escapeDirValue("plain-value_1.2") ===
+      "plain-value_1.2")
+    assert(LakeApiWrite.escapeDirValue("a/b") === "a%2Fb")
+    assert(LakeApiWrite.escapeDirValue("a:b=c") === "a%3Ab%3Dc")
+    assert(LakeApiWrite.escapeDirValue("pct%now") === "pct%25now")
+    assert(LakeApiWrite.escapeDirValue("tab\tx") === "tab%09x")
+    // space passes through un-escaped (Hive's contract)
+    assert(LakeApiWrite.escapeDirValue("a b") === "a b")
+  }
+
   test("partitioned (multi-segment task) writes carry per-file task-side stats") {
     val root = Housekeeping.tempDir("taskstats_part")
     val (calls0, _) = SnapshotLake.statsAccounting
