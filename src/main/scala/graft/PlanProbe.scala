@@ -104,6 +104,39 @@ object StreamProbe {
   }
 }
 
+/** Dev utility: measure d7's two EXACT plans against each other on a
+  * given fixture — the r15/r16 verdict ask ("verify with one
+  * experiment whether an exact length/df bound prunes pairs before
+  * the count-agg without touching recall"). Both plans ARE the exact
+  * bounds in question: the size filter (J ≥ τ ⇒ min ≥ τ·max) rides
+  * both joins, and the prefix plan is the df-rank bound (PPJoin's
+  * prefix theorem — the only exact df-based prune there is). Usage:
+  * `sbt "runMain graft.D7Ablation [sfDir]"` (default sf0.1).
+  */
+object D7Ablation {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.get()
+    val docs = graft.operators.Dedup.docShingles(
+      graft.sources.Tables.documents(spark, dir))
+    val share = graft.operators.Dedup.hotShingleShare(docs)
+    println(f"[d7ablation] hotShingleShare=$share%.4f " +
+      s"(threshold ${graft.operators.Dedup.HotShareThreshold})")
+    def time(tag: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      val n = df.count() // warmup: codegen + file listing
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); df.count(); (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"[d7ablation] $tag: median ${runs(1)}%.2f s ($n rows; " +
+        s"runs ${runs.map(t => f"$t%.2f").mkString(", ")})")
+    }
+    val tau = graft.operators.Dedup.D7Tau
+    time("count-agg")(graft.operators.Dedup.d7CountAgg(docs, tau))
+    time("prefix-filtered")(graft.operators.Dedup.d7Prefix(docs, tau))
+    spark.stop()
+  }
+}
+
 /** Dev utility: measure q70's native broadcast range join against the
   * stock BroadcastNestedLoopJoin formulation of the identical query
   * (same fixture, same aggregate) — the ablation behind the custom

@@ -365,7 +365,14 @@ object StreamingGate {
   def q54StreamDedup(s: SparkSession, d: String): DataFrame = {
     val base = Tables.events(s, d)
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
-    runTwoBatch(s, "q54_stream", "graft_q54_dedup", base, base) { df =>
+    runTwoBatch(s, "q54_stream", "graft_q54_dedup", base, base,
+      // noDataMicroBatches OFF (optimization r16): the 40-day horizon
+      // exceeds the fixture's 30-day span, so the no-data batch after
+      // arrival 1 evicted NOTHING (probe: state 100000 → 100000) and
+      // emitted nothing — dedup emits on data arrival. The cross-batch
+      // state claim lives in the two data batches, untouched.
+      extraConf = Map(
+        "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")) { df =>
       // ANSI mode rejects BIGINT→BINARY, so digest a string payload
       StreamingDedup.dedupExact(
         df.withColumn("payload", col("event_id").cast("string")),
@@ -407,7 +414,17 @@ object StreamingGate {
       // stream-stream join carries 4 state stores per partition per
       // side, so even at 2 batches the store lifecycle dominates at
       // local volume. Same answers; 8× fewer state-store commits.
-      extraConf = Map("spark.sql.shuffle.partitions" -> "1")) { df =>
+      // noDataMicroBatches OFF for this gate (optimization r16, the
+      // q97 trim method applied per the r15 verdict's ask): an INNER
+      // join emits only when a row arrives, so the two no-data
+      // eviction batches contributed 0 output rows (probe-measured:
+      // state drops 19901 → 98 at the no-data batch, sink receives
+      // nothing) — they only trimmed state the query was about to
+      // drop anyway. The outer-join gates (q97/q188) keep the
+      // default-on conf: THEIR deferred null rows flush in exactly
+      // that batch. Judged frame identical (oracle green both SFs).
+      extraConf = Map("spark.sql.shuffle.partitions" -> "1",
+        "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")) { df =>
       StreamingJoin.attribute(
         df.where(col("event_type") === "click"),
         df.where(col("event_type") === "purchase"),
