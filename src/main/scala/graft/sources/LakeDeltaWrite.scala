@@ -145,7 +145,9 @@ final class LakeDeltaBatchWrite(root: String, schema: StructType,
       matStaged = staged.flatMap(_.updated).map(m => (m.name, m.rows)),
       scannedVersion = Some(scannedVersion),
       taskStats = staged.flatMap(m => m.inserted ++ m.updated)
-        .flatMap(s => s.stats.map(s.name -> _)).toMap)
+        .flatMap(s => s.stats.map(s.name -> _)).toMap,
+      taskBytes = staged.flatMap(m => m.inserted ++ m.updated)
+        .flatMap(s => s.bytes.map(s.name -> _)).toMap)
     // a delta UPDATE/MERGE version mixes vector growth with added
     // post-image files — not derivable from the manifest diff alone,
     // so change-feed tables materialize the CDC sidecar (pure-delete

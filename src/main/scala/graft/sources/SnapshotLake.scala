@@ -2110,7 +2110,10 @@ object SnapshotLake {
       // delta writers: when every live file carries one under the
       // base's stat envelope, the read-back stats pass is skipped
       // (optimization r15, guide §1.2) — else statsFor as before
-      taskStats: Map[String, SegStats] = Map.empty): DeltaDmlResult = {
+      taskStats: Map[String, SegStats] = Map.empty,
+      // task-side per-file byte sizes (optimization r16): publish
+      // skips its driver-side stat(2) per file when present
+      taskBytes: Map[String, Long] = Map.empty): DeltaDmlResult = {
     // the conflict baseline is the version the row-level scan was
     // PLANNED against, not the head at commit time: a concurrent
     // vector change landing between scan and commit would otherwise
@@ -2145,7 +2148,8 @@ object SnapshotLake {
         // include them instead of falling back to the key diff
         LakeCommit.taskStatFiles(root, batch,
             live.map { case (n, r) =>
-              LakeStaged(n, r, stats = taskStats.get(n)) },
+              LakeStaged(n, r, stats = taskStats.get(n),
+                bytes = taskBytes.get(n)) },
             StatsSpec(key, base.bloomCol, inheritedBloomBytes(base),
               base.statCol2))
           .getOrElse(statsFor(s, root, batch, key, base.bloomCol,
